@@ -1,0 +1,101 @@
+"""Keyed daily aggregations (SURVEY §2.5 A1-A4).
+
+The reference computes its daily sentiment aggregate with
+``groupBy("Date").agg(sum, avg, avg, avg)`` (reference
+``Batch_layer/batchPipeline.py:87-91``) and maintains keyed state by pushing
+painless scripts into Elasticsearch: last-write-wins for stock columns
+(``Speed_layer/yfConsumerStream.py:57-68``) and an incremental *pairwise*
+average for sentiment columns (``Speed_layer/twitterConsumerStream.py:100-106``).
+
+Spark-first versions:
+- A1/A2: plain ``groupBy().agg()`` — Catalyst emits partial (map-side) +
+  final hash aggregation, so the shuffle carries one row per (partition, key),
+  not per input row. At 100 TB the shuffle volume is O(distinct keys), fine.
+- A3 last-write-wins: ``max_by`` per key (single hash agg, no window sort).
+- A4: the *correct* running mean is sum/count state; the reference's pairwise
+  recurrence (an exponentially-decaying mean, NOT the arithmetic mean) is
+  provided as a documented bug-compat mode in :func:`pairwise_mean_compat`.
+
+All money-like sums go through DECIMAL so results are exact and
+order-independent — required for cross-engine oracle equality and good
+practice for financial columns anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def daily_ohlc(trades: DataFrame, ts: str = "ts", price: str = "value") -> DataFrame:
+    """A3-flavored daily bar: per-day open/high/low/close from a trade feed.
+
+    Mirrors the stock half of the reference's speed view (the latest stock
+    row per Date wins — ``yfConsumerStream.py:57-68``); close = last trade by
+    event time via ``max_by`` (no window/sort shuffle, one hash agg).
+    """
+    p = F.col(price).cast(DEC)
+    return trades.groupBy(F.to_date(F.col(ts)).alias("event_date")).agg(
+        F.min_by(p, F.col(ts)).alias("open_v"),
+        F.max(p).alias("high_v"),
+        F.min(p).alias("low_v"),
+        F.max_by(p, F.col(ts)).alias("close_v"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(p).cast(DEC).alias("turnover"),
+    )
+
+
+def daily_sentiment(news: DataFrame, ts: str = "ts", score: str = "k") -> DataFrame:
+    """A1/A2: per-day article count + mean score.
+
+    Reference shape: ``groupBy('Date').agg(sum('Nbr_article'), avg(...)...)``
+    with ``Nbr_article = lit(1)`` summed (batchPipeline.py:79,87-91) — i.e. a
+    count spelled as sum-of-ones. We keep both spellings so the driver can
+    check A2 == A1 count.
+    """
+    return news.groupBy(F.to_date(F.col(ts)).alias("event_date")).agg(
+        F.count(F.lit(1)).alias("nbr_article"),
+        F.sum(F.lit(1)).cast("bigint").alias("nbr_article_sum_of_ones"),
+        F.avg(F.col(score)).alias("avg_score"),
+    )
+
+
+def last_write_wins(df: DataFrame, key: Column | str, order: Column | str) -> DataFrame:
+    """A3: keep the latest full row per key (keyed ES overwrite semantics).
+
+    ``max_by(struct(*), order)`` — a single hash aggregation. Compared with
+    the window/row_number formulation this avoids a per-partition sort and
+    keeps map-side partial aggregation, which matters when one key is hot.
+    """
+    cols = df.columns
+    packed = F.struct(*[F.col(c) for c in cols])
+    out = df.groupBy(key).agg(F.max_by(packed, order).alias("_row"))
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def pairwise_mean_compat(df: DataFrame, key_cols: list[str], ts: str, value: str) -> DataFrame:
+    """A4 bug-compat: the reference's ES painless script computes
+    ``avg = (avg_old + avg_new) / 2`` per micro-batch
+    (``twitterConsumerStream.py:100-106``) — an exponentially-decaying
+    pairwise recurrence, not the arithmetic mean. Reproduced here as an
+    event-time-ordered fold per key so the divergence is testable.
+
+    Implemented with ``reduce`` over a ``sort_array``'d collect — fine for
+    per-key cardinalities that fit a row (streaming state analogue); the
+    correct-mean path (``avg``) is the scale path.
+    """
+    pair = F.array_sort(
+        F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).cast("double").alias("v")))
+    )
+    folded = F.aggregate(
+        pair,
+        F.struct(F.lit(0.0).alias("acc"), F.lit(True).alias("empty")),
+        lambda acc, x: F.struct(
+            F.when(acc["empty"], x["v"]).otherwise((acc["acc"] + x["v"]) / F.lit(2.0)).alias("acc"),
+            F.lit(False).alias("empty"),
+        ),
+        lambda acc: acc["acc"],
+    )
+    return df.groupBy(*key_cols).agg(folded.alias("pairwise_avg"), F.count(F.lit(1)).alias("n"))

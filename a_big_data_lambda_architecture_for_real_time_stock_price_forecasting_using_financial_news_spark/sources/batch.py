@@ -1,0 +1,33 @@
+"""Batch sources (SURVEY §2.1 S4/S5).
+
+The reference's batch reads are ES index scans with hand-written ``es.query``
+JSON pushed down (reference ``Batch_layer/batchPipeline.py:108-127``,
+``Serving_layer/prediction.py:37-60``). Here views live in parquet and
+pushdown is Catalyst's job: declare filters/projections on the DataFrame and
+the scan gets ``PushedFilters`` + pruned ``ReadSchema`` for free — verified in
+tests via ``explain``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning/pushdown happens downstream.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark has no native type
+    for — read it as long and truncate ns→µs with integer division (matching
+    DuckDB's truncating nanos→micros read; float division would lose
+    precision above 2^53 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
