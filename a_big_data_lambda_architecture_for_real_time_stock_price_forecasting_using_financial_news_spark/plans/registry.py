@@ -560,3 +560,113 @@ def q5_regional_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X4/X5 + M1-M5: cleaning, ML pipeline, forecasting (SURVEY §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_x5_text_clean",
+    """
+    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_clean
+    FROM documents WHERE length(text) >= 10
+    """,
+)
+def x4_x5_text_clean(spark, sf_dir):
+    """X5 cleaning chain (reference batchPipeline.py:41-52) as pure Column
+    expressions — URL/handle/emoji/symbol stripping + whitespace collapse +
+    length gate. The fixture texts are already clean, so the oracle reduces
+    to the whitespace+gate steps; dirty-input behavior is pinned by unit
+    tests."""
+    from ..functions.cleaning import clean_text
+
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_clean", clean_text("text"))
+        .na.drop(subset=["text_clean"])
+        .select("doc_id", "text_clean")
+    )
+
+
+@register(
+    "m1_m4_news_pipeline",
+    """
+    WITH dated AS (
+      SELECT doc_id, text,
+             DATE '2024-01-01' + CAST(doc_id % 30 AS INTEGER) AS Date
+      FROM documents WHERE length(text) >= 10
+    ), scored AS (
+      SELECT Date,
+             len(string_split(text, ' ')) AS n,
+             len(list_filter(string_split(text, ' '), w -> w IN ('fast','big'))) AS pos,
+             len(list_filter(string_split(text, ' '), w -> w IN ('slow','small'))) AS neg
+      FROM dated
+    ), ratios AS (
+      SELECT Date,
+             CAST(CAST(pos AS DOUBLE) / n AS DECIMAL(18,12)) AS rp,
+             CAST(CAST(neg AS DOUBLE) / n AS DECIMAL(18,12)) AS rn,
+             CAST(CAST(n - pos - neg AS DOUBLE) / n AS DECIMAL(18,12)) AS rt
+      FROM scored
+    )
+    SELECT Date, count(*) AS Nbr_article,
+           CAST(sum(rp) AS DOUBLE) / count(*) AS Positive,
+           CAST(sum(rn) AS DOUBLE) / count(*) AS Negative,
+           CAST(sum(rt) AS DOUBLE) / count(*) AS Neutre
+    FROM ratios GROUP BY Date
+    """,
+)
+def m1_m4_news_pipeline(spark, sf_dir):
+    """M1 CleanNews + M3 lexicon scorer + M2 AggNews chained as a
+    pyspark.ml Pipeline (reference batchPipeline.py:151-160), decimal-stable
+    daily means."""
+    from .serving import run_news_pipeline
+
+    return run_news_pipeline(spark, sf_dir)
+
+
+@register(
+    "m5_serving_forecast",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_v
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT series, count(*) AS n_days,
+             arg_min(close_v, day) AS first_close,
+             arg_max(close_v, day) AS last_close
+      FROM daily GROUP BY 1
+    )
+    SELECT series, n_days, first_close, last_close,
+           CASE WHEN n_days = 1 THEN last_close
+                ELSE last_close + (last_close - first_close) / (n_days - 1)
+           END AS pred_close
+    FROM s
+    """,
+)
+def m5_serving_forecast(spark, sf_dir):
+    """M5: per-series grouped-map forecast (drift surrogate) — replaces the
+    reference's driver-side toPandas + pickled SARIMAX
+    (prediction.py:63-76)."""
+    from .serving import run_serving_forecast
+
+    return run_serving_forecast(spark, sf_dir)
+
+
+@register("a4_pairwise_compat")  # order-dependent recurrence: rows-only check
+def a4_pairwise_compat(spark, sf_dir):
+    """A4 bug-compat mode: the reference's ES painless pairwise-average
+    recurrence (twitterConsumerStream.py:100-106) as an event-time-ordered
+    fold per day. Not ANSI-SQL-expressible deterministically (the recurrence
+    weights early values by 2^-k), so the driver records rows-only; exact
+    semantics are pinned in tests/test_domain.py."""
+    from ..operators.aggregate import pairwise_mean_compat
+
+    ev = parse_props(tbl(spark, sf_dir, "events")).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    return pairwise_mean_compat(
+        ev.filter(F.col("event_type") != "purchase"), ["event_date"], "ts", "k"
+    )

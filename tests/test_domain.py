@@ -1,0 +1,145 @@
+"""Unit tests for the reference-domain layers: cleaning (X4/X5), sentiment
+(M3), Transformers (M1/M2/M4), pairwise-compat mean (A4), forecaster (M5).
+Behavior anchored to the reference semantics cited in each module."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+PKG = "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark"
+
+
+def test_clean_text_reference_semantics(spark):
+    from importlib import import_module
+
+    cleaning = import_module(f"{PKG}.functions.cleaning")
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="Check https://t.co/xyz out @user #AAPL $150 big_gains \U0001f600!!"),
+            Row(id=2, text="short"),  # len<10 → null → dropped
+            Row(id=3, text=None),
+            Row(id=4, text="plain words stay untouched"),
+        ]
+    )
+    out = (
+        df.withColumn("c", cleaning.clean_text("text"))
+        .na.drop(subset=["c"])
+        .select("id", "c")
+        .collect()
+    )
+    got = {r["id"]: r["c"] for r in out}
+    assert set(got) == {1, 4}
+    assert got[1] == "Check out AAPL 150 big gains !!"
+    assert got[4] == "plain words stay untouched"
+
+
+def test_clean_tweet_producer_semantics(spark):
+    from importlib import import_module
+
+    cleaning = import_module(f"{PKG}.functions.cleaning")
+    df = spark.createDataFrame([Row(text="RT @bob: AAPL; to the moon!! http://x.y 100%")])
+    (got,) = df.select(cleaning.clean_tweet("text").alias("c")).collect()
+    assert got["c"] == "RT AAPL to the moon 100"
+
+
+def test_lexicon_scores_sum_to_one(spark):
+    from importlib import import_module
+
+    senti = import_module(f"{PKG}.functions.sentiment")
+    df = spark.createDataFrame([Row(text="fast fast slow neutral words here")])
+    (r,) = df.select(senti.lexicon_scores("text").alias("s")).collect()
+    s = r["s"]
+    assert abs(s["positive"] - 2 / 6) < 1e-15
+    assert abs(s["negative"] - 1 / 6) < 1e-15
+    assert abs(s["positive"] + s["negative"] + s["neutre"] - 1.0) < 1e-12
+
+
+def test_pandas_scorer_matches_column_scorer(spark):
+    from importlib import import_module
+
+    senti = import_module(f"{PKG}.functions.sentiment")
+    df = spark.createDataFrame(
+        [Row(text="fast big slow x"), Row(text="a b c"), Row(text="slow slow slow")]
+    )
+    a = df.select(senti.lexicon_scores("text").alias("m")).collect()
+    b = df.select(senti.lexicon_scores_pandas("text").alias("s")).collect()
+    for ra, rb in zip(a, b):
+        assert abs(ra["m"]["positive"] - rb["s"]["positive"]) < 1e-15
+        assert abs(ra["m"]["negative"] - rb["s"]["negative"]) < 1e-15
+
+
+def test_news_pipeline_transformer_chain(spark):
+    from importlib import import_module
+
+    tr = import_module(f"{PKG}.ml.transformers")
+    df = spark.createDataFrame(
+        [
+            Row(Date="2024-01-01", text="fast big wins today ok"),
+            Row(Date="2024-01-01", text="slow small losses today"),
+            Row(Date="2024-01-02", text="neutral words only here"),
+            Row(Date="2024-01-02", text="bad"),  # dropped by CleanNews
+        ]
+    )
+    out = tr.news_pipeline().fit(df).transform(df).collect()
+    by_date = {r["Date"]: r for r in out}
+    assert by_date["2024-01-01"]["Nbr_article"] == 2
+    assert by_date["2024-01-02"]["Nbr_article"] == 1
+    r1 = by_date["2024-01-01"]
+    assert abs(r1["Positive"] - (2 / 5 + 0) / 2) < 1e-12
+    assert abs(r1["Negative"] - (0 + 2 / 4) / 2) < 1e-12
+
+
+def test_pairwise_compat_is_recurrence_not_mean(spark):
+    """Reference twitterConsumerStream.py:100-106: avg=(old+new)/2 per step.
+    Sequence 1,2,3 (time order) → ((1+2)/2+3)/2 = 2.25, not mean 2.0."""
+    from importlib import import_module
+
+    agg = import_module(f"{PKG}.operators.aggregate")
+    df = spark.createDataFrame(
+        [Row(g="a", t=1, v=1.0), Row(g="a", t=2, v=2.0), Row(g="a", t=3, v=3.0)]
+    )
+    (r,) = agg.pairwise_mean_compat(df, ["g"], "t", "v").collect()
+    assert r["pairwise_avg"] == 2.25
+    assert r["n"] == 3
+
+
+def test_last_write_wins_picks_latest(spark):
+    from importlib import import_module
+
+    agg = import_module(f"{PKG}.operators.aggregate")
+    df = spark.createDataFrame(
+        [Row(k="d1", t=1, v=10.0), Row(k="d1", t=5, v=50.0), Row(k="d2", t=2, v=20.0)]
+    )
+    rows = {r["k"]: r["v"] for r in agg.last_write_wins(df, "k", "t").collect()}
+    assert rows == {"d1": 50.0, "d2": 20.0}
+
+
+def test_drift_forecaster():
+    from importlib import import_module
+
+    fc = import_module(f"{PKG}.ml.forecast")
+    pdf = pd.DataFrame(
+        {"series": ["x"] * 3, "day": ["2024-01-01", "2024-01-02", "2024-01-03"],
+         "close_v": [10.0, 11.0, 14.0]}
+    )
+    out = fc.drift_forecast(pdf)
+    assert out["pred_close"].iloc[0] == 14.0 + (14.0 - 10.0) / 2
+    assert out["n_days"].iloc[0] == 3
+
+
+def test_forecast_per_series_distributed(spark):
+    from importlib import import_module
+
+    fc = import_module(f"{PKG}.ml.forecast")
+    df = spark.createDataFrame(
+        [
+            Row(series="a", day="2024-01-01", close_v=1.0),
+            Row(series="a", day="2024-01-02", close_v=3.0),
+            Row(series="b", day="2024-01-01", close_v=5.0),
+        ]
+    )
+    rows = {r["series"]: r for r in fc.forecast_per_series(df).collect()}
+    assert rows["a"]["pred_close"] == 3.0 + (3.0 - 1.0) / 1
+    assert rows["b"]["pred_close"] == 5.0  # single point → carry forward
