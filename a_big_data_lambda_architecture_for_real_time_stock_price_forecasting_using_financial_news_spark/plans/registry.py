@@ -670,3 +670,216 @@ def a4_pairwise_compat(spark, sf_dir):
     return pairwise_mean_compat(
         ev.filter(F.col("event_type") != "purchase"), ["event_date"], "ts", "k"
     )
+
+
+# ---------------------------------------------------------------------------
+# T5/T6 + K4/K5: windows, watermarkable aggs, keyed merges (SURVEY §2.7, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t5_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def t5_tumbling_window(spark, sf_dir):
+    """T5 (reference gap): tumbling event-time window agg — same builder
+    serves the streaming path under trigger(availableNow)."""
+    from ..streaming.windows import tumbling
+
+    return tumbling(tbl(spark, sf_dir, "events"), "ts", "1 hour", "event_type")
+
+
+@register(
+    "t5_sliding_window",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (i.i * 15) MINUTE AS window_start,
+           time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (i.i * 15) MINUTE + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) i
+    GROUP BY 1, 2, 3
+    """,
+)
+def t5_sliding_window(spark, sf_dir):
+    """T5: sliding window (1h / 15m) — each event feeds 4 window buckets;
+    state cost scales with duration/slide (flagged in streaming.windows)."""
+    from ..streaming.windows import sliding
+
+    return sliding(tbl(spark, sf_dir, "events"), "ts", "1 hour", "15 minutes", "event_type")
+
+
+@register(
+    "t5_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def t5_session_window(spark, sf_dir):
+    """T5: session windows (30 min gap) per user — Spark session_window in
+    batch mode; oracle is the classic gaps-and-islands formulation."""
+    from ..streaming.windows import session
+
+    return session(tbl(spark, sf_dir, "events"), "ts", "30 minutes", "user_id")
+
+
+@register(
+    "k4_column_half_upsert",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DECIMAL(18,2)) AS close_v,
+             count(*) AS n_trades
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), senti AS (
+      SELECT CAST(ts AS DATE) AS event_date, count(*) AS nbr_article
+      FROM events WHERE event_type <> 'purchase' GROUP BY 1
+    ), cur AS (
+      SELECT d.event_date, d.close_v, d.n_trades, s.nbr_article
+      FROM daily d JOIN senti s USING (event_date)
+      WHERE d.event_date <= DATE '2024-01-20'
+    ), batch AS (
+      SELECT event_date, CAST(close_v * 2 AS DECIMAL(18,2)) AS close_v, n_trades
+      FROM daily WHERE event_date >= DATE '2024-01-11'
+    )
+    SELECT COALESCE(b.event_date, c.event_date) AS event_date,
+           COALESCE(b.close_v, c.close_v) AS close_v,
+           COALESCE(b.n_trades, c.n_trades) AS n_trades,
+           c.nbr_article
+    FROM cur c FULL OUTER JOIN batch b ON c.event_date = b.event_date
+    """,
+)
+def k4_column_half_upsert(spark, sf_dir):
+    """K4: the painless 'set stock fields, preserve sentiment fields' upsert
+    (reference yfConsumerStream.py:57-87) as a pure column-half merge — the
+    batch owns (close_v, n_trades), nbr_article survives from the current
+    view. The doubled close marks which half won."""
+    from ..streaming.upsert import merge_halves
+
+    ev = tbl(spark, sf_dir, "events")
+    p = F.col("value").cast(DEC)
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.max_by(p, F.col("ts")).cast(DEC).alias("close_v"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+    senti = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("nbr_article"))
+    )
+    cur = (
+        daily.join(senti, "event_date")
+        .filter(F.col("event_date") <= F.lit("2024-01-20").cast("date"))
+    )
+    batch = daily.filter(F.col("event_date") >= F.lit("2024-01-11").cast("date")).select(
+        "event_date",
+        (F.col("close_v") * 2).cast(DEC).alias("close_v"),
+        "n_trades",
+    )
+    return merge_halves(cur, batch, ["event_date"], ["close_v", "n_trades"])
+
+
+@register(
+    "k5_incremental_mean_merge",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_v,
+           count(*) AS cnt_v,
+           CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS mean_v
+    FROM events GROUP BY user_id
+    """,
+)
+def k5_incremental_mean_merge(spark, sf_dir):
+    """K5 correct semantics: two disjoint (sum,count) states merged must
+    equal the global mean — the property the reference's pairwise recurrence
+    violates (twitterConsumerStream.py:100-106)."""
+    from ..streaming.upsert import merge_mean_states
+
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+
+    def state(df):
+        return df.groupBy("user_id").agg(
+            F.sum("k").cast("bigint").alias("sum_v"),
+            F.count(F.lit(1)).alias("cnt_v"),
+        )
+
+    half1 = state(ev.filter(F.dayofmonth("ts") <= 15))
+    half2 = state(ev.filter(F.dayofmonth("ts") > 15))
+    merged = merge_mean_states(half1, half2, ["user_id"])
+    return merged.select(
+        "user_id",
+        F.col("sum_v").cast("bigint").alias("sum_v"),
+        F.col("cnt_v").cast("bigint").alias("cnt_v"),
+        (F.col("sum_v").cast("double") / F.col("cnt_v")).alias("mean_v"),
+    )
+
+
+@register(
+    "t6_stream_running_mean",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_v,
+           CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS mean_v
+    FROM events GROUP BY user_id
+    """,
+)
+def t6_stream_running_mean(spark, sf_dir):
+    """T6: genuine Structured Streaming — events replayed as a stream into
+    ``applyInPandasWithState`` (sum/count state per key, update mode), final
+    state read back from the memory sink. The correct-mean replacement for
+    the reference's ES-scripted sentiment state."""
+    import uuid
+
+    from ..plans.batch_pipeline import parse_props as _pp
+    from ..streaming.ingest import events_stream
+    from ..streaming.state import running_mean_stream
+
+    prepare(spark)
+    stream = _pp(events_stream(spark, sf_dir)).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("k").cast("double").alias("v"),
+    )
+    out = running_mean_stream(stream)
+    sink = f"t6_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = the row with the highest n (monotone per key)
+    tblu = spark.table(sink)
+    packed = F.struct("n", "sum_v", "mean_v")
+    return (
+        tblu.groupBy("key")
+        .agg(F.max_by(packed, F.col("n")).alias("s"))
+        .select("key", F.col("s.n").alias("n"), F.col("s.sum_v").alias("sum_v"),
+                F.col("s.mean_v").alias("mean_v"))
+    )

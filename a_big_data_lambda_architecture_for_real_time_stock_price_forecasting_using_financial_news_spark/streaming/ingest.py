@@ -1,0 +1,112 @@
+"""Streaming sources + parse (SURVEY §2.1 S1-S3, §2.3 P1/P2, §2.7 T1-T4).
+
+The reference's five streaming jobs all share one shape (e.g.
+``Batch_layer/yfConsumer.py:26-47``):
+
+    readStream kafka → selectExpr CAST(value AS STRING)
+    → from_json(value, schema) → select("data.*")
+
+Kept verbatim for Kafka; tests and the correctness driver use file sources
+(json/parquet) with ``trigger(availableNow=True)`` so replay is hermetic.
+``failOnDataLoss=false`` (T4) mirrors the reference's loss tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """S1-S3: Kafka scan with the reference's options
+    (yfConsumer.py:26-33)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def parse_json_value(raw: DataFrame, schema: T.StructType, value_col: str = "value") -> DataFrame:
+    """P1+P2: byte→string cast, JSON parse with explicit schema, flatten
+    (yfConsumer.py:33,47). Works on both batch and streaming frames."""
+    return (
+        raw.select(F.col(value_col).cast("string").alias("value"))
+        .select(F.from_json(F.col("value"), schema).alias("data"))
+        .select("data.*")
+    )
+
+
+def json_file_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Hermetic replacement for a Kafka topic: a directory of JSON files
+    replayed as micro-batches (one file ≈ one batch with
+    ``maxFilesPerTrigger=1``)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
+def parquet_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFrame:
+    """Stream the events fixture as a Structured Streaming source (same
+    NANOS handling as the batch reader).
+
+    The parquet streaming source requires a *directory*; the fixture is one
+    file, so it is symlinked into a temp dir. With ``n_chunks > 1`` the data
+    is re-written as ``n_chunks`` files so ``maxFilesPerTrigger=1`` replays
+    it as that many micro-batches (multi-batch state tests).
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    if n_chunks <= 1:
+        os.symlink(os.path.abspath(src), os.path.join(stage, "part-0.parquet"))
+    else:
+        spark.read.parquet(src).repartitionByRange(n_chunks, "event_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def to_kafka_json(df: DataFrame, topic: str, brokers: str):
+    """K8: the producer sink — serialize all columns to a JSON value
+    (reference producers use ``dumps(dict)``, yfProducer.py:17,36)."""
+    payload = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )

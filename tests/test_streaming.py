@@ -1,0 +1,192 @@
+"""Streaming-layer tests (SURVEY §5.3): micro-batch replay with
+availableNow, keyed-upsert views, replay idempotence, windowed aggs, and
+the cross-stream column-half merge (J2)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+PKG = "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark"
+
+
+def _mod(name):
+    from importlib import import_module
+
+    return import_module(f"{PKG}.{name}")
+
+
+def test_multibatch_lww_view_matches_batch_answer(spark, sf_dir):
+    """K1: stream events in 4 micro-batches through the LWW upsert sink;
+    the final view must equal the one-shot batch LWW (A3)."""
+    ingest = _mod("streaming.ingest")
+    upsert = _mod("streaming.upsert")
+    agg = _mod("operators.aggregate")
+    sources = _mod("sources.batch")
+
+    stream = ingest.events_stream(spark, sf_dir, n_chunks=4).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/view", ["user_id"])
+        q = (
+            stream.writeStream.foreachBatch(upsert.foreach_batch_lww(view, "ts"))
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["user_id"]: (r["event_id"], r["value"])
+            for r in view.read().collect()
+        }
+    ev = sources.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in agg.last_write_wins(ev, "user_id", F.struct("ts", "event_id")).collect()
+    }
+    assert got == want
+
+
+def test_upsert_replay_is_idempotent(spark):
+    """Checkpoint-recovery replay: applying the same batch_id twice must not
+    change the view (exactly-once effect)."""
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tempfile.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["k"])
+        b1 = spark.createDataFrame([Row(k="a", t=1, v=1.0), Row(k="b", t=1, v=2.0)])
+        view.merge_overwrite_by_key(b1, "t", batch_id=0)
+        v1 = view._pointer()["version"]
+        view.merge_overwrite_by_key(b1, "t", batch_id=0)  # replay
+        assert view._pointer()["version"] == v1
+        b2 = spark.createDataFrame([Row(k="a", t=2, v=9.0)])
+        view.merge_overwrite_by_key(b2, "t", batch_id=1)
+        got = {r["k"]: r["v"] for r in view.read().collect()}
+        assert got == {"a": 9.0, "b": 2.0}
+
+
+def test_incremental_mean_view(spark):
+    """K5 correct semantics through the view API: merged (sum,count) states
+    give the arithmetic mean over all data."""
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tempfile.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["k"])
+        s1 = spark.createDataFrame([Row(k="x", sum_v=10, cnt_v=2)])
+        s2 = spark.createDataFrame([Row(k="x", sum_v=20, cnt_v=3)])
+        view.merge_incremental_mean(s1, batch_id=0)
+        view.merge_incremental_mean(s2, batch_id=1)
+        (r,) = view.read().collect()
+        assert r["sum_v"] == 30 and r["cnt_v"] == 5
+        assert r["mean_v"] == 6.0
+
+
+def test_cross_stream_column_half_merge(spark):
+    """J2: stock half and sentiment half upserting the same keyed view
+    (reference speed_view, yfConsumerStream + twitterConsumerStream)."""
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tempfile.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        stock = spark.createDataFrame(
+            [("2024-01-01", 10.0, None, None)],
+            "d string, close double, nbr bigint, pos double",
+        )
+        view.merge_column_halves(stock, ["close"], batch_id=0)
+        senti = spark.createDataFrame([Row(d="2024-01-01", nbr=5, pos=0.5),
+                                       Row(d="2024-01-02", nbr=1, pos=0.1)])
+        view.merge_column_halves(senti, ["nbr", "pos"], batch_id=1)
+        rows = {r["d"]: r for r in view.read().collect()}
+        assert rows["2024-01-01"]["close"] == 10.0  # preserved from stock half
+        assert rows["2024-01-01"]["nbr"] == 5 and rows["2024-01-01"]["pos"] == 0.5
+        assert rows["2024-01-02"]["close"] is None  # inserted by sentiment only
+        stock2 = spark.createDataFrame([Row(d="2024-01-01", close=11.0)])
+        view.merge_column_halves(stock2, ["close"], batch_id=2)
+        rows = {r["d"]: r for r in view.read().collect()}
+        assert rows["2024-01-01"]["close"] == 11.0  # stock updated
+        assert rows["2024-01-01"]["nbr"] == 5  # sentiment preserved
+
+
+def test_streaming_tumbling_window_matches_batch(spark, sf_dir):
+    """T5: windowed agg with watermark over the stream == batch window agg."""
+    ingest = _mod("streaming.ingest")
+    windows = _mod("streaming.windows")
+    sources = _mod("sources.batch")
+
+    stream = ingest.events_stream(spark, sf_dir, n_chunks=2)
+    win = windows.tumbling(windows.with_watermark(stream, "ts", "1 hour"), "ts", "1 hour")
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            win.writeStream.format("memory")
+            .queryName("win_test")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["window_start"], r["n_events"]) for r in spark.table("win_test").collect()
+        }
+    batch = windows.tumbling(sources.load_table(spark, sf_dir, "events"), "ts", "1 hour")
+    want = {(r["window_start"], r["n_events"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_drops_late_data(spark):
+    """T5: an event older than watermark delay behind the max event time is
+    dropped from windowed aggregation in append mode."""
+    import os
+    import tempfile as tf
+
+    windows = _mod("streaming.windows")
+
+    with tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        # batch 1: events at 10:00-11:00; batch 2: a very late event at 08:00
+        with open(f"{src}/b1.json", "w") as fh:
+            fh.write(
+                '{"ts": "2024-01-01T10:00:00", "value": 1.0}\n'
+                '{"ts": "2024-01-01T11:30:00", "value": 2.0}\n'
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("ts", T.TimestampType()), T.StructField("value", T.DoubleType())]
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        win = windows.tumbling(windows.with_watermark(stream, "ts", "30 minutes"), "ts", "1 hour")
+        out = f"{tmp}/out"
+
+        def run_once():
+            q = (
+                win.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        # late event arrives in a second run of the same query (new file)
+        with open(f"{src}/b2.json", "w") as fh:
+            fh.write('{"ts": "2024-01-01T08:00:00", "value": 99.0}\n')
+        run_once()
+        rows = spark.read.parquet(out).collect()
+        hours = {r["window_start"].hour for r in rows}
+        # the 08:00 window must have been discarded (watermark passed it);
+        # the 10:00 window is final after watermark advanced beyond 11:00
+        assert 8 not in hours
+        assert 10 in hours
