@@ -1,0 +1,145 @@
+"""Text analysis over the `documents` table — all pure Column expressions.
+
+Language-ID, quality scoring, token counting, and document fingerprinting as
+a 100 TB corpus pipeline needs them. No Python UDFs: every op is a built-in
+expression chain (regexp/array/higher-order functions) that stays inside
+whole-stage codegen, so throughput is scan-bound. Each builder has a DuckDB
+SQL twin generated from the same constants (stopword lists, regexes, hash
+parameters) so the driver oracle can verify values exactly.
+
+The reference's only text op is a scalar-Python cleaning UDF
+(/root/reference/airflow/dags/Batch_layer/batchPipeline.py:41-62); these
+extend that into the analysis battery a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import FP_BASE, FP_MOD, fp_step_mod, fp_step_mod_sql
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+# BPE-ish unit: a letter run, a digit run, or one non-alnum non-space symbol
+BPE_UNIT = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+PUNCT = "[^a-zA-Z0-9\\s]"
+
+# tiny per-language stopword lists; deterministic priority order on ties
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es": ("el", "la", "los", "y", "es", "no", "un", "con"),
+    "fr": ("le", "la", "les", "et", "est", "ne", "un", "avec"),
+    "zh": ("de5", "shi4", "le5", "bu4", "wo3", "you3", "zai4", "he2"),
+}
+LANG_ORDER = tuple(sorted(LANG_STOPWORDS))
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alnum tokens (whitespace/punct split), empties dropped."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda x: x != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT}'),"
+        " x -> x <> '')"
+    )
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def _hits_sql(toks: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, x -> x IN ({inlist})))"
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: most stopword hits wins; ties resolve to the
+    alphabetically-first language; zero hits everywhere -> 'und'."""
+    toks = tokens(col)
+    scores = {lang: _hits(toks, LANG_STOPWORDS[lang]) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earliest lang wins ties
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    scores = {lang: _hits_sql(toks, LANG_STOPWORDS[lang]) for lang in LANG_ORDER}
+    best = f"greatest({', '.join(scores.values())})"
+    case = "CASE"
+    for lang in LANG_ORDER:
+        case += f" WHEN {scores[lang]} = best THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return (
+        f"(SELECT CASE WHEN best = 0 THEN 'und' ELSE {case} END "
+        f"FROM (SELECT {best} AS best))"
+    )
+
+
+def token_counts(col: Column) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish unit count)."""
+    ws = F.size(tokens(col))
+    bpe = F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_UNIT), 0))
+    return ws, bpe
+
+
+def token_counts_sql(expr: str) -> tuple[str, str]:
+    ws = f"len({tokens_sql(expr)})"
+    bpe = f"len(regexp_extract_all(lower({expr}), '{BPE_UNIT}'))"
+    return ws, bpe
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1]-ish quality: alpha ratio minus punct ratio plus a
+    stopword-presence bonus, floored at 0. Single IEEE division per ratio so
+    Spark and DuckDB agree bit-for-bit."""
+    n = F.length(col).cast("double")
+    alpha = F.size(F.regexp_extract_all(col, F.lit("[a-zA-Z]"), 0)).cast("double")
+    punct = F.size(F.regexp_extract_all(col, F.lit(PUNCT), 0)).cast("double")
+    stop = _hits(tokens(col), LANG_STOPWORDS["en"]).cast("double")
+    ntok = F.size(tokens(col)).cast("double")
+    score = alpha / n - punct / n + F.least(stop / ntok, F.lit(0.2))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.greatest(score, F.lit(0.0)))
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    stop = _hits_sql(toks, LANG_STOPWORDS["en"])
+    return f"""(
+      SELECT CASE WHEN n = 0 THEN 0.0 ELSE greatest(
+        alpha / n - punct / n + least(stop / ntok, 0.2), 0.0) END
+      FROM (SELECT
+        CAST(length({expr}) AS DOUBLE) AS n,
+        CAST(len(regexp_extract_all({expr}, '[a-zA-Z]')) AS DOUBLE) AS alpha,
+        CAST(len(regexp_extract_all({expr}, '{PUNCT}')) AS DOUBLE) AS punct,
+        CAST({stop} AS DOUBLE) AS stop,
+        CAST(len({toks}) AS DOUBLE) AS ntok)
+    )"""
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive rolling hash over the token sequence:
+    acc = (acc * 131 + phash60(tok) % p) % p, p = 1e9+7. Left fold in both
+    engines; detects token-level reorderings exact-hash dedup misses."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * FP_BASE + fp_step_mod(t)) % FP_MOD,
+    )
+
+
+def fingerprint_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    step = fp_step_mod_sql("t")
+    # list_reduce has no initial value; seed with a 0 element up front
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t -> {step})), "
+        f"(acc, t) -> (acc * {FP_BASE} + t) % {FP_MOD})"
+    )

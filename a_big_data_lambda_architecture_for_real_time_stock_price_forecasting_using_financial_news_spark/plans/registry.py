@@ -883,3 +883,180 @@ def t6_stream_running_mean(spark, sf_dir):
         .select("key", F.col("s.n").alias("n"), F.col("s.sum_v").alias("sum_v"),
                 F.col("s.mean_v").alias("mean_v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: dedup / similarity / text analysis / multimodal (driver
+# mandate — first-class alongside SURVEY §2). Oracle SQL is GENERATED from
+# the same parameters as the Spark builders (ext/*.py), so LSH candidate
+# sets and float folds match bit-for-bit across engines.
+# ---------------------------------------------------------------------------
+
+from ..ext import dedup as _dd
+from ..ext import multimodal as _mm
+from ..ext import similarity as _sim
+from ..ext import text as _tx
+
+
+@register(
+    "d1_dedup_exact",
+    f"""
+    SELECT md5({_dd.norm_text_sql('text')}) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def d1_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content (ext/dedup.py)."""
+    return _dd.exact_dedup(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "d2_dedup_minhash_lsh",
+    _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5),
+)
+def d2_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4x4 bands) near-dup pairs, exact-Jaccard verified
+    at 0.5. Candidate generation is an equi-join on band hash — never
+    all-pairs (ext/dedup.py:minhash_lsh_pairs)."""
+    return _dd.minhash_lsh_pairs(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+@register(
+    "d3_dedup_simhash",
+    _dd.simhash_pairs_sql("documents", "doc_id", "text", max_hamming=3),
+)
+def d3_dedup_simhash(spark, sf_dir):
+    """SimHash-32 near-dup pairs, hamming <= 3, byte-banded candidates
+    (pigeonhole guarantees recall at this radius)."""
+    return _dd.simhash_pairs(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@register(
+    "d4_dedup_ngram_jaccard",
+    _dd.ngram_jaccard_pairs_sql(
+        "documents", "doc_id", "text", ["lang", "source"], threshold=0.75
+    ),
+)
+def d4_dedup_ngram_jaccard(spark, sf_dir):
+    """Char-4-gram Jaccard >= 0.75 within (lang, source) blocks — the
+    high-precision blocked pass."""
+    return _dd.ngram_jaccard_pairs(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text",
+        ["lang", "source"], threshold=0.75,
+    )
+
+
+@register(
+    "d5_dedup_embedding_cosine",
+    _sim.embedding_near_dup_sql("embeddings", threshold=0.35),
+)
+def d5_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within the coarse `label` cell."""
+    return _sim.embedding_near_dup(tbl(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register(
+    "s1_ann_topk_bruteforce",
+    _sim.topk_bruteforce_sql("embeddings", "vec_id % 50 = 0", k=5),
+)
+def s1_ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for queries vec_id % 50 == 0: broadcast queries x
+    one corpus scan (ext/similarity.py:topk_bruteforce)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return _sim.topk_bruteforce(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+@register(
+    "s2_ann_topk_ivf",
+    _sim.topk_ivf_sql("embeddings", "vec_id % 50 = 0", k=5),
+)
+def s2_ann_topk_ivf(spark, sf_dir):
+    """IVF top-5: probe only the query's sign-bit cell (64 cells) — the
+    O(Q*N/cells) scale path; recall measured against s1."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return _sim.topk_ivf(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+@register(
+    "x6_lang_id",
+    f"""
+    SELECT doc_id, lang, {_tx.lang_id_sql('text')} AS lang_pred
+    FROM documents
+    """,
+)
+def x6_lang_id(spark, sf_dir):
+    """Heuristic stopword language-ID (ext/text.py:lang_id)."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", _tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "x7_quality_score",
+    f"""
+    SELECT doc_id, {_tx.quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+)
+def x7_quality_score(spark, sf_dir):
+    """Deterministic quality score: alpha/punct/stopword ratios."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", _tx.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "x8_token_count",
+    (lambda ws, bpe: f"""
+    SELECT doc_id, CAST({ws} AS INTEGER) AS n_ws_tokens,
+           CAST({bpe} AS INTEGER) AS n_bpe_units
+    FROM documents
+    """)(*_tx.token_counts_sql("text")),
+)
+def x8_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish token counts, pure regexp expressions."""
+    d = tbl(spark, sf_dir, "documents")
+    ws, bpe = _tx.token_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        ws.cast("int").alias("n_ws_tokens"),
+        bpe.cast("int").alias("n_bpe_units"),
+    )
+
+
+@register(
+    "x9_fingerprint",
+    f"""
+    SELECT doc_id, {_tx.fingerprint_sql('text')} AS fp
+    FROM documents
+    """,
+)
+def x9_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", _tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "m6_multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS byte_len,
+           CAST(list_sum(list_transform(range(0, 16),
+                i -> CAST(concat('0x', md5(text)[2*i+1 : 2*i+2]) AS BIGINT)))
+                AS BIGINT) AS byte_sum,
+           CAST(concat('0x', md5(text)[1:15]) AS BIGINT) AS head64,
+           'fake' AS fmt
+    FROM documents
+    """,
+)
+def m6_multimodal_features(spark, sf_dir):
+    """Binary media column + Arrow-batched mapInPandas feature extraction
+    (ext/multimodal.py). Payload = md5(text) bytes, so the oracle recomputes
+    the same features from hex; head64 = first 60 bits = phash60(text)."""
+    d = tbl(spark, sf_dir, "documents")
+    return _mm.extract_features(_mm.attach_media(d, "doc_id", "text"))
