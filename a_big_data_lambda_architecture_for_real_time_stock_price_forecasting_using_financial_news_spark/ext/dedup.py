@@ -26,6 +26,8 @@ survive the driver's value-hash compare.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +55,21 @@ def norm_text_sql(expr: str) -> str:
     return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Round-robin repartition iff the input arrives with fewer partitions
+    than the cluster has slots (typical for one small parquet file locally).
+    At scale the source is already many files, so this is a no-op there.
+
+    Round-robin (not hash-by-key) on purpose: it is non-deterministic, so
+    Catalyst will NOT push filters/projections through it — the expensive
+    sketch expressions above it stay above the exchange and run on all
+    slots instead of being folded into the single-partition scan."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(slots, 8):
+        return df.repartition(min(slots, 32))
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups: content hash -> canonical (min) id + group size.
     One hash-aggregate; at scale this is the cheapest pass and runs first."""
@@ -70,18 +87,30 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --- minhash + LSH ---------------------------------------------------------
 
 
-def shingles(col):
-    """Distinct SHINGLE-word shingles of the token sequence (1-based slice).
-    Docs with < SHINGLE tokens yield an empty array and are dropped by the
-    signature step (can't sketch them)."""
-    t = tokens(col)
+def shingles_of_tokens(t):
+    """Distinct SHINGLE-word shingles via shifted-slice zip, not per-index
+    element_at: `t` is only mentioned OUTSIDE lambda bodies (size + SHINGLE
+    slices, each evaluated once per row), so even when CollapseProject
+    inlines the tokens() regex-split into this expression it runs O(1)
+    times per row. The naive transform(sequence, i -> element_at(t, i+j))
+    form puts `t` inside the lambda — the inlined tokenizer then re-runs
+    once PER SHINGLE (measured ~40x slower end-to-end on sf0.1). Docs with
+    < SHINGLE tokens yield an empty array (dropped by the sketch step)."""
     n = F.size(t)
-    idx = F.sequence(F.lit(1), n - (SHINGLE - 1))
-    parts = lambda i: [F.element_at(t, i + j) for j in range(SHINGLE)]
-    return F.when(
-        n >= SHINGLE,
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))),
-    ).otherwise(F.array().cast("array<string>"))
+    parts = [F.slice(t, j + 1, n - (SHINGLE - 1)) for j in range(SHINGLE)]
+    joined = reduce(
+        lambda acc, p: F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b)),
+        parts,
+    )
+    return F.when(n >= SHINGLE, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(col):
+    """Shingles straight from raw text — convenience for small inputs and
+    tests; hot paths stage tokens() as a column first (see above)."""
+    return shingles_of_tokens(tokens(col))
 
 
 def shingles_sql(expr: str) -> str:
@@ -95,14 +124,28 @@ def shingles_sql(expr: str) -> str:
       FROM (SELECT {t} AS t))"""
 
 
-def minhash_signature(col):
-    """k=MH_K minhash values: min over shingles of seeded phash60."""
-    sh = shingles(col)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: phash60(s, seed=f"mh{i}")))
-            for i in range(MH_K)
-        ]
+MAX60 = 1 << 60  # above any phash60 value — fold identity for min
+
+
+def minhash_signature(sh):
+    """k=MH_K minhash values as ONE left fold over the shingle array:
+    acc[i] = min(acc[i], phash60(seed_i | s)).
+
+    Single-pass on purpose, and `sh` is mentioned exactly once: the naive
+    form (k separate array_min(transform(sh, ...)) columns) mentions sh k
+    times, and CollapseProject substitutes the full shingle expression into
+    every mention — Spark does not common-subexpression-eliminate across
+    higher-order lambdas, so that shape re-shingled the text k times per
+    row (measured 40x slower on sf0.1). The per-shingle seed hashes operate
+    on the lambda *variable*, which is a slot read, not a re-evaluation."""
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(MAX60).cast("bigint"), MH_K),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[phash60(s, seed=f"mh{i}") for i in range(MH_K)]),
+            lambda a, h: F.least(a, h),
+        ),
     )
 
 
@@ -120,41 +163,56 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded minhash, verified by exact shingle Jaccard.
 
-    Plan shape: project sketch -> explode MH_BANDS band hashes -> self-join
-    on (band, band_hash) -> distinct candidate pairs -> exact verify. The
-    self-join is an equi-join on the band hash, so Catalyst shuffles both
-    sides on the bucket key — never a cartesian. Band hash = phash60 of the
-    row-concatenated signature slice (classic b/r banding: P[candidate] =
-    1-(1-j^r)^b, here r=4 b=4 -> s-curve around j~0.7)."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col)).alias("sig"),
-        shingles(F.col(text_col)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    Plan shape: project shingles once -> sketch from the projected column ->
+    explode MH_BANDS (band, band_hash) rows carrying ONLY doc_id -> self-join
+    on (band, band_hash) -> distinct candidate id-pairs -> re-join the
+    shingle arrays -> exact verify. Candidates are deduped while they are
+    two-integer rows, so the band-join shuffle never carries the (wide)
+    shingle arrays — on a colliding corpus that's the difference between
+    shuffling megabytes and gigabytes. Band hash = phash60 of the row-
+    concatenated signature slice (classic b/r banding: P[candidate] =
+    1-(1-j^r)^b, here r=4 b=4 -> s-curve around j~0.7).
 
+    The input is spread across the cluster BEFORE the expensive projections
+    if it arrives under-partitioned (single small file), and the shingle
+    table is persisted: it feeds three consumers (band generation + both
+    sides of the verify join), and the persist is also the materialization
+    barrier that stops CollapseProject from substituting the shingle
+    expression into each of them. A production pipeline writes this sketch
+    table to parquet for incremental reuse; persist is its in-session form."""
+    spread = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    )
+    base = (
+        spread.select("doc_id", tokens(F.col("_text")).alias("_toks"))
+        .select("doc_id", shingles_of_tokens(F.col("_toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+
+    # band hashes from the signature in one expression: sig is mentioned
+    # once (inside the transform lambda), so even if CollapseProject inlines
+    # it, it re-evaluates at most MH_BANDS times over the CACHED sh column
     bands = base.select(
         "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        phash60(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig").getItem(b * MH_ROWS + r)
-                                    for r in range(MH_ROWS)
-                                ],
-                            )
-                        ).alias("bh"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
+                lambda b: phash60(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                minhash_signature(F.col("sh")), b * MH_ROWS + 1, MH_ROWS
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
                     )
-                    for b in range(MH_BANDS)
-                ]
+                ),
             )
-        ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        ).alias("band", "bh"),
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -163,15 +221,17 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -218,9 +278,13 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token MULTISET of (2*bit_i(phash60(tok)) - 1) is positive. Explode +
     single groupBy with 32 conditional sums (map-side partial agg), then the
     bits recombine into one bigint — no Python, one shuffle."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
+    spread = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    )
+    toks = spread.select(
+        "doc_id",
+        F.explode(tokens(F.col("_text"))).alias("tok"),
     ).withColumn("th", phash60(F.col("tok")))
     sums = toks.groupBy("doc_id").agg(
         *[
@@ -316,15 +380,21 @@ def simhash_pairs_sql(table: str, id_col: str, text_col: str, max_hamming: int) 
 NGRAM_N = 4
 
 
-def char_ngrams(col, n: int = NGRAM_N):
-    """Distinct character n-grams of the normalized text."""
-    norm = norm_text(col)
-    ln = F.length(norm)
+def char_ngrams_of_norm(s, n: int = NGRAM_N):
+    """Distinct char n-grams of a *projected* normalized-text column (same
+    attribute-reference rule as shingles_of_tokens: the substr lambda
+    mentions `s` per gram)."""
+    ln = F.length(s)
     idx = F.sequence(F.lit(1), ln - (n - 1))
     return F.when(
         ln >= n,
-        F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n)))),
+        F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n)))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col, n: int = NGRAM_N):
+    """Char n-grams straight from raw text — for small inputs and tests."""
+    return char_ngrams_of_norm(norm_text(col), n)
 
 
 def char_ngrams_sql(expr: str, n: int = NGRAM_N) -> str:
@@ -345,10 +415,26 @@ def ngram_jaccard_pairs(
     choice — not corpus size — bounds the work. Use for the final high-
     precision pass after LSH has shrunk candidates, or on naturally small
     blocks."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        char_ngrams(F.col(text_col)).alias("ng"),
+    spread = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            F.col(text_col).alias("_text"),
+        ),
+        "doc_id",
+    )
+    # persist BETWEEN the norm and gram projections: the gram lambda reads
+    # `_norm` per gram, and without a materialization barrier CollapseProject
+    # inlines the norm_text regex into that lambda body — one regex PER GRAM
+    # per row. Persisting the normalized text keeps the regex at once-per-row
+    # and feeds both sides of the self-join from cache.
+    normed = spread.select(
+        "doc_id", *block_cols, norm_text(F.col("_text")).alias("_norm")
+    ).persist()
+    base = normed.select(
+        "doc_id",
+        *block_cols,
+        char_ngrams_of_norm(F.col("_norm")).alias("ng"),
     ).filter(F.size("ng") > 0)
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a.ng", "b.ng")).cast("double")

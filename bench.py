@@ -21,6 +21,12 @@ HEADLINE = [
     "a3_last_write_wins",
     "j2_keyed_column_merge",
     "t7_lambda_reconciliation",
+    # training-data extensions (documents/embeddings tables)
+    "d2_dedup_minhash_lsh",
+    "d3_dedup_simhash",
+    "s1_ann_topk_bruteforce",
+    "s2_ann_topk_ivf",
+    "x9_fingerprint",
 ]
 
 
