@@ -40,6 +40,14 @@ MH_ROWS = 4
 MH_K = MH_BANDS * MH_ROWS
 SHINGLE = 3  # words per shingle
 
+# universal-hash family for the k minhash permutations: one md5 per shingle,
+# then sig_i = (a_i * h + b_i) mod P31. P31 = 2^31 - 1 keeps a_i * h < 2^62
+# (DuckDB raises on int64 overflow, so the math must stay in range in BOTH
+# engines). Constants are fixed so the oracle derives identical values.
+MH_P = (1 << 31) - 1
+MH_A = [(2654435761 * (i + 1)) % MH_P for i in range(MH_K)]
+MH_B = [(40503 * (i + 7) + 1) % MH_P for i in range(MH_K)]
+
 SIM_BITS = 32
 SIM_BANDS = 4  # 8 bits per band
 
@@ -124,27 +132,31 @@ def shingles_sql(expr: str) -> str:
       FROM (SELECT {t} AS t))"""
 
 
-MAX60 = 1 << 60  # above any phash60 value — fold identity for min
-
-
 def minhash_signature(sh):
-    """k=MH_K minhash values as ONE left fold over the shingle array:
-    acc[i] = min(acc[i], phash60(seed_i | s)).
+    """k=MH_K minhash values: hash each shingle ONCE (md5), then derive the
+    k permutation values by universal hashing and min-fold them in a single
+    pass: acc[i] = min(acc[i], (a_i * h + b_i) mod P31).
 
-    Single-pass on purpose, and `sh` is mentioned exactly once: the naive
-    form (k separate array_min(transform(sh, ...)) columns) mentions sh k
-    times, and CollapseProject substitutes the full shingle expression into
-    every mention — Spark does not common-subexpression-eliminate across
-    higher-order lambdas, so that shape re-shingled the text k times per
-    row (measured 40x slower on sf0.1). The per-shingle seed hashes operate
-    on the lambda *variable*, which is a slot read, not a re-evaluation."""
+    Two performance rules shape this expression (both measured ~10-40x on
+    sf0.1):
+    - every expensive subexpression is mentioned exactly once and outside
+      lambda bodies (Spark neither CSEs repeated subtrees nor hoists them
+      out of lambdas, and CollapseProject re-inlines staged columns), so
+      the naive k x array_min(transform(sh, md5...)) form re-shingled and
+      re-hashed k times;
+    - the k derivations act on the lambda VARIABLE h (a slot read): one
+      md5 per shingle total, then k integer mul-mods.
+    MH_P is the fold identity: all derived values are < MH_P."""
+    hs = F.transform(sh, lambda s: phash60(s) % MH_P)
     return F.aggregate(
-        sh,
-        F.array_repeat(F.lit(MAX60).cast("bigint"), MH_K),
-        lambda acc, s: F.zip_with(
+        hs,
+        F.array_repeat(F.lit(MH_P).cast("bigint"), MH_K),
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[phash60(s, seed=f"mh{i}") for i in range(MH_K)]),
-            lambda a, h: F.least(a, h),
+            F.array(
+                *[(F.lit(MH_A[i]) * h + F.lit(MH_B[i])) % MH_P for i in range(MH_K)]
+            ),
+            lambda a, x: F.least(a, x),
         ),
     )
 
@@ -152,10 +164,16 @@ def minhash_signature(sh):
 def minhash_signature_sql(expr: str) -> str:
     sh = shingles_sql(expr)
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> {phash60_sql('s', seed=f'mh{i}')}))"
+        f"list_min(list_transform(hs, h -> ({MH_A[i]} * h + {MH_B[i]}) % {MH_P}))"
         for i in range(MH_K)
     )
-    return f"(SELECT [{mins}] FROM (SELECT {sh} AS sh))"
+    # bind hs in a subquery: DuckDB inlines repeated aliases too, and 16
+    # mentions of the md5 list_transform would digest every shingle 16x
+    return (
+        f"(SELECT [{mins}] FROM (SELECT "
+        f"list_transform(sh, s -> {phash60_sql('s')} % {MH_P}) AS hs "
+        f"FROM (SELECT {sh} AS sh)))"
+    )
 
 
 def minhash_lsh_pairs(
@@ -275,9 +293,15 @@ def minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str, threshold: flo
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit simhash per doc: bit i of the sketch is 1 iff the sum over the
-    token MULTISET of (2*bit_i(phash60(tok)) - 1) is positive. Explode +
-    single groupBy with 32 conditional sums (map-side partial agg), then the
-    bits recombine into one bigint — no Python, one shuffle."""
+    token MULTISET of (2*bit_i(phash60(tok)) - 1) is positive.
+
+    Shape: explode tokens -> one md5 per token -> groupBy(doc) with 32
+    conditional sums -> recombine bits. The 32 sums are all codegen'd and
+    map-side combined (partial HashAggregate), so the shuffle carries ONE
+    row per doc per mapper, not the tokenized corpus — this beats the
+    shuffle-free per-row aggregate() fold by ~2x because higher-order
+    lambdas run interpreted while explode + hash-agg stay in whole-stage
+    codegen (measured both on sf0.1)."""
     spread = _spread(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
         "doc_id",
@@ -324,8 +348,12 @@ def simhash_sql(table: str, id_col: str, text_col: str) -> str:
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
     byte banding (pigeonhole: hamming <= 3 ⇒ at least one of 4 bytes equal),
-    verified with bit_count(xor). Equi-join on (band, byte) — LSH-shaped."""
-    sh = simhash_df(df, id_col, text_col)
+    verified with bit_count(xor). Equi-join on (band, byte) — LSH-shaped.
+
+    The sketch table is persisted: band explode + both join sides mention
+    `simhash`, and without the barrier CollapseProject inlines the whole
+    hash-fold (md5 per token) into every mention."""
+    sh = simhash_df(df, id_col, text_col).persist()
     bands = sh.select(
         "doc_id",
         "simhash",

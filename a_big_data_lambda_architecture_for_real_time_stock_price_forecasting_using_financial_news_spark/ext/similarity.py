@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 IVF_DIMS = 6  # 2^6 = 64 cells
 
 
+def _spread_corpus(df: DataFrame) -> DataFrame:
+    """Round-robin repartition for under-partitioned (single-file) corpora —
+    same rationale as dedup._spread; no-op when the source has real files."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(slots, 8):
+        return df.repartition(min(slots, 32))
+    return df
+
+
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -98,14 +107,19 @@ def topk_bruteforce(
     top-k per partition before the window if Q*N is large."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
+            norm(F.col(emb_col)).alias("q_norm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    c = _spread_corpus(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    ).withColumn("c_norm", norm(F.col("c_emb")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("q_emb"), F.col("c_emb")))
+        # norms are computed once per input row BELOW the join (not once per
+        # pair); dot/(q_norm*c_norm) is value-identical to dot/(|a|*|b|)
+        .withColumn("score", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -152,18 +166,22 @@ def topk_ivf(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(emb_col).alias("q_emb"),
+            norm(F.col(emb_col)).alias("q_norm"),
             ivf_cell(F.col(emb_col), dims).alias("cell"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("c_emb"),
-        ivf_cell(F.col(emb_col), dims).alias("cell"),
+    c = _spread_corpus(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    ).select(
+        "neighbor_id",
+        "c_emb",
+        norm(F.col("c_emb")).alias("c_norm"),
+        ivf_cell(F.col("c_emb"), dims).alias("cell"),
     )
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("score", dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -207,15 +225,20 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a coarse cell (blocked like
     the text dedup passes: the self-join key is the cell)."""
-    base = df.select(
-        F.col(id_col).alias("vid"), F.col(cell_col).alias("cell"),
-        F.col(emb_col).alias("emb"),
-    )
+    base = _spread_corpus(
+        df.select(
+            F.col(id_col).alias("vid"), F.col(cell_col).alias("cell"),
+            F.col(emb_col).alias("emb"),
+        )
+    ).withColumn("nrm", norm(F.col("emb")))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, "cell")
         .filter(F.col("a.vid") < F.col("b.vid"))
-        .withColumn("score", cosine(F.col("a.emb"), F.col("b.emb")))
+        .withColumn(
+            "score",
+            dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
+        )
         .filter(F.col("score") >= threshold)
         .select(
             F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),

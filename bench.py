@@ -52,8 +52,13 @@ def main():
         n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n in qs
     ]
 
-    # warmup: JVM + parquet footer caches on a tiny query
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup pass: whole-stage-codegen JIT compiles per expression shape, so
+    # a single tiny query leaves every other plan cold (measured 5-10x noise
+    # on the sketch-heavy queries). Run every headline once unmeasured, then
+    # drop any caches it left so the timed pass re-does all real work.
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     timings = {}
     for name in names:
