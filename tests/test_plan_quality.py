@@ -61,3 +61,55 @@ def test_flagship_single_scan_branches(spark, sf_dir):
     df = registry.QUERIES["flagship_batch_view"](spark, sf_dir)
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python in pipeline
+
+
+def test_s1_broadcasts_query_side(spark, sf_dir):
+    df = registry.QUERIES["s1_ann_topk_bruteforce"](spark, sf_dir)
+    plan = plan_of(df)
+    # query side explicitly broadcast: nested-loop join is the intended
+    # exact-scoring plan, but it must never shuffle the corpus side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_s2_ivf_no_cartesian(spark, sf_dir):
+    df = registry.QUERIES["s2_ann_topk_ivf"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d2_lsh_equi_joins_only(spark, sf_dir):
+    df = registry.QUERIES["d2_dedup_minhash_lsh"](spark, sf_dir)
+    plan = plan_of(df)
+    # candidate generation must be an equi-join on the band hash, never
+    # an all-pairs product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # sketches are JVM-side
+
+
+def test_d3_simhash_partial_agg_no_python(spark, sf_dir):
+    df = registry.QUERIES["d3_dedup_simhash"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    # 32 bit-sums must be map-side combined before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_m6_multimodal_arrow_not_row_python(spark, sf_dir):
+    df = registry.QUERIES["m6_multimodal_features"](spark, sf_dir)
+    plan = plan_of(df)
+    # mapInPandas shows as a Python map over Arrow batches; the row-at-a-time
+    # evaluator must never appear
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_x9_fingerprint_stays_jvm_side(spark, sf_dir):
+    df = registry.QUERIES["x9_fingerprint"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_d1_exact_dedup_partial_agg(spark, sf_dir):
+    df = registry.QUERIES["d1_dedup_exact"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # map-side combine on content hash
