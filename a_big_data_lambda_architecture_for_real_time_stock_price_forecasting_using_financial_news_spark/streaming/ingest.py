@@ -99,14 +99,20 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFr
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
-def to_kafka_json(df: DataFrame, topic: str, brokers: str):
-    """K8: the producer sink — serialize all columns to a JSON value
-    (reference producers use ``dumps(dict)``, yfProducer.py:17,36)."""
-    payload = df.select(
+def encode_json_value(df: DataFrame) -> DataFrame:
+    """K8 payload encoding: all columns into one JSON ``value`` column (the
+    reference producers ``dumps(dict)``, yfProducer.py:17,36). Inverse of
+    :func:`parse_json_value` given the matching schema."""
+    return df.select(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
     )
+
+
+def to_kafka_json(df: DataFrame, topic: str, brokers: str):
+    """K8: the producer sink — JSON value per record to a Kafka topic."""
     return (
-        payload.writeStream.format("kafka")
+        encode_json_value(df)
+        .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
     )

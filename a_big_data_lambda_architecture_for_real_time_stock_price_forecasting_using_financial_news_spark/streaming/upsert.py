@@ -43,16 +43,21 @@ def merge_halves(
     other non-key column is preserved from ``cur``; unmatched keys insert
     with nulls for the absent half. One full-outer shuffle join on the key."""
     other_cols = [c for c in cur.columns if c not in half_cols and c not in key_cols]
+
+    def half(h):
+        # a column may exist on only one side (the view may predate this
+        # half, or the batch may carry a partial half)
+        if h in batch.columns and h in cur.columns:
+            return F.coalesce(F.col(f"b.{h}"), F.col(f"c.{h}")).alias(h)
+        if h in batch.columns:
+            return F.col(f"b.{h}").alias(h)
+        return F.col(f"c.{h}").alias(h)
+
     b, c = batch.alias("b"), cur.alias("c")
     cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in key_cols]
     return c.join(b, cond, "full_outer").select(
         *[F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k) for k in key_cols],
-        *[
-            F.coalesce(F.col(f"b.{h}"), F.col(f"c.{h}")).alias(h)
-            if h in batch.columns
-            else F.col(f"c.{h}").alias(h)
-            for h in half_cols
-        ],
+        *[half(h) for h in half_cols],
         *[F.col(f"c.{o}").alias(o) for o in other_cols],
     )
 
@@ -66,21 +71,26 @@ def merge_mean_states(
     mean_col: str = "mean_v",
 ) -> DataFrame:
     """Pure K5 merge with correct semantics: (sum, count) states add;
-    mean = merged_sum / merged_count."""
+    mean = merged_sum / merged_count. Non-state columns of ``cur`` (e.g.
+    the stock column-half sharing the speed-view row, reference
+    twitterConsumerStream.py:94-107 'keep stock fields') pass through."""
+    state_cols = {sum_col, cnt_col, mean_col, *key_cols}
+    other_cols = [c for c in cur.columns if c not in state_cols]
+    # the view may not have the state half yet (first sentiment batch into a
+    # stock-only speed view): absent state reads as zero
+    cur_state = lambda col: (
+        F.coalesce(F.col(f"c.{col}"), F.lit(0)) if col in cur.columns else F.lit(0)
+    )
     b, c = batch.alias("b"), cur.alias("c")
     cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in key_cols]
     merged = c.join(b, cond, "full_outer").select(
         *[F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k) for k in key_cols],
-        (
-            F.coalesce(F.col(f"b.{sum_col}"), F.lit(0))
-            + F.coalesce(F.col(f"c.{sum_col}"), F.lit(0))
-        ).alias(sum_col),
-        (
-            F.coalesce(F.col(f"b.{cnt_col}"), F.lit(0))
-            + F.coalesce(F.col(f"c.{cnt_col}"), F.lit(0))
-        ).alias(cnt_col),
+        (F.coalesce(F.col(f"b.{sum_col}"), F.lit(0)) + cur_state(sum_col)).alias(sum_col),
+        (F.coalesce(F.col(f"b.{cnt_col}"), F.lit(0)) + cur_state(cnt_col)).alias(cnt_col),
+        *[F.col(f"c.{o}").alias(o) for o in other_cols],
     )
-    return merged.withColumn(mean_col, F.col(sum_col) / F.col(cnt_col))
+    # try_divide: a key with an empty (0, 0) state has no mean (ANSI-safe)
+    return merged.withColumn(mean_col, F.try_divide(F.col(sum_col), F.col(cnt_col)))
 
 
 class KeyedParquetView:
@@ -96,18 +106,24 @@ class KeyedParquetView:
     def _pointer(self) -> dict:
         p = os.path.join(self.path, "_CURRENT")
         if not os.path.exists(p):
-            return {"version": 0, "batch_id": -1}
+            return {"version": 0, "batch_ids": {}}
         with open(p) as fh:
             return json.load(fh)
 
-    def _flip(self, version: int, batch_id: int) -> None:
+    def _flip(self, version: int, batch_id: int, writer: str) -> None:
+        cur = self._pointer()
+        ids = dict(cur.get("batch_ids", {}))
+        ids[writer] = batch_id
         tmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "batch_id": batch_id, "ts": time.time()}, fh)
+            json.dump({"version": version, "batch_ids": ids, "ts": time.time()}, fh)
         os.replace(tmp, os.path.join(self.path, "_CURRENT"))
 
-    def last_batch_id(self) -> int:
-        return self._pointer()["batch_id"]
+    def last_batch_id(self, writer: str = "default") -> int:
+        """Replay watermark PER WRITER: each StreamingQuery numbers its own
+        micro-batches from 0, so two streams merging into one view (the J2
+        speed-view scenario) must not dedupe each other's batch ids."""
+        return self._pointer().get("batch_ids", {}).get(writer, -1)
 
     def read(self) -> DataFrame | None:
         cur = self._pointer()
@@ -115,41 +131,44 @@ class KeyedParquetView:
             return None
         return self.spark.read.parquet(os.path.join(self.path, f"v={cur['version']}"))
 
-    def _write_version(self, df: DataFrame, batch_id: int) -> None:
+    def _write_version(self, df: DataFrame, batch_id: int, writer: str) -> None:
         cur = self._pointer()
         nxt = cur["version"] + 1
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={nxt}"))
-        self._flip(nxt, batch_id)
+        self._flip(nxt, batch_id, writer)
 
     # -- merge strategies ---------------------------------------------------
-    def merge_overwrite_by_key(self, batch: DataFrame, order_col, batch_id: int = -1) -> None:
+    def merge_overwrite_by_key(
+        self, batch: DataFrame, order_col, batch_id: int = -1, writer: str = "default"
+    ) -> None:
         """K1/A3: keyed last-write-wins. Dedup the batch per key (latest
         wins), union with current, LWW again. Idempotent: replaying the same
         batch reproduces the same version content."""
-        if batch_id >= 0 and batch_id <= self.last_batch_id():
+        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
             return  # replay after checkpoint recovery
         fresh = last_write_wins(batch, *self._kc(), order_col)
         cur = self.read()
         merged = fresh if cur is None else last_write_wins(
             cur.unionByName(fresh), *self._kc(), order_col
         )
-        self._write_version(merged, batch_id)
+        self._write_version(merged, batch_id, writer)
 
     def merge_column_halves(
         self,
         batch: DataFrame,
         half_cols: list[str],
         batch_id: int = -1,
+        writer: str = "default",
     ) -> None:
         """K4/J2: the incoming batch owns ``half_cols``; other columns are
         preserved from the current view (painless 'set stock fields, keep
         sentiment fields'). Missing keys insert with nulls for the other
         half (the reference's upsert-as-is branch)."""
-        if batch_id >= 0 and batch_id <= self.last_batch_id():
+        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
             return
         cur = self.read()
         merged = batch if cur is None else merge_halves(cur, batch, self.key_cols, half_cols)
-        self._write_version(merged, batch_id)
+        self._write_version(merged, batch_id, writer)
 
     def merge_incremental_mean(
         self,
@@ -158,14 +177,16 @@ class KeyedParquetView:
         cnt_col: str = "cnt_v",
         mean_col: str = "mean_v",
         batch_id: int = -1,
+        writer: str = "default",
     ) -> None:
         """K5/A4 — the *correct* incremental mean: state is (sum, count) per
-        key; merged mean = (s1+s2)/(c1+c2). The reference's pairwise
-        ``(avg_old+avg_new)/2`` recurrence (twitterConsumerStream.py:100-106)
-        is order-sensitive and biased; see
-        ``operators.aggregate.pairwise_mean_compat`` for the bug-compat
-        fold."""
-        if batch_id >= 0 and batch_id <= self.last_batch_id():
+        key; merged mean = (s1+s2)/(c1+c2). Non-state columns of the current
+        view (e.g. the stock half living in the same speed-view row) are
+        preserved. The reference's pairwise ``(avg_old+avg_new)/2``
+        recurrence (twitterConsumerStream.py:100-106) is order-sensitive and
+        biased; see ``operators.aggregate.pairwise_mean_compat`` for the
+        bug-compat fold."""
+        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
             return
         cur = self.read()
         if cur is None:
@@ -174,7 +195,7 @@ class KeyedParquetView:
             merged = merge_mean_states(
                 cur.drop(mean_col), batch, self.key_cols, sum_col, cnt_col, mean_col
             )
-        self._write_version(merged, batch_id)
+        self._write_version(merged, batch_id, writer)
 
     def _kc(self):
         if len(self.key_cols) == 1:
@@ -182,19 +203,21 @@ class KeyedParquetView:
         return [F.struct(*self.key_cols)]
 
 
-def foreach_batch_lww(view: KeyedParquetView, order_col: str):
+def foreach_batch_lww(view: KeyedParquetView, order_col: str, writer: str = "default"):
     """K1 sink: streaming keyed append with last-write-wins semantics."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        view.merge_overwrite_by_key(batch_df, order_col, batch_id=batch_id)
+        view.merge_overwrite_by_key(batch_df, order_col, batch_id=batch_id, writer=writer)
 
     return fn
 
 
-def foreach_batch_halves(view: KeyedParquetView, half_cols: list[str]):
+def foreach_batch_halves(
+    view: KeyedParquetView, half_cols: list[str], writer: str = "default"
+):
     """K4/K5 sink: column-half upsert."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        view.merge_column_halves(batch_df, half_cols, batch_id=batch_id)
+        view.merge_column_halves(batch_df, half_cols, batch_id=batch_id, writer=writer)
 
     return fn
