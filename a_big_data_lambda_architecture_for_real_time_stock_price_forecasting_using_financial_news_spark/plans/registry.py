@@ -1060,3 +1060,192 @@ def m6_multimodal_features(spark, sf_dir):
     the same features from hex; head64 = first 60 bits = phash60(text)."""
     d = tbl(spark, sf_dir, "documents")
     return _mm.extract_features(_mm.attach_media(d, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness: operators the reference lacks but a full engine
+# must serve (SURVEY §2.5 note: "no distinct-agg, grouping sets, window
+# functions, sorts, limits, or set operations exist anywhere in the
+# reference"). All Catalyst built-ins; oracles pin cross-engine semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_window_functions",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           lag(k, 1) OVER w AS prev_k,
+           CAST(sum(k) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS k_sum3
+    FROM (SELECT event_id, ts, user_id, CAST(props->>'k' AS BIGINT) AS k
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w1_window_functions(spark, sf_dir):
+    """Analytic window functions (row_number / lag / moving frame sum) over
+    the per-user event stream. Shuffles once on the partition key; the frame
+    sum is integer-exact so it hash-matches the oracle."""
+    from pyspark.sql import Window
+
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.lag("k", 1).over(w).alias("prev_k"),
+        F.sum("k").over(w.rowsBetween(-2, 0)).cast("bigint").alias("k_sum3"),
+    )
+
+
+@register(
+    "g1_rollup",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+)
+def g1_rollup(spark, sf_dir):
+    """Hierarchical rollup (event_type -> date -> grand total): one pass,
+    Catalyst expands the grouping sets; DECIMAL keeps totals exact."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("event_date"),
+            F.col("value").cast(DEC).alias("v"),
+        )
+        .rollup("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast(DEC).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "o1_sort_limit_topn",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    FROM orders
+    ORDER BY total DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def o1_sort_limit_topn(spark, sf_dir):
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition top-N
+    then driver-side merge of N*partitions rows), never a full sort."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").cast(DEC).alias("total")
+        )
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "u1_set_ops",
+    """
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 150000
+    ), recent AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+    )
+    SELECT custkey, 'both' AS segment FROM (SELECT * FROM buyers INTERSECT SELECT * FROM recent)
+    UNION ALL
+    SELECT custkey, 'big_only' AS segment FROM (SELECT * FROM buyers EXCEPT SELECT * FROM recent)
+    """,
+)
+def u1_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL over customer segments — planned as
+    semi/anti hash joins on the distinct sets."""
+    o = tbl(spark, sf_dir, "orders")
+    buyers = (
+        o.filter(F.col("o_totalprice").cast(DEC) > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = buyers.intersect(recent).withColumn("segment", F.lit("both"))
+    big_only = buyers.exceptAll(recent).withColumn("segment", F.lit("big_only"))
+    return both.unionByName(big_only)
+
+
+@register(
+    "a6_distinct_agg",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a6_distinct_agg(spark, sf_dir):
+    """Distinct aggregation (exact count-distinct): Catalyst's two-phase
+    expand + partial agg. approx_count_distinct is the 100 TB alternative
+    when 2% error is acceptable."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filters pushed to the scans, two
+    equi-joins (customer side broadcast-eligible), agg, top-10."""
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+    return (
+        F.broadcast(c)
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
+        .limit(10)
+    )
