@@ -176,6 +176,87 @@ def minhash_signature_sql(expr: str) -> str:
     )
 
 
+def minhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The persistent artifact of minhash dedup: (doc_id, sh, sig) per doc.
+
+    In production this table is WRITTEN (parquet/Delta, partitioned by
+    ingest batch): incremental dedup then sketches only the new data and
+    joins it against the stored sketches — the corpus is never re-tokenized
+    (see :func:`incremental_minhash_pairs`)."""
+    spread = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    )
+    return (
+        spread.select("doc_id", tokens(F.col("_text")).alias("_toks"))
+        .select("doc_id", shingles_of_tokens(F.col("_toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh")))
+    )
+
+
+def bands_of(sketches: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) rows from a sketch table. `sig` here is a
+    stored/cached attribute, so the transform lambda reads a slot — no
+    re-sketching."""
+    return sketches.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
+                lambda b: phash60(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * MH_ROWS + 1, MH_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+
+
+def verify_pairs(cand: DataFrame, sketches: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs."""
+    sh_a = sketches.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sketches.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_pairs(
+    old_sketches: DataFrame, new_df: DataFrame, id_col: str, text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing sketch table WITHOUT
+    re-processing the old corpus: sketch only `new_df`, band-join new
+    against (old ∪ new), verify. Every pair involves at least one new doc;
+    old-old pairs were found when the old data arrived. Returns
+    (id_a, id_b, jaccard) with the ids normalized (id_a < id_b)."""
+    new_sk = minhash_sketches(new_df, id_col, text_col).persist()
+    all_sk = old_sketches.select("doc_id", "sh", "sig").unionByName(new_sk)
+    nb, ab = bands_of(new_sk).alias("n"), bands_of(all_sk).alias("a")
+    cand = (
+        nb.join(ab, ["band", "bh"])
+        .filter(F.col("n.doc_id") != F.col("a.doc_id"))
+        .select(
+            F.least("n.doc_id", "a.doc_id").alias("id_a"),
+            F.greatest("n.doc_id", "a.doc_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return verify_pairs(cand, all_sk, threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
@@ -192,46 +273,15 @@ def minhash_lsh_pairs(
     1-(1-j^r)^b, here r=4 b=4 -> s-curve around j~0.7).
 
     The input is spread across the cluster BEFORE the expensive projections
-    if it arrives under-partitioned (single small file), and the shingle
+    if it arrives under-partitioned (single small file), and the sketch
     table is persisted: it feeds three consumers (band generation + both
     sides of the verify join), and the persist is also the materialization
-    barrier that stops CollapseProject from substituting the shingle
-    expression into each of them. A production pipeline writes this sketch
-    table to parquet for incremental reuse; persist is its in-session form."""
-    spread = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
-        "doc_id",
-    )
-    base = (
-        spread.select("doc_id", tokens(F.col("_text")).alias("_toks"))
-        .select("doc_id", shingles_of_tokens(F.col("_toks")).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
-
-    # band hashes from the signature in one expression: sig is mentioned
-    # once (inside the transform lambda), so even if CollapseProject inlines
-    # it, it re-evaluates at most MH_BANDS times over the CACHED sh column
-    bands = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
-                lambda b: phash60(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                minhash_signature(F.col("sh")), b * MH_ROWS + 1, MH_ROWS
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bh"),
-    )
-
+    barrier that stops CollapseProject from substituting the sketch
+    expressions into each of them. A production pipeline writes the sketch
+    table to parquet for incremental reuse (incremental_minhash_pairs);
+    persist is its in-session form."""
+    sk = minhash_sketches(df, id_col, text_col).persist()
+    bands = bands_of(sk)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "bh"])
@@ -242,17 +292,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return verify_pairs(cand, sk, threshold)
 
 
 def minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str, threshold: float) -> str:

@@ -99,3 +99,38 @@ def pairwise_mean_compat(df: DataFrame, key_cols: list[str], ts: str, value: str
         lambda acc: acc["acc"],
     )
     return df.groupBy(*key_cols).agg(folded.alias("pairwise_avg"), F.count(F.lit(1)).alias("n"))
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys: stage 1 aggregates on
+    (key, salt) — spreading each hot key over ``n_salts`` reducers — stage 2
+    recombines the partial states per key.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {"sum", "count", "min", "max"} (the algebraic aggregates whose partial
+    states recombine exactly; avg = sum/count composed by the caller).
+
+    When to use: Spark's built-in partial aggregation already handles skew
+    for map-side-combinable aggs, but the FINAL hash agg still lands each
+    key on one reducer — a key holding 10% of 100 TB stalls that reducer.
+    Salting bounds any reducer's share at 1/n_salts of the hot key. AQE's
+    skew-join splitting does not apply to aggregations, so this is the
+    manual tool. Cost: one extra (cheap) shuffle of the stage-1 partials.
+    """
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    refold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for out, (_, fn) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"{out}: {fn!r} is not an algebraic aggregate")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
+    stage1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(
+        *[fns[fn](c).alias(out) for out, (c, fn) in aggs.items()]
+    )
+    return stage1.groupBy(*key_cols).agg(
+        *[refold[fn](out).alias(out) for out, (_, fn) in aggs.items()]
+    )

@@ -162,3 +162,58 @@ def test_frame_sampling_plan(spark):
     for did, row in r.items():
         n = did % 16 + 1
         assert row["count"] == (n + 3) // 4
+
+
+def test_incremental_minhash_matches_full_run(spark):
+    """Sketch the old corpus once; dedup a new batch against the stored
+    sketches. New-involving pairs must match the full-corpus run."""
+    from pyspark.sql import Row
+
+    old = docs_df(spark)  # ids 0-3
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=BASE, lang="en", source="s0"),  # dup of 0/1
+            Row(doc_id=11, text="totally novel content about streaming "
+                                "watermarks and stateful aggregation modes "
+                                "in structured streaming", lang="en", source="s0"),
+        ]
+    )
+    old_sk = dedup.minhash_sketches(old, "doc_id", "text").persist()
+    inc = dedup.incremental_minhash_pairs(old_sk, new, "doc_id", "text", 0.5)
+    inc_pairs = {(r.id_a, r.id_b) for r in inc.collect()}
+
+    full = dedup.minhash_lsh_pairs(
+        old.unionByName(new), "doc_id", "text", 0.5
+    ).collect()
+    want = {(r.id_a, r.id_b) for r in full if r.id_a >= 10 or r.id_b >= 10}
+    assert inc_pairs == want
+    assert (0, 10) in inc_pairs and (1, 10) in inc_pairs
+    assert all(11 not in p for p in inc_pairs)
+
+
+def test_salted_agg_equals_direct_agg(spark, sf_dir):
+    """Salted two-stage aggregation must be value-identical to the direct
+    groupBy for algebraic aggregates."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.operators.aggregate import (
+        salted_agg,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    )
+    got = {
+        r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+        for r in salted_agg(
+            li, ["l_returnflag"], {"s": ("q", "sum"), "n": ("q", "count"), "mx": ("q", "max")}
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("q").alias("s"), F.count("q").alias("n"), F.max("q").alias("mx"))
+        .collect()
+    }
+    assert got == want
