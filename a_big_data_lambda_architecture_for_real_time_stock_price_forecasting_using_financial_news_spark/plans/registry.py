@@ -1249,3 +1249,39 @@ def q3_shipping_priority(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "j3_asof_join",
+    """
+    WITH quotes AS (
+      SELECT user_id, ts,
+             CAST(arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS DECIMAL(18,2)) AS price
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ), lookups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT l.event_id, l.user_id, r.price
+    FROM lookups l ASOF LEFT JOIN quotes r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j3_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every non-purchase event gets the
+    most recent purchase price at-or-before its timestamp per user — one
+    shuffle via the union-sort formulation, never a range join. Oracle is
+    DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.col("value").cast(DEC), F.col("event_id")).cast(DEC).alias("price"))
+    )
+    lookups = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(lookups, quotes, ["user_id"], "ts", ["price"])
+    return joined.select("event_id", "user_id", "price")

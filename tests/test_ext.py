@@ -217,3 +217,22 @@ def test_salted_agg_equals_direct_agg(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: most recent right value at-or-before left.ts per key;
+    equal timestamps match; no prior quote -> null."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.operators.asof import (
+        asof_join,
+    )
+
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("b", 15, 9.0)],
+        "k string, ts int, price double",
+    )
+    left = spark.createDataFrame(
+        [("a", 5, 100), ("a", 10, 101), ("a", 19, 102), ("a", 25, 103), ("b", 14, 104)],
+        "k string, ts int, id int",
+    )
+    out = {r["id"]: r["price"] for r in asof_join(left, right, ["k"], "ts", ["price"]).collect()}
+    assert out == {100: None, 101: 1.0, 102: 1.0, 103: 2.0, 104: None}

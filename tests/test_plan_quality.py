@@ -113,3 +113,12 @@ def test_d1_exact_dedup_partial_agg(spark, sf_dir):
     df = registry.QUERIES["d1_dedup_exact"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 2  # map-side combine on content hash
+
+
+def test_j3_asof_join_no_range_join(spark, sf_dir):
+    df = registry.QUERIES["j3_asof_join"](spark, sf_dir)
+    plan = plan_of(df)
+    # the union-sort formulation must plan as exchange + window, never a
+    # non-equi nested-loop/cartesian range join
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
