@@ -143,3 +143,69 @@ def fingerprint_sql(expr: str) -> str:
         f"list_transform({toks}, t -> {step})), "
         f"(acc, t) -> (acc * {FP_BASE} + t) % {FP_MOD})"
     )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k terms per document by smoothed tf-idf:
+    score = tf * (ln((N + 1) / (df + 1)) + 1).
+
+    Plan shape: explode tokens -> (doc, term, tf) hash agg -> term document
+    frequencies (vocabulary-sized, broadcast-eligible) -> join -> per-doc
+    window top-k. Two shuffles (terms, then docs), both map-side combined.
+
+    The OUTPUT carries only integers (tf, df, rank): the float score is used
+    solely for ordering, where cross-engine libm ulp differences cannot flip
+    a rank (exact ties have identical (tf, df) and break on the term
+    string), so the result is engine-independent.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    terms = base.select(
+        "doc_id", F.explode(tokens(F.col("_text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = base.agg(F.countDistinct("doc_id").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH terms AS (
+      SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS _n FROM terms
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * (ln(CAST(_n + 1 AS DOUBLE) / (dfreq.df + 1)) + 1.0) AS _score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tf, df,
+             row_number() OVER (PARTITION BY doc_id ORDER BY _score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= {k}
+    """

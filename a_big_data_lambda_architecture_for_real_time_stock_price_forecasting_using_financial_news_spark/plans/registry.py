@@ -1285,3 +1285,13 @@ def j3_asof_join(spark, sf_dir):
     )
     joined = asof_join(lookups, quotes, ["user_id"], "ts", ["price"])
     return joined.select("event_id", "user_id", "price")
+
+
+@register(
+    "x10_tfidf_top_terms",
+    _tx.tfidf_top_terms_sql("documents", "doc_id", "text", k=3),
+)
+def x10_tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per document (ext/text.py:tfidf_top_terms).
+    Integer-only output so libm ulp differences can't flap the oracle."""
+    return _tx.tfidf_top_terms(tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3)
