@@ -190,3 +190,73 @@ def test_watermark_drops_late_data(spark):
         # the 10:00 window is final after watermark advanced beyond 11:00
         assert 8 not in hours
         assert 10 in hours
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """S8 streaming form: dropDuplicates on id across micro-batches — the
+    replayed article id must be emitted once."""
+    import os
+    import tempfile as tf
+
+    from pyspark.sql import types as T
+
+    with tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        with open(f"{src}/b1.json", "w") as fh:
+            fh.write('{"Id": "a1", "ts": "2024-01-01T10:00:00", "text": "x"}\n')
+        with open(f"{src}/b2.json", "w") as fh:
+            fh.write(
+                '{"Id": "a1", "ts": "2024-01-01T10:05:00", "text": "x"}\n'
+                '{"Id": "a2", "ts": "2024-01-01T10:06:00", "text": "y"}\n'
+            )
+        os.utime(f"{src}/b1.json", (1700000000, 1700000000))
+        os.utime(f"{src}/b2.json", (1700000060, 1700000060))
+        schema = T.StructType(
+            [
+                T.StructField("Id", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["Id"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ids = sorted(r["Id"] for r in spark.table("dedup_stream").collect())
+        assert ids == ["a1", "a2"]
+
+
+def test_k2_append_log_sink(spark, sf_dir):
+    """K2: plain streaming append log to parquet — every input row lands
+    exactly once, no keying."""
+    import tempfile as tf
+
+    ingest = _mod("streaming.ingest")
+    sources = _mod("sources.batch")
+
+    with tf.TemporaryDirectory() as tmp:
+        stream = ingest.events_stream(spark, sf_dir, n_chunks=2).select(
+            "event_id", "event_type"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{tmp}/log")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(f"{tmp}/log").count()
+        want = sources.load_table(spark, sf_dir, "events").count()
+        assert got == want
