@@ -655,13 +655,26 @@ def m5_serving_forecast(spark, sf_dir):
     return run_serving_forecast(spark, sf_dir)
 
 
-@register("a4_pairwise_compat")  # order-dependent recurrence: rows-only check
+@register(
+    "a4_pairwise_compat",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           list_reduce(
+             list(CAST(CAST(props->>'k' AS BIGINT) AS DOUBLE)
+                  ORDER BY ts, CAST(props->>'k' AS BIGINT)),
+             (a, b) -> (a + b) / 2.0) AS pairwise_avg,
+           count(*) AS n
+    FROM events WHERE event_type <> 'purchase'
+    GROUP BY 1
+    """,
+)
 def a4_pairwise_compat(spark, sf_dir):
     """A4 bug-compat mode: the reference's ES painless pairwise-average
     recurrence (twitterConsumerStream.py:100-106) as an event-time-ordered
-    fold per day. Not ANSI-SQL-expressible deterministically (the recurrence
-    weights early values by 2^-k), so the driver records rows-only; exact
-    semantics are pinned in tests/test_domain.py."""
+    fold per day. The recurrence is order-DEPENDENT, but our fold pins a
+    total order (ts, then value), so DuckDB's first-element-seeded
+    list_reduce over the identically-ordered list reproduces it float-exact
+    — the one formerly rows-only query now has a full value oracle."""
     from ..operators.aggregate import pairwise_mean_compat
 
     ev = parse_props(tbl(spark, sf_dir, "events")).withColumn(
