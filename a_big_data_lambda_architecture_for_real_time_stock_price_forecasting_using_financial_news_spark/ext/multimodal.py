@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -118,3 +119,58 @@ def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def resize(df: DataFrame, max_w: int, max_h: int, backend: str = "fake") -> DataFrame:
+    """Resize plan: target dimensions are computed JVM-side (integer
+    aspect-preserving scale, never upscale); the pixel transform itself is
+    the Arrow-batched backend seam — backend="fake" passes the payload
+    through with updated metadata, real backends (pil) are stubbed.
+
+    Keeping the dimension math in Column expressions means Catalyst can
+    prune rows that need no work (filter w<=max and h<=max) BEFORE any
+    Python worker spins up."""
+    if backend not in ("fake", "pil"):
+        raise ValueError(f"unknown backend {backend!r}")
+
+    w, h = F.col("meta.width"), F.col("meta.height")
+    # scale = min(max_w/w, max_h/h, 1) in exact integer arithmetic:
+    # pick the binding axis by cross-multiplication, floor the other
+    landscape = w * max_h >= h * max_w  # width is the binding constraint
+    new_w = F.when(landscape, F.least(w, F.lit(max_w))).otherwise(
+        F.greatest((w * max_h) / h, F.lit(1)).cast("int")
+    )
+    new_h = F.when(landscape, F.greatest((h * max_w) / w, F.lit(1)).cast("int")).otherwise(
+        F.least(h, F.lit(max_h))
+    )
+    no_op = (w <= max_w) & (h <= max_h)
+    planned = df.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("meta.fmt").alias("fmt"),
+            F.when(no_op, w).otherwise(new_w).cast("int").alias("width"),
+            F.when(no_op, h).otherwise(new_h).cast("int").alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if backend != "fake":
+                # STUB: real pixel resampling needs PIL, absent here.
+                raise NotImplementedError(
+                    f"resize backend {backend!r} not available in this build"
+                )
+            yield pdf  # fake backend: payload unchanged, metadata already set
+
+    return planned.mapInPandas(run, RESIZED_SCHEMA)

@@ -236,3 +236,38 @@ def test_asof_join_semantics(spark):
     )
     out = {r["id"]: r["price"] for r in asof_join(left, right, ["k"], "ts", ["price"]).collect()}
     assert out == {100: None, 101: 1.0, 102: 1.0, 103: 2.0, 104: None}
+
+
+def test_resize_dimension_plan(spark):
+    """Resize: aspect-preserving downscale, never upscale; pixel work is the
+    stubbed backend seam."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext.multimodal import (
+        attach_media,
+        resize,
+    )
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in (0, 63, 31)]
+    )
+    media = attach_media(d, "doc_id", "text")
+    # widths = doc_id % 64 + 1, heights = doc_id % 48 + 1
+    out = {r["doc_id"]: r["meta"] for r in resize(media, 16, 16).collect()}
+    # doc 0: 1x1 -> no-op
+    assert (out[0]["width"], out[0]["height"]) == (1, 1)
+    # doc 63: 64x16 -> landscape, clamp width, height floors to >= 1
+    m = out[63]
+    assert m["width"] <= 16 and m["height"] >= 1
+    assert m["width"] == 16 and m["height"] == 4  # 16/64 * 16 = 4
+    # doc 31: 32x32 -> square, scales to 16x16
+    assert (out[31]["width"], out[31]["height"]) == (16, 16)
+    # payload untouched by the fake backend
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    got = {r["doc_id"]: bytes(r["payload"]) for r in resize(media, 16, 16).collect()}
+    assert raw == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not available"):
+        resize(media, 16, 16, backend="pil").collect()
