@@ -1308,3 +1308,48 @@ def x10_tfidf_top_terms(spark, sf_dir):
     """Top-3 tf-idf terms per document (ext/text.py:tfidf_top_terms).
     Integer-only output so libm ulp differences can't flap the oracle."""
     return _tx.tfidf_top_terms(tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+             AS revenue,
+           n_name
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer — a fact-to-dim
+    join tree grouped on a HIGH-cardinality key (every customer), unlike
+    Q1/Q5's few-group aggs. nation broadcasts; the lineitem filter
+    (l_returnflag = 'R') is pushed to the scan so only ~25% of the fact
+    table reaches the join."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
