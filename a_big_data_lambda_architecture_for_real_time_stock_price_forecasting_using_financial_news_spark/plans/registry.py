@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from ..operators.aggregate import daily_ohlc, daily_sentiment, last_write_wins
 from ..plans.batch_pipeline import DEFAULT_AS_OF, build_batch_view, flagship, parse_props
@@ -45,11 +46,35 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def dec2dbl(df: DataFrame) -> DataFrame:
+    """Output-boundary rule (VERDICT r1): DECIMAL is an *internal* type only
+    — exact, order-independent money sums — but every query OUTPUT pins
+    DOUBLE. Decimal trailing-fractional-zero rendering (``1400362.00``)
+    differs between engines and flaps the driver's value hash even when the
+    values are bit-exact; a final DOUBLE cast on BOTH sides (the
+    ``m5_serving_forecast`` pattern) is representation-stable because both
+    engines produce the correctly-rounded IEEE double of the same exact
+    decimal. Oracles must CAST the same columns to DOUBLE. Applied AFTER any
+    ORDER BY/LIMIT so top-N membership is still decided on exact decimals.
+    """
+    fields = df.schema.fields
+    if not any(isinstance(f.dataType, DecimalType) for f in fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in fields
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (§3.2): full batch-view pipeline
 # ---------------------------------------------------------------------------
 
-register(
+@register(
     "flagship_batch_view",
     f"""
     WITH ev AS (
@@ -70,12 +95,21 @@ register(
       SELECT event_date AS news_date, count(*) AS nbr_article, avg(k) AS avg_score
       FROM ev WHERE event_type <> 'purchase' GROUP BY 1
     )
-    SELECT s.event_date, s.open_v, s.high_v, s.low_v, s.close_v, s.n_trades,
-           s.turnover, n.nbr_article, n.avg_score
+    SELECT s.event_date,
+           CAST(s.open_v AS DOUBLE) AS open_v,
+           CAST(s.high_v AS DOUBLE) AS high_v,
+           CAST(s.low_v AS DOUBLE) AS low_v,
+           CAST(s.close_v AS DOUBLE) AS close_v,
+           s.n_trades,
+           CAST(s.turnover AS DOUBLE) AS turnover,
+           n.nbr_article, n.avg_score
     FROM stock s JOIN senti n ON s.event_date = n.news_date
     WHERE s.event_date <> DATE '{DEFAULT_AS_OF}'
     """,
-)(flagship)
+)
+def flagship_batch_view(spark, sf_dir):
+    """Flagship (§3.2): full batch-view pipeline; DOUBLE at the boundary."""
+    return dec2dbl(flagship(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -98,15 +132,16 @@ def p1_p2_json_parse(spark, sf_dir):
     """
     SELECT l_orderkey AS order_key, l_linenumber AS line_no,
            CAST(l_quantity AS INTEGER) AS qty,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM lineitem
     """,
 )
 def p3_p5_project_rename_cast(spark, sf_dir):
     """P3 select-list + P5 withColumnRenamed + X2 cast
-    (reference batchPipeline.py:129,164)."""
+    (reference batchPipeline.py:129,164). The 2-decimal pin stays (X2
+    semantics); the output rides DOUBLE (dec2dbl boundary rule)."""
     li = tbl(spark, sf_dir, "lineitem")
-    return (
+    return dec2dbl(
         li.withColumnRenamed("l_orderkey", "order_key")
         .withColumnRenamed("l_linenumber", "line_no")
         .select(
@@ -184,7 +219,8 @@ def f1_filter_exclude_today(spark, sf_dir):
 @register(
     "f2_date_range_pushdown",
     """
-    SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    SELECT o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
     """,
@@ -193,10 +229,12 @@ def f2_date_range_pushdown(spark, sf_dir):
     """F2: the serving layer's ES range query (reference prediction.py:37-47)
     as a Catalyst-pushed parquet range filter."""
     o = tbl(spark, sf_dir, "orders")
-    return o.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("o_orderkey", "o_orderdate", F.col("o_totalprice").cast(DEC).alias("total"))
+    return dec2dbl(
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        ).select("o_orderkey", "o_orderdate", F.col("o_totalprice").cast(DEC).alias("total"))
+    )
 
 
 @register(
@@ -346,7 +384,7 @@ def a5_dedup_at_most_once(spark, sf_dir):
     "j1_broadcast_dim_join",
     """
     SELECT r.r_name, count(*) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -360,7 +398,7 @@ def j1_broadcast_dim_join(spark, sf_dir):
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
     r = tbl(spark, sf_dir, "region")
-    return (
+    return dec2dbl(
         c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name")
@@ -387,7 +425,7 @@ def j1_broadcast_dim_join(spark, sf_dir):
       FROM ev WHERE event_type <> 'purchase' GROUP BY 1
     )
     SELECT COALESCE(s.event_date, n.event_date) AS event_date,
-           s.close_v, s.n_trades,
+           CAST(s.close_v AS DOUBLE) AS close_v, s.n_trades,
            COALESCE(n.nbr_article, 0) AS nbr_article,
            COALESCE(n.avg_score, CAST(0.33 AS DOUBLE)) AS avg_score
     FROM stock s FULL OUTER JOIN senti n ON s.event_date = n.event_date
@@ -417,12 +455,14 @@ def j2_keyed_column_merge(spark, sf_dir):
         )
     )
     s, n = stock.alias("s"), senti.alias("n")
-    return s.join(n, F.col("s.event_date") == F.col("n.event_date"), "full_outer").select(
-        F.coalesce(F.col("s.event_date"), F.col("n.event_date")).alias("event_date"),
-        F.col("s.close_v").alias("close_v"),
-        F.col("s.n_trades").alias("n_trades"),
-        F.coalesce(F.col("n.nbr_article"), F.lit(0).cast("bigint")).alias("nbr_article"),
-        F.coalesce(F.col("n.avg_score"), F.lit(0.33)).alias("avg_score"),
+    return dec2dbl(
+        s.join(n, F.col("s.event_date") == F.col("n.event_date"), "full_outer").select(
+            F.coalesce(F.col("s.event_date"), F.col("n.event_date")).alias("event_date"),
+            F.col("s.close_v").alias("close_v"),
+            F.col("s.n_trades").alias("n_trades"),
+            F.coalesce(F.col("n.nbr_article"), F.lit(0).cast("bigint")).alias("nbr_article"),
+            F.coalesce(F.col("n.avg_score"), F.lit(0.33)).alias("avg_score"),
+        )
     )
 
 
@@ -449,8 +489,14 @@ def j2_keyed_column_merge(spark, sf_dir):
       SELECT event_date AS news_date, count(*) AS nbr_article, avg(k) AS avg_score
       FROM ev WHERE event_type <> 'purchase' GROUP BY 1
     ), view AS (
-      SELECT s.event_date, s.open_v, s.high_v, s.low_v, s.close_v, s.n_trades,
-             s.turnover, n.nbr_article, n.avg_score
+      SELECT s.event_date,
+             CAST(s.open_v AS DOUBLE) AS open_v,
+             CAST(s.high_v AS DOUBLE) AS high_v,
+             CAST(s.low_v AS DOUBLE) AS low_v,
+             CAST(s.close_v AS DOUBLE) AS close_v,
+             s.n_trades,
+             CAST(s.turnover AS DOUBLE) AS turnover,
+             n.nbr_article, n.avg_score
       FROM stock s JOIN senti n ON s.event_date = n.news_date
     )
     SELECT *, 'batch' AS layer FROM view
@@ -473,7 +519,7 @@ def t7_lambda_reconciliation(spark, sf_dir):
         & (F.col("event_date") < F.date_sub(as_of, 2))
     ).withColumn("layer", F.lit("batch"))
     speed = view.filter(F.col("event_date") >= as_of).withColumn("layer", F.lit("speed"))
-    return batch.unionAll(speed)
+    return dec2dbl(batch.unionAll(speed))
 
 
 # ---------------------------------------------------------------------------
@@ -486,9 +532,9 @@ def t7_lambda_reconciliation(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
            avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
@@ -502,7 +548,7 @@ def q1_pricing_summary(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast(DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
-    return (
+    return dec2dbl(
         li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -520,7 +566,7 @@ def q1_pricing_summary(spark, sf_dir):
     """
     SELECT n.n_name,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -558,7 +604,7 @@ def q5_regional_revenue(spark, sf_dir):
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
@@ -697,7 +743,7 @@ def a4_pairwise_compat(spark, sf_dir):
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2, 3
     """,
 )
@@ -716,7 +762,7 @@ def t5_tumbling_window(spark, sf_dir):
            time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (i.i * 15) MINUTE + INTERVAL 1 HOUR AS window_end,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) i
     GROUP BY 1, 2, 3
     """,
@@ -744,7 +790,7 @@ def t5_sliding_window(spark, sf_dir):
       FROM o
     )
     SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM g GROUP BY user_id, sid
     """,
 )
@@ -776,7 +822,7 @@ def t5_session_window(spark, sf_dir):
       FROM daily WHERE event_date >= DATE '2024-01-11'
     )
     SELECT COALESCE(b.event_date, c.event_date) AS event_date,
-           COALESCE(b.close_v, c.close_v) AS close_v,
+           CAST(COALESCE(b.close_v, c.close_v) AS DOUBLE) AS close_v,
            COALESCE(b.n_trades, c.n_trades) AS n_trades,
            c.nbr_article
     FROM cur c FULL OUTER JOIN batch b ON c.event_date = b.event_date
@@ -813,7 +859,7 @@ def k4_column_half_upsert(spark, sf_dir):
         (F.col("close_v") * 2).cast(DEC).alias("close_v"),
         "n_trades",
     )
-    return merge_halves(cur, batch, ["event_date"], ["close_v", "n_trades"])
+    return dec2dbl(merge_halves(cur, batch, ["event_date"], ["close_v", "n_trades"]))
 
 
 @register(
@@ -1119,7 +1165,7 @@ def w1_window_functions(spark, sf_dir):
     """
     SELECT event_type, CAST(ts AS DATE) AS event_date,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
     """,
@@ -1137,7 +1183,7 @@ def g1_rollup(spark, sf_dir):
         .rollup("event_type", "event_date")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast(DEC).alias("sum_value"),
+            F.sum("v").cast(DEC).cast("double").alias("sum_value"),
         )
     )
 
@@ -1145,18 +1191,21 @@ def g1_rollup(spark, sf_dir):
 @register(
     "o1_sort_limit_topn",
     """
-    SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total
-    FROM orders
-    ORDER BY total DESC, o_orderkey
-    LIMIT 100
+    SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      FROM orders
+      ORDER BY total DESC, o_orderkey
+      LIMIT 100
+    )
     """,
 )
 def o1_sort_limit_topn(spark, sf_dir):
     """Global top-N: Spark plans TakeOrderedAndProject (per-partition top-N
-    then driver-side merge of N*partitions rows), never a full sort."""
+    then driver-side merge of N*partitions rows), never a full sort. Top-100
+    membership is decided on the exact DECIMAL; the cast rides after."""
     o = tbl(spark, sf_dir, "orders")
-    return (
+    return dec2dbl(
         o.select(
             "o_orderkey", "o_custkey", F.col("o_totalprice").cast(DEC).alias("total")
         )
@@ -1222,19 +1271,22 @@ def a6_distinct_agg(spark, sf_dir):
 @register(
     "q3_shipping_priority",
     """
-    SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
-             AS revenue,
-           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < DATE '1995-03-15'
-      AND l_shipdate > DATE '1995-03-15'
-    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-    ORDER BY revenue DESC, order_date, l_orderkey
-    LIMIT 10
+    SELECT l_orderkey, CAST(revenue AS DOUBLE) AS revenue, order_date, o_orderpriority
+    FROM (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+               AS revenue,
+             CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1995-03-15'
+        AND l_shipdate > DATE '1995-03-15'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, order_date, l_orderkey
+      LIMIT 10
+    )
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
@@ -1261,6 +1313,7 @@ def q3_shipping_priority(spark, sf_dir):
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
         .limit(10)
+        .transform(dec2dbl)
     )
 
 
@@ -1275,7 +1328,7 @@ def q3_shipping_priority(spark, sf_dir):
     ), lookups AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
     )
-    SELECT l.event_id, l.user_id, r.price
+    SELECT l.event_id, l.user_id, CAST(r.price AS DOUBLE) AS price
     FROM lookups l ASOF LEFT JOIN quotes r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
@@ -1297,7 +1350,7 @@ def j3_asof_join(spark, sf_dir):
         "event_id", "user_id", "ts"
     )
     joined = asof_join(lookups, quotes, ["user_id"], "ts", ["price"])
-    return joined.select("event_id", "user_id", "price")
+    return dec2dbl(joined.select("event_id", "user_id", "price"))
 
 
 @register(
@@ -1313,20 +1366,23 @@ def x10_tfidf_top_terms(spark, sf_dir):
 @register(
     "q10_returned_revenue",
     """
-    SELECT c_custkey, c_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
-             AS revenue,
-           n_name
-    FROM customer
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN orders ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
+    SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, n_name
+    FROM (
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+               AS revenue,
+             n_name
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    )
     """,
 )
 def q10_returned_revenue(spark, sf_dir):
@@ -1352,4 +1408,5 @@ def q10_returned_revenue(spark, sf_dir):
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+        .transform(dec2dbl)
     )

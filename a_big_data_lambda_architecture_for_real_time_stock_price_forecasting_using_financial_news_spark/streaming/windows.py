@@ -17,9 +17,12 @@ DEC = "decimal(18,2)"
 
 
 def _std_aggs() -> list[Column]:
+    # sum runs in DECIMAL (exact, order-independent across partial aggs);
+    # the OUTPUT pins DOUBLE — decimal trailing-zero rendering differs
+    # across engines and flaps cross-engine value hashes (VERDICT r1).
     return [
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value"),
+        F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias("sum_value"),
     ]
 
 

@@ -20,8 +20,12 @@ TABLES = (
 
 
 def norm_cell(v):
+    # RAW representation, no normalize(): the driver's hasher is sensitive to
+    # decimal trailing-fractional-zero rendering (r1: 16 value-exact queries
+    # hashed red). Decimal outputs are additionally hard-failed below —
+    # every query must final-cast DECIMAL to DOUBLE on both sides.
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         return ("f", v)
     if hasattr(v, "isoformat"):
@@ -73,6 +77,8 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from pyspark.sql.types import DecimalType
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = only or list(qs)
@@ -81,6 +87,15 @@ def main():
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
+            dec_cols = [
+                f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
+            ]
+            if dec_cols:
+                # representation hazard, independent of values being right
+                failures.append(name)
+                print(f"{name:35s} FAIL   DECIMAL output columns {dec_cols} "
+                      f"(cast to DOUBLE on both sides — see dec2dbl)")
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
                 print(f"{name:35s} rows-only: {len(srows)} rows  [no oracle]")
