@@ -1121,6 +1121,124 @@ def m6_multimodal_features(spark, sf_dir):
     return _mm.extract_features(_mm.attach_media(d, "doc_id", "text"))
 
 
+@register(
+    "d6_dedup_incremental",
+    f"""
+    SELECT * FROM (
+      {_dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)}
+    ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+)
+def d6_dedup_incremental(spark, sf_dir):
+    """Incremental minhash dedup (ext/dedup.py:incremental_minhash_pairs):
+    docs with doc_id % 5 == 0 arrive as the NEW batch and are sketched +
+    band-joined against the stored sketches of the rest — the old corpus is
+    never re-tokenized. Because band hashes are deterministic, the result
+    must equal the full-corpus LSH run restricted to pairs touching a new
+    doc; the oracle states exactly that."""
+    d = tbl(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old_sk = _dd.minhash_sketches(old, "doc_id", "text")
+    return _dd.incremental_minhash_pairs(old_sk, new, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "a7_salted_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           max(value) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_salted_agg(spark, sf_dir):
+    """Skew-salted two-stage aggregation (operators/aggregate.py:salted_agg):
+    stage 1 spreads each (possibly hot) key over 16 salts, stage 2 refolds
+    the algebraic partials. The oracle is the plain GROUP BY — salted must
+    equal direct by construction."""
+    from ..operators.aggregate import salted_agg
+
+    ev = parse_props(tbl(spark, sf_dir, "events")).select(
+        "event_type", "event_id", F.col("k").cast("bigint").alias("k"), "value"
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_k": ("k", "sum"),
+            "max_v": ("value", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_k").cast("bigint").alias("sum_k"),
+        "max_v",
+    )
+
+
+@register(
+    "m7_resize_plan",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+             CAST(doc_id % 48 + 1 AS INTEGER) AS h,
+             CAST(doc_id % 16 + 1 AS INTEGER) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN w <= 32 AND h <= 24 THEN w
+                     WHEN w * 24 >= h * 32 THEN least(w, 32)
+                     ELSE greatest(CAST(floor(w * 24.0 / h) AS INTEGER), 1)
+                END AS INTEGER) AS width,
+           CAST(CASE WHEN w <= 32 AND h <= 24 THEN h
+                     WHEN w * 24 >= h * 32 THEN greatest(CAST(floor(h * 32.0 / w) AS INTEGER), 1)
+                     ELSE least(h, 24)
+                END AS INTEGER) AS height,
+           n_frames,
+           CAST(16 AS INTEGER) AS byte_len
+    FROM m
+    """,
+)
+def m7_resize_plan(spark, sf_dir):
+    """Multimodal resize (ext/multimodal.py:resize) to fit 32x24: the
+    aspect-preserving integer dimension plan is JVM Column math (Catalyst
+    can prune no-op rows before Python starts); the pixel seam runs the
+    Arrow-batched fake backend, payload passes through (byte_len pins it)."""
+    d = tbl(spark, sf_dir, "documents")
+    resized = _mm.resize(_mm.attach_media(d, "doc_id", "text"), 32, 24)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("payload").cast("int").alias("byte_len"),
+    )
+
+
+@register(
+    "m8_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 16 + 1 AS INTEGER) AS n_frames,
+           CAST(unnest(range(0, doc_id % 16 + 1, 4)) AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+)
+def m8_frame_sample(spark, sf_dir):
+    """Deterministic every-4th frame sampling plan over 'video' rows
+    (ext/multimodal.py:sample_frames) — pure sequence+explode, no Python."""
+    d = tbl(spark, sf_dir, "documents")
+    sampled = _mm.sample_frames(_mm.attach_media(d, "doc_id", "text"), every_n=4)
+    return sampled.select(
+        "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness: operators the reference lacks but a full engine
 # must serve (SURVEY §2.5 note: "no distinct-agg, grouping sets, window
