@@ -20,8 +20,13 @@ recovery no-ops (exactly-once effect on an at-least-once channel).
 Scale: merges are DataFrame full-outer joins on the key — shuffle on the
 key only, no driver collect. On a real deployment the same merge functions
 drive Delta/Iceberg ``MERGE INTO``; plain parquet versioning keeps this
-repo dependency-free. For date-keyed views the rewrite cost is bounded by
-partitioning the view on the key and merging only touched partitions.
+repo dependency-free. Each version directory holds ONLY the partitions the
+merge touched; the ``_CURRENT`` manifest maps every partition to the
+version that owns its current data, so merge cost is O(touched partitions)
+— never O(view) — and untouched partitions' files are never rewritten
+(asserted byte-identical by tests/test_streaming.py). The only driver-side
+work per merge is one ``distinct().collect()`` of the batch's partition
+values: O(touched), the same pruning collect a Delta ``MERGE`` does.
 """
 
 from __future__ import annotations
@@ -29,6 +34,8 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import defaultdict
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,12 +101,38 @@ def merge_mean_states(
 
 
 class KeyedParquetView:
-    """A keyed materialized view over versioned parquet."""
+    """A keyed materialized view over versioned, key-partitioned parquet.
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    Layout::
+
+        path/_CURRENT          atomic manifest (version, batch_ids, parts)
+        path/v=K/<part>=<p>/   only the partitions the K-th merge touched
+
+    ``parts`` maps each partition value (string form) to the version that
+    owns its current data. A merge reads ONLY the partitions present in the
+    incoming batch, merges, writes them under a new version dir, and flips
+    the manifest — untouched partitions' files are never opened or
+    rewritten, so merge cost is O(touched), not O(view).
+
+    ``partition_by`` must be a function of the key (default: the first key
+    column) so a batch row can only affect rows in its own partition.
+    Choose a DISCRETE, bounded-cardinality column (a date, not a user id):
+    one directory is created per distinct value. ``partition_by=None``
+    falls back to whole-view rewrite per merge (the pre-r2 behavior).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        partition_by: str | None = "",
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
+        # "" sentinel = default to the first key column; None = disabled
+        self.part_col = key_cols[0] if partition_by == "" else partition_by
         os.makedirs(path, exist_ok=True)
 
     # -- version bookkeeping ------------------------------------------------
@@ -110,13 +143,24 @@ class KeyedParquetView:
         with open(p) as fh:
             return json.load(fh)
 
-    def _flip(self, version: int, batch_id: int, writer: str) -> None:
+    def _flip(
+        self,
+        version: int,
+        batch_id: int,
+        writer: str,
+        parts: dict | None = None,
+        part_type: str | None = None,
+    ) -> None:
         cur = self._pointer()
         ids = dict(cur.get("batch_ids", {}))
         ids[writer] = batch_id
+        doc = {"version": version, "batch_ids": ids, "ts": time.time()}
+        if parts is not None:
+            doc["parts"] = parts
+            doc["part_type"] = part_type or cur.get("part_type")
         tmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "batch_ids": ids, "ts": time.time()}, fh)
+            json.dump(doc, fh)
         os.replace(tmp, os.path.join(self.path, "_CURRENT"))
 
     def last_batch_id(self, writer: str = "default") -> int:
@@ -125,17 +169,104 @@ class KeyedParquetView:
         speed-view scenario) must not dedupe each other's batch ids."""
         return self._pointer().get("batch_ids", {}).get(writer, -1)
 
+    # -- partition-pruned reads --------------------------------------------
+    @staticmethod
+    def _fmt(v) -> str:
+        """Canonical string form of a partition value — must agree between
+        the manifest key, the batch `collect`ed value, and the read filter.
+        str() of date/int/str does; exotic key types should pre-format."""
+        return str(v)
+
+    def _read_selected(self, sel: dict[str, int], part_type: str | None) -> DataFrame | None:
+        """Union of the wanted partitions, each from its owning version dir.
+        The isin filter is a partition predicate, so each read opens only
+        the selected subdirectories."""
+        if not sel:
+            return None
+        by_ver: dict[int, list[str]] = defaultdict(list)
+        for p, ver in sel.items():
+            by_ver[ver].append(p)
+        pieces = []
+        for ver, ps in by_ver.items():
+            base = os.path.join(self.path, f"v={ver}")
+            df = self.spark.read.parquet(base).filter(
+                F.col(self.part_col).cast("string").isin(ps)
+            )
+            pieces.append(df)
+        # versions can carry different schemas (a column-half upsert widens
+        # the view); absent columns read as null, same as the full-outer
+        # merge semantics of the single-version layout
+        out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces)
+        if part_type:
+            out = out.withColumn(self.part_col, F.col(self.part_col).cast(part_type))
+        return out
+
     def read(self) -> DataFrame | None:
         cur = self._pointer()
         if cur["version"] == 0:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v={cur['version']}"))
+        parts = cur.get("parts")
+        if parts is None:  # legacy / partition_by=None layout
+            return self.spark.read.parquet(os.path.join(self.path, f"v={cur['version']}"))
+        return self._read_selected(parts, cur.get("part_type"))
 
+    def read_partitions(self, wanted: list[str]) -> DataFrame | None:
+        """Current rows of just the named partitions (string form)."""
+        cur = self._pointer()
+        parts = cur.get("parts")
+        if cur["version"] == 0:
+            return None
+        if parts is None:
+            full = self.read()
+            return full.filter(F.col(self.part_col).cast("string").isin(wanted))
+        sel = {p: parts[p] for p in wanted if p in parts}
+        return self._read_selected(sel, cur.get("part_type"))
+
+    def _touched(self, batch: DataFrame) -> list[str]:
+        vals = [r[0] for r in batch.select(self.part_col).distinct().collect()]
+        return [self._fmt(v) for v in vals if v is not None]
+
+    # -- writes -------------------------------------------------------------
     def _write_version(self, df: DataFrame, batch_id: int, writer: str) -> None:
+        """Whole-view rewrite (partition_by=None only)."""
         cur = self._pointer()
         nxt = cur["version"] + 1
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={nxt}"))
         self._flip(nxt, batch_id, writer)
+
+    def _write_touched(
+        self, df: DataFrame, touched: list[str], batch_id: int, writer: str
+    ) -> None:
+        """Write ONLY the touched partitions under a fresh version dir and
+        re-point them in the manifest; every other partition keeps its
+        existing owner version (files untouched on disk)."""
+        cur = self._pointer()
+        nxt = cur["version"] + 1
+        vdir = os.path.join(self.path, f"v={nxt}")
+        df.write.mode("overwrite").partitionBy(self.part_col).parquet(vdir)
+        parts = dict(cur.get("parts", {}))
+        for p in touched:
+            parts[p] = nxt
+        part_type = cur.get("part_type") or df.schema[self.part_col].dataType.simpleString()
+        self._flip(nxt, batch_id, writer, parts=parts, part_type=part_type)
+
+    def _apply(self, batch: DataFrame, merge_fn, batch_id: int, writer: str) -> None:
+        """Shared merge driver: prune to the batch's partitions, merge, write.
+
+        ``merge_fn(cur_touched_or_None, batch) -> merged`` must only emit
+        rows whose partition value appears in the batch (true for all three
+        strategies: a merge output key is always a batch key or a current
+        key of the same partition)."""
+        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
+            return  # replay after checkpoint recovery
+        if self.part_col is None:
+            merged = merge_fn(self.read(), batch)
+            self._write_version(merged, batch_id, writer)
+            return
+        touched = self._touched(batch)
+        cur = self.read_partitions(touched)
+        merged = merge_fn(cur, batch)
+        self._write_touched(merged, touched, batch_id, writer)
 
     # -- merge strategies ---------------------------------------------------
     def merge_overwrite_by_key(
@@ -144,14 +275,14 @@ class KeyedParquetView:
         """K1/A3: keyed last-write-wins. Dedup the batch per key (latest
         wins), union with current, LWW again. Idempotent: replaying the same
         batch reproduces the same version content."""
-        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
-            return  # replay after checkpoint recovery
-        fresh = last_write_wins(batch, *self._kc(), order_col)
-        cur = self.read()
-        merged = fresh if cur is None else last_write_wins(
-            cur.unionByName(fresh), *self._kc(), order_col
-        )
-        self._write_version(merged, batch_id, writer)
+
+        def fn(cur, b):
+            fresh = last_write_wins(b, *self._kc(), order_col)
+            if cur is None:
+                return fresh
+            return last_write_wins(cur.unionByName(fresh), *self._kc(), order_col)
+
+        self._apply(batch, fn, batch_id, writer)
 
     def merge_column_halves(
         self,
@@ -164,11 +295,11 @@ class KeyedParquetView:
         preserved from the current view (painless 'set stock fields, keep
         sentiment fields'). Missing keys insert with nulls for the other
         half (the reference's upsert-as-is branch)."""
-        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
-            return
-        cur = self.read()
-        merged = batch if cur is None else merge_halves(cur, batch, self.key_cols, half_cols)
-        self._write_version(merged, batch_id, writer)
+
+        def fn(cur, b):
+            return b if cur is None else merge_halves(cur, b, self.key_cols, half_cols)
+
+        self._apply(batch, fn, batch_id, writer)
 
     def merge_incremental_mean(
         self,
@@ -185,17 +316,20 @@ class KeyedParquetView:
         preserved. The reference's pairwise ``(avg_old+avg_new)/2``
         recurrence (twitterConsumerStream.py:100-106) is order-sensitive and
         biased; see ``operators.aggregate.pairwise_mean_compat`` for the
-        bug-compat fold."""
-        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
-            return
-        cur = self.read()
-        if cur is None:
-            merged = batch.withColumn(mean_col, F.col(sum_col) / F.col(cnt_col))
-        else:
-            merged = merge_mean_states(
-                cur.drop(mean_col), batch, self.key_cols, sum_col, cnt_col, mean_col
+        bug-compat fold.
+
+        Keys in partitions no state batch ever touched carry NULL state
+        (not (0, 0)): the pruned merge never rewrites their partitions.
+        Readers wanting zero-filled state should coalesce on read."""
+
+        def fn(cur, b):
+            if cur is None:
+                return b.withColumn(mean_col, F.col(sum_col) / F.col(cnt_col))
+            return merge_mean_states(
+                cur.drop(mean_col), b, self.key_cols, sum_col, cnt_col, mean_col
             )
-        self._write_version(merged, batch_id, writer)
+
+        self._apply(batch, fn, batch_id, writer)
 
     def _kc(self):
         if len(self.key_cols) == 1:

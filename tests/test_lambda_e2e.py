@@ -124,8 +124,10 @@ def test_speed_view_two_streams_then_reconcile(spark):
         assert rows["2024-01-01"]["sum_v"] == 12 and rows["2024-01-01"]["cnt_v"] == 3
         assert rows["2024-01-01"]["mean_v"] == 4.0
         assert rows["2024-01-03"]["mean_v"] == 9.0
-        # no news on d2: empty (0, 0) state, undefined mean
-        assert rows["2024-01-02"]["cnt_v"] == 0
+        # no news on d2: its partition was never touched by a news batch, so
+        # it carries no sentiment state at all (null, undefined mean) — the
+        # partition-pruned merge never rewrites untouched days
+        assert rows["2024-01-02"]["cnt_v"] is None
         assert rows["2024-01-02"]["mean_v"] is None
 
         # --- T7 serving reconciliation: batch view owns days < as_of,

@@ -260,3 +260,92 @@ def test_k2_append_log_sink(spark, sf_dir):
         got = spark.read.parquet(f"{tmp}/log").count()
         want = sources.load_table(spark, sf_dir, "events").count()
         assert got == want
+
+
+def test_partition_pruned_merge_leaves_untouched_files_alone(spark):
+    """r2: a merge rewrites ONLY the partitions present in the incoming
+    batch — every other partition's data files stay byte-identical on disk
+    (cost O(touched), not O(view))."""
+    import hashlib
+    import os
+
+    import tempfile as tf
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    def file_hashes(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    with tf.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        b0 = spark.createDataFrame(
+            [Row(d="2024-01-01", t=1, v=1.0), Row(d="2024-01-02", t=1, v=2.0),
+             Row(d="2024-01-03", t=1, v=3.0)]
+        )
+        view.merge_overwrite_by_key(b0, "t", batch_id=0)
+        before = file_hashes(f"{tmp}/v")
+        assert before, "expected parquet files after first merge"
+
+        # second merge touches ONLY 2024-01-02
+        b1 = spark.createDataFrame([Row(d="2024-01-02", t=2, v=9.0)])
+        view.merge_overwrite_by_key(b1, "t", batch_id=1)
+        after = file_hashes(f"{tmp}/v")
+
+        # every file from the first version still exists, byte-identical
+        for relpath, digest in before.items():
+            assert after.get(relpath) == digest, f"{relpath} was rewritten"
+        # the new version dir contains only the touched partition
+        v2_parts = {
+            p for p in after if p.startswith("v=2" + os.sep)
+        }
+        assert v2_parts and all("d=2024-01-02" in p for p in v2_parts)
+
+        # and the merged view is correct
+        got = {r["d"]: (r["t"], r["v"]) for r in view.read().collect()}
+        assert got == {
+            "2024-01-01": (1, 1.0),
+            "2024-01-02": (2, 9.0),
+            "2024-01-03": (1, 3.0),
+        }
+
+
+def test_partition_pruned_halves_and_mean_merges(spark):
+    """The column-half and incremental-mean strategies also go through the
+    pruned path: untouched partitions survive with their other-half data."""
+    import tempfile as tf
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tf.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        stock = spark.createDataFrame(
+            [("2024-01-01", 10.0, None), ("2024-01-02", 20.0, None)],
+            "d string, close double, nbr bigint",
+        )
+        view.merge_column_halves(stock, ["close"], batch_id=0)
+        senti = spark.createDataFrame([Row(d="2024-01-01", nbr=5)])
+        view.merge_column_halves(senti, ["nbr"], batch_id=1)
+        rows = {r["d"]: r for r in view.read().collect()}
+        assert rows["2024-01-01"]["close"] == 10.0 and rows["2024-01-01"]["nbr"] == 5
+        assert rows["2024-01-02"]["close"] == 20.0 and rows["2024-01-02"]["nbr"] is None
+
+    with tf.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["k"])
+        view.merge_incremental_mean(
+            spark.createDataFrame([Row(k="x", sum_v=10, cnt_v=2), Row(k="y", sum_v=4, cnt_v=1)]),
+            batch_id=0,
+        )
+        view.merge_incremental_mean(
+            spark.createDataFrame([Row(k="x", sum_v=20, cnt_v=3)]), batch_id=1
+        )
+        got = {r["k"]: (r["sum_v"], r["cnt_v"], r["mean_v"]) for r in view.read().collect()}
+        assert got == {"x": (30, 5, 6.0), "y": (4, 1, 4.0)}
