@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text
-from ..functions.sentiment import lexicon_scores
+from ..functions.sentiment import lexicon_scores, lexicon_scores_pandas
 
 
 class _ColParams(Transformer, HasInputCol, HasOutputCol):
@@ -40,10 +40,44 @@ class CleanNews(_ColParams):
 
 class ScoreSentiment(_ColParams):
     """M3 stand-in: deterministic lexicon scores as a map column — the same
-    column shape the FinBERT stage yields after metadata extraction."""
+    column shape the FinBERT stage yields after metadata extraction.
+
+    backend="pandas" (default) runs the Arrow-batched ``pandas_udf`` scorer
+    — the exact integration seam a real transformer model (the reference's
+    FinBERT, batchPipeline.py:142-147) plugs into: tokenize + batch-infer
+    per Arrow record batch, struct out, map rebuilt Column-side. Both
+    backends compute the identical IEEE divisions, so swapping them cannot
+    change results. backend="column" keeps everything in codegen (the
+    cheapest path when the scorer really is a lexicon)."""
+
+    backend = Param(Params._dummy(), "backend", "pandas | column")
+
+    @keyword_only
+    def __init__(
+        self, inputCol: str = "text", outputCol: str = "out", backend: str = "pandas"
+    ):
+        super().__init__(inputCol=inputCol, outputCol=outputCol)
+        if backend not in ("pandas", "column"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self._set(backend=backend)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(self.getOutputCol(), lexicon_scores(self.getInputCol()))
+        out = self.getOutputCol()
+        if self.getOrDefault("backend") == "column":
+            return df.withColumn(out, lexicon_scores(self.getInputCol()))
+        s = lexicon_scores_pandas(F.col(self.getInputCol()))
+        return (
+            df.withColumn("_scored", s)
+            .withColumn(
+                out,
+                F.create_map(
+                    F.lit("positive"), F.col("_scored.positive"),
+                    F.lit("negative"), F.col("_scored.negative"),
+                    F.lit("neutre"), F.col("_scored.neutre"),
+                ),
+            )
+            .drop("_scored")
+        )
 
 
 class AggNews(Transformer):

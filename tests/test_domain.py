@@ -143,3 +143,22 @@ def test_forecast_per_series_distributed(spark):
     rows = {r["series"]: r for r in fc.forecast_per_series(df).collect()}
     assert rows["a"]["pred_close"] == 3.0 + (3.0 - 1.0) / 1
     assert rows["b"]["pred_close"] == 5.0  # single point → carry forward
+
+
+def test_score_sentiment_backends_agree(spark):
+    """M3 seam: the Arrow pandas_udf backend (default — the FinBERT-shaped
+    path) and the codegen Column backend produce identical map columns."""
+    from importlib import import_module
+
+    tr = import_module(f"{PKG}.ml.transformers")
+    df = spark.createDataFrame(
+        [Row(text="fast big slow x"), Row(text="a b c"), Row(text="slow slow slow")]
+    )
+    pd_rows = tr.ScoreSentiment(inputCol="text", outputCol="s").transform(df).collect()
+    col_rows = (
+        tr.ScoreSentiment(inputCol="text", outputCol="s", backend="column")
+        .transform(df)
+        .collect()
+    )
+    for rp, rc in zip(pd_rows, col_rows):
+        assert rp["s"] == rc["s"]
