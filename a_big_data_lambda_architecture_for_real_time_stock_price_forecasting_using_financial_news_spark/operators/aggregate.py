@@ -75,19 +75,36 @@ def last_write_wins(df: DataFrame, key: Column | str, order: Column | str) -> Da
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
-def pairwise_mean_compat(df: DataFrame, key_cols: list[str], ts: str, value: str) -> DataFrame:
+def pairwise_mean_compat(
+    df: DataFrame,
+    key_cols: list[str],
+    ts: str,
+    value: str,
+    max_values: int = 100_000,
+) -> DataFrame:
     """A4 bug-compat: the reference's ES painless script computes
     ``avg = (avg_old + avg_new) / 2`` per micro-batch
     (``twitterConsumerStream.py:100-106``) — an exponentially-decaying
     pairwise recurrence, not the arithmetic mean. Reproduced here as an
     event-time-ordered fold per key so the divergence is testable.
 
-    Implemented with ``reduce`` over a ``sort_array``'d collect — fine for
-    per-key cardinalities that fit a row (streaming state analogue); the
-    correct-mean path (``avg``) is the scale path.
+    Implemented with ``reduce`` over a ``sort_array``'d collect — the
+    recurrence is order-dependent, so per-key values MUST be materialized in
+    one row; that makes a hot key an OOM risk. ``max_values`` caps the
+    per-key width with a hard, actionable error (``assert_true``) instead
+    of an executor OOM; the correct-mean path (``avg`` / (sum,count) state)
+    is the one that scales and should be used for anything hot.
     """
     pair = F.array_sort(
         F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).cast("double").alias("v")))
+    )
+    guard = F.assert_true(
+        F.size(pair) <= F.lit(max_values),
+        F.lit(
+            f"pairwise_mean_compat: a key exceeds max_values={max_values} "
+            "rows; this bug-compat fold is O(key width) in one row — use "
+            "the correct (sum,count) mean for hot keys"
+        ),
     )
     folded = F.aggregate(
         pair,
@@ -98,7 +115,10 @@ def pairwise_mean_compat(df: DataFrame, key_cols: list[str], ts: str, value: str
         ),
         lambda acc: acc["acc"],
     )
-    return df.groupBy(*key_cols).agg(folded.alias("pairwise_avg"), F.count(F.lit(1)).alias("n"))
+    return df.groupBy(*key_cols).agg(
+        F.when(guard.isNull(), folded).alias("pairwise_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 def salted_agg(

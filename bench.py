@@ -14,6 +14,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# r1 floor: 11.70 s for the first 11 queries (BENCH_r01.json); j3/w1/x10
+# added in r2 so regressions in the sort/window/tf-idf paths are visible.
 HEADLINE = [
     "flagship_batch_view",
     "q1_pricing_summary",
@@ -27,6 +29,10 @@ HEADLINE = [
     "s1_ann_topk_bruteforce",
     "s2_ann_topk_ivf",
     "x9_fingerprint",
+    # r2 breadth: union-sort as-of join, analytic windows, tf-idf
+    "j3_asof_join",
+    "w1_window_functions",
+    "x10_tfidf_top_terms",
 ]
 
 

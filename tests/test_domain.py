@@ -162,3 +162,18 @@ def test_score_sentiment_backends_agree(spark):
     )
     for rp, rc in zip(pd_rows, col_rows):
         assert rp["s"] == rc["s"]
+
+
+def test_pairwise_compat_hot_key_guard(spark):
+    """The bug-compat fold hard-errors on a key wider than max_values
+    instead of OOMing the executor; under the cap results are unchanged."""
+    import pytest
+    from importlib import import_module
+
+    agg = import_module(f"{PKG}.operators.aggregate")
+    rows = [Row(g="hot", t=i, v=float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(Exception, match="max_values"):
+        agg.pairwise_mean_compat(df, ["g"], "t", "v", max_values=5).collect()
+    (ok,) = agg.pairwise_mean_compat(df, ["g"], "t", "v", max_values=10).collect()
+    assert ok["n"] == 10

@@ -349,3 +349,77 @@ def test_partition_pruned_halves_and_mean_merges(spark):
         )
         got = {r["k"]: (r["sum_v"], r["cnt_v"], r["mean_v"]) for r in view.read().collect()}
         assert got == {"x": (30, 5, 6.0), "y": (4, 1, 4.0)}
+
+
+def test_watermark_late_delta_vs_batch(spark):
+    """T5 late-data contract, both sides: the same window builder evaluated
+    in BATCH mode sees the late row (batch recomputation repairs it — the
+    lambda architecture's reason to exist), while the STREAMING evaluation
+    with a 30-minute watermark provably dropped it. The delta between the
+    two evaluations is exactly the late row's window."""
+    import os
+    import tempfile as tf
+
+    windows = _mod("streaming.windows")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("value", T.DoubleType())]
+    )
+    with tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        with open(f"{src}/b1.json", "w") as fh:
+            fh.write(
+                '{"ts": "2024-01-01T10:00:00", "value": 1.0}\n'
+                '{"ts": "2024-01-01T11:30:00", "value": 2.0}\n'
+            )
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        win = windows.tumbling(
+            windows.with_watermark(stream, "ts", "30 minutes"), "ts", "1 hour"
+        )
+        out = f"{tmp}/out"
+
+        def run_once():
+            q = (
+                win.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        # watermark is now 11:00 (max 11:30 - 30m); this event is beyond it
+        with open(f"{src}/b2.json", "w") as fh:
+            fh.write('{"ts": "2024-01-01T08:00:00", "value": 99.0}\n')
+        run_once()
+        # advance the watermark past 12:00 so the 11:00 window finalizes —
+        # a withheld-but-open window is NOT the same as a dropped one
+        with open(f"{src}/b3.json", "w") as fh:
+            fh.write('{"ts": "2024-01-01T13:00:00", "value": 3.0}\n')
+        run_once()
+
+        streamed = {
+            r["window_start"].hour: r["sum_value"]
+            for r in spark.read.parquet(out).collect()
+        }
+        batch_eval = {
+            r["window_start"].hour: r["sum_value"]
+            for r in windows.tumbling(
+                spark.read.schema(schema).json(src), "ts", "1 hour"
+            ).collect()
+        }
+        # batch sees the late 08:00 row; streaming dropped it for good
+        assert batch_eval[8] == 99.0
+        assert 8 not in streamed
+        # the 11:00 window DID emit once the watermark passed it
+        assert streamed[11] == batch_eval[11] == 2.0
+        # the only gaps are the dropped late row and the still-open 13:00
+        # window (its watermark hasn't passed yet)
+        assert set(batch_eval) - set(streamed) == {8, 13}
+        # windows both sides emitted agree exactly
+        for h in set(batch_eval) & set(streamed):
+            assert streamed[h] == batch_eval[h]
