@@ -14,6 +14,8 @@ extend that into the analysis battery a training-data pipeline needs.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -142,6 +144,68 @@ def fingerprint_sql(expr: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform({toks}, t -> {step})), "
         f"(acc, t) -> (acc * {FP_BASE} + t) % {FP_MOD})"
+    )
+
+
+def word_trigrams(t: Column) -> Column:
+    """ALL word 3-grams (duplicates kept — they are the signal) from a
+    staged tokens column. Same slice/zip_with shape as dedup's shingles:
+    ``t`` is mentioned only OUTSIDE lambda bodies, so the tokenizer that
+    CollapseProject inlines into it runs O(1) times per row, never per
+    gram (see ext/dedup.py for the measured 40x trap)."""
+    n = F.size(t)
+    parts = [F.slice(t, j + 1, n - 2) for j in range(3)]
+    joined = reduce(
+        lambda acc, p: F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b)),
+        parts,
+    )
+    return F.when(n >= 3, joined).otherwise(F.array().cast("array<string>"))
+
+
+def word_trigrams_sql(toks: str) -> str:
+    return f"""(
+      SELECT CASE WHEN len(t) >= 3
+        THEN list_transform(range(1, len(t) - 1),
+               i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))
+        ELSE [] END
+      FROM (SELECT {toks} AS t))"""
+
+
+def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    tri = word_trigrams_sql(tokens_sql(text_col))
+    return f"""
+    WITH g AS (
+      SELECT {id_col} AS doc_id, {tri} AS tri FROM {table}
+    )
+    SELECT doc_id,
+           CAST(len(tri) AS INTEGER) AS n_trigrams,
+           CAST(len(list_distinct(tri)) AS INTEGER) AS n_distinct,
+           CASE WHEN len(tri) = 0 THEN NULL
+                ELSE CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+           END AS rep_ratio
+    FROM g
+    """
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Within-document repetition (the Gopher-style quality signal): the
+    fraction of word 3-grams that are duplicates. High rep_ratio marks
+    boilerplate/spam for a training-data filter. Pure Column math, one
+    narrow pass — scan-bound at 100 TB. Ratio is one int/int IEEE division,
+    engine-exact; docs under 3 tokens have no grams (null ratio)."""
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_trigrams(tokens(F.col(text_col))).alias("_tri"),
+    )
+    n_tri = F.size("_tri")
+    n_uniq = F.size(F.array_distinct("_tri"))
+    return g.select(
+        "doc_id",
+        n_tri.cast("int").alias("n_trigrams"),
+        n_uniq.cast("int").alias("n_distinct"),
+        F.try_divide((n_tri - n_uniq).cast("double"), n_tri.cast("double")).alias(
+            "rep_ratio"
+        ),
     )
 
 

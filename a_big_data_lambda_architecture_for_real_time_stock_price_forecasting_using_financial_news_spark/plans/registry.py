@@ -1121,6 +1121,129 @@ def m6_multimodal_features(spark, sf_dir):
     return _mm.extract_features(_mm.attach_media(d, "doc_id", "text"))
 
 
+from ..ext import sampling as _sp
+
+
+@register(
+    "x11_repetition_score",
+    _tx.repetition_stats_sql("documents", "doc_id", "text"),
+)
+def x11_repetition_score(spark, sf_dir):
+    """Within-doc repetition (duplicate word-3-gram fraction) — the
+    Gopher-style boilerplate/spam signal for training-data filtering
+    (ext/text.py:repetition_stats)."""
+    return _tx.repetition_stats(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x12_length_histogram",
+    """
+    SELECT CAST(least(floor(length(text) / 100.0), 9) AS INTEGER) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def x12_length_histogram(spark, sf_dir):
+    """Corpus length profile: 100-char buckets (capped at 9) with doc and
+    char totals — the histogram a quality-filter threshold is read off.
+    One map-side-combined agg over ~10 groups: shuffle is O(buckets)."""
+    d = tbl(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.length("text") / 100), F.lit(9)).cast("int")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "s3_stratified_sample",
+    _sp.stratified_sample_sql(
+        "documents",
+        "lang",
+        "doc_id",
+        rates={"en": 200},
+        default_rate=600,
+        select="doc_id, lang",
+    ),
+)
+def s3_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling (ext/sampling.py): rebalance
+    the language mixture at ingest — keep 20% of the dominant 'en' stratum,
+    60% elsewhere. Membership = pure row hash: stable across partitioning,
+    runs, and supersets (unlike df.sample's per-partition RNG)."""
+    d = tbl(spark, sf_dir, "documents")
+    return _sp.stratified_sample(
+        d, "lang", "doc_id", rates={"en": 200}, default_rate=600
+    ).select("doc_id", "lang")
+
+
+@register(
+    "j4_semi_anti_join",
+    """
+    SELECT c_custkey, c_name, 'no_orders' AS segment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, 'recent_buyer' AS segment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '1998-01-01')
+    """,
+)
+def j4_semi_anti_join(spark, sf_dir):
+    """Left-anti + left-semi joins (relational completeness): customers who
+    never ordered, and customers with a 1998+ order. Both plan as hash
+    joins that keep only the probe side's columns — no row multiplication,
+    shuffle keyed on the join key (broadcast-eligible when orders' distinct
+    keys are small after the pushed date filter)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    no_orders = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("segment", F.lit("no_orders"))
+    )
+    recent = (
+        c.join(
+            o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")),
+            c["c_custkey"] == o["o_custkey"],
+            "left_semi",
+        )
+        .select("c_custkey", "c_name")
+        .withColumn("segment", F.lit("recent_buyer"))
+    )
+    return no_orders.unionByName(recent)
+
+
+@register(
+    "q4_exists_agg",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-07-01' AND o.o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_exists_agg(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS → semi join → agg): orders in a quarter with
+    at least one returned line, counted per priority. The semi join
+    deduplicates lineitem matches for free (no distinct), the returnflag
+    filter is pushed to the fact scan, and the final agg is O(priorities)."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 @register(
     "d6_dedup_incremental",
     f"""

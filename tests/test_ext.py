@@ -271,3 +271,55 @@ def test_resize_dimension_plan(spark):
 
     with _pytest.raises(Exception, match="not available"):
         resize(media, 16, 16, backend="pil").collect()
+
+
+def test_repetition_stats_counts(spark):
+    """x11: duplicate trigram fraction; short docs have null ratio."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import text as tx
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c a b c a b c"),  # 7 grams: abc bca cab x2 + abc
+            Row(doc_id=2, text="all words differ here now"),
+            Row(doc_id=3, text="too short"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in tx.repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1]["n_trigrams"] == 7 and rows[1]["n_distinct"] == 3
+    assert rows[1]["rep_ratio"] == (7 - 3) / 7
+    assert rows[2]["rep_ratio"] == 0.0
+    assert rows[3]["n_trigrams"] == 0 and rows[3]["rep_ratio"] is None
+
+
+def test_stratified_sample_deterministic_and_stable(spark, sf_dir):
+    """s3: hash sampling is a pure row function — identical membership
+    across arbitrary repartitioning, and a subset filter commutes with it."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import sampling as sp
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources import batch as sources
+
+    docs = sources.load_table(spark, sf_dir, "documents")
+    kept = sp.stratified_sample(docs, "lang", "doc_id", {"en": 200}, 600)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids_repart = {
+        r["doc_id"]
+        for r in sp.stratified_sample(
+            docs.repartition(13), "lang", "doc_id", {"en": 200}, 600
+        ).select("doc_id").collect()
+    }
+    assert ids == ids_repart
+    # sampling a subset yields the subset of the sample
+    en_only = sp.stratified_sample(
+        docs.filter("lang = 'en'"), "lang", "doc_id", {"en": 200}, 600
+    )
+    assert {r["doc_id"] for r in en_only.select("doc_id").collect()} == {
+        i for i in ids if i in {r["doc_id"] for r in docs.filter("lang='en'").select("doc_id").collect()}
+    }
+    # different seed draws a different (overlapping) sample
+    ids_seed2 = {
+        r["doc_id"]
+        for r in sp.stratified_sample(
+            docs, "lang", "doc_id", {"en": 200}, 600, seed="other"
+        ).select("doc_id").collect()
+    }
+    assert ids_seed2 != ids
