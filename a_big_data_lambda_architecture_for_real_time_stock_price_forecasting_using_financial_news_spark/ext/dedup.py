@@ -538,3 +538,92 @@ def ngram_jaccard_pairs_sql(
     FROM nonempty a JOIN nonempty b ON {on} AND a.doc_id < b.doc_id
     WHERE {jac} >= {threshold}
     """
+
+
+# --- cluster assignment ----------------------------------------------------
+
+
+def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: every doc that appears in a
+    pair gets a ``cluster_id`` = the minimum doc_id reachable through the
+    pair graph — the canonical-document assignment that turns pairwise
+    near-dup output into keep/drop decisions.
+
+    Algorithm: min-label propagation. Each round every node takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. Rounds = graph diameter, and near-dup clusters are shallow
+    (dup clusters are near-cliques, diameter 2-3), so 3-4 rounds typical.
+    Each round is one shuffle join + one hash agg — the standard
+    large-scale formulation (GraphX/GraphFrames connected components use
+    the same alternation); ``localCheckpoint`` caps lineage growth so round
+    N's plan does not replay rounds 1..N-1.
+
+    The driver only sees a single scalar per round (the converged check) —
+    labels never leave the cluster.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
+def cluster_pairs_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (fine at oracle
+    scale; the Spark side is the one that runs at 100 TB)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs_sql}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach (src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.src <> e.dst
+    ), closure AS (
+      SELECT src, dst FROM reach
+      UNION
+      SELECT DISTINCT src, src FROM edges
+    ), labeled AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM closure GROUP BY src
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labeled
+    """

@@ -1267,6 +1267,88 @@ def d6_dedup_incremental(spark, sf_dir):
 
 
 @register(
+    "d7_dedup_clusters",
+    _dd.cluster_pairs_sql(
+        _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)
+    ),
+)
+def d7_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment (ext/dedup.py:cluster_pairs): connected
+    components over the minhash-LSH pair graph via min-label propagation —
+    the step that turns pairwise output into canonical keep/drop decisions.
+    Rounds = cluster diameter (near-dup clusters are near-cliques, so 2-4);
+    each round is one shuffle join + hash agg, labels never hit the driver.
+    Oracle: DuckDB recursive-CTE transitive closure."""
+    pairs = _dd.minhash_lsh_pairs(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+    return _dd.cluster_pairs(pairs)
+
+
+@register(
+    "s4_embedding_quantize",
+    _sim.quantize_int8_sql("embeddings"),
+)
+def s4_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column
+    (ext/similarity.py:quantize_int8) — 4x storage compression for the
+    serving path; integer codes make the oracle exact."""
+    return _sim.quantize_int8(tbl(spark, sf_dir, "embeddings"))
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[A-Za-z0-9./_-]+"
+
+
+@register(
+    "x13_pii_redact",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN concat(text, ' contact user', doc_id,
+                              '@example.com via https://ex.com/d/', doc_id)
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_URL}')) AS INTEGER) AS n_urls,
+           regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_URL}', '<URL>', 'g') AS text_redacted
+    FROM enriched
+    """,
+)
+def x13_pii_redact(spark, sf_dir):
+    """PII scrubbing for a training corpus: count + redact emails and URLs
+    with dialect-portable regexes (Java and RE2 agree on these classes).
+    The fixtures carry no PII, so deterministic addresses are synthesized
+    onto every 7th doc IN the query — the oracle rebuilds the same input,
+    making the redaction parity check non-vacuous. Pure Column regexp
+    chain: scan-bound, no UDF."""
+    d = tbl(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com via https://ex.com/d/"),
+            F.col("doc_id"),
+        ),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", t.alias("t"))
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_URL), 0)).cast("int").alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_URL, "<URL>"
+        ).alias("text_redacted"),
+    )
+
+
+@register(
     "a7_salted_agg",
     """
     SELECT event_type,

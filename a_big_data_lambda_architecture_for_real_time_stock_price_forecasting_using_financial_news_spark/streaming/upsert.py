@@ -336,6 +336,28 @@ class KeyedParquetView:
             return [self.key_cols[0]]
         return [F.struct(*self.key_cols)]
 
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self) -> list[int]:
+        """Delete version directories no partition references anymore and
+        return the versions removed. Safe w.r.t. concurrent readers of the
+        CURRENT manifest: only versions absent from it are deleted (a
+        reader pinned to an older manifest has the usual snapshot caveat,
+        same as Delta VACUUM). The current version dir is always kept —
+        even when empty — so a crash between write and flip cannot orphan
+        the pointer."""
+        import re
+        import shutil
+
+        cur = self._pointer()
+        live = {cur["version"]} | set((cur.get("parts") or {}).values())
+        removed = []
+        for entry in os.listdir(self.path):
+            m = re.fullmatch(r"v=(\d+)", entry)
+            if m and int(m.group(1)) not in live:
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed.append(int(m.group(1)))
+        return sorted(removed)
+
 
 def foreach_batch_lww(view: KeyedParquetView, order_col: str, writer: str = "default"):
     """K1 sink: streaming keyed append with last-write-wins semantics."""

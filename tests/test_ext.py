@@ -323,3 +323,76 @@ def test_stratified_sample_deterministic_and_stable(spark, sf_dir):
         ).select("doc_id").collect()
     }
     assert ids_seed2 != ids
+
+
+def test_cluster_pairs_connected_components(spark):
+    """d7: chains and cliques collapse to min-id clusters with right sizes."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import dedup as dd
+
+    # components: {1,2,3,4} (a chain), {10,11}, singleton pairs absent
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11)]
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dd.cluster_pairs(pairs).collect()}
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    """s4: codes bounded by [-127, 127], max-|x| element hits ±127, zero
+    vectors dropped."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import similarity as sim
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.5, -1.0, 0.25]),
+         Row(vec_id=2, embedding=[0.0, 0.0, 0.0])]
+    )
+    rows = sim.quantize_int8(df).collect()
+    by_pos = {r["pos"]: r["code"] for r in rows}
+    assert {r["vec_id"] for r in rows} == {1}  # zero vector dropped
+    assert by_pos[2] == -127  # the max-magnitude element
+    assert by_pos[1] == 64 and by_pos[3] == 32  # floor(0.5*127+0.5)=64
+    assert all(-127 <= c <= 127 for c in by_pos.values())
+
+
+def test_view_vacuum_drops_only_unreferenced_versions(spark):
+    """Old version dirs whose partitions were all re-pointed are removed;
+    referenced ones survive and the view still reads correctly."""
+    import os
+    import tempfile as tf
+
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.streaming import upsert
+
+    with tf.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="a", t=1, v=1.0), Row(d="b", t=1, v=2.0)]),
+            "t", batch_id=0,
+        )
+        # rewrite BOTH partitions -> v=1 becomes fully unreferenced
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="a", t=2, v=3.0), Row(d="b", t=2, v=4.0)]),
+            "t", batch_id=1,
+        )
+        assert view.vacuum() == [1]
+        assert not os.path.exists(f"{tmp}/v/v=1")
+        got = {r["d"]: r["v"] for r in view.read().collect()}
+        assert got == {"a": 3.0, "b": 4.0}
+
+        # partial rewrite: v=2 still owns partition b -> nothing to vacuum
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="a", t=3, v=5.0)]), "t", batch_id=2,
+        )
+        assert view.vacuum() == []
+        got = {r["d"]: r["v"] for r in view.read().collect()}
+        assert got == {"a": 5.0, "b": 4.0}
