@@ -1179,6 +1179,101 @@ def s3_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "a8_quantiles",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(props->>'k' AS BIGINT), 0.5) AS med_k,
+           quantile_cont(CAST(props->>'k' AS BIGINT), 0.9) AS p90_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_quantiles(spark, sf_dir):
+    """Exact quantiles per group (median + p90 of the score column): Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation over the sorted group; over integer inputs the
+    interpolation arithmetic agrees bit-for-bit (verified on the driver
+    fixtures). Exact percentile sorts each group — at 100 TB prefer
+    ``approx_percentile`` (t-digest, mergeable partial states) when 1%
+    error is acceptable; this entry pins the exact semantics."""
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    k = F.col("k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.percentile(k, F.lit(0.5)).alias("med_k"),
+        F.percentile(k, F.lit(0.9)).alias("p90_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the query
+    whose whole cost is the scan, so every predicate must reach the parquet
+    reader and the agg must be a single partial+final pass."""
+    li = tbl(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & disc.between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT CAST(CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS DOUBLE) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-06-01'
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join — the
+    part side broadcasts, both sums run exact in DECIMAL, one final double
+    division (the m5/k5 pattern) keeps the ratio engine-exact."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    )
+    p = tbl(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "j4_semi_anti_join",
     """
     SELECT c_custkey, c_name, 'no_orders' AS segment

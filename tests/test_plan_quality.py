@@ -122,3 +122,52 @@ def test_j3_asof_join_no_range_join(spark, sf_dir):
     # non-equi nested-loop/cartesian range join
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is scan-bound by construction: shipdate/discount/quantity filters
+    must reach the parquet reader, and no join may appear."""
+    df = registry.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+
+
+def test_q14_broadcasts_part(spark, sf_dir):
+    df = registry.QUERIES["q14_promo_share"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_j4_plans_semi_and_anti_hash_joins(spark, sf_dir):
+    df = registry.QUERIES["j4_semi_anti_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s3_sampling_is_narrow_filter(spark, sf_dir):
+    """Hash sampling must be a pure map-side filter: no shuffle, no join,
+    no Python."""
+    df = registry.QUERIES["s3_stratified_sample"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x11_repetition_stays_jvm_side(spark, sf_dir):
+    df = registry.QUERIES["x11_repetition_score"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s4_quantize_broadcasts_maxes(spark, sf_dir):
+    """The per-vector max side is tiny and must broadcast — a sort-merge
+    join here would shuffle the exploded fact side twice."""
+    df = registry.QUERIES["s4_embedding_quantize"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
