@@ -1340,6 +1340,71 @@ def q4_exists_agg(spark, sf_dir):
 
 
 @register(
+    "pipe1_corpus_filter",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             {_tx.lang_id_sql('text')} AS lang_pred,
+             {_tx.quality_score_sql('text')} AS quality,
+             CAST(len({_tx.tokens_sql('text')}) AS INTEGER) AS n_ws_tokens,
+             md5({_dd.norm_text_sql('text')}) AS content_hash,
+             text
+      FROM documents
+    ), rep AS (
+      {_tx.repetition_stats_sql('documents', 'doc_id', 'text')}
+    ), canon AS (
+      SELECT md5({_dd.norm_text_sql('text')}) AS content_hash,
+             min(doc_id) AS canonical_id
+      FROM documents GROUP BY 1
+    )
+    SELECT f.doc_id, f.lang, f.n_ws_tokens, r.rep_ratio
+    FROM feats f
+    JOIN rep r USING (doc_id)
+    JOIN canon c ON f.content_hash = c.content_hash AND f.doc_id = c.canonical_id
+    WHERE f.lang_pred = f.lang
+      AND f.quality >= 0.5
+      AND (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
+      AND f.n_ws_tokens >= 5
+    """,
+)
+def pipe1_corpus_filter(spark, sf_dir):
+    """END-TO-END training-corpus filter — the composed pipeline a corpus
+    team actually runs, as ONE Catalyst plan: language-confidence gate
+    (predicted == declared), quality floor, within-doc repetition cap,
+    minimum length, and exact-dedup canonical-only keep. Every stage is a
+    Column expression over the same scan; the only joins are the per-doc
+    repetition stats (equi on doc_id) and the canonical filter (equi on
+    content hash, broadcast-eligible: one row per distinct content).
+    At 100 TB this composes into: one corpus scan, one O(distinct-content)
+    agg, narrow filters — no stage adds a second pass over the text."""
+    d = tbl(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        _tx.lang_id(F.col("text")).alias("lang_pred"),
+        _tx.quality_score(F.col("text")).alias("quality"),
+        F.size(_tx.tokens(F.col("text"))).cast("int").alias("n_ws_tokens"),
+        F.md5(_dd.norm_text(F.col("text"))).alias("content_hash"),
+    )
+    rep = _tx.repetition_stats(d, "doc_id", "text").select("doc_id", "rep_ratio")
+    canon = _dd.exact_dedup(d, "doc_id", "text").select(
+        "content_hash", F.col("canonical_id")
+    )
+    return (
+        feats.join(rep, "doc_id")
+        .join(F.broadcast(canon), "content_hash")
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("lang_pred") == F.col("lang"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("rep_ratio").isNull() | (F.col("rep_ratio") <= 0.2))
+            & (F.col("n_ws_tokens") >= 5)
+        )
+        .select("doc_id", "lang", "n_ws_tokens", "rep_ratio")
+    )
+
+
+@register(
     "d6_dedup_incremental",
     f"""
     SELECT * FROM (
