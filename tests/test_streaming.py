@@ -423,3 +423,101 @@ def test_watermark_late_delta_vs_batch(spark):
         # windows both sides emitted agree exactly
         for h in set(batch_eval) & set(streamed):
             assert streamed[h] == batch_eval[h]
+
+
+def test_view_crash_between_write_and_flip_is_invisible(spark):
+    """Atomicity: a version directory written without a manifest flip (crash
+    window) is invisible to readers, does not disturb the next merge, and
+    is garbage-collected by vacuum()."""
+    import os
+    import tempfile as tf
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tf.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="a", t=1, v=1.0)]), "t", batch_id=0
+        )
+        # simulate a crashed merge: v=2 written, manifest never flipped
+        crashed = spark.createDataFrame([Row(d="a", t=9, v=99.0)])
+        crashed.write.mode("overwrite").partitionBy("d").parquet(f"{tmp}/v/v=2")
+        got = {r["d"]: r["v"] for r in view.read().collect()}
+        assert got == {"a": 1.0}  # crashed write invisible
+
+        # the next successful merge RECLAIMS v=2: mode("overwrite") purges
+        # the orphaned contents before writing, and no reader can hold an
+        # unflipped version, so reuse is safe
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="a", t=2, v=5.0)]), "t", batch_id=1
+        )
+        assert view._pointer()["version"] == 2
+        got = {r["d"]: r["v"] for r in view.read().collect()}
+        assert got == {"a": 5.0}  # crashed rows (v=99) fully purged
+
+        # vacuum removes the superseded v=1; the reclaimed v=2 is current
+        assert view.vacuum() == [1]
+        assert os.path.exists(f"{tmp}/v/v=2")
+        assert {r["d"]: r["v"] for r in view.read().collect()} == {"a": 5.0}
+
+
+def test_streaming_session_window_matches_batch_closed_sessions(spark):
+    """T5 session windows in TRUE streaming: replay two files through
+    session_window + watermark in append mode; sessions the watermark has
+    closed must match the batch evaluation exactly."""
+    import os
+    import tempfile as tf
+
+    windows = _mod("streaming.windows")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    with tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        # user 1: two sessions (09:00-09:10, then 11:00); user 2: one
+        with open(f"{src}/b1.json", "w") as fh:
+            fh.write(
+                '{"ts": "2024-01-01T09:00:00", "user_id": 1, "value": 1.0}\n'
+                '{"ts": "2024-01-01T09:10:00", "user_id": 1, "value": 2.0}\n'
+                '{"ts": "2024-01-01T09:05:00", "user_id": 2, "value": 5.0}\n'
+            )
+        with open(f"{src}/b2.json", "w") as fh:
+            fh.write('{"ts": "2024-01-01T11:00:00", "user_id": 1, "value": 3.0}\n')
+        os.utime(f"{src}/b1.json", (1700000000, 1700000000))
+        os.utime(f"{src}/b2.json", (1700000060, 1700000060))
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        win = windows.session(
+            windows.with_watermark(stream, "ts", "10 minutes"), "ts", "30 minutes", "user_id"
+        )
+        q = (
+            win.writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = {
+            (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+            for r in spark.table("sess_stream").collect()
+        }
+        batch = {
+            (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+            for r in windows.session(
+                spark.read.schema(schema).json(src), "ts", "30 minutes", "user_id"
+            ).collect()
+        }
+        # every emitted (closed) session matches batch exactly
+        assert streamed <= batch
+        # the two 09:xx sessions are closed by the 11:00 watermark advance
+        closed = {b for b in batch if b[1].hour == 9}
+        assert closed <= streamed
