@@ -420,8 +420,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int) -
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # verify BEFORE deduplicating: hamming is a per-row bit op, so the
+        # dropDuplicates shuffle carries only true near-dups, not every
+        # byte-collision pair (hamming is identical for duplicates of a
+        # pair, so the order change cannot alter results)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
