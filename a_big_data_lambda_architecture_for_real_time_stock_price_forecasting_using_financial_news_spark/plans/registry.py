@@ -1644,6 +1644,134 @@ def w1_window_functions(spark, sf_dir):
 
 
 @register(
+    "w2_ranking_functions",
+    """
+    SELECT event_id, user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS prank
+    FROM (SELECT event_id, user_id, CAST(props->>'k' AS BIGINT) AS k FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY k, event_id)
+    """,
+)
+def w2_ranking_functions(spark, sf_dir):
+    """Ranking battery (rank / dense_rank / ntile / percent_rank) per user
+    ordered by score: one shuffle on the partition key, one sort, all four
+    functions share the frame. percent_rank = (rank-1)/(n-1), a single
+    int/int IEEE division — engine-exact."""
+    from pyspark.sql import Window
+
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("k", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "g2_pivot",
+    f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def g2_pivot(spark, sf_dir):
+    """PIVOT: daily counts spread into one column per event type. An
+    explicit value list keeps it a single pass (no distinct-values
+    pre-query) — at scale always pass the values; cells with no rows pin 0."""
+    ev = tbl(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "g3_unpivot",
+    f"""
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                        for t in _EVENT_TYPES)}
+      FROM events GROUP BY 1
+    )
+    {" UNION ALL ".join(
+        f"SELECT event_date, '{t}' AS event_type, CAST({t} AS BIGINT) AS n FROM wide"
+        for t in _EVENT_TYPES)}
+    """,
+)
+def g3_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) the pivoted daily counts back to long form via
+    ``unpivot`` — the wide⇄long round-trip a feature store needs. Stays one
+    narrow projection per row after the agg."""
+    wide = QUERIES["g2_pivot"](spark, sf_dir)
+    return wide.unpivot(
+        "event_date", list(_EVENT_TYPES), "event_type", "n"
+    ).select("event_date", "event_type", F.col("n").cast("bigint").alias("n"))
+
+
+@register(
+    "p7_malformed_json",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN '{oops'
+                  ELSE CAST(props AS VARCHAR) END AS payload
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN json_valid(payload)
+                THEN CAST(payload->>'k' AS BIGINT) END AS k_parsed,
+           CAST(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END AS INTEGER)
+             AS parse_ok
+    FROM raw
+    """,
+)
+def p7_malformed_json(spark, sf_dir):
+    """P2 failure semantics: ``from_json`` is PERMISSIVE — a malformed
+    payload fills the corrupt-record column and nulls the data fields,
+    never failing the task (the reference's consumers would crash the
+    stream on bad Kafka payloads). PERMISSIVE returns an all-null STRUCT,
+    not a null struct, so failure detection must read the corrupt column,
+    not ``isNull`` on the struct. Corruption is synthesized in-query
+    (every 11th payload truncated) so the oracle sees identical input."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..schemas import EVENT_PROPS
+
+    ev = tbl(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 11 == 0, F.lit("{oops")
+    ).otherwise(F.col("props").cast("string"))
+    schema = StructType(
+        list(EVENT_PROPS.fields) + [StructField("_corrupt", StringType())]
+    )
+    parsed = F.from_json(payload, schema, {"columnNameOfCorruptRecord": "_corrupt"})
+    ok = parsed["_corrupt"].isNull()
+    return ev.select(
+        "event_id",
+        F.when(ok, parsed["k"]).alias("k_parsed"),
+        F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("parse_ok"),
+    )
+
+
+@register(
     "g1_rollup",
     """
     SELECT event_type, CAST(ts AS DATE) AS event_date,
