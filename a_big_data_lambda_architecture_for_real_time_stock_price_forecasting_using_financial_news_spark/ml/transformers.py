@@ -15,6 +15,7 @@ from pyspark import keyword_only
 from pyspark.ml import Pipeline, Transformer
 from pyspark.ml.param import Param, Params
 from pyspark.ml.param.shared import HasInputCol, HasOutputCol
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -22,7 +23,14 @@ from ..functions.cleaning import clean_text
 from ..functions.sentiment import lexicon_scores, lexicon_scores_pandas
 
 
-class _ColParams(Transformer, HasInputCol, HasOutputCol):
+class _ColParams(
+    Transformer, HasInputCol, HasOutputCol, DefaultParamsWritable, DefaultParamsReadable
+):
+    """Param-only transformers are fully described by their params, so the
+    default JSON reader/writer gives save/load (PipelineModel.save → load
+    round-trips, tested) — the model-lifecycle surface the reference never
+    had (it rebuilds its Pipeline in-line every run)."""
+
     @keyword_only
     def __init__(self, inputCol: str = "text", outputCol: str = "out"):
         super().__init__()
@@ -80,7 +88,7 @@ class ScoreSentiment(_ColParams):
         )
 
 
-class AggNews(Transformer):
+class AggNews(Transformer, DefaultParamsWritable, DefaultParamsReadable):
     """M2: per-day sentiment aggregation (reference batchPipeline.py:69-94):
     Nbr_article = sum of ones, per-class means from the scores map."""
 

@@ -210,6 +210,30 @@ class KeyedParquetView:
             return self.spark.read.parquet(os.path.join(self.path, f"v={cur['version']}"))
         return self._read_selected(parts, cur.get("part_type"))
 
+    def read_at(self, version: int) -> DataFrame | None:
+        """Time travel: the view as of a past version — each partition's
+        owner is the highest version <= ``version`` that wrote it. Requires
+        the versions to still exist (vacuum() removes history), same
+        retention contract as Delta time travel."""
+        cur = self._pointer()
+        if cur["version"] == 0 or version < 1:
+            return None
+        parts = cur.get("parts")
+        if parts is None:
+            return self.spark.read.parquet(os.path.join(self.path, f"v={version}"))
+        # replay manifest history: a partition owned by ver > version must
+        # be re-pointed at its newest surviving dir <= version (scan down)
+        sel: dict[str, int] = {}
+        for p, ver in parts.items():
+            v = min(ver, version)
+            while v >= 1 and not os.path.isdir(
+                os.path.join(self.path, f"v={v}", f"{self.part_col}={p}")
+            ):
+                v -= 1
+            if v >= 1:
+                sel[p] = v
+        return self._read_selected(sel, cur.get("part_type"))
+
     def read_partitions(self, wanted: list[str]) -> DataFrame | None:
         """Current rows of just the named partitions (string form)."""
         cur = self._pointer()

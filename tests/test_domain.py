@@ -177,3 +177,30 @@ def test_pairwise_compat_hot_key_guard(spark):
         agg.pairwise_mean_compat(df, ["g"], "t", "v", max_values=5).collect()
     (ok,) = agg.pairwise_mean_compat(df, ["g"], "t", "v", max_values=10).collect()
     assert ok["n"] == 10
+
+
+def test_news_pipeline_save_load_roundtrip(spark, tmp_path):
+    """M4 lifecycle: the fitted PipelineModel saves and loads with params
+    intact and produces identical results — the reference rebuilds its
+    pipeline in-line every run and has no persistence story."""
+    from importlib import import_module
+
+    from pyspark.ml import PipelineModel
+
+    tr = import_module(f"{PKG}.ml.transformers")
+    df = spark.createDataFrame(
+        [
+            Row(Date="2024-01-01", text="fast big wins today ok"),
+            Row(Date="2024-01-01", text="slow small losses today"),
+            Row(Date="2024-01-02", text="neutral words only here"),
+        ]
+    )
+    model = tr.news_pipeline().fit(df)
+    path = str(tmp_path / "news_model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    want = {(r["Date"], r["Nbr_article"], r["Positive"]) for r in model.transform(df).collect()}
+    got = {(r["Date"], r["Nbr_article"], r["Positive"]) for r in loaded.transform(df).collect()}
+    assert got == want
+    # backend param survives the round-trip
+    assert loaded.stages[1].getOrDefault("backend") == "pandas"

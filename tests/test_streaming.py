@@ -521,3 +521,29 @@ def test_streaming_session_window_matches_batch_closed_sessions(spark):
         # the two 09:xx sessions are closed by the 11:00 watermark advance
         closed = {b for b in batch if b[1].hour == 9}
         assert closed <= streamed
+
+
+def test_view_time_travel_read_at(spark):
+    """read_at(v) reconstructs the view as of any surviving version, per
+    partition (Delta-style time travel, vacuum() shortens retention)."""
+    import tempfile as tf
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tf.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="a", t=1, v=1.0), Row(d="b", t=1, v=2.0)]),
+            "t", batch_id=0,
+        )
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="a", t=2, v=9.0)]), "t", batch_id=1
+        )
+        # as of v1: both days at their first values
+        v1 = {r["d"]: r["v"] for r in view.read_at(1).collect()}
+        assert v1 == {"a": 1.0, "b": 2.0}
+        # as of v2 == current
+        v2 = {r["d"]: r["v"] for r in view.read_at(2).collect()}
+        assert v2 == {"a": 9.0, "b": 2.0}
+        assert view.read_at(0) is None
