@@ -31,3 +31,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """NDJSON source with an EXPLICIT schema + corrupt-record capture.
+
+    Two non-negotiables at scale: never let Spark infer the schema (a
+    full pre-pass over 100 TB just to guess types), and never let a single
+    bad line kill a 10-hour job — PERMISSIVE mode quarantines it into
+    ``corrupt_col`` for a dead-letter query instead (the same contract
+    p7_malformed_json pins for streamed payloads)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV source: explicit schema, PERMISSIVE corrupt capture, header
+    handling. Same scale rules as read_json_lines."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
