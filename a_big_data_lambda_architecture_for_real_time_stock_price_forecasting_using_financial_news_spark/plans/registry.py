@@ -1274,6 +1274,70 @@ def q14_promo_share(spark, sf_dir):
 
 
 @register(
+    "c1_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) =
+          (SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def c1_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (each customer's priciest order),
+    written AS SQL so Catalyst's decorrelation does the rewrite: the
+    subquery becomes one aggregate per correlation key + an equi-join —
+    never a per-row re-execution. The comparison runs on the exact
+    DECIMAL; the output rides DOUBLE."""
+    prepare(spark)
+    o = tbl(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("c1_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+        FROM c1_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) =
+              (SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+               FROM c1_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "a9_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           1 AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path when exact
+    distinct's expand+shuffle is too expensive. Sketch values are
+    engine-specific, so the gated output is the EXACT count plus a flag
+    asserting the approx answer landed within 5% (HLL++ at default rsd=5%
+    is deterministic for fixed data, so the flag is stable)."""
+    ev = tbl(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.05
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("approx_within_5pct"),
+    )
+
+
+@register(
     "j4_semi_anti_join",
     """
     SELECT c_custkey, c_name, 'no_orders' AS segment
