@@ -1274,6 +1274,37 @@ def q14_promo_share(spark, sf_dir):
 
 
 @register(
+    "j5_salted_join",
+    """
+    SELECT n.n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j5_salted_join(spark, sf_dir):
+    """Skew-robust salted join (operators/joins.py): customer.c_nationkey
+    is exactly the hot-key shape (25 nations, skewed populations). The
+    nation side is replicated over 16 salts, customers scatter uniformly,
+    so no reducer owns a whole nation. Oracle = the plain join: salting
+    must be invisible in the result."""
+    from ..operators.joins import salted_join
+
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    joined = salted_join(
+        c.withColumnRenamed("c_nationkey", "nk"),
+        n.select(F.col("n_nationkey").alias("nk"), "n_name"),
+        on=["nk"],
+        n_salts=16,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast(DEC).cast("double").alias("total_acctbal"),
+    )
+
+
+@register(
     "c1_correlated_subquery",
     """
     SELECT o_orderkey, o_custkey,

@@ -396,3 +396,20 @@ def test_view_vacuum_drops_only_unreferenced_versions(spark):
         assert view.vacuum() == []
         got = {r["d"]: r["v"] for r in view.read().collect()}
         assert got == {"a": 5.0, "b": 4.0}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """j5 machinery: the salted join's result must be exactly the plain
+    join's, for inner and left, including unmatched left rows."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, a="x"), Row(k=1, a="y"), Row(k=2, a="z"), Row(k=9, a="w")]
+    )
+    right = spark.createDataFrame([Row(k=1, b="p"), Row(k=2, b="q"), Row(k=2, b="r")])
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in left.join(right, ["k"], how).collect()}
+        salted = {tuple(r) for r in salted_join(left, right, ["k"], 4, how).collect()}
+        assert salted == plain, how

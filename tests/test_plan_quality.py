@@ -7,6 +7,8 @@ results stay correct.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans import (
     registry,
 )
@@ -171,3 +173,65 @@ def test_s4_quantize_broadcasts_maxes(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key co-locates matching rows at
+    WRITE time, so the join plans with zero Exchange — the 100 TB answer
+    for a fact-fact join repeated every run."""
+    sources = __import__(
+        "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch",
+        fromlist=["load_table"],
+    )
+    o = sources.load_table(spark, sf_dir, "orders")
+    li = sources.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (o.select("o_orderkey", "o_totalprice").write.mode("overwrite")
+     .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders"))
+    (li.write.mode("overwrite")
+     .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_of(j)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it still computes the right thing
+        assert j.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """A date-partitioned view read with a date filter scans only the
+    matching directories (PartitionFilters), not the whole dataset."""
+    sources = __import__(
+        "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch",
+        fromlist=["load_table"],
+    )
+    ev = sources.load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_parted")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "event_date" in seg
+    assert df.count() > 0
+
+
+def test_j5_salted_join_spreads_hot_keys(spark, sf_dir):
+    df = registry.QUERIES["j5_salted_join"](spark, sf_dir)
+    plan = plan_of(df)
+    # join condition must include the salt (the whole point)
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
