@@ -43,6 +43,46 @@ def drift_forecast(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+
+def holt_forecast(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Holt linear-trend forecast (1-step) for one series, ordered by day —
+    a REAL iterative state-space recursion through the grouped-map seam
+    (unlike drift, each step depends on the previous smoothed state):
+
+        l_0 = y_0, b_0 = y_1 - y_0
+        l_t = α y_t + (1-α)(l_{t-1} + b_{t-1})
+        b_t = β (l_t - l_{t-1}) + (1-β) b_{t-1}
+        ŷ_{T+1} = l_T + b_T
+
+    The float expressions are written in exactly the order the DuckDB
+    oracle's ``list_reduce`` fold uses, so results are bit-identical
+    cross-engine (sequential IEEE ops, no re-association)."""
+    pdf = pdf.sort_values("day")
+    ys = [float(v) for v in pdf["close_v"]]
+    n = len(ys)
+    if n == 1:
+        pred = ys[0]
+    else:
+        level, trend = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            new_level = HOLT_ALPHA * y + (1.0 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (new_level - level) + (1.0 - HOLT_BETA) * trend
+            level = new_level
+        pred = level + trend
+    return pd.DataFrame(
+        {
+            "series": [pdf["series"].iloc[0]],
+            "n_days": [n],
+            "first_close": [ys[0]],
+            "last_close": [ys[-1]],
+            "pred_close": [pred],
+        }
+    )
+
+
 def sarimax_forecast_fn(model_path: str) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """Optional pmdarima/SARIMAX backend with the reference's model shape
     (prediction.py:64-73: ``predict(n_periods=1, X=exog)``). Import-gated:

@@ -702,6 +702,64 @@ def m5_serving_forecast(spark, sf_dir):
 
 
 @register(
+    "m9_holt_forecast",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_v
+      FROM events GROUP BY 1, 2
+    ), ordered AS (
+      SELECT series, close_v,
+             row_number() OVER (PARTITION BY series ORDER BY day) AS rn
+      FROM daily
+    ), sizes AS (
+      SELECT series, max(rn) AS t_max FROM ordered GROUP BY series
+    ), rec AS (
+      SELECT o1.series, 1 AS t, o1.close_v AS l, o2.close_v - o1.close_v AS b
+      FROM ordered o1 JOIN ordered o2
+        ON o1.series = o2.series AND o1.rn = 1 AND o2.rn = 2
+      UNION ALL
+      SELECT r.series, r.t + 1,
+             0.5 * o.close_v + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * o.close_v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r
+      JOIN ordered o ON o.series = r.series AND o.rn = r.t + 1
+      JOIN sizes s ON s.series = r.series
+      WHERE r.t < s.t_max
+    ), ser AS (
+      SELECT o.series, s.t_max AS n_days,
+             arg_min(o.close_v, o.rn) AS first_close,
+             arg_max(o.close_v, o.rn) AS last_close
+      FROM ordered o JOIN sizes s ON s.series = o.series
+      GROUP BY o.series, s.t_max
+    )
+    SELECT ser.series, ser.n_days, ser.first_close, ser.last_close,
+           CASE WHEN ser.n_days = 1 THEN ser.last_close
+                ELSE fin.l + fin.b END AS pred_close
+    FROM ser LEFT JOIN (
+      SELECT r.series, r.l, r.b
+      FROM rec r JOIN sizes s ON s.series = r.series AND r.t = s.t_max
+    ) fin ON fin.series = ser.series
+    """,
+)
+def m9_holt_forecast(spark, sf_dir):
+    """M5 upgrade path: Holt linear-trend smoothing per series — a genuine
+    iterative recursion through the ``applyInPandas`` grouped-map seam
+    (state at step t depends on step t-1, unlike the closed-form drift).
+    The oracle replays the recursion as a DuckDB RECURSIVE CTE stepping
+    through the same float ops in the same order, so values match
+    bit-for-bit. (A ``list_reduce`` fold would be the natural oracle, but
+    DuckDB 1.0's lambda CSE caches stale accumulator subtrees across fold
+    iterations — verified wrong on a 3-element fold — so the recursion is
+    materialized row-by-row instead.)"""
+    from ..ml.forecast import forecast_per_series, holt_forecast
+    from .serving import daily_close_by_series
+
+    daily = daily_close_by_series(spark, sf_dir)
+    return forecast_per_series(daily, holt_forecast)
+
+
+@register(
     "a4_pairwise_compat",
     """
     SELECT CAST(ts AS DATE) AS event_date,

@@ -240,3 +240,23 @@ def test_json_csv_sources_roundtrip_with_dead_letters(spark, tmp_path):
     good = {(r["id"], r["v"]) for r in cdf.filter("_corrupt_record IS NULL").collect()}
     assert good == {(1, 1.5), (3, 3.5)}
     assert cdf.filter("_corrupt_record IS NOT NULL").count() == 1
+
+
+def test_holt_forecast_recursion(spark):
+    """m9: hand-computed Holt(0.5, 0.5) on a 4-day series, plus the 1-day
+    degenerate case."""
+    from importlib import import_module
+
+    fc = import_module(f"{PKG}.ml.forecast")
+    daily = spark.createDataFrame(
+        [Row(series="s", day=d, close_v=v) for d, v in
+         [("2024-01-01", 10.0), ("2024-01-02", 12.0),
+          ("2024-01-03", 11.0), ("2024-01-04", 15.0)]]
+        + [Row(series="one", day="2024-01-01", close_v=7.0)]
+    )
+    rows = {r["series"]: r for r in
+            fc.forecast_per_series(daily, fc.holt_forecast).collect()}
+    # l,b: (10,2) ->12,2 ->12.5,1.25 ->14.375,1.5625 => pred 15.9375
+    assert rows["s"]["pred_close"] == 15.9375
+    assert rows["s"]["n_days"] == 4
+    assert rows["one"]["pred_close"] == 7.0
