@@ -702,6 +702,100 @@ def m5_serving_forecast(spark, sf_dir):
 
 
 @register(
+    "f4_vwap",
+    """
+    SELECT event_type AS series, CAST(ts AS DATE) AS day,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))
+                         * CAST(props->>'k' AS BIGINT)) AS DOUBLE)
+                / CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) AS DOUBLE)
+             AS vwap,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS volume
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) > 0
+    GROUP BY 1, 2
+    """,
+)
+def f4_vwap(spark, sf_dir):
+    """Volume-weighted average price per (series, day) — THE quote-feed
+    aggregate (k plays volume). Both sums exact (DECIMAL / BIGINT), one
+    final double division: order-independent and engine-exact. Zero-volume
+    rows are excluded up front so the division is total."""
+    ev = parse_props(tbl(spark, sf_dir, "events")).filter(F.col("k") > 0)
+    pv = F.col("value").cast(DEC) * F.col("k")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            (F.sum(pv).cast("double") / F.sum("k").cast("double"))
+            .cast("double")
+            .alias("vwap"),
+            F.sum("k").cast("bigint").alias("volume"),
+        )
+    )
+
+
+@register(
+    "t9_gap_fill",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), spine AS (
+      SELECT series,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT series, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1)
+    )
+    SELECT s.series, s.day,
+           last_value(daily.close_v IGNORE NULLS)
+             OVER (PARTITION BY s.series ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING) AS close_filled,
+           CAST(CASE WHEN daily.close_v IS NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS was_gap
+    FROM spine s LEFT JOIN daily ON daily.series = s.series AND daily.day = s.day
+    """,
+)
+def t9_gap_fill(spark, sf_dir):
+    """Calendar gap-fill + forward-fill: build the full day spine per
+    series (sequence between min and max day), left-join the observed
+    closes, carry the last observation forward with an ignore-nulls
+    window. The op every daily view needs before a forecaster sees it
+    (the reference's ES keyed view silently leaves holes). One window
+    sort per series; the spine explode is O(days), never O(events)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max_by(F.col("value").cast(DEC), F.col("ts")).cast("double").alias("close_v")
+    )
+    spine = (
+        daily.groupBy("series")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "series",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["series", "day"], "left")
+    w = Window.partitionBy("series").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "series",
+        "day",
+        F.last("close_v", ignorenulls=True).over(w).alias("close_filled"),
+        F.when(F.col("close_v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("was_gap"),
+    )
+
+
+@register(
     "m9_holt_forecast",
     """
     WITH RECURSIVE daily AS (
