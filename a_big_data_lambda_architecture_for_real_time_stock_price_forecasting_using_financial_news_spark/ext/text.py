@@ -58,10 +58,15 @@ def _hits_sql(toks: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({toks}, x -> x IN ({inlist})))"
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: most stopword hits wins; ties resolve to the
-    alphabetically-first language; zero hits everywhere -> 'und'."""
-    toks = tokens(col)
+    alphabetically-first language; zero hits everywhere -> 'und'.
+
+    Pass ``toks`` (a PERSISTED tokens column) when composing with other
+    token-consuming features: Spark has no CSE and CollapseProject
+    re-inlines staged projections, so without a materialization barrier
+    every feature re-runs the tokenizer (see ext/dedup.py)."""
+    toks = tokens(col) if toks is None else toks
     scores = {lang: _hits(toks, LANG_STOPWORDS[lang]) for lang in LANG_ORDER}
     best = F.greatest(*scores.values())
     out = F.lit("und")
@@ -97,15 +102,16 @@ def token_counts_sql(expr: str) -> tuple[str, str]:
     return ws, bpe
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Deterministic [0,1]-ish quality: alpha ratio minus punct ratio plus a
     stopword-presence bonus, floored at 0. Single IEEE division per ratio so
-    Spark and DuckDB agree bit-for-bit."""
+    Spark and DuckDB agree bit-for-bit. ``toks`` as in :func:`lang_id`."""
+    t = tokens(col) if toks is None else toks
     n = F.length(col).cast("double")
     alpha = F.size(F.regexp_extract_all(col, F.lit("[a-zA-Z]"), 0)).cast("double")
     punct = F.size(F.regexp_extract_all(col, F.lit(PUNCT), 0)).cast("double")
-    stop = _hits(tokens(col), LANG_STOPWORDS["en"]).cast("double")
-    ntok = F.size(tokens(col)).cast("double")
+    stop = _hits(t, LANG_STOPWORDS["en"]).cast("double")
+    ntok = F.size(t).cast("double")
     score = alpha / n - punct / n + F.least(stop / ntok, F.lit(0.2))
     return F.when(n == 0, F.lit(0.0)).otherwise(F.greatest(score, F.lit(0.0)))
 
