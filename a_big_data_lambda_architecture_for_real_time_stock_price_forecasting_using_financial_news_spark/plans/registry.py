@@ -1457,6 +1457,109 @@ def j5_salted_join(spark, sf_dir):
 
 
 @register(
+    "q19_disjunctive_filter",
+    """
+    SELECT count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+    """,
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst must
+    factor the common subexpressions per side so each scan still receives
+    a pushable predicate (the l_quantity range union reaches lineitem, the
+    brand/size union reaches part) instead of evaluating the whole
+    disjunction post-join."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & (F.col("p_size") <= 15))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "q16_excluded_suppliers",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p_type NOT LIKE 'SMALL%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_excluded_suppliers(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN value list + NOT LIKE + NOT IN subquery
+    (planned as an anti join) + distinct aggregation; the excluded-supplier
+    side (negative balance, standing in for the reference schema's
+    complaints filter) is tiny and broadcasts."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        & ~F.col("p_type").like("SMALL%")
+    )
+    bad_s = tbl(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad_s), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "j6_nullsafe_join",
+    """
+    WITH a AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang
+      FROM documents WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT a.lang AS lang, count(*) AS n_pairs
+    FROM a JOIN b ON a.lang IS NOT DISTINCT FROM b.lang
+    GROUP BY a.lang
+    """,
+)
+def j6_nullsafe_join(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other — the semantics a plain equi-join silently drops. Still a
+    hash join (the null bucket is just another key), never a nested loop.
+    Nulls synthesized in-query so the oracle sees identical input."""
+    d = tbl(spark, sf_dir, "documents")
+    lang = F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang"))
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"), lang.alias("lang_a")
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id_b"), lang.alias("lang_b")
+    )
+    return (
+        a.join(b, a["lang_a"].eqNullSafe(b["lang_b"]))
+        .groupBy(F.col("lang_a").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
     "c1_correlated_subquery",
     """
     SELECT o_orderkey, o_custkey,
