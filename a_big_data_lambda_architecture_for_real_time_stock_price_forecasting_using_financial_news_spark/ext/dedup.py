@@ -243,7 +243,11 @@ def incremental_minhash_pairs(
     old-old pairs were found when the old data arrived. Returns
     (id_a, id_b, jaccard) with the ids normalized (id_a < id_b)."""
     new_sk = minhash_sketches(new_df, id_col, text_col).persist()
-    all_sk = old_sketches.select("doc_id", "sh", "sig").unionByName(new_sk)
+    # persist the union: it feeds BOTH the band join and the verify join,
+    # and when old_sketches is a live plan (tests / this session) rather
+    # than a parquet-backed table, each consumer would otherwise re-sketch
+    # the whole old corpus (measured 3x end-to-end at sf0.1)
+    all_sk = old_sketches.select("doc_id", "sh", "sig").unionByName(new_sk).persist()
     nb, ab = bands_of(new_sk).alias("n"), bands_of(all_sk).alias("a")
     cand = (
         nb.join(ab, ["band", "bh"])

@@ -2165,6 +2165,36 @@ def g1_rollup(spark, sf_dir):
 
 
 @register(
+    "g4_cube",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+)
+def g4_cube(spark, sf_dir):
+    """CUBE over (event_type, user bucket): all four grouping sets in one
+    pass (Catalyst expands then partially aggregates — the shuffle carries
+    4x one row per (mapper, group), not 4 scans). Completes the
+    grouping-sets family next to g1's ROLLUP."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            F.col("value").cast(DEC).alias("v"),
+        )
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast(DEC).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "o1_sort_limit_topn",
     """
     SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total FROM (
