@@ -163,3 +163,90 @@ def test_k8_json_encode_parse_roundtrip(spark):
     )
     back = ingest.parse_json_value(encoded, schema)
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_streaming_corpus_filter_matches_batch_pipeline(spark, sf_dir):
+    """pipe1 under streaming: documents arrive in two micro-batches; each
+    batch is gated (lang confidence, quality, repetition, length) and
+    merged keep-first by content hash into a view. The final view must
+    equal the one-shot batch corpus filter (canonical = min doc_id, which
+    keep-first reproduces because chunks arrive in doc_id order)."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from importlib import import_module
+
+    PKGP = "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark"
+    sources = import_module(f"{PKGP}.sources.batch")
+    tx = import_module(f"{PKGP}.ext.text")
+    dd = import_module(f"{PKGP}.ext.dedup")
+    upsert = import_module(f"{PKGP}.streaming.upsert")
+    registry = import_module(f"{PKGP}.plans.registry")
+
+    docs = sources.load_table(spark, sf_dir, "documents")
+
+    def gated(df):
+        toks = tx.tokens(F.col("text"))
+        staged = df.select(
+            "doc_id", "lang", "text", toks.alias("_toks")
+        )
+        t = F.col("_toks")
+        tri = tx.word_trigrams(t)
+        n_tri = F.size(tri)
+        return staged.select(
+            "doc_id",
+            "lang",
+            F.md5(dd.norm_text(F.col("text"))).alias("content_hash"),
+            tx.lang_id(F.col("text"), toks=t).alias("lang_pred"),
+            tx.quality_score(F.col("text"), toks=t).alias("quality"),
+            F.size(t).cast("int").alias("n_ws_tokens"),
+            F.try_divide(
+                (n_tri - F.size(F.array_distinct(tri))).cast("double"),
+                n_tri.cast("double"),
+            ).alias("rep_ratio"),
+        ).filter(
+            (F.col("lang_pred") == F.col("lang"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("rep_ratio").isNull() | (F.col("rep_ratio") <= 0.2))
+            & (F.col("n_ws_tokens") >= 5)
+        ).select("doc_id", "lang", "content_hash", "n_ws_tokens", "rep_ratio")
+
+    with tf.TemporaryDirectory() as tmp:
+        # two chunks in doc_id order -> first arrival == min doc_id
+        docs.filter("doc_id < 250").write.parquet(f"{tmp}/src/chunk=a")
+        docs.filter("doc_id >= 250").write.parquet(f"{tmp}/src/chunk=b")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/src")
+        )
+        # content-hash key is high-cardinality: opt out of per-key
+        # partitioning (partition_by=None -> whole-view rewrite)
+        view = upsert.KeyedParquetView(
+            spark, f"{tmp}/corpus", ["content_hash"], partition_by=None
+        )
+
+        def sink(batch_df, batch_id):
+            keep_first = gated(batch_df).withColumn(
+                "_order", -F.col("doc_id")
+            )
+            view.merge_overwrite_by_key(keep_first, "_order", batch_id=batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["doc_id"], r["lang"], r["n_ws_tokens"])
+            for r in view.read().select("doc_id", "lang", "n_ws_tokens").collect()
+        }
+    want = {
+        (r["doc_id"], r["lang"], r["n_ws_tokens"])
+        for r in registry.QUERIES["pipe1_corpus_filter"](spark, sf_dir).collect()
+    }
+    assert got == want and got
