@@ -413,3 +413,65 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         plain = {tuple(r) for r in left.join(right, ["k"], how).collect()}
         salted = {tuple(r) for r in salted_join(left, right, ["k"], 4, how).collect()}
         assert salted == plain, how
+
+
+def test_operators_tolerate_empty_and_degenerate_input(spark):
+    """Empty partitions are routine at 100 TB (filters + pruning leave many
+    tasks rowless); every operator family must return an empty/sane result,
+    never throw."""
+    from pyspark.sql import Row, types as T
+
+    PKGP = "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark"
+    from importlib import import_module
+
+    dd = import_module(f"{PKGP}.ext.dedup")
+    tx = import_module(f"{PKGP}.ext.text")
+    sim = import_module(f"{PKGP}.ext.similarity")
+    fc = import_module(f"{PKGP}.ml.forecast")
+    agg = import_module(f"{PKGP}.operators.aggregate")
+    asof = import_module(f"{PKGP}.operators.asof")
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string"
+    )
+    assert dd.exact_dedup(empty_docs, "doc_id", "text").count() == 0
+    assert dd.minhash_lsh_pairs(empty_docs, "doc_id", "text", 0.5).count() == 0
+    assert dd.simhash_pairs(empty_docs, "doc_id", "text", 3).count() == 0
+    assert tx.repetition_stats(empty_docs, "doc_id", "text").count() == 0
+    assert tx.tfidf_top_terms(empty_docs, "doc_id", "text").count() == 0
+    assert dd.cluster_pairs(
+        spark.createDataFrame([], "id_a bigint, id_b bigint, jaccard double")
+    ).count() == 0
+
+    empty_vecs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ])
+    )
+    assert sim.quantize_int8(empty_vecs).count() == 0
+
+    empty_daily = spark.createDataFrame(
+        [], "series string, day date, close_v double"
+    )
+    assert fc.forecast_per_series(empty_daily, fc.holt_forecast).count() == 0
+
+    # single-token / empty-string docs: no shingles, no crash
+    tiny = spark.createDataFrame(
+        [Row(doc_id=1, text="", lang="en", source="s"),
+         Row(doc_id=2, text="one", lang="en", source="s")]
+    )
+    assert dd.minhash_lsh_pairs(tiny, "doc_id", "text", 0.5).count() == 0
+    r = {x["doc_id"]: x for x in tx.repetition_stats(tiny, "doc_id", "text").collect()}
+    assert r[1]["n_trigrams"] == 0 and r[1]["rep_ratio"] is None
+
+    # as-of join with an empty quote side: all lookups null-priced
+    lookups = spark.createDataFrame([Row(event_id=1, user_id=1, ts=1)])
+    quotes = spark.createDataFrame([], "user_id bigint, ts bigint, price double")
+    out = asof.asof_join(lookups, quotes, ["user_id"], "ts", ["price"]).collect()
+    assert len(out) == 1 and out[0]["price"] is None
+
+    # salted agg on empty input
+    e = spark.createDataFrame([], "k string, v bigint")
+    assert agg.salted_agg(e, ["k"], {"s": ("v", "sum")}).count() == 0

@@ -547,3 +547,60 @@ def test_view_time_travel_read_at(spark):
         v2 = {r["d"]: r["v"] for r in view.read_at(2).collect()}
         assert v2 == {"a": 9.0, "b": 2.0}
         assert view.read_at(0) is None
+
+
+def test_stateful_mean_survives_query_restart(spark):
+    """T6 recovery: stop the stateful query, add data, restart from the
+    same checkpoint — (sum, count) state must resume from the state store,
+    not reset (the property the reference delegates to Elasticsearch)."""
+    import os
+    import tempfile as tf
+
+    state = _mod("streaming.state")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    with tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        with open(f"{src}/b1.json", "w") as fh:
+            fh.write('{"key": "a", "v": 1.0}\n{"key": "a", "v": 3.0}\n')
+
+        out = f"{tmp}/out"
+
+        def run():
+            # memory sink cannot recover from a checkpoint; foreachBatch
+            # appending to parquet can
+            def sink(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(out)
+
+            stream = spark.readStream.schema(schema).json(src)
+            q = (
+                state.running_mean_stream(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        r1 = spark.read.parquet(out).collect()
+        assert {(r["key"], r["n"], r["mean_v"]) for r in r1} == {("a", 2, 2.0)}
+
+        # new file after shutdown; restart from the same checkpoint
+        with open(f"{src}/b2.json", "w") as fh:
+            fh.write('{"key": "a", "v": 8.0}\n{"key": "b", "v": 5.0}\n')
+        run()
+        rows = spark.read.parquet(out).collect()
+        # final state per key = the row with the highest n
+        final = {}
+        for r in rows:
+            if r["key"] not in final or r["n"] > final[r["key"]][0]:
+                final[r["key"]] = (r["n"], r["sum_v"], r["mean_v"])
+        # 'a' resumed (2 prior rows + 1 new), not reset to n=1
+        assert final["a"] == (3, 12.0, 4.0)
+        assert final["b"] == (1, 5.0, 5.0)
