@@ -153,28 +153,37 @@ def fingerprint_sql(expr: str) -> str:
     )
 
 
-def word_trigrams(t: Column) -> Column:
-    """ALL word 3-grams (duplicates kept — they are the signal) from a
+def word_ngrams(t: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — they are the signal) from a
     staged tokens column. Same slice/zip_with shape as dedup's shingles:
     ``t`` is mentioned only OUTSIDE lambda bodies, so the tokenizer that
     CollapseProject inlines into it runs O(1) times per row, never per
     gram (see ext/dedup.py for the measured 40x trap)."""
-    n = F.size(t)
-    parts = [F.slice(t, j + 1, n - 2) for j in range(3)]
+    sz = F.size(t)
+    parts = [F.slice(t, j + 1, sz - (n - 1)) for j in range(n)]
     joined = reduce(
         lambda acc, p: F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b)),
         parts,
     )
-    return F.when(n >= 3, joined).otherwise(F.array().cast("array<string>"))
+    return F.when(sz >= n, joined).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_sql(toks: str, n: int) -> str:
+    parts = ", ".join(f"t[i + {j}]" for j in range(n))
+    return f"""(
+      SELECT CASE WHEN len(t) >= {n}
+        THEN list_transform(range(1, len(t) - {n - 2}),
+               i -> concat_ws(' ', {parts}))
+        ELSE [] END
+      FROM (SELECT {toks} AS t))"""
+
+
+def word_trigrams(t: Column) -> Column:
+    return word_ngrams(t, 3)
 
 
 def word_trigrams_sql(toks: str) -> str:
-    return f"""(
-      SELECT CASE WHEN len(t) >= 3
-        THEN list_transform(range(1, len(t) - 1),
-               i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))
-        ELSE [] END
-      FROM (SELECT {toks} AS t))"""
+    return word_ngrams_sql(toks, 3)
 
 
 def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
@@ -278,4 +287,77 @@ def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 3) -> s
     )
     SELECT doc_id, term, tf, df, CAST(rn AS INTEGER) AS rn
     FROM ranked WHERE rn <= {k}
+    """
+
+
+def decontaminate_flags(
+    df, id_col: str, text_col: str, bench_pred: str, n: int = 5
+):
+    """Benchmark decontamination: flag training docs that share any word
+    n-gram with a held-out benchmark set (the overlap rule used to scrub
+    eval contamination from pretraining corpora).
+
+    Plan: distinct n-grams per doc -> explode -> semi-shaped inner join
+    against the BROADCAST distinct benchmark-gram set -> per-doc overlap
+    count -> left-join back so clean docs report 0. The benchmark side is
+    tiny by construction (it's an eval set), so the join is map-side; the
+    corpus side is one scan + explode, shuffled only on doc_id for the
+    count. Benchmark docs themselves are excluded from the output.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(bench_pred).alias("_is_bench"),
+        word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
+    ).persist()
+    bench_grams = (
+        base.filter("_is_bench")
+        .select(F.explode(F.array_distinct("_grams")).alias("gram"))
+        .distinct()
+    )
+    train = base.filter("NOT _is_bench")
+    overlaps = (
+        train.select("doc_id", F.explode(F.array_distinct("_grams")).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("int").alias("n_shared_grams"),
+            F.when(F.coalesce("n_shared_grams", F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_flags_sql(
+    table: str, id_col: str, text_col: str, bench_pred: str, n: int = 5
+) -> str:
+    grams = word_ngrams_sql(tokens_sql(text_col), n)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, ({bench_pred}) AS is_bench,
+             list_distinct({grams}) AS grams
+      FROM {table}
+    ), bench_grams AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM base WHERE is_bench
+    ), shared AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM base WHERE NOT is_bench) t
+      JOIN bench_grams USING (gram)
+      GROUP BY t.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(o.n_shared, 0) AS INTEGER) AS n_shared_grams,
+           CAST(CASE WHEN COALESCE(o.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS contaminated
+    FROM base b LEFT JOIN shared o ON b.doc_id = o.doc_id
+    WHERE NOT b.is_bench
     """

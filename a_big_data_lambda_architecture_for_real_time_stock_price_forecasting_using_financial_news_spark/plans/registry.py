@@ -1911,6 +1911,24 @@ def x13_pii_redact(spark, sf_dir):
 
 
 @register(
+    "x14_decontaminate",
+    _tx.decontaminate_flags_sql(
+        "documents", "doc_id", "text", bench_pred="doc_id % 97 = 0", n=5
+    ),
+)
+def x14_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ext/text.py:decontaminate_flags): flag
+    training docs sharing any word 5-gram with the held-out 'benchmark'
+    docs (doc_id % 97 == 0 stands in for an eval set) — the overlap scrub
+    every pretraining corpus runs before release. Benchmark grams are a
+    broadcast set; the corpus side is one scan + explode."""
+    return _tx.decontaminate_flags(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text",
+        bench_pred="doc_id % 97 = 0", n=5,
+    )
+
+
+@register(
     "a7_salted_agg",
     """
     SELECT event_type,
