@@ -361,6 +361,27 @@ class KeyedParquetView:
         return [F.struct(*self.key_cols)]
 
     # -- maintenance --------------------------------------------------------
+    def compact(self) -> int:
+        """Rewrite every live partition into ONE fresh version and re-point
+        the whole manifest at it, then vacuum. Bounds read() fan-out: after
+        many merges the current state is scattered over many version dirs
+        (one read + union per distinct owner); compaction restores a
+        single-dir read. The Delta OPTIMIZE analogue. Returns the new
+        version (0 = nothing to compact)."""
+        cur = self._pointer()
+        if cur["version"] == 0 or self.part_col is None:
+            return 0
+        full = self.read()
+        if full is None:
+            return 0
+        nxt = cur["version"] + 1
+        vdir = os.path.join(self.path, f"v={nxt}")
+        full.write.mode("overwrite").partitionBy(self.part_col).parquet(vdir)
+        parts = {p: nxt for p in (cur.get("parts") or {})}
+        self._flip(nxt, -1, "_compact", parts=parts, part_type=cur.get("part_type"))
+        self.vacuum()
+        return nxt
+
     def vacuum(self) -> list[int]:
         """Delete version directories no partition references anymore and
         return the versions removed. Safe w.r.t. concurrent readers of the

@@ -604,3 +604,36 @@ def test_stateful_mean_survives_query_restart(spark):
         # 'a' resumed (2 prior rows + 1 new), not reset to n=1
         assert final["a"] == (3, 12.0, 4.0)
         assert final["b"] == (1, 5.0, 5.0)
+
+
+def test_view_compact_collapses_versions(spark):
+    """compact() rewrites all live partitions into one version dir, drops
+    history, preserves content exactly, and merges keep working after."""
+    import os
+    import tempfile as tf
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tf.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        for i, d in enumerate(["a", "b", "c"]):
+            view.merge_overwrite_by_key(
+                spark.createDataFrame([Row(d=d, t=1, v=float(i))]), "t", batch_id=i
+            )
+        before = {r["d"]: r["v"] for r in view.read().collect()}
+        assert len({v for v in view._pointer()["parts"].values()}) == 3
+
+        newv = view.compact()
+        assert newv == 4
+        # one owner version, old dirs gone, content identical
+        assert set(view._pointer()["parts"].values()) == {4}
+        assert sorted(os.listdir(f"{tmp}/v")) == ["_CURRENT", "v=4"]
+        assert {r["d"]: r["v"] for r in view.read().collect()} == before
+
+        # merges continue on top of the compacted view
+        view.merge_overwrite_by_key(
+            spark.createDataFrame([Row(d="b", t=2, v=9.0)]), "t", batch_id=3
+        )
+        after = {r["d"]: r["v"] for r in view.read().collect()}
+        assert after == {**before, "b": 9.0}
