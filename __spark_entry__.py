@@ -14,14 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans import (
     registry,
 )
-from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.batch_pipeline import (
-    flagship,
-)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return flagship(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Routed through the registered query so the session is prepared (UTC,
+    AQE) and the DOUBLE output boundary applies here too."""
+    return registry.QUERIES["flagship_batch_view"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
