@@ -1387,6 +1387,72 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: aggregate-of-aggregate — orders per customer
+    (LEFT join keeps zero-order customers, count(col) skips their nulls),
+    then the distribution of those counts. Two hash aggs; the second
+    groups on the first's output, O(distinct counts) rows out."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(total_qty AS BIGINT) AS total_qty,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM orders
+    JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 150) big
+      ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to the fact
+    and dim tables — the big-volume-order report. The grouped side shrinks
+    to qualifying orders before any join; quantity sums are integer-exact."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
     "q14_promo_share",
     """
     SELECT CAST(CAST(sum(CASE WHEN p_type = 'ECONOMY'
