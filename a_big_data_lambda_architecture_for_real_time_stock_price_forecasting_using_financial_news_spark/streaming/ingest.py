@@ -116,3 +116,35 @@ def to_kafka_json(df: DataFrame, topic: str, brokers: str):
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
     )
+
+
+def paced_producer(
+    spark: SparkSession,
+    rows_per_second: int,
+    payload_fn,
+    sink_path: str,
+    checkpoint: str,
+    interval: str = "1 second",
+):
+    """S6/S7 in-engine analogue: the reference's producer loops poll an API
+    and push one JSON message per tick (yfProducer.py: sleep-paced while
+    True). Structured Streaming's ``rate`` source IS that pacing —
+    ``rowsPerSecond`` replaces ``time.sleep`` — and ``payload_fn`` maps
+    each tick (timestamp, value) to the message row; the JSON-encoded
+    payload streams to files here (to Kafka in production via
+    ``to_kafka_json``). Returns the started StreamingQuery; caller stops
+    it. The external API call itself stays out of engine — it is I/O, not
+    query processing (SURVEY §2.1)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    payload = encode_json_value(payload_fn(rate))
+    return (
+        payload.writeStream.format("json")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=interval)
+        .start()
+    )

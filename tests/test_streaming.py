@@ -637,3 +637,51 @@ def test_view_compact_collapses_versions(spark):
         )
         after = {r["d"]: r["v"] for r in view.read().collect()}
         assert after == {**before, "b": 9.0}
+
+
+def test_paced_producer_emits_kafka_shaped_payloads(spark):
+    """S6/S7 analogue: a rate-paced producer loop emits JSON 'value'
+    payloads at the trigger cadence; payloads parse back with the
+    producer's schema (the K8 roundtrip)."""
+    import time
+
+    import tempfile as tf
+
+    ingest = _mod("streaming.ingest")
+    from pyspark.sql import types as T
+
+    def payload(rate_df):
+        return rate_df.select(
+            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("Date"),
+            (F.col("value") * 1.5).alias("Close"),
+        )
+
+    with tf.TemporaryDirectory() as tmp:
+        q = ingest.paced_producer(
+            spark, rows_per_second=50, payload_fn=payload,
+            sink_path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt",
+            interval="500 milliseconds",
+        )
+        try:
+            deadline = time.time() + 20
+            rows = []
+            while time.time() < deadline:
+                time.sleep(1)
+                try:
+                    rows = spark.read.json(f"{tmp}/out").collect()
+                except Exception:
+                    rows = []
+                if len(rows) >= 10:
+                    break
+        finally:
+            q.stop()
+        assert len(rows) >= 10  # the loop paced out real messages
+        schema = T.StructType(
+            [T.StructField("Date", T.StringType()),
+             T.StructField("Close", T.DoubleType())]
+        )
+        parsed = ingest.parse_json_value(
+            spark.createDataFrame([(r["value"],) for r in rows], "value string"),
+            schema,
+        ).collect()
+        assert all(p["Date"] is not None and p["Close"] is not None for p in parsed)
