@@ -1977,6 +1977,96 @@ def x13_pii_redact(spark, sf_dir):
 
 
 @register(
+    "x15_scalar_battery",
+    """
+    SELECT doc_id,
+           substring(text, 3, 10) AS sub,
+           upper(substring(text, 1, 5)) AS up5,
+           replace(substring(text, 1, 20), ' ', '_') AS underscored,
+           CAST(strpos(text, 'data') AS INTEGER) AS pos_data,
+           reverse(substring(text, 1, 8)) AS rev8,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+           repeat('ab', CAST(doc_id % 3 AS INTEGER)) AS rep_ab,
+           CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_cp,
+           left(trim(text), 4) AS left4,
+           CASE WHEN length(text) > 100 THEN 'long' ELSE 'short' END AS bucket,
+           COALESCE(NULLIF(lang, 'en'), 'default') AS lang_or_default,
+           greatest(length(text), 50) AS g, least(length(text), 50) AS l
+    FROM documents
+    """,
+)
+def x15_scalar_battery(spark, sf_dir):
+    """Scalar string/conditional battery — the everyday function surface
+    (substr/replace/locate/pad/repeat/reverse/ascii/trim + CASE/NULLIF/
+    COALESCE/greatest/least), pinned cross-engine. All pure Column ops in
+    codegen; the point is semantic parity (1-based substring indexing,
+    empty-match locate=0, NULLIF null-propagation), not plan shape."""
+    d = tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        t.substr(3, 10).alias("sub"),
+        F.upper(t.substr(1, 5)).alias("up5"),
+        F.replace(t.substr(1, 20), F.lit(" "), F.lit("_")).alias("underscored"),
+        F.locate("data", t).cast("int").alias("pos_data"),
+        F.reverse(t.substr(1, 8)).alias("rev8"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
+        F.repeat(F.lit("ab"), (F.col("doc_id") % 3).cast("int")).alias("rep_ab"),
+        F.ascii(t.substr(1, 1)).cast("int").alias("first_cp"),
+        F.left(F.trim(t), F.lit(4)).alias("left4"),
+        F.when(F.length(t) > 100, F.lit("long")).otherwise(F.lit("short")).alias("bucket"),
+        F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("default")).alias(
+            "lang_or_default"
+        ),
+        F.greatest(F.length(t), F.lit(50)).alias("g"),
+        F.least(F.length(t), F.lit(50)).alias("l"),
+    )
+
+
+@register(
+    "x16_datetime_battery",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS next_week,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
+             AS days_since_jan1,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
+def x16_datetime_battery(spark, sf_dir):
+    """Date/time battery pinned cross-engine: extraction fields, ISO
+    day-of-week (Spark's dayofweek is 1=Sunday, so weekday()+1 supplies the
+    ISO convention both engines agree on), truncation, date arithmetic,
+    day difference, epoch seconds. UTC session timezone makes these
+    engine-independent (session.prepare)."""
+    ev = tbl(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(ts).cast("int").alias("y"),
+        F.month(ts).cast("int").alias("m"),
+        F.dayofmonth(ts).cast("int").alias("d"),
+        F.dayofyear(ts).cast("int").alias("doy"),
+        (F.weekday(ts) + 1).cast("int").alias("iso_dow"),
+        F.hour(ts).cast("int").alias("h"),
+        F.date_trunc("month", ts).alias("month_start"),
+        F.date_add(ts.cast("date"), 7).alias("next_week"),
+        F.datediff(ts.cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_jan1"),
+        F.unix_timestamp(F.date_trunc("second", ts)).cast("bigint").alias("epoch_s"),
+    )
+
+
+@register(
     "x14_decontaminate",
     _tx.decontaminate_flags_sql(
         "documents", "doc_id", "text", bench_pred="doc_id % 97 = 0", n=5
