@@ -1050,6 +1050,64 @@ def k5_incremental_mean_merge(spark, sf_dir):
 
 
 @register(
+    "t10_stream_topk",
+    """
+    WITH ranked AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT key, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = 1 THEN value END) AS top1,
+           max(CASE WHEN rn = 2 THEN value END) AS top2,
+           max(CASE WHEN rn = 3 THEN value END) AS top3
+    FROM ranked GROUP BY key
+    """,
+)
+def t10_stream_topk(spark, sf_dir):
+    """T6 variant: true Structured Streaming top-3 per key through
+    ``applyInPandasWithState`` — non-algebraic order-statistic state,
+    bounded at O(k) per key regardless of stream length. Events replayed
+    as a stream; final state read back from the memory sink (max-n row
+    per key). Ties make the VALUE multiset deterministic even though row
+    ranks are not, so the windowed oracle matches exactly."""
+    import uuid
+
+    from ..streaming.ingest import events_stream
+    from ..streaming.state import running_topk_stream
+
+    prepare(spark)
+    stream = events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("value").cast("double").alias("v"),
+    )
+    out = running_topk_stream(stream)
+    sink = f"t10_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tblu = spark.table(sink)
+    packed = F.struct("n", "top1", "top2", "top3")
+    return (
+        tblu.groupBy("key")
+        .agg(F.max_by(packed, F.col("n")).alias("s"))
+        .select(
+            "key",
+            F.col("s.n").alias("n"),
+            F.col("s.top1").alias("top1"),
+            F.col("s.top2").alias("top2"),
+            F.col("s.top3").alias("top3"),
+        )
+    )
+
+
+@register(
     "t6_stream_running_mean",
     """
     SELECT CAST(user_id AS VARCHAR) AS key,

@@ -43,3 +43,40 @@ def running_mean_stream(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_OUT_SCHEMA = "key string, n bigint, top1 double, top2 double, top3 double"
+TOPK_STATE_SCHEMA = "n bigint, vals array<double>"
+TOPK_K = 3
+
+
+def _update_topk(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, vals = state.get if state.exists else (0, [])
+    vals = list(vals)
+    for pdf in pdfs:
+        n += len(pdf)
+        vals.extend(float(v) for v in pdf["v"])
+        vals = sorted(vals, reverse=True)[:TOPK_K]
+    state.update((n, vals))
+    padded = vals + [None] * (TOPK_K - len(vals))
+    yield pd.DataFrame(
+        {"key": [key[0]], "n": [n],
+         "top1": [padded[0]], "top2": [padded[1]], "top3": [padded[2]]}
+    )
+
+
+def running_topk_stream(keyed: DataFrame) -> DataFrame:
+    """T6 variant with NON-algebraic state: the running top-3 values per
+    key. Unlike (sum, count), top-k state is a bounded ORDER STATISTIC —
+    the state store holds the k retained values, each batch folds its rows
+    in and re-truncates, so state stays O(k) per key no matter how many
+    rows stream past (the property that makes it safe at 100 TB)."""
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update_topk,
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

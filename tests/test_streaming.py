@@ -685,3 +685,43 @@ def test_paced_producer_emits_kafka_shaped_payloads(spark):
             schema,
         ).collect()
         assert all(p["Date"] is not None and p["Close"] is not None for p in parsed)
+
+
+def test_streaming_topk_multibatch_matches_batch(spark, sf_dir):
+    """T6 top-k variant across multiple micro-batches: the retained O(k)
+    state must converge to the batch top-3 per key."""
+    ingest = _mod("streaming.ingest")
+    state = _mod("streaming.state")
+    sources = _mod("sources.batch")
+
+    stream = ingest.events_stream(spark, sf_dir, n_chunks=3).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("value").cast("double").alias("v"),
+    )
+    out = state.running_topk_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topk_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tblu = spark.table("topk_test")
+    final = {
+        r["key"]: (r["top1"], r["top2"], r["top3"])
+        for r in (
+            tblu.groupBy("key")
+            .agg(F.max_by(F.struct("n", "top1", "top2", "top3"), "n").alias("s"))
+            .select("key", "s.top1", "s.top2", "s.top3")
+            .collect()
+        )
+    }
+    ev = sources.load_table(spark, sf_dir, "events")
+    want = {}
+    for r in ev.select(F.col("user_id").cast("string").alias("k"), "value").collect():
+        want.setdefault(r["k"], []).append(r["value"])
+    for k, vs in want.items():
+        top = sorted(vs, reverse=True)[:3]
+        top += [None] * (3 - len(top))
+        assert final[k] == tuple(top), k
