@@ -1,0 +1,77 @@
+"""Whole-registry physical-plan audit: global invariants that keep every
+query scale-safe, checked mechanically so a regression cannot hide in one
+of 80+ entries. Usage: python plancheck.py [sf_dir]
+
+Invariants (violations exit non-zero):
+- no row-at-a-time Python (`BatchEvalPython`) anywhere — Python is allowed
+  only Arrow-batched (MapInPandas / FlatMapGroupsInPandas / ArrowEvalPython);
+- no `CartesianProduct` / `BroadcastNestedLoopJoin` outside the explicit
+  allowlist (s1's brute-force ANN is a documented exact-scoring cross join);
+- no DECIMAL output column (cross-engine hash hazard; `dec2dbl` rule).
+
+Also prints per-query Exchange and join-node counts — the at-a-glance
+shuffle budget.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+# documented exceptions: brute-force ANN is an intentional cross join
+CROSS_JOIN_ALLOWLIST = {"s1_ann_topk_bruteforce", "x10_tfidf_top_terms"}
+# x10 crossJoins a 1-row count aggregate (broadcast) — bounded by design
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.types import DecimalType
+
+    sys.path.insert(0, "/root/repo")
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.session import (
+        configure,
+    )
+
+    spark = configure(
+        SparkSession.builder.appName("plancheck").master("local[8]")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    violations: list[str] = []
+    rows: list[tuple[str, int, str]] = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        decs = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        if decs:
+            violations.append(f"{name}: DECIMAL output columns {decs}")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: row-at-a-time Python (BatchEvalPython)")
+        if (
+            ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+            and name not in CROSS_JOIN_ALLOWLIST
+        ):
+            violations.append(f"{name}: un-allowlisted cartesian/nested-loop join")
+        n_exchange = plan.count("Exchange")
+        joins = sorted(set(re.findall(r"(\w+Join)", plan)))
+        rows.append((name, n_exchange, ",".join(joins) or "-"))
+
+    width = max(len(n) for n, _, _ in rows)
+    for name, nex, joins in rows:
+        print(f"{name:{width}s}  exchanges={nex:<3d} joins={joins}")
+    if violations:
+        print("\nVIOLATIONS:")
+        for v in violations:
+            print(" -", v)
+        sys.exit(1)
+    print(f"\n{len(rows)} queries audited, no violations")
+
+
+if __name__ == "__main__":
+    main()
