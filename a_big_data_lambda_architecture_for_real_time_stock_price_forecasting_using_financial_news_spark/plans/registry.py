@@ -1253,6 +1253,61 @@ def s2_ann_topk_ivf(spark, sf_dir):
 
 
 @register(
+    "s5_ivf_recall",
+    f"""
+    WITH bf AS ({_sim.topk_bruteforce_sql("embeddings", "vec_id % 50 = 0", k=5)}),
+    ivf AS ({_sim.topk_ivf_sql("embeddings", "vec_id % 50 = 0", k=5)}),
+    hits AS (
+      SELECT bf.query_id,
+             count(ivf.neighbor_id) AS n_hit,
+             count(*) AS n_true
+      FROM bf LEFT JOIN ivf
+        ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT count(*) AS n_queries,
+           CAST(sum(n_hit) AS BIGINT) AS total_hits,
+           CAST(sum(n_true) AS BIGINT) AS total_true,
+           CAST(CAST(sum(n_hit) AS DOUBLE) / sum(n_true) AS DOUBLE) AS recall
+    FROM hits
+    """,
+)
+def s5_ivf_recall(spark, sf_dir):
+    """ANN quality harness: recall of the IVF scale path against the exact
+    brute-force baseline, computed IN the engine (the eval loop a vector
+    pipeline runs after every quantizer change). Both sides are
+    deterministic, so recall is a fixed number per dataset — integer hit
+    counts, one final division."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = _sim.topk_bruteforce(emb, queries_df, k=5).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    ivf = _sim.topk_ivf(emb, queries_df, k=5).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = (
+        bf.join(
+            ivf,
+            (bf["query_id"] == ivf["query_id"])
+            & (bf["bf_neighbor"] == ivf["ivf_neighbor"]),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(
+            F.count(ivf["ivf_neighbor"]).alias("n_hit"),
+            F.count(F.lit(1)).alias("n_true"),
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_hit").cast("bigint").alias("total_hits"),
+        F.sum("n_true").cast("bigint").alias("total_true"),
+        (F.sum("n_hit").cast("double") / F.sum("n_true")).cast("double").alias("recall"),
+    )
+
+
+@register(
     "x6_lang_id",
     f"""
     SELECT doc_id, lang, {_tx.lang_id_sql('text')} AS lang_pred
