@@ -19,8 +19,13 @@ import re
 import sys
 
 # documented exceptions: brute-force ANN is an intentional cross join
-CROSS_JOIN_ALLOWLIST = {"s1_ann_topk_bruteforce", "x10_tfidf_top_terms"}
-# x10 crossJoins a 1-row count aggregate (broadcast) — bounded by design
+# (s5 embeds it as the recall baseline); x10 crossJoins a 1-row count
+# aggregate (broadcast) — bounded by design
+CROSS_JOIN_ALLOWLIST = {
+    "s1_ann_topk_bruteforce",
+    "s5_ivf_recall",
+    "x10_tfidf_top_terms",
+}
 
 
 def main() -> None:
