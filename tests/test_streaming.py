@@ -725,3 +725,67 @@ def test_streaming_topk_multibatch_matches_batch(spark, sf_dir):
         top = sorted(vs, reverse=True)[:3]
         top += [None] * (3 - len(top))
         assert final[k] == tuple(top), k
+
+
+def test_stream_stream_join_with_time_bounds(spark):
+    """Stream-stream inner join (quotes x articles) with watermarks and an
+    event-time range condition — the join Structured Streaming can run
+    with bounded state (each side buffers only rows inside the watermark
+    + range window). Result equals the batch join of the same data."""
+    import os
+    import tempfile as tf
+
+    from pyspark.sql import types as T
+
+    q_schema = T.StructType(
+        [T.StructField("sym", T.StringType()),
+         T.StructField("q_ts", T.TimestampType()),
+         T.StructField("px", T.DoubleType())]
+    )
+    a_schema = T.StructType(
+        [T.StructField("sym", T.StringType()),
+         T.StructField("a_ts", T.TimestampType()),
+         T.StructField("score", T.LongType())]
+    )
+    with tf.TemporaryDirectory() as tmp:
+        os.makedirs(f"{tmp}/q")
+        os.makedirs(f"{tmp}/a")
+        with open(f"{tmp}/q/1.json", "w") as fh:
+            fh.write(
+                '{"sym": "X", "q_ts": "2024-01-01T10:00:00", "px": 10.0}\n'
+                '{"sym": "X", "q_ts": "2024-01-01T12:00:00", "px": 11.0}\n'
+                '{"sym": "Y", "q_ts": "2024-01-01T10:30:00", "px": 20.0}\n'
+            )
+        with open(f"{tmp}/a/1.json", "w") as fh:
+            fh.write(
+                '{"sym": "X", "a_ts": "2024-01-01T10:20:00", "score": 5}\n'
+                '{"sym": "X", "a_ts": "2024-01-01T13:30:00", "score": 7}\n'
+                '{"sym": "Y", "a_ts": "2024-01-01T09:45:00", "score": 9}\n'
+            )
+        quotes = (
+            spark.readStream.schema(q_schema).json(f"{tmp}/q")
+            .withWatermark("q_ts", "1 hour")
+        )
+        arts = (
+            spark.readStream.schema(a_schema).json(f"{tmp}/a")
+            .withWatermark("a_ts", "1 hour")
+        )
+        joined = quotes.join(
+            arts,
+            (quotes["sym"] == arts["sym"])
+            & (arts["a_ts"] >= quotes["q_ts"] - F.expr("INTERVAL 1 HOUR"))
+            & (arts["a_ts"] <= quotes["q_ts"] + F.expr("INTERVAL 1 HOUR")),
+        ).select(quotes["sym"], "q_ts", "px", "a_ts", "score")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r["sym"], r["px"], r["score"]) for r in spark.table("ssj").collect()}
+    # batch truth: X@10 pairs with 10:20 article; Y@10:30 with 09:45;
+    # X@12 pairs with neither (13:30 is 1.5h away); 13:30 article unmatched
+    assert got == {("X", 10.0, 5), ("Y", 20.0, 9)}
