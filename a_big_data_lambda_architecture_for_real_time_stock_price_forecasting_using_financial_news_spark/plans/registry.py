@@ -2296,6 +2296,51 @@ def x16_datetime_battery(spark, sf_dir):
 
 
 @register(
+    "x17_array_battery",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_tx.tokens_sql('text')} AS arr FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(arr)[1:3], '|') AS first3_sorted,
+           CAST(len(list_distinct(arr)) AS INTEGER) AS n_uniq,
+           CAST(CASE WHEN list_contains(arr, 'the') THEN 1 ELSE 0 END AS INTEGER)
+             AS has_the,
+           CAST(COALESCE(list_position(arr, 'the'), 0) AS BIGINT) AS pos_the,
+           CAST(length(array_to_string(arr, '')) AS INTEGER) AS total_chars,
+           array_to_string(list_transform(arr[1:3], x -> upper(x)), '|') AS up3,
+           COALESCE(array_to_string(list_filter(arr, x -> length(x) > 6)[1:2], '|'), '')
+             AS long2
+    FROM t
+    """,
+)
+def x17_array_battery(spark, sf_dir):
+    """Array-function battery over the token arrays: sort, slice, distinct,
+    contains, position (Spark returns 0 on miss — DuckDB's NULL coalesced
+    to match), transform, filter. Array results ride as '|'-joined strings
+    so the cross-engine value hash never depends on array rendering."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tx.tokens(F.col("text")).alias("arr"))
+    arr = F.col("arr")
+    return t.select(
+        "doc_id",
+        F.concat_ws("|", F.slice(F.array_sort(arr), 1, 3)).alias("first3_sorted"),
+        F.size(F.array_distinct(arr)).cast("int").alias("n_uniq"),
+        F.when(F.array_contains(arr, "the"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("has_the"),
+        F.array_position(arr, "the").cast("bigint").alias("pos_the"),
+        F.length(F.concat_ws("", arr)).cast("int").alias("total_chars"),
+        F.concat_ws("|", F.transform(F.slice(arr, 1, 3), lambda x: F.upper(x))).alias(
+            "up3"
+        ),
+        F.concat_ws(
+            "|", F.slice(F.filter(arr, lambda x: F.length(x) > 6), 1, 2)
+        ).alias("long2"),
+    )
+
+
+@register(
     "x14_decontaminate",
     _tx.decontaminate_flags_sql(
         "documents", "doc_id", "text", bench_pred="doc_id % 97 = 0", n=5
