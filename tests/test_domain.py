@@ -260,3 +260,29 @@ def test_holt_forecast_recursion(spark):
     assert rows["s"]["pred_close"] == 15.9375
     assert rows["s"]["n_days"] == 4
     assert rows["one"]["pred_close"] == 7.0
+
+
+def test_sql_catalog_entry_point(spark, sf_dir):
+    """register_tables exposes the dataset to plain spark.sql with pushdown
+    intact — the switch-over surface for a SQL-first reference user."""
+    from importlib import import_module
+
+    catalog = import_module(f"{PKG}.sources.catalog")
+    names = catalog.register_tables(spark, sf_dir)
+    assert "events" in names and "lineitem" in names
+    df = spark.sql(
+        """
+        SELECT r.r_name, count(*) AS n
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and sum(r["n"] for r in rows) > 0
+    # the nanos-normalized events view is queryable with date semantics
+    (d,) = catalog.sql(
+        spark, sf_dir, "SELECT count(DISTINCT CAST(ts AS DATE)) AS d FROM events"
+    ).collect()
+    assert d["d"] == 30
