@@ -1471,6 +1471,37 @@ def a8_quantiles(spark, sf_dir):
 
 
 @register(
+    "a10_approx_quantiles",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(props->>'k' AS BIGINT), 0.5) AS exact_med,
+           1 AS approx_within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_approx_quantiles(spark, sf_dir):
+    """approx_percentile (t-digest-style sketch, mergeable partial states)
+    — the quantile path that scales where exact percentile's per-group
+    sort does not. Sketch values are engine-specific, so the gated output
+    is the exact median plus a flag asserting the approx answer landed
+    within the configured accuracy (deterministic for fixed data)."""
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    k = F.col("k").cast("bigint")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile(k, F.lit(0.5)).alias("exact_med"),
+        F.percentile_approx(k, F.lit(0.5), F.lit(10000)).alias("_approx"),
+    )
+    within = F.abs(F.col("_approx") - F.col("exact_med")) <= F.lit(2.0)
+    return agg.select(
+        "event_type",
+        "exact_med",
+        F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
+            "approx_within_tol"
+        ),
+    )
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

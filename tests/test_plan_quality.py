@@ -235,3 +235,16 @@ def test_j5_salted_join_spreads_hot_keys(spark, sf_dir):
     # join condition must include the salt (the whole point)
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_documents_scan_prunes_text_column(spark, sf_dir):
+    """Projecting doc_id must not read the (wide) text column — column
+    pruning reaches the parquet ReadSchema."""
+    sources = __import__(
+        "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch",
+        fromlist=["load_table"],
+    )
+    df = sources.load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
