@@ -1471,6 +1471,30 @@ def a8_quantiles(spark, sf_dir):
 
 
 @register(
+    "a11_collect_sorted",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list_distinct(
+             list(CAST(user_id % 100 AS BIGINT)))), ',') AS user_buckets,
+           CAST(len(list_distinct(list(user_id % 100))) AS INTEGER) AS n_buckets
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_collect_sorted(spark, sf_dir):
+    """Collect-set aggregation made deterministic: collect_set's order is
+    arbitrary, so the canonical form is sort_array + string join — the
+    only hash-stable way to emit a set-valued aggregate. Bounded per key
+    (distinct buckets <= 100); unbounded collect_list per key is the OOM
+    pattern pairwise_mean_compat guards against."""
+    ev = tbl(spark, sf_dir, "events")
+    buckets = F.sort_array(F.collect_set((F.col("user_id") % 100).cast("bigint")))
+    return ev.groupBy("event_type").agg(
+        F.concat_ws(",", buckets.cast("array<string>")).alias("user_buckets"),
+        F.size(buckets).cast("int").alias("n_buckets"),
+    )
+
+
+@register(
     "a10_approx_quantiles",
     """
     SELECT event_type,
