@@ -2677,6 +2677,64 @@ def p7_malformed_json(spark, sf_dir):
 
 
 @register(
+    "w3_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) OVER w AS BIGINT) AS k_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w3_range_frame(spark, sf_dir):
+    """RANGE window frame over event time: per-user rolling 1-hour count
+    and score sum — unlike ROW frames (w1), the frame bound is a VALUE
+    distance on the ordering key, so ties (same second) all join the
+    frame and the result is deterministic. Ordering on integer epoch
+    seconds keeps both engines' range arithmetic identical."""
+    from pyspark.sql import Window
+
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy(sec.alias("sec")).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("k").cast("bigint")).over(w).cast("bigint").alias("k_last_hour"),
+    )
+
+
+@register(
+    "g5_rollup_grouping_id",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER)
+             AS gid,
+           count(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+)
+def g5_rollup_grouping_id(spark, sf_dir):
+    """grouping_id() over a rollup: distinguishes a genuinely-NULL group
+    key from a subtotal/total row — the correctness nuance naive rollup
+    consumers get wrong. Bit semantics (left key = high bit) agree across
+    engines."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.col("ts").cast("date").alias("event_date"))
+        .rollup("event_type", "event_date")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "event_date", "gid", "n")
+    )
+
+
+@register(
     "g1_rollup",
     """
     SELECT event_type, CAST(ts AS DATE) AS event_date,
