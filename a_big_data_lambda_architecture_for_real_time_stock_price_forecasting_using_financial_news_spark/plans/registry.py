@@ -2396,6 +2396,67 @@ def x17_array_battery(spark, sf_dir):
 
 
 @register(
+    "x18_regexp_groups",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)ing', 1) AS ing_stem,
+           regexp_extract(text, '([0-9]+)', 1) AS first_num,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS INTEGER) AS n_ing
+    FROM documents
+    """,
+)
+def x18_regexp_groups(spark, sf_dir):
+    """Regexp capture groups: group-indexed extraction (both engines
+    return '' on no-match) plus match counting — the everyday structured
+    scrape. Dialect-portable patterns only (no lookarounds: RE2 lacks
+    them)."""
+    d = tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, "([a-z]+)ing", 1).alias("ing_stem"),
+        F.regexp_extract(t, "([0-9]+)", 1).alias("first_num"),
+        F.regexp_extract(t, "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+ing"), 0)).cast("int").alias("n_ing"),
+    )
+
+
+@register(
+    "w4_value_window_functions",
+    """
+    SELECT event_id, user_id,
+           first_value(k) OVER w AS first_k,
+           last_value(k) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS final_k,
+           nth_value(k, 2) OVER w AS second_k
+    FROM (SELECT event_id, ts, user_id, CAST(props->>'k' AS BIGINT) AS k FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w4_value_window_functions(spark, sf_dir):
+    """Value window functions: first_value over the default running frame,
+    last_value over the FULL partition frame (the default frame stops at
+    CURRENT ROW — the classic last_value gotcha, made explicit), and
+    nth_value. Full (ts, event_id) ordering keeps all three
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    k = F.col("k").cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first(k).over(w).alias("first_k"),
+        F.last(k).over(w_full).alias("final_k"),
+        F.nth_value(k, 2).over(w).alias("second_k"),
+    )
+
+
+@register(
     "x14_decontaminate",
     _tx.decontaminate_flags_sql(
         "documents", "doc_id", "text", bench_pred="doc_id % 97 = 0", n=5
