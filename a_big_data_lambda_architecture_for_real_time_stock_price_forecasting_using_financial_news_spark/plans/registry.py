@@ -2914,6 +2914,34 @@ def u1_set_ops(spark, sf_dir):
 
 
 @register(
+    "u2_union_distinct_except",
+    """
+    WITH a AS (SELECT event_type, user_id % 50 AS bucket FROM events
+               WHERE event_type IN ('click', 'view')),
+         b AS (SELECT event_type, user_id % 50 AS bucket FROM events
+               WHERE event_type IN ('view', 'purchase'))
+    SELECT event_type, bucket, 'union_d' AS op FROM (
+      SELECT * FROM a UNION SELECT * FROM b)
+    UNION ALL
+    SELECT event_type, bucket, 'except_d' AS op FROM (
+      SELECT DISTINCT * FROM a EXCEPT SELECT * FROM b)
+    """,
+)
+def u2_union_distinct_except(spark, sf_dir):
+    """UNION DISTINCT + set-EXCEPT (vs u1's EXCEPT ALL): the deduplicating
+    set operators, planned as aggregate + anti join over the distinct
+    sets. Completes the set-operation family."""
+    ev = tbl(spark, sf_dir, "events")
+    proj = lambda types: ev.filter(F.col("event_type").isin(*types)).select(
+        "event_type", (F.col("user_id") % 50).alias("bucket")
+    )
+    a, b = proj(["click", "view"]), proj(["view", "purchase"])
+    union_d = a.union(b).distinct().withColumn("op", F.lit("union_d"))
+    except_d = a.distinct().exceptAll(b.distinct()).withColumn("op", F.lit("except_d"))
+    return union_d.unionByName(except_d)
+
+
+@register(
     "a6_distinct_agg",
     """
     SELECT event_type,
