@@ -1947,6 +1947,46 @@ def j6_nullsafe_join(spark, sf_dir):
 
 
 @register(
+    "j7_interval_join",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(ts) AS start_ts,
+             min(ts) + INTERVAL 2 HOUR AS end_ts
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT iv.user_id, iv.day, count(e.event_id) AS n_in_window,
+           CAST(sum(CAST(e.props->>'k' AS BIGINT)) AS BIGINT) AS k_in_window
+    FROM iv JOIN events e
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    GROUP BY iv.user_id, iv.day
+    """,
+)
+def j7_interval_join(spark, sf_dir):
+    """Range join done the scale way (operators/range_join.py): each
+    user-day's first-2-hours window matched to its events by bucketed
+    equi-join + exact refine — a plain hash join, never the
+    nested-loop/cartesian Spark plans for raw non-equi conditions
+    (asserted by plancheck). Oracle is the naive BETWEEN join."""
+    from ..operators.range_join import point_in_interval_join
+
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = ev.select("user_id", "ts", "event_id", "k")
+    joined = point_in_interval_join(
+        pts, iv, ["user_id"], "ts", "start_ts", "end_ts", bucket_seconds=3600
+    )
+    return joined.groupBy("user_id", "day").agg(
+        F.count("event_id").alias("n_in_window"),
+        F.sum(F.col("k").cast("bigint")).cast("bigint").alias("k_in_window"),
+    )
+
+
+@register(
     "c1_correlated_subquery",
     """
     SELECT o_orderkey, o_custkey,

@@ -475,3 +475,29 @@ def test_operators_tolerate_empty_and_degenerate_input(spark):
     # salted agg on empty input
     e = spark.createDataFrame([], "k string, v bigint")
     assert agg.salted_agg(e, ["k"], {"s": ("v", "sum")}).count() == 0
+
+
+def test_point_in_interval_join_edges(spark):
+    """Range-join boundary semantics: start inclusive, end exclusive,
+    bucket boundaries invisible; keys isolate users."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.operators.range_join import point_in_interval_join
+
+    def ts(s):
+        import datetime
+        return datetime.datetime.fromisoformat(s)
+
+    pts = spark.createDataFrame(
+        [Row(u=1, ts=ts("2024-01-01T10:00:00"), pid=1),   # == start: in
+         Row(u=1, ts=ts("2024-01-01T11:59:59"), pid=2),   # just inside
+         Row(u=1, ts=ts("2024-01-01T12:00:00"), pid=3),   # == end: out
+         Row(u=2, ts=ts("2024-01-01T10:30:00"), pid=4)]   # other key: out
+    )
+    iv = spark.createDataFrame(
+        [Row(u=1, start=ts("2024-01-01T10:00:00"), end=ts("2024-01-01T12:00:00"))]
+    )
+    got = {r["pid"] for r in point_in_interval_join(
+        pts, iv, ["u"], "ts", "start", "end", bucket_seconds=3600
+    ).collect()}
+    assert got == {1, 2}

@@ -248,3 +248,12 @@ def test_documents_scan_prunes_text_column(spark, sf_dir):
     plan = plan_of(df)
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_j7_interval_join_is_hash_join(spark, sf_dir):
+    """The bucketed range join must plan as a hash equi-join — the raw
+    non-equi condition would be a nested-loop."""
+    df = registry.QUERIES["j7_interval_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
