@@ -31,7 +31,11 @@ def salted_join(
     semantics where replication cannot duplicate unmatched rows."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt_s = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    # Deterministic per-row salt: monotonically_increasing_id() is evaluated
+    # before the shuffle and changes across task retries, which can duplicate
+    # or drop rows when only part of a stage is recomputed. Hashing the row's
+    # own values reproduces the same salt on every recomputation.
+    salt_s = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
     s = skewed.withColumn("_salt", salt_s)
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

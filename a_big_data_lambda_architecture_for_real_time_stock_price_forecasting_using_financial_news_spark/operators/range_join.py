@@ -37,16 +37,19 @@ def point_in_interval_join(
     Columns of both inputs are preserved (name collisions aside)."""
     if how != "inner":
         raise ValueError("point_in_interval_join supports inner joins")
-    b = F.lit(bucket_seconds)
+    # Bucket at MICROsecond precision: unix_timestamp() truncates sub-second
+    # digits, which would drop the final bucket (and its points) whenever
+    # `end` carries fractional seconds just past a bucket boundary.
+    b = F.lit(int(bucket_seconds) * 1_000_000)
     p = points.withColumn(
-        "_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("bigint")
+        "_bucket", F.floor(F.unix_micros(F.col(ts_col)) / b).cast("bigint")
     )
     i = intervals.withColumn(
-        "_b0", F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("bigint")
+        "_b0", F.floor(F.unix_micros(F.col(start_col)) / b).cast("bigint")
     ).withColumn(
-        # end is exclusive: the bucket of the last contained instant
+        # end is exclusive: the bucket of the last contained microsecond
         "_b1",
-        F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b).cast("bigint"),
+        F.floor((F.unix_micros(F.col(end_col)) - 1) / b).cast("bigint"),
     )
     i = i.withColumn("_bucket", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
     joined = p.join(i, keys + ["_bucket"]).filter(

@@ -127,13 +127,63 @@ class KeyedParquetView:
         path: str,
         key_cols: list[str],
         partition_by: str | None = "",
+        lock_timeout: float = 120.0,
+        lock_stale: float = 600.0,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
         # "" sentinel = default to the first key column; None = disabled
         self.part_col = key_cols[0] if partition_by == "" else partition_by
+        self.lock_timeout = lock_timeout
+        self.lock_stale = lock_stale
         os.makedirs(path, exist_ok=True)
+
+    # -- writer lease -------------------------------------------------------
+    # Two streams merging into one view (the reference's J2 race:
+    # yfConsumerStream vs twitterConsumerStream racing painless scripts on
+    # one ES doc) must not interleave read-merge-flip cycles: both would
+    # read version N and the second flip would silently drop the first
+    # writer's column-half. A lease file taken with O_CREAT|O_EXCL (atomic
+    # on POSIX) serializes whole merges; each writer then reads the other's
+    # committed state. Production-grade multi-host deployments should use
+    # Delta/Iceberg commit protocols instead — this is the single-host
+    # equivalent, with stale-lease breaking for crashed writers.
+    class _Lease:
+        def __init__(self, dirpath: str, timeout: float, stale: float):
+            self.lockfile = os.path.join(dirpath, "_LOCK")
+            self.timeout = timeout
+            self.stale = stale
+
+        def __enter__(self):
+            deadline = time.time() + self.timeout
+            while True:
+                try:
+                    fd = os.open(self.lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                    os.close(fd)
+                    return self
+                except FileExistsError:
+                    try:  # break leases of crashed writers
+                        if time.time() - os.path.getmtime(self.lockfile) > self.stale:
+                            os.unlink(self.lockfile)
+                            continue
+                    except OSError:
+                        pass  # holder released/broke it concurrently
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire writer lease {self.lockfile}"
+                        )
+                    time.sleep(0.05)
+
+        def __exit__(self, *exc):
+            try:
+                os.unlink(self.lockfile)
+            except OSError:
+                pass
+
+    def _lease(self) -> "KeyedParquetView._Lease":
+        return self._Lease(self.path, self.lock_timeout, self.lock_stale)
 
     # -- version bookkeeping ------------------------------------------------
     def _pointer(self) -> dict:
@@ -248,7 +298,16 @@ class KeyedParquetView:
 
     def _touched(self, batch: DataFrame) -> list[str]:
         vals = [r[0] for r in batch.select(self.part_col).distinct().collect()]
-        return [self._fmt(v) for v in vals if v is not None]
+        if any(v is None for v in vals):
+            # A NULL partition value would be written to the Hive default
+            # partition dir, never recorded in the manifest, and silently
+            # filtered out of every read — fail loudly instead.
+            raise ValueError(
+                f"batch contains NULL {self.part_col!r} values: a partitioned "
+                "KeyedParquetView requires a non-null partition key (rows "
+                "would be silently lost); fill or drop them upstream"
+            )
+        return [self._fmt(v) for v in vals]
 
     # -- writes -------------------------------------------------------------
     def _write_version(self, df: DataFrame, batch_id: int, writer: str) -> None:
@@ -280,17 +339,53 @@ class KeyedParquetView:
         ``merge_fn(cur_touched_or_None, batch) -> merged`` must only emit
         rows whose partition value appears in the batch (true for all three
         strategies: a merge output key is always a batch key or a current
-        key of the same partition)."""
-        if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
-            return  # replay after checkpoint recovery
-        if self.part_col is None:
-            merged = merge_fn(self.read(), batch)
-            self._write_version(merged, batch_id, writer)
-            return
-        touched = self._touched(batch)
-        cur = self.read_partitions(touched)
-        merged = merge_fn(cur, batch)
-        self._write_touched(merged, touched, batch_id, writer)
+        key of the same partition).
+
+        The whole read-merge-flip cycle runs under the writer lease so two
+        concurrent ``foreachBatch`` writers serialize instead of losing the
+        first flip (the reference's J2 race)."""
+        with self._lease():
+            if batch_id >= 0 and batch_id <= self.last_batch_id(writer):
+                return  # replay after checkpoint recovery
+            if self.part_col is None:
+                merged = merge_fn(self.read(), batch)
+                self._write_version(merged, batch_id, writer)
+                return
+            touched = self._touched(batch)
+            cur_ptr = self._pointer()
+            if cur_ptr["version"] > 0 and cur_ptr.get("parts") is None:
+                # pre-partitioning (legacy) layout: migrate, don't orphan
+                self._migrate_merge(batch, merge_fn, touched, batch_id, writer)
+                return
+            cur = self.read_partitions(touched)
+            merged = merge_fn(cur, batch)
+            self._write_touched(merged, touched, batch_id, writer)
+
+    def _migrate_merge(
+        self, batch: DataFrame, merge_fn, touched: list[str], batch_id: int, writer: str
+    ) -> None:
+        """One-time layout migration: the current view predates partitioned
+        manifests (no ``parts`` key). Flipping a manifest that lists only the
+        batch-touched partitions would make every untouched legacy row
+        invisible — and a later vacuum would delete it permanently. Instead
+        the ENTIRE current view is rewritten into the new partitioned layout
+        alongside the merge, so the flipped manifest owns every partition."""
+        full = self.read()
+        part_s = F.col(self.part_col).cast("string")
+        if full.filter(F.col(self.part_col).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"legacy view at {self.path} has NULL {self.part_col!r} values; "
+                "cannot migrate to a partitioned layout (clean them first or "
+                "use partition_by=None)"
+            )
+        merged = merge_fn(full.filter(part_s.isin(touched)), batch)
+        untouched = full.filter(~part_s.isin(touched))
+        out = merged.unionByName(untouched, allowMissingColumns=True)
+        legacy_parts = [
+            self._fmt(r[0])
+            for r in untouched.select(self.part_col).distinct().collect()
+        ]
+        self._write_touched(out, touched + legacy_parts, batch_id, writer)
 
     # -- merge strategies ---------------------------------------------------
     def merge_overwrite_by_key(
@@ -368,21 +463,26 @@ class KeyedParquetView:
         (one read + union per distinct owner); compaction restores a
         single-dir read. The Delta OPTIMIZE analogue. Returns the new
         version (0 = nothing to compact)."""
-        cur = self._pointer()
-        if cur["version"] == 0 or self.part_col is None:
-            return 0
-        full = self.read()
-        if full is None:
-            return 0
-        nxt = cur["version"] + 1
-        vdir = os.path.join(self.path, f"v={nxt}")
-        full.write.mode("overwrite").partitionBy(self.part_col).parquet(vdir)
-        parts = {p: nxt for p in (cur.get("parts") or {})}
-        self._flip(nxt, -1, "_compact", parts=parts, part_type=cur.get("part_type"))
-        self.vacuum()
-        return nxt
+        with self._lease():
+            cur = self._pointer()
+            if cur["version"] == 0 or self.part_col is None:
+                return 0
+            full = self.read()
+            if full is None:
+                return 0
+            nxt = cur["version"] + 1
+            vdir = os.path.join(self.path, f"v={nxt}")
+            full.write.mode("overwrite").partitionBy(self.part_col).parquet(vdir)
+            parts = {p: nxt for p in (cur.get("parts") or {})}
+            self._flip(nxt, -1, "_compact", parts=parts, part_type=cur.get("part_type"))
+            self._vacuum()
+            return nxt
 
     def vacuum(self) -> list[int]:
+        with self._lease():
+            return self._vacuum()
+
+    def _vacuum(self) -> list[int]:
         """Delete version directories no partition references anymore and
         return the versions removed. Safe w.r.t. concurrent readers of the
         CURRENT manifest: only versions absent from it are deleted (a

@@ -501,3 +501,31 @@ def test_point_in_interval_join_edges(spark):
         pts, iv, ["u"], "ts", "start", "end", bucket_seconds=3600
     ).collect()}
     assert got == {1, 2}
+
+
+def test_point_in_interval_join_subsecond_end(spark):
+    """Regression: an interval end with fractional seconds just past a
+    bucket boundary (end=11:00:00.5, bucket=3600) must still produce the
+    final bucket — second-truncating bucket math silently dropped points
+    in [11:00:00, 11:00:00.5)."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.operators.range_join import point_in_interval_join
+
+    def ts(s):
+        import datetime
+        return datetime.datetime.fromisoformat(s)
+
+    pts = spark.createDataFrame(
+        [Row(u=1, ts=ts("2024-01-01T11:00:00.250000"), pid=1),  # in final bucket
+         Row(u=1, ts=ts("2024-01-01T11:00:00.500000"), pid=2),  # == end: out
+         Row(u=1, ts=ts("2024-01-01T10:59:59.999999"), pid=3)]  # in
+    )
+    iv = spark.createDataFrame(
+        [Row(u=1, start=ts("2024-01-01T10:00:00"),
+             end=ts("2024-01-01T11:00:00.500000"))]
+    )
+    got = {r["pid"] for r in point_in_interval_join(
+        pts, iv, ["u"], "ts", "start", "end", bucket_seconds=3600
+    ).collect()}
+    assert got == {1, 3}

@@ -789,3 +789,100 @@ def test_stream_stream_join_with_time_bounds(spark):
     # batch truth: X@10 pairs with 10:20 article; Y@10:30 with 09:45;
     # X@12 pairs with neither (13:30 is 1.5h away); 13:30 article unmatched
     assert got == {("X", 10.0, 5), ("Y", 20.0, 9)}
+
+
+def test_legacy_layout_migration_preserves_untouched_partitions(spark):
+    """Regression: merging into a pre-partitioning view (manifest without
+    'parts') with the default partition_by must migrate the WHOLE legacy
+    view into the partitioned layout — not flip a manifest that only lists
+    the batch-touched partitions, orphaning everything else (which a later
+    vacuum would then delete permanently)."""
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # build a legacy (un-partitioned, whole-view) layout
+        legacy = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"], partition_by=None)
+        seed = spark.createDataFrame(
+            [Row(d="2024-01-01", t=1, close=10.0),
+             Row(d="2024-01-02", t=1, close=20.0),
+             Row(d="2024-01-03", t=1, close=30.0)]
+        )
+        legacy.merge_overwrite_by_key(seed, "t", batch_id=0)
+        assert "parts" not in legacy._pointer()
+
+        # reopen with the r2+ default (partitioned) and touch ONE partition
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        batch = spark.createDataFrame([Row(d="2024-01-02", t=2, close=21.0)])
+        view.merge_overwrite_by_key(batch, "t", batch_id=1)
+
+        got = {r["d"]: r["close"] for r in view.read().collect()}
+        assert got == {"2024-01-01": 10.0, "2024-01-02": 21.0, "2024-01-03": 30.0}
+        # the migrated manifest owns every partition -> vacuum keeps them
+        assert set(view._pointer()["parts"]) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+        view.vacuum()
+        got = {r["d"]: r["close"] for r in view.read().collect()}
+        assert got == {"2024-01-01": 10.0, "2024-01-02": 21.0, "2024-01-03": 30.0}
+
+
+def test_null_partition_value_fails_fast(spark):
+    """A batch row with a NULL partition key must raise — not be silently
+    written to the Hive default partition and lost to every read."""
+    import pytest
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    with tempfile.TemporaryDirectory() as tmp:
+        view = upsert.KeyedParquetView(spark, f"{tmp}/v", ["d"])
+        bad = spark.createDataFrame(
+            [Row(d="2024-01-01", t=1, close=1.0), Row(d=None, t=1, close=2.0)]
+        )
+        with pytest.raises(ValueError, match="NULL 'd'"):
+            view.merge_overwrite_by_key(bad, "t", batch_id=0)
+
+
+def test_concurrent_writers_serialize_no_lost_half(spark):
+    """The reference's J2 race (yfConsumerStream vs twitterConsumerStream
+    painless scripts on one ES doc): two writers merging column halves into
+    the SAME view concurrently. The writer lease serializes whole
+    read-merge-flip cycles, so neither half is lost."""
+    import threading
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    days = [f"2024-01-{i:02d}" for i in range(1, 6)]
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/v"
+        errs = []
+
+        def stock_writer():
+            try:
+                v = upsert.KeyedParquetView(spark, path, ["d"])
+                for i, d in enumerate(days):
+                    b = spark.createDataFrame([Row(d=d, close=float(10 + i))])
+                    v.merge_column_halves(b, ["close"], batch_id=i, writer="stock")
+            except Exception as e:  # surface thread failures in the assert
+                errs.append(e)
+
+        def senti_writer():
+            try:
+                v = upsert.KeyedParquetView(spark, path, ["d"])
+                for i, d in enumerate(days):
+                    b = spark.createDataFrame([Row(d=d, nbr=i + 1, pos=0.1 * (i + 1))])
+                    v.merge_column_halves(b, ["nbr", "pos"], batch_id=i, writer="senti")
+            except Exception as e:
+                errs.append(e)
+
+        t1 = threading.Thread(target=stock_writer)
+        t2 = threading.Thread(target=senti_writer)
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs, errs
+
+        view = upsert.KeyedParquetView(spark, path, ["d"])
+        rows = {r["d"]: r for r in view.read().collect()}
+        assert set(rows) == set(days)
+        for i, d in enumerate(days):  # both halves present on every row
+            assert rows[d]["close"] == float(10 + i), d
+            assert rows[d]["nbr"] == i + 1, d
