@@ -551,7 +551,9 @@ def ngram_jaccard_pairs_sql(
 # --- cluster assignment ----------------------------------------------------
 
 
-def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def cluster_pairs(
+    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs: every doc that appears in a
     pair gets a ``cluster_id`` = the minimum doc_id reachable through the
     pair graph — the canonical-document assignment that turns pairwise
@@ -563,41 +565,61 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (dup clusters are near-cliques, diameter 2-3), so 3-4 rounds typical.
     Each round is one shuffle join + one hash agg — the standard
     large-scale formulation (GraphX/GraphFrames connected components use
-    the same alternation); ``localCheckpoint`` caps lineage growth so round
-    N's plan does not replay rounds 1..N-1.
+    the same alternation). Checkpointing caps lineage growth so round N's
+    plan does not replay rounds 1..N-1: pass ``checkpoint_dir`` (reliable
+    storage — HDFS/S3 on a cluster) for ``checkpoint()`` durability, where
+    an executor loss mid-propagation recovers from storage; the default
+    ``localCheckpoint`` keeps blocks executor-local (fine single-node,
+    NOT fault-tolerant on a real cluster).
 
     The driver only sees a single scalar per round (the converged check) —
-    labels never leave the cluster.
+    labels never leave the cluster. If the graph's diameter exceeds
+    ``max_iter`` the propagation raises instead of returning
+    silently-unconverged labels.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint(eager=True)
+    else:
+        ckpt = lambda df: df.localCheckpoint(eager=True)
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = (
+    edges = ckpt(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 F.col("id"),
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
                 F.col("label").alias("_old"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
         labels = new_labels.drop("_old")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"cluster_pairs did not converge within max_iter={max_iter} rounds: "
+            "the pair graph's diameter exceeds the round budget, and returning "
+            "the current labels would silently split clusters. Raise max_iter "
+            "(rounds ~ cluster diameter) or break giant chains upstream."
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")

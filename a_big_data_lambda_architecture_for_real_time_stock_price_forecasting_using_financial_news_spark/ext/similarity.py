@@ -270,30 +270,33 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
     with m = max|x| — the storage/serving compression step of an embedding
     pipeline (4x smaller than float32, SIMD-friendly dot products).
 
-    Shape: posexplode to (id, pos, x) rows, per-vector max via one hash agg,
-    broadcast it back, one scalar expression per element — everything in
-    codegen, no per-element lambda ever mentions an aggregate (mentioning m
-    inside a transform() lambda would recompute the array max once PER
-    ELEMENT — the measured lambda-inlining trap, see ext/dedup.py).
+    Shape: ZERO-shuffle, zero-join single pass. The per-vector max is an
+    `array_max(transform(...))` column staged in the projection BELOW the
+    posexplode — the Generate keeps it as a plain attribute, so it is
+    evaluated once per VECTOR, never per element (mentioning the max
+    expression inside the per-element arithmetic would re-run it once per
+    element — the measured lambda-inlining trap, see ext/dedup.py). An
+    earlier shape computed the max as a groupBy + `F.broadcast` join-back:
+    correct, but the "small" side has one row per corpus vector, and at
+    billions of vectors that broadcast pins the whole corpus into every
+    executor — the projected-column form removes the shuffle AND the OOM.
     floor(+0.5) not round(): Spark rounds HALF_UP, DuckDB rounds half away
     from zero — floor is the same function in both engines. Zero vectors
     (m = 0) are dropped.
     """
-    ex = df.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col))
-    ).select(
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("e"),
+        F.array_max(
+            F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double")))
+        ).alias("m"),
+    ).filter(F.col("m") > 0)
+    return base.select("vec_id", "m", F.posexplode("e")).select(
         "vec_id",
         (F.col("pos") + 1).cast("int").alias("pos"),
-        F.col("col").cast("double").alias("x"),
-    )
-    m = ex.groupBy("vec_id").agg(F.max(F.abs(F.col("x"))).alias("m"))
-    return (
-        ex.join(F.broadcast(m.filter(F.col("m") > 0)), "vec_id")
-        .select(
-            "vec_id",
-            "pos",
-            F.floor(F.col("x") / F.col("m") * 127 + F.lit(0.5)).cast("int").alias("code"),
-        )
+        F.floor(F.col("col").cast("double") / F.col("m") * 127 + F.lit(0.5))
+        .cast("int")
+        .alias("code"),
     )
 
 

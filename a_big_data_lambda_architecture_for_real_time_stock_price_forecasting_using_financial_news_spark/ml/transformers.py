@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text
-from ..functions.sentiment import lexicon_scores, lexicon_scores_pandas
+from ..functions.sentiment import (
+    lexicon_scores,
+    lexicon_scores_pandas,
+    tensor_scores_pandas,
+)
 
 
 class _ColParams(
@@ -47,33 +51,38 @@ class CleanNews(_ColParams):
 
 
 class ScoreSentiment(_ColParams):
-    """M3 stand-in: deterministic lexicon scores as a map column — the same
-    column shape the FinBERT stage yields after metadata extraction.
+    """M3 stand-in: deterministic sentiment scores as a map column — the
+    same column shape the FinBERT stage yields after metadata extraction.
 
-    backend="pandas" (default) runs the Arrow-batched ``pandas_udf`` scorer
-    — the exact integration seam a real transformer model (the reference's
-    FinBERT, batchPipeline.py:142-147) plugs into: tokenize + batch-infer
-    per Arrow record batch, struct out, map rebuilt Column-side. Both
-    backends compute the identical IEEE divisions, so swapping them cannot
-    change results. backend="column" keeps everything in codegen (the
-    cheapest path when the scorer really is a lexicon)."""
+    backend="tensor" (default) runs a frozen-weight embedding+linear net as
+    real batched tensor math over each Arrow record batch (numpy gather →
+    sum-pool → matmul, padded token batches) — the exact integration seam
+    AND execution shape a real transformer model (the reference's FinBERT,
+    batchPipeline.py:142-147) plugs into, with
+    spark.sql.execution.arrow.maxRecordsPerBatch bounding activation
+    memory. backend="pandas" is the same seam with plain pandas ops;
+    backend="column" keeps everything in codegen (the cheapest path when
+    the scorer really is a lexicon). All three compute identical IEEE
+    values, so swapping backends cannot change results (tested)."""
 
-    backend = Param(Params._dummy(), "backend", "pandas | column")
+    backend = Param(Params._dummy(), "backend", "tensor | pandas | column")
 
     @keyword_only
     def __init__(
-        self, inputCol: str = "text", outputCol: str = "out", backend: str = "pandas"
+        self, inputCol: str = "text", outputCol: str = "out", backend: str = "tensor"
     ):
         super().__init__(inputCol=inputCol, outputCol=outputCol)
-        if backend not in ("pandas", "column"):
+        if backend not in ("tensor", "pandas", "column"):
             raise ValueError(f"unknown backend {backend!r}")
         self._set(backend=backend)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out = self.getOutputCol()
-        if self.getOrDefault("backend") == "column":
+        be = self.getOrDefault("backend")
+        if be == "column":
             return df.withColumn(out, lexicon_scores(self.getInputCol()))
-        s = lexicon_scores_pandas(F.col(self.getInputCol()))
+        scorer = tensor_scores_pandas if be == "tensor" else lexicon_scores_pandas
+        s = scorer(F.col(self.getInputCol()))
         return (
             df.withColumn("_scored", s)
             .withColumn(

@@ -146,22 +146,79 @@ def test_forecast_per_series_distributed(spark):
 
 
 def test_score_sentiment_backends_agree(spark):
-    """M3 seam: the Arrow pandas_udf backend (default — the FinBERT-shaped
-    path) and the codegen Column backend produce identical map columns."""
+    """M3 seam: the tensor backend (default — frozen-weight net, real
+    batched matmul), the pandas backend, and the codegen Column backend
+    produce identical map columns."""
     from importlib import import_module
 
     tr = import_module(f"{PKG}.ml.transformers")
     df = spark.createDataFrame(
         [Row(text="fast big slow x"), Row(text="a b c"), Row(text="slow slow slow")]
     )
-    pd_rows = tr.ScoreSentiment(inputCol="text", outputCol="s").transform(df).collect()
+    tens_rows = tr.ScoreSentiment(inputCol="text", outputCol="s").transform(df).collect()
+    pd_rows = (
+        tr.ScoreSentiment(inputCol="text", outputCol="s", backend="pandas")
+        .transform(df)
+        .collect()
+    )
     col_rows = (
         tr.ScoreSentiment(inputCol="text", outputCol="s", backend="column")
         .transform(df)
         .collect()
     )
-    for rp, rc in zip(pd_rows, col_rows):
-        assert rp["s"] == rc["s"]
+    for rt, rp, rc in zip(tens_rows, pd_rows, col_rows):
+        assert rt["s"] == rp["s"] == rc["s"]
+
+
+def test_tensor_scorer_respects_arrow_batch_size(spark):
+    """The model seam must actually be BATCHED: under a small
+    spark.sql.execution.arrow.maxRecordsPerBatch the scorer runs once per
+    record batch (observed via accumulator), peak activation memory is
+    O(batch), and the scores are unchanged by the batch slicing."""
+    from importlib import import_module
+
+    sent = import_module(f"{PKG}.functions.sentiment")
+    from pyspark.sql import functions as F
+
+    rows = [Row(doc_id=i, text=f"fast word{i} slow big") for i in range(100)]
+    df = spark.createDataFrame(rows).repartition(1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    acc = spark.sparkContext.accumulator(0)
+    udf = sent.make_tensor_udf(batch_counter=acc)
+    try:
+        spark.conf.set(key, "16")
+        small = {
+            r["doc_id"]: r["s"]
+            for r in df.withColumn("s", udf(F.col("text"))).collect()
+        }
+        n_batches = acc.value
+        assert n_batches >= 100 // 16  # 100 rows / 16-cap -> >= 6 batches
+        spark.conf.set(key, "10000")
+        big = {
+            r["doc_id"]: r["s"]
+            for r in df.withColumn("s", udf(F.col("text"))).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert small == big  # batch slicing cannot change model output
+
+
+def test_tensor_scorer_batch_function_is_slice_invariant(spark):
+    """Pure-numpy check (no Spark): scoring a frame in one batch equals
+    scoring any concatenation of slices — padding per batch is internal."""
+    import pandas as pd
+    from importlib import import_module
+
+    sent = import_module(f"{PKG}.functions.sentiment")
+    texts = pd.Series(
+        ["fast big slow x", "a b c", "slow slow slow", "", "fast"] * 7
+    )
+    whole = sent.tensor_score_batch(texts)
+    parts = pd.concat(
+        [sent.tensor_score_batch(texts[i : i + 4]) for i in range(0, len(texts), 4)]
+    )
+    assert whole.equals(parts)
 
 
 def test_pairwise_compat_hot_key_guard(spark):
@@ -203,7 +260,7 @@ def test_news_pipeline_save_load_roundtrip(spark, tmp_path):
     got = {(r["Date"], r["Nbr_article"], r["Positive"]) for r in loaded.transform(df).collect()}
     assert got == want
     # backend param survives the round-trip
-    assert loaded.stages[1].getOrDefault("backend") == "pandas"
+    assert loaded.stages[1].getOrDefault("backend") == "tensor"
 
 
 def test_json_csv_sources_roundtrip_with_dead_letters(spark, tmp_path):

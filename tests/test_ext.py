@@ -344,6 +344,41 @@ def test_cluster_pairs_connected_components(spark):
     }
 
 
+def test_cluster_pairs_durable_checkpoint(spark, tmp_path):
+    """Passing checkpoint_dir switches lineage-capping to reliable
+    checkpoint() storage (cluster fault tolerance); results unchanged and
+    checkpoint data actually lands in the directory."""
+    import os
+
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    ck = str(tmp_path / "ck")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dd.cluster_pairs(pairs, checkpoint_dir=ck).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(os.scandir(ck))  # checkpoint blocks written to reliable dir
+
+
+def test_cluster_pairs_diameter_over_budget_fails_loudly(spark):
+    """A pathological chain whose diameter exceeds max_iter must raise —
+    returning half-propagated labels would silently split the cluster."""
+    import pytest
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import dedup as dd
+
+    # path graph 0-1-2-...-9: min-label propagation moves label 0 one hop
+    # per round, so convergence needs ~9 rounds; cap at 3
+    chain = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(9)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.cluster_pairs(chain, max_iter=3)
+
+
 def test_quantize_int8_roundtrip_bounds(spark):
     """s4: codes bounded by [-127, 127], max-|x| element hits ±127, zero
     vectors dropped."""
