@@ -314,3 +314,272 @@ def quantize_int8_sql(table: str, id_col: str = "vec_id", vec_col: str = "embedd
     FROM withm, unnest(range(1, len(e) + 1)) AS t(i)
     WHERE m > 0
     """
+
+
+# --- k-means-trained IVF (learned coarse quantizer + multiprobe) ------------
+#
+# The sign-bit `ivf_cell` above is data-independent; the standard upgrade is
+# a k-means-trained coarse quantizer: centroids learned from a sample,
+# vectors assigned to their nearest centroid's cell, queries probing the
+# `probe` nearest cells (multiprobe). At 100 TB: training touches only a
+# hash-gated sample, the k centroids broadcast everywhere (k x dim doubles),
+# assignment is one map-side pass (cost fold + min-struct partial agg), and
+# the probe join is a plain equi-join on cell id — the same shuffle shape as
+# the sign-bit path, with data-adaptive cells.
+#
+# Oracle exactness (the driver hash-compares against DuckDB): every training
+# step is integer-exact or deterministic-IEEE —
+#   * coordinates quantize to ints via floor(x * 1024); 1024 = 2^10, so the
+#     multiply is a pure exponent shift and floor sees an exact double;
+#   * Lloyd updates aggregate INTEGER sums per (cell, dim) — sums are
+#     order-independent, so shuffle order cannot perturb centroids;
+#   * centroid coords are one double division sum/count of exact ints;
+#   * distance folds are sequential left-folds with identical op order in
+#     both engines (zip_with/aggregate <-> list_transform/list_reduce);
+#   * seeding ranks a 60-bit md5 hash (ext/hashing.py) — no RNG anywhere.
+
+KM_K = 64  # centroids = cells; matches the sign-bit path's 2^IVF_DIMS cells
+KM_ITERS = 2  # Lloyd updates from the deterministic seeds
+KM_SAMPLE_MOD = 4  # train on the ~1/4 hash-gated sample
+_KM_QSCALE = 1024  # 2^10: exact double multiply before floor
+
+
+def _km_quant(emb: Column) -> Column:
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * _KM_QSCALE).cast("bigint")
+    )
+
+
+def _km_cost(q: Column, c: Column) -> Column:
+    """Squared L2 between an int-quantized vector and a double centroid,
+    as a sequential left-fold (cross-engine identical op order)."""
+    diffs = F.zip_with(q, c, lambda x, y: x.cast("double") - y)
+    return F.aggregate(
+        F.transform(diffs, lambda d: d * d), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _km_cost_sql(q: str, c: str) -> str:
+    diffs = (
+        f"list_transform(range(1, len({q}) + 1),"
+        f" i -> CAST({q}[i] AS DOUBLE) - {c}[i])"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform({diffs}, d -> d * d)),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _km_assign(vecs: DataFrame, cents: DataFrame, extra: list[str]) -> DataFrame:
+    """Nearest centroid per vector: broadcast the (tiny) centroid table,
+    fold the cost per pair, take the lexicographic (cost, cid) min via a
+    partial-aggregatable min(struct(...)) — no window, no extra shuffle
+    beyond the one hash agg on vec_id. ``extra`` columns ride along inside
+    the struct (constant within a vec_id group, never reached by the
+    comparison because (cost, cid) is unique per group)."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "cost", _km_cost(F.col("q"), F.col("c"))
+    )
+    m = scored.groupBy("vec_id").agg(
+        F.min(F.struct("cost", "cid", *extra)).alias("m")
+    )
+    return m.select(
+        "vec_id", F.col("m.cid").alias("cid"), *[F.col(f"m.{e}").alias(e) for e in extra]
+    )
+
+
+def train_kmeans_centroids(
+    emb: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """-> (cid int, c array<double>): centroids after ``iters`` Lloyd
+    updates over the hash-gated sample, seeded by the k sample vectors with
+    the smallest md5-derived hash. Fully deterministic (see module notes),
+    so the same procedure in SQL is the oracle."""
+    from . import hashing as _h
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _km_quant(F.col(emb_col)).alias("q")
+    )
+    samp = base.filter(
+        _h.phash60(F.col("vec_id").cast("string"), "km-sample") % KM_SAMPLE_MOD == 0
+    )
+    seeds = (
+        samp.withColumn("h", _h.phash60(F.col("vec_id").cast("string"), "km-seed"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(Window.orderBy("h", "vec_id")))
+    )
+    cents = seeds.select(
+        "cid", F.transform("q", lambda x: x.cast("double")).alias("c")
+    )
+    for _ in range(iters):
+        assigned = _km_assign(samp, cents, extra=["q"])
+        percell = (
+            assigned.select("cid", F.posexplode("q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = (
+            percell.withColumn("m", F.col("s").cast("double") / F.col("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda t: t.getField("m"),
+                ).alias("c")
+            )
+        )
+    return cents
+
+
+def _km_ctes(table: str, km_k: int, iters: int, id_col: str, emb_col: str) -> tuple[str, str]:
+    """DuckDB CTE chain replicating train_kmeans_centroids step for step;
+    returns (cte_sql, final_centroid_cte_name)."""
+    from .hashing import phash60_sql
+
+    h_samp = phash60_sql(f"CAST({id_col} AS VARCHAR)", "km-sample")
+    h_seed = phash60_sql(f"CAST({id_col} AS VARCHAR)", "km-seed")
+    cost = _km_cost_sql("s.q", "c.c")
+    ctes = f"""
+    kmbase AS (
+      SELECT {id_col} AS vec_id, {emb_col} AS e,
+             list_transform({emb_col},
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS q
+      FROM {table}
+    ),
+    kmsamp AS (SELECT * FROM kmbase WHERE {h_samp} % {KM_SAMPLE_MOD} = 0),
+    kmseeds AS (
+      SELECT vec_id, q,
+             CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid
+      FROM (SELECT vec_id, q, {h_seed} AS h FROM kmsamp
+            ORDER BY h, vec_id LIMIT {km_k})
+    ),
+    cents0 AS (SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c FROM kmseeds)"""
+    prev = "cents0"
+    for t in range(1, iters + 1):
+        ctes += f""",
+    asg{t} AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT s.vec_id, s.q, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM kmsamp s CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    cents{t} AS (
+      SELECT cid, list(m ORDER BY i) AS c FROM (
+        SELECT cid, i, CAST(sum(q[i]) AS DOUBLE) / count(*) AS m
+        FROM asg{t}, unnest(range(1, len(q) + 1)) AS u{t}(i)
+        GROUP BY cid, i
+      ) GROUP BY cid
+    )"""
+        prev = f"cents{t}"
+    return ctes, prev
+
+
+def topk_ivf_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    probe: int = 2,
+    km_k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with the learned quantizer: corpus vectors live in their
+    nearest centroid's cell; each query probes its ``probe`` nearest cells
+    (multiprobe) and scores exact cosine against just those candidates."""
+    cents = train_kmeans_centroids(corpus, km_k, iters, id_col, emb_col)
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        _km_quant(F.col(emb_col)).alias("q"),
+    )
+    ccells = _km_assign(_spread_corpus(base), cents, extra=["e"]).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("cell"),
+        F.col("e").alias("c_emb"),
+        norm(F.col("e")).alias("c_norm"),
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        _km_quant(F.col(emb_col)).alias("q"),
+    )
+    qscored = qbase.crossJoin(F.broadcast(cents)).withColumn(
+        "cost", _km_cost(F.col("q"), F.col("c"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy("cost", "cid")
+    probes = F.broadcast(
+        qscored.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("cell"),
+            F.col("e").alias("q_emb"),
+            norm(F.col("e")).alias("q_norm"),
+        )
+    )
+    scored = (
+        probes.join(ccells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def topk_ivf_kmeans_sql(
+    table: str,
+    query_pred: str,
+    k: int,
+    probe: int = 2,
+    km_k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    ctes, cfinal = _km_ctes(table, km_k, iters, id_col, emb_col)
+    cost = _km_cost_sql("b.q", "c.c")
+    cos = cosine_sql("p.e", "cc.e")
+    return f"""
+    WITH {ctes},
+    corpus_cells AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT b.vec_id, b.e, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM kmbase b CROSS JOIN {cfinal} c
+      ) WHERE rn = 1
+    ),
+    qprobes AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT b.vec_id, b.e, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM (SELECT * FROM kmbase WHERE {query_pred}) b CROSS JOIN {cfinal} c
+      ) WHERE rn <= {probe}
+    ),
+    kmscored AS (
+      SELECT p.vec_id AS query_id, cc.vec_id AS neighbor_id, {cos} AS score
+      FROM qprobes p JOIN corpus_cells cc
+        ON p.cid = cc.cid AND p.vec_id <> cc.vec_id
+    ),
+    kmranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM kmscored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM kmranked WHERE rank <= {k}
+    """

@@ -1154,6 +1154,69 @@ def t6_stream_running_mean(spark, sf_dir):
     )
 
 
+@register(
+    "t11_stream_stream_join",
+    """
+    WITH a AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 10 MINUTE
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def t11_stream_stream_join(spark, sf_dir):
+    """True Structured Streaming stream-stream INNER join with event-time
+    range bounds and watermarks on BOTH sides (the quotes-x-articles shape
+    of the reference's speed layer, generalized): clicks join views of the
+    same user within ±10 minutes, replayed via availableNow across
+    micro-batches, results from the memory sink. The watermark delay
+    exceeds the fixture's time span, so no row is dropped and the batch
+    range-join oracle is the exact truth (late-data *dropping* semantics
+    are pytest-gated separately in tests/test_streaming.py)."""
+    import uuid
+
+    from ..streaming.ingest import events_stream
+
+    prepare(spark)
+    clicks = (
+        events_stream(spark, sf_dir, n_chunks=2)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", "3650 days")
+    )
+    views = (
+        events_stream(spark, sf_dir, n_chunks=2)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "3650 days")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", "click_id", "view_id")
+    sink = f"t11_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Extensions: dedup / similarity / text analysis / multimodal (driver
 # mandate — first-class alongside SURVEY §2). Oracle SQL is GENERATED from
@@ -1304,6 +1367,83 @@ def s5_ivf_recall(spark, sf_dir):
         F.sum("n_hit").cast("bigint").alias("total_hits"),
         F.sum("n_true").cast("bigint").alias("total_true"),
         (F.sum("n_hit").cast("double") / F.sum("n_true")).cast("double").alias("recall"),
+    )
+
+
+@register(
+    "s6_ann_topk_ivf_kmeans",
+    _sim.topk_ivf_kmeans_sql("embeddings", "vec_id % 50 = 0", k=5, probe=2),
+)
+def s6_ann_topk_ivf_kmeans(spark, sf_dir):
+    """ANN top-5 with the LEARNED coarse quantizer + multiprobe
+    (ext/similarity.py:topk_ivf_kmeans): k-means centroids trained on a
+    hash-gated sample with deterministic md5 seeding and integer-exact
+    Lloyd updates, corpus assigned to nearest-centroid cells, each query
+    probing its 2 nearest cells. Training is fully deterministic, so the
+    identical procedure in SQL is the oracle — the learned upgrade the
+    sign-bit `ivf_cell` docstring (s2) promises."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return _sim.topk_ivf_kmeans(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, probe=2
+    )
+
+
+@register(
+    "s7_ann_recall_kmeans_vs_signbit",
+    f"""
+    WITH bf AS ({_sim.topk_bruteforce_sql("embeddings", "vec_id % 50 = 0", k=5)}),
+    km AS ({_sim.topk_ivf_kmeans_sql("embeddings", "vec_id % 50 = 0", k=5, probe=1)}),
+    sb AS ({_sim.topk_ivf_sql("embeddings", "vec_id % 50 = 0", k=5)}),
+    j AS (
+      SELECT bf.query_id, km.neighbor_id AS km_n, sb.neighbor_id AS sb_n
+      FROM bf
+      LEFT JOIN km ON bf.query_id = km.query_id AND bf.neighbor_id = km.neighbor_id
+      LEFT JOIN sb ON bf.query_id = sb.query_id AND bf.neighbor_id = sb.neighbor_id
+    )
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS total_true,
+           CAST(count(km_n) AS BIGINT) AS hits_kmeans,
+           CAST(count(sb_n) AS BIGINT) AS hits_signbit,
+           CAST(CAST(count(km_n) AS DOUBLE) / count(*) AS DOUBLE) AS recall_kmeans,
+           CAST(CAST(count(sb_n) AS DOUBLE) / count(*) AS DOUBLE) AS recall_signbit
+    FROM j
+    """,
+)
+def s7_ann_recall_kmeans_vs_signbit(spark, sf_dir):
+    """Head-to-head recall harness at EQUAL probe fraction: the learned
+    k-means quantizer (64 cells, probe 1) vs the data-independent sign-bit
+    quantizer (64 cells, probe 1), both against the exact brute-force
+    top-5. Each candidate set is ~N/64, so any recall gap is pure cell
+    quality — the number that justifies (or rejects) training a quantizer.
+    tests/test_ext.py asserts recall_kmeans >= recall_signbit."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = _sim.topk_bruteforce(emb, qdf, k=5).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    km = _sim.topk_ivf_kmeans(emb, qdf, k=5, probe=1).select(
+        F.col("query_id").alias("kq"), F.col("neighbor_id").alias("km_n")
+    )
+    sb = _sim.topk_ivf(emb, qdf, k=5).select(
+        F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sb_n")
+    )
+    j = bf.join(
+        km,
+        (F.col("query_id") == F.col("kq")) & (F.col("bf_neighbor") == F.col("km_n")),
+        "left",
+    ).join(
+        sb,
+        (F.col("query_id") == F.col("sq")) & (F.col("bf_neighbor") == F.col("sb_n")),
+        "left",
+    )
+    n = F.count(F.lit(1))
+    return j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        n.cast("bigint").alias("total_true"),
+        F.count("km_n").cast("bigint").alias("hits_kmeans"),
+        F.count("sb_n").cast("bigint").alias("hits_signbit"),
+        (F.count("km_n").cast("double") / n).cast("double").alias("recall_kmeans"),
+        (F.count("sb_n").cast("double") / n).cast("double").alias("recall_signbit"),
     )
 
 

@@ -20,11 +20,16 @@ import sys
 
 # documented exceptions: brute-force ANN is an intentional cross join
 # (s5 embeds it as the recall baseline); x10 crossJoins a 1-row count
-# aggregate (broadcast) — bounded by design
+# aggregate (broadcast) — bounded by design; s6/s7 crossJoin the k-means
+# CENTROID table (<= KM_K = 64 rows, broadcast) for nearest-centroid
+# assignment — every vector must score every centroid, and the small side
+# is k x dim doubles regardless of corpus size
 CROSS_JOIN_ALLOWLIST = {
     "s1_ann_topk_bruteforce",
     "s5_ivf_recall",
     "x10_tfidf_top_terms",
+    "s6_ann_topk_ivf_kmeans",
+    "s7_ann_recall_kmeans_vs_signbit",
 }
 
 

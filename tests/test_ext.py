@@ -564,3 +564,26 @@ def test_point_in_interval_join_subsecond_end(spark):
         pts, iv, ["u"], "ts", "start", "end", bucket_seconds=3600
     ).collect()}
     assert got == {1, 3}
+
+
+def test_kmeans_ivf_beats_signbit_at_equal_probe(spark, sf_dir):
+    """s7: the learned quantizer's whole reason to exist — at equal probe
+    fraction (64 cells, probe 1 both) its recall must be at least the
+    data-independent sign-bit quantizer's."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans import registry
+
+    (r,) = registry.QUERIES["s7_ann_recall_kmeans_vs_signbit"](spark, sf_dir).collect()
+    assert r["total_true"] == r["n_queries"] * 5
+    assert r["recall_kmeans"] >= r["recall_signbit"], dict(r.asDict())
+
+
+def test_kmeans_centroids_deterministic_across_runs(spark, sf_dir):
+    """Training must be run-to-run deterministic (hash seeding, integer
+    Lloyd sums) — the property the SQL oracle depends on."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import similarity as sim
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r["cid"]: r["c"] for r in sim.train_kmeans_centroids(emb).collect()}
+    b = {r["cid"]: r["c"] for r in sim.train_kmeans_centroids(emb).collect()}
+    assert a == b and len(a) > 1
