@@ -339,7 +339,12 @@ def quantize_int8_sql(table: str, id_col: str = "vec_id", vec_col: str = "embedd
 #   * seeding ranks a 60-bit md5 hash (ext/hashing.py) — no RNG anywhere.
 
 KM_K = 64  # centroids = cells; matches the sign-bit path's 2^IVF_DIMS cells
-KM_ITERS = 2  # Lloyd updates from the deterministic seeds
+# Lloyd updates from the deterministic seeds. One update already moves every
+# seed to the mean of its catchment; on the fixture corpus measured recall is
+# IDENTICAL at 1/2/3 updates (0.42 vs sign-bit 0.06), while each extra round
+# costs a full assign+recompute pass — so the default trains exactly one.
+# Raise per call for harder corpora; the oracle SQL tracks the parameter.
+KM_ITERS = 1
 KM_SAMPLE_MOD = 4  # train on the ~1/4 hash-gated sample
 _KM_QSCALE = 1024  # 2^10: exact double multiply before floor
 
@@ -350,22 +355,41 @@ def _km_quant(emb: Column) -> Column:
     )
 
 
-def _km_cost(q: Column, c: Column) -> Column:
-    """Squared L2 between an int-quantized vector and a double centroid,
-    as a sequential left-fold (cross-engine identical op order)."""
-    diffs = F.zip_with(q, c, lambda x, y: x.cast("double") - y)
+def _km_cost(q: Column, c: Column, cn2: Column) -> Column:
+    """Nearest-centroid ranking cost: ||c||^2 - 2*(q . c).
+
+    Equivalent argmin to squared L2 (||q||^2 is constant within a vector's
+    comparison set, so it cannot change the ranking) at ~half the
+    higher-order-function work per pair — the dot is ONE zip_with+fold, and
+    ||c||^2 is a staged per-CENTROID column (k rows total, never per pair).
+    Both engines compute the identical formula and op order, so the doubles
+    (and therefore the argmin + tie-break) agree bit-for-bit."""
+    d = F.aggregate(
+        F.zip_with(q, c, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return cn2 - F.lit(2.0) * d
+
+
+def _km_cn2(c: Column) -> Column:
     return F.aggregate(
-        F.transform(diffs, lambda d: d * d), F.lit(0.0), lambda a, x: a + x
+        F.transform(c, lambda y: y * y), F.lit(0.0), lambda a, x: a + x
     )
 
 
-def _km_cost_sql(q: str, c: str) -> str:
-    diffs = (
+def _km_cost_sql(q: str, c: str, cn2: str) -> str:
+    prods = (
         f"list_transform(range(1, len({q}) + 1),"
-        f" i -> CAST({q}[i] AS DOUBLE) - {c}[i])"
+        f" i -> CAST({q}[i] AS DOUBLE) * {c}[i])"
     )
+    d = f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+    return f"({cn2} - 2.0 * {d})"
+
+
+def _km_cn2_sql(c: str) -> str:
     return (
-        f"list_reduce(list_prepend(0.0, list_transform({diffs}, d -> d * d)),"
+        f"list_reduce(list_prepend(0.0, list_transform({c}, y -> y * y)),"
         f" (acc, x) -> acc + x)"
     )
 
@@ -377,8 +401,9 @@ def _km_assign(vecs: DataFrame, cents: DataFrame, extra: list[str]) -> DataFrame
     beyond the one hash agg on vec_id. ``extra`` columns ride along inside
     the struct (constant within a vec_id group, never reached by the
     comparison because (cost, cid) is unique per group)."""
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "cost", _km_cost(F.col("q"), F.col("c"))
+    ca = cents.select("cid", "c", _km_cn2(F.col("c")).alias("cn2"))
+    scored = vecs.crossJoin(F.broadcast(ca)).withColumn(
+        "cost", _km_cost(F.col("q"), F.col("c"), F.col("cn2"))
     )
     m = scored.groupBy("vec_id").agg(
         F.min(F.struct("cost", "cid", *extra)).alias("m")
@@ -404,9 +429,14 @@ def train_kmeans_centroids(
     base = emb.select(
         F.col(id_col).alias("vec_id"), _km_quant(F.col(emb_col)).alias("q")
     )
+    # persist the training sample and every centroid generation: each
+    # centroid table is re-referenced by 2-3 downstream broadcasts (next
+    # Lloyd round + corpus assign + query probe), and without a
+    # materialization barrier every broadcast would replay the WHOLE
+    # training lineage from the scan. All tiny (sample rows / k rows).
     samp = base.filter(
         _h.phash60(F.col("vec_id").cast("string"), "km-sample") % KM_SAMPLE_MOD == 0
-    )
+    ).persist()
     seeds = (
         samp.withColumn("h", _h.phash60(F.col("vec_id").cast("string"), "km-seed"))
         .orderBy("h", "vec_id")
@@ -432,6 +462,7 @@ def train_kmeans_centroids(
                     lambda t: t.getField("m"),
                 ).alias("c")
             )
+            .persist()
         )
     return cents
 
@@ -443,7 +474,7 @@ def _km_ctes(table: str, km_k: int, iters: int, id_col: str, emb_col: str) -> tu
 
     h_samp = phash60_sql(f"CAST({id_col} AS VARCHAR)", "km-sample")
     h_seed = phash60_sql(f"CAST({id_col} AS VARCHAR)", "km-seed")
-    cost = _km_cost_sql("s.q", "c.c")
+    cost = _km_cost_sql("s.q", "c.c", "c.cn2")
     ctes = f"""
     kmbase AS (
       SELECT {id_col} AS vec_id, {emb_col} AS e,
@@ -462,11 +493,12 @@ def _km_ctes(table: str, km_k: int, iters: int, id_col: str, emb_col: str) -> tu
     prev = "cents0"
     for t in range(1, iters + 1):
         ctes += f""",
+    caug{t} AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {prev}),
     asg{t} AS (
       SELECT vec_id, q, cid FROM (
         SELECT s.vec_id, s.q, c.cid,
                row_number() OVER (PARTITION BY s.vec_id ORDER BY {cost}, c.cid) AS rn
-        FROM kmsamp s CROSS JOIN {prev} c
+        FROM kmsamp s CROSS JOIN caug{t} c
       ) WHERE rn = 1
     ),
     cents{t} AS (
@@ -510,8 +542,9 @@ def topk_ivf_kmeans(
         F.col(emb_col).alias("e"),
         _km_quant(F.col(emb_col)).alias("q"),
     )
-    qscored = qbase.crossJoin(F.broadcast(cents)).withColumn(
-        "cost", _km_cost(F.col("q"), F.col("c"))
+    ca = cents.select("cid", "c", _km_cn2(F.col("c")).alias("cn2"))
+    qscored = qbase.crossJoin(F.broadcast(ca)).withColumn(
+        "cost", _km_cost(F.col("q"), F.col("c"), F.col("cn2"))
     )
     wq = Window.partitionBy("vec_id").orderBy("cost", "cid")
     probes = F.broadcast(
@@ -551,22 +584,23 @@ def topk_ivf_kmeans_sql(
     emb_col: str = "embedding",
 ) -> str:
     ctes, cfinal = _km_ctes(table, km_k, iters, id_col, emb_col)
-    cost = _km_cost_sql("b.q", "c.c")
+    cost = _km_cost_sql("b.q", "c.c", "c.cn2")
     cos = cosine_sql("p.e", "cc.e")
     return f"""
     WITH {ctes},
+    caugf AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {cfinal}),
     corpus_cells AS (
       SELECT vec_id, e, cid FROM (
         SELECT b.vec_id, b.e, c.cid,
                row_number() OVER (PARTITION BY b.vec_id ORDER BY {cost}, c.cid) AS rn
-        FROM kmbase b CROSS JOIN {cfinal} c
+        FROM kmbase b CROSS JOIN caugf c
       ) WHERE rn = 1
     ),
     qprobes AS (
       SELECT vec_id, e, cid FROM (
         SELECT b.vec_id, b.e, c.cid,
                row_number() OVER (PARTITION BY b.vec_id ORDER BY {cost}, c.cid) AS rn
-        FROM (SELECT * FROM kmbase WHERE {query_pred}) b CROSS JOIN {cfinal} c
+        FROM (SELECT * FROM kmbase WHERE {query_pred}) b CROSS JOIN caugf c
       ) WHERE rn <= {probe}
     ),
     kmscored AS (

@@ -147,10 +147,47 @@ def salted_agg(
     for out, (_, fn) in aggs.items():
         if fn not in fns:
             raise ValueError(f"{out}: {fn!r} is not an algebraic aggregate")
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
+    # deterministic per-row salt (NOT monotonically_increasing_id, which is
+    # re-evaluated differently on task retry and can double-count or drop
+    # partials when only part of a stage is recomputed)
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("_salt")
     stage1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(
         *[fns[fn](c).alias(out) for out, (c, fn) in aggs.items()]
     )
     return stage1.groupBy(*key_cols).agg(
         *[refold[fn](out).alias(out) for out, (_, fn) in aggs.items()]
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame, key_cols: list[str], val_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Skew-robust COUNT(DISTINCT val) per key -> column ``n_distinct``.
+
+    Why distinct counting (unlike sum/count/min/max) genuinely skews: Spark
+    plans it as a partial distinct on (key, value) followed by a final
+    count per key, and that final aggregate receives one row PER DISTINCT
+    VALUE of the key — a hot key with 10^8 distinct values stalls one
+    reducer no matter how well the partial stage spread.
+
+    The salt here MUST be a function of the VALUE (not a random row salt):
+    every distinct value then lives in exactly one (key, salt) cell, the
+    per-cell distinct counts are disjoint, and their sum is the exact
+    distinct count. Two balanced shuffles, no reducer ever sees more than
+    ~1/n_salts of a hot key's values.
+
+    Measured honesty (bench.py skew section): at sandbox scale (5M rows,
+    60%-hot key, ~3M distinct values) the UNSALTED form is faster — Spark
+    pre-dedups map-side and the hot key's final merge is only ~1M compact
+    rows, cheaper than salting's extra shuffle. Reach for this only when
+    the distinct cardinality of a hot key is itself huge (10^8+), i.e. the
+    final one-row-per-distinct-value merge is the stall."""
+    salt = F.pmod(F.xxhash64(F.col(val_col)), F.lit(n_salts)).alias("_salt")
+    stage1 = (
+        df.select(*key_cols, F.col(val_col), salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count_distinct(F.col(val_col)).alias("_nd"))
+    )
+    return stage1.groupBy(*key_cols).agg(
+        F.sum("_nd").cast("bigint").alias("n_distinct")
     )

@@ -2692,6 +2692,26 @@ def a7_salted_agg(spark, sf_dir):
 
 
 @register(
+    "a12_salted_count_distinct",
+    """
+    SELECT user_id, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY user_id
+    """,
+)
+def a12_salted_count_distinct(spark, sf_dir):
+    """Skew-robust distinct counting (operators/aggregate.py:
+    salted_count_distinct): the one aggregate family where skew genuinely
+    stalls a reducer — the final agg receives one row per DISTINCT value of
+    a key — solved by value-derived salting (each distinct value lives in
+    exactly one salt cell, so per-cell counts add exactly). Oracle is the
+    plain COUNT(DISTINCT): salting must be invisible."""
+    from ..operators.aggregate import salted_count_distinct
+
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_id")
+    return salted_count_distinct(ev, ["user_id"], "event_id", n_salts=16)
+
+
+@register(
     "m7_resize_plan",
     """
     WITH m AS (

@@ -18,12 +18,18 @@ import os
 from pyspark.sql import SparkSession
 
 _DEF_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# local[N] runs all N executor threads inside the driver JVM, whose default
+# heap is ~1g — 32 concurrent tasks in 1g thrash the GC long before CPU
+# saturates. Only effective when the builder creates the JVM (no-op via
+# conf on an existing session, e.g. the external correctness driver's).
+_DEF_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Apply engine configuration to any builder (no master set here)."""
     return (
-        builder.config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.driver.memory", _DEF_DRIVER_MEM)
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", _DEF_SHUFFLE_PARTITIONS)
