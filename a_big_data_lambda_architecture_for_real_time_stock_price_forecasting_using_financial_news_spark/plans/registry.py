@@ -3303,3 +3303,250 @@ def q10_returned_revenue(spark, sf_dir):
         .limit(20)
         .transform(dec2dbl)
     )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit,
+           count(*) AS n_lines
+    FROM (
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+             - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(3,1))
+               * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and year —
+    a 5-way join tree with a LIKE gate on part name, where the cost term
+    multiplies two DECIMAL measures per line. (The fixture has no
+    partsupp, so supply cost is 0.6*p_retailprice — the join tree and
+    exact-decimal profit arithmetic are the point.) Sum in DECIMAL,
+    output DOUBLE."""
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders")
+    n = tbl(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.lit(0.6).cast(
+        "decimal(3,1)"
+    ) * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(amount).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q12_priority_class",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape: conditional CASE-counting of order priorities per
+    line class after a fact-fact join with a cross-table date predicate
+    (shipped >= 30 days after ordering; the fixture has no l_shipmode /
+    commitdate, so returnflag plays the shipmode role). Integer-only
+    output."""
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue per supplier compared against
+    the global maximum via an uncorrelated scalar subquery (no window, no
+    driver collect — Catalyst plans the subquery as a broadcast scalar).
+    The equality compare runs on the EXACT decimal; only the output rides
+    DOUBLE."""
+    prepare(spark)
+    li = tbl(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q15_lineitem")
+    tbl(spark, sf_dir, "supplier").createOrReplaceTempView("q15_supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+          FROM q15_lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM q15_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ), multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN multi m ON l1.l_orderkey = m.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM late l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: the sole-blame anti-join — suppliers whose line
+    shipped late (> 60 days after ordering; the fixture has no
+    commit/receipt dates) in a multi-supplier order where NO other
+    supplier was late: one EXISTS (semi) collapsed into the multi join
+    and one NOT EXISTS (anti) against the same derived 'late' set.
+    Integer counts; ORDER BY (numwait, name) is a total order, so the
+    LIMIT 20 set is deterministic."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    s = tbl(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    l1 = late.alias("l1")
+    l2 = late.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    sole = l1.join(multi, "l_orderkey").join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_anti",
+    )
+    return (
+        sole.join(s, sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH positive AS (
+      SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS code
+      FROM customer WHERE c_acctbal > 0.0
+    ), threshold AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      FROM positive
+      WHERE code IN ('01', '13', '21', '30', '45', '77')
+    )
+    SELECT code AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM positive p
+    WHERE p.code IN ('01', '13', '21', '30', '45', '77')
+      AND p.c_acctbal > (SELECT avg_bal FROM threshold)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= DATE '2000-07-01')
+    GROUP BY code
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: customers from selected 'country codes' (substring
+    of the fixture's fixed-width name — it has no phone column) with
+    above-average balances and no RECENT orders (every fixture customer
+    has some order, so the anti-join gates on orders since mid-2000 to stay
+    non-vacuous): substring grouping, an
+    uncorrelated scalar-average subquery, and an anti-join against the
+    fact table. The average follows the exactness rule — DECIMAL sum,
+    ONE double division — and the balance sum rides DOUBLE only at the
+    output."""
+    prepare(spark)
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+        WITH positive AS (
+          SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS code
+          FROM q22_customer WHERE c_acctbal > 0.0
+        ), threshold AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+          FROM positive
+          WHERE code IN ('01', '13', '21', '30', '45', '77')
+        )
+        SELECT code AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM positive p
+        WHERE p.code IN ('01', '13', '21', '30', '45', '77')
+          AND p.c_acctbal > (SELECT avg_bal FROM threshold)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders o WHERE o.o_custkey = p.c_custkey
+                          AND o.o_orderdate >= DATE '2000-07-01')
+        GROUP BY code
+        """
+    )
