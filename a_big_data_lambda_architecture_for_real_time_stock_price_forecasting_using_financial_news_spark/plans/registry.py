@@ -1183,6 +1183,12 @@ def t11_stream_stream_join(spark, sf_dir):
     from ..streaming.ingest import events_stream
 
     prepare(spark)
+    # the stream-stream join's state store allocates one state partition
+    # per shuffle partition PER SIDE per micro-batch; at 200 session
+    # partitions that is thousands of tiny state files for a bounded
+    # replay — pin a small count for the streaming query, restore after
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     clicks = (
         events_stream(spark, sf_dir, n_chunks=2)
         .filter(F.col("event_type") == "click")
@@ -1206,14 +1212,17 @@ def t11_stream_stream_join(spark, sf_dir):
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("user_id", "click_id", "view_id")
     sink = f"t11_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(sink)
 
 
@@ -3467,10 +3476,13 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     o = tbl(spark, sf_dir, "orders")
     s = tbl(spark, sf_dir, "supplier")
+    # `late` feeds both the candidate side and the NOT-EXISTS side of the
+    # anti-join: persist so the orders join isn't computed twice
     late = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
         .select("l_orderkey", "l_suppkey")
+        .persist()
     )
     multi = (
         li.groupBy("l_orderkey")
