@@ -1,0 +1,161 @@
+"""Property-based equivalence tests (hypothesis): each scale-path operator
+must be result-identical to its naive formulation on arbitrary inputs —
+the invariant the oracle gate checks on fixtures, here checked on
+adversarial generated data (duplicate keys, hot keys, sub-second
+timestamps, empty sides).
+
+Example counts are kept small: every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+PKG = "a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark"
+
+
+def _mod(name):
+    from importlib import import_module
+
+    return import_module(f"{PKG}.{name}")
+
+
+# a tiny key space on purpose: forces duplicate + hot keys
+_keys = st.integers(min_value=0, max_value=3)
+_vals = st.integers(min_value=-5, max_value=5)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(st.tuples(_keys, _vals), max_size=12),
+    right=st.lists(st.tuples(_keys, _vals), max_size=6),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_equals_plain_join_on_any_data(spark, left, right, n_salts):
+    joins = _mod("operators.joins")
+    l = spark.createDataFrame(
+        [Row(k=k, lv=v) for k, v in left], "k int, lv int"
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, rv=v) for k, v in right], "k int, rv int"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(tuple(x) for x in l.join(r, ["k"], how).collect())
+        salted = sorted(
+            tuple(x) for x in joins.salted_join(l, r, ["k"], n_salts, how).collect()
+        )
+        assert salted == plain, (how, n_salts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(st.tuples(_keys, st.integers(min_value=0, max_value=9)), max_size=20),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_count_distinct_equals_plain(spark, rows, n_salts):
+    agg = _mod("operators.aggregate")
+    df = spark.createDataFrame([Row(k=k, v=v) for k, v in rows], "k int, v int")
+    plain = {
+        r["k"]: r["nd"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("nd")).collect()
+    }
+    salted = {
+        r["k"]: r["n_distinct"]
+        for r in agg.salted_count_distinct(df, ["k"], "v", n_salts).collect()
+    }
+    assert salted == plain
+
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _ts(micros: int) -> datetime.datetime:
+    return _EPOCH + datetime.timedelta(microseconds=micros)
+
+
+# timestamps inside ~3 bucket widths (bucket=10s), microsecond resolution
+# around bucket edges to hunt boundary bugs
+_micros = st.one_of(
+    st.integers(min_value=0, max_value=30_000_000),
+    # dense cloud right at bucket boundaries
+    st.builds(
+        lambda b, d: b * 10_000_000 + d,
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=-2, max_value=2).map(lambda x: x % 10_000_000),
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    points=st.lists(st.tuples(_keys, _micros), max_size=10),
+    intervals=st.lists(
+        st.tuples(_keys, _micros, st.integers(min_value=0, max_value=25_000_000)),
+        max_size=5,
+    ),
+)
+def test_point_in_interval_join_equals_naive(spark, points, intervals):
+    """Bucketed range join == naive non-equi join for ANY microsecond
+    timestamps (the r2 advice bug: second-truncated bucketing dropped the
+    final bucket of sub-second interval ends)."""
+    rj = _mod("operators.range_join")
+    p = spark.createDataFrame(
+        [Row(u=k, ts=_ts(m), pid=i) for i, (k, m) in enumerate(points)],
+        "u int, ts timestamp, pid int",
+    )
+    iv = spark.createDataFrame(
+        [
+            Row(u=k, start=_ts(s), end=_ts(s + w), iid=i)
+            for i, (k, s, w) in enumerate(intervals)
+        ],
+        "u int, start timestamp, end timestamp, iid int",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in rj.point_in_interval_join(
+            p, iv, ["u"], "ts", "start", "end", bucket_seconds=10
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in p.join(iv, "u")
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .collect()
+    }
+    assert got == naive
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(_keys, st.integers(min_value=-100, max_value=100)), min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_incremental_mean_any_batch_split_equals_global_mean(spark, batches, tmp_path_factory):
+    """K5 invariant: merging (sum,count) states batch by batch — in any
+    split — yields the exact global mean per key."""
+    upsert = _mod("streaming.upsert")
+
+    tmp = tmp_path_factory.mktemp("mean_prop")
+    view = upsert.KeyedParquetView(spark, str(tmp / "v"), ["k"])
+    allrows: list[tuple[int, int]] = []
+    for i, batch in enumerate(batches):
+        allrows.extend(batch)
+        b = (
+            spark.createDataFrame([Row(k=k, v=v) for k, v in batch], "k int, v int")
+            .groupBy("k")
+            .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("cnt_v"))
+        )
+        view.merge_incremental_mean(b, batch_id=i)
+    got = {r["k"]: (r["sum_v"], r["cnt_v"]) for r in view.read().collect()}
+    want: dict[int, list[int]] = {}
+    for k, v in allrows:
+        want.setdefault(k, [0, 0])
+        want[k][0] += v
+        want[k][1] += 1
+    assert got == {k: (s, c) for k, (s, c) in want.items()}
