@@ -166,7 +166,14 @@ class KeyedParquetView:
                 except FileExistsError:
                     try:  # break leases of crashed writers
                         if time.time() - os.path.getmtime(self.lockfile) > self.stale:
-                            os.unlink(self.lockfile)
+                            # atomic CLAIM of the stale lock via rename: of N
+                            # concurrent breakers exactly one rename succeeds
+                            # (the rest get ENOENT) — a plain unlink here
+                            # would let a slow breaker delete the FRESH lock
+                            # the fast one just created
+                            broken = f"{self.lockfile}.broken.{os.getpid()}.{time.monotonic_ns()}"
+                            os.rename(self.lockfile, broken)
+                            os.unlink(broken)
                             continue
                     except OSError:
                         pass  # holder released/broke it concurrently

@@ -343,3 +343,46 @@ def test_sql_catalog_entry_point(spark, sf_dir):
         spark, sf_dir, "SELECT count(DISTINCT CAST(ts AS DATE)) AS d FROM events"
     ).collect()
     assert d["d"] == 30
+
+
+def test_float_weight_model_through_arrow_seam(spark):
+    """Beyond the integer lexicon net: a float32 RANDOM-weight
+    embedding+linear model (real checkpoint dtype and capacity) through
+    the same pandas_udf seam. Per-row computation is independent, so Arrow
+    batch slicing must not change a single score bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    rng = np.random.default_rng(42)
+    emb_w = rng.standard_normal((1000, 32)).astype(np.float32)
+    head_w = rng.standard_normal(32).astype(np.float32)
+
+    def tok_id(w: str) -> int:  # deterministic across worker processes
+        h = 0
+        for ch in w:
+            h = (h * 131 + ord(ch)) % 1000
+        return h
+
+    @pandas_udf(DoubleType())
+    def scorer(text: pd.Series) -> pd.Series:
+        vals = []
+        for t in text:
+            ids = np.array([tok_id(w) for w in t.split()] or [0])
+            vals.append(float(emb_w[ids].sum(axis=0) @ head_w))
+        return pd.Series(vals, index=text.index)
+
+    df = spark.createDataFrame(
+        [Row(i=i, text=f"tok{i} tok{i*7%90} common words here") for i in range(120)]
+    ).repartition(1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")
+        small = {r["i"]: r["s"] for r in df.withColumn("s", scorer(col("text"))).collect()}
+        spark.conf.set(key, "10000")
+        big = {r["i"]: r["s"] for r in df.withColumn("s", scorer(col("text"))).collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert small == big and len(small) == 120

@@ -886,3 +886,38 @@ def test_concurrent_writers_serialize_no_lost_half(spark):
         for i, d in enumerate(days):  # both halves present on every row
             assert rows[d]["close"] == float(10 + i), d
             assert rows[d]["nbr"] == i + 1, d
+
+
+def test_stale_lease_broken_and_reacquired(spark, tmp_path):
+    """A crashed writer's stale lease must not block forever: the next
+    writer breaks it (atomic rename-claim) and proceeds; a FRESH lease is
+    honored until timeout."""
+    import os
+    import time as _time
+
+    import pytest
+
+    upsert = _mod("streaming.upsert")
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "v")
+    view = upsert.KeyedParquetView(spark, path, ["d"], lock_timeout=1.0, lock_stale=2.0)
+    # simulate a crashed writer: lock file exists, made old
+    os.makedirs(path, exist_ok=True)
+    lf = os.path.join(path, "_LOCK")
+    with open(lf, "w") as fh:
+        fh.write("dead 0")
+    old = _time.time() - 10
+    os.utime(lf, (old, old))
+    b = spark.createDataFrame([Row(d="2024-01-01", t=1, close=1.0)])
+    view.merge_overwrite_by_key(b, "t", batch_id=0)  # breaks stale lease
+    assert view.read().count() == 1
+    assert not os.path.exists(lf)  # released cleanly
+
+    # a FRESH lease blocks until timeout
+    with open(lf, "w") as fh:
+        fh.write("alive now")
+    b2 = spark.createDataFrame([Row(d="2024-01-02", t=1, close=2.0)])
+    with pytest.raises(TimeoutError):
+        view.merge_overwrite_by_key(b2, "t", batch_id=1)
+    os.unlink(lf)
