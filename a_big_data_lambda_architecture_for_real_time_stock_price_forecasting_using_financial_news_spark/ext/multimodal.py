@@ -4,11 +4,13 @@ At 100 TB, images/audio/video ride along as `binary` columns with a typed
 metadata struct; decode and feature extraction are Arrow-batched Python
 (`mapInPandas`) because no built-in expression decodes media. This module
 makes ALL the Spark-side plumbing real — schema, partition passthrough, UDF
-signature, batch iteration — while the actual media decode is stubbed:
-the container has no image/audio libs, so backend="pil" (or any real lib)
-raises NotImplementedError at a clearly-marked seam, and the default
-backend="fake" derives deterministic features from the raw bytes so the
-pipeline is testable end-to-end and oracle-checkable.
+signature, batch iteration — and one decode path is real too: a pure-numpy
+24-bit BMP codec (encode/decode/nearest-neighbor resample, bottom of the
+file) runs actual pixel math through the seam with zero external libs.
+Compressed formats are the disclosed stub: the container has no image/audio
+libs, so backend="pil"/"ffmpeg" raises NotImplementedError at a
+clearly-marked seam, and backend="fake" derives deterministic features from
+the raw bytes so fixture pipelines stay oracle-checkable.
 
 Scale notes: mapInPandas streams Arrow batches — one Python worker per
 partition, no per-row ser/de; binary payloads never pass through the driver;
@@ -134,12 +136,14 @@ def resize(df: DataFrame, max_w: int, max_h: int, backend: str = "fake") -> Data
     """Resize plan: target dimensions are computed JVM-side (integer
     aspect-preserving scale, never upscale); the pixel transform itself is
     the Arrow-batched backend seam — backend="fake" passes the payload
-    through with updated metadata, real backends (pil) are stubbed.
+    through with updated metadata, backend="bmp" REALLY resamples
+    (nearest-neighbor via the pure-numpy BMP codec below), and compressed
+    formats (pil) are stubbed.
 
     Keeping the dimension math in Column expressions means Catalyst can
     prune rows that need no work (filter w<=max and h<=max) BEFORE any
     Python worker spins up."""
-    if backend not in ("fake", "pil"):
+    if backend not in ("fake", "bmp", "pil"):
         raise ValueError(f"unknown backend {backend!r}")
 
     w, h = F.col("meta.width"), F.col("meta.height")
@@ -166,11 +170,158 @@ def resize(df: DataFrame, max_w: int, max_h: int, backend: str = "fake") -> Data
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if backend != "fake":
-                # STUB: real pixel resampling needs PIL, absent here.
+            if backend == "fake":
+                yield pdf  # payload unchanged, metadata already set
+            elif backend == "bmp":
+                yield resize_bmp_batch(pdf)  # real nearest-neighbor resample
+            else:
+                # STUB: compressed-format resampling needs PIL, absent here.
                 raise NotImplementedError(
                     f"resize backend {backend!r} not available in this build"
                 )
-            yield pdf  # fake backend: payload unchanged, metadata already set
 
     return planned.mapInPandas(run, RESIZED_SCHEMA)
+
+
+# --- BMP reference backend (pure numpy — no external media libs) ------------
+# The container has no PIL/ffmpeg, but 24-bit uncompressed BMP needs neither:
+# a struct-unpacked header plus a numpy view of the padded BGR rows IS the
+# decoder. This gives the Arrow pixel seam one REAL end-to-end path — decode,
+# channel statistics, nearest-neighbor resample, re-encode — executing actual
+# pixel math per Arrow batch; compressed formats (jpeg/png/video) remain the
+# disclosed NotImplementedError seam where PIL/ffmpeg plug in.
+
+import struct
+
+import numpy as np
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER) from an (h, w, 3) RGB
+    uint8 array — bottom-up rows, BGR order, 4-byte row padding."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = pixels[:, :, ::-1]
+    pad = b"\x00" * (row_size - w * 3)
+    rows = [bgr[r].tobytes() + pad for r in range(h - 1, -1, -1)]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> "np.ndarray":
+    """-> (h, w, 3) RGB uint8. Supports exactly what encode_bmp writes
+    (24-bit, uncompressed, positive height = bottom-up)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", data, 10)
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, np.uint8, count=row_size * abs(h), offset=off)
+    px = arr.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]
+    if h > 0:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def _bmp_pixels_for(doc_id: int, w: int, h: int) -> "np.ndarray":
+    """Deterministic synthetic image: channel values are cheap integer
+    functions of (x, y, doc_id) so tests and oracles can recompute them."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    r = (xs * 7 + doc_id) % 256
+    g = (ys * 11 + doc_id * 3) % 256
+    b = (xs + ys + doc_id * 5) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def attach_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a real (decodable) BMP payload per row — dimensions
+    id%16+1 x id%12+1 — via mapInPandas; schema identical to attach_media
+    output so every downstream op accepts either."""
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 16 + 1, int(did) % 12 + 1
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "payload": encode_bmp(_bmp_pixels_for(int(did), w, h)),
+                        "meta": {"fmt": "bmp", "width": w, "height": h, "n_frames": 1},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+from pyspark.sql.types import DoubleType
+
+PIXEL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def extract_pixel_features(df: DataFrame, backend: str = "bmp") -> DataFrame:
+    """REAL pixel statistics through the Arrow seam: decode each payload,
+    exact integer channel sums, one double division per mean. backend="bmp"
+    runs the numpy decoder; "pil" stays the compressed-format stub."""
+    if backend not in ("bmp", "pil"):
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if backend != "bmp":
+                raise NotImplementedError(
+                    f"pixel backend {backend!r} not available in this build"
+                )
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "width": w,
+                        "height": h,
+                        "mean_r": sums[0] / n,
+                        "mean_g": sums[1] / n,
+                        "mean_b": sums[2] / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, PIXEL_FEATURE_SCHEMA)
+
+
+def resize_bmp_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Nearest-neighbor resample each BMP payload to the dimensions already
+    planned into `meta` (integer index maps — deterministic, no filtering
+    kernel, so the result is exactly reproducible anywhere)."""
+    out = []
+    for payload, meta in zip(pdf["payload"], pdf["meta"]):
+        px = decode_bmp(bytes(payload))
+        th, tw = int(meta["height"]), int(meta["width"])
+        sh, sw = px.shape[0], px.shape[1]
+        ys = (np.arange(th) * sh) // th
+        xs = (np.arange(tw) * sw) // tw
+        out.append(encode_bmp(px[ys][:, xs]))
+    res = pdf.copy()
+    res["payload"] = out
+    return res

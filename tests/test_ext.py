@@ -587,3 +587,59 @@ def test_kmeans_centroids_deterministic_across_runs(spark, sf_dir):
     a = {r["cid"]: r["c"] for r in sim.train_kmeans_centroids(emb).collect()}
     b = {r["cid"]: r["c"] for r in sim.train_kmeans_centroids(emb).collect()}
     assert a == b and len(a) > 1
+
+
+def test_bmp_codec_roundtrip():
+    """Pure-numpy BMP codec: encode->decode is the identity for any RGB
+    array, including widths that need row padding."""
+    import numpy as np
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for w, h in ((1, 1), (3, 2), (5, 4), (16, 12)):  # w=3,5 exercise padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px), (w, h)
+
+
+def test_bmp_pixel_features_exact(spark):
+    """Real pixel statistics through the Arrow seam: channel means of the
+    synthesized BMPs match an independent numpy recomputation exactly."""
+    import numpy as np
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import multimodal as mm
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (0, 5, 17, 40)])
+    media = mm.attach_bmp_media(df, "doc_id")
+    got = {r["doc_id"]: r for r in mm.extract_pixel_features(media).collect()}
+    for did in (0, 5, 17, 40):
+        w, h = did % 16 + 1, did % 12 + 1
+        px = mm._bmp_pixels_for(did, w, h)
+        r = got[did]
+        assert (r["width"], r["height"]) == (w, h)
+        sums = px.reshape(-1, 3).astype("int64").sum(axis=0)
+        assert r["mean_r"] == sums[0] / (w * h)
+        assert r["mean_g"] == sums[1] / (w * h)
+        assert r["mean_b"] == sums[2] / (w * h)
+
+
+def test_bmp_resize_real_resample(spark):
+    """backend="bmp" really resamples: decoded output pixels equal the
+    nearest-neighbor index map of the source, and oversized images land
+    within (max_w, max_h) preserving aspect."""
+    import numpy as np
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import multimodal as mm
+    from pyspark.sql import Row
+
+    # doc 40 -> 9x5 source (40%16+1=9, 40%12+1=5): wider than 4x4 box
+    df = spark.createDataFrame([Row(doc_id=40)])
+    media = mm.attach_bmp_media(df, "doc_id")
+    (out,) = mm.resize(media, max_w=4, max_h=4, backend="bmp").collect()
+    assert out["meta"]["width"] <= 4 and out["meta"]["height"] <= 4
+    src = mm._bmp_pixels_for(40, 9, 5)
+    tw, th = out["meta"]["width"], out["meta"]["height"]
+    ys = (np.arange(th) * src.shape[0]) // th
+    xs = (np.arange(tw) * src.shape[1]) // tw
+    assert np.array_equal(mm.decode_bmp(bytes(out["payload"])), src[ys][:, xs])
