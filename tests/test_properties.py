@@ -159,3 +159,49 @@ def test_incremental_mean_any_batch_split_equals_global_mean(spark, batches, tmp
         want[k][0] += v
         want[k][1] += 1
     assert got == {k: (s, c) for k, (s, c) in want.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["stock", "senti"]),  # which column-half writes
+            _keys,  # which day
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_column_half_merges_any_interleaving(spark, ops, tmp_path_factory):
+    """J2 invariant: for ANY interleaving of stock-half and sentiment-half
+    merges, each key's final row holds the LAST written value of each half
+    independently (the reference's racing painless scripts, serialized)."""
+    upsert = _mod("streaming.upsert")
+
+    tmp = tmp_path_factory.mktemp("halves_prop")
+    view = upsert.KeyedParquetView(spark, str(tmp / "v"), ["d"])
+    last: dict[tuple[str, int], int] = {}
+    for i, (half, day, val) in enumerate(ops):
+        if half == "stock":
+            b = spark.createDataFrame(
+                [Row(d=f"day{day}", close=float(val))], "d string, close double"
+            )
+            view.merge_column_halves(b, ["close"], batch_id=i, writer="stock")
+        else:
+            b = spark.createDataFrame(
+                [Row(d=f"day{day}", nbr=val)], "d string, nbr int"
+            )
+            view.merge_column_halves(b, ["nbr"], batch_id=i, writer="senti")
+        last[(half, day)] = val
+    rows = {r["d"]: r for r in view.read().collect()}
+    days = {d for (_, d) in last}
+    assert set(rows) == {f"day{d}" for d in days}
+    for d in days:
+        row = rows[f"day{d}"]
+        want_stock = last.get(("stock", d))
+        want_senti = last.get(("senti", d))
+        got_stock = row["close"] if "close" in rows[f"day{d}"].__fields__ else None
+        assert got_stock == (float(want_stock) if want_stock is not None else None), d
+        got_senti = row["nbr"] if "nbr" in row.__fields__ else None
+        assert got_senti == want_senti, d
