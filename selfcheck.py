@@ -6,6 +6,7 @@ order-insensitive compare. Usage: python selfcheck.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from decimal import Decimal
 
@@ -75,7 +76,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # fixture tables are single files; generated sets (tools/gen_sf1.py)
+        # are Spark-style directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     from pyspark.sql.types import DecimalType
 
