@@ -25,7 +25,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # driver fixture layout: TIMESTAMP(NANOS) read as raw nanos
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df  # generated sets (tools/gen_sf1.py) store real µs timestamps
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

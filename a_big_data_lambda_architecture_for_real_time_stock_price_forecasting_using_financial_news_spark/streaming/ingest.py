@@ -74,9 +74,21 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFr
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
+    # fixture layout stores ts as TIMESTAMP(NANOS) (read as raw long);
+    # generated sets (tools/gen_sf1.py) store real µs timestamps — mirror
+    # whatever the batch reader sees
+    ts_type = spark.read.parquet(src).schema["ts"].dataType
     stage = tempfile.mkdtemp(prefix="events_stream_")
     if n_chunks <= 1:
-        os.symlink(os.path.abspath(src), os.path.join(stage, "part-0.parquet"))
+        if os.path.isdir(src):  # directory of part files: link each
+            for i, f in enumerate(sorted(os.listdir(src))):
+                if f.endswith(".parquet"):
+                    os.symlink(
+                        os.path.abspath(os.path.join(src, f)),
+                        os.path.join(stage, f"part-{i}.parquet"),
+                    )
+        else:
+            os.symlink(os.path.abspath(src), os.path.join(stage, "part-0.parquet"))
     else:
         spark.read.parquet(src).repartitionByRange(n_chunks, "event_id").write.mode(
             "overwrite"
@@ -84,7 +96,7 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFr
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -96,7 +108,9 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFr
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw
 
 
 def encode_json_value(df: DataFrame) -> DataFrame:

@@ -6,8 +6,9 @@ region/nation dims — row counts scale 10x, join fan-outs stay realistic,
 and predicates like `vec_id % 50 = 0` keep their selectivity (OFF is a
 multiple of 50). Document text gets a per-replica suffix so the dedup
 benches see 10x corpus, not synthetic cross-replica dup cliques.
-events.ts is kept as the raw INT64 nanos column so sources/batch.py's
-load_table handles sf1 exactly like the driver fixtures.
+events.ts is written as a real microsecond TIMESTAMP (the fixture's
+TIMESTAMP(NANOS) truncated exactly like load_table does) — both
+sources/batch.py and the DuckDB oracles handle either layout.
 
 Usage: python tools/gen_sf1.py [src_sf_dir] [dst_dir]
 Defaults: /root/testdata/sf0.1 -> /root/repo/.data/sf1
@@ -58,6 +59,8 @@ def main():
     os.makedirs(dst, exist_ok=True)
     for name, keys in SHIFT.items():
         df = spark.read.parquet(f"{src}/{name}.parquet")
+        if name == "events":  # nanos long -> real µs timestamp
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         if keys:  # replicate with disjoint key universes
             df = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(N_REP - 1))))
             for k in keys:
