@@ -66,8 +66,11 @@ def main():
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.col("_r").cast("bigint") * OFF)
             if name == "documents":
+                # plain alnum suffix: several oracles assume fixture-clean
+                # text (no #/$/@/URLs), an assumption generated corpora
+                # must preserve
                 df = df.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(" #r"), F.col("_r"))
+                    "text", F.concat(F.col("text"), F.lit(" r"), F.col("_r"))
                 )
             df = df.drop("_r")
         df.repartition(PARTS.get(name, 4)).write.mode("overwrite").parquet(
