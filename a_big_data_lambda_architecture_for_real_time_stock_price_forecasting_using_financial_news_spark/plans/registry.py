@@ -3562,3 +3562,237 @@ def q22_global_sales_opportunity(spark, sf_dir):
         GROUP BY code
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q20 shapes — the three that need a supply relation.
+# The fixture has no partsupp table, so each derives one from lineitem:
+# supply(ps_partkey, ps_suppkey, ps_supplycost=min unit price offered,
+# ps_availqty=total quantity ever shipped). min() over DECIMAL and sum()
+# over integer-valued quantities are both exact and order-independent, so
+# the derived relation itself is hash-stable cross-engine. With these the
+# full 22-query TPC-H battery is covered.
+# ---------------------------------------------------------------------------
+
+
+def _supply(li: DataFrame, with_qty: bool = False) -> DataFrame:
+    """Derived partsupp: one map-side-combined agg over lineitem. At 100 TB
+    this is a single shuffle on (partkey, suppkey) — the natural key the
+    downstream joins reuse, so AQE can avoid re-shuffling."""
+    aggs = [F.min(F.col("l_extendedprice").cast(DEC)).alias("ps_supplycost")]
+    if with_qty:
+        aggs.append(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("ps_availqty")
+        )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(*aggs)
+
+
+_SUPPLY_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH supply AS ({_SUPPLY_SQL}), eur AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+      FROM supply ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+           CAST(e.ps_supplycost AS DOUBLE) AS min_cost
+    FROM part p JOIN eur e ON e.ps_partkey = p.p_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+      AND e.ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eur e2
+                             WHERE e2.ps_partkey = p.p_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering it at the regional minimum cost. The reference's Q2 correlated
+    MIN subquery is expressed Spark-first as a per-part min aggregate joined
+    back on (partkey, exact-decimal cost equality) — same semantics, but
+    Catalyst plans two shuffles on ps_partkey it can reuse instead of a
+    correlated re-scan per row. nation/region/part are broadcast; the
+    LIMIT rides a total order (s_name, p_partkey unique) so membership is
+    deterministic. Decimal min compares exactly; only the output casts
+    DOUBLE."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    p = tbl(spark, sf_dir, "part")
+    eur = (
+        _supply(li)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eur.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    out = (
+        eur.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .join(
+            F.broadcast(
+                p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+    return dec2dbl(out)
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH supply AS ({_SUPPLY_SQL}), national AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost * CAST(ps.ps_availqty AS DECIMAL(10,0)) AS val
+      FROM supply ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_7', 'NATION_12')
+    ), per AS (
+      SELECT ps_partkey, sum(val) AS v FROM national GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, CAST(v AS DOUBLE) AS total_value
+    FROM per
+    WHERE CAST(v AS DOUBLE) > 3.0 * CAST((SELECT sum(v) FROM per) AS DOUBLE)
+                                  / (SELECT count(*) FROM per)
+    ORDER BY total_value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part inventory value within a nation group,
+    kept only when it exceeds a threshold derived from the TOTAL national
+    value — a group-agg compared against an uncorrelated scalar subquery.
+    The classic fixed fraction (0.0001/SF) is scale-dependent; here the
+    gate is 3x the MEAN per-part value, which stays non-vacuous at every
+    SF. val = supplycost x availqty stays DECIMAL end-to-end (exact
+    multiply, exact sum, order-independent); the threshold compare
+    converts both sides to DOUBLE via ONE deterministic IEEE division,
+    identical in both engines. At scale: one shuffle for the per-part agg;
+    the scalar total is a byte-sized broadcast, not a driver collect."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    national = (
+        _supply(li, with_qty=True)
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_7", "NATION_12"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(10,0)")
+            ).alias("val"),
+        )
+    )
+    national.createOrReplaceTempView("q11_national")
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT ps_partkey, sum(val) AS v FROM q11_national GROUP BY ps_partkey
+        )
+        SELECT ps_partkey, CAST(v AS DOUBLE) AS total_value
+        FROM per
+        WHERE CAST(v AS DOUBLE) > 3.0 * CAST((SELECT sum(v) FROM per) AS DOUBLE)
+                                      / (SELECT count(*) FROM per)
+        ORDER BY total_value DESC, ps_partkey
+        """
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    f"""
+    WITH supply AS ({_SUPPLY_SQL}), shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty96
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_9', 'NATION_17')
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey FROM supply ps
+        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'blue%')
+          AND ps.ps_availqty > 4 * sh.qty96
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in selected nations holding excess stock
+    of 'blue' parts — the nested IN-subquery chain (part-name gate ->
+    availqty-vs-shipped gate -> supplier gate) expressed Spark-first as a
+    cascade of broadcast + left_semi joins, so no subquery re-scans and
+    the only wide shuffles are the two (partkey, suppkey) aggs, which
+    share partitioning. availqty > 4 x qty96 compares exact BIGINTs."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    p = tbl(spark, sf_dir, "part")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty96"))
+    )
+    blue = p.filter(F.col("p_name").startswith("blue")).select("p_partkey")
+    excess = (
+        _supply(li, with_qty=True)
+        .join(F.broadcast(blue), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 4 * F.col("qty96"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_9", "NATION_17"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
