@@ -260,3 +260,28 @@ def test_j7_interval_join_is_hash_join(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_q2_single_supply_pass_no_smj(spark, sf_dir):
+    """Q2's correlated MIN rides a window over ONE supply aggregate — the
+    min/rejoin formulation would show a SortMergeJoin and a second
+    lineitem scan. Exactly one Window, no SMJ, joins all broadcast."""
+    df = registry.QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_gate_below_single_agg(spark, sf_dir):
+    """Q20 must aggregate lineitem ONCE (conditional sum folds the 1996
+    window into the same groupBy) with the blue-part semi join BELOW the
+    agg, so only gated rows shuffle."""
+    df = registry.QUERIES["q20_potential_promotion"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    # one scan of lineitem only
+    assert plan.count("lineitem.parquet") == 1
+    # semi join present and below (appears before) the wide HashAggregate pair
+    semi_pos = plan.find("LeftSemi")
+    assert semi_pos != -1
