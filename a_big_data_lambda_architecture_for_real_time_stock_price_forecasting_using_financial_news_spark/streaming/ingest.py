@@ -110,6 +110,11 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFr
     )
     if isinstance(ts_type, T.LongType):
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # parquet µs timestamps with isAdjustedToUTC=false read back as
+        # TIMESTAMP_NTZ, which withWatermark rejects; the session zone is
+        # pinned to UTC (session.py), so this cast is wall-clock identity
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
