@@ -41,15 +41,17 @@ def point_in_interval_join(
     # digits, which would drop the final bucket (and its points) whenever
     # `end` carries fractional seconds just past a bucket boundary.
     b = F.lit(int(bucket_seconds) * 1_000_000)
-    p = points.withColumn(
-        "_bucket", F.floor(F.unix_micros(F.col(ts_col)) / b).cast("bigint")
-    )
+    # unix_micros rejects TIMESTAMP_NTZ (the regenerated fixtures store µs
+    # with isAdjustedToUTC=false); the session zone is pinned UTC, so the
+    # LTZ cast is wall-clock identity and a no-op on TIMESTAMP inputs
+    mic = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    p = points.withColumn("_bucket", F.floor(mic(ts_col) / b).cast("bigint"))
     i = intervals.withColumn(
-        "_b0", F.floor(F.unix_micros(F.col(start_col)) / b).cast("bigint")
+        "_b0", F.floor(mic(start_col) / b).cast("bigint")
     ).withColumn(
         # end is exclusive: the bucket of the last contained microsecond
         "_b1",
-        F.floor((F.unix_micros(F.col(end_col)) - 1) / b).cast("bigint"),
+        F.floor((mic(end_col) - 1) / b).cast("bigint"),
     )
     i = i.withColumn("_bucket", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
     joined = p.join(i, keys + ["_bucket"]).filter(
