@@ -2779,6 +2779,23 @@ def m8_frame_sample(spark, sf_dir):
     )
 
 
+from ..ml import infer as _inf
+
+
+@register(
+    "m9_mlp_inference",
+    _inf.mlp_infer_sql("embeddings"),
+)
+def m9_mlp_inference(spark, sf_dir):
+    """M3's model slot exercised with REAL batched tensor math: a 2-layer
+    integer MLP (quantize -> matmul -> relu -> matmul -> argmax) over each
+    Arrow record batch via mapInPandas (ml/infer.py). Exact-integer model,
+    so the DuckDB twin matches bit-for-bit; the Spark path is the genuine
+    BLAS-shaped batch workload the FinBERT seam needs proven
+    (batchPipeline.py:134-147)."""
+    return _inf.mlp_infer(tbl(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness: operators the reference lacks but a full engine
 # must serve (SURVEY §2.5 note: "no distinct-agg, grouping sets, window
