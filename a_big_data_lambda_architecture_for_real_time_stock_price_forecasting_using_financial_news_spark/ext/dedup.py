@@ -657,3 +657,76 @@ def cluster_pairs_sql(pairs_sql: str) -> str:
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM labeled
     """
+
+
+# --- passage-level exact dedup ---------------------------------------------
+
+PASSAGE_WORDS = 16
+
+
+def passage_dedup(
+    df: DataFrame, id_col: str, text_col: str, words_per: int = PASSAGE_WORDS
+) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb-style sub-document
+    pass): documents are chunked into fixed ``words_per``-word passages and
+    identical passages are grouped corpus-wide — catching boilerplate
+    shared across otherwise-distinct documents that document-level hashing
+    (exact_dedup) misses.
+
+    Fixed word windows, not layout splitting: corpus text carries no
+    reliable paragraph structure, and fixed windows make chunking a pure
+    function of the token stream (oracle-exact in SQL).
+
+    Plan shape: tokenize once per doc (persist = the materialization
+    barrier; without it CollapseProject inlines the tokenizer into the
+    chunk lambda and re-runs it once PER PASSAGE — the measured trap, see
+    module notes), slice into passages in the same narrow pass, explode,
+    then ONE map-side-combined hash agg on md5(passage). Zero joins; the
+    only shuffle is the distinct-passage table. At 100 TB the persisted
+    token table is the same discipline as the minhash sketch table
+    (write-to-parquet in production)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).persist()
+    nch = F.ceil(F.size("t") / F.lit(words_per)).cast("bigint")
+    chunks = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), nch - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), (i * words_per + 1).cast("int"), words_per),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select("doc_id", F.explode(chunks).alias("passage"))
+    return ex.groupBy(F.md5("passage").alias("passage_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+def passage_dedup_sql(
+    table: str, id_col: str, text_col: str, words_per: int = PASSAGE_WORDS
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tk AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+    ch AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) = 0 THEN []
+               ELSE list_transform(
+                 range(0, CAST(ceil(len(t) / {words_per}.0) AS BIGINT)),
+                 i -> array_to_string(
+                   t[CAST(i * {words_per} + 1 AS INTEGER)
+                     : CAST(i * {words_per} + {words_per} AS INTEGER)], ' '))
+               END) AS passage
+      FROM tk
+    )
+    SELECT md5(passage) AS passage_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM ch GROUP BY 1
+    """

@@ -361,3 +361,34 @@ def decontaminate_flags_sql(
     FROM base b LEFT JOIN shared o ON b.doc_id = o.doc_id
     WHERE NOT b.is_bench
     """
+
+
+def ngram_freq(df, text_col: str, n: int = 2, k: int = 100):
+    """Corpus-wide word n-gram frequency, deterministic top-k — the LM-stats
+    / decontamination-index primer (what a benchmark-gram table is built
+    from at corpus scale).
+
+    Plan shape: tokenize -> gram (both O(1) per row, see word_ngrams) ->
+    explode -> ONE map-side-combined hash agg on gram -> TakeOrderedAndProject
+    for the top-k (per-partition heap + driver merge of k rows, never a
+    global sort). Shuffle volume is the distinct-gram table; the (count
+    DESC, gram ASC) key is a total order, so the top-k SET is deterministic
+    under any partitioning — safe for the order-insensitive driver compare."""
+    g = df.select(word_ngrams(tokens(F.col(text_col)), n).alias("_g"))
+    counts = (
+        g.select(F.explode("_g").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
+
+
+def ngram_freq_sql(table: str, text_col: str, n: int = 2, k: int = 100) -> str:
+    grams = word_ngrams_sql(tokens_sql(text_col), n)
+    return f"""
+    WITH g AS (SELECT {grams} AS grams FROM {table}),
+    ex AS (SELECT unnest(grams) AS gram FROM g)
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM ex GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
+    """

@@ -2387,6 +2387,18 @@ def d7_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "d8_passage_dedup",
+    _dd.passage_dedup_sql("documents", "doc_id", "text"),
+)
+def d8_passage_dedup(spark, sf_dir):
+    """Sub-document exact dedup over fixed 16-word passages
+    (ext/dedup.py:passage_dedup) — catches boilerplate shared across
+    otherwise-distinct documents. One narrow chunking pass (persisted token
+    barrier), one hash agg on md5(passage); no joins."""
+    return _dd.passage_dedup(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "s4_embedding_quantize",
     _sim.quantize_int8_sql("embeddings"),
 )
@@ -2643,6 +2655,76 @@ def w4_value_window_functions(spark, sf_dir):
         F.last(k).over(w_full).alias("final_k"),
         F.nth_value(k, 2).over(w).alias("second_k"),
     )
+
+
+@register(
+    "w5_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 OR
+                  lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM o
+    )
+    SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(us) AS start_us, max(us) AS end_us,
+           max(us) - min(us) AS duration_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def w5_sessionize(spark, sf_dir):
+    """Batch sessionization (the gap-based session assignment every
+    clickstream/behavior pipeline needs; the streaming twin is
+    t5_session_window): a 30-minute inactivity gap opens a new session —
+    lag + conditional + running sum over one (user_id) window, then one
+    hash agg per session. Exactly one shuffle on user_id serves BOTH window
+    passes and the final agg (same partitioning). Epoch-microsecond integer
+    math end-to-end, so the oracle is exact; (ts, event_id) is a total
+    order per user, making session numbering deterministic."""
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        us.alias("us"),
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_seq").cast("int").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@register(
+    "x19_ngram_freq",
+    _tx.ngram_freq_sql("documents", "text", n=2, k=100),
+)
+def x19_ngram_freq(spark, sf_dir):
+    """Corpus bigram frequency, deterministic top-100
+    (ext/text.py:ngram_freq): explode -> one map-side-combined hash agg ->
+    TakeOrderedAndProject (per-partition heap, k rows to the driver — never
+    a global sort)."""
+    return _tx.ngram_freq(tbl(spark, sf_dir, "documents"), "text", n=2, k=100)
 
 
 @register(
