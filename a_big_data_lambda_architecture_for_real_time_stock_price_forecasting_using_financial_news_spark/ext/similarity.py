@@ -617,3 +617,150 @@ def topk_ivf_kmeans_sql(
     SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
     FROM kmranked WHERE rank <= {k}
     """
+
+
+# --- int8-dot candidate cascade (IVF probe -> quantized prefilter -> exact
+# rerank) ---------------------------------------------------------------------
+
+RERANK_CAND = 25
+
+
+def _int8_codes(e: Column, m: Column) -> Column:
+    return F.transform(
+        e, lambda x: F.floor(x.cast("double") / m * 127 + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _int8_codes_sql(e: str, m: str) -> str:
+    return (
+        f"list_transform({e},"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) / {m} * 127 + 0.5) AS BIGINT))"
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])),"
+        f" (acc, x) -> acc + x) AS BIGINT)"
+    )
+
+
+def topk_int8_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cand: int = RERANK_CAND,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dims: int = IVF_DIMS,
+) -> DataFrame:
+    """The production ANN serving cascade: coarse IVF cell probe ->
+    int8-quantized integer-dot prefilter (top ``cand`` per query) -> exact
+    float cosine rerank of the survivors (top ``k``).
+
+    Why the middle stage exists: at scale the cell join emits
+    O(Q * N / cells) candidate pairs, and scoring each with the full-width
+    float dot is the dominant cost. The int8 dot is 4x less memory traffic
+    (SIMD int8 FMA on real hardware), and only ``cand`` survivors per query
+    pay the exact cosine. Both phases rank by exact-integer or
+    bit-reproducible scores with id tie-breaks, so results are
+    deterministic and the SQL twin matches bit-for-bit. Zero-magnitude
+    vectors carry no quantization scale and are filtered from both sides
+    (same rule as quantize_int8)."""
+
+    def enc(df: DataFrame, idal: str, embal: str, nal: str):
+        base = df.select(
+            F.col(id_col).alias(idal),
+            F.col(emb_col).alias(embal),
+            F.array_max(
+                F.transform(F.col(emb_col), lambda v: F.abs(v.cast("double")))
+            ).alias("_m"),
+        ).filter(F.col("_m") > 0)
+        return base.select(
+            idal,
+            embal,
+            norm(F.col(embal)).alias(nal),
+            ivf_cell(F.col(embal), dims).alias("cell"),
+            _int8_codes(F.col(embal), F.col("_m")).alias(f"{embal}_q"),
+        )
+
+    q = F.broadcast(enc(queries, "query_id", "q_emb", "q_norm"))
+    c = enc(_spread_corpus(corpus), "neighbor_id", "c_emb", "c_norm")
+    pre = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qdot", _int_dot(F.col("q_emb_q"), F.col("c_emb_q")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    survivors = (
+        pre.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= cand)
+    )
+    rer = survivors.withColumn(
+        "score",
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "score", "rank")
+    )
+
+
+def topk_int8_rerank_sql(
+    table: str,
+    query_pred: str,
+    k: int,
+    cand: int = RERANK_CAND,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dims: int = IVF_DIMS,
+) -> str:
+    cos = cosine_sql("q.q_emb", "c.c_emb")
+    idot = _int_dot_sql("q.qq", "c.cq")
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {emb_col} AS e,
+             list_max(list_transform({emb_col}, v -> abs(CAST(v AS DOUBLE)))) AS m,
+             {ivf_cell_sql(emb_col, dims)} AS cell
+      FROM {table}
+    ), enc AS (
+      SELECT {id_col}, e, cell, {_int8_codes_sql("e", "m")} AS cq
+      FROM base WHERE m > 0
+    ), pre AS (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             q.e AS q_emb, c.e AS c_emb, {idot} AS qdot
+      FROM (SELECT {id_col}, e, cell, cq AS qq FROM enc WHERE {query_pred}) q
+      JOIN enc c ON q.cell = c.cell AND q.{id_col} <> c.{id_col}
+    ), survivors AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, q_emb, c_emb, qdot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS crank
+        FROM pre
+      ) WHERE crank <= {cand}
+    ), rer AS (
+      SELECT query_id, neighbor_id, qdot,
+             {cos.replace('q.q_emb', 'q_emb').replace('c.c_emb', 'c_emb')} AS score
+      FROM survivors
+    ), ranked AS (
+      SELECT query_id, neighbor_id, qdot, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, qdot, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -1457,6 +1457,19 @@ def s7_ann_recall_kmeans_vs_signbit(spark, sf_dir):
 
 
 @register(
+    "s8_ann_int8_rerank",
+    _sim.topk_int8_rerank_sql("embeddings", "vec_id % 50 = 0", k=5),
+)
+def s8_ann_int8_rerank(spark, sf_dir):
+    """The full ANN serving cascade (ext/similarity.py:topk_int8_rerank):
+    IVF cell probe -> int8 integer-dot prefilter (top-25 per query) ->
+    exact cosine rerank (top-5). The quantized middle stage is what makes
+    the candidate scoring affordable when cells are large at 100 TB."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return _sim.topk_int8_rerank(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+@register(
     "x6_lang_id",
     f"""
     SELECT doc_id, lang, {_tx.lang_id_sql('text')} AS lang_pred
