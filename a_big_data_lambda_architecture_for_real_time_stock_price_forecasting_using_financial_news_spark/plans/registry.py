@@ -1226,6 +1226,86 @@ def t11_stream_stream_join(spark, sf_dir):
     return spark.table(sink)
 
 
+@register(
+    "t12_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+    """,
+)
+def t12_stream_static_join(spark, sf_dir):
+    """Streaming enrichment: the events STREAM joined to a static customer
+    dimension (the speed layer's quote-enrichment shape). Stream-static
+    inner joins are stateless per micro-batch and Spark plans the static
+    side as a broadcast hash join inside every batch — the scale path for
+    enriching an unbounded stream against a dimension table without any
+    state store."""
+    import uuid
+
+    from ..streaming.ingest import events_stream
+
+    prepare(spark)
+    cust = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    enriched = (
+        events_stream(spark, sf_dir, n_chunks=2)
+        .select("event_id", "user_id")
+        .join(cust, F.col("user_id") + 1 == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_mktsegment")
+    )
+    sink = f"t12_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "t13_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def t13_stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicates across micro-batches: keyed state emits
+    each (user_id, event_type) once over the whole replay — S8's
+    at-most-once contract as a genuinely stateful streaming op (a5 is its
+    batch twin). Only the key survives to the sink, so the result set is
+    deterministic no matter which physical row wins the race; in
+    production the same pipeline adds a watermark to bound state
+    (dropDuplicatesWithinWatermark), pytest-covered in
+    tests/test_streaming.py."""
+    import uuid
+
+    from ..streaming.ingest import events_stream
+
+    prepare(spark)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    dedup = (
+        events_stream(spark, sf_dir, n_chunks=2)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    sink = f"t13_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Extensions: dedup / similarity / text analysis / multimodal (driver
 # mandate — first-class alongside SURVEY §2). Oracle SQL is GENERATED from

@@ -35,6 +35,9 @@ HEADLINE = [
     "x10_tfidf_top_terms",
     # r3: learned-quantizer ANN (k-means train + multiprobe, end to end)
     "s6_ann_topk_ivf_kmeans",
+    # r4: batched tensor inference through the Arrow seam; int8 rerank cascade
+    "m9_mlp_inference",
+    "s8_ann_int8_rerank",
 ]
 
 
