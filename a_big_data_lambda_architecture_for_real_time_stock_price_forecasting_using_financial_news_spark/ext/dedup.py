@@ -681,8 +681,9 @@ def passage_dedup(
     barrier; without it CollapseProject inlines the tokenizer into the
     chunk lambda and re-runs it once PER PASSAGE — the measured trap, see
     module notes), slice into passages in the same narrow pass, explode,
-    then ONE map-side-combined hash agg on md5(passage). Zero joins; the
-    only shuffle is the distinct-passage table. At 100 TB the persisted
+    then the canonical two-phase distinct agg on md5(passage) (shuffle on
+    (passage, doc) then on passage — countDistinct needs both). Zero
+    joins; both shuffles are bounded by the distinct-passage table. At 100 TB the persisted
     token table is the same discipline as the minhash sketch table
     (write-to-parquet in production)."""
     base = df.select(

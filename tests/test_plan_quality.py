@@ -285,3 +285,54 @@ def test_q20_semi_gate_below_single_agg(spark, sf_dir):
     # semi join present and below (appears before) the wide HashAggregate pair
     semi_pos = plan.find("LeftSemi")
     assert semi_pos != -1
+
+
+def _tree_nodes(plan: str, name: str) -> int:
+    """Count physical-plan TREE occurrences of a node (`Name (id)`); the
+    formatted explain repeats each node in the details section as
+    `(id) Name`, which plain substring counts double-count."""
+    import re
+
+    return len(re.findall(rf"{name} \(\d+\)", plan))
+
+
+def test_d8_passage_dedup_joinless_two_phase_distinct(spark, sf_dir):
+    df = registry.QUERIES["d8_passage_dedup"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    # countDistinct(doc_id) plans the canonical two-phase distinct agg:
+    # shuffle on (passage_hash, doc_id), then on passage_hash — both
+    # bounded by the distinct-passage table, never the corpus
+    assert _tree_nodes(plan, "Exchange") == 2
+    assert "partial_count" in plan  # map-side combined
+
+
+def test_x19_ngram_topk_no_global_sort(spark, sf_dir):
+    df = registry.QUERIES["x19_ngram_freq"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_w5_sessionize_single_user_shuffle(spark, sf_dir):
+    df = registry.QUERIES["w5_sessionize"](spark, sf_dir)
+    plan = plan_of(df)
+    # the lag window, the running-sum window, and the session agg all
+    # consume the SAME hashpartitioning(user_id) — one wide shuffle total
+    assert _tree_nodes(plan, "Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_m9_inference_arrow_batched_no_shuffle(spark, sf_dir):
+    df = registry.QUERIES["m9_mlp_inference"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan  # Arrow-batched, never row-at-a-time
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_s8_rerank_equi_join_only(spark, sf_dir):
+    df = registry.QUERIES["s8_ann_int8_rerank"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # cell equi-join, query side broadcast
