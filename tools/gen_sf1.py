@@ -59,8 +59,16 @@ def main():
     os.makedirs(dst, exist_ok=True)
     for name, keys in SHIFT.items():
         df = spark.read.parquet(f"{src}/{name}.parquet")
-        if name == "events":  # nanos long -> real µs timestamp
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if name == "events":
+            from pyspark.sql.types import LongType, TimestampNTZType
+
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, LongType):  # nanos long -> real µs timestamp
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            elif isinstance(ts_type, TimestampNTZType):
+                # regenerated fixtures already store µs; normalize to LTZ
+                # (UTC session) so replicas match the batch reader's view
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         if keys:  # replicate with disjoint key universes
             df = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(N_REP - 1))))
             for k in keys:
