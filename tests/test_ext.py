@@ -643,3 +643,73 @@ def test_bmp_resize_real_resample(spark):
     ys = (np.arange(th) * src.shape[0]) // th
     xs = (np.arange(tw) * src.shape[1]) // tw
     assert np.array_equal(mm.decode_bmp(bytes(out["payload"])), src[ys][:, xs])
+
+
+def test_passage_dedup_chunks_and_degenerate_docs(spark):
+    """Chunk boundaries: a 33-token doc yields 3 passages (16/16/1); empty
+    and whitespace-only docs yield none; identical passages across docs
+    collapse to one hash with the right counts."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        dedup,
+    )
+
+    words = " ".join(f"w{i}" for i in range(33))
+    shared = " ".join(f"s{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=words),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="   "),
+            Row(doc_id=4, text=shared),
+            Row(doc_id=5, text=shared),
+        ]
+    )
+    out = dedup.passage_dedup(df, "doc_id", "text").collect()
+    # doc 1 -> 3 unique passages; docs 4+5 -> one shared passage
+    assert len(out) == 4
+    shared_row = [r for r in out if r.n_docs == 2]
+    assert len(shared_row) == 1
+    assert shared_row[0].n_copies == 2 and shared_row[0].canonical_id == 4
+    assert sum(r.n_copies for r in out) == 5  # 3 + 2 passages total
+
+
+def test_ngram_freq_deterministic_topk_tiebreak(spark):
+    """Boundary ties resolve by gram text: with k=2 and three grams at
+    count 1, the two lexicographically-smallest survive."""
+    from pyspark.sql import Row
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        text as tx,
+    )
+
+    df = spark.createDataFrame(
+        [Row(text="b c"), Row(text="a b"), Row(text="c d")]
+    )
+    out = tx.ngram_freq(df, "text", n=2, k=2).collect()
+    assert sorted((r.gram, r.n_occurrences) for r in out) == [("a b", 1), ("b c", 1)]
+
+
+def test_int8_rerank_cascade_never_widens_candidates(spark, sf_dir):
+    """Every (query, neighbor) the cascade returns must lie in the query's
+    IVF cell (candidate discipline), and ranks are 1..k dense per query."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.topk_int8_rerank(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+    rows = out.collect()
+    cells = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", sim.ivf_cell(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert cells[r.query_id] == cells[r.neighbor_id]
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
