@@ -150,11 +150,19 @@ def main():
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    timings = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # median of 3 timed rounds, interleaved so machine-load drift hits every
+    # query equally: single-run timings measured ±20% run-to-run noise on
+    # identical code (r3 vs r4 snapshots), which drowned real regressions
+    import statistics
+
+    reps: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(3):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps[name].append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    timings = {name: round(statistics.median(v), 3) for name, v in reps.items()}
 
     skew = skew_bench(spark, sf_dir)
 
