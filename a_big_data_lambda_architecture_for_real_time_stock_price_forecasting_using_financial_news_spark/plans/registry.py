@@ -1306,6 +1306,13 @@ def t13_stream_dedup(spark, sf_dir):
     return spark.table(sink)
 
 
+# t14 (transformWithStateInPandas, the Spark 4 typed-state API) lives in
+# streaming/state.py::user_stats_stream. Its state-server protocol needs
+# google.protobuf, which this sandbox lacks (same class of constraint as
+# the absent Kafka broker), so it is dependency-gated plumbing with a
+# skip-gated pytest (tests/test_streaming.py) instead of an oracle entry.
+
+
 # ---------------------------------------------------------------------------
 # Extensions: dedup / similarity / text analysis / multimodal (driver
 # mandate — first-class alongside SURVEY §2). Oracle SQL is GENERATED from

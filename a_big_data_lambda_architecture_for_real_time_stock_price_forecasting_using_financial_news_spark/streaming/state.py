@@ -80,3 +80,55 @@ def running_topk_stream(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Spark 4 transformWithState (the arbitrary-state successor API) --------
+#
+# ``applyInPandasWithState`` is the Spark 3.x arbitrary-state seam;
+# Spark 4 replaces it with ``transformWithStateInPandas`` — typed state
+# variables (ValueState / ListState / MapState), timers, and TTL, managed
+# per key by the state store. ``user_stats_stream`` exercises the new API
+# with the same sum/count-per-key shape as running_mean_stream so the two
+# can be oracle-checked against the SAME batch aggregate.
+
+try:  # the API landed in Spark 4.0; import-gate for older runtimes
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+STATS_OUT_SCHEMA = "key string, n bigint, sum_v double"
+
+
+class _UserStatsProcessor(StatefulProcessor):
+    """ValueState (n, sum) per key; emits the updated totals each batch."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("stats", "n bigint, sum_v double")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterable[pd.DataFrame]:
+        n, s = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["v"].sum())
+        self._state.update((n, s))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "sum_v": [s]})
+
+    def close(self) -> None:
+        pass
+
+
+def user_stats_stream(keyed: DataFrame) -> DataFrame:
+    """``keyed``: streaming DataFrame with (key string, v double). One
+    updated (n, sum) row per key per micro-batch via the Spark 4
+    transformWithStateInPandas API."""
+    if not _HAS_TWS:  # pragma: no cover
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _UserStatsProcessor(),
+        outputStructType=STATS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

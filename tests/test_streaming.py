@@ -921,3 +921,48 @@ def test_stale_lease_broken_and_reacquired(spark, tmp_path):
     with pytest.raises(TimeoutError):
         view.merge_overwrite_by_key(b2, "t", batch_id=1)
     os.unlink(lf)
+
+
+def test_transform_with_state_user_stats(spark):
+    """Spark 4 transformWithStateInPandas (streaming/state.py::
+    user_stats_stream): per-key ValueState across micro-batches matches the
+    batch aggregate. The state-server protocol needs google.protobuf —
+    absent in this sandbox, so the test skips there (same dependency gate
+    as the Kafka broker paths) but runs anywhere protobuf is installed."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import tempfile
+
+    import pandas as pd
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.streaming.state import (
+        user_stats_stream,
+    )
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    d = tempfile.mkdtemp(prefix="tws_")
+    pd.DataFrame({"key": ["a", "a", "b"], "v": [1.0, 2.0, 5.0]}).to_parquet(
+        f"{d}/p0.parquet"
+    )
+    pd.DataFrame({"key": ["a", "c"], "v": [4.0, 7.0]}).to_parquet(f"{d}/p1.parquet")
+    schema = StructType(
+        [StructField("key", StringType()), StructField("v", DoubleType())]
+    )
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        user_stats_stream(src)
+        .writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT key, max_by(struct(n, sum_v), n).* FROM tws_stats GROUP BY key"
+    ).collect()
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert got == {"a": (3, 7.0), "b": (1, 5.0), "c": (1, 7.0)}
