@@ -2268,6 +2268,47 @@ def c1_correlated_subquery(spark, sf_dir):
 
 
 @register(
+    "c2_lateral_topn",
+    """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.total AS DOUBLE) AS total, CAST(t.rk AS INTEGER) AS rk
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+             row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                                DESC, o_orderkey) AS rk
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY total DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def c2_lateral_topn(spark, sf_dir):
+    """LATERAL correlated table subquery (each BUILDING customer's 2
+    priciest orders) — the join-family member c1's scalar form doesn't
+    cover. Written as SQL so Catalyst's DecorrelateInnerQuery rewrites the
+    per-row subquery into a ranked window + filter over ONE orders scan —
+    never a re-execution per customer row. Top-2 membership and rank are
+    decided on the exact DECIMAL; DOUBLE rides out."""
+    prepare(spark)
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("c2_customer")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("c2_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.total AS DOUBLE) AS total, CAST(t.rk AS INTEGER) AS rk
+        FROM c2_customer c, LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+                 row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                                    DESC, o_orderkey) AS rk
+          FROM c2_orders WHERE o_custkey = c.c_custkey
+          ORDER BY total DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
     "a9_approx_distinct",
     """
     SELECT event_type,
@@ -3284,6 +3325,40 @@ def o1_sort_limit_topn(spark, sf_dir):
         )
         .orderBy(F.desc("total"), F.asc("o_orderkey"))
         .limit(100)
+    )
+
+
+@register(
+    "o2_limit_offset_page",
+    """
+    SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      FROM orders
+      ORDER BY total DESC, o_orderkey
+      LIMIT 50 OFFSET 100
+    )
+    """,
+)
+def o2_limit_offset_page(spark, sf_dir):
+    """Keyset-free pagination (page 3 of 50 under a total order): Spark
+    plans LIMIT+OFFSET as a single TakeOrdered of offset+limit rows and
+    drops the prefix on the driver — rows 1..100 never ship to one reducer
+    as a global sort would. (Deep pages should switch to keyset pagination;
+    this entry pins the operator, o1 the top-N form.) Page membership is
+    decided on the exact DECIMAL; DOUBLE rides out."""
+    prepare(spark)
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("o2_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total FROM (
+          SELECT o_orderkey, o_custkey,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS total
+          FROM o2_orders
+          ORDER BY total DESC, o_orderkey
+          LIMIT 50 OFFSET 100
+        )
+        """
     )
 
 
