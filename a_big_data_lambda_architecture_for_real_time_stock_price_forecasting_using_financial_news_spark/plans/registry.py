@@ -3245,6 +3245,38 @@ def g5_rollup_grouping_id(spark, sf_dir):
 
 
 @register(
+    "g6_grouping_sets",
+    """
+    SELECT event_type, user_id,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS INTEGER) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id), (user_id), ())
+    """,
+)
+def g6_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE (g1/g4) are
+    sugar for, with a NON-hierarchical set list ((type,user), (user), ())
+    neither could express. Catalyst expands the sets in ONE pass over the
+    input (an Expand node, no re-scan per set); grouping_id disambiguates
+    subtotal NULLs. DECIMAL keeps the money sums exact; DOUBLE rides out."""
+    prepare(spark)
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("g6_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id,
+               CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS INTEGER)
+                 AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM g6_events
+        GROUP BY GROUPING SETS ((event_type, user_id), (user_id), ())
+        """
+    )
+
+
+@register(
     "g1_rollup",
     """
     SELECT event_type, CAST(ts AS DATE) AS event_date,
