@@ -23,23 +23,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["flagship_batch_view"](spark, "/root/testdata/sf0.001")
 
 
-def _evidence_order(keys: list[str]) -> list[str]:
+def _evidence_order(
+    keys: list[str], snapshot_window: int = 50, artifacts_dir: str | None = None
+) -> list[str]:
     """Order registry keys so entries still lacking a green row in any
-    driver CORRECTNESS_r*.json come first.  The driver snapshots the first
-    50 ``queries()`` entries per round; rotating never-evidenced entries to
-    the front closes the evidence gap round by round without dropping
-    anything from the registry."""
+    driver CORRECTNESS_r*.json come first, followed by previously-green
+    entries **stalest evidence first**.  The driver snapshots the first
+    ``snapshot_window`` ``queries()`` entries per round, so this ordering
+    (a) closes the evidence gap for never-verified entries and (b) spends
+    any leftover slots re-verifying the entries whose last green row is
+    oldest — a regression in a long-green entry re-enters the window
+    within a few rounds instead of hiding behind stale evidence.
+
+    Deterministic by construction: ties (same latest-green round; or no
+    artifacts present at all, e.g. a fresh checkout) fall back to registry
+    declaration order.  If pending alone overflows the snapshot window the
+    overflow is loudly reported on stderr so starvation can never be
+    silent."""
     import glob
     import json
     import os
+    import re
+    import sys
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    here = artifacts_dir or os.path.dirname(os.path.abspath(__file__))
+    latest_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
             continue
         for k, v in rows.items():
             if (
@@ -48,13 +65,21 @@ def _evidence_order(keys: list[str]) -> list[str]:
                 and v.get("schema_match")
                 and v.get("hash_match")
             ):
-                green.add(k)
-    # wide function-coverage batteries yield their snapshot slot to the
-    # relational/training-data entries when pending overflows the 50 rows
-    defer = {"x15_scalar_battery", "x16_datetime_battery", "x17_array_battery"}
-    pending = [k for k in keys if k not in green and k not in defer]
-    pending += [k for k in keys if k not in green and k in defer]
-    done = [k for k in keys if k in green]
+                latest_green[k] = max(rnd, latest_green.get(k, 0))
+    index = {k: i for i, k in enumerate(keys)}
+    pending = [k for k in keys if k not in latest_green]
+    done = sorted(
+        (k for k in keys if k in latest_green),
+        key=lambda k: (latest_green[k], index[k]),
+    )
+    if len(pending) > snapshot_window:
+        print(
+            f"[spark-graft] WARNING: {len(pending)} never-evidenced registry "
+            f"entries exceed the driver's {snapshot_window}-row snapshot "
+            f"window; {len(pending) - snapshot_window} will starve this "
+            "round: " + ", ".join(pending[snapshot_window:]),
+            file=sys.stderr,
+        )
     return pending + done
 
 
