@@ -685,7 +685,13 @@ def passage_dedup(
     (passage, doc) then on passage — countDistinct needs both). Zero
     joins; both shuffles are bounded by the distinct-passage table. At 100 TB the persisted
     token table is the same discipline as the minhash sketch table
-    (write-to-parquet in production)."""
+    (write-to-parquet in production).
+
+    Caching contract (same as ``minhash_sketches``): the token table stays
+    persisted for the session so re-invocations of the identical plan reuse
+    it; callers running many *different* inputs through one session must
+    ``spark.catalog.clearCache()`` between them (bench.py and selfcheck.py
+    both do)."""
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
     ).persist()

@@ -93,8 +93,13 @@ def mlp_infer(
                 out["batch_rows"] = np.full(len(pdf), len(pdf), dtype=np.int32)
             yield pd.DataFrame(out)
 
+    # Dense-input gate: besides null/mis-sized vectors, drop vectors with
+    # any null/NaN element — np.floor(NaN).astype(int64) is platform-
+    # undefined while SQL engines propagate NULL, a silent cross-engine
+    # divergence on dirty input.  The oracle twin applies the same gate.
+    dense = F.forall(vec_col, lambda x: x.isNotNull() & ~F.isnan(x))
     clean = df.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == DIM)
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == DIM) & dense
     ).select(id_col, vec_col)
     return clean.mapInPandas(run, schema=schema)
 
@@ -112,6 +117,8 @@ def mlp_infer_sql(
                        floor({SCALE} * CAST(x AS DOUBLE)))) AS BIGINT)) AS xq
       FROM {table}
       WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {DIM}
+        AND len(list_filter({vec_col},
+              x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0
     ), h AS (
       SELECT {id_col},
              list_transform(range(0, {HIDDEN}), i ->

@@ -1285,14 +1285,16 @@ def t13_stream_dedup(spark, sf_dir):
 
     prepare(spark)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    dedup = (
-        events_stream(spark, sf_dir, n_chunks=2)
-        .select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-    )
     sink = f"t13_sink_{uuid.uuid4().hex[:8]}"
     try:
+        # inside the try so a failure anywhere (including building the
+        # stream) still restores the session-wide partition count
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        dedup = (
+            events_stream(spark, sf_dir, n_chunks=2)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
         q = (
             dedup.writeStream.format("memory")
             .queryName(sink)

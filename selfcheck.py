@@ -91,6 +91,10 @@ def main():
     failures = []
     for name in names:
         try:
+            # sketch/token tables persist() as their in-session
+            # materialization barrier; drop them between entries so a long
+            # multi-entry run doesn't accumulate cached blocks
+            spark.catalog.clearCache()
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
             dec_cols = [

@@ -69,3 +69,30 @@ def test_malformed_vectors_filtered(spark):
     )
     out = infer.mlp_infer(base).collect()
     assert sorted(r.vec_id for r in out) == [0, 1, 2]
+
+
+def test_sparse_or_nan_elements_filtered(spark):
+    """A right-sized vector containing a null or NaN element is also gated:
+    np.floor(NaN).astype(int64) is platform-undefined while SQL engines
+    propagate NULL — without the dense gate Spark and the oracle silently
+    diverge on dirty input."""
+    import pyspark.sql.functions as F
+
+    full = F.array(*[F.lit(0.25)] * infer.DIM)
+    with_nan = F.concat(
+        F.array(*[F.lit(0.25)] * (infer.DIM - 1)), F.array(F.lit(float("nan")))
+    )
+    with_null = F.concat(
+        F.array(*[F.lit(0.25)] * (infer.DIM - 1)),
+        F.array(F.lit(None).cast("float")),
+    )
+    base = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") == 2, with_nan)
+        .when(F.col("id") == 3, with_null)
+        .otherwise(full)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    out = infer.mlp_infer(base).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1]

@@ -338,14 +338,14 @@ def test_s8_rerank_equi_join_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # cell equi-join, query side broadcast
 
 
-def test_dynamic_partition_pruning_on_partitioned_view(spark, tmp_path):
+def test_dynamic_partition_pruning_on_partitioned_view(spark, tmp_path, sf_dir):
     """Dynamic partition pruning: a date-partitioned fact (the layout K6's
     batch_view writes) joined to a dim filtered by a literal predicate gets
     a runtime IN-subquery PartitionFilter — only the joined dates' files
     are read. At 100 TB this is the difference between scanning 3
     partitions and 3000."""
     fact_dir, dim_dir = str(tmp_path / "fact"), str(tmp_path / "dim")
-    ev = registry.tbl(spark, "/root/testdata/sf0.001", "events").withColumn(
+    ev = registry.tbl(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )
     ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_dir)
