@@ -33,6 +33,31 @@ from pyspark.sql import functions as F
 
 IVF_DIMS = 6  # 2^6 = 64 cells
 
+# The top-k entry points broadcast the QUERY side (serving contract: Q is
+# request-sized, the corpus is the big side). A corpus-sized query set —
+# batch self-similarity — must NOT go through them: broadcasting it would
+# OOM every executor. That job's documented path is `near_dup_pairs` /
+# dedup's LSH. The guard below turns the misuse into a loud error instead.
+MAX_BROADCAST_QUERIES = 100_000
+
+
+def _serving_sized(queries: DataFrame, fn: str, limit: int | None = None) -> DataFrame:
+    """Assert the query set honors the serving-sized broadcast contract.
+
+    The check scans at most ``limit + 1`` rows (limit + count, not a full
+    count), so its cost is bounded by the contract itself, and it fails
+    with the intended alternative named instead of an executor OOM."""
+    limit = MAX_BROADCAST_QUERIES if limit is None else limit
+    n = queries.limit(limit + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"{fn}: query set exceeds {limit} rows — the query side is "
+            "broadcast, so corpus-sized query sets would OOM executors. "
+            "For batch all-pairs similarity use near_dup_pairs (or dedup's "
+            "minhash/simhash LSH); for batch top-k, chunk the query set."
+        )
+    return queries
+
 
 def _spread_corpus(df: DataFrame) -> DataFrame:
     """Round-robin repartition for under-partitioned (single-file) corpora —
@@ -105,6 +130,7 @@ def topk_bruteforce(
     over the corpus with no shuffle of the big side; the window top-k then
     shuffles only Q*N score rows — at scale, pre-aggregate with a partial
     top-k per partition before the window if Q*N is large."""
+    queries = _serving_sized(queries, "topk_bruteforce")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
@@ -162,6 +188,7 @@ def topk_ivf(
     and the corpus shuffles at most once on cell — skewed cells are AQE's
     problem, empty candidate sets mean fewer than k results (expected ANN
     behavior, measured as recall vs. topk_bruteforce)."""
+    queries = _serving_sized(queries, "topk_ivf")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -525,6 +552,7 @@ def topk_ivf_kmeans(
     """ANN top-k with the learned quantizer: corpus vectors live in their
     nearest centroid's cell; each query probes its ``probe`` nearest cells
     (multiprobe) and scores exact cosine against just those candidates."""
+    queries = _serving_sized(queries, "topk_ivf_kmeans")
     cents = train_kmeans_centroids(corpus, km_k, iters, id_col, emb_col)
     base = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -676,6 +704,7 @@ def topk_int8_rerank(
     deterministic and the SQL twin matches bit-for-bit. Zero-magnitude
     vectors carry no quantization scale and are filtered from both sides
     (same rule as quantize_int8)."""
+    queries = _serving_sized(queries, "topk_int8_rerank")
 
     def enc(df: DataFrame, idal: str, embal: str, nal: str):
         base = df.select(

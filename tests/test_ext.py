@@ -102,6 +102,25 @@ def test_topk_ivf_subset_of_bruteforce_candidates(spark):
     assert 1 in ivf and 3 not in ivf
 
 
+def test_topk_rejects_corpus_sized_query_set(spark, monkeypatch):
+    """The top-k entry points broadcast the query side; a corpus-sized
+    query set must fail loudly (naming the batch alternative) instead of
+    OOMing executors at scale."""
+    emb = vec_df(spark)
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_QUERIES", 2)
+    with pytest.raises(ValueError, match="near_dup_pairs"):
+        similarity.topk_bruteforce(emb, emb, k=2)
+    with pytest.raises(ValueError, match="broadcast"):
+        similarity.topk_ivf(emb, emb, k=2)
+    with pytest.raises(ValueError, match="topk_ivf_kmeans"):
+        similarity.topk_ivf_kmeans(emb, emb, k=2)
+    with pytest.raises(ValueError, match="topk_int8_rerank"):
+        similarity.topk_int8_rerank(emb, emb, k=2)
+    # serving-sized sets still pass through untouched
+    q = emb.filter(F.col("vec_id") == 0)
+    assert similarity.topk_bruteforce(emb, q, k=2).count() == 2
+
+
 def test_embedding_near_dup_within_cell(spark):
     out = similarity.embedding_near_dup(vec_df(spark), 0.99, cell_col="label")
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
