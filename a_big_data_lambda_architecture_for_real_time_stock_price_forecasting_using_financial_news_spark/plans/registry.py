@@ -1308,8 +1308,67 @@ def t13_stream_dedup(spark, sf_dir):
     return spark.table(sink)
 
 
-# t14 (transformWithStateInPandas, the Spark 4 typed-state API) lives in
-# streaming/state.py::user_stats_stream. Its state-server protocol needs
+@register(
+    "t14_stream_state_expiry",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    agg AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT key, n, sum_v
+    FROM agg, mx
+    WHERE epoch_ms(last_ts) + 36000000 < epoch_ms(m) - 7200000
+    """,
+)
+def t14_stream_state_expiry(spark, sf_dir):
+    """Timeout-driven state EXPIRY through ``applyInPandasWithState``
+    (``GroupStateTimeout.EventTimeTimeout``): per-user session state is
+    emitted exactly once when the watermark passes last-activity + 10h,
+    then removed — the state-GC behavior t6/t10 (and the reference's ES
+    keyed docs, Speed_layer/twitterConsumerStream.py:94-107) never
+    exercise, and the thing that bounds state to active keys at 100 TB.
+
+    Determinism: one data batch (availableNow), then Spark's final no-data
+    micro-batch advances the watermark to max(ts) - 2h and fires every
+    timeout strictly below it. So the emitted set is exactly the users
+    whose last activity is > 12h before the stream's end — the HAVING-gated
+    batch aggregate in the oracle. Users still active in the final 12h
+    remain open (in state, unemitted) — expected session semantics."""
+    import uuid
+
+    from ..streaming.ingest import events_stream
+    from ..streaming.state import idle_session_close
+
+    prepare(spark)
+    stream = (
+        events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("ts"),
+            F.floor("value").cast("bigint").alias("v"),
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    out = idle_session_close(stream, gap_ms=10 * 3600 * 1000)
+    sink = f"t14_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # each key emits at most once (state removed on expiry): sink == result
+    return spark.table(sink)
+
+
+# The Spark 4 typed-state successor API (transformWithStateInPandas) lives
+# in streaming/state.py::user_stats_stream. Its state-server protocol needs
 # google.protobuf, which this sandbox lacks (same class of constraint as
 # the absent Kafka broker), so it is dependency-gated plumbing with a
 # skip-gated pytest (tests/test_streaming.py) instead of an oracle entry.

@@ -82,6 +82,65 @@ def running_topk_stream(keyed: DataFrame) -> DataFrame:
     )
 
 
+IDLE_OUT_SCHEMA = "key string, n bigint, sum_v bigint"
+IDLE_STATE_SCHEMA = "n bigint, sum_v bigint, last_ms bigint"
+
+
+def _close_idle_factory(gap_ms: int):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last activity + gap: the session is closed —
+            # emit it exactly once and free the state slot
+            n, s, _ = state.get
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "sum_v": [s]})
+            return
+        n, s, last_ms = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pdf["v"].sum())
+            # floor-to-ms matches Spark's own event-time stats (µs DIV 1000)
+            last_ms = max(last_ms, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000))
+        state.update((n, s, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # nothing is emitted while the session is live — output happens
+        # solely on expiry, so state is the ONLY place the session exists
+
+    return update
+
+
+def idle_session_close(keyed: DataFrame, gap_ms: int = 10 * 3600 * 1000) -> DataFrame:
+    """Timeout-driven session close — the state-EXPIRY behavior the other
+    stateful ops deliberately avoid (t6/t10 keep state forever, the
+    reference's ES keyed docs likewise never expire,
+    Speed_layer/twitterConsumerStream.py:94-107).
+
+    ``keyed`` must be a streaming DataFrame with (key string, ts timestamp,
+    v bigint) and a watermark on ``ts``. Per-key state is (n, sum, last
+    activity ms); every batch re-arms an event-time timeout at
+    ``last_ms + gap_ms``. When the watermark passes that point the session
+    is emitted ONCE (``hasTimedOut`` branch) and the state slot is removed
+    — at 100 TB this is what bounds state to ACTIVE keys instead of all
+    keys ever seen, the fix for unbounded key cardinality.
+
+    Emission is therefore watermark-deterministic: a key's session closes
+    iff ``floor_ms(last_ts) + gap_ms < floor_ms(max_ts) - delay_ms`` (Spark
+    fires event-time timeouts strictly after the watermark passes them),
+    which is exactly SQL-expressible — see the t14 oracle."""
+    return keyed.groupBy("key").applyInPandasWithState(
+        _close_idle_factory(gap_ms),
+        outputStructType=IDLE_OUT_SCHEMA,
+        stateStructType=IDLE_STATE_SCHEMA,
+        # append, not update: a session is emitted exactly once (on expiry),
+        # never revised — which also makes the op compatible with
+        # append-only sinks (files)
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # --- Spark 4 transformWithState (the arbitrary-state successor API) --------
 #
 # ``applyInPandasWithState`` is the Spark 3.x arbitrary-state seam;

@@ -192,6 +192,70 @@ def test_watermark_drops_late_data(spark):
         assert 10 in hours
 
 
+def test_state_expiry_closes_idle_sessions_across_batches(spark):
+    """T14: event-time timeout fires for a key idle past the gap while an
+    active key's state stays open — across genuine multiple micro-batches.
+
+    Batch 1: users a and b active around 10:00. Batch 2 (hours later in
+    event time): only b is active, advancing the watermark past a's
+    last-activity + gap — a's session must be emitted by the timeout path
+    and b's must not (it is still live in state)."""
+    import os
+    import tempfile as tf
+
+    state = _mod("streaming.state")
+
+    with tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        with open(f"{src}/b1.json", "w") as fh:
+            fh.write(
+                '{"key": "a", "ts": "2024-01-01T10:00:00", "v": 3}\n'
+                '{"key": "a", "ts": "2024-01-01T10:30:00", "v": 4}\n'
+                '{"key": "b", "ts": "2024-01-01T10:00:00", "v": 5}\n'
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("v", T.LongType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        out = state.idle_session_close(
+            stream.withWatermark("ts", "30 minutes"), gap_ms=3600 * 1000
+        )
+        sink_dir = f"{tmp}/out"
+
+        def run_once():
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink_dir)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        # nothing can have closed yet: watermark is 10:30 - 30min = 10:00,
+        # well before a's timeout at 11:30
+        assert spark.read.parquet(sink_dir).count() == 0
+
+        # batch 2: b alone, 6 hours later -> watermark 15:30 passes a's
+        # timeout (11:30) but not b's new one (16:00 + 1h)
+        with open(f"{src}/b2.json", "w") as fh:
+            fh.write('{"key": "b", "ts": "2024-01-01T16:00:00", "v": 7}\n')
+        run_once()
+        rows = {r.key: (r.n, r.sum_v) for r in spark.read.parquet(sink_dir).collect()}
+        assert rows == {"a": (2, 7)}
+
+
 def test_streaming_dedup_within_watermark(spark):
     """S8 streaming form: dropDuplicates on id across micro-batches — the
     replayed article id must be emitted once."""
