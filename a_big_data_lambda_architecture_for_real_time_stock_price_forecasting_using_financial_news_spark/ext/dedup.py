@@ -548,6 +548,83 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_chars: int = 12,
+    prefix_len: int = 48,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: documents whose normalized
+    ``prefix_len``-char heads are within ``max_dist`` Levenshtein edits,
+    candidate-blocked on the first ``block_chars`` chars.
+
+    The complement to token-set measures (minhash/Jaccard are insensitive
+    to small in-word edits; Levenshtein catches typo-level variants of the
+    same leading text — title dedup, template detection). Cost model is the
+    same pigeonhole-blocking story as d3/d4: the self-join is an equi-join
+    on the block key, each comparison is O(prefix_len^2) bounded, and total
+    work is sum over blocks of |block|^2 — block choice, not corpus size,
+    bounds it. Docs differing inside the first ``block_chars`` chars are
+    missed by construction (recall tradeoff of blocking; run post-LSH as a
+    precision pass when full recall is needed). Docs whose normalized text
+    is shorter than ``block_chars`` are excluded (no meaningful head).
+
+    Spark ``levenshtein`` and DuckDB ``levenshtein`` are both the standard
+    unit-cost DP edit distance over characters, so the twin matches
+    exactly."""
+    spread = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    )
+    # persist the normalized text (same CollapseProject barrier as the
+    # jaccard pass) and feed both self-join sides from it
+    normed = spread.select(
+        "doc_id", norm_text(F.col("_text")).alias("_norm")
+    ).persist()
+    base = normed.filter(F.length("_norm") >= block_chars).select(
+        "doc_id",
+        F.substring("_norm", 1, block_chars).alias("blk"),
+        F.substring("_norm", 1, prefix_len).alias("head"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("dist", F.levenshtein(F.col("a.head"), F.col("b.head")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )
+
+
+def fuzzy_prefix_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_chars: int = 12,
+    prefix_len: int = 48,
+    max_dist: int = 8,
+) -> str:
+    nm = norm_text_sql(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {nm} AS nm FROM {table}
+    ), h AS (
+      SELECT doc_id, nm[1:{block_chars}] AS blk, nm[1:{prefix_len}] AS head
+      FROM base WHERE len(nm) >= {block_chars}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+    FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {max_dist}
+    """
+
+
 # --- cluster assignment ----------------------------------------------------
 
 

@@ -2601,6 +2601,74 @@ def d8_passage_dedup(spark, sf_dir):
 
 
 @register(
+    "d9_fuzzy_prefix_pairs",
+    _dd.fuzzy_prefix_pairs_sql("documents", "doc_id", "text"),
+)
+def d9_fuzzy_prefix_pairs(spark, sf_dir):
+    """Blocked Levenshtein near-dup pairs (ext/dedup.py:fuzzy_prefix_pairs):
+    typo-level variants of the same leading text that token-set measures
+    (d2/d4) are insensitive to. Equi-join on a 12-char prefix block, edit
+    distance over 48-char heads — work bounded by block sizes, not corpus
+    size."""
+    return _dd.fuzzy_prefix_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+from ..ext import export as _ex  # noqa: E402
+
+
+@register(
+    "s9_shuffle_shards",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars, {_ex.shuffle_pos_sql('doc_id')} AS pos
+      FROM documents
+    )
+    SELECT CAST(pos % {_ex.N_SHARDS} AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(pos) AS first_pos,
+           max(pos) AS last_pos
+    FROM s GROUP BY 1
+    """,
+)
+def s9_shuffle_shards(spark, sf_dir):
+    """Deterministic training-export shuffle (ext/export.py:shuffle_shards):
+    shard and order are pure hash functions of the doc id — reproducible
+    bit-for-bit, no global sort, hash-uniform shard sizes. The entry
+    aggregates the per-shard manifest (count / chars / pos range)."""
+    d = _ex.shuffle_shards(tbl(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+    )
+
+
+@register(
+    "x20_token_packing",
+    _ex.pack_manifest_sql(
+        "documents", "doc_id", f"len({_tx.tokens_sql('text')})", budget=512
+    ),
+)
+def x20_token_packing(spark, sf_dir):
+    """Sequence-packing manifest (ext/export.py:pack_manifest): documents
+    in deterministic shuffle order are concatenated per shard and cut
+    every 512 tokens (concat-and-chunk); the entry aggregates per
+    (shard, pack). Token counts via the proven cross-engine tokenizer
+    (ext/text.py). The cumulative window is per-shard, so no global
+    single-partition window exists at any scale."""
+    d = tbl(spark, sf_dir, "documents").withColumn(
+        "tok", F.size(_tx.tokens(F.col("text"))).cast("bigint")
+    )
+    m = _ex.pack_manifest(d, "doc_id", "tok", budget=512)
+    return m.groupBy("shard_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@register(
     "s4_embedding_quantize",
     _sim.quantize_int8_sql("embeddings"),
 )

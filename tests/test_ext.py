@@ -732,3 +732,87 @@ def test_int8_rerank_cascade_never_widens_candidates(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_fuzzy_prefix_pairs_catches_typo_variant(spark):
+    """A typo-level variant of the same leading text pairs up; documents
+    with different prefixes never even become candidates."""
+    rows = [
+        Row(doc_id=0, text=BASE),
+        # typo past the 12-char block prefix: same block, 2 edits in head
+        Row(doc_id=1, text=BASE.replace("jumps", "jmups")),
+        Row(doc_id=2, text="zzz " + BASE),  # different first-12 chars
+        Row(doc_id=3, text="short"),  # below block length, excluded
+    ]
+    out = dedup.fuzzy_prefix_pairs(spark.createDataFrame(rows), "doc_id", "text")
+    pairs = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    assert set(pairs) == {(0, 1)}
+    assert 0 < pairs[(0, 1)] <= 8
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    """Shard assignment is a pure function of the id (stable across
+    partitionings) and hash-uniform (no shard more than 2x the mean)."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        export,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = export.shuffle_shards(df, "doc_id", n_shards=8)
+    b = export.shuffle_shards(df.repartition(13), "doc_id", n_shards=8)
+    amap = {r.doc_id: (r.shard_id, r.pos) for r in a.collect()}
+    bmap = {r.doc_id: (r.shard_id, r.pos) for r in b.collect()}
+    assert amap == bmap
+    sizes = a.groupBy("shard_id").count().collect()
+    assert len(sizes) == 8
+    assert max(r["count"] for r in sizes) < 2 * (2000 / 8)
+
+
+def test_pack_manifest_packs_are_contiguous_and_budget_shaped(spark):
+    """Within every shard: pack ids start at 0, are contiguous, every pack
+    except possibly the last crosses the budget boundary (concat-and-chunk
+    semantics), and totals are preserved."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        export,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("tok")
+    )
+    m = export.pack_manifest(df, "doc_id", "tok", budget=200, n_shards=4)
+    rows = m.collect()
+    assert sum(r.tok for r in rows) == 500 * 10 + sum(i % 97 for i in range(500))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for shard, rs in by_shard.items():
+        packs = sorted({r.pack_id for r in rs})
+        assert packs == list(range(len(packs)))
+        # cumulative tokens entering each non-final pack must reach budget
+        tot = {}
+        for r in rs:
+            tot[r.pack_id] = tot.get(r.pack_id, 0) + r.tok
+        for p in packs[:-1]:
+            assert tot[p] >= 200 - 97 - 10  # last doc may overhang the cut
+
+
+def test_write_shards_layout_sorted_within_each_shard(spark, tmp_path):
+    """The physical export: one directory per shard, rows inside each shard
+    file in shuffle-position order."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        export,
+    )
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    export.write_shards(df, path, "doc_id", n_shards=4)
+    out = spark.read.parquet(path)
+    assert out.count() == 300
+    assert out.select("shard_id").distinct().count() == 4
+    import glob as g
+    import pyarrow.parquet as pq
+
+    for d in g.glob(f"{path}/shard_id=*"):
+        for f in g.glob(f"{d}/*.parquet"):
+            pos = pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
+            assert pos == sorted(pos)
