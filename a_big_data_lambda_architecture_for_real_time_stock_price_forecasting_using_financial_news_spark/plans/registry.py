@@ -1345,7 +1345,7 @@ def t14_stream_state_expiry(spark, sf_dir):
 
     prepare(spark)
     stream = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, single_batch=True)
         .select(
             F.col("user_id").cast("string").alias("key"),
             F.col("ts"),

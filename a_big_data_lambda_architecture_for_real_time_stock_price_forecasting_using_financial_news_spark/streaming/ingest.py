@@ -60,7 +60,9 @@ def parquet_stream(spark: SparkSession, path: str, schema: T.StructType) -> Data
     return spark.readStream.schema(schema).parquet(path)
 
 
-def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 1, single_batch: bool = False
+) -> DataFrame:
     """Stream the events fixture as a Structured Streaming source (same
     NANOS handling as the batch reader).
 
@@ -68,6 +70,10 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFr
     file, so it is symlinked into a temp dir. With ``n_chunks > 1`` the data
     is re-written as ``n_chunks`` files so ``maxFilesPerTrigger=1`` replays
     it as that many micro-batches (multi-batch state tests).
+    ``single_batch=True`` drops maxFilesPerTrigger so availableNow consumes
+    every file in ONE data batch regardless of the fixture's file layout —
+    required by consumers whose determinism contract is
+    one-data-batch-then-watermark-flush (t14).
     """
     import os
     import tempfile
@@ -103,11 +109,10 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 1) -> DataFr
             T.StructField("props", T.StringType()),
         ]
     )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
+    reader = spark.readStream.schema(schema)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    raw = reader.parquet(stage)
     if isinstance(ts_type, T.LongType):
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     elif isinstance(ts_type, T.TimestampNTZType):

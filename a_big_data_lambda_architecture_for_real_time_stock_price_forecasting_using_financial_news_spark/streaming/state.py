@@ -104,7 +104,12 @@ def _close_idle_factory(gap_ms: int):
             # floor-to-ms matches Spark's own event-time stats (µs DIV 1000)
             last_ms = max(last_ms, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000))
         state.update((n, s, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # clamp to the watermark: a key receiving data while already overdue
+        # (possible on multi-batch replays of unordered files) would
+        # otherwise set a timeout in the past, which Spark rejects; clamped,
+        # it expires at the next watermark advance instead
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
         # nothing is emitted while the session is live — output happens
         # solely on expiry, so state is the ONLY place the session exists
 
