@@ -793,3 +793,82 @@ def topk_int8_rerank_sql(
     SELECT query_id, neighbor_id, qdot, score, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+PROJ_DIM_IN = 64
+PROJ_DIM_OUT = 8
+
+
+def _proj_weight(i: int, j: int) -> int:
+    """Integer projection weight in [-6, 6], a fixed pseudo-random pattern.
+
+    Sparse-integer random projections (Achlioptas-style) preserve pairwise
+    distances like Gaussian ones do; INTEGER weights mean every product
+    `x_i * w_ij` is a single correctly-rounded IEEE multiply, so the
+    projection is bit-deterministic across engines — a seeded float matrix
+    would not be (each engine's RNG differs)."""
+    return ((3 + 31 * i + 17 * j) % 13) - 6
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim_in: int = PROJ_DIM_IN,
+    dim_out: int = PROJ_DIM_OUT,
+) -> DataFrame:
+    """Project dim_in-dim embeddings to dim_out dims with a fixed sparse
+    integer matrix: out_j = sum_i x_i * w(i,j), summed in ascending-i
+    order (left-associated adds, the cross-engine float contract used by
+    every fold in this repo).
+
+    The 100 TB shape: ZERO shuffle, zero join, zero Python — one narrow
+    Project evaluated inside whole-stage codegen, embarrassingly parallel,
+    pipelined into whatever consumes it (typically an ANN index build at
+    1/8th the vector bandwidth; recall loss is the JL-lemma tradeoff the
+    caller opted into). Vectors of the wrong cardinality are dropped (the
+    same dense-input contract as mlp_infer, enforced not assumed).
+
+    Zero-weight terms are omitted from the sum in BOTH engines (the weight
+    pattern zeroes ~1/13 of entries), keeping the add chains identical.
+    """
+    v = F.col(vec_col)
+    cols = [F.col(id_col).alias("vec_id")]
+    for j in range(dim_out):
+        expr = None
+        for i in range(dim_in):
+            w = _proj_weight(i, j)
+            if w == 0:
+                continue
+            term = F.element_at(v, i + 1).cast("double") * F.lit(w)
+            expr = term if expr is None else expr + term
+        cols.append(expr.alias(f"p{j}"))
+    return df.filter(F.size(v) == dim_in).select(*cols)
+
+
+def random_projection_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim_in: int = PROJ_DIM_IN,
+    dim_out: int = PROJ_DIM_OUT,
+) -> str:
+    """DuckDB twin of :func:`random_projection` — textually left-assoc
+    sums in the same term order, so the IEEE rounding sequence matches."""
+    outs = []
+    for j in range(dim_out):
+        terms = [
+            f"CAST({vec_col}[{i + 1}] AS DOUBLE) * {_proj_weight(i, j)}"
+            for i in range(dim_in)
+            if _proj_weight(i, j) != 0
+        ]
+        outs.append(" + ".join(terms) + f" AS p{j}")
+    cols = ",\n           ".join(outs)
+    return (
+        f"SELECT {id_col} AS vec_id,\n           {cols}\n"
+        f"    FROM {table} WHERE len({vec_col}) = {dim_in}"
+    )

@@ -4244,3 +4244,164 @@ def q20_potential_promotion(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5: corpus mixture rebalancing + sequence assembly (training-data ops)
+# ---------------------------------------------------------------------------
+from ..ext import sampling as _sp2  # noqa: E402
+
+# Synthesized skewed domain: the fixture's `source` column is uniform (20
+# sources x equal counts), which would make a rebalance vacuous. Derive a
+# power-law-ish domain from the doc id hash — 50% web / 25% news / 15%
+# books / 7% code / 3% wiki — identically in both engines, then flatten it.
+_DOM_BUCKET = _sp2.phash60_sql("CAST(doc_id AS VARCHAR)", seed="dom") + " % 100"
+_DOM_SQL = (
+    f"CASE WHEN {_DOM_BUCKET} < 50 THEN 'web' "
+    f"WHEN {_DOM_BUCKET} < 75 THEN 'news' "
+    f"WHEN {_DOM_BUCKET} < 90 THEN 'books' "
+    f"WHEN {_DOM_BUCKET} < 97 THEN 'code' ELSE 'wiki' END"
+)
+
+
+def _domain_col():
+    b = _sp2.phash60(F.col("doc_id").cast("string"), seed="dom") % 100
+    return (
+        F.when(b < 50, "web")
+        .when(b < 75, "news")
+        .when(b < 90, "books")
+        .when(b < 97, "code")
+        .otherwise("wiki")
+    )
+
+
+@register(
+    "x22_domain_mix",
+    f"""
+    WITH src AS (SELECT *, {_DOM_SQL} AS domain FROM documents),
+    r AS ({_sp2.temperature_rates_sql("src", "domain", 500)})
+    SELECT s.domain, any_value(r.rate_mille) AS rate_mille,
+           count(*) AS n_kept, CAST(sum(s.n_chars) AS BIGINT) AS kept_chars
+    FROM src s JOIN r ON s.domain = r.domain
+    WHERE {_sp2.sample_bucket_sql("s.domain", "s.doc_id", seed="mix")} < r.rate_mille
+    GROUP BY s.domain
+    """,
+)
+def x22_domain_mix(spark, sf_dir):
+    """Temperature-flattened domain mixture (ext/sampling.py:
+    temperature_rebalance): per-domain keep-rates derived from the data
+    (alpha=0.5 — sqrt-flattening, the standard LLM-corpus mixture move),
+    membership decided by the portable hash so the sample is reproducible
+    bit-for-bit on any partitioning of any superset. Entry aggregates the
+    kept rows per domain. Scale shape: count scan + broadcast rate table +
+    narrow filter scan; no corpus-sized shuffle anywhere.
+
+    Reference anchor: the reference ingests ALL rows of both feeds
+    symmetrically (Batch_layer/batchProcess.py) — no notion of rebalancing
+    a skewed mixture; this is the corpus-scale generalization its data
+    model needs at 100 TB."""
+    docs = tbl(spark, sf_dir, "documents").withColumn("domain", _domain_col())
+    kept = _sp2.temperature_rebalance(docs, "domain", "doc_id", 500)
+    return kept.groupBy("domain").agg(
+        F.any_value(F.col("rate_mille")).alias("rate_mille"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+@register(
+    "w6_sequence_assembly",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:50], '>')
+             AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def w6_sequence_assembly(spark, sf_dir):
+    """Per-key ordered sequence assembly — the conversation/session-turn
+    construction step of a training pipeline (events of one user, in event
+    time, truncated to the first 50 turns, joined into one training
+    string). One hash shuffle on user_id; state per group is bounded by
+    that key's event count (sessions, not corpus). The sort is per-group
+    via array_sort on (ts, event_id, type) structs — no global sort, and
+    the struct tiebreak (event_id) makes the order total, so the string is
+    deterministic cross-engine.
+
+    Reference anchor: the speed layer keys tweets by (stock, day) and
+    appends text per key (Speed_layer/twitterConsumerStream.py:94-107) —
+    same assemble-per-key shape, here with a total order contract."""
+    ev = tbl(spark, sf_dir, "events")
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.slice(sorted_structs, 1, 50).event_type, ">"
+        ).alias("seq"),
+    )
+
+
+from ..ext import layout as _ly  # noqa: E402
+from ..ext import similarity as _sim2  # noqa: E402
+
+
+@register(
+    "s10_random_projection",
+    f"""
+    WITH p AS ({_sim2.random_projection_sql("embeddings")})
+    SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7
+    FROM p WHERE vec_id % 10 = 0
+    """,
+)
+def s10_random_projection(spark, sf_dir):
+    """Sparse-integer random projection 64->8 dims
+    (ext/similarity.py:random_projection): the JL-lemma bandwidth reducer
+    in front of an ANN index build. Zero shuffle, zero join, zero Python —
+    one codegen Project; integer weights make the doubles bit-exact
+    cross-engine. Entry keeps every 10th vector so the driver hashes full
+    projected rows without 500x8 output bloat."""
+    p = _sim2.random_projection(tbl(spark, sf_dir, "embeddings"))
+    return p.filter(F.col("vec_id") % 10 == 0)
+
+
+@register(
+    "x23_zorder_layout",
+    f"""
+    SELECT {_ly.zorder_bucket_sql("(l_partkey % 256)", "(l_suppkey % 256)")} AS bucket,
+           count(*) AS n_rows,
+           min(l_partkey % 256) AS d1_min, max(l_partkey % 256) AS d1_max,
+           min(l_suppkey % 256) AS d2_min, max(l_suppkey % 256) AS d2_max
+    FROM lineitem GROUP BY bucket
+    """,
+)
+def x23_zorder_layout(spark, sf_dir):
+    """Z-order layout key (ext/layout.py): Morton-interleave the low 8
+    bits of two independent join keys and bucket rows by the key's top 8
+    bits — the file boundaries a range-partitioned Z-ordered writer
+    produces. The per-bucket (d1, d2) min/max the entry emits IS the
+    parquet row-group statistic that makes scans filtering on EITHER
+    column prune files at 100 TB; each bucket's spans stay <=16-wide in
+    both dims, where a d1-sorted layout would span all 256 d2 values.
+    Key computation is pure bit arithmetic in codegen; the physical
+    re-layout (write_zordered) is one range shuffle."""
+    li = tbl(spark, sf_dir, "lineitem")
+    d1 = F.pmod(F.col("l_partkey"), F.lit(256))
+    d2 = F.pmod(F.col("l_suppkey"), F.lit(256))
+    return (
+        li.select(
+            _ly.zorder_bucket(d1, d2).alias("bucket"),
+            d1.alias("d1"),
+            d2.alias("d2"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+            F.min("d2").alias("d2_min"),
+            F.max("d2").alias("d2_max"),
+        )
+    )

@@ -816,3 +816,156 @@ def test_write_shards_layout_sorted_within_each_shard(spark, tmp_path):
         for f in g.glob(f"{d}/*.parquet"):
             pos = pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
             assert pos == sorted(pos)
+
+
+# ---------------------------------------------------------------------------
+# r5: temperature mixture, random projection, z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rebalance_flattens_the_mixture(spark):
+    """A 10:1 skewed two-domain corpus rebalanced at alpha=0.5 must keep a
+    higher FRACTION of the minority domain than of the majority one, and
+    membership must be partitioning-invariant."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        sampling,
+    )
+
+    df = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "web").otherwise("books").alias("domain"),
+    )
+    kept = sampling.temperature_rebalance(df, "domain", "doc_id", 500)
+    frac = {
+        r.domain: r.kept / r.total
+        for r in kept.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .join(
+            df.groupBy("domain").agg(F.count(F.lit(1)).alias("total")), "domain"
+        )
+        .collect()
+    }
+    assert frac["books"] > frac["web"]
+    # ~half the corpus kept overall (hash sampling: binomial tolerance)
+    total_kept = kept.count()
+    assert 400 < total_kept < 700
+    # deterministic under repartitioning
+    kept2 = sampling.temperature_rebalance(df.repartition(7), "domain", "doc_id", 500)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
+        r.doc_id for r in kept2.select("doc_id").collect()
+    )
+
+
+def test_temperature_rates_cap_at_full_keep(spark):
+    """A domain so small its flattened share exceeds its size keeps 100%
+    (rate capped at DENOM), never oversamples."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        sampling,
+    )
+
+    df = spark.range(1005).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "web").otherwise("rare").alias("domain"),
+    )
+    rates = {
+        r.domain: r.rate_mille
+        for r in sampling.temperature_rates(df, "domain", 900).collect()
+    }
+    assert rates["rare"] == 1000
+    assert rates["web"] < 1000
+
+
+def test_random_projection_matches_numpy(spark):
+    """The Spark projection equals the numpy matmul with the same weight
+    matrix, and wrong-cardinality vectors are dropped."""
+    import numpy as np
+
+    vecs = [
+        [float(((i * 7 + k * 3) % 11) - 5) / 4 for i in range(64)] for k in range(5)
+    ]
+    rows = [Row(vec_id=k, embedding=v) for k, v in enumerate(vecs)]
+    rows.append(Row(vec_id=99, embedding=[1.0, 2.0]))  # wrong dim: dropped
+    df = spark.createDataFrame(rows)
+    out = {
+        r.vec_id: [r[f"p{j}"] for j in range(8)]
+        for r in similarity.random_projection(df).collect()
+    }
+    assert 99 not in out and len(out) == 5
+    W = np.array(
+        [[similarity._proj_weight(i, j) for j in range(8)] for i in range(64)],
+        dtype=np.float64,
+    )
+    for k, v in enumerate(vecs):
+        expect = np.float32(v).astype(np.float64) @ W
+        assert np.allclose(out[k], expect, rtol=1e-12)
+
+
+def test_morton_bucket_locality(spark):
+    """Every z-order bucket covers a bounded square: d1/d2 spans <= 16 for
+    8-bit dims bucketed by the top 8 morton bits — the row-group-stats
+    locality claim. A d1-sorted layout on the same grid spans all of d2."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        layout,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("int").alias("d1"),
+        (F.col("id") % 256).cast("int").alias("d2"),
+    )
+    spans = (
+        grid.select(
+            layout.zorder_bucket(F.col("d1"), F.col("d2")).alias("bucket"),
+            "d1",
+            "d2",
+        )
+        .groupBy("bucket")
+        .agg(
+            (F.max("d1") - F.min("d1")).alias("s1"),
+            (F.max("d2") - F.min("d2")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(spans) == 256
+    for r in spans:
+        assert r.s1 <= 15 and r.s2 <= 15 and r.n == 256
+
+
+def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
+    """The physical z-ordered layout: parquet row-group stats must let a
+    selective filter on EITHER dimension skip most files."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        layout,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("int").alias("d1"),
+        (F.col("id") % 256).cast("int").alias("d2"),
+    )
+    path = str(tmp_path / "zorder")
+    layout.write_zordered(grid, path, "d1", "d2", n_files=16)
+
+    def files_containing(col, val):
+        hits = 0
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= val <= st.max:
+                    hits += 1
+                    break
+        return hits
+
+    n_files = len(g.glob(f"{path}/*.parquet"))
+    assert n_files >= 8
+    # a point predicate on either dim must prune at least half the files
+    assert files_containing("d1", 7) <= n_files / 2
+    assert files_containing("d2", 7) <= n_files / 2

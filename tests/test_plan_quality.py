@@ -357,3 +357,32 @@ def test_dynamic_partition_pruning_on_partitioned_view(spark, tmp_path, sf_dir):
     j = fact.join(dim, "event_date").select("event_id", "event_date", "dow")
     plan = plan_of(j)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_s10_projection_is_pure_codegen_project(spark, sf_dir):
+    """Random projection: zero shuffle, zero join, zero Python — one
+    whole-stage-codegen Project over the scan."""
+    df = registry.QUERIES["s10_random_projection"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_x22_mix_rate_table_broadcast_filter_narrow(spark, sf_dir):
+    """Temperature rebalance: the rate table joins back BROADCAST (it has
+    #domains rows); the corpus side must never shuffle for the join."""
+    df = registry.QUERIES["x22_domain_mix"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_x23_zorder_key_stays_jvm_side(spark, sf_dir):
+    """The morton key is bit arithmetic in codegen: no Python, and the only
+    exchange is the final bucket aggregation's."""
+    df = registry.QUERIES["x23_zorder_layout"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _tree_nodes(plan, "Exchange") == 1
