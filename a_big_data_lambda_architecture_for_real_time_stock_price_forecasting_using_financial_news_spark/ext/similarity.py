@@ -59,13 +59,38 @@ def _serving_sized(queries: DataFrame, fn: str, limit: int | None = None) -> Dat
     return queries
 
 
-def _spread_corpus(df: DataFrame) -> DataFrame:
+# Per-partition byte target for LIGHT passes (one probe/encode per row):
+# far denser than Spark's 128MB scan default because vector columns expand
+# ~4x from parquet to rows, but still coarse enough that task scheduling
+# doesn't dominate. Measured at sf0.1 (1.3MB corpus): repartition(32) cost
+# 0.6s of shuffle+scheduling against ~0 compute win — the r4->r5 "s2
+# drift" was exactly this, the fixture regen changed nothing but the
+# constant overhead share.
+SPREAD_LIGHT_BYTES = 2 << 20
+
+
+def _spread_corpus(df: DataFrame, heavy: bool = False) -> DataFrame:
     """Round-robin repartition for under-partitioned (single-file) corpora —
-    same rationale as dedup._spread; no-op when the source has real files."""
-    slots = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(slots, 8):
-        return df.repartition(min(slots, 32))
-    return df
+    same rationale as dedup._spread; no-op when the source has real files
+    (at scale parquet splits cap partitions at maxPartitionBytes, so an
+    under-partitioned input is BY CONSTRUCTION a small one).
+
+    ``heavy`` callers (per-row cost is many vector ops: brute-force Q*N
+    scoring, k-means assigns, quadratic within-cell pair passes) spread to
+    all slots — compute dwarfs task overhead. Light callers (cell-probe
+    joins, int8 encodes) spread proportionally to the optimizer's size
+    estimate instead: a corpus that fits in a couple of partitions is
+    CHEAPER on a couple of partitions than behind a 32-way shuffle."""
+    slots = min(df.sparkSession.sparkContext.defaultParallelism, 32)
+    if df.rdd.getNumPartitions() >= min(slots, 8):
+        return df
+    if heavy:
+        return df.repartition(slots)
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    target = max(1, min(slots, -(-size // SPREAD_LIGHT_BYTES)))
+    if target <= df.rdd.getNumPartitions():
+        return df
+    return df.repartition(target)
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -138,7 +163,8 @@ def topk_bruteforce(
         )
     )
     c = _spread_corpus(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")),
+        heavy=True,  # Q*N cosine scoring: compute dwarfs task overhead
     ).withColumn("c_norm", norm(F.col("c_emb")))
     scored = (
         q.crossJoin(c)
@@ -256,7 +282,8 @@ def embedding_near_dup(
         df.select(
             F.col(id_col).alias("vid"), F.col(cell_col).alias("cell"),
             F.col(emb_col).alias("emb"),
-        )
+        ),
+        heavy=True,  # within-cell pair scoring is quadratic in cell size
     ).withColumn("nrm", norm(F.col("emb")))
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -559,7 +586,7 @@ def topk_ivf_kmeans(
         F.col(emb_col).alias("e"),
         _km_quant(F.col(emb_col)).alias("q"),
     )
-    ccells = _km_assign(_spread_corpus(base), cents, extra=["e"]).select(
+    ccells = _km_assign(_spread_corpus(base, heavy=True), cents, extra=["e"]).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cid").alias("cell"),
         F.col("e").alias("c_emb"),
