@@ -899,3 +899,83 @@ def random_projection_sql(
         f"SELECT {id_col} AS vec_id,\n           {cols}\n"
         f"    FROM {table} WHERE len({vec_col}) = {dim_in}"
     )
+
+
+def incremental_ivf_assign(
+    old_assign: DataFrame,
+    new_df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maintain an IVF index incrementally: assign ONLY the incoming batch
+    to the FROZEN centroid table and append it to the stored assignment —
+    the indexed corpus is never re-scanned (the ANN mirror of
+    dedup.incremental_minhash_pairs). Returns the merged
+    (vec_id, cid, is_new) assignment.
+
+    At 100 TB this is the only sane maintenance shape: the stored
+    assignment is a parquet/Delta table partitioned by ingest batch, the
+    centroid table is tiny and broadcast, and each increment costs one
+    scan of the NEW data (k centroid dots per new row). Centroid drift is
+    handled by periodic re-trains, not per-batch ones — the standard
+    IVF serving tradeoff; recall on drifted data degrades gracefully and
+    measurably (s7's recall harness applies unchanged)."""
+    new_base = new_df.select(
+        F.col(id_col).alias("vec_id"), _km_quant(F.col(emb_col)).alias("q")
+    )
+    new_assign = _km_assign(new_base, cents, extra=[]).select(
+        "vec_id", "cid", F.lit(True).alias("is_new")
+    )
+    return old_assign.select(
+        "vec_id", "cid", F.lit(False).alias("is_new")
+    ).unionByName(new_assign)
+
+
+def incremental_ivf_sql(
+    table: str,
+    old_pred: str,
+    new_pred: str,
+    km_k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin of train-on-old + assign-old + incremental-assign-new,
+    summarized per cell (the registry entry's shape)."""
+    ctes, cfin = _km_ctes(
+        f"(SELECT * FROM {table} WHERE {old_pred})", km_k, iters, id_col, emb_col
+    )
+    cost = _km_cost_sql("s.q", "c.c", "c.cn2")
+    return f"""
+    WITH {ctes},
+    cfin AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {cfin}),
+    oldasg AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM kmbase s CROSS JOIN cfin c
+      ) WHERE rn = 1
+    ),
+    newbase AS (
+      SELECT {id_col} AS vec_id,
+             list_transform({emb_col},
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS q
+      FROM {table} WHERE {new_pred}
+    ),
+    newasg AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM newbase s CROSS JOIN cfin c
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT vec_id, cid, FALSE AS is_new FROM oldasg
+      UNION ALL
+      SELECT vec_id, cid, TRUE AS is_new FROM newasg
+    )
+    SELECT cid, count(CASE WHEN NOT is_new THEN 1 END) AS n_old,
+           count(CASE WHEN is_new THEN 1 END) AS n_new
+    FROM merged GROUP BY cid
+    """

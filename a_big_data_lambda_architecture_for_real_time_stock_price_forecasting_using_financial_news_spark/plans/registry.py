@@ -4405,3 +4405,163 @@ def x23_zorder_layout(spark, sf_dir):
             F.max("d2").alias("d2_max"),
         )
     )
+
+
+@register(
+    "t15_stream_windowed_topk",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    wc AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT window_start, event_type, n_events,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM wc
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM r, mx
+    WHERE rnk <= 3 AND window_start + INTERVAL 1 DAY <= mx.m
+    """,
+)
+def t15_stream_windowed_topk(spark, sf_dir):
+    """Streaming trending-terms: watermarked tumbling-day counts per
+    event_type emitted in APPEND mode (a window row exists only once its
+    window is FINALIZED — the watermark passed its end), then the serving
+    step ranks top-3 per window over the sink table. Ranking lives at the
+    serving boundary because a rank over a streaming agg is not
+    incrementally maintainable — the lambda split the reference's speed
+    layer applies to its daily sentiment means
+    (Speed_layer/twitterConsumerStream.py), generalized to top-k.
+
+    Determinism contract: one data batch + the availableNow no-data flush
+    (single_batch=True, the t14 replay shape) with a zero-delay watermark
+    — every window that ENDS at-or-before the stream's max event time is
+    emitted exactly once; the still-open last window is withheld, and the
+    oracle applies the same cutoff. State per key is one (window, type)
+    count, dropped at finalization — bounded by ACTIVE windows, the
+    append-mode guarantee that holds at any scale."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.ingest import events_stream
+
+    prepare(spark)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sink = f"t15_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        agg = (
+            events_stream(spark, sf_dir, single_batch=True)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
+
+
+@register(
+    "s11_incremental_ivf",
+    _sim2.incremental_ivf_sql("embeddings", "vec_id % 5 <> 0", "vec_id % 5 = 0"),
+)
+def s11_incremental_ivf(spark, sf_dir):
+    """Incremental IVF index maintenance
+    (ext/similarity.py:incremental_ivf_assign): centroids trained on the
+    existing corpus are FROZEN; an incoming batch (every 5th vector) is
+    assigned with one scan of the new data only, and appended to the
+    stored assignment — the indexed corpus is never re-scanned, the ANN
+    mirror of d6's incremental minhash. Entry summarizes the merged index
+    per cell (old/new counts)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = _sim2.train_kmeans_centroids(old)
+    old_base = old.select(
+        "vec_id", _sim2._km_quant(F.col("embedding")).alias("q")
+    )
+    old_assign = _sim2._km_assign(old_base, cents, extra=[])
+    merged = _sim2.incremental_ivf_assign(old_assign, new, cents)
+    return merged.groupBy("cid").agg(
+        F.count(F.when(~F.col("is_new"), 1)).alias("n_old"),
+        F.count(F.when(F.col("is_new"), 1)).alias("n_new"),
+    )
+
+
+@register(
+    "a13_winsorize",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), p AS (
+      SELECT event_type, value AS p99
+      FROM r WHERE rnk = CAST(ceil(0.99 * n) AS BIGINT)
+    )
+    SELECT e.event_type, count(*) AS n_rows,
+           any_value(p.p99) AS p99_value,
+           count(CASE WHEN e.value > p.p99 THEN 1 END) AS n_clipped
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def a13_winsorize(spark, sf_dir):
+    """Exact-percentile winsorization spec — the outlier-clipping step of
+    a feature pipeline, computed as the value at rank ceil(0.99*n) per
+    group (rank tiebreak on event_id) rather than an interpolated
+    percentile: engines interpolate differently, a ranked data value is
+    bit-identical everywhere. One event_type shuffle serves both windows;
+    the per-group threshold table is tiny and broadcast back. a10 is the
+    approx-sketch contrast entry (approx_percentile), this is the exact
+    twin a training pipeline uses when reproducibility beats one pass."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+    )
+    p99 = ranked.filter(
+        F.col("rnk") == F.ceil(F.lit(0.99) * F.col("n"))
+    ).select("event_type", F.col("value").alias("p99"))
+    return (
+        ev.join(F.broadcast(p99), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.any_value(F.col("p99")).alias("p99_value"),
+            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clipped"),
+        )
+    )

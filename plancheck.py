@@ -30,6 +30,8 @@ CROSS_JOIN_ALLOWLIST = {
     "x10_tfidf_top_terms",
     "s6_ann_topk_ivf_kmeans",
     "s7_ann_recall_kmeans_vs_signbit",
+    # centroid-table crossJoin (<= KM_K = 64 broadcast rows), same bound as s6
+    "s11_incremental_ivf",
 }
 
 

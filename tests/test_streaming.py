@@ -1030,3 +1030,40 @@ def test_transform_with_state_user_stats(spark):
     ).collect()
     got = {r[0]: (r[1], r[2]) for r in rows}
     assert got == {"a": (3, 7.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+
+def test_windowed_append_emits_only_finalized_windows(spark, tmp_path):
+    """t15's determinism contract: with a zero-delay watermark and the
+    single-batch replay, append mode emits exactly the windows whose end
+    is at-or-before max event time; the still-open window is withheld."""
+    import datetime as dt
+
+    ingest = _mod("streaming.ingest")
+
+    rows = []
+    for day, n in [(1, 3), (2, 5)]:
+        for i in range(n):
+            rows.append(
+                (i, dt.datetime(2024, 3, day, 10 + i), "click"),
+            )
+    rows.append((99, dt.datetime(2024, 3, 3, 6), "view"))  # opens day 3
+    src = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    agg = (
+        ingest.events_stream(spark, str(tmp_path), single_batch=True)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("date").alias("d"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t15_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(str(r["d"]), r["event_type"]): r["n"] for r in spark.table("t15_test").collect()}
+    assert got == {("2024-03-01", "click"): 3, ("2024-03-02", "click"): 5}
