@@ -38,6 +38,9 @@ HEADLINE = [
     # r4: batched tensor inference through the Arrow seam; int8 rerank cascade
     "m9_mlp_inference",
     "s8_ann_int8_rerank",
+    # r5: corpus mixture rebalance; z-order layout key over lineitem
+    "x22_domain_mix",
+    "x23_zorder_layout",
 ]
 
 
@@ -182,6 +185,11 @@ def main():
             t0 = time.perf_counter()
             qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
             sf1_t[name] = round(time.perf_counter() - t0, 3)
+            # a query's own persists are part of its cost, but carrying
+            # EVERY prior query's cached sketch tables into the next
+            # timing measured 3x inflation on the heaviest entry at sf1
+            # (d2: 9.4s isolated vs 29.9s with ~15 queries' caches live)
+            spark.catalog.clearCache()
         sf1 = {"total": round(sum(sf1_t.values()), 3), "queries": sf1_t}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
