@@ -4565,3 +4565,85 @@ def a13_winsorize(spark, sf_dir):
             F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clipped"),
         )
     )
+
+
+def _split_sql(id_expr: str) -> str:
+    h = _sp2.phash60_sql(f"CAST({id_expr} AS VARCHAR)", seed="split")
+    return f"CASE WHEN {h} % 10 = 0 THEN 'val' ELSE 'train' END"
+
+
+def _split_col(id_col):
+    h = _sp2.phash60(id_col.cast("string"), seed="split") % 10
+    return F.when(h == 0, "val").otherwise("train")
+
+
+@register(
+    "pipe2_split_leakage",
+    f"""
+    WITH pairs AS (
+      SELECT id_a, id_b
+      FROM ({_dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)})
+    ), lab AS (
+      SELECT id_a, id_b, {_split_sql("id_a")} AS sa, {_split_sql("id_b")} AS sb
+      FROM pairs
+    ), leaked AS (
+      SELECT * FROM lab WHERE sa <> sb
+    ), members AS (
+      SELECT id_a AS vid, sa AS split FROM leaked
+      UNION ALL
+      SELECT id_b AS vid, sb AS split FROM leaked
+    ), ls AS (
+      SELECT split, count(*) AS leaked_pairs, count(DISTINCT vid) AS tainted_docs
+      FROM members GROUP BY split
+    ), dc AS (
+      SELECT {_split_sql("doc_id")} AS split, count(*) AS n_docs
+      FROM documents GROUP BY split
+    )
+    SELECT dc.split, dc.n_docs,
+           coalesce(ls.leaked_pairs, 0) AS leaked_pairs,
+           coalesce(ls.tainted_docs, 0) AS tainted_docs
+    FROM dc LEFT JOIN ls ON dc.split = ls.split
+    """,
+)
+def pipe2_split_leakage(spark, sf_dir):
+    """Train/validation split + cross-split near-dup LEAKAGE audit: the
+    hash split is reproducible on any superset (same contract as every
+    sampler here), and the audit reuses the minhash-LSH pair machinery to
+    find validation docs whose near-duplicate twin sits in train — the
+    contamination that silently inflates eval scores. Per split: doc
+    count, leaked-pair count, and distinct tainted docs.
+
+    Scale shape: the split is a narrow map-side label (no shuffle beyond
+    d2's own banded candidate join); the leak summary aggregates id-only
+    pair rows. This is the between-splits complement of x14's
+    benchmark decontamination."""
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    leaked = (
+        pairs.withColumn("sa", _split_col(F.col("id_a")))
+        .withColumn("sb", _split_col(F.col("id_b")))
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    members = leaked.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("vid"), F.col("sa").alias("split")),
+                F.struct(F.col("id_b").alias("vid"), F.col("sb").alias("split")),
+            )
+        ).alias("m")
+    ).select("m.vid", "m.split")
+    leak_stats = members.groupBy("split").agg(
+        F.count(F.lit(1)).alias("leaked_pairs"),
+        F.countDistinct("vid").alias("tainted_docs"),
+    )
+    doc_counts = (
+        docs.select(_split_col(F.col("doc_id")).alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return doc_counts.join(F.broadcast(leak_stats), "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("leaked_pairs"), F.lit(0)).alias("leaked_pairs"),
+        F.coalesce(F.col("tainted_docs"), F.lit(0)).alias("tainted_docs"),
+    )
