@@ -386,3 +386,38 @@ def test_x23_zorder_key_stays_jvm_side(spark, sf_dir):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert _tree_nodes(plan, "Exchange") == 1
+
+
+def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join: when the dim side is selective and the
+    fact side too big to broadcast-join, Catalyst injects a
+    bloom_filter_agg on the dim and a might_contain gate on the fact SCAN
+    — at 100 TB this drops non-joining fact rows before they ever enter
+    the shuffle. The thresholds below force the rewrite at fixture scale
+    (production defaults require a 10GB+ application side)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = registry.tbl(spark, sf_dir, "lineitem")
+        dim = registry.tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
