@@ -4647,3 +4647,355 @@ def pipe2_split_leakage(spark, sf_dir):
         F.coalesce(F.col("leaked_pairs"), F.lit(0)).alias("leaked_pairs"),
         F.coalesce(F.col("tainted_docs"), F.lit(0)).alias("tainted_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 continuation: imputation, distribution stats, multiset ops,
+# bucketed co-located join, unigram LM scoring, token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w7_locf_impute",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS px
+      FROM events
+    )
+    SELECT event_id, user_id, px,
+           last_value(px IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px_locf,
+           first_value(px IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS px_nocb
+    FROM t
+    """,
+)
+def w7_locf_impute(spark, sf_dir):
+    """Gap-fill imputation over a sparse per-key series: LOCF (last
+    observation carried forward) and NOCB (next observation carried
+    backward) via ``last/first(..., ignorenulls=True)`` over mirrored
+    window frames — the standard time-series repair before feeding a
+    forecaster. Only 'purchase' events carry a price; every other event
+    row gets the neighbouring price imputed. Values are CARRIED, never
+    recomputed, so doubles are bit-exact cross-engine. One hash shuffle
+    on user_id serves both frames; per-key state in the window is O(1).
+
+    Reference anchor: the serving join (Serving_layer/prediction.py)
+    pairs each day's sentiment with the day's close and silently drops
+    days with no trade — LOCF is the scale-correct version of that
+    hole-patching."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    px = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        px.alias("px"),
+        F.last(px, ignorenulls=True).over(back).alias("px_locf"),
+        F.first(px, ignorenulls=True).over(fwd).alias("px_nocb"),
+    )
+
+
+@register(
+    "a14_distribution_stats",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), m AS (
+      SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY lang, n_chars
+    ), md AS (
+      SELECT lang, n_chars AS mode_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, n_chars ASC) AS mrn
+      FROM m
+    )
+    SELECT r.lang,
+           any_value(r.n) AS n_docs,
+           CAST(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                         THEN n_chars END) AS DOUBLE)
+             / count(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                          THEN 1 END) AS med_chars,
+           min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN n_chars END) AS p25_chars,
+           min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                    THEN n_chars END) AS p75_chars,
+           any_value((SELECT mode_chars FROM md
+                      WHERE md.lang = r.lang AND mrn = 1)) AS mode_chars
+    FROM r GROUP BY r.lang
+    """,
+)
+def a14_distribution_stats(spark, sf_dir):
+    """Per-group distribution stats — median, discrete p25/p75, and a
+    deterministic mode — composed from row_number + one count-window
+    instead of engine quantile builtins, because the builtins disagree
+    across engines on which element a discrete quantile picks when
+    p*(n-1) lands on an integer (DuckDB indexes floor(p*(n-1)); Spark's
+    percentile_disc takes the smallest value with cume_dist >= p). The
+    composition pins ONE definition — value at row ceil(p*n) — on both
+    sides, and stays in integer math until the single median division.
+    Mode ties break toward the smaller value (the builtin mode() is
+    nondeterministic under ties in both engines).
+
+    Scale shape: one lang shuffle shared by both windows + one
+    (lang, n_chars) map-side-combined agg for the mode; no global
+    sort."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n, rn = F.col("n"), F.col("rn")
+    mid = (rn == F.floor((n + 1) / F.lit(2))) | (
+        rn == F.floor((n + 2) / F.lit(2))
+    )
+    p25 = rn == F.ceil(F.lit(0.25) * n).cast("bigint")
+    p75 = rn == F.ceil(F.lit(0.75) * n).cast("bigint")
+    stats = r.groupBy("lang").agg(
+        F.any_value(n).alias("n_docs"),
+        (
+            F.sum(F.when(mid, F.col("n_chars"))).cast("double")
+            / F.count(F.when(mid, F.lit(1)))
+        ).alias("med_chars"),
+        F.min(F.when(p25, F.col("n_chars"))).alias("p25_chars"),
+        F.min(F.when(p75, F.col("n_chars"))).alias("p75_chars"),
+    )
+    counts = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wmode = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("n_chars"))
+    mode = (
+        counts.withColumn("mrn", F.row_number().over(wmode))
+        .filter(F.col("mrn") == 1)
+        .select("lang", F.col("n_chars").alias("mode_chars"))
+    )
+    return stats.join(F.broadcast(mode), "lang")
+
+
+@register(
+    "u3_multiset_ops",
+    """
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_partkey FROM lineitem
+               WHERE l_shipdate >= DATE '2024-01-15')
+    SELECT 'intersect' AS op, l_partkey, count(*) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+    UNION ALL
+    SELECT 'except' AS op, l_partkey, count(*) AS n
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+    """,
+)
+def u3_multiset_ops(spark, sf_dir):
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL — the
+    duplicate-preserving complements of u2's distinct set ops. Spark
+    plans both as a single hash aggregate counting per-side multiplicity
+    (min / left-minus-right copies), i.e. ONE shuffle on the value, no
+    join — exactly how a 100 TB bag-diff should run. The entry re-groups
+    the surviving copies so the driver hashes (value, multiplicity)
+    instead of a multiset rendering."""
+    li = tbl(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_shipdate") >= F.lit("2024-01-15").cast("date")).select(
+        "l_partkey"
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("op"), "l_partkey", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), "l_partkey", "n")
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "j8_bucketed_colocated_join",
+    f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS {DEC})
+                    * (1 - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j8_bucketed_colocated_join(spark, sf_dir):
+    """Bucketed CO-LOCATED join: both fact tables are written
+    ``bucketBy(8, orderkey).sortBy(orderkey)`` and re-read through the
+    catalog, so the sort-merge join consumes pre-partitioned,
+    pre-sorted bucket files — ZERO Exchange and ZERO Sort on either join
+    input (asserted in tests/test_plan_quality.py). This is THE 100 TB
+    move for a join repeated every run (the reference joins stock and
+    news daily, Batch_layer/batchProcess.py): pay the layout shuffle
+    once at write time, then every subsequent join is shuffle-free. At
+    scale the bucket count is sized so one bucket ~ one task's memory
+    (8 here only because the fixture is small). The entry writes the
+    bucketed twin tables to a deterministic scratch dir (overwritten
+    per call — idempotent), joins with an explicit merge hint (a
+    broadcast would hide the layout win), and aggregates revenue per
+    priority in exact DECIMAL, DOUBLE only at the output boundary."""
+    import hashlib
+    import os as _os
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    scratch = _os.path.join("/tmp", "spark_graft_bucketed", tag)
+    names = {}
+    for df, key, base in ((li, "l_orderkey", "lineitem"), (orders, "o_orderkey", "orders")):
+        tname = f"j8_bkt_{base}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _os.path.join(scratch, base))
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+        names[base] = tname
+    l = spark.table(names["lineitem"]).hint("merge")
+    o = spark.table(names["orders"])
+    rev = (F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
+    return dec2dbl(
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "x26_unigram_surprisal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tx.tokens_sql('text')}) AS token FROM documents
+    ), v AS (
+      SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(length(bin(t.total)) - length(bin(v.cnt))) AS BIGINT)
+             AS bits_q,
+           CAST(sum(length(bin(t.total)) - length(bin(v.cnt))) AS DOUBLE)
+             / count(*) AS bits_per_token
+    FROM tok JOIN v USING (token) CROSS JOIN t
+    GROUP BY tok.doc_id
+    """,
+)
+def x26_unigram_surprisal(spark, sf_dir):
+    """Corpus-trained unigram LM surprisal per document — the
+    perplexity-proxy quality score of an LLM data pipeline (low
+    bits/token = repetitive boilerplate, high = rare-token noise), with
+    the log2 QUANTIZED to floor via ``length(bin(cnt))`` so the score is
+    pure INTEGER math: cross-engine transcendental log() rounding can
+    never flap the value hash (x10's ln() happens to agree between
+    engines on these inputs; this entry removes the dependence
+    entirely). surprisal_q(token) = floor(log2 total) - floor(log2 cnt).
+
+    Scale shape: explode -> one map-side-combined token count; the
+    token->cnt join is a plain equi-join (AQE broadcasts the vocab at
+    test scale, shuffles it at 100 TB — no hint pinned; a min-count
+    cutoff would cap the vocab in production); the corpus total is a
+    1-row broadcast; per-doc sum is map-side-combinable on doc_id."""
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tx.tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    surprisal = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt")))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(surprisal).cast("bigint").alias("bits_q"),
+        )
+        .withColumn(
+            "bits_per_token", F.col("bits_q").cast("double") / F.col("n_tokens")
+        )
+    )
+
+
+@register(
+    "x27_token_budget_sample",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len({_tx.tokens_sql('text')}) AS n_tok,
+             {_ex.shuffle_pos_sql('doc_id', seed='budget')} AS pos
+      FROM documents
+    ), c AS (
+      SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY pos, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(count(CASE WHEN cum <= 1000 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN cum <= 1000 THEN n_tok END), 0) AS BIGINT)
+             AS tokens_kept
+    FROM c GROUP BY source
+    """,
+)
+def x27_token_budget_sample(spark, sf_dir):
+    """Token-BUDGET quota sampling per domain: order each source's
+    documents by the reproducible shuffle position (ext/export.py
+    shuffle_pos — an unbiased, superset-stable order), accumulate token
+    counts, and keep documents while the running total fits the budget —
+    how a corpus is downsampled to 'N billion tokens per domain' for a
+    training mixture, complementing x22's rate-based temperature
+    mixture with an exact token quota. All-integer arithmetic.
+
+    Scale shape: one hash shuffle on source serves the running-sum
+    window; per-key window state is O(1); the budget gate is a narrow
+    filter. Skew note: a single giant domain makes one fat partition —
+    at 100 TB pair this with the salted-window trick (two-level cumsum:
+    per-salt partial sums + broadcast per-salt offsets) if one domain
+    exceeds a task's input ceiling."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(_tx.tokens(F.col("text"))).alias("n_tok"),
+        _ex.shuffle_pos("doc_id", seed="budget").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pos", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    kept = F.col("cum") <= 1000
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, F.lit(1))).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )

@@ -32,6 +32,8 @@ CROSS_JOIN_ALLOWLIST = {
     "s7_ann_recall_kmeans_vs_signbit",
     # centroid-table crossJoin (<= KM_K = 64 broadcast rows), same bound as s6
     "s11_incremental_ivf",
+    # 1-row corpus-total broadcast crossJoin, same bound as x10
+    "x26_unigram_surprisal",
 }
 
 

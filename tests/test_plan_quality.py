@@ -421,3 +421,53 @@ def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_j8_bucketed_join_no_exchange_no_sort_on_inputs(spark, sf_dir):
+    """The whole point of j8: bucketed+sorted layout means the SMJ reads
+    bucket files directly — no Exchange and no Sort below the join. The
+    only Exchange in the plan is the final tiny groupBy(o_orderpriority)."""
+    df = registry.QUERIES["j8_bucketed_colocated_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[0]
+    # the section ABOVE the join header in 'formatted' output lists the tree;
+    # assert no hash-partitioning exchange on either join key anywhere
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Bucketed: true" in plan
+
+
+def test_u3_multiset_ops_no_join(spark, sf_dir):
+    """intersectAll/exceptAll compile to aggregate+generate replication,
+    not a join — one value shuffle each, the 100 TB bag-diff shape."""
+    df = registry.QUERIES["u3_multiset_ops"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_w7_locf_single_user_shuffle(spark, sf_dir):
+    """Both imputation frames (LOCF backward, NOCB forward) ride ONE
+    user_id exchange: same partitioning, mirrored frames."""
+    df = registry.QUERIES["w7_locf_impute"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    # one physical Window node evaluates both frames ("(N) Window" detail)
+    assert plan.count(") Window") == 1
+
+
+def test_x27_budget_sample_single_source_shuffle(spark, sf_dir):
+    """Running-sum window + final per-source agg reuse one source
+    exchange (the agg keys are a prefix of the window partitioning)."""
+    df = registry.QUERIES["x27_token_budget_sample"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning(source") <= 1
+
+
+def test_x26_surprisal_integer_scoring_no_python(spark, sf_dir):
+    """The quantized-log2 scoring is pure JVM integer math — no Python
+    eval anywhere, and the corpus-total crossJoin is a 1-row broadcast."""
+    df = registry.QUERIES["x26_unigram_surprisal"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
