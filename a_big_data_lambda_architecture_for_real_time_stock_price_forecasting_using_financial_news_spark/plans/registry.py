@@ -4999,3 +4999,216 @@ def x27_token_budget_sample(spark, sf_dir):
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+@register(
+    "a15_corr_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM b GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS stddev_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_cents
+    FROM s
+    """,
+)
+def a15_corr_stats(spark, sf_dir):
+    """Correlation / covariance / stddev per group, composed from EXACT
+    integer moment sums instead of the corr()/covar_pop() builtins:
+    builtin second-moment aggregates fold doubles in partition order, so
+    their last bits differ run-to-run and engine-to-engine. Here x
+    (integer-valued quantity) and y (price in cents) accumulate n, Σx,
+    Σy, Σxx, Σxy, Σyy exactly — DECIMAL(38,0) on the Spark side, HUGEINT
+    in DuckDB — and the classical formulas run as one fixed sequence of
+    IEEE ops on those exact sums, so the doubles are bit-identical on
+    any partitioning. sqrt() is a correctly-rounded IEEE primitive (not
+    libm-approximated like log), so it is safe cross-engine. The
+    variance products are NOT multiplied under one sqrt — n·Σyy−Σy²
+    squared would overflow 38 digits at sf1; sqrt each factor first.
+
+    Scale shape: one map-side-combined agg — the moment sums ARE the
+    classic one-pass parallel algorithm. 5 rows out.
+
+    Reference anchor: the batch layer's avg_score daily sentiment
+    (Batch_layer/batchProcess.py) is the first moment of the same
+    pattern; this generalizes to second moments at full determinism."""
+    li = tbl(spark, sf_dir, "lineitem")
+    D38 = "decimal(38,0)"
+    x = F.col("l_quantity").cast(D38)
+    y = F.round(F.col("l_extendedprice") * 100).cast(D38)
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast(D38).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    nd = n.cast("double")
+    cov_num = (n * sxy - sx * sy).cast("double")
+    varx = (n * sxx - sx * sx).cast("double")
+    vary = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (sx.cast("double") / nd).alias("mean_qty"),
+        (cov_num / (nd * nd)).alias("covar_pop"),
+        (F.sqrt(varx) / nd).alias("stddev_qty"),
+        (cov_num / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_cents"),
+    )
+
+
+@register(
+    "g7_pagerank_fixedpoint",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT s AS src, p + 1000000 AS dst FROM pairs
+      UNION ALL
+      SELECT p + 1000000 AS src, s AS dst FROM pairs
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg
+    ), i1 AS (
+      SELECT e.dst AS node,
+             150000000 + (sum(r.rank // d.deg) * 85) // 100 AS rank
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+      GROUP BY e.dst
+    ), i2 AS (
+      SELECT e.dst AS node,
+             150000000 + (sum(r.rank // d.deg) * 85) // 100 AS rank
+      FROM edges e JOIN deg d ON e.src = d.src JOIN i1 r ON e.src = r.node
+      GROUP BY e.dst
+    ), i3 AS (
+      SELECT e.dst AS node,
+             150000000 + (sum(r.rank // d.deg) * 85) // 100 AS rank
+      FROM edges e JOIN deg d ON e.src = d.src JOIN i2 r ON e.src = r.node
+      GROUP BY e.dst
+    )
+    SELECT node, rank AS pagerank FROM i3
+    """,
+)
+def g7_pagerank_fixedpoint(spark, sf_dir):
+    """Iterative PageRank (3 power iterations, damping 0.85) over the
+    supplier<->part co-occurrence graph, in FIXED-POINT integer
+    arithmetic: ranks live in 1e-9 units, per-edge contribution is
+    integer division (`div`), damping is ``(x*85) div 100`` — so every
+    iteration is exact integer math, bit-identical on any partitioning
+    and engine (float PageRank sums in partition order and can never
+    hash-match). Edges are symmetrized (s->p and p->s), so every node
+    has out-degree >= 1 — no sink-mass term needed.
+
+    Scale shape per iteration: edges JOIN ranks on src (both sides
+    partitionable on src — at 100 TB pre-partition/bucket edges by src
+    once and every iteration's join is co-located) + one map-side-
+    combined sum on dst. Iteration count is fixed; the driver-side loop
+    only BUILDS the plan (no data moves through Python). The graph
+    mirror of d7's label-propagation connected components; at many more
+    iterations, add the same durable checkpoint() d7 uses to cut
+    lineage."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = pairs.select(
+        F.col("s").alias("src"), (F.col("p") + 1000000).alias("dst")
+    ).unionByName(
+        pairs.select((F.col("p") + 1000000).alias("src"), F.col("s").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1000000000).cast("bigint").alias("rank")
+    )
+    ed = edges.join(deg, "src")
+    for _ in range(3):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (F.lit(150000000) + F.expr("(sum(contrib) * 85) div 100")).alias(
+                    "rank"
+                )
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+@register(
+    "p8_csv_source_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def p8_csv_source_roundtrip(spark, sf_dir):
+    """CSV source breadth: export orders to headered, pipe-delimited CSV
+    and read it back through an EXPLICIT schema (no inferSchema — a
+    schema-inference pass doubles the scan at 100 TB), FAILFAST mode (we
+    wrote the file; silent row drops would corrupt the oracle compare —
+    the reference's pandas CSV reads, Dataset/dataset.py, have no such
+    contract). Doubles are pinned to integer cents BEFORE export so the
+    value hash never depends on decimal text rendering; dates travel as
+    ISO strings into a DATE column. The oracle reads the original
+    parquet — so the check proves the CSV hop is lossless.
+
+    Scale shape: CSV write + schema'd read are both narrow per-partition
+    streams; the filter pushes to the CSV scan's row group... CSV has no
+    row groups — which is the point: the entry documents WHY parquet is
+    the resting format (no pushdown, no pruning, full-file parse) while
+    proving the engine still speaks CSV at the edges."""
+    import hashlib
+    import os as _os
+
+    orders = tbl(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join("/tmp", "spark_graft_csv", tag, "orders")
+    (
+        staged.write.mode("overwrite")
+        .option("header", True)
+        .option("delimiter", "|")
+        .csv(path)
+    )
+    schema = "o_orderkey BIGINT, o_custkey BIGINT, order_date DATE, total_cents BIGINT"
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("delimiter", "|")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    return back.filter(F.col("o_orderkey") % 10 == 0)
