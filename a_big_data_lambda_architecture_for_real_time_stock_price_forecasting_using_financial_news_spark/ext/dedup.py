@@ -132,10 +132,22 @@ def shingles_sql(expr: str) -> str:
       FROM (SELECT {t} AS t))"""
 
 
-def minhash_signature(sh):
-    """k=MH_K minhash values: hash each shingle ONCE (md5), then derive the
-    k permutation values by universal hashing and min-fold them in a single
-    pass: acc[i] = min(acc[i], (a_i * h + b_i) mod P31).
+def shingle_hashes(sh):
+    """Full 60-bit hash per shingle — the VERIFICATION currency. Hashing
+    once and carrying ``array<bigint>`` instead of the shingle strings
+    keeps every downstream shuffle/persist at 8 bytes per shingle and
+    makes the exact-Jaccard verify an integer array_intersect (measured
+    ~1.8x on the verify stage at sf1). Jaccard over the hash sets equals
+    Jaccard over the shingle sets barring a 60-bit collision inside one
+    pair's union (~2^-61 per pair) — and both engines hash identically,
+    so even a collision could never diverge from the oracle."""
+    return F.transform(sh, lambda s: phash60(s))
+
+
+def minhash_signature(hs):
+    """k=MH_K minhash values derived from the stored shingle hashes by
+    universal hashing, min-folded in a single pass:
+    acc[i] = min(acc[i], (a_i * (h mod P31) + b_i) mod P31).
 
     Two performance rules shape this expression (both measured ~10-40x on
     sf0.1):
@@ -143,41 +155,64 @@ def minhash_signature(sh):
       lambda bodies (Spark neither CSEs repeated subtrees nor hoists them
       out of lambdas, and CollapseProject re-inlines staged columns), so
       the naive k x array_min(transform(sh, md5...)) form re-shingled and
-      re-hashed k times;
-    - the k derivations act on the lambda VARIABLE h (a slot read): one
-      md5 per shingle total, then k integer mul-mods.
+      re-hashed k times — here the input is the already-materialized hash
+      array, so the fold is pure integer mul-mods;
+    - the k derivations act on the lambda VARIABLE h (a slot read).
     MH_P is the fold identity: all derived values are < MH_P."""
-    hs = F.transform(sh, lambda s: phash60(s) % MH_P)
     return F.aggregate(
         hs,
         F.array_repeat(F.lit(MH_P).cast("bigint"), MH_K),
         lambda acc, h: F.zip_with(
             acc,
             F.array(
-                *[(F.lit(MH_A[i]) * h + F.lit(MH_B[i])) % MH_P for i in range(MH_K)]
+                *[
+                    (F.lit(MH_A[i]) * (h % MH_P) + F.lit(MH_B[i])) % MH_P
+                    for i in range(MH_K)
+                ]
             ),
             lambda a, x: F.least(a, x),
         ),
     )
 
 
-def minhash_signature_sql(expr: str) -> str:
-    sh = shingles_sql(expr)
-    mins = ", ".join(
-        f"list_min(list_transform(hs, h -> ({MH_A[i]} * h + {MH_B[i]}) % {MH_P}))"
+def _sig_mins_sql() -> str:
+    """The k min-fold derivations over a bound full-hash list ``hs``."""
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> ({MH_A[i]} * (h % {MH_P}) + {MH_B[i]})"
+        f" % {MH_P}))"
         for i in range(MH_K)
     )
+
+
+def shingle_hashes_sql(expr: str) -> str:
+    sh = shingles_sql(expr)
+    return f"(SELECT list_transform(sh, s -> {phash60_sql('s')}) FROM (SELECT {sh} AS sh))"
+
+
+def minhash_signature_sql(expr: str) -> str:
+    sh = shingles_sql(expr)
     # bind hs in a subquery: DuckDB inlines repeated aliases too, and 16
     # mentions of the md5 list_transform would digest every shingle 16x
     return (
-        f"(SELECT [{mins}] FROM (SELECT "
-        f"list_transform(sh, s -> {phash60_sql('s')} % {MH_P}) AS hs "
+        f"(SELECT [{_sig_mins_sql()}] FROM (SELECT "
+        f"list_transform(sh, s -> {phash60_sql('s')}) AS hs "
         f"FROM (SELECT {sh} AS sh)))"
     )
 
 
 def minhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """The persistent artifact of minhash dedup: (doc_id, sh, sig) per doc.
+    """The persistent artifact of minhash dedup: (doc_id, hs, sig) per doc,
+    where ``hs`` is the doc's distinct shingle HASHES (array<bigint>) and
+    ``sig`` its minhash signature.
+
+    The hash projection is persisted INSIDE this function (the d4
+    staging-persist pattern): ``hs`` feeds both the output column and the
+    signature fold, and without the materialization barrier CollapseProject
+    would inline the tokenize+shingle+md5 chain into each mention — two
+    md5 passes over every shingle instead of one. Callers that persist the
+    returned sketch table still should (it feeds band generation and both
+    verify sides); sessions that loop over many entries clear the cache
+    between them (bench.py / selfcheck.py contract).
 
     In production this table is WRITTEN (parquet/Delta, partitioned by
     ingest batch): incremental dedup then sketches only the new data and
@@ -187,11 +222,14 @@ def minhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
         "doc_id",
     )
-    return (
+    hashed = (
         spread.select("doc_id", tokens(F.col("_text")).alias("_toks"))
-        .select("doc_id", shingles_of_tokens(F.col("_toks")).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh")))
+        .select("doc_id", shingles_of_tokens(F.col("_toks")).alias("_sh"))
+        .select("doc_id", shingle_hashes(F.col("_sh")).alias("hs"))
+        .persist()
+    )
+    return hashed.filter(F.size("hs") > 0).withColumn(
+        "sig", minhash_signature(F.col("hs"))
     )
 
 
@@ -219,14 +257,17 @@ def bands_of(sketches: DataFrame) -> DataFrame:
 
 
 def verify_pairs(cand: DataFrame, sketches: DataFrame, threshold: float) -> DataFrame:
-    """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs."""
-    sh_a = sketches.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sketches.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs,
+    computed over the stored shingle-hash arrays: integer array_intersect
+    on 8-byte elements instead of string compares (~1.8x at sf1), and the
+    two verify joins ship compact bigint arrays through the shuffle."""
+    hs_a = sketches.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hs_b = sketches.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        cand.join(hs_a, "id_a")
+        .join(hs_b, "id_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -247,7 +288,7 @@ def incremental_minhash_pairs(
     # and when old_sketches is a live plan (tests / this session) rather
     # than a parquet-backed table, each consumer would otherwise re-sketch
     # the whole old corpus (measured 3x end-to-end at sf0.1)
-    all_sk = old_sketches.select("doc_id", "sh", "sig").unionByName(new_sk).persist()
+    all_sk = old_sketches.select("doc_id", "hs", "sig").unionByName(new_sk).persist()
     nb, ab = bands_of(new_sk).alias("n"), bands_of(all_sk).alias("a")
     cand = (
         nb.join(ab, ["band", "bh"])
@@ -305,30 +346,30 @@ def minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str, threshold: flo
         return phash60_sql(f"concat_ws(',', {cat})")
 
     band_union = "\n      UNION ALL ".join(
-        f"SELECT doc_id, sh, {b} AS band, {band_hash(b)} AS bh FROM nonempty"
+        f"SELECT doc_id, hs, {b} AS band, {band_hash(b)} AS bh FROM nonempty"
         for b in range(MH_BANDS)
     )
     return f"""
-    WITH base AS (
-      SELECT {id_col} AS doc_id,
-             {minhash_signature_sql(text_col)} AS sig,
-             {shingles_sql(text_col)} AS sh
-      FROM {table}
+    WITH sh0 AS (
+      SELECT {id_col} AS doc_id, {shingles_sql(text_col)} AS sh FROM {table}
+    ), h0 AS (
+      SELECT doc_id, list_transform(sh, s -> {phash60_sql('s')}) AS hs
+      FROM sh0 WHERE len(sh) > 0
     ), nonempty AS (
-      SELECT * FROM base WHERE len(sh) > 0
+      SELECT doc_id, hs, [{_sig_mins_sql()}] AS sig FROM h0
     ), bands AS (
       {band_union}
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hs AS hs_a, b.hs AS hs_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
       WHERE a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
-           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+           CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(hs_a, hs_b))) AS jaccard
     FROM cand
-    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / len(list_distinct(list_concat(sh_a, sh_b))) >= {threshold}
+    WHERE CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(hs_a, hs_b))) >= {threshold}
     """
 
 

@@ -1188,31 +1188,33 @@ def t11_stream_stream_join(spark, sf_dir):
     # partitions that is thousands of tiny state files for a bounded
     # replay — pin a small count for the streaming query, restore after
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    clicks = (
-        events_stream(spark, sf_dir, n_chunks=2)
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("a_ts"))
-        .withWatermark("a_ts", "3650 days")
-    )
-    views = (
-        events_stream(spark, sf_dir, n_chunks=2)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("b_ts"),
-        )
-        .withWatermark("b_ts", "3650 days")
-    )
-    joined = clicks.join(
-        views,
-        (F.col("user_id") == F.col("v_user"))
-        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 10 MINUTES"))
-        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select("user_id", "click_id", "view_id")
     sink = f"t11_sink_{uuid.uuid4().hex[:8]}"
     try:
+        # inside the try (t13's pattern) so a failure anywhere — including
+        # building the stream DataFrames — still restores the session conf
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        clicks = (
+            events_stream(spark, sf_dir, n_chunks=2)
+            .filter(F.col("event_type") == "click")
+            .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("a_ts"))
+            .withWatermark("a_ts", "3650 days")
+        )
+        views = (
+            events_stream(spark, sf_dir, n_chunks=2)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "3650 days")
+        )
+        joined = clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        ).select("user_id", "click_id", "view_id")
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
