@@ -41,6 +41,9 @@ HEADLINE = [
     # r5: corpus mixture rebalance; z-order layout key over lineitem
     "x22_domain_mix",
     "x23_zorder_layout",
+    # deliberately NOT headlined: g7_pagerank_fixedpoint (iterative; its
+    # edge-derivation distinct dominates and swings ±2x with machine load,
+    # which would flag false bench regressions — run via BENCH_EXTRA)
 ]
 
 

@@ -58,6 +58,29 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert all(j >= 0.5 for j in jac.values())
 
 
+def test_minhash_hash_space_jaccard_equals_shingle_jaccard(spark):
+    """The sketch table stores shingle HASHES; verify-stage Jaccard over
+    the hash sets must equal Jaccard over the shingle strings (no 60-bit
+    collision at test scale, and the hash is deterministic). Guards the
+    hash-space verify refactor against accidental re-hashing/modding that
+    would silently change multiplicities."""
+    from pyspark.sql import functions as F
+
+    d = docs_df(spark)
+    sk = dedup.minhash_sketches(d, "doc_id", "text")
+    raw = d.select(
+        "doc_id", dedup.shingles(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    joined = sk.join(raw, "doc_id").select(
+        "doc_id",
+        F.size("hs").alias("n_hashes"),
+        F.size("sh").alias("n_shingles"),
+        F.size(F.array_distinct("hs")).alias("n_distinct_hashes"),
+    )
+    for r in joined.collect():
+        assert r.n_hashes == r.n_shingles == r.n_distinct_hashes
+
+
 def test_simhash_identical_text_hamming_zero(spark):
     pairs = dedup.simhash_pairs(docs_df(spark), "doc_id", "text", 3).collect()
     ham = {(r.id_a, r.id_b): r.hamming for r in pairs}

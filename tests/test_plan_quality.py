@@ -430,8 +430,6 @@ def test_j8_bucketed_join_no_exchange_no_sort_on_inputs(spark, sf_dir):
     df = registry.QUERIES["j8_bucketed_colocated_join"](spark, sf_dir)
     plan = plan_of(df)
     assert "SortMergeJoin" in plan
-    join_part = plan.split("SortMergeJoin")[0]
-    # the section ABOVE the join header in 'formatted' output lists the tree;
     # assert no hash-partitioning exchange on either join key anywhere
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
