@@ -455,9 +455,27 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int) -
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.byte")
     a, b = bands.alias("a"), bands.alias("b")
+    # FIRST-matching-band emission: a pair appears once per band whose
+    # bytes collide, so the naive plan needs a pair-level dropDuplicates —
+    # at sf1 that shuffled 21.8M hamming-verified rows to remove a 1.8x
+    # duplicate factor, the single largest stage. Both simhashes are in
+    # hand at join time, so each row can check whether ANY EARLIER band
+    # also matches and keep only band == first matching band: every pair
+    # emitted exactly once, zero post-join shuffle.
+    def _byte(col, j):
+        return F.shiftright(col, j * 8).bitwiseAND(F.lit(255))
+
+    match = [
+        _byte(F.col("a.simhash"), j) == _byte(F.col("b.simhash"), j)
+        for j in range(SIM_BANDS)
+    ]
+    first_band = F.when(match[0], F.lit(0))
+    for j in range(1, SIM_BANDS):
+        first_band = first_band.when(match[j], F.lit(j))
     return (
         a.join(b, ["band", "byte"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("band") == first_band)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
@@ -465,12 +483,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int) -
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("int").alias("hamming"),
         )
-        # verify BEFORE deduplicating: hamming is a per-row bit op, so the
-        # dropDuplicates shuffle carries only true near-dups, not every
-        # byte-collision pair (hamming is identical for duplicates of a
-        # pair, so the order change cannot alter results)
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
