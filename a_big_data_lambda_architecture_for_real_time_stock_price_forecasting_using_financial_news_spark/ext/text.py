@@ -243,7 +243,10 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     terms = base.select(
         "doc_id", F.explode(tokens(F.col("_text"))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist the (doc, term, tf) table: it feeds BOTH the vocabulary
+    # aggregation and the scoring join, and without the barrier each
+    # consumer re-runs the tokenize+explode+agg lineage from the scan
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = base.agg(F.countDistinct("doc_id").alias("_n"))
     scored = (
