@@ -285,6 +285,9 @@ def embedding_near_dup(
         ),
         heavy=True,  # within-cell pair scoring is quadratic in cell size
     ).withColumn("nrm", norm(F.col("emb")))
+    # persist: both self-join sides read the same normed table; without the
+    # barrier each side re-runs the scan + spread + norm fold
+    base = base.persist()
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, "cell")
