@@ -1067,3 +1067,79 @@ def test_windowed_append_emits_only_finalized_windows(spark, tmp_path):
     q.awaitTermination()
     got = {(str(r["d"]), r["event_type"]): r["n"] for r in spark.table("t15_test").collect()}
     assert got == {("2024-03-01", "click"): 3, ("2024-03-02", "click"): 5}
+
+
+def test_stream_stream_left_outer_join_emits_null_padded_rows(spark):
+    """Stream-stream LEFT OUTER join: unmatched left rows must be emitted
+    null-padded once the watermark passes their join window (the state
+    eviction that makes outer stream joins bounded). maxFilesPerTrigger=1
+    forces two micro-batches in one query: the second file carries
+    far-future rows that advance the watermark past every batch-1 window,
+    forcing the unmatched batch-1 quote out."""
+    import os
+    import tempfile as tf
+
+    from pyspark.sql import types as T
+
+    q_schema = T.StructType(
+        [T.StructField("sym", T.StringType()),
+         T.StructField("q_ts", T.TimestampType()),
+         T.StructField("px", T.DoubleType())]
+    )
+    a_schema = T.StructType(
+        [T.StructField("sym", T.StringType()),
+         T.StructField("a_ts", T.TimestampType()),
+         T.StructField("score", T.LongType())]
+    )
+    with tf.TemporaryDirectory() as tmp:
+        os.makedirs(f"{tmp}/q")
+        os.makedirs(f"{tmp}/a")
+        with open(f"{tmp}/q/1.json", "w") as fh:
+            fh.write(
+                '{"sym": "X", "q_ts": "2024-01-01T10:00:00", "px": 10.0}\n'
+                '{"sym": "Z", "q_ts": "2024-01-01T10:05:00", "px": 30.0}\n'
+            )
+        with open(f"{tmp}/a/1.json", "w") as fh:
+            fh.write('{"sym": "X", "a_ts": "2024-01-01T10:20:00", "score": 5}\n')
+        with open(f"{tmp}/q/2.json", "w") as fh:
+            fh.write('{"sym": "W", "q_ts": "2024-01-02T10:00:00", "px": 1.0}\n')
+        with open(f"{tmp}/a/2.json", "w") as fh:
+            fh.write('{"sym": "W", "a_ts": "2024-01-02T09:00:00", "score": 1}\n')
+        # pin file order so batch 1 = the *.1 files (oldest mtime first)
+        now = 1_700_000_000
+        for d, f, off in (("q", "1.json", 0), ("a", "1.json", 0),
+                          ("q", "2.json", 60), ("a", "2.json", 60)):
+            os.utime(f"{tmp}/{d}/{f}", (now + off, now + off))
+        quotes = (
+            spark.readStream.schema(q_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{tmp}/q")
+            .withWatermark("q_ts", "10 minutes")
+        )
+        arts = (
+            spark.readStream.schema(a_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(f"{tmp}/a")
+            .withWatermark("a_ts", "10 minutes")
+        )
+        joined = quotes.join(
+            arts,
+            (quotes["sym"] == arts["sym"])
+            & (arts["a_ts"] >= quotes["q_ts"])
+            & (arts["a_ts"] <= quotes["q_ts"] + F.expr("INTERVAL 30 MINUTES")),
+            "leftOuter",
+        ).select(quotes["sym"], "px", "score")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssloj")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r["sym"], r["px"], r["score"]) for r in spark.table("ssloj").collect()}
+    # X matched within its window; Z never matched -> emitted (Z, 30.0, None)
+    # after the batch-2 watermark passed its window
+    assert ("X", 10.0, 5) in got
+    assert ("Z", 30.0, None) in got
