@@ -561,17 +561,34 @@ def ngram_jaccard_pairs(
     normed = spread.select(
         "doc_id", *block_cols, norm_text(F.col("_text")).alias("_norm")
     ).persist()
-    base = normed.select(
-        "doc_id",
-        *block_cols,
-        char_ngrams_of_norm(F.col("_norm")).alias("ng"),
-    ).filter(F.size("ng") > 0)
+    # persist the gram table too: both self-join sides read it, and the
+    # gram transform (one substr per gram per row) is the expensive half
+    # of the projection chain
+    base = (
+        normed.select(
+            "doc_id",
+            *block_cols,
+            char_ngrams_of_norm(F.col("_norm")).alias("ng"),
+        )
+        .filter(F.size("ng") > 0)
+        .withColumn("n_ng", F.size("ng"))
+        .persist()
+    )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a.ng", "b.ng")).cast("double")
     union = F.size(F.array_union("a.ng", "b.ng")).cast("double")
+    # size-ratio gate (classic set-similarity-join length filter): with
+    # I <= min(|A|,|B|) and U >= max(|A|,|B|), J <= min/max — so any pair
+    # whose smaller gram set is under threshold*larger can NEVER qualify
+    # and skips the per-pair intersect entirely. Pure pruning: results are
+    # unchanged (measured 186s -> see COVERAGE at sf1 without it).
+    size_gate = (
+        F.col("a.n_ng").cast("double") >= F.lit(threshold) * F.col("b.n_ng")
+    ) & (F.col("b.n_ng").cast("double") >= F.lit(threshold) * F.col("a.n_ng"))
     return (
         a.join(b, block_cols)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(size_gate)
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select(
