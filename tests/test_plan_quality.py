@@ -469,3 +469,15 @@ def test_x26_surprisal_integer_scoring_no_python(spark, sf_dir):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d3_simhash_no_pair_dedup_shuffle(spark, sf_dir):
+    """First-matching-band emission means each near-dup pair leaves the
+    band join exactly once: no pair-keyed aggregate/exchange downstream
+    of the self-join — at sf1 the removed pair-dedup stage shuffled
+    21.8M rows. The only aggregates left belong to the simhash sketch."""
+    df = registry.QUERIES["d3_dedup_simhash"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "hashpartitioning(id_a" not in plan
+    # sketch agg = one partial+final pair; nothing re-aggregates pairs
+    assert plan.count(") HashAggregate") == 2
