@@ -5219,3 +5219,249 @@ def p8_csv_source_roundtrip(spark, sf_dir):
         .csv(path)
     )
     return back.filter(F.col("o_orderkey") % 10 == 0)
+
+
+@register(
+    "p9_variant_json",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k,
+           props->>'missing' AS missing_field
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) % 7 = 0
+    """,
+)
+def p9_variant_json(spark, sf_dir):
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    ``parse_json`` turns the raw ``props`` payload into a binary variant
+    once, then ``variant_get`` extracts typed paths without re-parsing
+    the JSON text per field (the reference re-parses with a full
+    ``from_json`` + fixed StructType per stream,
+    Batch_layer/yfConsumer.py:47 — VARIANT is the schema-flexible path
+    for payloads whose keys drift). ``try_variant_get`` on an absent
+    path yields NULL instead of failing, mirroring the oracle's
+    ``->>'missing'``.
+
+    Scale shape: a narrow per-row projection — no shuffle, no Python;
+    variant encode/decode runs JVM-side inside codegen. At 100 TB the
+    win over from_json-per-field is one parse per row instead of one
+    per extracted column, and variants stored to parquet keep shredded
+    column stats for pushdown."""
+    ev = tbl(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+    ).filter(F.col("k") % 7 == 0)
+
+
+@register(
+    "p10_orc_roundtrip",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem WHERE l_orderkey % 25 = 0
+    """,
+)
+def p10_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink breadth (the second columnar format Spark speaks
+    natively): stage lineitem to ORC, read it back, and prove the hop is
+    lossless against the oracle reading the ORIGINAL parquet. Doubles
+    are pinned to integer cents before export (p8's rule) so the value
+    hash never depends on float text rendering.
+
+    Unlike the CSV edge (p8), ORC keeps columnar stripes with min/max
+    statistics — the read-back filter is eligible for predicate
+    pushdown and column pruning exactly like parquet, so an ORC-resident
+    dataset at 100 TB scans only the projected columns of the stripes
+    that can match."""
+    import hashlib
+    import os as _os
+
+    li = tbl(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join("/tmp", "spark_graft_orc", tag, "lineitem")
+    staged.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.filter(F.col("l_orderkey") % 25 == 0)
+
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "x28_doc_chunking",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, w, len(w) AS n,
+             unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS start
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_word,
+           CAST(least({CHUNK_WORDS}, n - start) AS INT) AS n_words,
+           array_to_string(list_slice(w, start + 1, start + {CHUNK_WORDS}), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def x28_doc_chunking(spark, sf_dir):
+    """RAG-style document chunking: fixed windows of CHUNK_WORDS=32 words
+    with stride 24 (8-word overlap so no sentence is orphaned at a chunk
+    boundary), each chunk carrying its ordinal, word offset, and width.
+    The overlapping-window retrieval shape — distinct from d8's
+    non-overlapping 16-word passage windows, whose job is dedup grouping,
+    not retrieval context. The reference has no chunking at all (tweets
+    are short; FinBERT truncates at 512 tokens, batchPipeline.py:147) —
+    this is the op that makes long documents usable by a
+    bounded-context encoder.
+
+    Scale shape: split + sequence + posexplode + slice is a single
+    narrow pass — no shuffle, no Python, everything inside
+    whole-stage codegen. Output size is input x (1/stride overlap
+    factor about 1.33); chunk rows inherit the input partitioning so a
+    downstream embed step (m9's mapInPandas shape) streams
+    batch-by-batch without a repartition."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("w"),
+    ).withColumn("n", F.size("w"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+    ch = d.select(
+        "doc_id",
+        "w",
+        "n",
+        F.posexplode(starts).alias("chunk_idx", "start_word"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        F.least(F.lit(CHUNK_WORDS), F.col("n") - F.col("start_word"))
+        .cast("int")
+        .alias("n_words"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start_word") + 1, F.lit(CHUNK_WORDS)), " "
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "m10_arrow_group_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+           min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+           max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def m10_arrow_group_stats(spark, sf_dir):
+    """Grouped-map through Spark 4's ``applyInArrow``: per event_type the
+    whole group arrives as ONE pyarrow.Table and is reduced with
+    vectorized ``pyarrow.compute`` kernels — no pandas materialization
+    at all (the ``applyInPandas`` seams, ml/forecast.py:113, pay an
+    Arrow->pandas conversion both ways; this is the zero-copy variant
+    for numeric reductions). Values are floored to integer cents inside
+    the plan BEFORE crossing into Python so the Arrow kernel sums exact
+    int64s — order-independent, hash-stable.
+
+    Scale shape: one hash-partition shuffle on the (low-cardinality)
+    group key, then per-group Arrow batches; memory is bounded by the
+    largest single group. For the five event_type groups here that is
+    fine; a high-cardinality key would use the same plan with many
+    small groups. A pure-SQL twin of this reduction exists (the oracle)
+    — the entry's point is proving the Arrow-native grouped-map seam
+    for reductions SQL can NOT express (custom model featurizers),
+    bit-exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def stats(table: pa.Table) -> pa.Table:
+        cents = table.column("cents")
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        schema=(
+            "event_type string, n bigint, sum_cents bigint, "
+            "min_cents bigint, max_cents bigint"
+        ),
+    )
+
+
+@register(
+    "t16_stream_dedup_within_watermark",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def t16_stream_dedup_within_watermark(spark, sf_dir):
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes its event time + delay, then evicts it — the
+    100 TB fix for t13, whose plain ``dropDuplicates`` state grows with
+    every key ever seen (the same unbounded-key hazard as the
+    reference's ES keyed docs, Speed_layer/twitterConsumerStream.py:94-107).
+    Here the delay (10 years) exceeds the fixture's span so nothing is
+    evicted mid-replay and the batch DISTINCT oracle is the exact truth;
+    in production the delay is the real dedup horizon (e.g. 24h) and
+    state is bounded by keys active within it.
+
+    Only the key columns survive to the sink, so the result is
+    deterministic regardless of which physical duplicate row wins."""
+    import uuid
+
+    from ..streaming.ingest import events_stream
+
+    prepare(spark)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sink = f"t16_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        # inside the try (t13's pattern) so any failure restores the conf
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        dedup = (
+            events_stream(spark, sf_dir, n_chunks=2)
+            .select("user_id", "event_type", "ts")
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(sink)

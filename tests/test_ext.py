@@ -992,3 +992,60 @@ def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
     # a point predicate on either dim must prune at least half the files
     assert files_containing("d1", 7) <= n_files / 2
     assert files_containing("d2", 7) <= n_files / 2
+
+
+def test_doc_chunking_overlap_and_short_doc(spark):
+    """Chunk invariants: a doc shorter than one window yields exactly one
+    full-coverage chunk; long docs produce stride-24 windows where
+    consecutive chunks overlap by exactly CHUNK_WORDS - CHUNK_STRIDE
+    words, and every word of the doc appears in some chunk."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        x28_doc_chunking,
+    )
+    import tempfile
+
+    words = [f"w{i}" for i in range(80)]
+    rows = [
+        (1, " ".join(words), "en", "src0", 400),
+        (2, "tiny doc only", "en", "src0", 13),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = x28_doc_chunking(spark, d).collect()
+
+    short = [r for r in out if r.doc_id == 2]
+    assert len(short) == 1 and short[0].n_words == 3
+    assert short[0].chunk_text == "tiny doc only"
+
+    long_chunks = sorted((r for r in out if r.doc_id == 1), key=lambda r: r.chunk_idx)
+    # 80 words, stride 24 -> starts 0,24,48,72
+    assert [r.start_word for r in long_chunks] == [0, 24, 48, 72]
+    assert [r.n_words for r in long_chunks] == [32, 32, 32, 8]
+    overlap = CHUNK_WORDS - CHUNK_STRIDE
+    for a, b in zip(long_chunks, long_chunks[1:]):
+        a_w, b_w = a.chunk_text.split(" "), b.chunk_text.split(" ")
+        if len(a_w) == CHUNK_WORDS:
+            assert a_w[-overlap:] == b_w[:overlap]
+    covered = {w for r in long_chunks for w in r.chunk_text.split(" ")}
+    assert covered == set(words)
+
+
+def test_variant_get_null_on_missing_path(spark):
+    """try_variant_get on an absent path is NULL, matching the oracle's
+    ->> semantics; the typed path extraction round-trips exact ints."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 42}'), (2, '{"k": 7, "extra": "x"}')], "event_id long, props string"
+    )
+    v = F.parse_json(F.col("props"))
+    out = df.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("m"),
+    ).collect()
+    assert {(r.event_id, r.k, r.m) for r in out} == {(1, 42, None), (2, 7, None)}
