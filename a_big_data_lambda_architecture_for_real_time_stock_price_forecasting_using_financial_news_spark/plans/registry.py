@@ -5465,3 +5465,208 @@ def t16_stream_dedup_within_watermark(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(sink)
+
+
+@register(
+    "j9_record_linkage",
+    """
+    WITH q AS (
+      SELECT p_partkey AS query_key,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS dirty_name
+      FROM part WHERE p_partkey % 50 = 0
+    ), qq AS (
+      SELECT query_key, dirty_name, substr(dirty_name, 1, 1) AS blk FROM q
+    ), c AS (
+      SELECT p_partkey, p_name,
+             substr(regexp_replace(p_name, '[aeiou]', '', 'g'), 1, 1) AS blk
+      FROM part
+    )
+    SELECT query_key, dirty_name, matched_key, matched_name, dist
+    FROM (
+      SELECT qq.query_key, qq.dirty_name,
+             c.p_partkey AS matched_key, c.p_name AS matched_name,
+             levenshtein(qq.dirty_name, c.p_name) AS dist,
+             row_number() OVER (
+               PARTITION BY qq.query_key
+               ORDER BY levenshtein(qq.dirty_name, c.p_name), c.p_partkey
+             ) AS rn
+      FROM qq JOIN c USING (blk)
+    ) WHERE rn = 1
+    """,
+)
+def j9_record_linkage(spark, sf_dir):
+    """Entity resolution / record linkage: resolve a 'dirty catalog' query
+    set (every 50th part name, deterministically corrupted by stripping
+    vowels) against the clean catalog by NORMALIZE-THEN-BLOCK + edit-
+    distance verify: both sides block on the first character of the
+    vowel-stripped name (a key that survives the corruption), candidates
+    are the blocked equi-join, and the winner per query is the argmin of
+    levenshtein distance with the part key as deterministic tiebreaker.
+    No capability in the reference comes close — its only join is a
+    clean equi-join (Batch_layer/batchPipeline.py:163).
+
+    Scale shape: the expensive operation (levenshtein) runs only on
+    blocked candidate pairs, never all-pairs — work is |queries| x
+    avg-block-size, the d2/d4 candidate-generation contract applied to
+    record linkage. The per-query argmin is one window over the
+    candidate table partitioned by query_key; at corpus-scale query
+    sets, swap the window for the a3 max_by/packed-struct groupBy (same
+    semantics, pure agg). Blocking keys needing more recall (phonetic,
+    q-gram) slot into the same plan as extra blk variants unioned
+    before the join."""
+    part = tbl(spark, sf_dir, "part")
+    strip = lambda c: F.regexp_replace(c, "[aeiou]", "")  # noqa: E731
+    q = (
+        part.filter(F.col("p_partkey") % 50 == 0)
+        .select(
+            F.col("p_partkey").alias("query_key"),
+            strip(F.col("p_name")).alias("dirty_name"),
+        )
+        .withColumn("blk", F.substring("dirty_name", 1, 1))
+    )
+    c = part.select(
+        F.col("p_partkey").alias("matched_key"),
+        F.col("p_name").alias("matched_name"),
+        F.substring(strip(F.col("p_name")), 1, 1).alias("blk"),
+    )
+    cand = q.join(c, "blk").withColumn(
+        "dist", F.levenshtein(F.col("dirty_name"), F.col("matched_name"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_key").orderBy("dist", "matched_key")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_key", "dirty_name", "matched_key", "matched_name", "dist")
+    )
+
+
+@register(
+    "g8_triangle_count",
+    """
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    raw AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    ori AS (
+      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
+             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
+      FROM raw r
+      JOIN deg du ON du.node = r.u
+      JOIN deg dv ON dv.node = r.v
+    ),
+    tri AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM ori e1
+      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
+      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+    )
+    SELECT node, count(*) AS n_tri FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+)
+def g8_triangle_count(spark, sf_dir):
+    """Per-node triangle counting over the parts-bought-together graph
+    (parts co-occurring in an order), using DEGREE ORDERING — the trick
+    that makes distributed triangle enumeration survive skew: every
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher one, so a celebrity node with degree d contributes
+    wedges only through its few lower-degree out-edges, bounding total
+    wedges by O(m^1.5) instead of sum(d^2) (naive wedge counting on a
+    hub node is quadratic in its degree — the same hot-key blowup the
+    salted entries j5/a7 exist for, solved structurally here).
+    Completes d7 (components) and g7 (PageRank) as the graph battery.
+
+    Scale shape: three equi-joins (wedge build on shared source +
+    closing-edge hash probe) and map-side-combined aggs; all joins key
+    on node ids so the edge table buckets once and every stage
+    co-locates. (deg, id) tuple ordering makes the orientation — and
+    so the exact wedge set — deterministic on any partitioning."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+    )
+    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = raw.join(du, "u").join(dv, "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    ori = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
+    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+@register(
+    "p11_schema_evolution",
+    """
+    SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS priority_code
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderkey % 5 AS priority_code
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def p11_schema_evolution(spark, sf_dir):
+    """Parquet schema evolution: a dataset written in two generations —
+    the old writer emits (o_orderkey, o_custkey), the new writer adds a
+    priority_code column — read back as ONE table with
+    ``mergeSchema=true``; rows from old files surface the new column as
+    NULL. The append-only master datasets of the reference
+    (news_master, Batch_layer/twitterConsumer.py:61) face exactly this
+    when a producer adds a field; ES absorbs it by being schemaless,
+    a lakehouse absorbs it with merged parquet footers.
+
+    Scale shape: schema merge is a FOOTER-level operation (one small
+    read per file at planning time; spark.sql.parquet.mergeSchema
+    itself warns this is O(files) — which is why it's off by default
+    and a production table pins the merged schema in a catalog). Data
+    reading stays columnar with pushdown; old files simply have no
+    pages for the new column and materialize NULLs for free."""
+    import hashlib
+    import os as _os
+
+    orders = tbl(spark, sf_dir, "orders")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join("/tmp", "spark_graft_evo", tag, "orders")
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 5).alias("priority_code"),
+    )
+    old_gen.write.mode("overwrite").parquet(_os.path.join(path, "gen=old"))
+    new_gen.write.mode("overwrite").parquet(_os.path.join(path, "gen=new"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        _os.path.join(path, "gen=old"), _os.path.join(path, "gen=new")
+    )
+    return back.select("o_orderkey", "o_custkey", "priority_code")

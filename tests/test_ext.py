@@ -1049,3 +1049,51 @@ def test_variant_get_null_on_missing_path(spark):
         F.try_variant_get(v, "$.missing", "string").alias("m"),
     ).collect()
     assert {(r.event_id, r.k, r.m) for r in out} == {(1, 42, None), (2, 7, None)}
+
+
+def test_triangle_count_exact_tiny_graph(spark):
+    """Degree-ordered triangle enumeration pins exact per-node counts on a
+    hand-built graph: order 1 makes the triangle {1,2,3}, order 2 adds a
+    dangling edge 3-4 (no triangle), order 3 closes {2,3,4} making a
+    second triangle."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        g8_triangle_count,
+    )
+    import tempfile
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (3, 2), (3, 4)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        out = {r.node: r.n_tri for r in g8_triangle_count(spark, d).collect()}
+    # triangles: {1,2,3} and {2,3,4}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_record_linkage_resolves_corrupted_name(spark):
+    """A vowel-stripped query resolves back to its own catalog row when the
+    adjective is unique within the block."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        j9_record_linkage,
+    )
+    import tempfile
+
+    rows = [
+        (0, "small ring", "M1", "B1", "T1", 1.0),
+        (50, "red widget", "M1", "B1", "T1", 1.0),
+        (100, "rusty bolt", "M1", "B1", "T1", 1.0),
+        (3, "round gear", "M1", "B1", "T1", 1.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "p_partkey long, p_name string, p_mfgr string, p_brand string,"
+            " p_type string, p_retailprice double",
+        ).write.parquet(f"{d}/part.parquet")
+        out = {r.query_key: r for r in j9_record_linkage(spark, d).collect()}
+    # queries are keys % 50 == 0: parts 0, 50, 100
+    assert set(out) == {0, 50, 100}
+    assert out[0].matched_key == 0 and out[0].dirty_name == "smll rng"
+    assert out[50].matched_key == 50
+    assert out[100].matched_key == 100
