@@ -5547,9 +5547,10 @@ def j9_record_linkage(spark, sf_dir):
     """
     WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     raw AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM pairs a JOIN pairs b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
     ),
     und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
     deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
@@ -5575,28 +5576,37 @@ def j9_record_linkage(spark, sf_dir):
 )
 def g8_triangle_count(spark, sf_dir):
     """Per-node triangle counting over the parts-bought-together graph
-    (parts co-occurring in an order), using DEGREE ORDERING — the trick
-    that makes distributed triangle enumeration survive skew: every
-    undirected edge is directed from its lower-(degree, id) endpoint to
-    the higher one, so a celebrity node with degree d contributes
-    wedges only through its few lower-degree out-edges, bounding total
-    wedges by O(m^1.5) instead of sum(d^2) (naive wedge counting on a
-    hub node is quadratic in its degree — the same hot-key blowup the
-    salted entries j5/a7 exist for, solved structurally here).
-    Completes d7 (components) and g7 (PageRank) as the graph battery.
+    (parts co-occurring in >= 2 orders — an association-rule SUPPORT
+    threshold, because a raw co-occurrence projection of a transaction
+    table is structurally dense: at 10x scale the unthresholded graph
+    averages degree ~1200 and wedge enumeration goes to billions;
+    support >= 2 sparsifies it to the statistically meaningful edges),
+    using DEGREE ORDERING — the trick that makes distributed triangle
+    enumeration survive skew: every undirected edge is directed from
+    its lower-(degree, id) endpoint to the higher one, so a celebrity
+    node with degree d contributes wedges only through its few
+    lower-degree out-edges, bounding total wedges by O(m^1.5) instead
+    of sum(d^2) (naive wedge counting on a hub node is quadratic in
+    its degree — the same hot-key blowup the salted entries j5/a7
+    exist for, solved structurally here). Completes d7 (components)
+    and g7 (PageRank) as the graph battery.
 
-    Scale shape: three equi-joins (wedge build on shared source +
-    closing-edge hash probe) and map-side-combined aggs; all joins key
-    on node ids so the edge table buckets once and every stage
-    co-locates. (deg, id) tuple ordering makes the orientation — and
-    so the exact wedge set — deterministic on any partitioning."""
+    Scale shape: the support threshold is one map-side-combined
+    count agg; then three equi-joins (wedge build on shared source +
+    closing-edge hash probe). All joins key on node ids so the edge
+    table buckets once and every stage co-locates. (deg, id) tuple
+    ordering makes the orientation — and so the exact wedge set —
+    deterministic on any partitioning."""
     li = tbl(spark, sf_dir, "lineitem")
     pairs = li.select("l_orderkey", "l_partkey").distinct()
     b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     raw = (
         pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
         .select(F.col("l_partkey").alias("u"), "v")
-        .distinct()
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
     )
     und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))

@@ -1053,15 +1053,20 @@ def test_variant_get_null_on_missing_path(spark):
 
 def test_triangle_count_exact_tiny_graph(spark):
     """Degree-ordered triangle enumeration pins exact per-node counts on a
-    hand-built graph: order 1 makes the triangle {1,2,3}, order 2 adds a
-    dangling edge 3-4 (no triangle), order 3 closes {2,3,4} making a
-    second triangle."""
+    hand-built graph: orders 1/10 make the triangle {1,2,3}, orders 2/20
+    add a dangling edge 3-4 (no triangle), orders 3/30 close {2,3,4}
+    making a second triangle. Every pair co-occurs in two orders so it
+    passes the support >= 2 threshold; order 4's one-off pair {1,4} has
+    support 1 and must be dropped by it (it would otherwise create two
+    more triangles)."""
     from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
         g8_triangle_count,
     )
     import tempfile
 
-    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (3, 2), (3, 4)]
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (3, 2), (3, 4),
+            (10, 1), (10, 2), (10, 3), (20, 3), (20, 4), (30, 2), (30, 4),
+            (4, 1), (4, 4)]
     with tempfile.TemporaryDirectory() as d:
         spark.createDataFrame(
             rows, "l_orderkey long, l_partkey long"
