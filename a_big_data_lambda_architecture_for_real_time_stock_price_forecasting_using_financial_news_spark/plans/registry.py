@@ -5680,3 +5680,97 @@ def p11_schema_evolution(spark, sf_dir):
         _os.path.join(path, "gen=old"), _os.path.join(path, "gen=new")
     )
     return back.select("o_orderkey", "o_custkey", "priority_code")
+
+
+@register(
+    "u4_table_diff",
+    """
+    WITH old_t AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ), new_t AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT COALESCE(o.k, n.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.o_custkey <> n.o_custkey
+                     OR o.price_cents <> n.price_cents THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.price_cents AS old_price_cents,
+           n.price_cents AS new_price_cents
+    FROM old_t o FULL OUTER JOIN new_t n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL
+       OR o.o_custkey <> n.o_custkey OR o.price_cents <> n.price_cents
+    """,
+)
+def u4_table_diff(spark, sf_dir):
+    """Snapshot diff (CDC-style table comparison): given two versions of
+    a keyed table, emit every added / removed / changed row with old and
+    new values — the audit primitive behind incremental view
+    maintenance and data-quality gates (the reference overwrites its
+    batch_view blind every day, Batch_layer/batchPipeline.py:169-180;
+    a diff is how you KNOW what a rebuild changed). The 'new' version
+    here is derived deterministically in-plan (drops keys % 97, bumps
+    price on keys % 13, adds shifted keys % 53) so both engines diff
+    identical snapshots.
+
+    Scale shape: ONE full-outer equi-join on the key — both sides
+    hash-partition on k, so with both snapshots bucketed on the key
+    (the j8 layout) the diff is exchange-free; unchanged rows are
+    filtered before the sink so output is proportional to churn, not
+    table size. Change classification is pure Column logic in codegen."""
+    orders = tbl(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old_t = orders.select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        cents.alias("price_cents"),
+    )
+    new_t = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 13 == 0, cents + 500)
+            .otherwise(cents)
+            .alias("price_cents"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 53 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                "o_custkey",
+                cents.alias("price_cents"),
+            )
+        )
+    )
+    o = old_t.alias("o")
+    n = new_t.alias("n")
+    j = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    changed = (F.col("o.o_custkey") != F.col("n.o_custkey")) | (
+        F.col("o.price_cents") != F.col("n.price_cents")
+    )
+    status = (
+        F.when(F.col("o.k").isNull(), F.lit("added"))
+        .when(F.col("n.k").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+            status.alias("status"),
+            F.col("o.price_cents").alias("old_price_cents"),
+            F.col("n.price_cents").alias("new_price_cents"),
+        )
+        .filter(F.col("status") != "unchanged")
+    )
