@@ -5545,23 +5545,30 @@ def j9_record_linkage(spark, sf_dir):
 @register(
     "g8_triangle_count",
     """
-    WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    raw AS (
+    -- AS MATERIALIZED throughout: with inlined CTEs DuckDB re-plans tri
+    -- per reference and (without cardinality knowledge) can pick the
+    -- hub-on-hub t=t join first — measured spilling >80 GB of temp at
+    -- 10x scale. Materialization pins one execution per stage, the
+    -- exact analogue of the Spark side's staged DataFrames.
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM pairs a JOIN pairs b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY u, v HAVING count(*) >= 2
     ),
     und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
-    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
-    ori AS (
+    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    ori AS MATERIALIZED (
       SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
              CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
       FROM raw r
       JOIN deg du ON du.node = r.u
       JOIN deg dv ON dv.node = r.v
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.s AS a, e1.t AS b, e2.t AS c
       FROM ori e1
       JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
