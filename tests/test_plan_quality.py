@@ -481,3 +481,29 @@ def test_d3_simhash_no_pair_dedup_shuffle(spark, sf_dir):
     assert "hashpartitioning(id_a" not in plan
     # sketch agg = one partial+final pair; nothing re-aggregates pairs
     assert plan.count(") HashAggregate") == 2
+
+
+def test_x28_chunking_is_narrow_no_exchange(spark, sf_dir):
+    """RAG chunking must stay a single narrow pass: no Exchange, no
+    Python, so chunk rows inherit the scan partitioning and a downstream
+    Arrow embed step streams without a repartition."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        x28_doc_chunking,
+    )
+
+    plan = plan_of(x28_doc_chunking(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_u4_table_diff_single_join_no_nested_loop(spark, sf_dir):
+    """The snapshot diff is exactly one full-outer equi-join: no
+    nested-loop fallback, and the join is on the key (SortMergeJoin or
+    ShuffledHashJoin, both bucketable at scale)."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        u4_table_diff,
+    )
+
+    plan = plan_of(u4_table_diff(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FullOuter") >= 1
