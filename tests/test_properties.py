@@ -205,3 +205,56 @@ def test_column_half_merges_any_interleaving(spark, ops, tmp_path_factory):
         assert got_stock == (float(want_stock) if want_stock is not None else None), d
         got_senti = row["nbr"] if "nbr" in row.__fields__ else None
         assert got_senti == want_senti, d
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunking_covers_every_word_exactly_once_per_window(spark, docs):
+    """For any document, x28 chunking (a) covers every word position in at
+    least one chunk, (b) starts exactly at multiples of the stride, and
+    (c) reassembling the stride-prefix of each chunk plus the tail of the
+    last reproduces the document."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        x28_doc_chunking,
+    )
+    import tempfile
+
+    rows = [
+        (i, " ".join(f"w{tok}x{j}" for j, tok in enumerate(words)), "en", "s", 0)
+        for i, words in enumerate(docs)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = x28_doc_chunking(spark, d).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(docs)))
+    for i, words in enumerate(docs):
+        original = [f"w{tok}x{j}" for j, tok in enumerate(words)]
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [c.start_word for c in chunks] == [
+            k * CHUNK_STRIDE for k in range(len(chunks))
+        ]
+        # width: CHUNK_WORDS except possibly the tail
+        for c in chunks:
+            assert c.n_words == min(CHUNK_WORDS, len(original) - c.start_word)
+            assert c.chunk_text.split(" ") == original[
+                c.start_word : c.start_word + CHUNK_WORDS
+            ]
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:CHUNK_STRIDE])
+        rebuilt.extend(chunks[-1].chunk_text.split(" "))
+        assert rebuilt == original
