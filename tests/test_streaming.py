@@ -1143,3 +1143,67 @@ def test_stream_stream_left_outer_join_emits_null_padded_rows(spark):
     # after the batch-2 watermark passed its window
     assert ("X", 10.0, 5) in got
     assert ("Z", 30.0, None) in got
+
+
+def test_dedup_within_watermark_evicts_and_readmits(spark):
+    """dropDuplicatesWithinWatermark semantics, both sides: a duplicate
+    inside the horizon is suppressed, and once the watermark passes the
+    key's event time + delay the state is EVICTED, so a later recurrence
+    of the same key is emitted again. That re-admission is exactly what
+    plain dropDuplicates (t13) never does — and why its state grows with
+    every key ever seen while this one stays bounded by the horizon."""
+    import os
+    import tempfile as tf
+
+    from pyspark.sql import types as T
+
+    with tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        # batch1: first sighting of k1 at 10:00
+        with open(f"{src}/b1.json", "w") as fh:
+            fh.write('{"Id": "k1", "ts": "2024-01-01T10:00:00"}\n')
+        # batch2: duplicate inside the 10-minute horizon (suppressed) plus
+        # a filler event that drags the watermark to 10:20 > 10:00+10m,
+        # evicting k1's state
+        with open(f"{src}/b2.json", "w") as fh:
+            fh.write(
+                '{"Id": "k1", "ts": "2024-01-01T10:05:00"}\n'
+                '{"Id": "filler", "ts": "2024-01-01T10:30:00"}\n'
+            )
+        # batch3: filler only — state eviction runs at batch END against the
+        # advanced watermark, so k1's expired state is removed here
+        with open(f"{src}/b3.json", "w") as fh:
+            fh.write('{"Id": "filler2", "ts": "2024-01-01T10:40:00"}\n')
+        # batch4: k1 recurs at 10:35 (>= watermark, not late) -> re-emitted
+        with open(f"{src}/b4.json", "w") as fh:
+            fh.write('{"Id": "k1", "ts": "2024-01-01T10:35:00"}\n')
+        for i, f in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+            os.utime(f"{src}/{f}", (1700000000 + 60 * i,) * 2)
+        schema = T.StructType(
+            [T.StructField("Id", T.StringType()), T.StructField("ts", T.TimestampType())]
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["Id"]
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_wm_evict")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = sorted(
+            (r["Id"], r["ts"].isoformat()) for r in spark.table("dedup_wm_evict").collect()
+        )
+        assert rows == [
+            ("filler", "2024-01-01T10:30:00"),
+            ("filler2", "2024-01-01T10:40:00"),
+            ("k1", "2024-01-01T10:00:00"),
+            ("k1", "2024-01-01T10:35:00"),
+        ]
