@@ -524,48 +524,58 @@ def train_kmeans_centroids(
     return cents
 
 
-def _km_ctes(table: str, km_k: int, iters: int, id_col: str, emb_col: str) -> tuple[str, str]:
+def _km_ctes(
+    table: str,
+    km_k: int,
+    iters: int,
+    id_col: str,
+    emb_col: str,
+    prefix: str = "",
+) -> tuple[str, str]:
     """DuckDB CTE chain replicating train_kmeans_centroids step for step;
-    returns (cte_sql, final_centroid_cte_name)."""
+    returns (cte_sql, final_centroid_cte_name). ``prefix`` namespaces every
+    CTE so multiple chains (the per-subspace PQ codebooks) can coexist in
+    one WITH clause."""
     from .hashing import phash60_sql
 
     h_samp = phash60_sql(f"CAST({id_col} AS VARCHAR)", "km-sample")
     h_seed = phash60_sql(f"CAST({id_col} AS VARCHAR)", "km-seed")
     cost = _km_cost_sql("s.q", "c.c", "c.cn2")
+    p = prefix
     ctes = f"""
-    kmbase AS (
+    {p}kmbase AS (
       SELECT {id_col} AS vec_id, {emb_col} AS e,
              list_transform({emb_col},
                x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS q
       FROM {table}
     ),
-    kmsamp AS (SELECT * FROM kmbase WHERE {h_samp} % {KM_SAMPLE_MOD} = 0),
-    kmseeds AS (
+    {p}kmsamp AS (SELECT * FROM {p}kmbase WHERE {h_samp} % {KM_SAMPLE_MOD} = 0),
+    {p}kmseeds AS (
       SELECT vec_id, q,
              CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid
-      FROM (SELECT vec_id, q, {h_seed} AS h FROM kmsamp
+      FROM (SELECT vec_id, q, {h_seed} AS h FROM {p}kmsamp
             ORDER BY h, vec_id LIMIT {km_k})
     ),
-    cents0 AS (SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c FROM kmseeds)"""
-    prev = "cents0"
+    {p}cents0 AS (SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c FROM {p}kmseeds)"""
+    prev = f"{p}cents0"
     for t in range(1, iters + 1):
         ctes += f""",
-    caug{t} AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {prev}),
-    asg{t} AS (
+    {p}caug{t} AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {prev}),
+    {p}asg{t} AS (
       SELECT vec_id, q, cid FROM (
         SELECT s.vec_id, s.q, c.cid,
                row_number() OVER (PARTITION BY s.vec_id ORDER BY {cost}, c.cid) AS rn
-        FROM kmsamp s CROSS JOIN caug{t} c
+        FROM {p}kmsamp s CROSS JOIN {p}caug{t} c
       ) WHERE rn = 1
     ),
-    cents{t} AS (
+    {p}cents{t} AS (
       SELECT cid, list(m ORDER BY i) AS c FROM (
         SELECT cid, i, CAST(sum(q[i]) AS DOUBLE) / count(*) AS m
-        FROM asg{t}, unnest(range(1, len(q) + 1)) AS u{t}(i)
+        FROM {p}asg{t}, unnest(range(1, len(q) + 1)) AS u{p}{t}(i)
         GROUP BY cid, i
       ) GROUP BY cid
     )"""
-        prev = f"cents{t}"
+        prev = f"{p}cents{t}"
     return ctes, prev
 
 
@@ -982,3 +992,262 @@ def incremental_ivf_sql(
            count(CASE WHEN is_new THEN 1 END) AS n_new
     FROM merged GROUP BY cid
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ with asymmetric-distance scoring)
+# ---------------------------------------------------------------------------
+# Jegou/Douze/Schmid 2011 ("Product Quantization for Nearest Neighbor
+# Search"), composed from the deterministic pieces above: the 64-dim vector
+# splits into PQ_M subspaces of SUB_DIM dims, each with its own
+# PQ_KSUB-centroid codebook trained by the same integer-exact Lloyd
+# procedure as the coarse k-means (train_kmeans_centroids); a corpus vector
+# is stored as PQ_M small codes (here 4x4 bits); a query never decodes the
+# corpus — it builds a PQ_M x PQ_KSUB lookup table of per-subspace
+# distances once, and every candidate scores as PQ_M table lookups
+# (asymmetric distance, ADC). The coarse stage is the data-independent
+# sign-bit cell (ivf_cell), making this the FAISS IVF-PQ serving shape:
+# cell probe bounds candidates, codes bound memory (4 bytes/vector instead
+# of 256), the LUT bounds per-candidate math.
+#
+# Distance: sum_m (||c_m||^2 - 2 q_m . c_m) ranks identically to true
+# squared L2 (sum_m ||q_m||^2 is constant per query), computed in the exact
+# _km_cost form both engines share; the fold over m is sequential so the
+# doubles agree bit-for-bit.
+
+PQ_M = 4
+PQ_KSUB = 16
+SUB_DIM = 16  # 64-dim fixture vectors / PQ_M
+
+
+def _pq_subspaces(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """-> (vec_id, m, sub): one row per vector per subspace, sub = the
+    integer-quantized SUB_DIM-dim slice (same _KM_QSCALE grid as the
+    coarse trainer)."""
+    slices = F.array(
+        *[
+            F.slice(_km_quant(F.col(emb_col)), m * SUB_DIM + 1, SUB_DIM)
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(slices).alias("m", "sub")
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """-> (m, cid, c, cn2): PQ_M codebooks of PQ_KSUB centroids, each
+    trained independently on its subspace slice of the hash-gated sample
+    by train_kmeans_centroids (same seeds gate per subspace — FAISS-style
+    shared sample, per-subspace geometry). The union is <= PQ_M * PQ_KSUB
+    rows: broadcast-sized regardless of corpus size."""
+    out = None
+    for m in range(PQ_M):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(emb_col), m * SUB_DIM + 1, SUB_DIM).alias("sube"),
+        )
+        cents = train_kmeans_centroids(
+            sub, k=PQ_KSUB, iters=KM_ITERS, id_col="vec_id", emb_col="sube"
+        ).select(F.lit(m).alias("m"), "cid", "c")
+        out = cents if out is None else out.unionByName(cents)
+    return out.withColumn("cn2", _km_cn2(F.col("c"))).persist()
+
+
+def encode_pq(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, code array<int>): nearest sub-centroid per subspace.
+    One explode to (vec_id, m) rows, one broadcast join against the <=64-row
+    codebook table, one min-struct agg per (vec_id, m), one collect per
+    vec_id — two map-side-combinable aggs, no window."""
+    subs = _pq_subspaces(corpus, id_col, emb_col)
+    scored = subs.join(F.broadcast(codebooks), "m").withColumn(
+        "cost", _km_cost(F.col("sub"), F.col("c"), F.col("cn2"))
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("cost", "cid")).alias("b")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", F.col("b.cid").alias("cid")))),
+            lambda t: t.getField("cid"),
+        ).alias("code")
+    )
+
+
+def topk_ivfpq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dims: int = IVF_DIMS,
+) -> DataFrame:
+    """IVF-PQ top-k serving: sign-bit cell probe -> ADC scoring over
+    4-byte codes -> deterministic (distance, id) top-k.
+
+    Scale shape: codes + cell are ONE narrow encode pass over the corpus
+    (persist/write once, reuse per query batch); the probe is an equi-join
+    on cell; scoring a candidate is PQ_M nested-array lookups into the
+    query's broadcast LUT — no vector math per pair at all, which is the
+    whole point of PQ: the 64-dim fold that topk_ivf pays per candidate
+    becomes 4 lookups, and corpus memory drops 64x."""
+    queries = _serving_sized(queries, "topk_ivfpq_adc")
+    books = train_pq_codebooks(corpus, id_col, emb_col)
+    enc = encode_pq(
+        _spread_corpus(corpus.select(F.col(id_col), F.col(emb_col))), books, id_col, emb_col
+    )
+    cells = corpus.select(
+        F.col(id_col).alias("vec_id"), ivf_cell(F.col(emb_col), dims).alias("cell")
+    )
+    cand = enc.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "code", "cell"
+    )
+    # LUT: per query, per subspace, distance to each of the <=16 centroids,
+    # assembled into a PQ_M x PQ_KSUB nested array ordered (m, cid)
+    qsubs = _pq_subspaces(queries, id_col, emb_col)
+    lut_rows = qsubs.join(F.broadcast(books), "m").select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        "cid",
+        _km_cost(F.col("sub"), F.col("c"), F.col("cn2")).alias("d"),
+    )
+    per_m = lut_rows.groupBy("query_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", "d"))),
+            lambda t: t.getField("d"),
+        ).alias("row")
+    )
+    lut = per_m.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", F.col("row").alias("row")))),
+            lambda t: t.getField("row"),
+        ).alias("lut")
+    )
+    qmeta = queries.select(
+        F.col(id_col).alias("query_id"), ivf_cell(F.col(emb_col), dims).alias("cell")
+    )
+    q = F.broadcast(lut.join(qmeta, "query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), m), F.element_at(F.col("code"), m)
+        ),
+    )
+    scored = (
+        q.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def topk_ivfpq_adc_sql(
+    table: str,
+    query_pred: str,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dims: int = IVF_DIMS,
+) -> str:
+    """DuckDB twin of topk_ivfpq_adc: PQ_M prefixed k-means chains (one per
+    subspace codebook), code assignment, per-query LUT, cell-probe ADC."""
+    chains, books_union = [], []
+    for m in range(PQ_M):
+        lo, hi = m * SUB_DIM + 1, (m + 1) * SUB_DIM
+        chains.append(
+            f"""
+    pq{m}src AS (
+      SELECT {id_col} AS vec_id, list_slice({emb_col}, {lo}, {hi}) AS sube
+      FROM {table}
+    ),"""
+            + _km_ctes(f"pq{m}src", PQ_KSUB, KM_ITERS, "vec_id", "sube", prefix=f"pq{m}")[0]
+        )
+        books_union.append(
+            f"SELECT {m} AS m, cid, c FROM "
+            + _km_ctes(f"pq{m}src", PQ_KSUB, KM_ITERS, "vec_id", "sube", prefix=f"pq{m}")[1]
+        )
+    cost = _km_cost_sql("s.sub", "b.c", "b.cn2")
+    return (
+        "WITH "
+        + ",".join(chains)
+        + f""",
+    books AS (
+      SELECT m, cid, c, {_km_cn2_sql("c")} AS cn2 FROM (
+        {" UNION ALL ".join(books_union)}
+      )
+    ),
+    base AS (
+      SELECT {id_col} AS vec_id,
+             list_transform({emb_col},
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS q,
+             {ivf_cell_sql(emb_col, dims)} AS cell
+      FROM {table}
+    ),
+    subs AS (
+      SELECT vec_id, m, list_slice(q, m * {SUB_DIM} + 1, (m + 1) * {SUB_DIM}) AS sub,
+             cell
+      FROM base, unnest(range({PQ_M})) AS t(m)
+    ),
+    asg AS (
+      SELECT vec_id, m, cid, cell FROM (
+        SELECT s.vec_id, s.m, b.cid, s.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {cost}, b.cid) AS rn
+        FROM subs s JOIN books b ON s.m = b.m
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, any_value(cell) AS cell, list(cid ORDER BY m) AS code
+      FROM asg GROUP BY vec_id
+    ),
+    qsubs AS (
+      SELECT vec_id AS query_id, m,
+             list_slice(q, m * {SUB_DIM} + 1, (m + 1) * {SUB_DIM}) AS sub, cell
+      FROM base, unnest(range({PQ_M})) AS t(m)
+      WHERE vec_id IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+    ),
+    lut_rows AS (
+      SELECT s.query_id, s.m, b.cid, {cost} AS d, s.cell
+      FROM qsubs s JOIN books b ON s.m = b.m
+    ),
+    per_m AS (
+      SELECT query_id, m, any_value(cell) AS cell, list(d ORDER BY cid) AS lrow
+      FROM lut_rows GROUP BY query_id, m
+    ),
+    lut AS (
+      SELECT query_id, any_value(cell) AS cell, list(lrow ORDER BY m) AS lut
+      FROM per_m GROUP BY query_id
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(range(1, {PQ_M} + 1),
+                                m -> q.lut[m][c.code[m]])),
+               (acc, x) -> acc + x) AS adc_dist
+      FROM lut q JOIN codes c ON q.cell = c.cell AND q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+    )

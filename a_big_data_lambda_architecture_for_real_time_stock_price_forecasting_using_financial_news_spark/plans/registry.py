@@ -5781,3 +5781,23 @@ def u4_table_diff(spark, sf_dir):
         )
         .filter(F.col("status") != "unchanged")
     )
+
+
+@register(
+    "s12_ann_ivfpq_adc",
+    _sim.topk_ivfpq_adc_sql("embeddings", "vec_id % 50 = 0", k=5),
+)
+def s12_ann_ivfpq_adc(spark, sf_dir):
+    """IVF-PQ with asymmetric-distance scoring
+    (ext/similarity.py:topk_ivfpq_adc) — the product-quantization serving
+    shape: four 16-dim subspace codebooks trained by the deterministic
+    Lloyd procedure, the corpus stored as 4 codes per vector (64x memory
+    reduction), queries building a 4x16 distance LUT once and scoring
+    every cell-probed candidate with 4 array lookups instead of a 64-dim
+    fold. Completes the ANN family: s1 exact, s2/s6 coarse-only,
+    s4/s8 int8, s10 random projection, s12 PQ — the quantization
+    ladder a 100 TB vector corpus actually descends. Training, encoding,
+    LUT, probe, and ranking are all deterministic, so the identical
+    procedure in SQL is the oracle."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return _sim.topk_ivfpq_adc(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
