@@ -38,9 +38,11 @@ HEADLINE = [
     # r4: batched tensor inference through the Arrow seam; int8 rerank cascade
     "m9_mlp_inference",
     "s8_ann_int8_rerank",
-    # r5: corpus mixture rebalance; z-order layout key over lineitem
+    # r5: corpus mixture rebalance; z-order layout key over lineitem;
+    # IVF-PQ completes the ANN quantization ladder
     "x22_domain_mix",
     "x23_zorder_layout",
+    "s12_ann_ivfpq_adc",
     # deliberately NOT headlined: g7_pagerank_fixedpoint (iterative; its
     # edge-derivation distinct dominates and swings ±2x with machine load,
     # which would flag false bench regressions — run via BENCH_EXTRA)
