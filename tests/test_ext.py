@@ -139,6 +139,8 @@ def test_topk_rejects_corpus_sized_query_set(spark, monkeypatch):
         similarity.topk_ivf_kmeans(emb, emb, k=2)
     with pytest.raises(ValueError, match="topk_int8_rerank"):
         similarity.topk_int8_rerank(emb, emb, k=2)
+    with pytest.raises(ValueError, match="topk_ivfpq_adc"):
+        similarity.topk_ivfpq_adc(emb, emb, k=2)
     # serving-sized sets still pass through untouched
     q = emb.filter(F.col("vec_id") == 0)
     assert similarity.topk_bruteforce(emb, q, k=2).count() == 2
