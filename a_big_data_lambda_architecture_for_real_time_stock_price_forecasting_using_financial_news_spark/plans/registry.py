@@ -5607,6 +5607,15 @@ def g8_triangle_count(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     pairs = li.select("l_orderkey", "l_partkey").distinct()
     b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    # persist the support-thresholded edge table and the oriented edges:
+    # raw feeds three consumers (both halves of the symmetrized degree
+    # count + the orientation join) and ori feeds all three legs of the
+    # wedge join — without the barriers each consumer replays the
+    # distinct + co-occurrence join + support agg from the scan (the g7
+    # edge-persist pattern; ~10% end-to-end at sf0.1 where ReuseExchange
+    # already dedupes most of the replay, but the barrier is what keeps
+    # the co-occurrence join from ever running more than once when the
+    # graph is big enough that the reused exchange spills)
     raw = (
         pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
         .select(F.col("l_partkey").alias("u"), "v")
@@ -5614,6 +5623,7 @@ def g8_triangle_count(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .select("u", "v")
+        .persist()
     )
     und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -5624,7 +5634,7 @@ def g8_triangle_count(spark, sf_dir):
     ori = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).persist()
     e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
     e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
