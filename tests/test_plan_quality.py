@@ -507,3 +507,44 @@ def test_u4_table_diff_single_join_no_nested_loop(spark, sf_dir):
     plan = plan_of(u4_table_diff(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("FullOuter") >= 1
+
+
+def test_j9_linkage_broadcasts_blocked_candidates(spark, sf_dir):
+    """Record linkage must stay a blocked equi-join (the small query side
+    broadcast) with the edit distance evaluated JVM-side — no nested-loop
+    all-pairs, no Python."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        j9_record_linkage,
+    )
+
+    plan = plan_of(j9_record_linkage(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_g8_triangles_all_equi_joins(spark, sf_dir):
+    """Triangle enumeration is equi-joins only: the wedge build and the
+    closing-edge probe key on node ids (bucketable at scale); a
+    nested-loop anywhere means the degree ordering got lost."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        g8_triangle_count,
+    )
+
+    plan = plan_of(g8_triangle_count(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_s12_ivfpq_no_python_no_nested_loop(spark, sf_dir):
+    """IVF-PQ end to end (train + encode + LUT + probe) stays JVM-side:
+    the codebook/LUT joins broadcast the tiny side, ADC scoring is a
+    higher-order fold in codegen — no Python worker anywhere."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        s12_ann_ivfpq_adc,
+    )
+
+    plan = plan_of(s12_ann_ivfpq_adc(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
