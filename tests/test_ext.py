@@ -1154,3 +1154,37 @@ def test_ivfpq_adc_agreement_with_exact_l2_within_probe(spark):
     agree = exact.join(pq, ["query_id", "neighbor_id"]).count()
     assert tot == 48
     assert agree == 39
+
+
+def test_pq_combined_training_equals_per_subspace_reference(spark):
+    """The combined-pass codebook trainer must produce centroids
+    bit-identical to running train_kmeans_centroids once per subspace
+    slice (the shape the oracle SQL replicates) — slicing commutes with
+    quantization and per-dimension Lloyd means, and the seed hash ignores
+    the embedding, so the two constructions are the same math."""
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as S,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    combined = {
+        (r.m, r.cid): tuple(r.c) for r in S.train_pq_codebooks(emb).collect()
+    }
+    reference = {}
+    for m in range(S.PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), m * S.SUB_DIM + 1, S.SUB_DIM).alias("sube"),
+        )
+        cents = S.train_kmeans_centroids(
+            sub, k=S.PQ_KSUB, iters=S.KM_ITERS, id_col="vec_id", emb_col="sube"
+        )
+        for r in cents.collect():
+            reference[(m, r.cid)] = tuple(r.c)
+    assert combined == reference
+    assert len(combined) > 0
