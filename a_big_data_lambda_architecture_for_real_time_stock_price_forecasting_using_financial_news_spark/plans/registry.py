@@ -5098,17 +5098,17 @@ def a15_corr_stats(spark, sf_dir):
       SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg
     ), i1 AS (
       SELECT e.dst AS node,
-             150000000 + (sum(r.rank // d.deg) * 85) // 100 AS rank
+             CAST(150000000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
       FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
       GROUP BY e.dst
     ), i2 AS (
       SELECT e.dst AS node,
-             150000000 + (sum(r.rank // d.deg) * 85) // 100 AS rank
+             CAST(150000000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
       FROM edges e JOIN deg d ON e.src = d.src JOIN i1 r ON e.src = r.node
       GROUP BY e.dst
     ), i3 AS (
       SELECT e.dst AS node,
-             150000000 + (sum(r.rank // d.deg) * 85) // 100 AS rank
+             CAST(150000000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
       FROM edges e JOIN deg d ON e.src = d.src JOIN i2 r ON e.src = r.node
       GROUP BY e.dst
     )
@@ -5366,7 +5366,7 @@ def x28_doc_chunking(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
            max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
     FROM events GROUP BY event_type

@@ -110,6 +110,26 @@ def main():
             if name not in oracles:
                 print(f"{name:35s} rows-only: {len(srows)} rows  [no oracle]")
                 continue
+            # Type gate (r5 judge finding): DuckDB's fetchall() converts
+            # HUGEINT to plain int so the Decimal hard-fail above never sees
+            # it — but the DRIVER reads the oracle through Arrow, where
+            # HUGEINT becomes decimal128(38,0) and hash-mismatches a
+            # value-exact answer (g7/m10, r5). DESCRIBE the oracle (plans
+            # only, no execution) and hard-fail any HUGEINT/DECIMAL output:
+            # e.g. a bare sum(BIGINT) must be CAST(... AS BIGINT).
+            otypes = con.execute(
+                f"DESCRIBE SELECT * FROM ({oracles[name]}) __q"
+            ).fetchall()
+            bad_types = [
+                (c, t) for c, t, *_ in otypes
+                if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()
+            ]
+            if bad_types:
+                failures.append(name)
+                print(f"{name:35s} FAIL   oracle emits HUGEINT/DECIMAL "
+                      f"{bad_types} (Arrow renders decimal128 in the driver "
+                      f"hasher — CAST to BIGINT/DOUBLE in the oracle SQL)")
+                continue
             dres = con.execute(oracles[name])
             dcols = [d[0] for d in dres.description]
             drows = dres.fetchall()
