@@ -288,7 +288,7 @@ def embedding_near_dup(
     ).withColumn("nrm", norm(F.col("emb")))
     # persist: both self-join sides read the same normed table; without the
     # barrier each side re-runs the scan + spread + norm fold
-    base = base.persist()
+    base = base.persist()  # cache: caller-owns
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, "cell")
@@ -494,7 +494,7 @@ def train_kmeans_centroids(
     # training lineage from the scan. All tiny (sample rows / k rows).
     samp = base.filter(
         _h.phash60(F.col("vec_id").cast("string"), "km-sample") % KM_SAMPLE_MOD == 0
-    ).persist()
+    ).persist()  # cache: caller-owns
     seeds = (
         samp.withColumn("h", _h.phash60(F.col("vec_id").cast("string"), "km-seed"))
         .orderBy("h", "vec_id")
@@ -520,7 +520,7 @@ def train_kmeans_centroids(
                     lambda t: t.getField("m"),
                 ).alias("c")
             )
-            .persist()
+            .persist()  # cache: caller-owns
         )
     return cents
 
@@ -1060,9 +1060,9 @@ def train_pq_codebooks(
             _h.phash60(F.col("vec_id").cast("string"), "km-sample") % KM_SAMPLE_MOD
             == 0
         )
-        .persist()
+        .persist()  # cache: released-in-fn
     )
-    subs = _pq_subspaces(samp, "vec_id", "e").persist()
+    subs = _pq_subspaces(samp, "vec_id", "e").persist()  # cache: released-in-fn
     # one seed choice for every subspace: the PQ_KSUB sample vectors with
     # the smallest md5 seed hash (same ids train_kmeans_centroids picks
     # per-subspace, since the hash ignores the embedding)
@@ -1099,7 +1099,35 @@ def train_pq_codebooks(
                 ).alias("c")
             )
         )
-    return cents.withColumn("cn2", _km_cn2(F.col("c"))).persist()
+    books = _densify_cids(cents).withColumn("cn2", _km_cn2(F.col("c"))).persist()  # cache: caller-owns
+    # materialize the <=64-row codebook eagerly so the training-only caches
+    # can be released here instead of leaking into the caller's session
+    # (repeated serving calls would otherwise accumulate cached blocks);
+    # the returned books table is the ONE cache the caller owns — drop it
+    # with .unpersist() (or clearCache) when done serving
+    books.count()
+    samp.unpersist()
+    subs.unpersist()
+    return books
+
+
+def _densify_cids(cents: DataFrame) -> DataFrame:
+    """Re-number codebook cids densely (1..n per subspace, order-preserving).
+
+    Lloyd recompute drops empty clusters (the groupBy keeps only assigned
+    cids), so a duplicate seed sub-slice or a captured cluster leaves gaps
+    in {1..PQ_KSUB}. ADC scoring indexes the LUT row POSITIONALLY by cid
+    (``lut[m][code[m]]``, with the row built as list(d ORDER BY cid)); a
+    mid-gap cid silently reads the wrong centroid's distance, and a gap
+    below the max cid makes code[m] exceed the row length — Spark 4 (ANSI)
+    throws ARRAY_INDEX_OUT_OF_BOUNDS while DuckDB returns NULL. A dense
+    order-preserving relabel makes position == cid by construction; the
+    identical renumber runs in the oracle SQL's books CTE. Relabeling is
+    order-preserving, so every downstream (cost, cid) tie-break picks the
+    same centroid as before."""
+    return cents.withColumn(
+        "cid", F.row_number().over(Window.partitionBy("m").orderBy("cid"))
+    )
 
 
 def encode_pq(
@@ -1232,7 +1260,13 @@ def topk_ivfpq_adc_sql(
         + ",".join(chains)
         + f""",
     books AS (
-      SELECT m, cid, c, {_km_cn2_sql("c")} AS cn2 FROM (
+      -- dense order-preserving cid relabel: Lloyd recompute drops empty
+      -- clusters, and ADC below indexes lut rows POSITIONALLY by cid —
+      -- mirrors _densify_cids in the Spark engine
+      SELECT m,
+             CAST(row_number() OVER (PARTITION BY m ORDER BY cid) AS INTEGER)
+               AS cid,
+             c, {_km_cn2_sql("c")} AS cn2 FROM (
         {" UNION ALL ".join(books_union)}
       )
     ),

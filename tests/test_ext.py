@@ -1184,7 +1184,107 @@ def test_pq_combined_training_equals_per_subspace_reference(spark):
         cents = S.train_kmeans_centroids(
             sub, k=S.PQ_KSUB, iters=S.KM_ITERS, id_col="vec_id", emb_col="sube"
         )
-        for r in cents.collect():
-            reference[(m, r.cid)] = tuple(r.c)
+        # apply the same order-preserving dense relabel train_pq_codebooks
+        # applies (_densify_cids) so the comparison is cid-gap-proof
+        for dense, r in enumerate(
+            sorted(cents.collect(), key=lambda r: r.cid), start=1
+        ):
+            reference[(m, dense)] = tuple(r.c)
     assert combined == reference
     assert len(combined) > 0
+
+
+def test_densify_cids_renumbers_sparse_codebooks(spark):
+    """_densify_cids must relabel per-subspace cids to contiguous 1..n
+    while preserving order (so (cost, cid) tie-breaks are unchanged)."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as S,
+    )
+
+    sparse = spark.createDataFrame(
+        [
+            (0, 1, [1.0]), (0, 3, [2.0]), (0, 9, [3.0]),
+            (1, 2, [4.0]), (1, 16, [5.0]),
+        ],
+        "m int, cid int, c array<double>",
+    )
+    got = {
+        (r.m, r.cid): r.c[0]
+        for r in S._densify_cids(sparse).collect()
+    }
+    assert got == {
+        (0, 1): 1.0, (0, 2): 2.0, (0, 3): 3.0,
+        (1, 1): 4.0, (1, 2): 5.0,
+    }
+
+
+def _pq_degenerate_corpus():
+    """Build a corpus whose PQ training drops a MID-GAP cluster: seed
+    ranks 1,2 are kind A (duplicate centroids -> rank-2 empty), rank 3 is
+    kind B, everything else A. Pre-densify survivors were {1, 3} -- the
+    exact non-contiguous-cid case where positional ADC (lut[m][code[m]])
+    reads the wrong centroid or (Spark 4 ANSI) throws
+    ARRAY_INDEX_OUT_OF_BOUNDS. Replicates the engine's own hash gates in
+    pure Python so the construction is deterministic."""
+    import hashlib
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as S,
+    )
+
+    def phash60(s: str, seed: str) -> int:
+        return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16)
+
+    ids = list(range(200))
+    sampled = [i for i in ids if phash60(str(i), "km-sample") % S.KM_SAMPLE_MOD == 0]
+    assert len(sampled) >= S.PQ_KSUB + 4
+    seeds = sorted(sampled, key=lambda i: (phash60(str(i), "km-seed"), i))[: S.PQ_KSUB]
+    dims = S.PQ_M * S.SUB_DIM
+    kind_a = [0.5] * dims                      # same cell (all-positive signs)
+    kind_b = [0.5] * (dims // 2) + [0.9] * (dims // 2)  # differs in m=2,3 only
+    b_ids = {seeds[2]}
+    return [
+        (i, kind_b if i in b_ids else kind_a) for i in ids
+    ]
+
+
+def test_ivfpq_adc_survives_empty_pq_cluster(spark, tmp_path):
+    """End-to-end IVF-PQ on the degenerate corpus: training must yield
+    DENSE per-subspace cids, serving must not throw, and the DuckDB oracle
+    twin must agree row-for-row (cross-engine, including the relabel)."""
+    import duckdb
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as S,
+    )
+
+    rows = _pq_degenerate_corpus()
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    books = S.train_pq_codebooks(emb)
+    per_m = {}
+    for r in books.collect():
+        per_m.setdefault(r.m, []).append(r.cid)
+    for m, cids in per_m.items():
+        assert sorted(cids) == list(range(1, len(cids) + 1)), (m, cids)
+    # the degenerate construction really did drop a cluster somewhere
+    assert any(len(c) < S.PQ_KSUB for c in per_m.values()), per_m
+
+    got = (
+        S.topk_ivfpq_adc(emb, emb.filter(F.col("vec_id") % 50 == 0), k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert got, "degenerate corpus produced no neighbors"
+
+    path = str(tmp_path / "pqdeg.parquet")
+    emb.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW pqdeg AS SELECT * FROM '{path}/*.parquet'")
+    want = con.execute(
+        S.topk_ivfpq_adc_sql("pqdeg", "vec_id % 50 = 0", k=3)
+        + " ORDER BY query_id, rank"
+    ).fetchall()
+    assert [
+        (r.query_id, r.neighbor_id, r.adc_dist, r.rank) for r in got
+    ] == [tuple(w) for w in want]
