@@ -226,7 +226,7 @@ def minhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         spread.select("doc_id", tokens(F.col("_text")).alias("_toks"))
         .select("doc_id", shingles_of_tokens(F.col("_toks")).alias("_sh"))
         .select("doc_id", shingle_hashes(F.col("_sh")).alias("hs"))
-        .persist()
+        .persist()  # cache: caller-owns
     )
     return hashed.filter(F.size("hs") > 0).withColumn(
         "sig", minhash_signature(F.col("hs"))
@@ -283,12 +283,12 @@ def incremental_minhash_pairs(
     against (old ∪ new), verify. Every pair involves at least one new doc;
     old-old pairs were found when the old data arrived. Returns
     (id_a, id_b, jaccard) with the ids normalized (id_a < id_b)."""
-    new_sk = minhash_sketches(new_df, id_col, text_col).persist()
+    new_sk = minhash_sketches(new_df, id_col, text_col).persist()  # cache: caller-owns
     # persist the union: it feeds BOTH the band join and the verify join,
     # and when old_sketches is a live plan (tests / this session) rather
     # than a parquet-backed table, each consumer would otherwise re-sketch
     # the whole old corpus (measured 3x end-to-end at sf0.1)
-    all_sk = old_sketches.select("doc_id", "hs", "sig").unionByName(new_sk).persist()
+    all_sk = old_sketches.select("doc_id", "hs", "sig").unionByName(new_sk).persist()  # cache: caller-owns
     nb, ab = bands_of(new_sk).alias("n"), bands_of(all_sk).alias("a")
     cand = (
         nb.join(ab, ["band", "bh"])
@@ -325,7 +325,7 @@ def minhash_lsh_pairs(
     expressions into each of them. A production pipeline writes the sketch
     table to parquet for incremental reuse (incremental_minhash_pairs);
     persist is its in-session form."""
-    sk = minhash_sketches(df, id_col, text_col).persist()
+    sk = minhash_sketches(df, id_col, text_col).persist()  # cache: caller-owns
     bands = bands_of(sk)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -438,7 +438,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int) -
     The sketch table is persisted: band explode + both join sides mention
     `simhash`, and without the barrier CollapseProject inlines the whole
     hash-fold (md5 per token) into every mention."""
-    sh = simhash_df(df, id_col, text_col).persist()
+    sh = simhash_df(df, id_col, text_col).persist()  # cache: caller-owns
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -560,7 +560,7 @@ def ngram_jaccard_pairs(
     # and feeds both sides of the self-join from cache.
     normed = spread.select(
         "doc_id", *block_cols, norm_text(F.col("_text")).alias("_norm")
-    ).persist()
+    ).persist()  # cache: caller-owns
     # persist the gram table too: both self-join sides read it, and the
     # gram transform (one substr per gram per row) is the expensive half
     # of the projection chain
@@ -572,7 +572,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("ng") > 0)
         .withColumn("n_ng", F.size("ng"))
-        .persist()
+        .persist()  # cache: caller-owns
     )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a.ng", "b.ng")).cast("double")
@@ -653,7 +653,7 @@ def fuzzy_prefix_pairs(
     # jaccard pass) and feed both self-join sides from it
     normed = spread.select(
         "doc_id", norm_text(F.col("_text")).alias("_norm")
-    ).persist()
+    ).persist()  # cache: caller-owns
     base = normed.filter(F.length("_norm") >= block_chars).select(
         "doc_id",
         F.substring("_norm", 1, block_chars).alias("blk"),
@@ -842,7 +842,7 @@ def passage_dedup(
     both do)."""
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
-    ).persist()
+    ).persist()  # cache: caller-owns
     nch = F.ceil(F.size("t") / F.lit(words_per)).cast("bigint")
     chunks = F.when(
         F.size("t") > 0,

@@ -246,7 +246,7 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     # persist the (doc, term, tf) table: it feeds BOTH the vocabulary
     # aggregation and the scoring join, and without the barrier each
     # consumer re-runs the tokenize+explode+agg lineage from the scan
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()  # cache: caller-owns
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = base.agg(F.countDistinct("doc_id").alias("_n"))
     scored = (
@@ -313,7 +313,7 @@ def decontaminate_flags(
         F.col(id_col).alias("doc_id"),
         F.expr(bench_pred).alias("_is_bench"),
         word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
-    ).persist()
+    ).persist()  # cache: caller-owns
     bench_grams = (
         base.filter("_is_bench")
         .select(F.explode(F.array_distinct("_grams")).alias("gram"))

@@ -2517,7 +2517,7 @@ def pipe1_corpus_filter(spark, sf_dir):
         "lang",
         "text",
         _tx.tokens(F.col("text")).alias("_toks"),
-    ).persist()
+    ).persist()  # cache: caller-owns
     toks = F.col("_toks")
     tri = _tx.word_trigrams(toks)
     n_tri = F.size(tri)
@@ -3919,7 +3919,7 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
         .select("l_orderkey", "l_suppkey")
-        .persist()
+        .persist()  # cache: caller-owns
     )
     multi = (
         li.groupBy("l_orderkey")
@@ -4164,7 +4164,7 @@ def q11_important_stock(spark, sf_dir):
             ).alias("val"),
         )
     )
-    per = national.groupBy("ps_partkey").agg(F.sum("val").alias("v")).persist()
+    per = national.groupBy("ps_partkey").agg(F.sum("val").alias("v")).persist()  # cache: caller-owns
     per.createOrReplaceTempView("q11_per")
     return spark.sql(
         """
@@ -4860,7 +4860,10 @@ def j8_bucketed_colocated_join(spark, sf_dir):
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # per-process token: two concurrent sessions on the same fixture
+    # (pytest + plancheck + bench in parallel) must not race on
+    # mode=overwrite while the other side reads the staging dir back
+    tag = f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
     scratch = _os.path.join("/tmp", "spark_graft_bucketed", tag)
     names = {}
     for df, key, base in ((li, "l_orderkey", "lineitem"), (orders, "o_orderkey", "orders")):
@@ -5151,7 +5154,7 @@ def g7_pagerank_fixedpoint(spark, sf_dir):
     # + degree aggregation from the parquet scan (measured 2.5x end-to-end
     # at sf0.1). The production mirror is the bucketed/checkpointed edge
     # table the docstring describes.
-    ed = edges.join(deg, "src").persist()
+    ed = edges.join(deg, "src").persist()  # cache: caller-owns
     for _ in range(3):
         ranks = (
             ed.join(ranks, ed.src == ranks.node)
@@ -5202,7 +5205,10 @@ def p8_csv_source_roundtrip(spark, sf_dir):
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
     )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # per-process token: two concurrent sessions on the same fixture
+    # (pytest + plancheck + bench in parallel) must not race on
+    # mode=overwrite while the other side reads the staging dir back
+    tag = f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
     path = _os.path.join("/tmp", "spark_graft_csv", tag, "orders")
     (
         staged.write.mode("overwrite")
@@ -5288,7 +5294,10 @@ def p10_orc_roundtrip(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
     )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # per-process token: two concurrent sessions on the same fixture
+    # (pytest + plancheck + bench in parallel) must not race on
+    # mode=overwrite while the other side reads the staging dir back
+    tag = f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
     path = _os.path.join("/tmp", "spark_graft_orc", tag, "lineitem")
     staged.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -5623,7 +5632,7 @@ def g8_triangle_count(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .select("u", "v")
-        .persist()
+        .persist()  # cache: caller-owns
     )
     und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -5634,7 +5643,7 @@ def g8_triangle_count(spark, sf_dir):
     ori = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).persist()
+    ).persist()  # cache: caller-owns
     e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
     e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
@@ -5681,7 +5690,10 @@ def p11_schema_evolution(spark, sf_dir):
     import os as _os
 
     orders = tbl(spark, sf_dir, "orders")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # per-process token: two concurrent sessions on the same fixture
+    # (pytest + plancheck + bench in parallel) must not race on
+    # mode=overwrite while the other side reads the staging dir back
+    tag = f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
     path = _os.path.join("/tmp", "spark_graft_evo", tag, "orders")
     old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey"

@@ -34,9 +34,9 @@ CROSS_JOIN_ALLOWLIST = {
     "s11_incremental_ivf",
     # 1-row corpus-total broadcast crossJoin, same bound as x10
     "x26_unigram_surprisal",
-    # PQ codebook training: crossJoin vs the <= 16-row per-subspace
-    # centroid table inside each Lloyd assign, same bound as s6
-    "s12_ann_ivfpq_adc",
+    # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
+    # joins on m (broadcast hash join), and the plan-quality test asserts
+    # no nested loop; keeping it out lets plancheck catch a regression
 }
 
 
