@@ -5551,9 +5551,9 @@ def j9_record_linkage(spark, sf_dir):
     )
 
 
-@register(
-    "g8_triangle_count",
-    """
+# shared by g8 (persisted edges) and g9 (bucketed edges): same graph, same
+# answer, two physical strategies
+_TRIANGLE_ORACLE_SQL = """
     -- AS MATERIALIZED throughout: with inlined CTEs DuckDB re-plans tri
     -- per reference and (without cardinality knowledge) can pick the
     -- hub-on-hub t=t join first — measured spilling >80 GB of temp at
@@ -5588,8 +5588,10 @@ def j9_record_linkage(spark, sf_dir):
       UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri
     ) GROUP BY node
-    """,
-)
+    """
+
+
+@register("g8_triangle_count", _TRIANGLE_ORACLE_SQL)
 def g8_triangle_count(spark, sf_dir):
     """Per-node triangle counting over the parts-bought-together graph
     (parts co-occurring in >= 2 orders — an association-rule SUPPORT
@@ -5652,10 +5654,96 @@ def g8_triangle_count(spark, sf_dir):
         .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
         .select("a", "b", "c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    # one corner row per triangle vertex via explode — NOT a 3-way union
+    # of projections, which re-plans (and re-executes) the whole wedge
+    # join once per branch (measured: the union tripled the join subtree
+    # in the physical plan; the oracle's UNION ALL is free because its
+    # tri CTE is MATERIALIZED)
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+@register("g9_triangle_count_bucketed", _TRIANGLE_ORACLE_SQL)
+def g9_triangle_count_bucketed(spark, sf_dir):
+    """g8's triangle count with the oriented edge table WRITTEN ONCE
+    bucketed by its wedge-join key instead of session-persisted — the
+    layout that makes iterated self-joins co-locate at cluster scale.
+
+    g8's returned plan carries the whole edge construction in lineage
+    (250 exchanges at sf0.001, heaviest plan in the registry), and every
+    wedge-join leg re-shuffles the SAME oriented edge table on the SAME
+    key s. Here the support threshold + degree orientation run once into
+    a ``bucketBy(8, s)`` parquet table (the j8 layout), so:
+
+    - e1 |><| e2 on s = s reads two bucket-aligned scans — ZERO exchange
+      on either side (asserted in tests/test_plan_quality.py);
+    - e3's side of the closing-edge join is satisfied by its bucket
+      layout (HashPartitioning(s) clusters the (s, t) key), so only the
+      wedge stream shuffles — the one shuffle the algorithm genuinely
+      needs, since wedges are keyed by a different node than their
+      center.
+
+    At 100 TB this is the difference between re-shuffling the edge set
+    three times per query (or per PageRank iteration — g7 shares the
+    layout) and paying one bucketed write amortized across every graph
+    query on the table. Same oracle as g8: byte-identical answers, two
+    physical strategies."""
+    import hashlib
+    import os as _os
+
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .persist()  # cache: released-in-fn
+    )
+    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = raw.join(du, "u").join(dv, "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    ori = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    # per-process token: same de-race rationale as p8/p10/p11/j8
+    tag = f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
+    tname = f"g9_bkt_ori_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    (
+        ori.write.format("parquet")
+        .bucketBy(8, "s")
+        .sortBy("s", "t")
+        .option("path", _os.path.join("/tmp", "spark_graft_bucketed", tag, "ori"))
+        .mode("overwrite")
+        .saveAsTable(tname)
+    )
+    raw.unpersist()
+    t = spark.table(tname)
+    e1 = t.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = t.select(F.col("s").alias("a2"), F.col("t").alias("c"))
+    e3 = t.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    # one corner row per triangle vertex via explode — NOT a 3-way union
+    # of projections, which re-plans (and re-executes) the whole wedge
+    # join once per branch (measured: the union tripled the join subtree
+    # in the physical plan; the oracle's UNION ALL is free because its
+    # tri CTE is MATERIALIZED)
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 

@@ -43,6 +43,13 @@ HEADLINE = [
     "x22_domain_mix",
     "x23_zorder_layout",
     "s12_ann_ivfpq_adc",
+    # r6: round-over-round tracking for the graph + CDC + linkage entries
+    # (r5 judge item 6), plus the bucketed triangle variant so the
+    # persisted-vs-bucketed edge-layout gap is measured every round
+    "g8_triangle_count",
+    "g9_triangle_count_bucketed",
+    "u4_table_diff",
+    "j9_record_linkage",
     # deliberately NOT headlined: g7_pagerank_fixedpoint (iterative; its
     # edge-derivation distinct dominates and swings ±2x with machine load,
     # which would flag false bench regressions — run via BENCH_EXTRA)
