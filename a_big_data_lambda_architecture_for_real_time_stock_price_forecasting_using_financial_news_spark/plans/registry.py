@@ -5086,9 +5086,8 @@ def a15_corr_stats(spark, sf_dir):
     )
 
 
-@register(
-    "g7_pagerank_fixedpoint",
-    """
+# shared by g7 (persisted degree-annotated edges) and g10 (bucketed edges)
+_PAGERANK_ORACLE_SQL = """
     WITH pairs AS (
       SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
     ), edges AS (
@@ -5116,8 +5115,10 @@ def a15_corr_stats(spark, sf_dir):
       GROUP BY e.dst
     )
     SELECT node, rank AS pagerank FROM i3
-    """,
-)
+    """
+
+
+@register("g7_pagerank_fixedpoint", _PAGERANK_ORACLE_SQL)
 def g7_pagerank_fixedpoint(spark, sf_dir):
     """Iterative PageRank (3 power iterations, damping 0.85) over the
     supplier<->part co-occurrence graph, in FIXED-POINT integer
@@ -5156,6 +5157,80 @@ def g7_pagerank_fixedpoint(spark, sf_dir):
     # table the docstring describes.
     ed = edges.join(deg, "src").persist()  # cache: caller-owns
     for _ in range(3):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (F.lit(150000000) + F.expr("(sum(contrib) * 85) div 100")).alias(
+                    "rank"
+                )
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+@register("g10_pagerank_bucketed", _PAGERANK_ORACLE_SQL)
+def g10_pagerank_bucketed(spark, sf_dir):
+    """g7's fixed-point PageRank with the degree-annotated edge table
+    WRITTEN ONCE bucketed by the iteration-join key ``src`` — the layout
+    g7's docstring promises for 100 TB, demonstrated.
+
+    Every power iteration is ``edges JOIN ranks ON src = node`` followed
+    by a map-side-combined sum on dst. g7 persists the edge table, which
+    keeps the construction out of the loop but still re-shuffles the
+    EDGE side of the join every iteration (the big side: |edges| >>
+    |nodes|). Bucketing by src pins the edge side's layout at write
+    time: each iteration then shuffles only the node-sized rank vector
+    to the edge table's 8 buckets plus the contribution stream into the
+    dst aggregate — the two movements power iteration fundamentally
+    needs. The plan test asserts NO exchange ever carries the edge
+    table (no shuffle keyed on src). Shares g7's oracle: byte-identical
+    fixed-point ranks, two physical strategies. At real scale this is
+    the difference between moving the edge set 3x per PageRank call and
+    never moving it at all after one bucketed write amortized across
+    every graph query (g9 shares the layout for triangles)."""
+    import hashlib
+    import os as _os
+
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = pairs.select(
+        F.col("s").alias("src"), (F.col("p") + 1000000).alias("dst")
+    ).unionByName(
+        pairs.select((F.col("p") + 1000000).alias("src"), F.col("s").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # per-process token: same de-race rationale as p8/p10/p11/j8/g9
+    tag = f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
+    tname = f"g10_bkt_edges_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    (
+        edges.join(deg, "src")
+        .write.format("parquet")
+        .bucketBy(8, "src")
+        .sortBy("src", "dst")
+        .option("path", _os.path.join("/tmp", "spark_graft_bucketed", tag, "edges"))
+        .mode("overwrite")
+        .saveAsTable(tname)
+    )
+    ed = spark.table(tname)
+    ranks = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1000000000).cast("bigint").alias("rank")
+    )
+    for _ in range(3):
+        # re-key the NODE-SIZED rank vector to the edge table's bucket
+        # count: without this the previous iteration leaves ranks at
+        # Hash(dst, shuffle.partitions) and EnsureRequirements resolves
+        # the numPartitions mismatch by re-shuffling the EDGE side up to
+        # the larger count — silently forfeiting the bucket layout from
+        # iteration 2 on (observed: Exchange hashpartitioning(src, 32)
+        # around the bucketed scan). Explicitly co-partitioning the small
+        # side is the movement power iteration owes anyway.
+        ranks = ranks.repartition(8, "node")
         ranks = (
             ed.join(ranks, ed.src == ranks.node)
             .select("dst", F.expr("rank div deg").alias("contrib"))

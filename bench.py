@@ -50,9 +50,11 @@ HEADLINE = [
     "g9_triangle_count_bucketed",
     "u4_table_diff",
     "j9_record_linkage",
-    # deliberately NOT headlined: g7_pagerank_fixedpoint (iterative; its
-    # edge-derivation distinct dominates and swings ±2x with machine load,
-    # which would flag false bench regressions — run via BENCH_EXTRA)
+    # deliberately NOT headlined: g7_pagerank_fixedpoint and
+    # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
+    # paid at the bucketed write in g10 — dominates and swings ±2x with
+    # machine load, which would flag false bench regressions — run via
+    # BENCH_EXTRA)
 ]
 
 

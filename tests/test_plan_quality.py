@@ -580,3 +580,32 @@ def test_g9_wedge_join_is_exchange_free_over_bucketed_edges(spark, sf_dir):
     ]
     allowed = {("b", "c"), ("b3", "c3"), ("node",)}
     assert set(keysets) <= allowed and len(keysets) <= 3, keysets
+
+
+def test_g10_pagerank_iterations_never_move_the_edge_table(spark, sf_dir):
+    """g10 buckets the degree-annotated edge table by the iteration-join
+    key src and explicitly co-partitions the node-sized rank vector to
+    the bucket count each iteration. The executed plan must bucket-read
+    the edge table in all three iteration joins (plus the rank-init
+    distinct) and carry NO exchange keyed on src — i.e. the edge set is
+    written once and never shuffled again; only rank vectors and the
+    contribution streams move. (Without the co-partition step,
+    EnsureRequirements resolves the 8-bucket vs shuffle-partitions
+    mismatch by re-shuffling the EDGE side — the regression this test
+    pins out.)"""
+    import re
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.QUERIES["g10_pagerank_bucketed"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Bucketed: true") == 4, plan.count("Bucketed: true")
+    keysets = [
+        tuple(sorted(re.sub(r"#\d+L?", "", c.strip()) for c in m.split(",")[:-1]))
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert set(keysets) <= {("dst",), ("node",)}, keysets
