@@ -5086,6 +5086,51 @@ def a15_corr_stats(spark, sf_dir):
     )
 
 
+_THETA_GATE = 8  # keep keys whose hash % GATE == 0 (~1/8 sample of key space)
+
+
+@register(
+    "a16_distinct_sketch_gate",
+    f"""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS gated_users,
+           CAST(count(DISTINCT user_id) * {_THETA_GATE} AS BIGINT) AS est_users
+    FROM events
+    WHERE {_sp2.phash60_sql("CAST(user_id AS VARCHAR)", seed="theta")}
+          % {_THETA_GATE} = 0
+    GROUP BY event_type
+    """,
+)
+def a16_distinct_sketch_gate(spark, sf_dir):
+    """Distinct-count sketch via a fixed HASH GATE (theta-sketch shape):
+    keep only keys whose seeded hash lands in 1/GATE of the hash space,
+    count those exactly, scale by GATE. Completes the distinct-count
+    ladder: a6/a12 are exact (full dedup shuffle; salted for hot keys),
+    a9 is HLL++ (constant memory but sketch values are engine-specific,
+    so its gate asserts a tolerance band around the exact answer) — this
+    one is the estimator that is DETERMINISTIC AND ENGINE-PORTABLE: the
+    gate is a pure narrow filter, both engines hash identically, and the
+    driver hash-compares the estimates themselves, not a tolerance flag.
+
+    Scale shape: the filter cuts dedup-shuffle volume by GATE x before
+    any wide operation (at 100 TB with GATE=1024, a trillion-key dedup
+    ships ~a billion rows), the per-group distinct on survivors is
+    map-side combinable, and the estimate's relative error is
+    ~1/sqrt(distinct/GATE) — tune GATE to the accuracy budget. Unlike
+    HLL the gated sample also supports ANY downstream per-key analysis
+    (join the survivors back), which is why theta sketches power
+    set-operation estimates."""
+    ev = tbl(spark, sf_dir, "events")
+    gated = ev.filter(
+        _sp2.phash60(F.col("user_id").cast("string"), seed="theta") % _THETA_GATE
+        == 0
+    )
+    return gated.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("gated_users"),
+        (F.countDistinct("user_id") * _THETA_GATE).cast("bigint").alias("est_users"),
+    )
+
+
 # shared by g7 (persisted degree-annotated edges) and g10 (bucketed edges)
 _PAGERANK_ORACLE_SQL = """
     WITH pairs AS (

@@ -194,16 +194,24 @@ def main():
         for name in sf1_names:
             qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        sf1_t = {}
-        for name in sf1_names:
-            t0 = time.perf_counter()
-            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sf1_t[name] = round(time.perf_counter() - t0, 3)
-            # a query's own persists are part of its cost, but carrying
-            # EVERY prior query's cached sketch tables into the next
-            # timing measured 3x inflation on the heaviest entry at sf1
-            # (d2: 9.4s isolated vs 29.9s with ~15 queries' caches live)
-            spark.catalog.clearCache()
+        # median-of-3, interleaved — same rationale as the sf0.1 section:
+        # r5->r6 single-run sf1 numbers flagged 1.5-3x "regressions" on
+        # x10/s6/m9 that vanished under median-of-3 re-timing (exogenous
+        # machine stalls land on whichever query is unlucky)
+        sf1_reps: dict[str, list[float]] = {name: [] for name in sf1_names}
+        for _ in range(3):
+            for name in sf1_names:
+                t0 = time.perf_counter()
+                qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                sf1_reps[name].append(time.perf_counter() - t0)
+                # a query's own persists are part of its cost, but carrying
+                # EVERY prior query's cached sketch tables into the next
+                # timing measured 3x inflation on the heaviest entry at sf1
+                # (d2: 9.4s isolated vs 29.9s with ~15 queries' caches live)
+                spark.catalog.clearCache()
+        sf1_t = {
+            name: round(statistics.median(v), 3) for name, v in sf1_reps.items()
+        }
         sf1 = {"total": round(sum(sf1_t.values()), 3), "queries": sf1_t}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
