@@ -603,7 +603,11 @@ def test_g10_pagerank_iterations_never_move_the_edge_table(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     plan = plan.split("== Initial Plan ==")[0]
-    assert plan.count("Bucketed: true") == 4, plan.count("Bucketed: true")
+    # >= 3: the three iteration joins must bucket-read (the rank-init
+    # distinct usually does too, but AQE's DisableUnnecessaryBucketedScan
+    # may legitimately skip it — asserting == 4 was brittle, r6 advice)
+    assert plan.count("Bucketed: true") >= 3, plan.count("Bucketed: true")
+    # the actual invariant: no exchange ever keyed on src (the edge side)
     keysets = [
         tuple(sorted(re.sub(r"#\d+L?", "", c.strip()) for c in m.split(",")[:-1]))
         for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
