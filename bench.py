@@ -137,6 +137,79 @@ def skew_bench(spark, sf_dir):
     return out
 
 
+def pagerank_iter_bench(spark, sf_dir):
+    """g7 (persisted edges) vs g10 (bucketed edges) — ITERATION PHASE only.
+
+    The end-to-end entries are deliberately not headlined: the edge-
+    derivation distinct dominates and swings ±2x with machine load (r6).
+    But the claim g10 actually makes — after one bucketed write the edge
+    set never moves again, so each power iteration only shuffles the
+    node-sized rank vector — is about the iteration phase, and that phase
+    is stable. Setup (edge build, persisted materialization, bucketed
+    write, shared initial rank vector) runs OUTSIDE the timer; the timed
+    region is exactly the 3 fixed-point iterations + noop sink, median of
+    3 interleaved runs per mode."""
+    import statistics
+    import time
+
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        _pagerank_edges,
+        _pagerank_iterate,
+        scratch_dir,
+        tbl,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    edges, deg = _pagerank_edges(li)
+    ed_persisted = edges.join(deg, "src").persist()
+    n_edges = ed_persisted.count()
+    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
+    tname = f"bench_pr_edges_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    import os as _os
+
+    (
+        ed_persisted.write.format("parquet")
+        .bucketBy(8, "src")
+        .sortBy("src", "dst")
+        .option("path", _os.path.join(scratch, "bench_pr"))
+        .mode("overwrite")
+        .saveAsTable(tname)
+    )
+    ed_bucketed = spark.table(tname)
+    ranks0 = (
+        ed_persisted.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1000000000).cast("bigint").alias("rank"))
+        .persist()
+    )
+    ranks0.count()
+    cases = {
+        "g7_iterations_persisted": lambda: _pagerank_iterate(ed_persisted, ranks0),
+        "g10_iterations_bucketed": lambda: _pagerank_iterate(
+            ed_bucketed, ranks0, co_partition=8
+        ),
+    }
+    try:
+        for fn in cases.values():  # codegen warmup
+            fn().write.format("noop").mode("overwrite").save()
+        reps = {name: [] for name in cases}
+        for _ in range(3):
+            for name, fn in cases.items():
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                reps[name].append(time.perf_counter() - t0)
+        out = {name: round(statistics.median(v), 3) for name, v in reps.items()}
+    finally:
+        ed_persisted.unpersist()
+        ranks0.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    out["n_edges"] = n_edges
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -182,6 +255,7 @@ def main():
     timings = {name: round(statistics.median(v), 3) for name, v in reps.items()}
 
     skew = skew_bench(spark, sf_dir)
+    pr_iter = {"sf": pagerank_iter_bench(spark, sf_dir)}
 
     # optional second pass at sf1 (generated locally by tools/gen_sf1.py —
     # 10x sf0.1 with per-replica key shifts). Catches constant factors that
@@ -213,6 +287,7 @@ def main():
             name: round(statistics.median(v), 3) for name, v in sf1_reps.items()
         }
         sf1 = {"total": round(sum(sf1_t.values()), 3), "queries": sf1_t}
+        pr_iter["sf1"] = pagerank_iter_bench(spark, sf1_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     doc = {
@@ -222,6 +297,7 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "skew": skew,
+        "pagerank_iter": pr_iter,
     }
     if sf1 is not None:
         doc["sf1"] = sf1
