@@ -6122,3 +6122,151 @@ def s12_ann_ivfpq_adc(spark, sf_dir):
     procedure in SQL is the oracle."""
     emb = tbl(spark, sf_dir, "embeddings")
     return _sim.topk_ivfpq_adc(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+# ---------------------------------------------------------------------------
+# T17: the Lambda capstone — speed-layer replay CONVERGES to batch recompute
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t17_lambda_convergence",
+    f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS event_date, ts, event_type,
+             CAST(value AS DECIMAL(18,2)) AS price,
+             CAST(props->>'k' AS BIGINT) AS k
+      FROM events
+    ), stock AS (
+      SELECT event_date,
+             arg_min(price, ts) AS open_v,
+             max(price) AS high_v,
+             min(price) AS low_v,
+             arg_max(price, ts) AS close_v,
+             count(*) AS n_trades,
+             CAST(sum(price) AS DECIMAL(18,2)) AS turnover
+      FROM ev WHERE event_type = 'purchase' GROUP BY 1
+    ), senti AS (
+      SELECT event_date AS news_date,
+             count(*) AS nbr_article,
+             CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(*) AS avg_score
+      FROM ev WHERE event_type <> 'purchase' GROUP BY 1
+    )
+    SELECT s.event_date,
+           CAST(s.open_v AS DOUBLE) AS open_v,
+           CAST(s.high_v AS DOUBLE) AS high_v,
+           CAST(s.low_v AS DOUBLE) AS low_v,
+           CAST(s.close_v AS DOUBLE) AS close_v,
+           s.n_trades,
+           CAST(s.turnover AS DOUBLE) AS turnover,
+           n.nbr_article, n.avg_score
+    FROM stock s JOIN senti n ON s.event_date = n.news_date
+    WHERE s.event_date <> DATE '{DEFAULT_AS_OF}'
+    """,
+)
+def t17_lambda_convergence(spark, sf_dir):
+    """THE Lambda-architecture invariant, proven end to end: replaying the
+    full event history through the REAL speed-layer path — two streaming
+    writers racing column-halves into one keyed view — yields, for closed
+    days, rows VALUE-IDENTICAL to the batch layer's one-shot recompute
+    (``flagship_batch_view``); the oracle is the batch SQL itself.
+
+    The reference merely hopes this holds: its speed layer upserts ES docs
+    with painless scripts (yfConsumerStream.py:57-87 sets the stock half
+    from the newest row; twitterConsumerStream.py:94-107 folds a pairwise
+    sentiment mean) and its batch layer overwrites the same index daily
+    (batchPipeline.py:163-167) — but overwrite-newest loses high/low/
+    turnover across micro-batches and the pairwise mean is order-biased,
+    so its speed view NEVER exactly equals its batch view. Re-expressed
+    with mergeable state (OHLC partial state combined by
+    ``merge_ohlc_states``; sentiment as (sum, count) via
+    ``merge_incremental_mean``) the convergence is exact by construction,
+    and this entry makes it a driver-checked fact.
+
+    Mechanics: the events fixture is replayed as 3 micro-batches per
+    stream (``maxFilesPerTrigger=1``; chunks split by event_id range, so
+    days straddle batch boundaries and the merges genuinely combine
+    partial days). Each stream is a ``foreachBatch`` sink with its own
+    checkpoint; per-writer batch-id watermarks make replays idempotent
+    (tests restart mid-replay from the checkpoint). Scale shape: each
+    merge is a full-outer join pruned to the partitions (days) the batch
+    touched — O(touched), never O(view) — and state per key is constant-
+    width, so a year of 100 TB replay costs the same per batch as day one."""
+    import os as _os
+    import uuid
+
+    from ..schemas import EVENT_PROPS
+    from ..streaming.ingest import events_stream
+    from ..streaming.upsert import KeyedParquetView, daily_ohlc_state
+
+    prepare(spark)
+    # fresh per-call view+checkpoints under the swept/atexit-cleaned root:
+    # a second in-session call must start from an empty view, not replay-
+    # skip into the previous call's state
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, uuid.uuid4().hex[:8])
+    view = KeyedParquetView(spark, _os.path.join(root, "speed_view"), ["event_date"])
+
+    stock_stream = events_stream(spark, sf_dir, n_chunks=3).filter(
+        F.col("event_type") == "purchase"
+    )
+
+    def stock_sink(batch_df, batch_id):
+        view.merge_daily_ohlc(
+            daily_ohlc_state(batch_df), batch_id=batch_id, writer="stock"
+        )
+
+    q = (
+        stock_stream.writeStream.foreachBatch(stock_sink)
+        .option("checkpointLocation", _os.path.join(root, "ckpt_stock"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    news_stream = (
+        events_stream(spark, sf_dir, n_chunks=3)
+        .filter(F.col("event_type") != "purchase")
+        .withColumn("k", F.from_json(F.col("props").cast("string"), EVENT_PROPS)["k"])
+    )
+
+    def news_sink(batch_df, batch_id):
+        state = batch_df.groupBy(F.to_date("ts").alias("event_date")).agg(
+            F.sum("k").cast("bigint").alias("sum_score"),
+            F.count(F.lit(1)).alias("nbr_article"),
+        )
+        view.merge_incremental_mean(
+            state,
+            sum_col="sum_score",
+            cnt_col="nbr_article",
+            mean_col="avg_score",
+            batch_id=batch_id,
+            writer="news",
+        )
+
+    q = (
+        news_stream.writeStream.foreachBatch(news_sink)
+        .option("checkpointLocation", _os.path.join(root, "ckpt_news"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    speed = view.read()
+    return dec2dbl(
+        speed.filter(
+            (F.col("event_date") != F.to_date(F.lit(DEFAULT_AS_OF)))
+            & F.col("n_trades").isNotNull()
+            & F.col("nbr_article").isNotNull()
+        ).select(
+            "event_date",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_trades",
+            "turnover",
+            F.col("nbr_article").cast("bigint").alias("nbr_article"),
+            "avg_score",
+        )
+    )

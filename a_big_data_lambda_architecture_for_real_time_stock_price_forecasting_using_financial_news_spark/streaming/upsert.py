@@ -100,6 +100,103 @@ def merge_mean_states(
     return merged.withColumn(mean_col, F.try_divide(F.col(sum_col), F.col(cnt_col)))
 
 
+#: the stock column-half as MERGEABLE state (see merge_ohlc_states)
+OHLC_STATE = [
+    "open_ts",
+    "open_v",
+    "high_v",
+    "low_v",
+    "close_ts",
+    "close_v",
+    "n_trades",
+    "turnover",
+]
+
+
+def daily_ohlc_state(trades: DataFrame, ts: str = "ts", price: str = "value") -> DataFrame:
+    """Per-day OHLC *partial state* for one micro-batch: like
+    ``operators.aggregate.daily_ohlc`` but carrying the open/close
+    timestamps so partial states from different micro-batches merge
+    exactly (open = value at the globally earliest ts, which the merge
+    can only decide if each partial remembers WHEN its open happened)."""
+    p = F.col(price).cast("decimal(18,2)")
+    t = F.col(ts)
+    return trades.groupBy(F.to_date(t).alias("event_date")).agg(
+        F.min(t).alias("open_ts"),
+        F.min_by(p, t).alias("open_v"),
+        F.max(p).alias("high_v"),
+        F.min(p).alias("low_v"),
+        F.max(t).alias("close_ts"),
+        F.max_by(p, t).alias("close_v"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(p).cast("decimal(18,2)").alias("turnover"),
+    )
+
+
+def merge_ohlc_states(cur: DataFrame, batch: DataFrame, key_cols: list[str]) -> DataFrame:
+    """K4 generalized from overwrite to an ALGEBRAIC column-half merge —
+    the piece that makes the speed layer *converge to* the batch layer
+    (T7's Lambda contract) instead of merely approximating it.
+
+    The reference's painless script overwrites the stock half with the
+    newest row (yfConsumerStream.py:57-87): correct for ``close`` when
+    batches arrive in order, silently wrong for high/low/turnover the
+    moment a day spans two micro-batches. Here each side carries OHLC
+    *state* and the combine is exact and order-independent:
+
+    - open  = the (ts, value) pair with the smaller open_ts (lexicographic
+      struct ``least``; value tiebreak makes ts collisions deterministic),
+    - close = the pair with the larger close_ts (struct ``greatest``),
+    - high/low = max/min, n_trades/turnover = sums (DECIMAL — exact).
+
+    Every non-key, non-state column of ``cur`` (the sentiment half living
+    in the same speed-view row) passes through, mirroring
+    :func:`merge_mean_states`. One full-outer shuffle join on the key."""
+    other_cols = [c for c in cur.columns if c not in OHLC_STATE and c not in key_cols]
+    have_state = "open_v" in cur.columns
+    b, c = batch.alias("b"), cur.alias("c")
+    cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in key_cols]
+    joined = c.join(b, cond, "full_outer")
+    keys = [F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k) for k in key_cols]
+    passthrough = [F.col(f"c.{o}").alias(o) for o in other_cols]
+    if not have_state:
+        # first stock batch into a view that only has the sentiment half
+        return joined.select(
+            *keys, *[F.col(f"b.{s}").alias(s) for s in OHLC_STATE], *passthrough
+        )
+
+    def pair(side: str, ts_col: str, v_col: str):
+        # an absent side must be a true NULL struct (least/greatest skip
+        # nulls) — a struct of null FIELDS would compare as the smallest
+        # value and steal the pick
+        s = F.struct(
+            F.col(f"{side}.{ts_col}").alias("t"), F.col(f"{side}.{v_col}").alias("v")
+        )
+        return F.when(F.col(f"{side}.{ts_col}").isNotNull(), s)
+
+    open_s = F.least(pair("c", "open_ts", "open_v"), pair("b", "open_ts", "open_v"))
+    close_s = F.greatest(
+        pair("c", "close_ts", "close_v"), pair("b", "close_ts", "close_v")
+    )
+    zero = F.lit(0)
+    return joined.select(
+        *keys,
+        open_s["t"].alias("open_ts"),
+        open_s["v"].alias("open_v"),
+        F.greatest(F.col("c.high_v"), F.col("b.high_v")).alias("high_v"),
+        F.least(F.col("c.low_v"), F.col("b.low_v")).alias("low_v"),
+        close_s["t"].alias("close_ts"),
+        close_s["v"].alias("close_v"),
+        (F.coalesce(F.col("c.n_trades"), zero) + F.coalesce(F.col("b.n_trades"), zero))
+        .cast("bigint")
+        .alias("n_trades"),
+        (F.coalesce(F.col("c.turnover"), zero) + F.coalesce(F.col("b.turnover"), zero))
+        .cast("decimal(18,2)")
+        .alias("turnover"),
+        *passthrough,
+    )
+
+
 class KeyedParquetView:
     """A keyed materialized view over versioned, key-partitioned parquet.
 
@@ -424,6 +521,21 @@ class KeyedParquetView:
 
         def fn(cur, b):
             return b if cur is None else merge_halves(cur, b, self.key_cols, half_cols)
+
+        self._apply(batch, fn, batch_id, writer)
+
+    def merge_daily_ohlc(
+        self, batch: DataFrame, batch_id: int = -1, writer: str = "default"
+    ) -> None:
+        """K4 with an algebraic half: ``batch`` carries per-key OHLC
+        partial state (:func:`daily_ohlc_state`) and is combined with the
+        view's state via :func:`merge_ohlc_states` — exact and
+        batch-order-independent, so a full replay converges to the batch
+        recompute (the t17 Lambda invariant). Sentiment columns sharing
+        the row are preserved."""
+
+        def fn(cur, b):
+            return b if cur is None else merge_ohlc_states(cur, b, self.key_cols)
 
         self._apply(batch, fn, batch_id, writer)
 

@@ -250,3 +250,135 @@ def test_streaming_corpus_filter_matches_batch_pipeline(spark, sf_dir):
         for r in registry.QUERIES["pipe1_corpus_filter"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_t17_convergence_survives_checkpoint_restart(spark):
+    """The t17 Lambda invariant under failure: a multi-batch speed-layer
+    replay stopped after two micro-batches and RESTARTED from the
+    checkpoint must (a) not re-apply the already-merged batches, (b)
+    process only the new ones, and (c) still converge to the one-shot
+    batch recompute over the full feed."""
+    import tempfile
+
+    from importlib import import_module
+
+    upsert = import_module(f"{PKG}.streaming.upsert")
+    agg = import_module(f"{PKG}.operators.aggregate")
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # 4 micro-batches; day 01-02 spans batches 0+1 (open in b0, close+high
+    # in b1), day 01-03 spans batches 2+3 across the restart boundary —
+    # overwrite-newest semantics would get high/turnover wrong, only the
+    # algebraic state merge converges
+    batches = [
+        ['{"ts":"2024-01-02T10:00:00","value":10.0}',
+         '{"ts":"2024-01-02T11:00:00","value":14.0}'],
+        ['{"ts":"2024-01-02T15:00:00","value":12.0}'],
+        ['{"ts":"2024-01-03T09:00:00","value":50.0}',
+         '{"ts":"2024-01-03T10:00:00","value":30.0}'],
+        ['{"ts":"2024-01-03T16:00:00","value":40.0}'],
+    ]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/stock"
+        _write_batches(src, batches[:2])  # only the first two files exist
+        view = upsert.KeyedParquetView(spark, f"{tmp}/speed_view", ["event_date"])
+        applied: list[int] = []
+
+        def sink(batch_df, batch_id):
+            applied.append(batch_id)
+            view.merge_daily_ohlc(
+                upsert.daily_ohlc_state(batch_df), batch_id=batch_id, writer="stock"
+            )
+
+        def run():
+            q = (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .json(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()  # first run: batches 0, 1 — then the "process dies"
+        assert applied == [0, 1]
+        assert view.last_batch_id("stock") == 1
+
+        # mid-state check: day 01-02 merged across two batches
+        mid = {r["event_date"].isoformat(): r for r in view.read().collect()}
+        assert float(mid["2024-01-02"]["high_v"]) == 14.0
+        assert float(mid["2024-01-02"]["close_v"]) == 12.0
+        assert mid["2024-01-02"]["n_trades"] == 3
+
+        # restart: two more files arrive; the new query resumes from the
+        # checkpoint and must deliver them as NEW batch ids, not replays
+        for i, lines in enumerate(batches[2:], start=2):
+            p = f"{src}/b{i}.json"
+            with open(p, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            import os as _os
+
+            _os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+        run()
+        assert applied == [0, 1, 2, 3]
+
+        # at-least-once channel: re-deliver an old batch id — the
+        # per-writer watermark must make it a no-op
+        replay = spark.createDataFrame(
+            [("2024-01-03T23:00:00", 999.0)], "ts string, value double"
+        ).select(F.col("ts").cast("timestamp"), "value")
+        before = sorted(map(str, view.read().collect()))
+        view.merge_daily_ohlc(
+            upsert.daily_ohlc_state(replay), batch_id=3, writer="stock"
+        )
+        assert sorted(map(str, view.read().collect())) == before
+
+        # convergence: view == one-shot batch recompute over the full feed
+        full = spark.createDataFrame(
+            [r for b in batches for r in
+             [tuple(__import__("json").loads(x).values()) for x in b]],
+            "ts string, value double",
+        ).select(F.col("ts").cast("timestamp"), "value")
+        want = {
+            r["event_date"].isoformat(): r
+            for r in agg.daily_ohlc(full).collect()
+        }
+        got = {r["event_date"].isoformat(): r for r in view.read().collect()}
+        assert set(got) == set(want)
+        for d in want:
+            for col in ("open_v", "high_v", "low_v", "close_v", "n_trades", "turnover"):
+                assert got[d][col] == want[d][col], (d, col, got[d][col], want[d][col])
+
+
+def test_merge_ohlc_preserves_sentiment_half(spark):
+    """J2 shape with the algebraic stock half: OHLC merges must not
+    disturb sentiment state living in the same speed-view row, and a
+    stock batch arriving before any stock state exists must insert."""
+    from importlib import import_module
+
+    upsert = import_module(f"{PKG}.streaming.upsert")
+
+    cur = spark.createDataFrame(
+        [("2024-01-02", 12, 3, 4.0)],
+        "event_date string, sum_score bigint, nbr_article bigint, avg_score double",
+    )
+    batch = upsert.daily_ohlc_state(
+        spark.createDataFrame(
+            [("2024-01-02T10:00:00", 10.0), ("2024-01-02T15:00:00", 12.0)],
+            "ts string, value double",
+        ).select(F.col("ts").cast("timestamp"), "value")
+    ).withColumn("event_date", F.col("event_date").cast("string"))
+    merged = upsert.merge_ohlc_states(cur, batch, ["event_date"]).collect()
+    assert len(merged) == 1
+    row = merged[0]
+    assert row["sum_score"] == 12 and row["avg_score"] == 4.0  # sentiment intact
+    assert float(row["open_v"]) == 10.0 and float(row["close_v"]) == 12.0
+    assert row["n_trades"] == 2
