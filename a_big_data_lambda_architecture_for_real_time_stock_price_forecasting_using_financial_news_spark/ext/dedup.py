@@ -779,6 +779,97 @@ def cluster_pairs(
     )
 
 
+def _propagation_round(
+    edges_t: DataFrame, labels: DataFrame, n_buckets: int
+) -> DataFrame:
+    """One min-label round against a dst-bucketed edge table: co-partition
+    the node-sized label vector to the bucket count (the g10 lesson —
+    without it EnsureRequirements resolves the bucket/shuffle-partitions
+    mismatch by re-shuffling the EDGE side), join edges on the bucketed
+    key, take each src's neighborhood min. Returns labels with the
+    previous value in ``_old`` for the convergence check. Split out so
+    the plan test can assert the invariant on a single round: no
+    Exchange ever keyed on ``dst`` — the edge table never moves."""
+    lab = labels.repartition(n_buckets, "id")
+    nbr_min = (
+        edges_t.join(lab, edges_t["dst"] == lab["id"])
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_min"))
+    )
+    return lab.join(nbr_min, lab["id"] == nbr_min["src"], "left").select(
+        F.col("id"),
+        F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        F.col("label").alias("_old"),
+    )
+
+
+def cluster_pairs_bucketed(
+    spark,
+    pairs: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = 8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """:func:`cluster_pairs` with the symmetrized edge table written ONCE
+    ``bucketBy(n_buckets, dst)`` — the g9/g10 pay-layout-once move applied
+    to label propagation, whose every round joins the (big) edge table to
+    the (node-sized) label vector on dst.
+
+    cluster_pairs localCheckpoints the edge table, which keeps the
+    construction out of the loop but still shuffles the edge side of the
+    join every round. Bucketing pins the edge layout at write time: each
+    round then moves only the label vector (explicitly co-partitioned to
+    the bucket count) plus the per-src partial-min stream — the two
+    movements propagation fundamentally needs. Label init reads the
+    distinct dst set straight off the bucketed layout (no exchange). At
+    100 TB the edge table IS the corpus-scale object (one row per
+    near-dup pair, both directions); never re-shuffling it across the
+    ~diameter rounds is the difference between moving the pair graph 3-4x
+    per dedup run and never moving it after one bucketed write."""
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        edges.write.format("parquet")
+        .bucketBy(n_buckets, "dst")
+        .sortBy("dst")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    edges_t = spark.table(table_name)
+    labels = (
+        edges_t.select(F.col("dst").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        new_labels = _propagation_round(edges_t, labels, n_buckets).localCheckpoint(
+            eager=True
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"cluster_pairs_bucketed did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds ~ cluster diameter)"
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
 def cluster_pairs_sql(pairs_sql: str) -> str:
     """DuckDB oracle: transitive closure by recursive CTE (fine at oracle
     scale; the Spark side is the one that runs at 100 TB)."""

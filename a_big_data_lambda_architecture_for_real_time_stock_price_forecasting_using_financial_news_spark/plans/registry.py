@@ -6270,3 +6270,41 @@ def t17_lambda_convergence(spark, sf_dir):
             "avg_score",
         )
     )
+
+
+@register(
+    "g11_components_bucketed",
+    _dd.cluster_pairs_sql(
+        _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)
+    ),
+)
+def g11_components_bucketed(spark, sf_dir):
+    """d7's connected components over the SAME minhash-LSH pair graph and
+    oracle, but with the symmetrized edge table written once
+    ``bucketBy(8, dst)`` (ext/dedup.py:cluster_pairs_bucketed) — label
+    propagation is exactly the shape that hit g10's EnsureRequirements
+    bucket-forfeit hazard (a big table joined to a node-sized vector
+    every round), so the fix is demonstrated on it: the label vector is
+    co-partitioned to the bucket count each round and the plan test
+    asserts NO exchange is ever keyed on dst — the edge table never
+    re-shuffles across the propagation rounds. Byte-identical output to
+    d7; two physical strategies, one oracle.
+
+    Measured honesty (sf1, local[32], median of 3): d7 7.3s vs g11 9.1s
+    END TO END — at fixture scale the near-dup pair graph is tiny, so
+    the one-time durable bucketed write costs more than the rounds save
+    (d7's localCheckpoint keeps edges in memory). The entry's deliverable
+    is the PLAN shape: at corpus scale the pair graph is the big object
+    (one row per near-dup pair, both directions), the write is amortized
+    across every propagation/dedup run on it, and the invariant that the
+    edge table never moves again is what survives 100 TB — same
+    persisted-vs-bucketed tradeoff g8/g9 measure on triangles."""
+    import os as _os
+
+    pairs = _dd.minhash_lsh_pairs(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
+    return _dd.cluster_pairs_bucketed(
+        spark, pairs, f"g11_bkt_edges_{tag}", _os.path.join(scratch, "cc_edges")
+    )

@@ -613,3 +613,60 @@ def test_g10_pagerank_iterations_never_move_the_edge_table(spark, sf_dir):
         for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     ]
     assert set(keysets) <= {("dst",), ("node",)}, keysets
+
+
+def test_g11_propagation_round_never_moves_the_edge_table(spark, sf_dir):
+    """g11 buckets the symmetrized near-dup edge table by the per-round
+    join key dst; one propagation round (the repeated unit) must
+    bucket-read the edge side with NO exchange keyed on dst — only the
+    node-sized label vector (id) and the per-src partial-min stream
+    (src) may move. Checkpointing truncates the returned plan's lineage,
+    so the invariant is asserted on a single round via the split-out
+    _propagation_round."""
+    import os
+    import re
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        dedup as dd,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        scratch_dir,
+    )
+    from pyspark.sql import functions as F
+
+    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
+    tname = f"test_g11_edges_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    edges = spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("src"), ((F.col("id") * 7) % 500).alias("dst")
+    )
+    (
+        edges.write.format("parquet")
+        .bucketBy(8, "dst")
+        .sortBy("dst")
+        .option("path", os.path.join(scratch, "test_cc_edges"))
+        .mode("overwrite")
+        .saveAsTable(tname)
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges_t = spark.table(tname)
+        labels = (
+            edges_t.select(F.col("dst").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+        )
+        out = dd._propagation_round(edges_t, labels, 8)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Bucketed: true") >= 1, plan
+    keysets = [
+        tuple(sorted(re.sub(r"#\d+L?", "", c.strip()) for c in m.split(",")[:-1]))
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert ("dst",) not in set(keysets), keysets
+    assert set(keysets) <= {("id",), ("src",)}, keysets
