@@ -50,6 +50,10 @@ HEADLINE = [
     "g9_triangle_count_bucketed",
     "u4_table_diff",
     "j9_record_linkage",
+    # r7: bucketed banded-sketch simhash (judge item 6 — measured faster
+    # than d3 end to end at sf1; tracking both keeps the persisted-vs-
+    # bucketed sketch gap visible round over round)
+    "d10_simhash_bucketed",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with

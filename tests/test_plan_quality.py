@@ -670,3 +670,26 @@ def test_g11_propagation_round_never_moves_the_edge_table(spark, sf_dir):
     ]
     assert ("dst",) not in set(keysets), keysets
     assert set(keysets) <= {("id",), ("src",)}, keysets
+
+
+def test_d10_band_join_is_exchange_free_over_bucketed_sketches(spark, sf_dir):
+    """d10 writes the banded simhash sketch table bucketBy(8, band, byte);
+    the band self-join must read both sides bucket-aligned — no exchange
+    keyed on (band, byte) anywhere in the executed plan (the persisted
+    d3 variant shuffles the banded table there)."""
+    import re
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.QUERIES["d10_simhash_bucketed"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Bucketed: true") >= 2, plan
+    keysets = [
+        tuple(sorted(re.sub(r"#\d+L?", "", c.strip()) for c in m.split(",")[:-1]))
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert ("band", "byte") not in set(keysets), keysets
