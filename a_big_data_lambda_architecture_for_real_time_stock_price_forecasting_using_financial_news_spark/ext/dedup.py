@@ -326,9 +326,15 @@ def minhash_lsh_pairs(
     table to parquet for incremental reuse (incremental_minhash_pairs);
     persist is its in-session form."""
     sk = minhash_sketches(df, id_col, text_col).persist()  # cache: caller-owns
+    return verify_pairs(_band_candidates(sk), sk, threshold)
+
+
+def _band_candidates(sk: DataFrame) -> DataFrame:
+    """Distinct candidate id-pairs from the banded self-join — deduped
+    while they are two-integer rows (see minhash_lsh_pairs docstring)."""
     bands = bands_of(sk)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(b, ["band", "bh"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -337,7 +343,84 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return verify_pairs(cand, sk, threshold)
+
+
+def lsh_recall(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:
+    """In-engine recall harness for the minhash-LSH candidate generator —
+    the dedup mirror of the ANN recall harnesses (s5/s7): TRUTH = every
+    pair with exact shingle-Jaccard >= threshold by brute-force all-pairs
+    over the input (quadratic BY DESIGN — run on a bounded subset, the
+    same yardstick contract as s1), PREDICTED = the banded candidates
+    exact-verified (the d2 pipeline). Verified candidates are a subset of
+    truth, so missed = true - predicted counts the pairs banding never
+    surfaced — the number that tells you whether the b/r s-curve is
+    placed where your dedup threshold needs it. One row of integers:
+    (n_true, n_lsh, n_missed)."""
+    sk = minhash_sketches(df, id_col, text_col).persist()  # cache: caller-owns
+    a = sk.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = sk.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= threshold)
+    )
+    pred = verify_pairs(_band_candidates(sk), sk, threshold)
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_lsh = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
+    return n_true.crossJoin(n_lsh).select(
+        "n_true", "n_lsh", (F.col("n_true") - F.col("n_lsh")).alias("n_missed")
+    )
+
+
+def lsh_recall_sql(table: str, id_col: str, text_col: str, threshold: float) -> str:
+    # one FLAT WITH chain sharing h0 between the truth and lsh branches —
+    # embedding minhash_lsh_pairs_sql whole would nest a WITH that shadows
+    # sh0/h0 inside a materialized CTE, which DuckDB 1.x miscompiles
+    # ("Recursive CTE scan found without recursive CTE node")
+    def band_hash(b: int) -> str:
+        cat = ", ".join(f"sig[{b * MH_ROWS + r + 1}]" for r in range(MH_ROWS))
+        return phash60_sql(f"concat_ws(',', {cat})")
+
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_hash(b)} AS bh FROM sigs"
+        for b in range(MH_BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.hs, b.hs)))"
+    )
+    return f"""
+    WITH sh0 AS (
+      SELECT {id_col} AS doc_id, {shingles_sql(text_col)} AS sh FROM {table}
+    ), h0 AS MATERIALIZED (
+      SELECT doc_id, list_transform(sh, s -> {phash60_sql('s')}) AS hs
+      FROM sh0 WHERE len(sh) > 0
+    ), truth AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM h0 a JOIN h0 b ON a.doc_id < b.doc_id
+      WHERE {jac} >= {threshold}
+    ), sigs AS MATERIALIZED (
+      SELECT doc_id, [{_sig_mins_sql()}] AS sig FROM h0
+    ), bands AS (
+      {band_union}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ), lsh AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN h0 a ON c.id_a = a.doc_id
+      JOIN h0 b ON c.id_b = b.doc_id
+      WHERE {jac} >= {threshold}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth)
+             - (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_missed
+    """
 
 
 def minhash_lsh_pairs_sql(table: str, id_col: str, text_col: str, threshold: float) -> str:

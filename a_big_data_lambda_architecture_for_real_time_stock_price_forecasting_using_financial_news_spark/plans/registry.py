@@ -6337,3 +6337,221 @@ def d10_simhash_bucketed(spark, sf_dir):
         table_name=f"d10_bkt_bands_{tag}",
         path=_os.path.join(scratch, "sim_bands"),
     )
+
+
+@register(
+    "u5_scd2_dimension",
+    """
+    SELECT o_custkey AS custkey,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(lead(CAST(o_orderdate AS DATE)) OVER w AS DATE) AS valid_to,
+           CASE WHEN lead(o_orderkey) OVER w IS NULL THEN 1 ELSE 0 END
+             AS is_current
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def u5_scd2_dimension(spark, sf_dir):
+    """Slowly-changing-dimension TYPE 2 build — the lakehouse op that turns
+    an append-only change stream into a versioned dimension with validity
+    intervals: per key, each change opens a version (valid_from = its
+    date) and closes the previous one (valid_to = the next change's
+    date); the last version per key is current. The reference's
+    append-only ES masters (news_master, twitterConsumer.py:61) keep
+    only the latest doc per id — point-in-time queries ('what did this
+    dimension say when the model trained?') need exactly this structure,
+    and training-data reproducibility at 100 TB is its core use.
+
+    Spark shape: one hash shuffle on the key + per-partition sort
+    (row_number + lead over the same window — Catalyst plans a single
+    Window operator, one sort), output linear in changes. Skew bound =
+    max changes per key; a key hot enough to matter gets the j5 salting
+    treatment upstream. The (date, orderkey) ordering carries a unique
+    tiebreaker so same-day changes version deterministically."""
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("valid_to"),
+        F.when(F.lead("o_orderkey").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@register(
+    "g12_bfs_distances",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT s AS src, p + 1000000 AS dst FROM pairs
+      UNION ALL
+      SELECT p + 1000000 AS src, s AS dst FROM pairs
+    ), r0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      FROM edges WHERE src <= 5
+    ), i1 AS MATERIALIZED (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM r0
+        UNION ALL
+        SELECT e.dst AS node, r.dist + 1 AS dist
+        FROM edges e JOIN r0 r ON e.src = r.node
+      ) GROUP BY node
+    ), i2 AS MATERIALIZED (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM i1
+        UNION ALL
+        SELECT e.dst AS node, r.dist + 1 AS dist
+        FROM edges e JOIN i1 r ON e.src = r.node
+      ) GROUP BY node
+    ), i3 AS MATERIALIZED (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM i2
+        UNION ALL
+        SELECT e.dst AS node, r.dist + 1 AS dist
+        FROM edges e JOIN i2 r ON e.src = r.node
+      ) GROUP BY node
+    )
+    SELECT node, dist FROM i3
+    """,
+)
+def g12_bfs_distances(spark, sf_dir):
+    """Multi-source BFS (3 rounds) over the supplier<->part co-occurrence
+    graph: hop distance from the seed suppliers {1..5} — the
+    shortest-path / reachability member of the graph family (g7/g10
+    rank, g8/g9 triangles, g11 components). Distances are small
+    integers, so cross-engine equality is exact.
+
+    Implemented FRONTIER-based — the formulation that survives scale:
+    each round joins the edge table to only the nodes FIRST REACHED last
+    round (not the whole distance table), dedups the reached set, and
+    anti-joins out already-settled nodes. Work per round is O(edges
+    incident to the frontier), the textbook BFS bound; the naive
+    min-relaxation (the oracle's spelling — fine at oracle scale) grows
+    each round's join input to the full reachable set. Same edge-join-
+    on-src shape as g10, so the bucketed layout applies when the graph
+    is resident; the oracle's unrolled min-relaxation is provably equal
+    to frontier BFS for distances <= the round budget."""
+    li = tbl(spark, sf_dir, "lineitem")
+    edges, _deg = _pagerank_edges(li)
+    ed = edges.persist()  # cache: caller-owns
+    seeds = (
+        ed.filter(F.col("src") <= 5)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    dist = seeds.withColumn("dist", F.lit(0).cast("bigint"))
+    frontier = seeds
+    for k in range(1, 4):
+        reached = (
+            ed.join(frontier, ed.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_frontier = reached.join(dist.select("node"), "node", "left_anti")
+        dist = dist.unionByName(
+            new_frontier.withColumn("dist", F.lit(k).cast("bigint"))
+        )
+        frontier = new_frontier
+    return dist
+
+
+_SENT_MARK = "\x01"
+
+
+@register(
+    "x29_sentence_split",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_replace(text, '([a-z]+[hw])(\\s+)', '\\1.\\2', 'g') AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(text, '([.!?])\\s+', '\\1{_SENT_MARK}', 'g'),
+               chr(1)
+             ) AS l
+      FROM p
+    ), s AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM d
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS sent_idx,
+           l[i] AS sentence,
+           CAST(length(l[i]) AS INT) AS n_chars,
+           CAST(len(string_split_regex(trim(l[i]), '\\s+')) AS INT) AS n_words
+    FROM s
+    WHERE length(l[i]) > 0
+    """,
+)
+def x29_sentence_split(spark, sf_dir):
+    """Sentence segmentation for RAG / curriculum pipelines: split each
+    document at terminal punctuation followed by whitespace, keeping the
+    punctuation with its sentence and emitting per-sentence ordinals and
+    width stats. Complements x28's fixed word windows (chunking) — the
+    boundary-aware unit an encoder pipeline packs from.
+
+    Portability note: the natural spelling is a lookbehind split
+    (``(?<=[.!?])\\s+``), but DuckDB's RE2 has no lookbehind — so both
+    engines instead REPLACE the boundary with a sentinel control char
+    (backreference keeps the punctuation) and split on the sentinel:
+    identical semantics, engine-portable, and still one narrow
+    generate-free projection chain in Spark (regexp_replace + split +
+    posexplode, no shuffle, no Python).
+
+    Fixture accommodation (disclosed): the synthetic corpus carries no
+    punctuation at all, so sentence boundaries are first SYNTHESIZED
+    deterministically from word suffixes (a period after words ending
+    in h/w — ~1 in 6 of the fixture vocabulary, giving realistic
+    multi-sentence documents on both engines); the splitter itself is
+    the general terminal-punctuation rule and runs unchanged on real
+    text."""
+    punct = F.regexp_replace(F.col("text"), r"([a-z]+[hw])(\s+)", "$1.$2")
+    marked = F.regexp_replace(punct, r"([.!?])\s+", "$1" + _SENT_MARK)
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(marked, _SENT_MARK).alias("l")
+    )
+    s = d.select("doc_id", F.posexplode("l").alias("sent_idx", "sentence"))
+    return s.filter(F.length("sentence") > 0).select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+        F.length("sentence").cast("int").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("sentence")), r"\s+")).cast("int").alias("n_words"),
+    )
+
+
+@register(
+    "d11_lsh_recall",
+    _dd.lsh_recall_sql(
+        "(SELECT * FROM documents WHERE doc_id % 4 = 0) sub",
+        "doc_id",
+        "text",
+        threshold=0.5,
+    ),
+)
+def d11_lsh_recall(spark, sf_dir):
+    """Candidate-recall harness for minhash-LSH dedup
+    (ext/dedup.py:lsh_recall) — the dedup mirror of the ANN recall
+    harnesses s5/s7: brute-force all-pairs exact shingle Jaccard on a
+    bounded subset is the truth, the d2 banded pipeline is the
+    prediction, and the one-row integer output (n_true, n_lsh, n_missed)
+    IS the recall measurement. The all-pairs truth is quadratic BY
+    DESIGN (the yardstick contract of s1 — subset-bounded, excluded
+    from sf1 sweeps); production recall audits run it on a sampled
+    stratum exactly like this."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return _dd.lsh_recall(docs, "doc_id", "text", threshold=0.5)

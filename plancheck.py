@@ -34,6 +34,9 @@ CROSS_JOIN_ALLOWLIST = {
     "s11_incremental_ivf",
     # 1-row corpus-total broadcast crossJoin, same bound as x10
     "x26_unigram_surprisal",
+    # subset-bounded all-pairs TRUTH side of the dedup recall harness —
+    # quadratic by design, the same yardstick contract as s1/s5
+    "d11_lsh_recall",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression
