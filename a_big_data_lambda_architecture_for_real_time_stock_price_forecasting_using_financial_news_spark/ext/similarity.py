@@ -1331,3 +1331,80 @@ def topk_ivfpq_adc_sql(
     FROM ranked WHERE rank <= {k}
     """
     )
+
+
+def topk_mips(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id",
+    emb_col: str = "embedding", dims: int = IVF_DIMS,
+) -> DataFrame:
+    """Maximum-inner-product (MIPS) top-k — the retrieval objective for
+    UN-normalized embeddings (recommender factors, ColBERT-style scores),
+    where the answer is argmax dot(q, v), NOT argmax cosine: a long vector
+    can win on inner product while losing on angle, so cosine ANN ranking
+    is simply wrong for MIPS (the orderings differ whenever corpus norms
+    vary).
+
+    Serving shape mirrors topk_ivf: sign-bit cell probe (equi-join,
+    broadcast query side, corpus shuffles at most once on cell) with the
+    score swapped to the raw sequential-fold dot product. At index-build
+    scale, the classic norm-augmentation reduction (append
+    sqrt(M^2 - |v|^2) to each corpus vector, 0 to queries, M = max corpus
+    norm) makes every augmented norm equal M, so ANY cosine index —
+    k-means IVF (s6), PQ (s12) — serves MIPS unchanged; the probe here
+    scores candidates by dot directly, which is the augmented route's
+    ordering without the sqrt in the scoring path (dot(q_aug, v_aug) ==
+    dot(q, v) exactly, since the query's augmented coordinate is 0)."""
+    queries = _serving_sized(queries, "topk_mips")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            ivf_cell(F.col(emb_col), dims).alias("cell"),
+        )
+    )
+    c = _spread_corpus(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    ).select(
+        "neighbor_id",
+        "c_emb",
+        ivf_cell(F.col("c_emb"), dims).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", dot(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def topk_mips_sql(
+    table: str, query_pred: str, k: int, id_col: str = "vec_id",
+    emb_col: str = "embedding", dims: int = IVF_DIMS,
+) -> str:
+    d = dot_sql("q.q_emb", "c.c_emb")
+    return f"""
+    WITH q AS (
+      SELECT {id_col} AS query_id, {emb_col} AS q_emb,
+             {ivf_cell_sql(emb_col, dims)} AS cell
+      FROM {table} WHERE {query_pred}
+    ), c AS (
+      SELECT {id_col} AS neighbor_id, {emb_col} AS c_emb,
+             {ivf_cell_sql(emb_col, dims)} AS cell
+      FROM {table}
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id, {d} AS score
+      FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

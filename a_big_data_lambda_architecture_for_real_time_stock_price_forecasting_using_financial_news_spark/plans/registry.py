@@ -6555,3 +6555,181 @@ def d11_lsh_recall(spark, sf_dir):
     stratum exactly like this."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     return _dd.lsh_recall(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "u6_pit_dimension_join",
+    """
+    WITH dim AS MATERIALIZED (
+      SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(max(row_number) AS BIGINT) AS version,
+             arg_max(o_orderpriority, row_number) AS priority
+      FROM (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS row_number
+        FROM orders WHERE o_custkey % 20 = 0
+      )
+      GROUP BY 1, 2
+    ), facts AS MATERIALIZED (
+      SELECT o.o_custkey AS custkey,
+             l.l_orderkey, l.l_linenumber,
+             CAST(l.l_shipdate AS DATE) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 20 = 0
+    )
+    SELECT f.custkey, f.l_orderkey, f.l_linenumber, f.d AS ship_date,
+           dim.version, dim.priority
+    FROM facts f ASOF JOIN dim
+      ON f.custkey = dim.custkey AND f.d >= dim.d
+    """,
+)
+def u6_pit_dimension_join(spark, sf_dir):
+    """POINT-IN-TIME join against the u5 SCD2 dimension — the feature-store
+    correctness op: every fact row (a lineitem shipment) is joined to the
+    dimension version that was CURRENT at its own timestamp, never a later
+    one (no training-data leakage from the future). The reference's
+    latest-doc ES masters cannot answer this at all; with u5's validity
+    intervals it is an as-of join (j3's union-sort operator — ONE shuffle
+    on the key + a per-key sort, no range join, no per-key collect).
+
+    The dimension is first reduced to its END-OF-DAY version per
+    (key, date) (max version per day — same-day changes collapse to the
+    day's final state), which makes the as-of pick deterministic: validity
+    intervals partition the timeline, so 'latest valid_from <= ts' is
+    exactly interval membership. Facts shipping before the first version
+    drop (inner PIT semantics). Oracle: DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    from ..operators.asof import asof_join
+
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    packed = F.struct("version", "priority")
+    dim = versions.groupBy("custkey", "d").agg(
+        F.max_by(packed, F.col("version")).alias("s")
+    ).select("custkey", "d", F.col("s.version").alias("version"), F.col("s.priority").alias("priority"))
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("d")
+    )
+    facts = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), F.col("o_custkey").alias("custkey")),
+        "l_orderkey",
+    ).select("custkey", "l_orderkey", "l_linenumber", "d")
+    joined = asof_join(facts, dim, ["custkey"], "d", ["version", "priority"])
+    return joined.filter(F.col("version").isNotNull()).select(
+        "custkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("d").alias("ship_date"),
+        "version",
+        "priority",
+    )
+
+
+@register(
+    "w8_funnel_steps",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS MATERIALIZED (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), p AS MATERIALIZED (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.t_click AND e.ts <= c.t_click + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS INT) AS step
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def w8_funnel_steps(spark, sf_dir):
+    """Ordered event-funnel analysis: per user, the first ``view``, the
+    first ``click`` within 7 days AFTER that view, and the first
+    ``purchase`` within 7 days after that click — plus the funnel step
+    reached (1-3). The sequencing constraint (each stage strictly at or
+    after the previous stage's chosen event) is what separates a funnel
+    from three independent mins, and is the standard product-analytics /
+    conversion query.
+
+    Spark shape: one keyed min-aggregate per stage plus an equi-join
+    back on user_id — every stage is map-side combinable and all joins
+    and aggregates share the user_id key, so at scale one
+    repartition(user_id) co-locates the whole funnel (no window sort
+    needed; stage count is the only plan-depth factor). Timestamps
+    compare at microsecond precision identically in both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("int").alias("step"),
+        )
+    )
+
+
+@register(
+    "s13_mips_topk",
+    _sim.topk_mips_sql("embeddings", "vec_id % 50 = 0", k=5),
+)
+def s13_mips_topk(spark, sf_dir):
+    """Maximum-inner-product top-k (ext/similarity.py:topk_mips) — the
+    missing retrieval objective in the ANN ladder: s1/s2/s6/s12 rank by
+    cosine, which is WRONG for un-normalized embeddings where the answer
+    is argmax dot. Sign-bit cell probe with raw sequential-fold dot
+    scoring; the docstring carries the norm-augmentation reduction that
+    lets the cosine index family serve MIPS at build scale."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return _sim.topk_mips(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
