@@ -6550,8 +6550,10 @@ def d11_lsh_recall(spark, sf_dir):
     bounded subset is the truth, the d2 banded pipeline is the
     prediction, and the one-row integer output (n_true, n_lsh, n_missed)
     IS the recall measurement. The all-pairs truth is quadratic BY
-    DESIGN (the yardstick contract of s1 — subset-bounded, excluded
-    from sf1 sweeps); production recall audits run it on a sampled
+    DESIGN (the yardstick contract of s1 — subset-bounded, and excluded
+    from sf1 sweeps with the other quadratic yardsticks s1/s5/s7/d4/d5:
+    measured, the sf1 subset's 780k-pair truth side exceeds 10 minutes
+    in the oracle engine); production recall audits run it on a sampled
     stratum exactly like this."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     return _dd.lsh_recall(docs, "doc_id", "text", threshold=0.5)
