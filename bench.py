@@ -152,7 +152,28 @@ def pagerank_iter_bench(spark, sf_dir):
     is stable. Setup (edge build, persisted materialization, bucketed
     write, shared initial rank vector) runs OUTSIDE the timer; the timed
     region is exactly the 3 fixed-point iterations + noop sink, median of
-    3 interleaved runs per mode."""
+    3 interleaved runs per mode.
+
+    Broadcast is DISABLED for the timed region: at fixture scale the rank
+    vector (2k-21k rows) is broadcastable, so with defaults BOTH modes
+    leave the edge set unmoved (g7 broadcasts ranks into cached edge
+    partitions) and the comparison measures only RAM-vs-disk edge reads —
+    at sf1 the 8-bucket scan's parallelism cap even loses to the 32-way
+    cached scan (measured 1.85s vs 1.26s). The bucketed layout's claim is
+    the regime where the rank vector is NOT broadcastable (billions of
+    nodes); threshold=-1 is that regime's faithful proxy, and the same
+    setting the g9/g10/g11 plan tests pin their invariants under.
+
+    Bucket count is sized by data volume, clamped to the parallelism
+    budget — the real production sizing rule, and both of its failure
+    modes were MEASURED here: 8 buckets at sf1 caps the join at 1/4 of a
+    32-core box (2.34s vs 1.49s at 32 buckets; persisted-RAM 1.37s —
+    parity with RAM-resident edges while never shuffling them, and at
+    100 TB the edge set doesn't fit in RAM, which is the whole point),
+    while 32 buckets at sf0.1 fragments 1.2M edges into files too small
+    to amortize per-task overhead (2.63s vs 1.17s at 8 buckets). The
+    g10 ENTRY keeps 8 buckets for plan-test stability; the bench sizes
+    ~400k edges/bucket within [8, cpus]."""
     import statistics
     import time
 
@@ -165,10 +186,12 @@ def pagerank_iter_bench(spark, sf_dir):
         tbl,
     )
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     li = tbl(spark, sf_dir, "lineitem")
     edges, deg = _pagerank_edges(li)
     ed_persisted = edges.join(deg, "src").persist()
     n_edges = ed_persisted.count()
+    n_buckets = max(8, min(cpus, n_edges // 400_000))
     tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
     tname = f"bench_pr_edges_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {tname}")
@@ -176,7 +199,7 @@ def pagerank_iter_bench(spark, sf_dir):
 
     (
         ed_persisted.write.format("parquet")
-        .bucketBy(8, "src")
+        .bucketBy(n_buckets, "src")
         .sortBy("src", "dst")
         .option("path", _os.path.join(scratch, "bench_pr"))
         .mode("overwrite")
@@ -193,9 +216,11 @@ def pagerank_iter_bench(spark, sf_dir):
     cases = {
         "g7_iterations_persisted": lambda: _pagerank_iterate(ed_persisted, ranks0),
         "g10_iterations_bucketed": lambda: _pagerank_iterate(
-            ed_bucketed, ranks0, co_partition=8
+            ed_bucketed, ranks0, co_partition=n_buckets
         ),
     }
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         for fn in cases.values():  # codegen warmup
             fn().write.format("noop").mode("overwrite").save()
@@ -207,10 +232,12 @@ def pagerank_iter_bench(spark, sf_dir):
                 reps[name].append(time.perf_counter() - t0)
         out = {name: round(statistics.median(v), 3) for name, v in reps.items()}
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         ed_persisted.unpersist()
         ranks0.unpersist()
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
     out["n_edges"] = n_edges
+    out["n_buckets"] = n_buckets
     return out
 
 
