@@ -693,3 +693,31 @@ def test_d10_band_join_is_exchange_free_over_bucketed_sketches(spark, sf_dir):
         for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     ]
     assert ("band", "byte") not in set(keysets), keysets
+
+
+def test_u6_pit_join_plans_window_not_range_join(spark, sf_dir):
+    """u6's point-in-time join must plan as the union-sort window (one
+    keyed exchange + sort), never a non-equi nested-loop/cartesian range
+    join — same contract as j3."""
+    df = registry.QUERIES["u6_pit_dimension_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_w8_funnel_hash_joins_only(spark, sf_dir):
+    """The funnel's stage sequencing is equi-joins on user_id plus keyed
+    min aggregates — no window sort, no cartesian, no Python."""
+    df = registry.QUERIES["w8_funnel_steps"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combined stage mins
+
+
+def test_g12_bfs_frontier_joins_are_equi(spark, sf_dir):
+    df = registry.QUERIES["g12_bfs_distances"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # settled nodes removed via anti-join
