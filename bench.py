@@ -171,9 +171,14 @@ def pagerank_iter_bench(spark, sf_dir):
     parity with RAM-resident edges while never shuffling them, and at
     100 TB the edge set doesn't fit in RAM, which is the whole point),
     while 32 buckets at sf0.1 fragments 1.2M edges into files too small
-    to amortize per-task overhead (2.63s vs 1.17s at 8 buckets). The
-    g10 ENTRY keeps 8 buckets for plan-test stability; the bench sizes
-    ~400k edges/bucket within [8, cpus]."""
+    to amortize per-task overhead (2.63s vs 1.17s at 8 buckets). And the
+    count must ALIGN with the shuffle-partition budget, not merely scale
+    with volume: 29 buckets on a 32-shuffle-partition box measured 2.99s
+    where 32 buckets measured 1.57s, same data, same quiet machine —
+    off-budget counts re-shuffle the node-sized streams every iteration
+    where the aligned count's exchanges collapse. The g10 ENTRY keeps 8
+    buckets for plan-test stability; the bench picks 8 for small graphs,
+    cpus (aligned) otherwise."""
     import statistics
     import time
 
@@ -191,7 +196,7 @@ def pagerank_iter_bench(spark, sf_dir):
     edges, deg = _pagerank_edges(li)
     ed_persisted = edges.join(deg, "src").persist()
     n_edges = ed_persisted.count()
-    n_buckets = max(8, min(cpus, n_edges // 400_000))
+    n_buckets = cpus if n_edges >= 300_000 * cpus else 8
     tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
     tname = f"bench_pr_edges_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {tname}")
