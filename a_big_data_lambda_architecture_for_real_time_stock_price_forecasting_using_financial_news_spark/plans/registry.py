@@ -6735,3 +6735,91 @@ def s13_mips_topk(spark, sf_dir):
     lets the cosine index family serve MIPS at build scale."""
     emb = tbl(spark, sf_dir, "embeddings")
     return _sim.topk_mips(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+@register(
+    "p12_partitioned_pruned_scan",
+    """
+    SELECT event_id, user_id, event_type, value,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    """,
+)
+def p12_partitioned_pruned_scan(spark, sf_dir):
+    """Hive-style date-partitioned lake layout + partition-PRUNED read:
+    the events feed is staged ``partitionBy(event_date)`` (the resting
+    layout of every time-series lake table — the reference's ES indexes
+    route by Date the same way) and read back through a date-range
+    filter that Catalyst resolves at PLANNING time against the
+    directory structure: the scan's ``PartitionFilters`` eliminate
+    whole directories, so a 3-day query over a year-long 100 TB table
+    opens ~3/365ths of the files — no footer, no row group, no byte of
+    the rest is touched (vs f2's row-group pruning, which still lists
+    and opens files). The oracle reads the ORIGINAL table with the same
+    predicate, proving the partitioned hop lossless. Plan test asserts
+    the pruning actually happened."""
+    import os as _os
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    # per-process scratch: swept + atexit-removed (see scratch_dir)
+    _tag, scratch = scratch_dir("spark_graft_part", sf_dir)
+    path = _os.path.join(scratch, "events_by_date")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("event_date").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+    ).select("event_id", "user_id", "event_type", "value", "event_date")
+
+
+@register(
+    "w9_ewma",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n,
+           list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+    FROM ordered
+    """,
+)
+def w9_ewma(spark, sf_dir):
+    """Per-key exponentially-weighted moving average (alpha = 0.25) over
+    the event-time-ordered value stream — the time-series smoother the
+    reference's pairwise mean accidentally approximates (a4's bug-compat
+    fold IS an EWMA with alpha = 1/2); here it is the deliberate,
+    parameterized operator. The recurrence is order-dependent, so per-key
+    values are materialized in one row (sort_array'd collect, the a4
+    pattern) and folded sequentially; 0.25/0.75 are exact binary
+    fractions and every step is one IEEE multiply-add chain, so both
+    engines produce bit-identical doubles. The fold seeds with the FIRST
+    value (DuckDB list_reduce semantics, mirrored via slice+element_at),
+    not 0 — an EWMA from zero underestimates every key's head. Same
+    scale contract as a4: a hot key is O(key width) in one row; for
+    unbounded streams use the t6 stateful running form instead."""
+    ev = tbl(spark, sf_dir, "events")
+    packed = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v"))
+        )
+    )
+    grouped = ev.groupBy("user_id").agg(packed.alias("p"))
+    vals = F.transform(F.col("p"), lambda s: s["v"])
+    return grouped.select(
+        "user_id",
+        F.size("p").cast("bigint").alias("n"),
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size("p") - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+        ).alias("ewma"),
+    )

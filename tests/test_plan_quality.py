@@ -721,3 +721,15 @@ def test_g12_bfs_frontier_joins_are_equi(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # settled nodes removed via anti-join
+
+
+def test_p12_partition_pruning_reaches_the_scan(spark, sf_dir):
+    """p12's date filter must resolve against the directory structure:
+    the scan carries PartitionFilters on event_date (directories outside
+    the range are never opened), and the data filter list stays empty —
+    nothing needs row-level re-checking for a partition-column
+    predicate."""
+    df = registry.QUERIES["p12_partitioned_pruned_scan"](spark, sf_dir)
+    plan = plan_of(df)
+    part = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "event_date" in part, part
