@@ -6339,9 +6339,7 @@ def d10_simhash_bucketed(spark, sf_dir):
     )
 
 
-@register(
-    "u5_scd2_dimension",
-    """
+_SCD2_ORACLE_SQL = """
     SELECT o_custkey AS custkey,
            CAST(row_number() OVER w AS BIGINT) AS version,
            o_orderpriority AS priority,
@@ -6353,8 +6351,34 @@ def d10_simhash_bucketed(spark, sf_dir):
     FROM orders
     WHERE o_custkey % 20 = 0
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
+    """
+
+
+def _scd2_rows(changes: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """SCD2 build from a change set (custkey, o_orderkey, o_orderdate,
+    priority, price_cents): one keyed window, shared by the batch entry
+    (u5) and the streaming maintenance entry (t18) so both hit the same
+    oracle. ``extra_cols`` pass through untouched (t18 keeps the raw
+    change columns in the view so touched keys can be re-versioned)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        "custkey",
+        *extra_cols,
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "priority",
+        "price_cents",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("valid_to"),
+        F.when(F.lead("o_orderkey").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@register("u5_scd2_dimension", _SCD2_ORACLE_SQL)
 def u5_scd2_dimension(spark, sf_dir):
     """Slowly-changing-dimension TYPE 2 build — the lakehouse op that turns
     an append-only change stream into a versioned dimension with validity
@@ -6372,22 +6396,15 @@ def u5_scd2_dimension(spark, sf_dir):
     max changes per key; a key hot enough to matter gets the j5 salting
     treatment upstream. The (date, orderkey) ordering carries a unique
     tiebreaker so same-day changes version deterministically."""
-    from pyspark.sql import Window
-
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
+    changes = o.select(
         F.col("o_custkey").alias("custkey"),
-        F.row_number().over(w).cast("bigint").alias("version"),
+        "o_orderkey",
+        "o_orderdate",
         F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
-        F.col("o_orderdate").cast("date").alias("valid_from"),
-        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("valid_to"),
-        F.when(F.lead("o_orderkey").over(w).isNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("is_current"),
     )
+    return _scd2_rows(changes)
 
 
 @register(
@@ -6822,4 +6839,81 @@ def w9_ewma(spark, sf_dir):
             F.element_at(vals, 1),
             lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
         ).alias("ewma"),
+    )
+
+
+@register("t18_stream_scd2", _SCD2_ORACLE_SQL)
+def t18_stream_scd2(spark, sf_dir):
+    """STREAMING maintenance of the u5 SCD2 dimension, converging exactly
+    to the batch build (same oracle — the t17 convergence pattern applied
+    to dimension versioning): order changes arrive in 3 micro-batches
+    split by orderkey range (so a later batch routinely carries an
+    EARLIER-dated change — the case that breaks append-only versioning),
+    and each batch re-versions ONLY the touched keys: semi-join the
+    current view to the batch's keys, union their raw change history with
+    the new changes, dedup by change id (replay-safe), recompute
+    row_number/lead per key, and pass every co-partitioned untouched
+    key's rows through unchanged. Late-arriving changes thus rewrite
+    exactly the affected keys' version chains in place.
+
+    Scale shape: per batch the work is O(touched keys' history), not
+    O(dimension) — partition pruning (16 hash partitions of the key)
+    bounds what is read and rewritten, and the recompute window sorts
+    only the touched keys' rows. The view keeps the raw change columns
+    alongside the serving columns precisely so this re-versioning never
+    needs the source table."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    changes = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "scd2_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "changes")
+    changes.repartitionByRange(3, "o_orderkey").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(spark, _os.path.join(root, "dim"), ["custkey"], partition_by="pb")
+
+    RAW = ["custkey", "o_orderkey", "o_orderdate", "priority", "price_cents", "pb"]
+
+    def fn(cur, b):
+        if cur is None:
+            return _scd2_rows(b, extra_cols=("o_orderkey", "o_orderdate", "pb"))
+        bkeys = b.select("custkey").distinct()
+        passthrough = cur.join(bkeys, "custkey", "left_anti")
+        hist = cur.join(bkeys, "custkey", "semi").select(*RAW)
+        merged = hist.unionByName(b.select(*RAW)).dropDuplicates(["o_orderkey"])
+        rebuilt = _scd2_rows(merged, extra_cols=("o_orderkey", "o_orderdate", "pb"))
+        return rebuilt.unionByName(passthrough.select(*rebuilt.columns))
+
+    def sink(batch_df, batch_id):
+        b = batch_df.withColumn("pb", F.pmod(F.col("custkey"), F.lit(16)))
+        view.merge_custom(b, fn, batch_id=batch_id, writer="scd2")
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return view.read().select(
+        "custkey",
+        "version",
+        "priority",
+        "price_cents",
+        "valid_from",
+        "valid_to",
+        "is_current",
     )

@@ -569,6 +569,18 @@ class KeyedParquetView:
 
         self._apply(batch, fn, batch_id, writer)
 
+    def merge_custom(
+        self, batch: DataFrame, merge_fn, batch_id: int = -1, writer: str = "default"
+    ) -> None:
+        """Escape hatch for view-specific merge logic:
+        ``merge_fn(cur_touched_or_None, batch) -> merged`` runs under the
+        SAME contract as the built-in strategies — writer lease, per-writer
+        batch-id replay watermark, partition pruning (``cur`` holds every
+        current row of the partitions the batch touches, and ``merged``
+        REPLACES those partitions wholesale, so rows of co-partitioned
+        keys the merge doesn't change must be passed through)."""
+        self._apply(batch, merge_fn, batch_id, writer)
+
     def _kc(self):
         if len(self.key_cols) == 1:
             return [self.key_cols[0]]
