@@ -395,3 +395,91 @@ def ngram_freq_sql(table: str, text_col: str, n: int = 2, k: int = 100) -> str:
     FROM ex GROUP BY gram
     ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
     """
+
+
+def pmi_collocations(df, text_col: str, k: int = 50, min_count: int = 5):
+    """Top-k collocations by QUANTIZED pointwise mutual information —
+    the association-strength complement to ngram_freq's raw counts
+    (frequent pairs are often just frequent words; PMI surfaces pairs
+    that co-occur far more than their unigram rates predict — the
+    multiword-expression / named-entity primer of a corpus pipeline).
+
+    PMI = log2(N * c(a,b) / (c(a) * c(b))) is quantized to integer math
+    with the x26 trick — ``length(bin(x)) = floor(log2 x) + 1`` — so the
+    score is ``len(bin(N * cab)) - len(bin(ca * cb))``: floor-log2 of
+    the numerator minus floor-log2 of the denominator, exact integers in
+    both engines, no transcendental libm in any output column. Products
+    stay within BIGINT (counts <= corpus grams ~ 1e9 at 100 TB shard
+    granularity; re-shard the stats beyond that).
+
+    Plan shape: one tokenize pass persisted (feeds unigram AND bigram
+    counts), two map-side-combined hash aggs, two broadcast-sized joins
+    of the bigram table to unigram counts, one 1-row total crossJoin
+    (broadcast), TakeOrderedAndProject top-k — no global sort. The
+    (score, count, gram) ordering is total, so the top-k set is
+    deterministic under any partitioning."""
+    base = df.select(tokens(F.col(text_col)).alias("t")).persist()  # cache: caller-owns
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    )
+    big = (
+        base.select(F.explode(word_ngrams(F.col("t"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        .filter(F.col("cab") >= min_count)
+        .withColumn("a", F.split(F.col("gram"), " ")[0])
+        .withColumn("b", F.split(F.col("gram"), " ")[1])
+    )
+    total = base.select(
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).cast("bigint").alias("n_total")
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    scored = (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "cab",
+            (
+                F.length(F.bin(F.col("n_total") * F.col("cab")))
+                - F.length(F.bin(F.col("ca") * F.col("cb")))
+            ).cast("bigint").alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_q"), F.desc("cab"), F.asc("gram")
+    ).limit(k)
+
+
+def pmi_collocations_sql(table: str, text_col: str, k: int = 50, min_count: int = 5) -> str:
+    grams = word_ngrams_sql(tokens_sql(text_col), 2)
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT {tokens_sql(text_col)} AS tk FROM {table}
+    ), uni AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w
+    ), big AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS cab,
+             string_split(gram, ' ')[1] AS a,
+             string_split(gram, ' ')[2] AS b
+      FROM (
+        SELECT unnest({word_ngrams_sql('tk', 2)}) AS gram
+        FROM tok
+      ) GROUP BY gram HAVING count(*) >= {min_count}
+    ), tot AS (
+      SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS n_total FROM tok
+    )
+    SELECT big.gram, big.cab,
+           CAST(length(bin(tot.n_total * big.cab))
+                - length(bin(uni_a.cw * uni_b.cw)) AS BIGINT) AS pmi_q
+    FROM big
+    JOIN uni uni_a ON big.a = uni_a.w
+    JOIN uni uni_b ON big.b = uni_b.w
+    CROSS JOIN tot
+    ORDER BY pmi_q DESC, cab DESC, gram ASC LIMIT {k}
+    """

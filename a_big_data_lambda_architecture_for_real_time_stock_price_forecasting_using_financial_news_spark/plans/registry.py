@@ -6917,3 +6917,58 @@ def t18_stream_scd2(spark, sf_dir):
         "valid_to",
         "is_current",
     )
+
+
+@register(
+    "s14_filtered_ann",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             {_sim.ivf_cell_sql('embedding')} AS cell
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_emb,
+             {_sim.ivf_cell_sql('embedding')} AS cell
+      FROM embeddings WHERE label = 3
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id, {_sim.cosine_sql('q.q_emb', 'c.c_emb')} AS score
+      FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s14_filtered_ann(spark, sf_dir):
+    """FILTERED vector search — top-k among only the vectors matching a
+    metadata predicate (here ``label = 3``), the shape every production
+    vector store serves ('nearest English docs', 'nearest in-tenant
+    vectors'). The filter is applied to the corpus BEFORE the cell probe
+    (pre-filtering): candidates are label-3 vectors in the query's cell,
+    so k survivors are k MATCHING survivors — post-filtering (rank first,
+    filter after) silently returns fewer than k whenever the filter is
+    selective, the classic filtered-ANN recall bug. Pre-filtering also
+    prunes the probe input: at 100 TB a selective predicate (pushed to
+    the parquet scan — label is a plain column) shrinks the join's corpus
+    side by the filter's selectivity before any distance math runs."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return _sim.topk_ivf(
+        emb.filter(F.col("label") == 3), emb.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+
+
+@register(
+    "x30_pmi_collocations",
+    _tx.pmi_collocations_sql("documents", "text", k=50, min_count=5),
+)
+def x30_pmi_collocations(spark, sf_dir):
+    """Top-50 collocations by integer-quantized PMI
+    (ext/text.py:pmi_collocations) — association strength, not raw
+    frequency (x19): pairs that co-occur far beyond their unigram rates,
+    the multiword-expression primer. log2 floor-quantized via the x26
+    length(bin(x)) trick so no transcendental reaches an output column."""
+    return _tx.pmi_collocations(tbl(spark, sf_dir, "documents"), "text", k=50, min_count=5)

@@ -34,6 +34,8 @@ CROSS_JOIN_ALLOWLIST = {
     "s11_incremental_ivf",
     # 1-row corpus-total broadcast crossJoin, same bound as x10
     "x26_unigram_surprisal",
+    # 1-row corpus-total broadcast crossJoin, same bound as x10/x26
+    "x30_pmi_collocations",
     # subset-bounded all-pairs TRUTH side of the dedup recall harness —
     # quadratic by design, the same yardstick contract as s1/s5
     "d11_lsh_recall",
