@@ -6972,3 +6972,46 @@ def x30_pmi_collocations(spark, sf_dir):
     the multiword-expression primer. log2 floor-quantized via the x26
     length(bin(x)) trick so no transcendental reaches an output column."""
     return _tx.pmi_collocations(tbl(spark, sf_dir, "documents"), "text", k=50, min_count=5)
+
+
+@register(
+    "t19_time_travel",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE day(CAST(ts AS DATE)) <= 15
+    GROUP BY 1
+    """,
+)
+def t19_time_travel(spark, sf_dir):
+    """Snapshot isolation / TIME TRAVEL on the keyed view
+    (streaming/upsert.py:KeyedParquetView.read_at): merge 1 writes the
+    first half-month's daily counts; merge 2 REVISES the overlapping days
+    (x2) and appends the rest of the month; ``read_at(1)`` must return
+    exactly the pre-revision merge-1 state — each partition resolved to
+    its newest version dir <= the requested version, the Delta/Iceberg
+    `VERSION AS OF` contract (same retention caveat: vacuum() removes
+    history). The oracle recomputes merge-1's input from the source
+    table, so the check proves the historical snapshot is bit-faithful,
+    not merely present. Scale: version resolution is manifest-level (one
+    dict scan per partition), reads open only the selected version dirs."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("event_id").alias("_ord"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "tt_" + uuid.uuid4().hex[:8])
+    view = KeyedParquetView(spark, root, ["event_date"])
+    m1 = daily.filter(F.dayofmonth("event_date") <= 15)
+    view.merge_overwrite_by_key(m1, "_ord", batch_id=0, writer="tt")
+    m2 = daily.withColumn("n", F.col("n") * 2)  # revises overlap + appends rest
+    view.merge_overwrite_by_key(m2, "_ord", batch_id=1, writer="tt")
+    return view.read_at(1).select("event_date", "n")
