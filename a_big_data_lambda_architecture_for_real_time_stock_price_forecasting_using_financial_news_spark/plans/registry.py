@@ -7015,3 +7015,130 @@ def t19_time_travel(spark, sf_dir):
     m2 = daily.withColumn("n", F.col("n") * 2)  # revises overlap + appends rest
     view.merge_overwrite_by_key(m2, "_ord", batch_id=1, writer="tt")
     return view.read_at(1).select("event_date", "n")
+
+
+@register(
+    "u7_incremental_agg_view",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def u7_incremental_agg_view(spark, sf_dir):
+    """Incremental MATERIALIZED-VIEW maintenance — the refresh pattern the
+    reference's batch layer lacks (Batch_layer/batchPipeline.py:163-167
+    recomputes the whole batch_view every DAG run): the monthly revenue
+    rollup is stored once over the history (< 2000-01-01), then refreshed
+    by aggregating ONLY the delta (>= 2000-01-01) and merging partials —
+    counts add, DECIMAL sums add — via one full-outer join on the group
+    key. Sum/count are self-maintainable aggregates, so view ⊕ delta is
+    value-identical to the full recompute, which is exactly what the
+    oracle computes over the whole table.
+
+    Scale shape: the refresh reads O(|delta|) fact rows (date predicate
+    pushed to the scan) plus the stored aggregate (|view| ≪ |fact| —
+    group-key cardinality, not row count); the delta agg is map-side
+    combined, and the merge joins two aggregate-sized relations. At
+    100 TB this turns a daily full-history scan into a yesterday-only
+    scan — maintenance cost proportional to churn, the u4 contract
+    applied to aggregation state. AVG/stddev maintain the same way via
+    their sum/count/moment decompositions (a15); MIN/MAX do not survive
+    deletes and need the full recompute path this entry also exercises
+    as its oracle."""
+    import os as _os
+
+    o = tbl(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    pri = F.col("o_orderpriority").alias("priority")
+
+    def rollup(df):
+        return df.groupBy(ym, pri).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+        )
+
+    _tag, scratch = scratch_dir("spark_graft_mv", sf_dir)
+    mv_path = _os.path.join(scratch, "monthly_revenue_mv")
+    # one-time build over the closed history: this is the stored view
+    rollup(o.filter(F.col("o_orderdate") < F.lit("2000-01-01"))).write.mode(
+        "overwrite"
+    ).parquet(mv_path)
+
+    # refresh: aggregate the delta only, merge partials into the view
+    delta = rollup(o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")))
+    stored = spark.read.parquet(mv_path)
+    zero = F.lit(0).cast(stored.schema["total"].dataType)
+    merged = (
+        stored.alias("v")
+        .join(delta.alias("d"), ["ym", "priority"], "full_outer")
+        .select(
+            "ym",
+            "priority",
+            (
+                F.coalesce(F.col("v.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))
+            ).cast("bigint").alias("cnt"),
+            (
+                F.coalesce(F.col("v.total"), zero) + F.coalesce(F.col("d.total"), zero)
+            ).alias("total"),
+        )
+    )
+    return dec2dbl(merged)
+
+
+@register(
+    "w10_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+                  AS INTEGER) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, week_offset, CAST(count(*) AS BIGINT) AS users
+    FROM active GROUP BY 1, 2
+    """,
+)
+def w10_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the product-analytics staple: users are
+    cohorted by their FIRST-seen day, and each cell counts how many of a
+    cohort's users were still active N weeks later. Three map-side-
+    combinable hash aggs and one equi-join: first-seen per user (keyed
+    min), activity de-dup per (user, week-offset), and the final cell
+    count — no window function, no sort. The week offset is integer
+    floor-division of a day difference (both engines divide the same
+    nonnegative integers), so the matrix is engine-exact.
+
+    Scale shape: the first-seen table and the event feed shuffle once on
+    user_id and join co-partitioned (at 100 TB the user dimension is too
+    big to broadcast — this is deliberately a shuffle join, with AQE free
+    to downgrade it when a filtered cohort IS small); the (user, week)
+    de-dup is a partial-aggregated distinct, and the final matrix is
+    cohort-days × weeks — tiny. In production the first-seen table is
+    the stored dimension (u7's maintenance pattern: keyed min is
+    insert-only self-maintainable), making the whole refresh delta-
+    proportional."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("CAST((datediff(d, cohort_day) div 7) AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users")
+    )
