@@ -7142,3 +7142,158 @@ def w10_retention_cohorts(spark, sf_dir):
     return active.groupBy("cohort_day", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("users")
     )
+
+
+@register(
+    "f5_twap",
+    """
+    WITH ticks AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS us, event_id,
+             CAST(value AS DECIMAL(18,2)) AS px,
+             epoch_us(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP))
+               AS end_us
+      FROM events
+    ), d AS (
+      SELECT series, day, px,
+             (coalesce(lead(us) OVER (PARTITION BY series, day
+                                      ORDER BY us, event_id),
+                       end_us) - us) // 1000000 AS dur_s
+      FROM ticks
+    )
+    SELECT series, day,
+           CAST(CAST(sum(px * dur_s) AS DOUBLE)
+                / CAST(CAST(sum(dur_s) AS BIGINT) AS DOUBLE) AS DOUBLE) AS twap,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(dur_s) AS BIGINT) AS total_s
+    FROM d GROUP BY 1, 2
+    """,
+)
+def f5_twap(spark, sf_dir):
+    """Time-weighted average price per (series, day) — f4's VWAP sibling
+    and the other standard execution benchmark on a quote feed: each tick
+    holds until the NEXT tick (lead over event-time; the day's last tick
+    holds to midnight), so thin after-hours prints stop dominating the
+    way they do in a plain AVG. All weights are integer seconds derived
+    from exact epoch microseconds (``unix_micros`` ↔ ``epoch_us``, same
+    integral floor-division — the fixture's nanos are truncated to µs
+    identically by both readers), prices sum in DECIMAL × BIGINT, and the
+    single final division is IEEE-exact: engine-identical without any
+    float accumulation.
+
+    Scale shape: one window sort per (series, day) partition — the
+    natural partitioning of any tick store, bounded by a day's ticks per
+    symbol, never a global sort — then a map-side-combinable hash agg on
+    the same key, which AQE can collapse into the window's shuffle. At
+    100 TB this is the p12 layout read with partition pruning feeding a
+    per-partition pipeline; no stage sees more than one trading day of
+    one series."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    ticks = ev.select(
+        F.col("event_type").alias("series"),
+        F.to_date("ts").alias("day"),
+        # ts is TIMESTAMP_NTZ off the nanos fixture; the UTC-pinned session
+        # makes the NTZ->instant cast wall-clock-identical to DuckDB's
+        # naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.col("value").cast(DEC).alias("px"),
+    ).withColumn(
+        "end_us", F.unix_micros(F.date_add("day", 1).cast("timestamp"))
+    )
+    w = Window.partitionBy("series", "day").orderBy("us", "event_id")
+    d = ticks.select(
+        "series",
+        "day",
+        "px",
+        (
+            (F.coalesce(F.lead("us").over(w), F.col("end_us")) - F.col("us"))
+        ).alias("held_us"),
+    ).withColumn("dur_s", F.expr("held_us div 1000000"))
+    return d.groupBy("series", "day").agg(
+        (
+            F.sum(F.col("px") * F.col("dur_s")).cast("double")
+            / F.sum("dur_s").cast("bigint").cast("double")
+        )
+        .cast("double")
+        .alias("twap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.sum("dur_s").cast("bigint").alias("total_s"),
+    )
+
+
+@register(
+    "a17_weighted_median",
+    """
+    WITH pw AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot
+      FROM pw
+    )
+    SELECT flag,
+           CAST(CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS DOUBLE)
+                / 100.0 AS DOUBLE) AS w_median,
+           CAST(min(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY flag
+    """,
+)
+def a17_weighted_median(spark, sf_dir):
+    """Exact WEIGHTED median (quantity-weighted price per return flag) —
+    the quantile the a8/a10 family cannot produce: every unit of quantity
+    counts as one observation, so a 50-unit line pulls the median 50× as
+    hard as a 1-unit line. Definition: the smallest price whose running
+    weight reaches half the total (``2·cum >= tot`` keeps the test in
+    exact integers — no division, no .5 threshold float). Weights are
+    first COLLAPSED per distinct price by a map-side-combinable hash agg,
+    so the window's cumulative sum runs over distinct prices (≪ rows) and
+    ties are pre-merged — cumulative order among equal prices, the
+    classic nondeterminism of this query, cannot arise.
+
+    Scale shape: the heavy input is reduced by the hash agg before any
+    sort; the window then orders only the distinct-price table. The
+    3-value group key makes those per-group sorts wide at 100 TB — that
+    is inherent to EXACT medians (a total order per group); the engine's
+    scale answer for massive groups is the a8 percentile_disc path or
+    a10's sketched quantiles, while this entry is the exact yardstick
+    the sketches are graded against (the s1 contract applied to
+    quantiles)."""
+    from pyspark.sql import Window
+
+    li = tbl(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast(DEC) * 100).cast("bigint")
+    pw = li.groupBy(
+        F.col("l_returnflag").alias("flag"), cents.alias("cents")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    c = pw.select(
+        "flag",
+        "cents",
+        F.sum("w")
+        .over(
+            Window.partitionBy("flag")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        (
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        )
+        .cast("double")
+        .alias("w_median"),
+        F.min("tot").cast("bigint").alias("total_weight"),
+    )
