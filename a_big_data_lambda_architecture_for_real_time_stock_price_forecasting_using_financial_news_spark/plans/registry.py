@@ -7297,3 +7297,56 @@ def a17_weighted_median(spark, sf_dir):
         .alias("w_median"),
         F.min("tot").cast("bigint").alias("total_weight"),
     )
+
+
+@register(
+    "p13_compaction",
+    """
+    SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+    FROM events
+    """,
+)
+def p13_compaction(spark, sf_dir):
+    """Small-file COMPACTION — the lakehouse ``OPTIMIZE`` primitive, and
+    the op that keeps every other entry's scan fast: streaming sinks and
+    fine-grained upserts (K4/K5, t18's touched-key rewrites) leave a
+    partition as hundreds of kilobyte-sized files, and at 100 TB the
+    resulting open/footer/seek overhead — plus a task per file — costs
+    more than the bytes themselves. Here the feed is deliberately staged
+    as 64 shards, then compacted with ``coalesce`` (a pure partition
+    merge: NO shuffle, no re-sort — the p11-family plan tests' Exchange
+    discipline applies to maintenance jobs too) under a
+    ``maxRecordsPerFile`` cap that re-splits any merged partition that
+    would exceed the target file size. The returned read of the compacted
+    table must hash-equal the oracle reading the ORIGINAL table: a
+    maintenance job may move bytes, never values.
+
+    Scale shape: production compaction runs per p12 date-partition on the
+    cold end of the table (never racing the writer's lease), picks
+    ``ceil(partition_bytes / target_file_bytes)`` output files, and is
+    idempotent — re-running it is a no-op rewrite. Timestamps travel as
+    exact epoch microseconds; the nanos fixture truncates identically in
+    both engines (f5's rule)."""
+    import os as _os
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    # per-process scratch: swept + atexit-removed (see scratch_dir)
+    _tag, scratch = scratch_dir("spark_graft_compact", sf_dir)
+    small = _os.path.join(scratch, "small")
+    compacted = _os.path.join(scratch, "compacted")
+    # the small-file problem: 64 shards of a table this size is pathological
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    sm = spark.read.parquet(small)
+    (
+        sm.coalesce(4)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2_000_000)
+        .parquet(compacted)
+    )
+    return spark.read.parquet(compacted)

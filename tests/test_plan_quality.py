@@ -733,3 +733,26 @@ def test_p12_partition_pruning_reaches_the_scan(spark, sf_dir):
     plan = plan_of(df)
     part = plan.split("PartitionFilters:")[1].split("\n")[0]
     assert "event_date" in part, part
+
+
+def test_p13_compaction_merges_files_without_shuffle(spark, sf_dir):
+    """The maintenance job must actually solve the small-file problem
+    (64 shards -> <= 4 files) and must do it with a partition MERGE, not
+    a shuffle: coalesce folds parent partitions into consumers in place;
+    a repartition here would move every byte of a 100 TB table through
+    the network to change nothing but file boundaries."""
+    import os
+
+    out = registry.QUERIES["p13_compaction"](spark, sf_dir)
+    assert out.count() > 0
+    _tag, scratch = registry.scratch_dir("spark_graft_compact", sf_dir)
+
+    def parquet_files(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(parquet_files(os.path.join(scratch, "small"))) == 64
+    assert len(parquet_files(os.path.join(scratch, "compacted"))) <= 4
+
+    plan = plan_of(spark.read.parquet(os.path.join(scratch, "small")).coalesce(4))
+    assert "Coalesce" in plan
+    assert "Exchange" not in plan
