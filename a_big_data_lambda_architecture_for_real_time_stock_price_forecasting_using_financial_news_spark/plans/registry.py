@@ -7350,3 +7350,216 @@ def p13_compaction(spark, sf_dir):
         .parquet(compacted)
     )
     return spark.read.parquet(compacted)
+
+
+@register(
+    "m11_eval_metrics",
+    f"""
+    WITH pred AS ({{MLP_SQL}}),
+    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
+    cells AS (
+      SELECT t.class, p.pred_class, count(*) AS n
+      FROM pred p JOIN truth t USING (vec_id)
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT class,
+             CAST(sum(n) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN pred_class = class THEN n ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM cells GROUP BY class
+    ), predcnt AS (
+      SELECT pred_class AS class, CAST(sum(n) AS BIGINT) AS predicted
+      FROM cells GROUP BY 1
+    )
+    SELECT per.class, support, tp,
+           CAST(coalesce(predicted, 0) AS BIGINT) AS predicted,
+           CAST(CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) AS DOUBLE) AS rec,
+           CAST(CASE WHEN coalesce(predicted, 0) = 0 THEN NULL
+                     ELSE CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE)
+                END AS DOUBLE) AS prec
+    FROM per LEFT JOIN predcnt USING (class)
+    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
+)
+def m11_eval_metrics(spark, sf_dir):
+    """Model EVALUATION over the m9 inference path — the pipeline stage
+    every training loop needs next to inference itself: per-class
+    support/true-positive counts and the precision/recall they imply,
+    computed by joining predictions back to labels and folding the
+    confusion matrix. All counts are exact integers off one hash agg;
+    the two metric columns are single IEEE divisions of those integers
+    (guarded where a class is never predicted), so the whole scorecard
+    is engine-exact — no float accumulation anywhere. Classes predicted
+    but never true cannot exist in the output key (classes are keyed by
+    TRUE label; their spurious predictions show up as missing tp mass in
+    other rows' precision).
+
+    Scale shape: predictions stream out of the Arrow-batched
+    ``mapInPandas`` already proven by m9; the label join keys on vec_id
+    (co-partitioned with the inference input, so AQE plans it
+    shuffle-light), and everything after the cells agg operates on a
+    #classes x #classes relation — driver-tiny at any corpus size. This
+    is the eval harness the M3 FinBERT slot plugs into unchanged:
+    swap the model fn, keep the scorecard."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    pred = _inf.mlp_infer(emb)
+    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
+    cells = pred.join(truth, "vec_id").groupBy("class", "pred_class").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = cells.groupBy("class").agg(
+        F.sum("n").cast("bigint").alias("support"),
+        F.sum(
+            F.when(F.col("pred_class") == F.col("class"), F.col("n")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    predcnt = cells.groupBy(F.col("pred_class").alias("class")).agg(
+        F.sum("n").cast("bigint").alias("predicted")
+    )
+    return per.join(predcnt, "class", "left").select(
+        "class",
+        "support",
+        "tp",
+        F.coalesce("predicted", F.lit(0)).cast("bigint").alias("predicted"),
+        (F.col("tp").cast("double") / F.col("support").cast("double"))
+        .cast("double")
+        .alias("rec"),
+        F.when(
+            F.coalesce("predicted", F.lit(0)) > 0,
+            F.col("tp").cast("double") / F.col("predicted").cast("double"),
+        )
+        .cast("double")
+        .alias("prec"),
+    )
+
+
+@register(
+    "w11_max_drawdown",
+    """
+    WITH t AS (
+      SELECT event_type AS series, epoch_us(ts) AS us, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS px
+      FROM events
+    ), r AS (
+      SELECT series, px,
+             max(px) OVER (PARTITION BY series ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS peak
+      FROM t
+    )
+    SELECT series,
+           CAST(1.0 - min(CAST(px AS DOUBLE) / CAST(peak AS DOUBLE))
+                AS DOUBLE) AS max_drawdown,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY 1
+    """,
+)
+def w11_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per series — THE risk number for the reference's
+    stock-forecasting serving layer (a forecast feed that never reports
+    how far a series fell from its running peak is not a trading tool):
+    largest peak-to-trough loss fraction over the event-time-ordered
+    price path. Prices are pinned to integer cents, the running peak is
+    an integer window max, and each row's peak-relative ratio is ONE
+    exact IEEE division — so the group-wise min of those ratios (and the
+    single ``1 - x`` that turns it into a drawdown) is order-independent
+    and engine-exact, unlike any float-cumsum formulation. The fixture's
+    prices are strictly positive, keeping every division total.
+
+    Scale shape: identical to f5 — one window per series partition in
+    event-time order (the resting sort order of a tick store, so the
+    window degenerates to a streaming scan per partition), then a
+    map-side-combinable agg on the same key; nothing global, nothing
+    quadratic. The streaming twin is a two-value state (running peak,
+    running worst ratio) per key — the t6 pattern — kept exactly because
+    max/min are insert-only self-maintainable (u7's taxonomy)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("px"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.select("series", "px", F.max("px").over(w).alias("peak"))
+    return r.groupBy("series").agg(
+        (
+            F.lit(1.0)
+            - F.min(F.col("px").cast("double") / F.col("peak").cast("double"))
+        )
+        .cast("double")
+        .alias("max_drawdown"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
+
+
+@register(
+    "g13_degree_histogram",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u)
+    SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS log2_degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def g13_degree_histogram(spark, sf_dir):
+    """Degree DISTRIBUTION of the parts-bought-together graph (g8's
+    support-thresholded edge set) in power-of-two buckets — the first
+    diagnostic run on any production graph, because it answers the
+    question every operator in the g-battery plans around: how heavy is
+    the tail? A heavy log2 tail is the empirical trigger for g8's degree
+    ordering, j5/a7's salting, and the broadcast-ineligibility of rank
+    vectors (g10). Buckets come from the x26 integer trick —
+    ``length(bin(d)) - 1 = floor(log2 d)`` — so no transcendental
+    reaches an output column and the histogram is engine-exact.
+
+    Scale shape: the co-occurrence projection and support threshold are
+    g8's first stage unchanged (one self-join co-located on orderkey +
+    one map-side-combined agg); symmetrized degrees are a second hash
+    agg on node; the histogram itself aggregates #distinct-degrees'
+    worth of rows into ~32 buckets — free. On a shared cluster this
+    runs off the g9/g10 bucketed edge table without any exchange at
+    all."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    a = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("u", "v")
+    )
+    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return deg.groupBy(
+        (F.length(F.bin("d")) - 1).cast("int").alias("log2_degree")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("d").cast("bigint").alias("min_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
