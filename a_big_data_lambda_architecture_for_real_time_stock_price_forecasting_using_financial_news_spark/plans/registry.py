@@ -7563,3 +7563,250 @@ def g13_degree_histogram(spark, sf_dir):
         F.min("d").cast("bigint").alias("min_degree"),
         F.max("d").cast("bigint").alias("max_degree"),
     )
+
+
+@register(
+    "t20_stream_agg_view",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE)
+             AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def t20_stream_agg_view(spark, sf_dir):
+    """STREAMING maintenance of the u7 aggregate view — the t17/t18
+    convergence pattern applied to the self-maintainable-aggregate
+    taxonomy: the order feed arrives in 3 micro-batches, each batch is
+    reduced to partial aggregates (count + integer-cent sum, both
+    map-side combined BEFORE touching the view), and the partials merge
+    into the keyed view by addition under the writer-lease/replay
+    contract. After the last batch the view must hash-match a one-shot
+    batch recompute over the full feed (the oracle) — the Lambda
+    invariant for aggregation state, proven the same way t17 proved it
+    for OHLC and t18 for version chains.
+
+    Scale shape: per batch the view rewrite is O(touched partitions of
+    an aggregate-sized table) — the batch's partial agg is
+    delta-proportional, and untouched months pass through via partition
+    pruning. Money flows as BIGINT cents (exact, overflow-safe at this
+    key width) with a single final division to DOUBLE on both engines.
+    This is what the reference's incremental-mean upsert (K5) SHOULD be:
+    merge partial (sum, count) pairs, never a pairwise mean of means."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    o = tbl(spark, sf_dir, "orders")
+    feed = o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "aggmv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    feed.repartitionByRange(3, "o_orderkey").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["ym", "priority"], partition_by="pb")
+
+    def fn(cur, b):
+        delta = b.groupBy("ym", "priority", "pb").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["ym", "priority"], "full_outer")
+            .select(
+                "ym",
+                "priority",
+                F.coalesce(F.col("v.pb"), F.col("d.pb")).alias("pb"),
+                (
+                    F.coalesce(F.col("v.cnt"), F.lit(0))
+                    + F.coalesce(F.col("d.cnt"), F.lit(0))
+                ).cast("bigint").alias("cnt"),
+                (
+                    F.coalesce(F.col("v.cents"), F.lit(0))
+                    + F.coalesce(F.col("d.cents"), F.lit(0))
+                ).cast("bigint").alias("cents"),
+            )
+        )
+
+    def sink(batch_df, batch_id):
+        b = batch_df.withColumn("pb", F.pmod(F.xxhash64("ym"), F.lit(8)))
+        view.merge_custom(b, fn, batch_id=batch_id, writer="aggmv")
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return view.read().select(
+        "ym",
+        "priority",
+        "cnt",
+        (F.col("cents").cast("double") / F.lit(100.0)).cast("double").alias("total"),
+    )
+
+
+HYBRID_DF_CAP = 64  # champion-list bound: lexical postings keep rare terms only
+RRF_K = 60
+
+
+@register(
+    "s15_hybrid_rrf",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             {_sim.ivf_cell_sql('embedding')} AS cell
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_emb,
+             {_sim.ivf_cell_sql('embedding')} AS cell
+      FROM embeddings
+    ), vscored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_sim.cosine_sql('q.q_emb', 'c.c_emb')} AS score
+      FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+    ), vranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS vrank
+      FROM vscored
+    ), vtop AS (SELECT * FROM vranked WHERE vrank <= 10),
+    post AS (
+      SELECT doc_id, unnest(list_distinct({_tx.tokens_sql('text')})) AS tok
+      FROM documents
+    ), rare AS (
+      SELECT tok FROM post GROUP BY tok HAVING count(*) <= {HYBRID_DF_CAP}
+    ), rp AS (SELECT doc_id, tok FROM post JOIN rare USING (tok)),
+    lshared AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+             count(*) AS shared
+      FROM rp a JOIN rp b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % 100 = 0
+      GROUP BY 1, 2
+    ), lranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY shared DESC, neighbor_id) AS lrank
+      FROM lshared
+    ), ltop AS (SELECT * FROM lranked WHERE lrank <= 10),
+    fused AS (
+      SELECT coalesce(v.query_id, l.query_id) AS query_id,
+             coalesce(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+             coalesce(1.0 / ({RRF_K} + v.vrank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + l.lrank), 0.0) AS rrf,
+             v.vrank, l.lrank
+      FROM vtop v FULL JOIN ltop l
+        ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
+    ), final AS (
+      SELECT query_id, neighbor_id, CAST(rrf AS DOUBLE) AS rrf,
+             CAST(vrank AS INTEGER) AS vrank, CAST(lrank AS INTEGER) AS lrank,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, neighbor_id) AS rk
+      FROM fused
+    )
+    SELECT query_id, neighbor_id, rrf, vrank, lrank, CAST(rk AS INTEGER) AS rk
+    FROM final WHERE rk <= 5
+    """,
+)
+def s15_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval — lexical + vector legs fused by Reciprocal Rank
+    Fusion, the de-facto serving pattern of every modern search stack
+    (vector-only misses exact terms, lexical-only misses paraphrase; RRF
+    needs no score calibration because it consumes only RANKS). The
+    vector leg is the s2 IVF cell probe (top-10 cosine); the lexical leg
+    is a real INVERTED-INDEX retrieval: distinct-token postings,
+    champion-list pruned to rare terms (df <= 64 — posting lists for
+    stopword-grade terms are the quadratic hazard of term joins, the d9
+    block-key lesson in IR form), self-joined on token and ranked by
+    shared-rare-term count. Fusion: 1/(60+rank) per leg — each term one
+    exact IEEE division of small integers, summed in fixed operand
+    order, so the fused score and final top-5 are engine-exact (ranks
+    tiebreak on id, fusion tiebreaks on id).
+
+    Scale shape: both legs are equi-joins (cell id / token id) with the
+    500-query side broadcast; the posting-list join's fan-out is bounded
+    by df-cap x query postings, not corpus^2; fusion joins two
+    10-rows-per-query relations. The df threshold is the absolute form
+    of the production df/N cut; doc/vec ids are aligned 1:1 in the
+    fixtures, which is exactly the dual-index layout (one id space, two
+    indexes) a hybrid store maintains."""
+    prepare(spark)
+    emb = tbl(spark, sf_dir, "embeddings")
+    docs = tbl(spark, sf_dir, "documents")
+
+    vtop = _sim.topk_ivf(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("vrank")
+    )
+
+    post = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tx.tokens(F.col("text")))).alias("tok")
+    )
+    rare = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= HYBRID_DF_CAP
+    )
+    rp = post.join(rare.select("tok"), "tok")
+    qp = rp.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    lshared = (
+        qp.join(rp.select(F.col("doc_id").alias("neighbor_id"), "tok"), "tok")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    from pyspark.sql import Window
+
+    lw = Window.partitionBy("query_id").orderBy(
+        F.col("shared").desc(), F.col("neighbor_id")
+    )
+    ltop = (
+        lshared.withColumn("lrank", F.row_number().over(lw))
+        .filter(F.col("lrank") <= 10)
+        .select("query_id", "neighbor_id", "lrank")
+    )
+
+    fused = (
+        vtop.alias("v")
+        .join(ltop.alias("l"), ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lrank")), F.lit(0.0))
+            ).alias("rrf"),
+            "vrank",
+            "lrank",
+        )
+    )
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(fw))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rrf").cast("double").alias("rrf"),
+            F.col("vrank").cast("int").alias("vrank"),
+            F.col("lrank").cast("int").alias("lrank"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
