@@ -7810,3 +7810,21 @@ def s15_hybrid_rrf(spark, sf_dir):
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "d12_containment",
+    _dd.containment_pairs_sql("documents", "doc_id", "text"),
+)
+def d12_containment(spark, sf_dir):
+    """Asymmetric CONTAINMENT dedup (ext/dedup.py:containment_pairs):
+    passages pasted into larger pages, quote farms, wrapper boilerplate —
+    pairs where >= 90% of the smaller doc's shingles appear in the bigger
+    one, invisible to the symmetric-Jaccard battery (d2-d4). Candidates
+    come from an exact PPJoin-style prefix filter (the small side posts
+    only its ~10% smallest sorted hashes), so unlike the banded sketches
+    there is NO probabilistic miss class: every qualifying pair is
+    guaranteed a candidate. Completes the dedup taxonomy: exact (d1),
+    symmetric near-dup (d2-d4), embedding (d5), passage (d8), prefix
+    (d9), containment (d12)."""
+    return _dd.containment_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")

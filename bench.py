@@ -54,6 +54,11 @@ HEADLINE = [
     # than d3 end to end at sf1; tracking both keeps the persisted-vs-
     # bucketed sketch gap visible round over round)
     "d10_simhash_bucketed",
+    # late-r7 families: MV maintenance merge, per-partition window math,
+    # hybrid lexical+vector retrieval (posting-list join + IVF probe + RRF)
+    "u7_incremental_agg_view",
+    "f5_twap",
+    "s15_hybrid_rrf",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with
