@@ -7828,3 +7828,84 @@ def d12_containment(spark, sf_dir):
     symmetric near-dup (d2-d4), embedding (d5), passage (d8), prefix
     (d9), containment (d12)."""
     return _dd.containment_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "u8_merge_apply",
+    """
+    WITH snap AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             o_orderpriority AS priority
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
+               AS price_cents,
+             'REPRICED' AS priority
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT -o_orderkey AS o_orderkey, 'U' AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             'INSERTED' AS priority
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT coalesce(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+           coalesce(c.price_cents, s.price_cents) AS price_cents,
+           coalesce(c.priority, s.priority) AS priority
+    FROM snap s FULL JOIN changes c ON s.o_orderkey = c.o_orderkey
+    WHERE coalesce(c.op, '') <> 'D'
+    """,
+)
+def u8_merge_apply(spark, sf_dir):
+    """Batch MERGE (Delta/Iceberg ``MERGE INTO`` semantics) as one
+    relational plan: a changelog of upserts and deletes applies to a
+    snapshot — WHEN MATCHED AND op='U' THEN UPDATE, WHEN MATCHED AND
+    op='D' THEN DELETE, WHEN NOT MATCHED AND op='U' THEN INSERT, and a
+    delete for an absent key is a no-op. The whole statement is ONE
+    full-outer equi-join on the key plus coalesce/filter arms — no
+    row-at-a-time path exists or is needed; this is the set-based form
+    every lakehouse engine compiles MERGE into. The changelog is derived
+    deterministically from the fixture (every third key repriced, every
+    fifteenth deleted, negated keys as guaranteed-new inserts), and the
+    oracle replays the identical algebra.
+
+    Scale shape: output ∝ |snapshot| + |changes| with the join
+    co-partitioned on the key; in the stored form this is exactly
+    ``KeyedParquetView.merge_custom``'s contract (t18/t20) where
+    partition pruning cuts the rewrite to touched partitions and the
+    full-outer join runs per partition. AQE handles the skewed-key case;
+    a broadcast applies when the changelog is serving-sized. MIN/MAX
+    aggregates downstream of deletes need u7's full-recompute caveat."""
+    o = tbl(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("bigint")
+    snap = o.select(
+        "o_orderkey",
+        cents.alias("price_cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (cents + 500).alias("price_cents"),
+        F.lit("REPRICED").alias("priority"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("U").alias("op"),
+        cents.alias("price_cents"),
+        F.lit("INSERTED").alias("priority"),
+    )
+    changes = upd.unionByName(ins)
+    s, c = snap.alias("s"), changes.alias("c")
+    joined = s.join(c, F.col("s.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return joined.filter(
+        F.coalesce(F.col("c.op"), F.lit("")) != "D"
+    ).select(
+        F.coalesce(F.col("s.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.price_cents"), F.col("s.price_cents")).alias("price_cents"),
+        F.coalesce(F.col("c.priority"), F.col("s.priority")).alias("priority"),
+    )
