@@ -756,3 +756,67 @@ def test_p13_compaction_merges_files_without_shuffle(spark, sf_dir):
     plan = plan_of(spark.read.parquet(os.path.join(scratch, "small")).coalesce(4))
     assert "Coalesce" in plan
     assert "Exchange" not in plan
+
+
+def test_u7_refresh_reads_only_the_delta(spark, sf_dir):
+    """The MV refresh's claim is delta-proportional cost: the date
+    predicate that defines the delta must reach the fact scan as a
+    pushed filter (otherwise the 'incremental' refresh re-scans the
+    full history and the entry is a lie at 100 TB)."""
+    df = registry.QUERIES["u7_incremental_agg_view"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_u8_merge_is_one_join(spark, sf_dir):
+    """MERGE compiles to ONE full-outer equi-join — a second join (or a
+    cartesian) would mean the update/delete/insert arms re-scan state."""
+    df = registry.QUERIES["u8_merge_apply"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # AQE's formatted output prints initial+final plans, so a single
+    # join appears twice; more than that means an extra join crept in.
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_window_entries_never_sort_globally(spark, sf_dir):
+    """f5/a17/w11 are per-partition window pipelines (series/day or
+    flag); an Exchange SinglePartition would mean a global sort — the
+    100 TB killer this family's partitioning exists to avoid."""
+    for name in ("f5_twap", "a17_weighted_median", "w11_max_drawdown"):
+        plan = plan_of(registry.QUERIES[name](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_w10_cohorts_is_pure_hash_aggregation(spark, sf_dir):
+    """The retention matrix needs no window function at all — three
+    map-side-combinable hash aggs and one equi-join."""
+    plan = plan_of(registry.QUERIES["w10_retention_cohorts"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_s15_hybrid_legs_stay_equi_joins(spark, sf_dir):
+    """Both retrieval legs must be (broadcast) equi-joins — a cartesian
+    here means the posting-list df-cap or the cell probe regressed to
+    all-pairs scoring."""
+    plan = plan_of(registry.QUERIES["s15_hybrid_rrf"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_m11_eval_runs_through_arrow_inference(spark, sf_dir):
+    """The scorecard must consume the m9 Arrow-batched inference seam
+    (MapInPandas), not some collected/driver-side predictions path."""
+    plan = plan_of(registry.QUERIES["m11_eval_metrics"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d12_containment_has_no_cartesian(spark, sf_dir):
+    """Candidate generation is the prefix-filter equi-join in hash
+    space; any cartesian means the exact filter degraded to all-pairs."""
+    plan = plan_of(registry.QUERIES["d12_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
