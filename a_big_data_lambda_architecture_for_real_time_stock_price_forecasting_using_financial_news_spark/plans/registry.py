@@ -7909,3 +7909,134 @@ def u8_merge_apply(spark, sf_dir):
         F.coalesce(F.col("c.price_cents"), F.col("s.price_cents")).alias("price_cents"),
         F.coalesce(F.col("c.priority"), F.col("s.priority")).alias("priority"),
     )
+
+
+@register(
+    "a18_mode",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, k, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, k) AS rn
+      FROM counts
+    )
+    SELECT event_type, k AS mode_k, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def a18_mode(spark, sf_dir):
+    """Exact per-group MODE (most frequent value, smallest-value
+    tiebreak) — the last member of the central-tendency family after
+    mean (a1), median (a8), and weighted median (a17), and the one
+    SQL engines never ship as a deterministic built-in precisely
+    because of the tie: two values with equal counts make bare
+    ``mode()`` partition-order-dependent, so the tiebreak is pinned
+    explicitly (count DESC, value ASC) and both engines rank the same
+    exact integers.
+
+    Scale shape: one map-side-combinable (group, value) count agg —
+    the heavy input reduces before any per-group work — then a
+    row_number over each group's distinct values (≪ rows; same
+    distinct-first discipline as a17). For millions of distinct values
+    per group the window's per-group sort is the cost, and the
+    sketched alternative is a16's gated-distinct ladder; this entry is
+    the exact yardstick."""
+    from pyspark.sql import Window
+
+    ev = parse_props(tbl(spark, sf_dir, "events"))
+    counts = ev.groupBy("event_type", F.col("k").cast("bigint").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("k"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("k").alias("mode_k"), F.col("cnt").alias("mode_count"))
+    )
+
+
+ZSCORE_WIN = 16  # rolling window width (rows); flags need the full window
+
+
+@register(
+    "w12_rolling_zscore",
+    f"""
+    WITH t AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS us, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS px
+      FROM events
+    ), r AS (
+      SELECT series, day, px,
+             sum(px)      OVER w AS sx,
+             sum(px * px) OVER w AS sxx,
+             count(*)     OVER w AS n
+      FROM t
+      WINDOW w AS (PARTITION BY series ORDER BY us, event_id
+                   ROWS BETWEEN {ZSCORE_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, day,
+           CAST(count(*) FILTER (
+             WHERE n = {ZSCORE_WIN}
+               AND (px * {ZSCORE_WIN} - sx) * (px * {ZSCORE_WIN} - sx)
+                   > 4 * ({ZSCORE_WIN} * sxx - sx * sx)
+           ) AS BIGINT) AS n_anomalies,
+           CAST(count(*) FILTER (WHERE n = {ZSCORE_WIN}) AS BIGINT)
+             AS n_windows
+    FROM r GROUP BY 1, 2
+    """,
+)
+def w12_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly counts per (series, day) — tick-stream
+    outlier detection (|z| > 2 against the trailing 16-tick window)
+    with a twist that makes it bit-proof: the flag never computes a
+    z-score. ``|x - mean| > 2·std`` is multiplied out to
+    ``(x·n - Σx)² > 4·(n·Σx² - (Σx)²)`` — every term an exact BIGINT
+    from integer-cent prices (bounded: cents ≤ ~5e4, so n·Σx² ≤ ~6e11),
+    so the decision needs no division, no sqrt, no float, and cannot
+    flap cross-engine the way any mean/std formulation of doubles
+    would. Windows shorter than 16 ticks don't flag (a half-filled
+    baseline calls everything anomalous).
+
+    Scale shape: the f5/w11 template — one rolling-frame window per
+    series partition in event-time order (a streaming scan over the
+    resting sort of a tick store; Spark computes the ROWS frame
+    incrementally, not per-row re-sums), then a map-side-combinable
+    day-level count agg. The stateful twin is a 16-slot ring buffer
+    per key via applyInPandasWithState (t6 family)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        F.to_date("ts").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("px"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(ZSCORE_WIN - 1), Window.currentRow)
+    )
+    r = t.select(
+        "series",
+        "day",
+        "px",
+        F.sum("px").over(w).alias("sx"),
+        F.sum(F.col("px") * F.col("px")).over(w).alias("sxx"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    dev = F.col("px") * ZSCORE_WIN - F.col("sx")
+    full = F.col("n") == ZSCORE_WIN
+    anomalous = full & (
+        dev * dev > 4 * (ZSCORE_WIN * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return r.groupBy("series", "day").agg(
+        F.sum(anomalous.cast("bigint")).cast("bigint").alias("n_anomalies"),
+        F.sum(full.cast("bigint")).cast("bigint").alias("n_windows"),
+    )
