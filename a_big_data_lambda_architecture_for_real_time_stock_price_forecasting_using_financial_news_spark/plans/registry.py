@@ -8040,3 +8040,101 @@ def w12_rolling_zscore(spark, sf_dir):
         F.sum(anomalous.cast("bigint")).cast("bigint").alias("n_anomalies"),
         F.sum(full.cast("bigint")).cast("bigint").alias("n_windows"),
     )
+
+
+KCORE_K = 3  # peel threshold
+KCORE_ROUNDS = 3  # fixed unrolled peel rounds (deterministic cut-off)
+
+
+@register(
+    "g14_kcore_peel",
+    f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
+    ),
+    d0 AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM e0 GROUP BY u),
+    s0 AS MATERIALIZED (SELECT node FROM d0 WHERE d >= {KCORE_K}),
+    e1 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e0 e
+      JOIN s0 a ON e.u = a.node JOIN s0 b ON e.v = b.node
+    ),
+    d1 AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM e1 GROUP BY u),
+    s1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= {KCORE_K}),
+    e2 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e1 e
+      JOIN s1 a ON e.u = a.node JOIN s1 b ON e.v = b.node
+    ),
+    d2 AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM e2 GROUP BY u),
+    s2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= {KCORE_K}),
+    e3 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e2 e
+      JOIN s2 a ON e.u = a.node JOIN s2 b ON e.v = b.node
+    )
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM e3 GROUP BY u
+    """,
+)
+def g14_kcore_peel(spark, sf_dir):
+    """K-CORE peeling (k=3, three unrolled rounds) over the parts-
+    bought-together graph — the density filter run before any expensive
+    graph analytics: each round drops nodes whose CURRENT degree fell
+    under k and every edge touching them, so hubs that only looked
+    connected through low-degree fringe get progressively exposed.
+    Completes the iterative-graph family (PageRank g7/g10, components
+    d7/g11, BFS g12, triangles g8/g9) with the degeneracy-style peel.
+    Output is the surviving edge set's degree table after round 3 — a
+    fixed, deterministic cut-off (full convergence is data-dependent;
+    the oracle unrolls exactly the same three rounds, CTE-materialized
+    against DuckDB's re-planning, the g8 lesson).
+
+    Scale shape: each round is one map-side-combinable degree agg plus
+    two semi-joins of the edge table against the (node-sized) survivor
+    set — the same edge-side/node-side split as g10, so the g9/g10
+    bucketed layout serves it with the edge table never re-shuffling;
+    here the rounds chain lazily (fixture-sized), while a production
+    peel checkpoints the edge set per round exactly like d7's label
+    propagation. Peeling is monotone — nodes only ever leave — so a
+    fixed round budget is a safe under-approximation of the true
+    k-core."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    a = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("u", "v")
+    )
+    sym = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()  # cache: released-in-fn
+    e = sym
+    for _ in range(KCORE_ROUNDS):
+        ok = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        e = (
+            e.join(ok, e["u"] == ok["node"], "left_semi")
+            .join(ok, F.col("v") == ok["node"], "left_semi")
+        )
+    out = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    out = out.localCheckpoint(eager=True)  # cut the 3-round lineage once
+    sym.unpersist()  # cache: released-in-fn (checkpoint above materialized)
+    return out
