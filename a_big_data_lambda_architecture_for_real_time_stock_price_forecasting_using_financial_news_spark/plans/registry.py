@@ -8138,3 +8138,75 @@ def g14_kcore_peel(spark, sf_dir):
     out = out.localCheckpoint(eager=True)  # cut the 3-round lineage once
     sym.unpersist()  # cache: released-in-fn (checkpoint above materialized)
     return out
+
+
+@register(
+    "a19_gini",
+    """
+    WITH t AS (
+      SELECT event_type AS series,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ), r AS (
+      SELECT series, cents,
+             row_number() OVER (PARTITION BY series
+                                ORDER BY cents, event_id) AS i
+      FROM t
+    ), s AS (
+      SELECT series,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(i * cents) AS BIGINT) AS six
+      FROM r GROUP BY 1
+    )
+    SELECT series, n,
+           CAST(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                / CAST(n * sx AS DOUBLE) AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def a19_gini(spark, sf_dir):
+    """GINI coefficient per series — the concentration/inequality measure
+    a corpus team runs on token counts per domain and a trading desk runs
+    on volume per venue: 0 = perfectly even, ->1 = one row owns
+    everything. Uses the rank formula G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx)
+    over ascending-sorted integer cents, where every term stays an exact
+    BIGINT until ONE final IEEE division. Rank ties are harmless by
+    construction: equal values occupy a consecutive rank block, and
+    x·(sum of a fixed consecutive range) is independent of their internal
+    order — so the event_id tiebreak is belt-and-braces, not load-
+    bearing. Completes the distribution family: moments (a14/a15),
+    quantiles (a8/a10/a17), histogram (x12), mode (a18), now
+    concentration.
+
+    Scale shape: the a17 template — one per-group sort for the ranks
+    (cost ∝ group size; for few massive groups, range-repartition the
+    sort and offset per-range ranks by broadcast prefix counts), then a
+    map-side-combinable sum agg. Magnitudes bounded: i·x ≤ n·max_cents
+    keeps n·Σx within BIGINT past 10⁸ rows per group at these prices."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("series").orderBy("cents", "event_id")
+    r = t.select("series", "cents", F.row_number().over(w).alias("i"))
+    s = r.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("six"),
+    )
+    return s.select(
+        "series",
+        "n",
+        (
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        )
+        .cast("double")
+        .alias("gini"),
+    )
