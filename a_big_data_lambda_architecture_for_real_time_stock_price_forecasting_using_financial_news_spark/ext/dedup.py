@@ -598,10 +598,13 @@ def simhash_pairs_bucketed(
     (SIM_BANDS rows/doc) on (band, byte); bucketing pins that layout at
     write time, so both self-join sides read bucket-aligned files with
     ZERO exchange (plan-asserted). Measured at sf1 (local[32], median of
-    3): 2.83s vs 3.23s persisted — a win even INCLUDING the one-time
-    write, because the join's exchange disappears while the write itself
-    is the same single shuffle the join would have paid; on a reused
-    corpus sketch table the write amortizes to zero. Identical output."""
+    3, r8): end to end this RE-PAYS the durable write every run and
+    lands at parity-to-slightly-behind the persisted d3 (4.17s vs
+    3.36s; driver BENCH_r07 4.10s vs 3.98s) — but the phase split is
+    write 1.69s / probe 1.36s, so the PROBE alone beats d3 end-to-end
+    2.4x. The layout's regime is the reused corpus sketch table probed
+    by every incremental batch (d6's pattern), where the write
+    amortizes to zero and only the probe recurs. Identical output."""
     sh = simhash_df(df, id_col, text_col)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     (

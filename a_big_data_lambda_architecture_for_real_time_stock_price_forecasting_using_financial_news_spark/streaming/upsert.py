@@ -118,16 +118,25 @@ def daily_ohlc_state(trades: DataFrame, ts: str = "ts", price: str = "value") ->
     ``operators.aggregate.daily_ohlc`` but carrying the open/close
     timestamps so partial states from different micro-batches merge
     exactly (open = value at the globally earliest ts, which the merge
-    can only decide if each partial remembers WHEN its open happened)."""
+    can only decide if each partial remembers WHEN its open happened).
+
+    The open/close pick is the lexicographic (ts, value) struct min/max —
+    NOT ``min_by(p, t)`` — so two same-ts trades with different prices
+    resolve deterministically by value, matching the cross-batch merge's
+    ``least``/``greatest`` struct rule (r7 advice: ``min_by`` has no
+    tiebreak and would make single-batch vs split-batch results diverge
+    on ts collisions)."""
     p = F.col(price).cast("decimal(18,2)")
     t = F.col(ts)
+    open_s = F.min(F.struct(t.alias("t"), p.alias("v")))
+    close_s = F.max(F.struct(t.alias("t"), p.alias("v")))
     return trades.groupBy(F.to_date(t).alias("event_date")).agg(
-        F.min(t).alias("open_ts"),
-        F.min_by(p, t).alias("open_v"),
+        open_s["t"].alias("open_ts"),
+        open_s["v"].alias("open_v"),
         F.max(p).alias("high_v"),
         F.min(p).alias("low_v"),
-        F.max(t).alias("close_ts"),
-        F.max_by(p, t).alias("close_v"),
+        close_s["t"].alias("close_ts"),
+        close_s["v"].alias("close_v"),
         F.count(F.lit(1)).alias("n_trades"),
         F.sum(p).cast("decimal(18,2)").alias("turnover"),
     )
@@ -187,10 +196,23 @@ def merge_ohlc_states(cur: DataFrame, batch: DataFrame, key_cols: list[str]) -> 
         F.least(F.col("c.low_v"), F.col("b.low_v")).alias("low_v"),
         close_s["t"].alias("close_ts"),
         close_s["v"].alias("close_v"),
-        (F.coalesce(F.col("c.n_trades"), zero) + F.coalesce(F.col("b.n_trades"), zero))
+        # NULL-on-both-sides must STAY NULL: a co-partitioned passthrough
+        # row with no stock half on either side (sentiment-only key in a
+        # multi-key partition) must not fabricate n_trades=0 — consumers
+        # use `n_trades IS NOT NULL` as the has-stock-half predicate
+        # (t17's filter; r8 advice fix)
+        F.when(
+            F.col("c.n_trades").isNotNull() | F.col("b.n_trades").isNotNull(),
+            F.coalesce(F.col("c.n_trades"), zero)
+            + F.coalesce(F.col("b.n_trades"), zero),
+        )
         .cast("bigint")
         .alias("n_trades"),
-        (F.coalesce(F.col("c.turnover"), zero) + F.coalesce(F.col("b.turnover"), zero))
+        F.when(
+            F.col("c.turnover").isNotNull() | F.col("b.turnover").isNotNull(),
+            F.coalesce(F.col("c.turnover"), zero)
+            + F.coalesce(F.col("b.turnover"), zero),
+        )
         .cast("decimal(18,2)")
         .alias("turnover"),
         *passthrough,

@@ -50,9 +50,11 @@ HEADLINE = [
     "g9_triangle_count_bucketed",
     "u4_table_diff",
     "j9_record_linkage",
-    # r7: bucketed banded-sketch simhash (judge item 6 — measured faster
-    # than d3 end to end at sf1; tracking both keeps the persisted-vs-
-    # bucketed sketch gap visible round over round)
+    # r7: bucketed banded-sketch simhash (judge item 6). End to end at sf1
+    # it re-pays the durable sketch write and sits at parity with d3; the
+    # probe phase alone is 2.4x faster (see the d10 docstring). Tracking
+    # both keeps the persisted-vs-bucketed sketch gap visible round over
+    # round.
     "d10_simhash_bucketed",
     # late-r7 families: MV maintenance merge, per-partition window math,
     # hybrid lexical+vector retrieval (posting-list join + IVF probe + RRF)
@@ -183,7 +185,28 @@ def pagerank_iter_bench(spark, sf_dir):
     off-budget counts re-shuffle the node-sized streams every iteration
     where the aligned count's exchanges collapse. The g10 ENTRY keeps 8
     buckets for plan-test stability; the bench picks 8 for small graphs,
-    cpus (aligned) otherwise."""
+    cpus (aligned) otherwise.
+
+    sf1 CROSSOVER (r7 driver: bucketed 1.20 vs persisted 1.18 — parity;
+    r8 re-probe at 11.8M edges: persisted 1.39, bucketed 1.60,
+    bucketed-then-cached 1.45): on ONE box the comparison bottoms out at
+    costs the modes share. Each iteration is edge-join + dst-sum, and the
+    dst-side contribution shuffle (~|edges| rows) is identical in both
+    modes; the term the bucket layout removes — the src exchange of the
+    edge table — is, on local[32], a memcpy through the OS page cache,
+    while the bucketed scan re-pays parquet DECODE of 11.8M rows per
+    iteration. RAM-resident shuffle ≈ repeated decode, so parity.
+    Caching the bucketed table does NOT recover the win: InMemoryRelation
+    drops the bucketed scan's outputPartitioning, the src exchange
+    reappears (verified in the executed plan), and it converges to the
+    persisted mode. The regime the layout targets is the one this box
+    cannot exhibit: edge sets larger than RAM moving over a NETWORK,
+    where the saved exchange costs serialization + wire + spill on every
+    iteration and the decode is paid either way at the scan. The plan
+    invariant that carries to that regime — the edge table is never
+    re-keyed after the one bucketed write — is pinned by the g10/g11
+    plan tests, which is why this section reports both modes every round
+    instead of declaring a fixture-scale winner."""
     import statistics
     import time
 
@@ -262,7 +285,12 @@ def main():
     )
 
     spark = configure(
-        SparkSession.builder.appName("bench").master(f"local[{cpus}]")
+        SparkSession.builder.appName("bench")
+        .master(f"local[{cpus}]")
+        # stdout must carry NOTHING but the final JSON line: the r7 driver
+        # failed to parse the bench because console progress bars shared the
+        # captured tail with the (grown) result line
+        .config("spark.ui.showConsoleProgress", "false")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -342,7 +370,17 @@ def main():
     }
     if sf1 is not None:
         doc["sf1"] = sf1
-    print(json.dumps(doc))
+    line = json.dumps(doc)
+    # durable copy survives any stdout-capture truncation on the driver side
+    out_path = os.environ.get("BENCH_JSON_OUT", "")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    # stop Spark BEFORE printing so no JVM shutdown chatter can trail the
+    # result; the JSON is then the final (and only) stdout line
+    spark.stop()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

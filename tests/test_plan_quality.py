@@ -475,12 +475,23 @@ def test_d3_simhash_no_pair_dedup_shuffle(spark, sf_dir):
     """First-matching-band emission means each near-dup pair leaves the
     band join exactly once: no pair-keyed aggregate/exchange downstream
     of the self-join — at sf1 the removed pair-dedup stage shuffled
-    21.8M rows. The only aggregates left belong to the simhash sketch."""
-    df = registry.QUERIES["d3_dedup_simhash"](spark, sf_dir)
-    plan = plan_of(df)
+    21.8M rows. The load-bearing invariant is the ABSENCE of a pair-key
+    exchange; the broadcast threshold is pinned off because under a BHJ
+    the sketch agg legitimately materializes on both join sides (the r7
+    full-suite flake: another test's session state flipped the join and
+    the old exact HashAggregate==2 count broke while the invariant held).
+    """
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.QUERIES["d3_dedup_simhash"](spark, sf_dir)
+        plan = plan_of(df)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "hashpartitioning(id_a" not in plan
-    # sketch agg = one partial+final pair; nothing re-aggregates pairs
-    assert plan.count(") HashAggregate") == 2
+    # sketch agg = at most partial+final per join side; nothing
+    # re-aggregates PAIRS (loose bound per r7 advice — never exact counts
+    # around a join whose strategy session state can flip)
+    assert 1 <= plan.count(") HashAggregate") <= 4
 
 
 def test_x28_chunking_is_narrow_no_exchange(spark, sf_dir):
