@@ -6190,9 +6190,10 @@ def s12_ann_ivfpq_adc(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "t17_lambda_convergence",
-    f"""
+#: shared by t17 (Option A: foreachBatch keyed merge) and t21 (Option B:
+#: stream-stream full-outer join) — one batch-recompute truth, two speed-
+#: layer physical strategies proving the same Lambda invariant
+_LAMBDA_VIEW_ORACLE = f"""
     WITH ev AS (
       SELECT CAST(ts AS DATE) AS event_date, ts, event_type,
              CAST(value AS DECIMAL(18,2)) AS price,
@@ -6223,8 +6224,10 @@ def s12_ann_ivfpq_adc(spark, sf_dir):
            n.nbr_article, n.avg_score
     FROM stock s JOIN senti n ON s.event_date = n.news_date
     WHERE s.event_date <> DATE '{DEFAULT_AS_OF}'
-    """,
-)
+    """
+
+
+@register("t17_lambda_convergence", _LAMBDA_VIEW_ORACLE)
 def t17_lambda_convergence(spark, sf_dir):
     """THE Lambda-architecture invariant, proven end to end: replaying the
     full event history through the REAL speed-layer path — two streaming
@@ -6329,6 +6332,57 @@ def t17_lambda_convergence(spark, sf_dir):
             "turnover",
             F.col("nbr_article").cast("bigint").alias("nbr_article"),
             "avg_score",
+        )
+    )
+
+
+@register("t21_speed_view_stream_join", _LAMBDA_VIEW_ORACLE)
+def t21_speed_view_stream_join(spark, sf_dir):
+    """J2 "Option B" (SURVEY §2.4): the speed-view merge as a WATERMARKED
+    STREAM-STREAM FULL-OUTER JOIN — the surveyed alternative to t17's
+    foreachBatch keyed merge, demonstrated on the same fixture replay
+    and proven against the SAME batch-recompute oracle. The reference's
+    two consumers (Speed_layer/yfConsumerStream.py:57-87,
+    twitterConsumerStream.py:94-127) race column-halves into one ES doc
+    per date — a full-outer join materialized in the sink; here the
+    join happens IN the engine: each leg reduces to a per-day STATE
+    stream (one windowed agg each — compact, deterministic), and the
+    full-outer join on the watermarked day key assembles the view,
+    evicting state and emitting NULL-padded singles as the watermark
+    closes days (streaming/join.py has the full design rationale,
+    including the measured Spark 4.1 replay nondeterminism of the
+    single-query agg->join chain and the quadratic hazard of the
+    raw-granularity join — the reasons Option A remains the production
+    path). Closed-day equivalence: identical output columns to t17,
+    same oracle, value-hash-exact. Scale shape: join state is O(open
+    days), the raw firehose never crosses a join boundary, and each
+    stage is an independently checkpointed exactly-once query."""
+    import os as _os
+    import uuid
+
+    from ..streaming.join import lambda_speed_view_option_b
+
+    prepare(spark)
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "t21_" + uuid.uuid4().hex[:8])
+    view = lambda_speed_view_option_b(spark, sf_dir, root)
+    return dec2dbl(
+        view.filter(
+            (F.col("event_date") != F.to_date(F.lit(DEFAULT_AS_OF)))
+            & F.col("n_trades").isNotNull()
+            & F.col("nbr_article").isNotNull()
+        ).select(
+            "event_date",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_trades",
+            "turnover",
+            F.col("nbr_article").cast("bigint").alias("nbr_article"),
+            (F.col("sum_score").cast("double") / F.col("nbr_article")).alias(
+                "avg_score"
+            ),
         )
     )
 

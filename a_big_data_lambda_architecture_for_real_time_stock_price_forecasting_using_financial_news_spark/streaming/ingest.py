@@ -61,7 +61,11 @@ def parquet_stream(spark: SparkSession, path: str, schema: T.StructType) -> Data
 
 
 def events_stream(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 1, single_batch: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 1,
+    single_batch: bool = False,
+    chunk_by: str = "event_id",
 ) -> DataFrame:
     """Stream the events fixture as a Structured Streaming source (same
     NANOS handling as the batch reader).
@@ -104,9 +108,31 @@ def events_stream(
         else:
             os.symlink(os.path.abspath(src), os.path.join(stage, "part-0.parquet"))
     else:
-        spark.read.parquet(src).repartitionByRange(n_chunks, "event_id").write.mode(
+        # chunk_by="event_id" (default) replays in arrival order — fine for
+        # watermark-free consumers (Option A merges tolerate any order).
+        # Watermarked consumers (t21's Option B) must chunk by "ts": the
+        # sf1 generator interleaves replicas, so event_id spans the whole
+        # month per chunk and a watermark would late-drop chunks 2..n
+        # wholesale. Range-partitioning on ts bounds replay disorder to
+        # within-chunk — the Kafka-log-is-roughly-time-ordered model.
+        spark.read.parquet(src).repartitionByRange(n_chunks, chunk_by).write.mode(
             "overwrite"
         ).parquet(stage)
+        # FileStreamSource replays oldest-mtime-first, but the chunk part
+        # files are written CONCURRENTLY, so their mtimes race: a run that
+        # lists chunk 2 before chunk 1 advances the watermark a whole chunk
+        # early and every watermarked consumer silently late-drops chunk
+        # 1's days (measured: the t21 Option-B join lost days 1-9 on ~half
+        # of runs). Pinning strictly increasing mtimes in part-file name
+        # order (= range order of chunk_by) makes the replay order — and
+        # thus watermark advancement — deterministic.
+        import time as _time
+
+        base_t = _time.time() - n_chunks - 1
+        for i, f in enumerate(
+            sorted(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        ):
+            os.utime(os.path.join(stage, f), (base_t + i, base_t + i))
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
