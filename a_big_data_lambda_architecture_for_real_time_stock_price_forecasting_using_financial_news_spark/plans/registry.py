@@ -8341,3 +8341,450 @@ def a19_gini(spark, sf_dir):
         .cast("double")
         .alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: corpus-shuffle, leakage-safe split, mergeable sketches (HLL / CMS /
+# Bloom), rolling exact median — the remaining training-pipeline staples
+# ---------------------------------------------------------------------------
+
+from ..ext.hashing import phash60, phash60_sql  # noqa: E402
+
+N_SHUF_SHARDS = 16
+
+
+@register(
+    "x31_corpus_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {phash60_sql("CAST(doc_id AS VARCHAR)", seed="shuf")} AS hkey
+      FROM documents
+    )
+    SELECT doc_id, CAST(hkey % {N_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % {N_SHUF_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def x31_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle WITHOUT a global sort — the op that
+    randomizes 100 TB of training data for sharded sequential reads.
+    A global ORDER BY rand() is the naive answer and it range-shuffles
+    the entire corpus through a sampled boundary exchange; at 100 TB
+    that is the single largest shuffle a pipeline can issue, and its
+    output order is not even reproducible. Instead: a keyed 60-bit hash
+    is the permutation (seeded, so re-runs and incremental appends land
+    identically), shard = hash mod N gives each reader an independent
+    ~uniform slice, and pos = row_number within shard orders by the
+    hash — one hash exchange + per-shard sorts, no range exchange, no
+    driver-sampled boundaries (plan-pinned: no rangepartitioning).
+    Readers interleave shards round-robin for a full-corpus stream that
+    is pseudorandom, reproducible, and appendable (new docs slot into
+    their hash position without re-shuffling old shards — the d6
+    incremental contract applied to data loading). The reference has no
+    shuffle op at all (its training reads ES query order:
+    Model_layer/create_dataset.py); this is the Spark-first replacement."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", phash60(F.col("doc_id").cast("string"), seed="shuf").alias("hkey")
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("shard", (F.col("hkey") % N_SHUF_SHARDS).cast("bigint"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
+@register(
+    "d13_leakage_safe_split",
+    f"""
+    WITH labeled AS MATERIALIZED (
+      {_dd.cluster_pairs_sql(_dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5))}
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN {phash60_sql("CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)", seed="split")} % 100 < 90
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+    """,
+)
+def d13_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/heldout split — the decontamination invariant
+    of LLM data work: a document and its near-duplicates must land on
+    the SAME side, or the eval set is contaminated by paraphrases of
+    training data. Naive per-doc hash splits violate this exactly as
+    often as the corpus has near-dup pairs. Here the split key is the
+    near-dup CLUSTER id (d7's min-label components over the minhash-LSH
+    pair graph); singleton docs — the overwhelming majority — never
+    enter the graph and use their own id, so the expensive step stays
+    proportional to the near-dup subset, not the corpus. The 90/10
+    assignment is a seeded hash of the cluster id: deterministic,
+    re-runnable, and stable under corpus appends (new members of an old
+    cluster inherit its side). One LSH candidate pass + a few label
+    rounds + one left join; nothing is quadratic, nothing sorts
+    globally. Completes the dedup family: detect (d2/d3), resolve (d7),
+    now CONSUME the resolution downstream."""
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    labels = _dd.cluster_pairs(pairs).select("doc_id", "cluster_id")
+    joined = docs.select("doc_id").join(labels, "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cid.alias("cluster_id"),
+        F.when(
+            phash60(cid.cast("string"), seed="split") % 100 < 90, F.lit("train")
+        )
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
+HLL_M = 256  # registers; standard error 1.04/sqrt(256) = 6.5%
+#: alpha_256 * m^2 * 2^53 — the HLL estimate's constant numerator, folded
+#: to ONE double literal shared verbatim by both engines (pow/ln are never
+#: correctly-rounded cross-engine; a literal is)
+HLL_NUM = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << 53)
+
+
+@register(
+    "a20_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {phash60_sql("CAST(user_id AS VARCHAR)", seed="hll")} AS hk
+      FROM events
+    ), regs AS (
+      SELECT event_type, hk % {HLL_M} AS r,
+             MAX(CASE WHEN (hk >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(hk >> 8)) END) AS m_r
+      FROM h GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS registers_used,
+             CAST(SUM((1::BIGINT) << CAST(53 - m_r AS INTEGER))
+                  + ({HLL_M} - COUNT(*)) * ((1::BIGINT) << 53) AS BIGINT)
+               AS s_int
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, s.registers_used, s.s_int,
+           CAST({HLL_NUM!r} / CAST(s.s_int AS DOUBLE) AS DOUBLE) AS hll_estimate,
+           ex.exact_distinct
+    FROM s JOIN ex ON s.event_type = ex.event_type
+    """,
+)
+def a20_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch, ORACLE-EXACT — the mergeable
+    cardinality state a 100 TB pipeline keeps per partition and combines
+    by register-wise MAX (this entry's groupBy IS that merge). Spark's
+    own approx_count_distinct is a black-box HLL++ whose value no other
+    engine can reproduce; this one is deterministic from the shared
+    60-bit hash, so the driver hash-gates the full sketch state:
+    register index = h mod 256, rho = leading-zero rank of the remaining
+    52 bits via the length(bin()) integer-log trick (g13/x26), register
+    = MAX(rho) — a map-side-combinable agg, one shuffle of at most
+    256 rows per group. Exactness discipline: the harmonic sum is kept
+    in INTEGER space (sum of 2^(53-rho) — dyadic terms whose BIGINT sum
+    is exact; floats would round once register spans exceed 53 bits),
+    and the estimate is a single correctly-rounded division of one
+    shared double literal by that integer — no pow/ln anywhere (which is
+    also why the small/large-range corrections are deliberately absent:
+    they need ln, which isn't correctly-rounded cross-engine; the raw
+    estimate plus the exact count documents the error instead).
+    exact_distinct rides along purely as the yardstick column."""
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        phash60(F.col("user_id").cast("string"), seed="hll").alias("hk"),
+    )
+    w = F.shiftright("hk", 8)
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    regs = h.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
+        F.max(rho).alias("m_r")
+    )
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        (
+            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return s.join(ex, "event_type").select(
+        "event_type",
+        "registers_used",
+        "s_int",
+        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+CMS_D, CMS_W = 4, 512  # depth x width; eps = e/512, delta = e^-4
+
+
+@register(
+    "a21_cms_heavy_hitters",
+    f"""
+    WITH rows_h AS (
+      SELECT user_id, i,
+             CASE i
+               WHEN 0 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms0")}
+               WHEN 1 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms1")}
+               WHEN 2 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms2")}
+               ELSE        {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms3")}
+             END % {CMS_W} AS col
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+    ), sketch AS MATERIALIZED (
+      SELECT i, col, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rows_h GROUP BY 1, 2
+    ), est AS (
+      SELECT r.user_id, MIN(s.c) AS est_cms
+      FROM (SELECT DISTINCT user_id, i, col FROM rows_h) r
+      JOIN sketch s ON s.i = r.i AND s.col = r.col
+      GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1
+    )
+    SELECT e.user_id, CAST(e.est_cms AS BIGINT) AS est_cms, x.exact_cnt
+    FROM est e JOIN exact x USING (user_id) CROSS JOIN tot
+    WHERE 1000 * e.est_cms >= tot.n
+    """,
+)
+def a21_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters, oracle-exact: the fixed-size
+    frequency state (4 x 512 BIGINT counters) that answers "which keys
+    exceed 0.1% of all traffic" without a per-key hash table — the
+    100 TB shape for skew DETECTION, feeding the salting path the skew
+    bench measures. Sketch build is 4 seeded projections of the shared
+    60-bit hash -> one map-side-combinable count agg (the counter matrix
+    is mergeable by cell-wise ADDITION across partitions/days — the
+    same algebraic-state contract as t17's OHLC). Estimates upper-bound
+    true counts (min over rows), so the candidate scan can never MISS a
+    heavy hitter; candidates here are the distinct keys (bounded by the
+    users dimension, not the event volume), each probing 4 cells by
+    equi-join against the 2048-row broadcast sketch. The threshold
+    compare is all-integer (1000*est >= total). exact_cnt rides along
+    as the yardstick; at production scale the exact branch is exactly
+    what this sketch exists to avoid."""
+    ev = tbl(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id"))
+    proj = None
+    for i in range(CMS_D):
+        p = keys.select(
+            "user_id",
+            F.lit(i).alias("i"),
+            (phash60(F.col("user_id").cast("string"), seed=f"cms{i}") % CMS_W).alias(
+                "col"
+            ),
+        )
+        proj = p if proj is None else proj.unionByName(p)
+    sketch = proj.groupBy("i", "col").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cand = proj.distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["i", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_cms"))
+    )
+    tot = ev.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "user_id")
+        .join(F.broadcast(tot))
+        .filter(1000 * F.col("est_cms") >= F.col("n"))
+        .select("user_id", "est_cms", "exact_cnt")
+    )
+
+
+BLOOM_BITS = 4096  # 128 x 32-bit words; ~2 bits/key at sf1's ~2k build keys
+
+
+def _bloom_probe_sql(expr: str, seed: str) -> str:
+    return f"{phash60_sql(expr, seed=seed)} % {BLOOM_BITS}"
+
+
+@register(
+    "j10_bloom_prune",
+    f"""
+    WITH build AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_nationkey < 5
+    ), bits AS MATERIALIZED (
+      SELECT pos >> 5 AS word, CAST(bit_or((1::BIGINT) << CAST(pos & 31 AS INTEGER)) AS BIGINT) AS bits
+      FROM (
+        SELECT {_bloom_probe_sql("CAST(k AS VARCHAR)", "bf1")} AS pos FROM build
+        UNION ALL
+        SELECT {_bloom_probe_sql("CAST(k AS VARCHAR)", "bf2")} AS pos FROM build
+      ) GROUP BY 1
+    ), probe AS (
+      SELECT l_orderkey, l_suppkey,
+             {_bloom_probe_sql("CAST(l_suppkey AS VARCHAR)", "bf1")} AS p1,
+             {_bloom_probe_sql("CAST(l_suppkey AS VARCHAR)", "bf2")} AS p2
+      FROM lineitem
+    ), passed AS (
+      SELECT p.l_orderkey, p.l_suppkey
+      FROM probe p
+      JOIN bits b1 ON b1.word = p.p1 >> 5
+      JOIN bits b2 ON b2.word = p.p2 >> 5
+      WHERE (b1.bits & ((1::BIGINT) << CAST(p.p1 & 31 AS INTEGER))) != 0
+        AND (b2.bits & ((1::BIGINT) << CAST(p.p2 & 31 AS INTEGER))) != 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(COUNT(*) FILTER (WHERE l_suppkey IN (SELECT k FROM build))
+                AS BIGINT) AS n_true,
+           CAST(COUNT(*) FILTER (WHERE l_suppkey NOT IN (SELECT k FROM build))
+                AS BIGINT) AS n_false_positive
+    FROM passed
+    """,
+)
+def j10_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning, oracle-exact — the semi-join
+    replacement for the case the broadcast hash join cannot serve: the
+    build side's KEY SET is small enough to summarize but the join is
+    only a FILTER (no build columns needed), so shipping a 512-byte
+    bitmap beats shipping the key table, and at 100 TB the bitmap
+    drops non-matching fact rows AT THE SCAN, before the shuffle the
+    real join would pay (Spark's own runtime row-group pruning does
+    this opaquely; this entry is the deterministic, driver-checkable
+    version). Build: 2 seeded 60-bit hashes per key -> bit positions ->
+    one bit_or agg into 128 x 32-bit words (32-bit words keep every
+    shift strictly below the BIGINT sign bit — 1<<63 wraps negative in
+    Spark and overflows in DuckDB). Probe: each fact row computes its 2
+    words + masks and equi-joins the broadcast word table twice — all
+    JVM-side integer ops in one codegen stage, no Python, no shuffle of
+    the fact side. Output quantifies the contract: every true match
+    passes (zero false negatives BY CONSTRUCTION — the driver-gated
+    n_true equals the exact semi-join count), false positives are the
+    tunable cost (n_false_positive at ~2 bits/key documents the
+    undersized-filter regime on purpose)."""
+    sup = tbl(spark, sf_dir, "supplier")
+    li = tbl(spark, sf_dir, "lineitem")
+    build = sup.filter(F.col("s_nationkey") < 5).select(F.col("s_suppkey").alias("k"))
+    pos = None
+    for seed in ("bf1", "bf2"):
+        p = build.select(
+            (phash60(F.col("k").cast("string"), seed=seed) % BLOOM_BITS).alias("pos")
+        )
+        pos = p if pos is None else pos.unionByName(p)
+    bits = pos.groupBy(F.shiftright("pos", 5).alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(pos & 31 as int))"))
+        .cast("bigint")
+        .alias("bits")
+    )
+    probe = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (phash60(F.col("l_suppkey").cast("string"), seed="bf1") % BLOOM_BITS).alias(
+            "p1"
+        ),
+        (phash60(F.col("l_suppkey").cast("string"), seed="bf2") % BLOOM_BITS).alias(
+            "p2"
+        ),
+    )
+    b1, b2 = bits.alias("b1"), bits.alias("b2")
+    passed = (
+        probe.join(
+            F.broadcast(b1), F.shiftright(F.col("p1"), 5) == F.col("b1.word")
+        )
+        .join(F.broadcast(b2), F.shiftright(F.col("p2"), 5) == F.col("b2.word"))
+        .filter(
+            (
+                F.col("b1.bits").bitwiseAND(
+                    F.expr("shiftleft(1L, cast(p1 & 31 as int))")
+                )
+                != 0
+            )
+            & (
+                F.col("b2.bits").bitwiseAND(
+                    F.expr("shiftleft(1L, cast(p2 & 31 as int))")
+                )
+                != 0
+            )
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    truth = passed.join(build, passed.l_suppkey == build.k, "left").select(
+        "l_orderkey", "l_suppkey", F.col("k").isNotNull().alias("hit")
+    )
+    return truth.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("hit"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_false_positive"),
+    )
+
+
+@register(
+    "w13_rolling_median",
+    """
+    SELECT user_id, event_id, cents,
+           CAST(list_sort(cents_w)[(len(cents_w) + 1) // 2] AS BIGINT)
+             AS med_cents
+    FROM (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             list(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cents_w
+      FROM events
+    )
+    """,
+)
+def w13_rolling_median(spark, sf_dir):
+    """Exact rolling MEDIAN (last-5 window, lower-middle tiebreak) — the
+    robust-statistics window the mean-based anomaly entries (w9/w12)
+    can't provide when the series itself is outlier-ridden. percentile
+    built-ins interpolate in float (and differ across engines); this is
+    integer-exact: collect the bounded window as an array, sort it, and
+    index the lower middle — O(k log k) per row with k=5 pinned, never a
+    function of partition size, and the whole thing rides the single
+    per-user hashpartitioning every other w-entry shares (no global
+    sort). The bounded-window contract is the scale story: rolling
+    medians over UNbounded frames require order-statistic trees no
+    engine vectorizes; fixed-k frames are the shape that survives 100 TB
+    (k x 8 bytes of state per row in flight). Ties on ts are broken by
+    event_id on BOTH engines, and cents quantization keeps every
+    compared value a BIGINT (Spark round = DuckDB round: both
+    half-away-from-zero on positive doubles here)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    t = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.sort_array(F.collect_list(cents).over(w)).alias("cents_w"),
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.element_at(
+            "cents_w", ((F.size("cents_w") + 1) / 2).cast("int")
+        )
+        .cast("bigint")
+        .alias("med_cents"),
+    )

@@ -39,6 +39,9 @@ CROSS_JOIN_ALLOWLIST = {
     # subset-bounded all-pairs TRUTH side of the dedup recall harness —
     # quadratic by design, the same yardstick contract as s1/s5
     "d11_lsh_recall",
+    # 1-row corpus-total broadcast crossJoin (the heavy-hitter threshold),
+    # same bound as x10/x26/x30
+    "a21_cms_heavy_hitters",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

@@ -831,3 +831,49 @@ def test_d12_containment_has_no_cartesian(spark, sf_dir):
     space; any cartesian means the exact filter degraded to all-pairs."""
     plan = plan_of(registry.QUERIES["d12_containment"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_x31_shuffle_no_global_sort(spark, sf_dir):
+    """The corpus shuffle's whole point: a reproducible permutation with
+    NO range exchange (a global ORDER BY rand() would range-shuffle the
+    corpus through driver-sampled boundaries). One hash exchange on the
+    shard key + per-shard sorts only."""
+    plan = plan_of(registry.QUERIES["x31_corpus_shuffle"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_a20_hll_register_agg_map_side_combined(spark, sf_dir):
+    """The register build must be a partial+final hash agg (the MAX-rho
+    merge is the algebraic combine that makes the sketch mergeable at
+    scale) and all-JVM integer math — no Python anywhere."""
+    plan = plan_of(registry.QUERIES["a20_hll_distinct"](spark, sf_dir))
+    assert "partial_max" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_a21_cms_probe_is_broadcast(spark, sf_dir):
+    """The 2048-row counter matrix and the 1-row total must broadcast to
+    the candidate probe — a shuffled join here would move the candidate
+    set once per sketch row-pair."""
+    plan = plan_of(registry.QUERIES["a21_cms_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j10_bloom_fact_side_never_shuffles(spark, sf_dir):
+    """The bitmap exists so the FACT side is filtered at the scan: both
+    word-table joins must be broadcast and no exchange may be keyed on
+    the fact table's join column."""
+    plan = plan_of(registry.QUERIES["j10_bloom_prune"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(l_suppkey" not in plan
+
+
+def test_w13_rolling_median_single_user_exchange(spark, sf_dir):
+    """The bounded-k median rides the same single per-user shuffle as
+    the rest of the w-family — no global sort, no Python."""
+    plan = plan_of(registry.QUERIES["w13_rolling_median"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "BatchEvalPython" not in plan
