@@ -8788,3 +8788,299 @@ def w13_rolling_median(spark, sf_dir):
         .cast("bigint")
         .alias("med_cents"),
     )
+
+
+@register("t22_stream_hll_view", ORACLES["a20_hll_distinct"])
+def t22_stream_hll_view(spark, sf_dir):
+    """STREAMING maintenance of the a20 HyperLogLog registers — the
+    t17/t18/t20 convergence pattern applied to SKETCH state, closing the
+    algebraic-state taxonomy: OHLC (t17, merge by struct least/greatest
+    + sums), version chains (t18, rebuild-touched), additive aggregates
+    (t20, merge by +), and now sub-linear sketches (merge by
+    register-wise MAX — HLL's defining property: the merge of two
+    register sets IS the sketch of the union, so batch boundaries are
+    invisible BY ALGEBRA, not by care). The event feed replays in 3
+    micro-batches; each batch reduces to its own 256-register partial
+    (map-side combined before touching the view) and merges under the
+    writer-lease/replay contract; the final registers must hash-match
+    a20's one-shot batch build — same oracle, streaming twin.
+    exact_distinct is the yardstick column, recomputed in batch from the
+    staged feed (it is exactly what the sketch exists to avoid keeping
+    exactly, and the oracle needs it for the error context)."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    hk = phash60(F.col("user_id").cast("string"), seed="hll")
+    feed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        hk.alias("hk"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "hllmv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(
+        spark, _os.path.join(root, "mv"), ["event_type", "r"], partition_by="event_type"
+    )
+
+    def fn(cur, b):
+        w = F.shiftright("hk", 8)
+        rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+        delta = b.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
+            F.max(rho).cast("int").alias("m_r")
+        )
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["event_type", "r"], "full_outer")
+            .select(
+                "event_type",
+                "r",
+                F.greatest(F.col("v.m_r"), F.col("d.m_r")).cast("int").alias("m_r"),
+            )
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="hll")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = view.read()
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        (
+            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    ex = (
+        spark.read.parquet(stage)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return s.join(ex, "event_type").select(
+        "event_type",
+        "registers_used",
+        "s_int",
+        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+@register(
+    "a22_last_touch_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                        IGNORE NULLS)
+               OVER w AS touch_event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS)
+               OVER w AS touch_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id, touch_event_id, touch_type,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) - touch_us AS BIGINT)
+             AS gap_us
+    FROM e WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+    """,
+)
+def a22_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution — the marketing/causal staple:
+    each purchase is credited to the user's most recent PRIOR
+    non-purchase event. The naive formulation is a per-user non-equi
+    self-join (touch.ts < purchase.ts, argmax) — quadratic in the hot
+    user; this is the windowed rewrite: ONE per-user ordered pass where
+    `last_value(... IGNORE NULLS)` over an UNBOUNDED PRECEDING..1
+    PRECEDING frame carries the running last touch, then a filter keeps
+    the conversions. All three attributed columns ride the same frame,
+    so they come from the same touch row by construction. Cost: the one
+    per-user hashpartitioning the whole w-family shares; no self-join
+    exists to skew. Determinism: (ts, event_id) order on both engines;
+    the gap is exact integer microseconds (epoch_us twin of
+    unix_micros under the UTC session — the f5 rule)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_ = F.col("event_type") != "purchase"
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.last(F.when(np_, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(
+            F.when(np_, F.unix_micros(F.col("ts").cast("timestamp"))),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch_us"),
+    )
+    return (
+        t.filter((F.col("event_type") == "purchase") & F.col("touch_event_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            "touch_event_id",
+            "touch_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("touch_us"))
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+    )
+
+
+INTERVAL_US = 2 * 3600 * 1_000_000  # 2-hour attribution window
+BUCKET_US = 3600 * 1_000_000  # 1-hour buckets: each interval spans <= 3
+
+
+@register(
+    "j11_interval_join",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id AS purchase_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + {INTERVAL_US} AS e
+      FROM events WHERE event_type = 'purchase'
+    ), pt AS (
+      SELECT user_id, event_id AS view_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT i.purchase_id, p.view_id,
+           CAST(p.t - i.s AS BIGINT) AS offset_us
+    FROM iv i JOIN pt p
+      ON p.user_id = i.user_id AND p.t >= i.s AND p.t <= i.e
+    """,
+)
+def j11_interval_join(spark, sf_dir):
+    """Point-in-interval RANGE join without a nested loop — the temporal
+    join engines either special-case (DuckDB's IEJoin, the oracle here)
+    or degrade to a per-key cross product on (Spark's default for
+    non-equi conditions). The Spark-first rewrite BUCKETS time: every
+    interval is exploded to the 1-hour buckets it overlaps (<= 3 rows —
+    bounded because the interval length is bounded, the contract that
+    makes this shape work), every point computes its single bucket, and
+    the join becomes a pure EQUI-join on (user, bucket) + a residual
+    range filter. Each (interval, point) pair meets in EXACTLY one
+    bucket (the point's), so no post-join dedup exists — the r5 d3
+    lesson (first-matching-band emission) applied to time. Cost:
+    |intervals| x 3 + |points| rows through one hash exchange,
+    plan-pinned to never plan a cartesian/BNLJ. At 100 TB this is the
+    sessionized-attribution join (ad impressions to conversions) that a
+    range-join hint can't save once both sides are fact-sized."""
+    ev = tbl(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("s"),
+        (us + INTERVAL_US).alias("e"),
+    )
+    ivb = iv.select(
+        "user_id",
+        "purchase_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / BUCKET_US).cast("bigint"),
+                (F.col("e") / BUCKET_US).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    pt = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        us.alias("t"),
+        (us / BUCKET_US).cast("bigint").alias("bucket"),
+    )
+    return (
+        ivb.join(pt, ["user_id", "bucket"])
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+        .select(
+            "purchase_id",
+            "view_id",
+            (F.col("t") - F.col("s")).cast("bigint").alias("offset_us"),
+        )
+    )
+
+
+@register(
+    "p14_schema_evolution",
+    """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 50
+                          AS BIGINT)
+           END AS discount_cents
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+)
+def p14_schema_evolution(spark, sf_dir):
+    """Schema evolution across a table's file history — the lakehouse
+    fact of life the reference's ES mappings silently absorb: a column
+    added in year N exists only in files written after year N. Staged
+    concretely: the even-orderkey half of the feed is written with the
+    v1 schema, the odd half with v2 (adds discount_cents), and ONE
+    mergeSchema read reconciles them — v1 rows surface a typed NULL,
+    exactly the semantics a downstream coalesce-default expects. The
+    scale note is the COST: mergeSchema must reconcile footers across
+    every file, so production tables pin the evolved schema in a
+    catalog and pay footer-merging once per evolution, not per read
+    (the p12/p13 layout family's catalog argument, applied to schema).
+    Pruning survives evolution: the driver gate proves values, the plan
+    test proves the v1-absent column still prunes at the scan."""
+    import os as _os
+
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("total_cents"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_files", sf_dir)
+    root = _os.path.join(scratch, "evo")
+    v1 = base.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "discount_cents", (F.col("total_cents") / 50).cast("bigint")
+    )
+    v1.write.mode("overwrite").parquet(_os.path.join(root, "v=1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(root, "v=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_os.path.join(root, "v=1"), _os.path.join(root, "v=2"))
+        .select("o_orderkey", "total_cents", "discount_cents")
+    )

@@ -877,3 +877,34 @@ def test_w13_rolling_median_single_user_exchange(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_j11_interval_join_is_equi_join(spark, sf_dir):
+    """The bucketed range join must plan as a hash equi-join on
+    (user, bucket) — a BroadcastNestedLoopJoin/CartesianProduct here
+    means Spark fell back to the per-key cross product the bucketing
+    exists to avoid."""
+    plan = plan_of(registry.QUERIES["j11_interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_a22_attribution_single_user_exchange_no_self_join(spark, sf_dir):
+    """Attribution must be the windowed rewrite, not the quadratic
+    self-join: no Join at all, one per-user exchange."""
+    plan = plan_of(registry.QUERIES["a22_last_touch_attribution"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_p14_mergeschema_read_still_prunes(spark, sf_dir):
+    """Schema evolution must not break scan-level column pruning: the
+    merged read projects 3 columns, so the scan's ReadSchema must not
+    drag the staged files' unprojected columns (there are none here, but
+    the filter pushdown must survive the merged-footer path)."""
+    df = registry.QUERIES["p14_schema_evolution"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    # both versions' files feed one scan node; discount_cents arrives
+    # as a real column, not a runtime python patch
+    assert "discount_cents" in plan
