@@ -9084,3 +9084,176 @@ def p14_schema_evolution(spark, sf_dir):
         .parquet(_os.path.join(root, "v=1"), _os.path.join(root, "v=2"))
         .select("o_orderkey", "total_cents", "discount_cents")
     )
+
+
+@register(
+    "a23_equidepth_bins",
+    """
+    WITH t AS (
+      SELECT event_type AS series,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT),
+                                     event_id) AS bin
+      FROM events
+    )
+    SELECT series, CAST(bin AS INTEGER) AS bin,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def a23_equidepth_bins(spark, sf_dir):
+    """Equi-depth feature binning — the quantile-bucket boundaries a
+    training pipeline fits once and applies everywhere (feature
+    bucketizers, monotonic-binned calibration, histogram sketches).
+    Spark's approxQuantile is a black-box GK sketch no oracle can
+    reproduce; this is the exact formulation: per-series ntile(8) over
+    a (value, id)-tiebroken order, then min/max/count per bin — the bin
+    EDGES come out as exact integers and adjacent bins meet exactly
+    (hi of bin k = lo of bin k+1 when values repeat across the cut,
+    which is the honest equi-depth semantics: ties split by id). Cost
+    is the a17/a19 template: one per-series sort for the ranks, one
+    map-side-combined agg — for few massive series, range-repartition
+    the sort and offset ranks by broadcast prefix counts (the
+    documented scale-out of every rank-based entry). Ntile's
+    remainder rule (first bins take the extra row) is the SQL-standard
+    one on both engines, driver-gated here."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(cents, "event_id")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        cents.alias("cents"),
+        F.ntile(8).over(w).alias("bin"),
+    )
+    return t.groupBy("series", F.col("bin").cast("int").alias("bin")).agg(
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "m12_calibration_curve",
+    f"""
+    WITH pred AS ({{MLP_SQL}}),
+    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
+    scored AS (
+      SELECT p.vec_id, p.max_logit,
+             CASE WHEN p.pred_class = t.class THEN 1 ELSE 0 END AS ok,
+             ntile(10) OVER (ORDER BY p.max_logit, p.vec_id) AS decile
+      FROM pred p JOIN truth t USING (vec_id)
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ok) AS BIGINT) AS n_correct,
+           CAST(min(max_logit) AS BIGINT) AS lo_logit,
+           CAST(max(max_logit) AS BIGINT) AS hi_logit,
+           CAST(CAST(sum(ok) AS DOUBLE) / count(*) AS DOUBLE) AS accuracy
+    FROM scored GROUP BY 1
+    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
+)
+def m12_calibration_curve(spark, sf_dir):
+    """Confidence calibration over the m9 inference path — the third leg
+    of the eval stool (m9 predicts, m11 scores classes, m12 asks
+    whether CONFIDENCE means anything): predictions bucketed into
+    logit-margin deciles, each reporting exact correct/total counts and
+    the accuracy they imply. A well-calibrated model shows accuracy
+    rising monotonically across deciles; the flat or inverted shape is
+    the signal to temperature-scale before thresholding auto-labels —
+    the decision this table exists to drive in a data-labeling
+    pipeline (only decile-9/10 predictions become training labels).
+    Exactness: the model is the integer MLP, so logits are BIGINTs,
+    deciles are ntile over a (logit, id)-tiebroken order, and the one
+    double is a single division of exact counts. Scale: predictions
+    stream from the Arrow mapInPandas seam; the global ntile is over a
+    #predictions-sized relation of two integers — and for corpus-sized
+    prediction sets the documented rank scale-out (range-repartition +
+    broadcast prefix offsets) applies unchanged."""
+    from pyspark.sql import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pred = _inf.mlp_infer(emb)
+    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
+    scored = (
+        pred.join(truth, "vec_id")
+        .select(
+            "vec_id",
+            "max_logit",
+            F.when(F.col("pred_class") == F.col("class"), 1).otherwise(0).alias("ok"),
+        )
+        .select(
+            "max_logit",
+            "ok",
+            F.ntile(10).over(Window.orderBy("max_logit", "vec_id")).alias("decile"),
+        )
+    )
+    return scored.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        F.min("max_logit").cast("bigint").alias("lo_logit"),
+        F.max("max_logit").cast("bigint").alias("hi_logit"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@register(
+    "f6_ohlc_resample",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(min(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                v := CAST(round(value * 100) AS BIGINT))).v
+                AS BIGINT) AS open_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low_cents,
+           CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                v := CAST(round(value * 100) AS BIGINT))).v
+                AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS turnover_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def f6_ohlc_resample(spark, sf_dir):
+    """Candle RESAMPLING through the bar hierarchy — daily OHLC built
+    from HOURLY bars, not from raw trades, and driver-proven equal to
+    the direct daily computation (the oracle computes straight from
+    raw). This is the associativity property production tick stores
+    depend on: 1-minute bars roll to 5-minute to hourly to daily
+    without ever re-reading ticks, because OHLC state is mergeable —
+    open/close as lexicographic (ts, value) struct min/max (t17's
+    deterministic tiebreak), high/low/count/turnover as max/min/sums.
+    Two map-side-combinable aggs; the second operates on 24x fewer rows
+    and reuses the first's (day, hour) partitioning prefix. At 100 TB
+    the raw->finest-bar agg is the only pass over ticks; every coarser
+    granularity is a rollup over bars — this entry IS that contract,
+    checked. (Same algebra t17 exploits across micro-batches, here
+    exploited across time granularities.)"""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ts = F.col("ts").cast("timestamp")
+    tv = F.struct(ts.alias("t"), cents.alias("v"))
+    hourly = ev.groupBy(
+        F.to_date(ts).alias("event_date"), F.hour(ts).alias("hh")
+    ).agg(
+        F.min(tv).alias("open_s"),
+        F.max(cents).alias("high_cents"),
+        F.min(cents).alias("low_cents"),
+        F.max(tv).alias("close_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.sum(cents).cast("bigint").alias("turnover_cents"),
+    )
+    return hourly.groupBy("event_date").agg(
+        F.min("open_s")["v"].cast("bigint").alias("open_cents"),
+        F.max("high_cents").cast("bigint").alias("high_cents"),
+        F.min("low_cents").cast("bigint").alias("low_cents"),
+        F.max("close_s")["v"].cast("bigint").alias("close_cents"),
+        F.sum("n_trades").cast("bigint").alias("n_trades"),
+        F.sum("turnover_cents").cast("bigint").alias("turnover_cents"),
+    )

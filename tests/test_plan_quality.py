@@ -908,3 +908,33 @@ def test_p14_mergeschema_read_still_prunes(spark, sf_dir):
     # both versions' files feed one scan node; discount_cents arrives
     # as a real column, not a runtime python patch
     assert "discount_cents" in plan
+
+
+def test_a23_bins_single_series_exchange(spark, sf_dir):
+    """Equi-depth binning = one per-series sort (the rank) + one
+    map-side-combined agg; no joins, no global sort."""
+    plan = plan_of(registry.QUERIES["a23_equidepth_bins"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_min" in plan  # bin edges map-side combined
+
+
+def test_m12_calibration_rides_arrow_inference(spark, sf_dir):
+    """Calibration consumes the same Arrow-batched inference seam as
+    m9/m11 — never a collected or row-Python predictions path."""
+    plan = plan_of(registry.QUERIES["m12_calibration_curve"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_f6_resample_two_stage_mergeable_agg(spark, sf_dir):
+    """The bar hierarchy must be two aggregations (raw->hourly,
+    hourly->daily), both map-side combined, with no join and no RANGE
+    exchange — OHLC mergeability is what makes the rollup legal.
+    (Struct min/max plans as SortAggregate — Spark's typed fallback for
+    non-hashable agg buffers; the partial/final split is the invariant,
+    the sort is per-partition and bounded by the group, not global.)"""
+    plan = plan_of(registry.QUERIES["f6_ohlc_resample"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
