@@ -61,6 +61,15 @@ HEADLINE = [
     "u7_incremental_agg_view",
     "f5_twap",
     "s15_hybrid_rrf",
+    # r8: the no-global-sort corpus shuffle, scan-side Bloom pruning, and
+    # the oracle-exact HLL sketch — three shapes whose constant factors
+    # (per-shard sort, bitmap probe, register agg) deserve a round-over-
+    # round trail (t21 is deliberately NOT headlined: it is a multi-query
+    # streaming pipeline like t17, whose cost is checkpoint/sink-bound and
+    # swings with machine load, not plan shape)
+    "x31_corpus_shuffle",
+    "j10_bloom_prune",
+    "a20_hll_distinct",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with

@@ -82,3 +82,57 @@ def test_no_hand_built_tmp_staging_paths_remain():
             if '"/tmp"' in ln and "spark_graft" in ln:
                 bad.append(f"{path.name}:{i + 1}: {ln.strip()}")
     assert not bad, "hand-built staging paths (use scratch_dir):\n" + "\n".join(bad)
+
+
+def test_scratch_dir_age_guard_sweeps_old_alive_pid_dirs(tmp_path, monkeypatch):
+    """A recycled pid (or a PermissionError misread) makes a dead owner
+    look alive forever; the r8 age guard sweeps any matching dir whose
+    mtime is hours old regardless of pid liveness."""
+    import a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry as reg
+
+    base = tmp_path / "aged_kind"
+    base.mkdir()
+    old = base / f"{'a' * 8}_{os.getpid()}"  # our OWN pid: definitely alive
+    old.mkdir()
+    five_h_ago = __import__("time").time() - 5 * 3600
+    os.utime(old, (five_h_ago, five_h_ago))
+    fresh = base / f"{'b' * 8}_{os.getpid()}"
+    fresh.mkdir()
+    # point the staging root at tmp_path by monkeypatching join for the kind
+    real_join = os.path.join
+
+    def fake_join(*parts):
+        if parts[:2] == ("/tmp", "aged_kind"):
+            return real_join(str(tmp_path), *parts[1:])
+        return real_join(*parts)
+
+    monkeypatch.setattr("os.path.join", fake_join)
+    reg._SCRATCH_SWEPT.discard(real_join(str(tmp_path), "aged_kind"))
+    try:
+        reg.scratch_dir("aged_kind", "/some/sf")
+    finally:
+        monkeypatch.undo()
+    assert not old.exists()  # hours-old dir swept despite live pid
+    assert fresh.exists()  # fresh dir with live pid untouched
+
+
+def test_bucket_count_sizes_by_volume(tmp_path):
+    """bucket_count: small sources keep the small count; past the 32 MB
+    crossover it returns the shuffle-partition budget (alignment rule)."""
+
+    class FakeConf:
+        def get(self, k):
+            assert k == "spark.sql.shuffle.partitions"
+            return "32"
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (33 << 20))
+    assert registry.bucket_count(FakeSpark(), str(tmp_path), "small") == 8
+    assert registry.bucket_count(FakeSpark(), str(tmp_path), "big") == 32
+    # missing table: defaults small (never crashes an entry)
+    assert registry.bucket_count(FakeSpark(), str(tmp_path), "absent") == 8
