@@ -1506,6 +1506,7 @@ def t14_stream_state_expiry(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from ..ext import dedup as _dd
+from ..ext import hashing as _hh
 from ..ext import multimodal as _mm
 from ..ext import similarity as _sim
 from ..ext import text as _tx
@@ -9256,4 +9257,372 @@ def f6_ohlc_resample(spark, sf_dir):
         F.max("close_s")["v"].cast("bigint").alias("close_cents"),
         F.sum("n_trades").cast("bigint").alias("n_trades"),
         F.sum("turnover_cents").cast("bigint").alias("turnover_cents"),
+    )
+
+
+@register(
+    "f7_ols_trend",
+    """
+    WITH daily AS (
+      SELECT event_type AS series,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT series,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+           CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS BIGINT) AS icept_num
+    FROM daily GROUP BY 1
+    """,
+)
+def f7_ols_trend(spark, sf_dir):
+    """Per-series least-squares trend of daily turnover — the trend
+    feature every forecasting pipeline derives before it reaches for a
+    model (the reference hands raw keyed closes to SARIMAX,
+    Batch_layer/batchPipeline.py:70-90; the trend/detrend split is the
+    first thing its forecaster fits internally). Emitted EXACTLY: slope
+    = slope_num / slope_den and intercept = icept_num / slope_den are
+    returned as their integer normal-equation terms (n*Sxy - Sx*Sy,
+    n*Sxx - Sx^2, Sy*Sxx - Sx*Sxy) so the driver hash-compares pure
+    BIGINTs — no float ever computed (the w12/a19 discipline).
+
+    Overflow discipline: x is days-since-fixture-start (0..29), NOT
+    epoch days — regressing on the raw epoch axis makes n*Sxy blow
+    past int64 around sf1 (DuckDB raises on BIGINT overflow rather
+    than wrapping, which is the honest canary). Centering the axis
+    keeps every term under ~1e14 at sf100.
+
+    Scale shape: one map-side-combinable daily agg — the ONLY pass
+    over raw events — then a per-series agg over #days rows. At
+    100 TB the second agg is ~free (5 series x 30 days); the regression
+    itself never sees raw data. Adding series or days grows the tiny
+    relation, never the pass count."""
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint").alias("x"),
+    ).agg(F.sum(cents).alias("y"))
+    n = F.count(F.lit(1)).cast("bigint")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    return daily.groupBy("series").agg(
+        n.alias("n_days"),
+        (n * sxy - sx * sy).cast("bigint").alias("slope_num"),
+        (n * sxx - sx * sx).cast("bigint").alias("slope_den"),
+        (sy * sxx - sx * sxy).cast("bigint").alias("icept_num"),
+    )
+
+
+@register(
+    "f8_pairwise_activity_corr",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.series AS series_a, b.series AS series_b, a.c AS x, b.c AS y
+      FROM daily a JOIN daily b ON a.day = b.day AND a.series < b.series
+    )
+    SELECT series_a, series_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS corr_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS den_y
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def f8_pairwise_activity_corr(spark, sf_dir):
+    """All-pairs correlation between series' daily activity — the
+    cross-asset correlation matrix a portfolio/risk view derives from
+    the same keyed daily views the reference serves (its ES serving
+    view holds exactly these per-day series side by side; correlating
+    them is the first multi-asset question a user asks of it). Pearson
+    r = corr_num / sqrt(den_x * den_y); the three terms come back as
+    exact BIGINTs (f7's normal-equation discipline), so the driver
+    compare never sees a float.
+
+    The quadratic is in SERIES COUNT, never in rows: raw events
+    collapse to (series, day, count) in one map-side-combined agg —
+    the only pass over data — and the pair join runs on that tiny
+    relation (#series x #days rows), equi-keyed on day with the
+    series_a < series_b triangle predicate halving it. k series make
+    k(k-1)/2 pairs x #days rows through the join: at 5k series x 3
+    years it's ~1e10 pair-days, which shuffle-partitions by day
+    exactly like any fact join — still independent of raw-event
+    volume. Correlating COUNTS (not value sums) keeps y^2 terms
+    int64-safe at any SF (daily cents sums square past 2^63 near
+    sf10 — the f7 overflow canary, avoided structurally)."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.select(F.col("series").alias("series_a"), "day", F.col("c").alias("x"))
+    b = daily.select(F.col("series").alias("series_b"), "day", F.col("c").alias("y"))
+    pairs = a.join(b, "day").filter(F.col("series_a") < F.col("series_b"))
+    n = F.count(F.lit(1)).cast("bigint")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return pairs.groupBy("series_a", "series_b").agg(
+        n.alias("n_days"),
+        (n * sxy - sx * sy).cast("bigint").alias("corr_num"),
+        (n * sxx - sx * sx).cast("bigint").alias("den_x"),
+        (n * syy - sy * sy).cast("bigint").alias("den_y"),
+    )
+
+
+@register(
+    "o3_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    m AS (
+      SELECT price_cents, size,
+             max(size) OVER (ORDER BY price_cents ASC, size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prior
+      FROM pts
+    )
+    SELECT price_cents, size FROM m WHERE prior IS NULL OR size > prior
+    """,
+)
+def o3_pareto_frontier(spark, sf_dir):
+    """Pareto frontier (skyline) over parts: the set of (price, size)
+    points where no other part is both cheaper-or-equal AND
+    bigger-or-equal with one strict — the multi-objective shortlist
+    query (best price/size tradeoffs) that no single ORDER BY can
+    answer. Classic sweep: order distinct points by (price ASC, size
+    DESC); a point survives iff its size strictly exceeds the running
+    max over all predecessors (a predecessor with size >= mine is
+    cheaper-or-equal and at-least-as-big, hence dominates; the DESC
+    tiebreak makes the equal-price case exact).
+
+    TWO-PHASE so the sweep never needs a global sort of the full set:
+    the frontier operator is idempotent over any partition of its
+    input — frontier(S) = frontier(U frontier(Pi)) — so phase 1 runs
+    the sweep per hash bucket (a partitionBy window, no global
+    exchange of the raw points), and only the per-bucket survivors
+    (output-sized, tiny: bounded by #distinct prices) meet the global
+    sweep in phase 2. At 100 TB phase 1 is embarrassingly parallel
+    after one dedup agg and phase 2 sorts thousands of rows, not
+    billions — the a17/a23 rank scale-out argument made structural.
+    The bucket hash only affects intermediate sizes, never the result
+    (any partition works), so the plan is deterministic by
+    construction."""
+    from pyspark.sql import Window
+
+    p = tbl(spark, sf_dir, "part")
+    pts = p.select(
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    ).distinct()
+    sweep = Window.orderBy(F.col("price_cents").asc(), F.col("size").desc())
+
+    def survivors(df, w):
+        prior = F.max("size").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("prior", prior)
+            .filter(F.col("prior").isNull() | (F.col("size") > F.col("prior")))
+            .drop("prior")
+        )
+
+    local = survivors(
+        pts.withColumn("b", F.pmod(F.hash("price_cents", "size"), F.lit(32))),
+        Window.partitionBy("b").orderBy(F.col("price_cents").asc(), F.col("size").desc()),
+    ).drop("b")
+    return survivors(local, sweep)
+
+
+_DQ_COLS_SQL = """
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           min(CAST(round(l_quantity) AS BIGINT)) AS min_v,
+           max(CAST(round(l_quantity) AS BIGINT)) AS max_v,
+           sum(CASE WHEN round(l_quantity) BETWEEN 1 AND 45
+                    THEN 0 ELSE 1 END) AS n_bad
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           min(CAST(round(l_discount * 100) AS BIGINT)),
+           max(CAST(round(l_discount * 100) AS BIGINT)),
+           sum(CASE WHEN round(l_discount * 100) BETWEEN 0 AND 8
+                    THEN 0 ELSE 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           count(DISTINCT l_tax),
+           min(CAST(round(l_tax * 100) AS BIGINT)),
+           max(CAST(round(l_tax * 100) AS BIGINT)),
+           sum(CASE WHEN round(l_tax * 100) BETWEEN 0 AND 6
+                    THEN 0 ELSE 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)),
+           max(CAST(round(l_extendedprice * 100) AS BIGINT)),
+           sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))),
+           max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))),
+           sum(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '2000-12-31'
+                    THEN 0 ELSE 1 END)
+    FROM lineitem
+"""
+
+
+@register(
+    "a24_dq_audit",
+    f"""
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v,
+           CAST(n_bad AS BIGINT) AS n_bad
+    FROM ({_DQ_COLS_SQL})
+    """,
+)
+def a24_dq_audit(spark, sf_dir):
+    """Data-quality audit (Deequ-style constraint suite) — the
+    validation gate a training pipeline runs BEFORE any batch enters
+    the corpus: per-column completeness (null count), cardinality
+    (exact distinct), observed range (scaled-integer min/max), and
+    expectation violations (range rules a downstream consumer assumes:
+    quantity in [1,45], discount <= 8c, tax <= 6c, positive price,
+    shipdate <= 2000-12-31 — deliberately tighter than the generator so
+    n_bad is a real, nonzero signal, not a vacuous zero). Output is the
+    audit TABLE (one row per column, metrics as exact BIGINTs), the
+    shape a quality dashboard or a circuit-breaker reads.
+
+    ONE scan: all five columns' metrics compute in a single wide
+    aggregate (the multi-count_distinct makes Catalyst plan an Expand —
+    x5 row multiply BEFORE the map-side combine, the documented price
+    of exact multi-column cardinality in one pass; approx_count_distinct
+    collapses the Expand when 2% error is acceptable — a9's tradeoff,
+    cross-referenced not duplicated), then the 1-row wide result
+    unpivots driver-free through an explode of per-column structs.
+    The oracle is five UNION ALL scans — DuckDB reads the parquet five
+    times so Spark's one-pass shape is the thing under test, not a
+    shared plan."""
+    li = tbl(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax = F.round(F.col("l_tax") * 100).cast("bigint")
+    price = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    ship = F.datediff(F.col("l_shipdate").cast("date"), epoch).cast("bigint")
+
+    def bad(cond):
+        return F.sum(F.when(cond, 0).otherwise(1)).cast("bigint")
+
+    def metrics(tag, raw, scaled, ok_cond):
+        return [
+            F.count(F.lit(1)).cast("bigint").alias(f"{tag}_rows"),
+            (F.count(F.lit(1)) - F.count(raw)).cast("bigint").alias(f"{tag}_null"),
+            F.count_distinct(raw).cast("bigint").alias(f"{tag}_dist"),
+            F.min(scaled).alias(f"{tag}_min"),
+            F.max(scaled).alias(f"{tag}_max"),
+            bad(ok_cond).alias(f"{tag}_bad"),
+        ]
+
+    wide = li.agg(
+        *metrics("qty", F.col("l_quantity"), qty, qty.between(1, 45)),
+        *metrics("disc", F.col("l_discount"), disc, disc.between(0, 8)),
+        *metrics("tax", F.col("l_tax"), tax, tax.between(0, 6)),
+        *metrics("price", F.col("l_extendedprice"), price, F.col("l_extendedprice") > 0),
+        *metrics(
+            "ship",
+            F.col("l_shipdate"),
+            ship,
+            F.col("l_shipdate").cast("date") <= F.lit("2000-12-31").cast("date"),
+        ),
+    )
+    rows = [
+        ("l_quantity", "qty"),
+        ("l_discount", "disc"),
+        ("l_tax", "tax"),
+        ("l_extendedprice", "price"),
+        ("l_shipdate", "ship"),
+    ]
+    audit = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"{tag}_rows").alias("n_rows"),
+                F.col(f"{tag}_null").alias("n_null"),
+                F.col(f"{tag}_dist").alias("n_distinct"),
+                F.col(f"{tag}_min").alias("min_v"),
+                F.col(f"{tag}_max").alias("max_v"),
+                F.col(f"{tag}_bad").alias("n_bad"),
+            )
+            for name, tag in rows
+        ]
+    )
+    return wide.select(F.explode(audit).alias("m")).select("m.*")
+
+
+@register(
+    "m13_feature_hashing",
+    """
+    WITH toks AS (
+      SELECT doc_id, t
+      FROM documents, unnest({TOKS}) AS u(t)
+    ),
+    b AS (
+      SELECT doc_id, t, {PH} % 256 AS bucket FROM toks
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_terms
+    FROM b GROUP BY 1
+    """.replace("{TOKS}", _tx.tokens_sql("text")).replace(
+        "{PH}", _hh.phash60_sql("t")
+    ),
+)
+def m13_feature_hashing(spark, sf_dir):
+    """Hashing-trick feature space audit — the collision accounting for
+    a feature-hashed text vectorizer (the 2^k-bucket trick that makes
+    text featurization vocabulary-free and therefore streamable: no
+    fitted dictionary to ship, new terms land deterministically). Per
+    bucket of a 256-dim hashed space: total token mass, document
+    frequency, and the COLLISION COUNT (n_terms > 1 means distinct
+    terms share the bucket — the quantity that decides whether k is
+    big enough, measured exactly rather than assumed from the birthday
+    bound).
+
+    The bucket hash is the portable 60-bit md5 (ext/hashing.py) mod a
+    power of two, so Spark and DuckDB land every term in the same
+    bucket and the driver hash-compares exact counts. Shape: explode
+    tokens (the x8/x10 corpus pass), one groupBy(bucket) with two exact
+    count_distincts — the Expand x2 cost a24 documents; 256 buckets
+    mean the post-explode agg combines map-side into at most 256 rows
+    per partition regardless of corpus size. At 100 TB this is
+    scan-bound, and the same pass emits the per-(doc, bucket) sparse
+    vectors when run un-aggregated."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tx.tokens(F.col("text"))).alias("t")
+    )
+    b = toks.withColumn("bucket", _hh.phash60(F.col("t")) % 256)
+    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count_distinct("t").cast("bigint").alias("n_terms"),
     )

@@ -938,3 +938,57 @@ def test_f6_resample_two_stage_mergeable_agg(spark, sf_dir):
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
     assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_f7_trend_never_sorts_and_combines_map_side(spark, sf_dir):
+    """The regression sums must be two hash aggs (daily then per-series),
+    both map-side combined — no join, no sort, no Python: the only pass
+    over raw events is the daily agg."""
+    plan = plan_of(registry.QUERIES["f7_ols_trend"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_f8_pair_join_runs_on_daily_aggregates(spark, sf_dir):
+    """The pair join must key on day AFTER both sides collapsed to daily
+    counts — never a cartesian, never a raw-event self-join; the triangle
+    predicate (series_a < series_b) rides the equi-join as a filter."""
+    plan = plan_of(registry.QUERIES["f8_pairwise_activity_corr"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both join inputs are post-aggregation relations
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_o3_frontier_local_sweep_is_bucketed(spark, sf_dir):
+    """Phase 1's sweep must window over hash buckets (parallel, no
+    global exchange of the distinct points); only phase 2 — fed by
+    per-bucket survivors, output-sized — may single-partition."""
+    plan = plan_of(registry.QUERIES["o3_pareto_frontier"](spark, sf_dir))
+    assert "hashpartitioning(b" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_a24_audit_is_one_scan(spark, sf_dir):
+    """The audit's contract is ONE pass: a single lineitem scan feeding a
+    single wide aggregate (the exact multi-column count_distinct plans an
+    Expand — the documented x5 row multiply), then a driver-free unpivot."""
+    import re
+
+    plan = plan_of(registry.QUERIES["a24_dq_audit"](spark, sf_dir))
+    # tree section renders each scan node as "Scan parquet  (N)"
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_m13_hashing_stays_jvm_side(spark, sf_dir):
+    """The hashed vectorizer is pure Column expressions: md5 bucket math
+    inside codegen, one post-explode agg, no Python, no join."""
+    plan = plan_of(registry.QUERIES["m13_feature_hashing"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the token explode
+    assert "Join" not in plan
