@@ -9626,3 +9626,343 @@ def m13_feature_hashing(spark, sf_dir):
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
         F.count_distinct("t").cast("bigint").alias("n_terms"),
     )
+
+
+@register(
+    "w14_linear_interpolate",
+    """
+    WITH obs AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                  v := CAST(round(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cv
+      FROM events WHERE event_id % 150 = 0 GROUP BY 1, 2
+    ), spine AS (
+      SELECT series,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT series, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1)
+    ), j AS (
+      SELECT s.series, s.day, o.cv
+      FROM spine s LEFT JOIN obs o ON o.series = s.series AND o.day = s.day
+    ), n AS (
+      SELECT series, day, cv,
+             last_value(CASE WHEN cv IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             last_value(cv IGNORE NULLS) OVER w_prev AS pv,
+             first_value(CASE WHEN cv IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_next AS nd,
+             first_value(cv IGNORE NULLS) OVER w_next AS nv
+      FROM j
+      WINDOW w_prev AS (PARTITION BY series ORDER BY day
+                        ROWS UNBOUNDED PRECEDING),
+             w_next AS (PARTITION BY series ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT series, day,
+           CAST(CASE WHEN cv IS NOT NULL THEN cv
+                ELSE pv * date_diff('day', day, nd)
+                     + nv * date_diff('day', pd, day) END AS BIGINT)
+             AS interp_num,
+           CAST(CASE WHEN cv IS NOT NULL THEN 1
+                ELSE date_diff('day', pd, nd) END AS BIGINT) AS interp_den,
+           CAST(CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_obs
+    FROM n
+    """,
+)
+def w14_linear_interpolate(spark, sf_dir):
+    """Linear interpolation across gaps — t9's gap-fill upgraded from
+    staircase (LOCF) to the straight line between neighbors, the fill a
+    forecaster's preprocessor actually wants for slow-moving series.
+    The interpolated close at day d between observations (p, vp) and
+    (n, vn) is [vp*(n-d) + vn*(d-p)] / (n-p) — emitted as its EXACT
+    integer numerator/denominator pair (the f7 rational discipline), so
+    the driver compares pure BIGINTs and the one float division belongs
+    to the consumer. Observed days return (cv, 1); the spine is bounded
+    by each series' first/last observation so both neighbors always
+    exist.
+
+    Sparsity comes from the fixture being dense: the event_id % 150
+    sample thins each series until real multi-day gaps appear at
+    sf0.001-0.01 (and the occasional gap survives even at sf1), so the
+    interpolation arms are genuinely exercised at the correctness SFs.
+    Shape: one daily agg (deterministic lexicographic (ts, value) close
+    — the t17/f6 tiebreak), a spine explode that is O(days) never
+    O(events), one spine join, and TWO ignore-nulls windows over the
+    same per-series sort (Catalyst runs both directions in one
+    Window node pair, no extra exchange: the w7 LOCF shape plus its
+    mirror). Partitions by series; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") % 150 == 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    obs = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
+        .cast("bigint")
+        .alias("cv")
+    )
+    spine = (
+        obs.groupBy("series")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "series",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["series", "day"], "left")
+    w_prev = Window.partitionBy("series").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy("series").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    cv = F.col("cv")
+    obs_day = F.when(cv.isNotNull(), F.col("day"))
+    n = j.select(
+        "series",
+        "day",
+        "cv",
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.last(cv, ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+        F.first(cv, ignorenulls=True).over(w_next).alias("nv"),
+    )
+    gap_num = F.col("pv") * F.datediff(F.col("nd"), F.col("day")) + F.col(
+        "nv"
+    ) * F.datediff(F.col("day"), F.col("pd"))
+    return n.select(
+        "series",
+        "day",
+        F.when(cv.isNotNull(), cv).otherwise(gap_num).cast("bigint").alias("interp_num"),
+        F.when(cv.isNotNull(), F.lit(1))
+        .otherwise(F.datediff(F.col("nd"), F.col("pd")))
+        .cast("bigint")
+        .alias("interp_den"),
+        F.when(cv.isNotNull(), 1).otherwise(0).cast("int").alias("is_obs"),
+    )
+
+
+@register(
+    "g15_common_neighbors",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
+    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
+             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
+      FROM raw r
+      JOIN deg du ON du.node = r.u
+      JOIN deg dv ON dv.node = r.v
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM ori e1
+      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
+      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    tedges AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+      UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+      UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+    ),
+    cn AS MATERIALIZED (SELECT u, v, count(*) AS cn FROM tedges GROUP BY 1, 2)
+    SELECT r.u, r.v, CAST(coalesce(c.cn, 0) AS BIGINT) AS cn,
+           CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+           CAST(du.d + dv.d - coalesce(c.cn, 0) AS BIGINT) AS jac_den
+    FROM raw r
+    LEFT JOIN cn c ON c.u = r.u AND c.v = r.v
+    JOIN deg du ON du.node = r.u
+    JOIN deg dv ON dv.node = r.v
+    """,
+)
+def g15_common_neighbors(spark, sf_dir):
+    """Per-edge link-prediction features over the parts-bought-together
+    graph: common-neighbor count and the Jaccard terms (jac = cn /
+    jac_den with jac_den = deg_u + deg_v - cn) for every support-
+    thresholded edge — the classic neighborhood-overlap scores a
+    recommender ranks candidate links by. Exact integers throughout.
+
+    Computed WITHOUT materializing neighborhoods: a triangle {a,b,c}
+    contributes exactly one common neighbor to each of its three edges,
+    so per-edge cn = per-edge triangle count — the g8 degree-ordered
+    wedge join (O(m^1.5) wedges, hub-safe by orientation) followed by
+    one explode of each triangle into its three canonical (min,max)
+    edges and a count agg. Degrees join back broadcast-sized. Edges
+    closing no triangle keep cn = 0 through the left join — they are
+    the NEGATIVE evidence a link model trains on, not noise to drop.
+    All joins equi-key on node ids, so the g9/g11 bucketed layout
+    co-locates every stage at corpus scale."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .persist()  # cache: caller-owns (g8's shared-graph pattern)
+    )
+    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = raw.join(du, "u").join(dv, "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    ori = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).persist()  # cache: caller-owns
+    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
+    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    tedges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    cn = tedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
+    return (
+        raw.join(cn, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("cn"),
+            F.col("du").cast("bigint").alias("deg_u"),
+            F.col("dv").cast("bigint").alias("deg_v"),
+            (F.col("du") + F.col("dv") - F.coalesce(F.col("cn"), F.lit(0)))
+            .cast("bigint")
+            .alias("jac_den"),
+        )
+    )
+
+
+@register("t23_stream_cms_view", ORACLES["a21_cms_heavy_hitters"])
+def t23_stream_cms_view(spark, sf_dir):
+    """STREAMING maintenance of the a21 count-min sketch — the fourth
+    mergeable-state algebra in the t17/t20/t22 family: OHLC merges by
+    struct least/greatest + sums, additive aggregates by +, HLL by
+    register-wise MAX, and the CMS counter matrix by CELL-WISE ADDITION
+    (CMS(A ∪ B) = CMS(A) + CMS(B) exactly — the sketch is linear, so
+    micro-batch boundaries are invisible by algebra). The event feed
+    replays in 3 micro-batches; each batch reduces to its own 4x512
+    partial counter matrix (map-side combined BEFORE touching the view
+    — the delta is at most 2048 rows regardless of batch size) and
+    merges into the keyed view under the writer-lease/replay contract.
+    The final matrix must be byte-identical to a21's one-shot build, so
+    the heavy-hitter probe over it hash-matches a21's oracle end to
+    end — streaming twin, same oracle. The candidate/exact legs are
+    batch recomputes over the staged feed (serving-time work the sketch
+    state exists to keep OUT of the hot path)."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    feed = ev.select("event_id", "user_id")
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "cmsmv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["i", "col"], partition_by="i")
+
+    def expand(df):
+        proj = None
+        for i in range(CMS_D):
+            p = df.select(
+                "user_id",
+                F.lit(i).alias("i"),
+                (
+                    phash60(F.col("user_id").cast("string"), seed=f"cms{i}") % CMS_W
+                ).alias("col"),
+            )
+            proj = p if proj is None else proj.unionByName(p)
+        return proj
+
+    def fn(cur, b):
+        # b arrives pre-expanded to (user_id, i, col) — the view's
+        # partition pruning reads the partition column off the batch
+        delta = b.groupBy("i", "col").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["i", "col"], "full_outer")
+            .select(
+                "i",
+                "col",
+                # keep NULL when neither side carries state (the r7
+                # merge_ohlc_states advice: a passthrough key sharing a
+                # partition must not grow a phantom zero row)
+                F.when(
+                    F.col("v.c").isNotNull() | F.col("d.c").isNotNull(),
+                    F.coalesce(F.col("v.c"), F.lit(0))
+                    + F.coalesce(F.col("d.c"), F.lit(0)),
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(expand(b), fn, batch_id=bid, writer="cms")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = view.read().select("i", "col", F.col("c").cast("bigint").alias("c"))
+    staged = spark.read.parquet(stage)
+    cand = expand(staged).distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["i", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_cms"))
+    )
+    tot = staged.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "user_id")
+        .join(F.broadcast(tot))
+        .filter(1000 * F.col("est_cms") >= F.col("n"))
+        .select("user_id", "est_cms", "exact_cnt")
+    )

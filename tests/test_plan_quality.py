@@ -992,3 +992,24 @@ def test_m13_hashing_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan  # the token explode
     assert "Join" not in plan
+
+
+def test_w14_interpolate_two_windows_one_series_exchange(spark, sf_dir):
+    """Both ignore-nulls windows (prev/next neighbor) must ride the same
+    per-series partitioning — one hash exchange on series for the window
+    stage, never a range exchange, never Python."""
+    plan = plan_of(registry.QUERIES["w14_linear_interpolate"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(series" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_g15_per_edge_counts_reuse_wedge_join(spark, sf_dir):
+    """Common-neighbor counting must come from the degree-ordered
+    triangle enumeration (one explode + count agg), never from joining
+    materialized neighbor SETS (a deg^2 blowup on hubs): no cartesian,
+    no nested-loop join, and the triangle corners explode is present."""
+    plan = plan_of(registry.QUERIES["g15_common_neighbors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan

@@ -1207,3 +1207,82 @@ def test_dedup_within_watermark_evicts_and_readmits(spark):
             ("k1", "2024-01-01T10:00:00"),
             ("k1", "2024-01-01T10:35:00"),
         ]
+
+
+def test_t23_streamed_cms_matrix_equals_batch_build(spark, sf_dir, tmp_path):
+    """CMS linearity end to end: a counter matrix maintained by
+    chunked merge_custom additions (the t23 merge fn) must be
+    CELL-IDENTICAL to a one-shot batch build over the same events — not
+    just heavy-hitter-equal (the entry's oracle could mask a wrong cell
+    that min() never selects; this pins the full state)."""
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext.hashing import (
+        phash60,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans import (
+        registry,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.streaming.upsert import (
+        KeyedParquetView,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def expand(df):
+        proj = None
+        for i in range(registry.CMS_D):
+            p = df.select(
+                "user_id",
+                F.lit(i).alias("i"),
+                (
+                    phash60(F.col("user_id").cast("string"), seed=f"cms{i}")
+                    % registry.CMS_W
+                ).alias("col"),
+            )
+            proj = p if proj is None else proj.unionByName(p)
+        return proj
+
+    def fn(cur, b):
+        delta = b.groupBy("i", "col").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["i", "col"], "full_outer")
+            .select(
+                "i",
+                "col",
+                (
+                    F.coalesce(F.col("v.c"), F.lit(0))
+                    + F.coalesce(F.col("d.c"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+
+    view = KeyedParquetView(spark, str(tmp_path / "mv"), ["i", "col"], partition_by="i")
+    # 3 uneven chunks stand in for micro-batches
+    for bid, pred in enumerate(
+        [F.col("event_id") % 3 == 0, F.col("event_id") % 3 == 1, F.col("event_id") % 3 == 2]
+    ):
+        view.merge_custom(expand(ev.filter(pred)), fn, batch_id=bid, writer="cms")
+    streamed = {
+        (r["i"], r["col"]): r["c"] for r in view.read().collect()
+    }
+    batch = {
+        (r["i"], r["col"]): r["c"]
+        for r in expand(ev)
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+    assert streamed == batch
+    # total mass per matrix row == event count (linearity invariant)
+    n = ev.count()
+    for i in range(registry.CMS_D):
+        assert sum(v for (ri, _), v in streamed.items() if ri == i) == n
