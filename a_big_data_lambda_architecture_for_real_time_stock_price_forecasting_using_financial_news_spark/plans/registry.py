@@ -9966,3 +9966,202 @@ def t23_stream_cms_view(spark, sf_dir):
         .filter(1000 * F.col("est_cms") >= F.col("n"))
         .select("user_id", "est_cms", "exact_cnt")
     )
+
+
+@register(
+    "x34_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def x34_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the next-event model a sequence-modeling pipeline fits
+    before anything neural (and the sanity check after: a trained
+    sequence model that disagrees wildly with the empirical bigram
+    matrix is broken). P(to|from) = n / n_from, emitted as its two
+    exact integer terms (f7's rational discipline); the matrix is
+    #event_types squared, so the output is tiny no matter the corpus.
+
+    Shape: ONE per-user ordered pass (lag over (ts, event_id) — the
+    a22/w6 sequence sort, deterministically tiebroken), one
+    map-side-combinable count agg over (from, to), and the n_from
+    denominator as a window sum over the 25-row matrix itself —
+    never a second pass over events. Cross-user boundaries emit no
+    transition (prev is NULL at each user's first event), which is the
+    semantically-honest handling: sessions don't leak across users."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(w_from).cast("bigint").alias("n_from"),
+    )
+
+
+@register(
+    "a25_mad_outliers",
+    """
+    WITH t AS (
+      SELECT event_type AS series,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT series, cents AS med_cents, n FROM t WHERE r = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT t.series, t.cents, abs(t.cents - m.med_cents) AS d, t.event_id,
+             m.med_cents, m.n,
+             row_number() OVER (PARTITION BY t.series
+                                ORDER BY abs(t.cents - m.med_cents),
+                                         t.event_id) AS r2
+      FROM t JOIN med m ON m.series = t.series
+    ),
+    mad AS (
+      SELECT series, d AS mad_cents FROM dev WHERE r2 = (n + 1) // 2
+    )
+    SELECT v.series, CAST(max(v.med_cents) AS BIGINT) AS med_cents,
+           CAST(max(a.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v.d > 3 * a.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad a ON a.series = v.series
+    GROUP BY 1
+    """,
+)
+def a25_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier screen — the ROBUST companion
+    to w12's rolling z-score: mean/stddev move with the very outliers
+    they're meant to flag (one fat-fingered tick inflates sigma and
+    hides its siblings), while the median/MAD pair has a 50% breakdown
+    point. Flags |x - med| > 3*MAD per series with EVERY quantity an
+    exact integer: the 'lower median' is the element at rank
+    (n+1) div 2 of a (value, event_id)-tiebroken order — a pinned
+    ELEMENT, not an interpolated midpoint, so both engines select the
+    identical row and no float exists anywhere (the a23 ntile/a17
+    weighted-median discipline, applied twice: once over values, once
+    over deviations).
+
+    Shape: two per-series rank passes (values, then deviations) with
+    the 5-row median/MAD relations broadcast back between them, one
+    final count agg. Same scale-out as every rank entry: few massive
+    series range-repartition the sort and offset ranks by broadcast
+    prefix counts. The 3*MAD compare multiplies integers — w12's
+    no-float trick."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w_rank = Window.partitionBy("series").orderBy("cents", "event_id")
+    w_all = Window.partitionBy("series")
+    t = (
+        ev.select(
+            F.col("event_type").alias("series"), cents.alias("cents"), "event_id"
+        )
+        .withColumn("r", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    med = t.filter(F.col("r") == F.expr("(n + 1) div 2")).select(
+        "series", F.col("cents").alias("med_cents"), "n"
+    )
+    dev = (
+        t.select("series", "cents", "event_id")
+        .join(F.broadcast(med), "series")
+        .withColumn("d", F.abs(F.col("cents") - F.col("med_cents")))
+    )
+    w_rank2 = Window.partitionBy("series").orderBy("d", "event_id")
+    dev_r = dev.withColumn("r2", F.row_number().over(w_rank2))
+    mad = dev_r.filter(F.col("r2") == F.expr("(n + 1) div 2")).select(
+        "series", F.col("d").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "series")
+        .groupBy("series")
+        .agg(
+            F.max("med_cents").cast("bigint").alias("med_cents"),
+            F.max("mad_cents").cast("bigint").alias("mad_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "d14_canonical_selection",
+    """
+    WITH labeled AS ({CLUSTERS}),
+    q AS (SELECT doc_id, {QUALITY} AS quality FROM documents)
+    SELECT cluster_id,
+           CAST(max(cluster_size) AS BIGINT) AS cluster_size,
+           CAST(max(struct_pack(q := quality, id := doc_id)).id AS BIGINT)
+             AS canonical_id,
+           CAST(max(struct_pack(q := quality, id := doc_id)).q AS DOUBLE)
+             AS canonical_quality,
+           CAST(max(cluster_size) - 1 AS BIGINT) AS n_dropped
+    FROM labeled JOIN q USING (doc_id)
+    GROUP BY cluster_id
+    """.replace(
+        "{CLUSTERS}",
+        _dd.cluster_pairs_sql(
+            _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)
+        ),
+    ).replace("{QUALITY}", _tx.quality_score_sql("text")),
+)
+def d14_canonical_selection(spark, sf_dir):
+    """Canonical-document selection — the step AFTER clustering that the
+    d-battery stopped short of: each near-dup cluster keeps its
+    highest-QUALITY member (not the arbitrary min-id d7 labels clusters
+    by), because dedup that keeps the worst copy of every duplicated
+    page poisons the corpus it was meant to clean. Winner = argmax by
+    the (quality, doc_id) struct — quality is x7's deterministic score
+    (identical IEEE doubles on both engines from identical integer
+    ratios), doc_id breaks exact ties, so the keep decision is
+    reproducible run to run, engine to engine.
+
+    Composition, not re-implementation: d7's label-propagation clusters
+    x x7's quality column, joined once, one struct-argmax agg. The
+    quality join touches only CLUSTERED docs (pair-graph members —
+    vanishingly few of the corpus at 100 TB), so the expensive text
+    scoring runs on the small side; n_dropped per cluster is the audit
+    number a dedup report publishes."""
+    d = tbl(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    labeled = _dd.cluster_pairs(pairs)
+    q = d.select("doc_id", _tx.quality_score(F.col("text")).alias("quality"))
+    pick = F.max(F.struct(F.col("quality").alias("q"), F.col("doc_id").alias("id")))
+    return (
+        labeled.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").cast("bigint").alias("cluster_size"),
+            pick["id"].cast("bigint").alias("canonical_id"),
+            pick["q"].cast("double").alias("canonical_quality"),
+            (F.max("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )

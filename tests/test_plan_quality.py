@@ -1013,3 +1013,33 @@ def test_g15_per_edge_counts_reuse_wedge_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan
+
+
+def test_x34_transitions_one_pass_over_events(spark, sf_dir):
+    """The bigram matrix must come from one per-user ordered pass plus a
+    window over the 25-row matrix — no join back to events, no global
+    sort, no Python."""
+    plan = plan_of(registry.QUERIES["x34_markov_transitions"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_a25_mad_medians_broadcast_back(spark, sf_dir):
+    """Both median relations (5 rows each) must broadcast into the
+    deviation/outlier passes — a shuffled join here would move the full
+    event set twice more; and no global sort anywhere."""
+    plan = plan_of(registry.QUERIES["a25_mad_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_d14_canonical_no_pair_shuffle_on_docs(spark, sf_dir):
+    """Canonical selection composes the d7 cluster graph with the
+    quality column through equi-joins only — no cartesian, no
+    nested-loop, and the text-scoring projection stays JVM-side."""
+    plan = plan_of(registry.QUERIES["d14_canonical_selection"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
