@@ -10165,3 +10165,245 @@ def d14_canonical_selection(spark, sf_dir):
             (F.max("cluster_size") - 1).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+@register(
+    "j13_asof_tolerance_join",
+    """
+    WITH quotes AS (
+      SELECT user_id, ts,
+             CAST(arg_max(CAST(value AS DECIMAL(18,2)), event_id)
+                  AS DECIMAL(18,2)) AS price
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ), lookups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+    ), m AS (
+      SELECT l.event_id, l.user_id,
+             CAST(r.price AS DOUBLE) AS price,
+             epoch_us(CAST(l.ts AS TIMESTAMP))
+               - epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us
+      FROM lookups l ASOF LEFT JOIN quotes r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN gap_us <= 21600000000 THEN price END AS price,
+           CAST(CASE WHEN gap_us <= 21600000000 THEN gap_us END AS BIGINT)
+             AS staleness_us
+    FROM m
+    """,
+)
+def j13_asof_tolerance_join(spark, sf_dir):
+    """j3's as-of join with a MAX-STALENESS tolerance (pandas
+    merge_asof(tolerance=...)): a quote older than 6 hours is no quote —
+    the serving-correctness rule every market-data join needs (the
+    reference's ES lookup happily serves a week-old close as 'current';
+    this is the guardrail). Match first, THEN age out: the prior quote
+    is found exactly as in j3 (the union-sort single-shuffle
+    formulation — never a range join), with the quote's own timestamp
+    carried as a second filled column so the staleness test is one
+    row-local integer compare (microsecond gap vs 21_600_000_000).
+    Out-of-tolerance rows keep their left row with NULL price AND NULL
+    staleness — left semantics preserved, so downstream LOCF/interp
+    (w7/w14) can take over exactly where the tolerance gave up.
+
+    Same cost as j3: one hash exchange + per-key sort; the tolerance
+    adds a projection, not a pass. Oracle: DuckDB native ASOF JOIN plus
+    the same CASE."""
+    from ..operators.asof import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by(F.col("value").cast(DEC), F.col("event_id"))
+            .cast(DEC)
+            .alias("price")
+        )
+        .withColumn("qts", F.col("ts"))
+    )
+    lookups = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(lookups, quotes, ["user_id"], "ts", ["price", "qts"])
+    # timestampdiff is NTZ-safe (unix_micros rejects TIMESTAMP_NTZ, and a
+    # cast through TIMESTAMP would drag the session timezone into a gap)
+    gap = F.expr("timestampdiff(MICROSECOND, qts, ts)")
+    fresh = gap <= 21_600_000_000  # 6 hours
+    return dec2dbl(
+        joined.select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("price")).alias("price"),
+            F.when(fresh, gap).cast("bigint").alias("staleness_us"),
+        )
+    )
+
+
+@register(
+    "f9_realized_variance",
+    """
+    WITH t AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT)
+               - lag(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT series, day,
+           CAST(count(*) + 1 AS BIGINT) AS n_ticks,
+           CAST(sum(d * d) AS BIGINT) AS rv_cents2,
+           CAST(sum(abs(d)) AS BIGINT) AS rav_cents
+    FROM t WHERE d IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def f9_realized_variance(spark, sf_dir):
+    """Daily realized variance (and realized absolute variation) per
+    series — THE model-free volatility estimator (sum of squared
+    successive price moves within the day; Andersen/Bollerslev's
+    realized-vol literature), and the one volatility number that stays
+    in EXACT integer space: no log returns, no stddev — squared cent
+    differences summed as BIGINTs (the w12 multiply-it-out discipline;
+    log-return vol needs ln(), which isn't correctly-rounded
+    cross-engine). The forecaster the reference wraps (SARIMAX) is
+    exactly the consumer: realized variance is the canonical
+    heteroskedasticity regressor.
+
+    Shape: one per-(series, day) ordered pass for the lag diffs — the
+    partition key includes the DAY, so overnight gaps never pollute the
+    intraday sum AND the sort parallelizes across series x days (30x
+    more partitions than a per-series sort; at 100 TB that is the
+    difference between 5 sort tasks and 150+) — then one
+    map-side-combined agg on the same key: Catalyst reuses the window's
+    partitioning for the groupBy, zero extra exchange."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("series", "day").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        F.to_date("ts").alias("day"),
+        cents.alias("cents"),
+        "ts",
+        "event_id",
+    ).select(
+        "series",
+        "day",
+        (F.col("cents") - F.lag("cents").over(w)).alias("d"),
+    )
+    return (
+        t.filter(F.col("d").isNotNull())
+        .groupBy("series", "day")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_ticks"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("rv_cents2"),
+            F.sum(F.abs(F.col("d"))).cast("bigint").alias("rav_cents"),
+        )
+    )
+
+
+@register(
+    "o4_keyset_pagination",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate > DATE '1997-01-01'
+       OR (o_orderdate = DATE '1997-01-01' AND o_orderkey > 0)
+    ORDER BY o_orderdate, o_orderkey LIMIT 20
+    """,
+)
+def o4_keyset_pagination(spark, sf_dir):
+    """Keyset (seek-method) pagination — the scale-correct page-N query
+    that o2's LIMIT/OFFSET deliberately is not: OFFSET k scans and
+    discards k rows EVERY page (page 10_000 of a 100 TB log reads ~all
+    of it), while the keyset predicate '(date, key) > last-seen' is
+    SARGABLE — it pushes to the parquet scan as a min/max row-group
+    filter, so page N costs the same as page 1 forever. The compound
+    tuple compare is expanded into its OR form because parquet pushdown
+    speaks single-column ranges; o_orderkey's uniqueness makes the
+    (date, key) sort total, hence pages are gap-free and overlap-free
+    by construction (the o1/o2 determinism rule).
+
+    Plan: pushed date filter + TakeOrderedAndProject — Spark's
+    distributed top-k (per-partition heap then a 20-row merge), never a
+    global sort. The anchor here is a literal; in a paging service it
+    is the last row of the previous page, which is exactly what makes
+    the next page's predicate prunable."""
+    o = tbl(spark, sf_dir, "orders")
+    anchor_date = F.lit("1997-01-01").cast("date")
+    page = (
+        o.filter(
+            (F.col("o_orderdate") > anchor_date)
+            | ((F.col("o_orderdate") == anchor_date) & (F.col("o_orderkey") > 0))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(DEC).alias("total"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+    return dec2dbl(page)
+
+
+@register(
+    "w15_seasonal_profile",
+    """
+    WITH d AS (
+      SELECT event_type AS series, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), g AS (
+      SELECT series, CAST(dow AS INTEGER) AS dow,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2
+    )
+    SELECT series, dow, sum_cents, n,
+           CAST(sum(sum_cents) OVER (PARTITION BY series) AS BIGINT)
+             AS series_sum,
+           CAST(sum(n) OVER (PARTITION BY series) AS BIGINT) AS series_n
+    FROM g
+    """,
+)
+def w15_seasonal_profile(spark, sf_dir):
+    """Day-of-week seasonal profile per series — the seasonal-naive
+    baseline every forecast evaluation needs (a SARIMAX that can't beat
+    'same weekday last week' isn't earning its fit cost — this table IS
+    that baseline, and doubles as the seasonality diagnostic deciding
+    the S in SARIMAX). Per (series, ISO weekday): exact turnover sum
+    and count, with the series totals alongside so the seasonal lift
+    (dow mean / series mean) is one consumer-side division of four
+    exact integers — no float crosses the engine boundary.
+
+    Weekday convention is pinned cross-engine: Spark weekday() is
+    0=Monday, DuckDB isodow() is 1=Monday — the entry emits ISO
+    (weekday()+1), the kind of off-by-one that silently shifts a
+    week of seasonality if left to engine defaults. Shape: one
+    map-side-combined agg to ≤ 7 x #series rows; the series totals are
+    a window over THAT relation, never a second event pass."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = ev.groupBy(
+        F.col("event_type").alias("series"),
+        (F.weekday(F.to_date("ts")) + 1).cast("int").alias("dow"),
+    ).agg(
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("series")
+    return g.select(
+        "series",
+        "dow",
+        "sum_cents",
+        "n",
+        F.sum("sum_cents").over(w).cast("bigint").alias("series_sum"),
+        F.sum("n").over(w).cast("bigint").alias("series_n"),
+    )

@@ -1043,3 +1043,44 @@ def test_d14_canonical_no_pair_shuffle_on_docs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_j13_tolerance_rides_the_asof_window(spark, sf_dir):
+    """The tolerance must be a projection on top of j3's union-sort plan
+    — one per-user window, no range join, no second join for the quote
+    timestamp."""
+    plan = plan_of(registry.QUERIES["j13_asof_tolerance_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_f9_lag_partitioning_feeds_the_agg(spark, sf_dir):
+    """The intraday-diff window and the realized-variance agg share the
+    (series, day) key: exactly one hash exchange on it — Catalyst must
+    reuse the window's partitioning for the groupBy."""
+    plan = plan_of(registry.QUERIES["f9_realized_variance"](spark, sf_dir))
+    assert plan.count("hashpartitioning(series") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_o4_keyset_pushes_anchor_and_plans_topk(spark, sf_dir):
+    """The seek predicate must reach the scan (PushedFilters mentions
+    o_orderdate) and the page must be a distributed top-k
+    (TakeOrderedAndProject), never a global sort exchange."""
+    plan = plan_of(registry.QUERIES["o4_keyset_pagination"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_w15_profile_single_event_pass(spark, sf_dir):
+    """Series totals must come from a window over the <=35-row profile,
+    never a second scan: one parquet scan, no join."""
+    import re
+
+    plan = plan_of(registry.QUERIES["w15_seasonal_profile"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
+    assert "Join" not in plan
