@@ -10407,3 +10407,138 @@ def w15_seasonal_profile(spark, sf_dir):
         F.sum("sum_cents").over(w).cast("bigint").alias("series_sum"),
         F.sum("n").over(w).cast("bigint").alias("series_n"),
     )
+
+
+@register(
+    "m14_knn_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, label AS tl
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS nl
+      FROM embeddings WHERE vec_id % 50 <> 0
+    ), scored AS (
+      SELECT q.query_id, q.tl, c.neighbor_id, c.nl,
+             {COS} AS score
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, tl, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, tl, nl, count(*) AS cnt
+      FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT query_id, tl,
+             min(struct_pack(nc := -cnt, lb := nl)).lb AS pred
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT CAST(tl AS INTEGER) AS true_label,
+           CAST(pred AS INTEGER) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pick GROUP BY 1, 2
+    """.replace("{COS}", _sim.cosine_sql("q.q_emb", "c.c_emb")),
+)
+def m14_knn_eval(spark, sf_dir):
+    """k-NN classification eval — the model-free baseline every
+    embedding-quality report needs: if 5-NN majority vote over the
+    embedding space can't recover labels, no probe trained on it will
+    (and if it CAN, the m9 MLP has a floor to beat — this matrix is the
+    third eval leg after m11's confusion and m12's calibration, for the
+    classifier that needs no training at all). Held-out queries
+    (vec_id % 50 — the serving-sized 2% sample _serving_sized enforces)
+    score against the TRAIN side only; 5 nearest by cosine with the s1
+    (score DESC, neighbor_id) deterministic tiebreak; majority vote
+    resolves ties to the SMALLEST label via one struct argmin — no
+    engine-dependent arbitrary pick anywhere. Output is the exact
+    confusion matrix of the vote.
+
+    Shape: the s1 broadcast-queries x corpus-scan pattern (the one
+    sanctioned nested-loop in the registry, bounded by the broadcast
+    contract) + two tiny aggs over Q*5 vote rows. At corpus scale the
+    brute-force leg swaps for the s8 IVF->rerank cascade unchanged —
+    the vote/confusion tail never sees more than Q*k rows either way."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 50 == 0)
+    train = emb.filter(F.col("vec_id") % 50 != 0)
+    nn = _sim.topk_bruteforce(train, test, k=5)
+    nlab = train.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    tlab = test.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tl"))
+    votes = (
+        nn.join(nlab, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pick = (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("nl").alias("lb")))[
+                "lb"
+            ].alias("pred")
+        )
+        .join(F.broadcast(tlab), "query_id")
+    )
+    return pick.groupBy(
+        F.col("tl").cast("int").alias("true_label"),
+        F.col("pred").cast("int").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "x35_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, t
+      FROM documents, unnest({TOKS}) AS u(t)
+    ), df AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), vocab AS (
+      SELECT t FROM df ORDER BY df DESC, t LIMIT 256
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM toks LEFT JOIN vocab v USING (t)
+    GROUP BY 1
+    """.replace("{TOKS}", _tx.tokens_sql("text")),
+)
+def x35_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage / OOV audit — the fit-then-transform shape of
+    every tokenizer pipeline, measured exactly: fit a 256-term vocab as
+    the top document-frequency terms (ORDER BY df DESC with the term
+    itself as tiebreak — a pinned, reproducible vocabulary, which is
+    the whole point: a vocab that changes under re-sort poisons every
+    downstream model), then score the corpus's out-of-vocabulary token
+    mass per language. High OOV in one language = the vocab underfits
+    it — the multilingual-tokenizer fairness number (per-language
+    compression disparity) reported before anyone trains.
+
+    Two passes over tokens by necessity (fit needs global df before
+    transform can score — same contract as x10's IDF), but the vocab
+    selection is a DISTRIBUTED TOP-K (TakeOrderedAndProject: per-
+    partition heaps then a 256-row merge), never a global sort of the
+    term table, and the coverage join broadcasts 256 terms against the
+    token stream. m13's hashing trick is the vocab-free alternative;
+    this entry is the measured case for when it's worth it."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("t")
+    )
+    df_ = toks.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    vocab = df_.orderBy(F.desc("df"), F.asc("t")).limit(256).select("t")
+    cov = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "t", "left"
+    )
+    return cov.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )

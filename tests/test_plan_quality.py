@@ -1084,3 +1084,22 @@ def test_w15_profile_single_event_pass(spark, sf_dir):
     plan = plan_of(registry.QUERIES["w15_seasonal_profile"](spark, sf_dir))
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
     assert "Join" not in plan
+
+
+def test_m14_vote_tail_never_joins_big_sides(spark, sf_dir):
+    """The kNN eval rides s1's sanctioned broadcast nested-loop for
+    scoring; everything after rank<=5 must be hash aggs and a broadcast
+    label join — no SortMergeJoin anywhere."""
+    plan = plan_of(registry.QUERIES["m14_knn_eval"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x35_vocab_is_distributed_topk_and_broadcast(spark, sf_dir):
+    """The vocab fit must plan as TakeOrderedAndProject (per-partition
+    heap top-256), never a global sort of the term table; the coverage
+    join must broadcast the 256-term vocab."""
+    plan = plan_of(registry.QUERIES["x35_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
