@@ -10542,3 +10542,156 @@ def x35_vocab_coverage(spark, sf_dir):
         .cast("bigint")
         .alias("n_oov"),
     )
+
+
+@register(
+    "a26_rolling_distinct_reach",
+    """
+    WITH ud AS (
+      SELECT DISTINCT event_type AS series, user_id, CAST(ts AS DATE) AS day
+      FROM events
+    ), expanded AS (
+      SELECT series, user_id,
+             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                         CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS wday
+      FROM ud
+    ), bounds AS (
+      SELECT series, min(day) AS lo, max(day) AS hi FROM ud GROUP BY 1
+    )
+    SELECT e.series, e.wday AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS reach_7d
+    FROM expanded e JOIN bounds b
+      ON b.series = e.series AND e.wday BETWEEN b.lo AND b.hi
+    GROUP BY 1, 2
+    """,
+)
+def a26_rolling_distinct_reach(spark, sf_dir):
+    """Rolling 7-day distinct-user reach per series — the windowed
+    COUNT(DISTINCT) that window functions CANNOT express (distinct
+    aggregates are illegal in a frame, in Spark and in the standard)
+    and that naive rewrites get quadratically wrong (a per-day self-join
+    over the window re-scans 7x per day). The scalable rewrite: dedup
+    to (series, user, day) grain — the only pass over raw events —
+    then each user-day VOTES into the 7 windows that can see it
+    (explode of a 7-element day sequence: a bounded x7 blowup of the
+    already-tiny distinct grain), and one count-distinct agg per
+    (series, window-day). Window days outside the observed span are
+    clipped so every emitted day aggregates a fully-defined window
+    position (leading partial windows are real reach, trailing
+    phantom days are not emitted).
+
+    At 100 TB the x7 explode happens AFTER the dedup agg has collapsed
+    events to active-user-days (orders of magnitude smaller), and both
+    aggs are map-side combinable on their keys. Generalizes to any
+    window length W at cost xW of the grain — the honest price of
+    exact distinct over sliding windows; a9/a20 are the sketch answers
+    when W gets long."""
+    ev = tbl(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("event_type").alias("series"),
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).distinct()
+    bounds = ud.groupBy("series").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    expanded = ud.select(
+        "series",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("wday"),
+    )
+    return (
+        expanded.join(F.broadcast(bounds), "series")
+        .filter(F.col("wday").between(F.col("lo"), F.col("hi")))
+        .groupBy("series", F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("reach_7d"))
+    )
+
+
+@register(
+    "f10_historical_var",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                  v := CAST(round(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS close_cents
+      FROM events GROUP BY 1, 2
+    ), rets AS (
+      SELECT series,
+             close_cents - lag(close_cents)
+               OVER (PARTITION BY series ORDER BY day) AS ret,
+             day
+      FROM daily
+    ), ranked AS (
+      SELECT series, ret, day,
+             row_number() OVER (PARTITION BY series ORDER BY ret, day) AS r,
+             count(*) OVER (PARTITION BY series) AS n
+      FROM rets WHERE ret IS NOT NULL
+    )
+    SELECT series,
+           CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN r = (n * 5 + 99) // 100 THEN ret END)
+                AS BIGINT) AS var95_cents,
+           CAST(max(CASE WHEN r = (n * 1 + 99) // 100 THEN ret END)
+                AS BIGINT) AS var99_cents,
+           CAST(min(ret) AS BIGINT) AS worst_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def f10_historical_var(spark, sf_dir):
+    """Historical value-at-risk per series — the risk number the
+    reference's serving view exists to feed a human deciding position
+    sizes, computed the way a risk desk actually does it (empirical
+    quantile of realized daily moves, no distributional assumption):
+    VaR95/VaR99 = the ceil(0.05n)/ceil(0.01n)-th WORST daily close
+    change, selected as a pinned rank element over a (return, day)-
+    tiebroken order — the a25 exact-quantile discipline, so both
+    engines pick the identical day's move and every column is a BIGINT
+    (ceil(kn/100) = (n*k + 99) div 100 in pure integers). The worst
+    single move rides along (VaR's blind spot — the tail beyond the
+    quantile — made visible; w11's drawdown is the path-dependent
+    companion).
+
+    Shape: daily close agg (deterministic (ts, value) struct rule),
+    one per-series lag, one per-series rank, one final agg — all on
+    the days-per-series grain, never raw ticks. The conditional-max
+    rank pick means no second join back: the quantile SELECTION is
+    part of the aggregation."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
+        .cast("bigint")
+        .alias("close_cents")
+    )
+    w_lag = Window.partitionBy("series").orderBy("day")
+    rets = daily.select(
+        "series",
+        (F.col("close_cents") - F.lag("close_cents").over(w_lag)).alias("ret"),
+        "day",
+    ).filter(F.col("ret").isNotNull())
+    w_rank = Window.partitionBy("series").orderBy("ret", "day")
+    w_all = Window.partitionBy("series")
+    ranked = rets.withColumn("r", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    return ranked.groupBy("series").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(F.when(F.col("r") == F.expr("(n * 5 + 99) div 100"), F.col("ret")))
+        .cast("bigint")
+        .alias("var95_cents"),
+        F.max(F.when(F.col("r") == F.expr("(n * 1 + 99) div 100"), F.col("ret")))
+        .cast("bigint")
+        .alias("var99_cents"),
+        F.min("ret").cast("bigint").alias("worst_cents"),
+    )

@@ -70,6 +70,12 @@ HEADLINE = [
     "x31_corpus_shuffle",
     "j10_bloom_prune",
     "a20_hll_distinct",
+    # late-r8: the triangle-derived link features (the heaviest new graph
+    # entry — rides g8's wedge join plus an explode/count tail) and the
+    # one-scan DQ audit (Expand x5 over a full lineitem scan: the widest
+    # single-aggregate shape in the registry — scan-bound by design)
+    "g15_common_neighbors",
+    "a24_dq_audit",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with

@@ -1103,3 +1103,25 @@ def test_x35_vocab_is_distributed_topk_and_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_a26_reach_explodes_the_dedup_grain_not_events(spark, sf_dir):
+    """The x7 window explode must sit ABOVE the (series, user, day)
+    dedup aggregate — Generate over the post-agg relation, bounds
+    broadcast, and never a range join."""
+    plan = plan_of(registry.QUERIES["a26_rolling_distinct_reach"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # explode consumes the deduped grain: the Generate node's child chain
+    # includes a HashAggregate before any scan re-entry
+    assert plan.index("Generate") > plan.index("HashAggregate")
+
+
+def test_f10_var_selection_inside_the_aggregate(spark, sf_dir):
+    """The quantile pick is a conditional max inside the final agg — no
+    join back from the rank relation, no global sort, everything on the
+    days-per-series grain."""
+    plan = plan_of(registry.QUERIES["f10_historical_var"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
