@@ -10695,3 +10695,60 @@ def f10_historical_var(spark, sf_dir):
         .alias("var99_cents"),
         F.min("ret").cast("bigint").alias("worst_cents"),
     )
+
+
+@register(
+    "p15_shallow_clone",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT event_date,
+           CAST(CASE WHEN day(event_date) <= 10 THEN 3 * n ELSE 2 * n END
+                AS BIGINT) AS n
+    FROM daily
+    """,
+)
+def p15_shallow_clone(spark, sf_dir):
+    """Zero-copy SHALLOW CLONE of the keyed view
+    (streaming/upsert.py:KeyedParquetView.clone_to) — the lakehouse
+    fork primitive (Delta SHALLOW CLONE / Iceberg snapshot-ref): the
+    clone is ONE JSON manifest whose base pointer resolves shared
+    history in the source's version dirs, so forking a 100 TB table for
+    a what-if reprocess costs O(metadata), not O(data). This entry
+    proves the full copy-on-write lifecycle: the source view takes two
+    merges (daily counts, then a x2 revision of every day — the t19
+    history); the CLONE then receives a x3 correction for days <= 10.
+    The returned clone state must show the correction ONLY where
+    applied (3n for days <= 10, the shared 2n elsewhere), read through
+    a mixed manifest — corrected partitions from the clone's own
+    version dir, untouched partitions from the source's. The pytest
+    twin additionally pins the zero-copy and isolation halves: no
+    parquet under the clone before its merge, source unchanged after
+    it."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("event_id").alias("_ord"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "clone_" + uuid.uuid4().hex[:8])
+    src = KeyedParquetView(spark, _os.path.join(root, "src"), ["event_date"])
+    src.merge_overwrite_by_key(daily, "_ord", batch_id=0, writer="p15")
+    src.merge_overwrite_by_key(
+        daily.withColumn("n", F.col("n") * 2), "_ord", batch_id=1, writer="p15"
+    )
+    clone = src.clone_to(_os.path.join(root, "fork"))
+    fix = daily.filter(F.dayofmonth("event_date") <= 10).withColumn(
+        "n", F.col("n") * 3
+    )
+    clone.merge_overwrite_by_key(fix, "_ord", batch_id=0, writer="fix")
+    return clone.read().select("event_date", "n")

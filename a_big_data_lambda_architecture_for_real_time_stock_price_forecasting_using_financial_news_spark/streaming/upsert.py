@@ -334,6 +334,16 @@ class KeyedParquetView:
         if parts is not None:
             doc["parts"] = parts
             doc["part_type"] = part_type or cur.get("part_type")
+        if cur.get("base"):
+            # shallow clone: the base pointer must survive every flip, or
+            # shared-history partitions would resolve to local missing dirs.
+            # Exception: once every partition is locally owned (compact()'s
+            # full rewrite), the clone is self-contained — drop the pointer
+            # so it can be vacuumed against and re-cloned freely.
+            bv = cur.get("base_version", 0)
+            if parts is None or any(v <= bv for v in parts.values()):
+                doc["base"] = cur["base"]
+                doc["base_version"] = bv
         tmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
@@ -353,7 +363,20 @@ class KeyedParquetView:
         str() of date/int/str does; exotic key types should pre-format."""
         return str(v)
 
-    def _read_selected(self, sel: dict[str, int], part_type: str | None) -> DataFrame | None:
+    def _vdir(self, ver: int, cur: dict | None = None) -> str:
+        """Resolve a version dir. A SHALLOW CLONE's manifest carries
+        ``base``/``base_version``: versions up to the clone point live
+        under the source view's path (shared read-only history, zero data
+        copied); versions after it are the clone's own."""
+        cur = self._pointer() if cur is None else cur
+        base = cur.get("base")
+        if base and ver <= cur.get("base_version", 0):
+            return os.path.join(base, f"v={ver}")
+        return os.path.join(self.path, f"v={ver}")
+
+    def _read_selected(
+        self, sel: dict[str, int], part_type: str | None, cur: dict | None = None
+    ) -> DataFrame | None:
         """Union of the wanted partitions, each from its owning version dir.
         The isin filter is a partition predicate, so each read opens only
         the selected subdirectories."""
@@ -364,7 +387,7 @@ class KeyedParquetView:
             by_ver[ver].append(p)
         pieces = []
         for ver, ps in by_ver.items():
-            base = os.path.join(self.path, f"v={ver}")
+            base = self._vdir(ver, cur)
             df = self.spark.read.parquet(base).filter(
                 F.col(self.part_col).cast("string").isin(ps)
             )
@@ -384,7 +407,7 @@ class KeyedParquetView:
         parts = cur.get("parts")
         if parts is None:  # legacy / partition_by=None layout
             return self.spark.read.parquet(os.path.join(self.path, f"v={cur['version']}"))
-        return self._read_selected(parts, cur.get("part_type"))
+        return self._read_selected(parts, cur.get("part_type"), cur)
 
     def read_at(self, version: int) -> DataFrame | None:
         """Time travel: the view as of a past version — each partition's
@@ -403,12 +426,12 @@ class KeyedParquetView:
         for p, ver in parts.items():
             v = min(ver, version)
             while v >= 1 and not os.path.isdir(
-                os.path.join(self.path, f"v={v}", f"{self.part_col}={p}")
+                os.path.join(self._vdir(v, cur), f"{self.part_col}={p}")
             ):
                 v -= 1
             if v >= 1:
                 sel[p] = v
-        return self._read_selected(sel, cur.get("part_type"))
+        return self._read_selected(sel, cur.get("part_type"), cur)
 
     def read_partitions(self, wanted: list[str]) -> DataFrame | None:
         """Current rows of just the named partitions (string form)."""
@@ -420,7 +443,7 @@ class KeyedParquetView:
             full = self.read()
             return full.filter(F.col(self.part_col).cast("string").isin(wanted))
         sel = {p: parts[p] for p in wanted if p in parts}
-        return self._read_selected(sel, cur.get("part_type"))
+        return self._read_selected(sel, cur.get("part_type"), cur)
 
     def _touched(self, batch: DataFrame) -> list[str]:
         vals = [r[0] for r in batch.select(self.part_col).distinct().collect()]
@@ -630,6 +653,60 @@ class KeyedParquetView:
             self._flip(nxt, -1, "_compact", parts=parts, part_type=cur.get("part_type"))
             self._vacuum()
             return nxt
+
+    def clone_to(self, dst_path: str) -> "KeyedParquetView":
+        """Zero-copy SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW
+        CLONE` contract): copy the MANIFEST ONLY into ``dst_path``, with
+        ``base``/``base_version`` pointing data resolution back at this
+        view's version dirs. O(metadata) — no parquet file is read, copied,
+        or even listed; at 100 TB the clone is a single JSON write, which
+        is the entire point (dev/test forks, what-if reprocessing,
+        point-of-divergence experiments against production tables).
+
+        The clone EVOLVES INDEPENDENTLY: its merges read shared history
+        through the base pointer but write new version dirs under its own
+        path and re-point only its own manifest — copy-on-write at
+        partition granularity. The source never sees clone writes; the
+        clone never sees post-clone source writes (its manifest pins the
+        clone-point versions). Retention caveat, same as Delta:
+        ``vacuum()``/``compact()`` on the SOURCE can delete version dirs
+        the clone still references — production setups either pin source
+        retention or ``compact()`` the clone (a full local rewrite, the
+        documented de-clone) before vacuuming the source. Clone-of-clone
+        is refused rather than silently mis-resolved: the manifest carries
+        ONE base, so re-clone after compacting the first clone."""
+        cur = self._pointer()
+        if cur["version"] == 0:
+            raise ValueError(f"cannot clone empty view at {self.path}")
+        if cur.get("base"):
+            raise ValueError(
+                f"{self.path} is itself a shallow clone; compact() it into a "
+                "self-contained view before cloning again (single-base "
+                "manifest resolution)"
+            )
+        if cur.get("parts") is None:
+            raise ValueError(
+                "shallow clone requires the partitioned manifest layout "
+                "(partition_by=None views rewrite wholesale — just copy the "
+                "current version dir)"
+            )
+        clone = KeyedParquetView(
+            self.spark, dst_path, self.key_cols, partition_by=self.part_col
+        )
+        doc = {
+            "version": cur["version"],
+            "batch_ids": {},  # fresh replay watermarks: the clone is a new pipeline
+            "ts": time.time(),
+            "parts": dict(cur["parts"]),
+            "part_type": cur.get("part_type"),
+            "base": os.path.abspath(self.path),
+            "base_version": cur["version"],
+        }
+        tmp = os.path.join(dst_path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, os.path.join(dst_path, "_CURRENT"))
+        return clone
 
     def vacuum(self) -> list[int]:
         with self._lease():

@@ -1286,3 +1286,64 @@ def test_t23_streamed_cms_matrix_equals_batch_build(spark, sf_dir, tmp_path):
     n = ev.count()
     for i in range(registry.CMS_D):
         assert sum(v for (ri, _), v in streamed.items() if ri == i) == n
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, sf_dir, tmp_path):
+    """The clone_to contract end to end: (1) the clone is metadata-only
+    until written (no parquet under its path); (2) a merge into the
+    clone leaves the source bit-identical; (3) the clone reads a MIXED
+    manifest (its own new version dir + the source's shared history);
+    (4) post-clone source writes are invisible to the clone;
+    (5) compact() localizes the clone (drops the base pointer) and a
+    re-clone of the compacted clone is then legal."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.streaming.upsert import (
+        KeyedParquetView,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("event_id").alias("_ord"),
+    )
+    src = KeyedParquetView(spark, str(tmp_path / "src"), ["event_date"])
+    src.merge_overwrite_by_key(daily, "_ord", batch_id=0)
+    before = {(r["event_date"], r["n"]) for r in src.read().collect()}
+
+    clone = src.clone_to(str(tmp_path / "fork"))
+    # (1) zero-copy: manifest only, no data files under the clone
+    files = [
+        f for _, _, fs in os.walk(tmp_path / "fork") for f in fs if f.endswith(".parquet")
+    ]
+    assert files == []
+    assert {(r["event_date"], r["n"]) for r in clone.read().collect()} == before
+
+    # (2)+(3) merge into the clone: source unchanged, clone diverged
+    fix = daily.filter(F.dayofmonth("event_date") <= 5).withColumn("n", F.lit(0))
+    clone.merge_overwrite_by_key(fix, "_ord", batch_id=0, writer="fix")
+    assert {(r["event_date"], r["n"]) for r in src.read().collect()} == before
+    forked = {(r["event_date"], r["n"]) for r in clone.read().collect()}
+    assert forked == {
+        (d, 0 if d.day <= 5 else n) for d, n in before
+    }
+
+    # (4) post-clone source writes are invisible to the clone
+    src.merge_overwrite_by_key(
+        daily.withColumn("n", F.col("n") * 10), "_ord", batch_id=1
+    )
+    assert {(r["event_date"], r["n"]) for r in clone.read().collect()} == forked
+
+    # (5) compact() localizes: base pointer dropped, re-clone now legal
+    clone.compact()
+    doc = json.load(open(tmp_path / "fork" / "_CURRENT"))
+    assert "base" not in doc
+    assert {(r["event_date"], r["n"]) for r in clone.read().collect()} == forked
+    clone2 = clone.clone_to(str(tmp_path / "fork2"))
+    assert {(r["event_date"], r["n"]) for r in clone2.read().collect()} == forked
