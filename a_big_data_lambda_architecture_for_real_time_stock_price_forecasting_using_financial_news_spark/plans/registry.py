@@ -10752,3 +10752,165 @@ def p15_shallow_clone(spark, sf_dir):
     )
     clone.merge_overwrite_by_key(fix, "_ord", batch_id=0, writer="fix")
     return clone.read().select("event_date", "n")
+
+
+@register(
+    "u9_right_to_erasure",
+    """
+    SELECT CAST(user_id % 16 AS BIGINT) AS ub,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id NOT IN (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 997 = 0
+    )
+    GROUP BY 1
+    """,
+)
+def u9_right_to_erasure(spark, sf_dir):
+    """Right-to-erasure (GDPR Art. 17) on the keyed view — the
+    lakehouse DELETE nobody designs for until the request arrives: hard-
+    remove every row of a user set from a materialized view, with cost
+    O(partitions containing the user), NOT O(view). The layout IS the
+    compliance story: this view partitions by a USER-HASH BUCKET
+    (user_id % 16), so an erasure touches exactly the victim users'
+    buckets and rewrites only those — under date partitioning (t19's
+    layout) the same request rewrites every partition of history, which
+    at 100 TB is the difference between a 1/16th rewrite and a full
+    one (Delta's deletion vectors attack the same cost from the file
+    side; partition-localized rewrite is the layout-side answer, and
+    they compose). Erasure runs as merge_custom: current-state rows of
+    the touched buckets minus the victims, REPLACING those partitions
+    wholesale under the manifest flip — versioned like any merge, so
+    the erasure itself is auditable (and read_at of prior versions
+    still sees the data until vacuum(), which IS the retention step the
+    regulation actually requires — the docstring is the runbook:
+    erase, then vacuum).
+
+    Victims: user_id % 997 == 0 (a realistic trickle, ~0.1%). The
+    returned per-bucket census must equal the oracle's recompute-
+    without-victims — proving no victim row survived AND no bystander
+    row was lost."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    rows = ev.select(
+        (F.col("user_id") % 16).alias("ub"), "user_id", "event_id", "event_type"
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "gdpr_" + uuid.uuid4().hex[:8])
+    view = KeyedParquetView(spark, root, ["ub", "event_id"], partition_by="ub")
+    view.merge_overwrite_by_key(
+        rows.withColumn("_ord", F.col("event_id")), "_ord", batch_id=0, writer="load"
+    )
+    victims = (
+        ev.filter(F.col("user_id") % 997 == 0)
+        .select((F.col("user_id") % 16).alias("ub"), "user_id")
+        .distinct()
+    )
+
+    def erase(cur, b):
+        if cur is None:
+            return b.limit(0)
+        gone = b.select("user_id").distinct()
+        return cur.join(gone, "user_id", "left_anti")
+
+    view.merge_custom(victims, erase, batch_id=0, writer="erase")
+    out = view.read()
+    return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "g16_deterministic_walks",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
+    ),
+    seeds AS (SELECT DISTINCT u AS n0 FROM und WHERE u % 100 = 0),
+    s1 AS (
+      SELECT n0, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n0, e.v, '1'))[1:15]) AS BIGINT), nx := e.v)).nx AS n1
+      FROM seeds JOIN und e ON e.u = n0 GROUP BY n0
+    ),
+    s2 AS (
+      SELECT n0, n1, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n1, e.v, '2'))[1:15]) AS BIGINT), nx := e.v)).nx AS n2
+      FROM s1 JOIN und e ON e.u = n1 GROUP BY n0, n1
+    ),
+    s3 AS (
+      SELECT n0, n1, n2, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n2, e.v, '3'))[1:15]) AS BIGINT), nx := e.v)).nx AS n3
+      FROM s2 JOIN und e ON e.u = n2 GROUP BY n0, n1, n2
+    )
+    SELECT n0, n1, n2, n3 FROM s3
+    """,
+)
+def g16_deterministic_walks(spark, sf_dir):
+    """Deterministic 3-hop graph walks — the graph-sampling primitive
+    under DeepWalk/node2vec-style embedding pipelines, made
+    REPRODUCIBLE: at each step the walker moves to the neighbor
+    minimizing a seeded portable hash of (current node, neighbor,
+    step), so the 'random' walk is a pure function of the graph — same
+    corpus, same walks, on any cluster, any partitioning, both engines
+    (the x31 reproducible-shuffle argument applied to graph traversal;
+    Math.random is banned from this registry for exactly this reason).
+    Per seed (every 100th node of the co-occurrence graph), the walk
+    unrolls as three equi-joins against the symmetrized edge table,
+    each followed by a struct-argmin per frontier node — the g12 BFS
+    shape with an argmin instead of a min-distance agg.
+
+    Scale: each step moves the frontier (|seeds| rows), never the
+    graph; the edge table is the join's build side ONCE per step and
+    co-locates under the g9/g11 bucketed layout. Real walk fleets run
+    W walks x L steps as W seeded hash columns over the same L joins —
+    cost grows with W in COLUMNS (one argmin per walk id), not in
+    passes."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    und = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()  # cache: released-in-fn after the third hop plans
+
+    def hop(frontier, cur_col, step, out_col):
+        e = und.select(F.col("u").alias(cur_col), F.col("v").alias("nx"))
+        h = _hh.phash60(
+            F.concat_ws("|", F.col(cur_col), F.col("nx"), F.lit(str(step)))
+        )
+        keys = [c for c in frontier.columns]
+        return (
+            frontier.join(e, cur_col)
+            .groupBy(*keys)
+            .agg(
+                F.min(F.struct(h.alias("h"), F.col("nx").alias("nx")))["nx"].alias(
+                    out_col
+                )
+            )
+        )
+
+    seeds = und.filter(F.col("u") % 100 == 0).select(F.col("u").alias("n0")).distinct()
+    w1 = hop(seeds, "n0", 1, "n1")
+    w2 = hop(w1, "n1", 2, "n2")
+    w3 = hop(w2, "n2", 3, "n3")
+    return w3.select("n0", "n1", "n2", "n3")

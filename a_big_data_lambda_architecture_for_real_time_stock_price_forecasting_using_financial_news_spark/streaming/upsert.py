@@ -478,7 +478,14 @@ class KeyedParquetView:
         df.write.mode("overwrite").partitionBy(self.part_col).parquet(vdir)
         parts = dict(cur.get("parts", {}))
         for p in touched:
-            parts[p] = nxt
+            # a merge may legitimately EMPTY a partition (u9's erasure, a
+            # retention delete): partitionBy writes no dir for it, so
+            # pointing the manifest at the fileless version would break
+            # every read — the partition is DELETED, drop it instead
+            if os.path.isdir(os.path.join(vdir, f"{self.part_col}={p}")):
+                parts[p] = nxt
+            else:
+                parts.pop(p, None)
         part_type = cur.get("part_type") or df.schema[self.part_col].dataType.simpleString()
         self._flip(nxt, batch_id, writer, parts=parts, part_type=part_type)
 

@@ -1125,3 +1125,14 @@ def test_f10_var_selection_inside_the_aggregate(spark, sf_dir):
     plan = plan_of(registry.QUERIES["f10_historical_var"](spark, sf_dir))
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_g16_walk_frontier_joins_stay_equi(spark, sf_dir):
+    """Each hop must be an equi-join of the frontier against the edge
+    table plus a struct-argmin agg — no cartesian, no nested loop, no
+    Python, and no nondeterministic expression anywhere."""
+    plan = plan_of(registry.QUERIES["g16_deterministic_walks"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "rand(" not in plan

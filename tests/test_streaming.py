@@ -1347,3 +1347,31 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, sf_dir, tmp_path):
     assert {(r["event_date"], r["n"]) for r in clone.read().collect()} == forked
     clone2 = clone.clone_to(str(tmp_path / "fork2"))
     assert {(r["event_date"], r["n"]) for r in clone2.read().collect()} == forked
+
+
+def test_merge_that_empties_a_partition_deletes_it(spark, sf_dir, tmp_path):
+    """A merge whose output for a touched partition is EMPTY must remove
+    that partition from the manifest (the erasure/retention-delete
+    case) — not point it at a fileless version dir that breaks reads;
+    untouched partitions stay readable."""
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.streaming.upsert import (
+        KeyedParquetView,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b"), (1, 3, "c")], "b bigint, k bigint, v string"
+    )
+    view = KeyedParquetView(spark, str(tmp_path / "mv"), ["b", "k"], partition_by="b")
+    view.merge_overwrite_by_key(rows.withColumn("_o", F.col("k")), "_o", batch_id=0)
+
+    def wipe(cur, batch):  # delete every row of the touched partition
+        return (cur if cur is not None else batch).limit(0)
+
+    view.merge_custom(
+        spark.createDataFrame([(0,)], "b bigint"), wipe, batch_id=0, writer="w"
+    )
+    got = {(r["b"], r["k"]) for r in view.read().collect()}
+    assert got == {(1, 3)}
+    assert "0" not in view._pointer()["parts"]
