@@ -8349,7 +8349,7 @@ def a19_gini(spark, sf_dir):
 # Bloom), rolling exact median — the remaining training-pipeline staples
 # ---------------------------------------------------------------------------
 
-from ..ext.hashing import phash60, phash60_sql  # noqa: E402
+from ..ext.hashing import FP_BASE, FP_MOD, phash60, phash60_sql  # noqa: E402
 
 N_SHUF_SHARDS = 16
 
@@ -10914,3 +10914,181 @@ def g16_deterministic_walks(spark, sf_dir):
     w2 = hop(w1, "n1", 2, "n2")
     w3 = hop(w2, "n2", 3, "n3")
     return w3.select("n0", "n1", "n2", "n3")
+
+
+@register(
+    "x36_cdc_chunks",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents
+    ), toks AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.t AS t
+      FROM base, unnest(list_transform(range(1, len(tl) + 1),
+           i -> struct_pack(pos := i, t := tl[i]))) AS u(s)
+    ), h AS (
+      SELECT doc_id, pos, CAST(concat('0x', md5(t)[1:15]) AS BIGINT) AS ph FROM toks
+    ), c AS (
+      SELECT doc_id, pos, ph,
+             sum(CASE WHEN ph % 64 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+      FROM h
+    ), g AS (
+      SELECT doc_id, chunk,
+             list(ph % 1000000007 ORDER BY pos) AS hs,
+             count(*) AS n_toks
+      FROM c GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id, n_toks,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                         (acc, t) -> (acc * 131 + t) % 1000000007) AS chunk_hash
+      FROM g
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(n_toks) AS BIGINT) AS n_toks
+    FROM fp GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def x36_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin-style) + shared-chunk detection —
+    the dedup granularity d8's FIXED 16-word passages cannot reach: a
+    single inserted word shifts every fixed window after it (all
+    fingerprints change, the duplication goes dark), while content-
+    defined boundaries (cut BEFORE any token whose hash ≡ 0 mod 64 —
+    expected chunk ~64 tokens) re-synchronize one chunk after the edit,
+    so the rest of the shared text still collides. This is the chunking
+    under every dedup-at-scale storage system (LBFS/restic/backup dedup)
+    and increasingly under corpus near-dup mining; here it lands as the
+    sixth member of the dedup taxonomy (exact/minhash/simhash/passage/
+    containment/content-defined).
+
+    One hash per token, computed ONCE and reused for both decisions
+    (boundary test on ph mod 64, fingerprint step on ph mod p — the
+    ext/dedup rule about never re-mentioning an expensive expression);
+    chunk ids are a per-doc running boundary count (one window per doc,
+    partitions by doc_id — embarrassingly parallel); each chunk's
+    order-sensitive rolling fingerprint folds inside the agg projection
+    (x9's fingerprint, per chunk). Shared chunks (n_occ >= 2) come out
+    of one final hash agg. All integers; boundaries, chunks, and
+    fingerprints are pure functions of the text."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tx.tokens(F.col("text"))).alias("pos", "t")
+    )
+    h = toks.select("doc_id", "pos", _hh.phash60(F.col("t")).alias("ph"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    c = h.withColumn(
+        "chunk",
+        F.sum(F.when(F.col("ph") % 64 == 0, 1).otherwise(0)).over(w),
+    )
+    g = c.groupBy("doc_id", "chunk").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("pos").alias("p"), (F.col("ph") % FP_MOD).alias("s"))
+            )
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    fp = g.select(
+        "doc_id",
+        "n_toks",
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * FP_BASE + x["s"]) % FP_MOD,
+        ).alias("chunk_hash"),
+    )
+    return (
+        fp.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.min("n_toks").cast("bigint").alias("n_toks"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+@register(
+    "w16_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
+      GROUP BY 1
+    ), gaps AS (
+      SELECT s.user_id,
+             epoch_us(p.p_ts) - epoch_us(s.s_ts) AS gap_us
+      FROM s JOIN p ON p.user_id = s.user_id
+    ), ranked AS (
+      SELECT gap_us,
+             row_number() OVER (ORDER BY gap_us, user_id) AS r,
+             count(*) OVER () AS n
+      FROM gaps
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(max(CASE WHEN r = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+             AS median_gap_us,
+           CAST(max(CASE WHEN r = (n * 90 + 99) // 100 THEN gap_us END)
+                AS BIGINT) AS p90_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM ranked
+    """,
+)
+def w16_time_to_convert(spark, sf_dir):
+    """Signup-to-first-purchase latency distribution — the companion
+    number to w8's funnel COUNTS (how many convert) and w10's cohorts
+    (when they signed up): how LONG conversion takes, as exact pinned
+    quantiles (median/p90 = rank elements of a (gap, user)-tiebroken
+    order — the a25/f10 discipline; microsecond gaps via NTZ-safe
+    epoch arithmetic). The causality guard matters: only the first
+    purchase AT-OR-AFTER the first signup counts — min(purchase_ts)
+    unconditioned would credit conversions that happened before the
+    user ever signed up (the fixture, like real event streams, has
+    them).
+
+    Shape: two filtered aggs to per-user firsts, one equi-join with the
+    >= predicate riding it as a filter, then quantile selection inside
+    a single final agg over the converted-users relation (f10's
+    conditional-max pick, no join back). The global rank runs on one
+    row per converted user — and for corpus-scale user counts the
+    documented rank scale-out applies (range-repartition + broadcast
+    prefix counts)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    gaps = s.join(p, "user_id").select(
+        "user_id", F.expr("timestampdiff(MICROSECOND, s_ts, p_ts)").alias("gap_us")
+    )
+    ranked = gaps.withColumn(
+        "r", F.row_number().over(Window.orderBy("gap_us", "user_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("median_gap_us"),
+        F.max(F.when(F.col("r") == F.expr("(n * 90 + 99) div 100"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("p90_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

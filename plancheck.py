@@ -42,6 +42,12 @@ CROSS_JOIN_ALLOWLIST = {
     # 1-row corpus-total broadcast crossJoin (the heavy-hitter threshold),
     # same bound as x10/x26/x30
     "a21_cms_heavy_hitters",
+    # t23 is a21's streaming twin: same 1-row total crossJoin in the
+    # serving-side probe over the streamed sketch
+    "t23_stream_cms_view",
+    # m14 rides s1's sanctioned brute-force scoring leg (broadcast
+    # serving-sized query set x corpus scan), same bound as s1
+    "m14_knn_eval",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

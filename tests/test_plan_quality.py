@@ -1136,3 +1136,22 @@ def test_g16_walk_frontier_joins_stay_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "rand(" not in plan
+
+
+def test_x36_chunking_hashes_once_per_token(spark, sf_dir):
+    """One md5 per token, reused for boundary AND fingerprint (the
+    dedup no-re-mention rule): exactly one md5 call in the plan; the
+    chunk window partitions by doc, no global sort, no Python."""
+    plan = plan_of(registry.QUERIES["x36_cdc_chunks"](spark, sf_dir))
+    assert plan.count("md5(") == 1
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_w16_quantile_pick_inside_final_agg(spark, sf_dir):
+    """Median/p90 conversion latency: conditional-max rank selection in
+    one final agg (the f10 shape) — no join back, no cartesian; the
+    causality join stays an equi hash join."""
+    plan = plan_of(registry.QUERIES["w16_time_to_convert"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
