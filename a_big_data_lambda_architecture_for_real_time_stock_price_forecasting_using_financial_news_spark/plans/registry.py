@@ -11092,3 +11092,67 @@ def w16_time_to_convert(spark, sf_dir):
         .alias("p90_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@register("t24_stream_erasure", ORACLES["u9_right_to_erasure"])
+def t24_stream_erasure(spark, sf_dir):
+    """u9's right-to-erasure driven by a STREAMING request queue — which
+    is how erasure actually arrives in production (a privacy-requests
+    topic, not a batch job): victim user-ids replay in 2 micro-batches
+    through foreachBatch, each applying the left-anti delete to exactly
+    the victims' hash buckets under the writer-lease/replay contract
+    (a replayed erasure batch after checkpoint recovery is a no-op by
+    batch-id watermark — erasure is idempotent TWICE over, by anti-join
+    semantics AND by replay dedup). End state must equal u9's one-shot
+    batch erasure — same oracle, streaming twin; the t22/t23 pattern
+    applied to DELETES instead of sketch merges, proving merge_custom's
+    partition-wholesale contract holds when the merge REMOVES rows
+    (the _write_touched empty-partition-delete path, exercised through
+    a real stream)."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    rows = ev.select(
+        (F.col("user_id") % 16).alias("ub"), "user_id", "event_id", "event_type"
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "gdprs_" + uuid.uuid4().hex[:8])
+    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["ub", "event_id"], partition_by="ub")
+    view.merge_overwrite_by_key(
+        rows.withColumn("_ord", F.col("event_id")), "_ord", batch_id=0, writer="load"
+    )
+    victims = (
+        ev.filter(F.col("user_id") % 997 == 0)
+        .select((F.col("user_id") % 16).alias("ub"), "user_id")
+        .distinct()
+    )
+    stage = _os.path.join(root, "requests")
+    victims.repartitionByRange(2, "user_id").write.mode("overwrite").parquet(stage)
+
+    def erase(cur, b):
+        if cur is None:
+            return b.limit(0)
+        gone = b.select("user_id").distinct()
+        return cur.join(gone, "user_id", "left_anti")
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(b, erase, batch_id=bid, writer="erase")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = view.read()
+    return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
