@@ -11156,3 +11156,120 @@ def t24_stream_erasure(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "x37_langid_confusion",
+    f"""
+    WITH p AS (
+      SELECT lang, {_tx.lang_id_sql('text')} AS lang_pred FROM documents
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def x37_langid_confusion(spark, sf_dir):
+    """The eval leg for x6's language-ID — a classifier shipped without
+    its confusion matrix is a guess, and for a CORPUS ROUTER (lang-id
+    decides which cleaning rules, tokenizer, and quality thresholds a
+    document gets) each off-diagonal cell is a concrete misrouting
+    cost: en→und under-filters, de→en applies the wrong stopword list
+    to millions of docs. Ground truth is the fixture's lang column;
+    the matrix is at most 6x6 (5 languages + 'und'), so the whole eval
+    is one map-side-combined agg over the same single-pass Column
+    expression x6 ships — the m11/m14 confusion-matrix discipline
+    applied to the text battery. The diagonal share is the router's
+    accuracy; the 'und' column is its abstention rate — both one
+    consumer-side division of exact counts."""
+    d = tbl(spark, sf_dir, "documents")
+    p = d.select("lang", _tx.lang_id(F.col("text")).alias("lang_pred"))
+    return p.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "w17_streaks",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                  v := CAST(round(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS close_cents
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series, day, close_cents,
+             CASE WHEN close_cents > lag(close_cents)
+                    OVER (PARTITION BY series ORDER BY day) THEN 1
+                  WHEN close_cents < lag(close_cents)
+                    OVER (PARTITION BY series ORDER BY day) THEN -1
+             END AS dir
+      FROM daily
+    ), isl AS (
+      SELECT series, day, dir,
+             row_number() OVER (PARTITION BY series ORDER BY day)
+               - row_number() OVER (PARTITION BY series, dir ORDER BY day)
+               AS grp
+      FROM d WHERE dir IS NOT NULL
+    ), runs AS (
+      SELECT series, dir, grp, count(*) AS len
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT series,
+           CAST(max(CASE WHEN dir = 1 THEN len ELSE 0 END) AS BIGINT)
+             AS longest_up,
+           CAST(max(CASE WHEN dir = -1 THEN len ELSE 0 END) AS BIGINT)
+             AS longest_down,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1
+    """,
+)
+def w17_streaks(spark, sf_dir):
+    """Longest up/down streak per series — the gaps-and-islands variant
+    w5's sessionization doesn't cover: islands defined by a CONDITION
+    on consecutive rows (close strictly rose / strictly fell), not by a
+    time gap. Momentum screens, 'N consecutive red days' alerts, and
+    data-quality checks for stuck sensors (a 500-day 'streak' of equal
+    values is a dead feed — here flat days break both streaks, which
+    is the semantics that catches it) all reduce to this island shape.
+    The classic two-row_number trick: global-order rank minus
+    per-direction rank is constant within a run — three window passes
+    over the SAME per-series sort (Catalyst stacks them on one
+    exchange) + two tiny aggs, everything on the days-per-series grain,
+    every output an exact BIGINT."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
+        .cast("bigint")
+        .alias("close_cents")
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    prev = F.lag("close_cents").over(w)
+    d = daily.select(
+        "series",
+        "day",
+        F.when(F.col("close_cents") > prev, 1)
+        .when(F.col("close_cents") < prev, -1)
+        .alias("dir"),
+    ).filter(F.col("dir").isNotNull())
+    w_dir = Window.partitionBy("series", "dir").orderBy("day")
+    isl = d.select(
+        "series",
+        "dir",
+        (F.row_number().over(w) - F.row_number().over(w_dir)).alias("grp"),
+    )
+    runs = isl.groupBy("series", "dir", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("series").agg(
+        F.max(F.when(F.col("dir") == 1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("longest_up"),
+        F.max(F.when(F.col("dir") == -1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("longest_down"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )

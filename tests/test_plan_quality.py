@@ -1155,3 +1155,19 @@ def test_w16_quantile_pick_inside_final_agg(spark, sf_dir):
     plan = plan_of(registry.QUERIES["w16_time_to_convert"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_w17_three_windows_one_series_exchange(spark, sf_dir):
+    """All three window passes (lag, global rank, per-direction rank)
+    must stack on per-series partitioning — no join, no global sort."""
+    plan = plan_of(registry.QUERIES["w17_streaks"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_x37_confusion_is_one_pass_jvm_side(spark, sf_dir):
+    """The lang-id eval is one scan + one agg of the same pure Column
+    battery x6 ships — no Python, no join."""
+    plan = plan_of(registry.QUERIES["x37_langid_confusion"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
