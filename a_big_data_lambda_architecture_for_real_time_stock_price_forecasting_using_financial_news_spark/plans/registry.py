@@ -11273,3 +11273,111 @@ def w17_streaks(spark, sf_dir):
         .alias("longest_down"),
         F.count(F.lit(1)).cast("bigint").alias("n_runs"),
     )
+
+
+@register(
+    "f11_hhi_concentration",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_series,
+           CAST(sum(n * n) AS BIGINT) AS hhi_num,
+           CAST(sum(n) * sum(n) AS BIGINT) AS hhi_den,
+           CAST(max(n) AS BIGINT) AS top_n,
+           CAST(sum(n) AS BIGINT) AS total_n
+    FROM c GROUP BY 1
+    """,
+)
+def f11_hhi_concentration(spark, sf_dir):
+    """Daily Herfindahl–Hirschman concentration of activity across
+    series — the market-structure number (is one instrument eating the
+    tape?) and, pointed at a training corpus's source mix, the
+    domain-diversity gauge x22's rebalancer optimizes toward. HHI =
+    sum of squared shares = hhi_num / hhi_den, emitted as its two
+    exact integer terms (f7's rational rule); top_n/total_n is the
+    max-share fraction for free. Counts, not value sums, keep the
+    squares int64-safe at any SF (the f8 overflow-by-construction
+    argument; squared daily CENTS blow past 2^63 near sf10).
+
+    Two stacked map-side-combinable aggs — (day, series) then day —
+    the second running on a ~#series-per-day relation; at 100 TB the
+    first agg is the only pass and the concentration table is
+    dashboard-sized. Catalyst reuses the first agg's day-prefixed
+    partitioning for the second: one exchange total."""
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return c.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_series"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("hhi_num"),
+        (F.sum("n") * F.sum("n")).cast("bigint").alias("hhi_den"),
+        F.max("n").cast("bigint").alias("top_n"),
+        F.sum("n").cast("bigint").alias("total_n"),
+    )
+
+
+@register(
+    "m15_autolabel_audit",
+    f"""
+    WITH pred AS ({{MLP_SQL}}),
+    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
+    scored AS (
+      SELECT p.vec_id, p.pred_class, t.class, p.max_logit,
+             ntile(10) OVER (ORDER BY p.max_logit, p.vec_id) AS decile
+      FROM pred p JOIN truth t USING (vec_id)
+    )
+    SELECT CAST(class AS INTEGER) AS true_class,
+           CAST(count(*) AS BIGINT) AS n_autolabeled,
+           CAST(sum(CASE WHEN pred_class = class THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(min(max_logit) AS BIGINT) AS lo_logit
+    FROM scored WHERE decile >= 9
+    GROUP BY 1
+    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
+)
+def m15_autolabel_audit(spark, sf_dir):
+    """The auto-labeling DECISION m12's calibration curve exists to
+    drive, executed and audited: keep only top-2-confidence-decile
+    predictions as machine labels (the pseudo-labeling / distillation
+    gate every data-flywheel pipeline runs), then break the kept set
+    down BY TRUE CLASS — because aggregate precision hides exactly the
+    failure that poisons a flywheel: a model confidently wrong about
+    one minority class floods the next training round with correlated
+    bad labels for it. n_correct/n_autolabeled per class is the
+    per-class precision of the shipped labels; a class with
+    n_autolabeled ~ 0 is silently excluded from the flywheel
+    (coverage skew — the other failure mode, equally visible here).
+
+    Same exact-integer spine as m12: integer MLP logits, ntile over a
+    (logit, id)-pinned order, and the audit is one filter + one agg
+    on the prediction relation — the Arrow inference seam is the only
+    heavy stage, shared verbatim with m9/m11/m12."""
+    from pyspark.sql import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pred = _inf.mlp_infer(emb)
+    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
+    scored = pred.join(truth, "vec_id").select(
+        "pred_class",
+        "class",
+        "max_logit",
+        F.ntile(10)
+        .over(Window.orderBy("max_logit", "vec_id"))
+        .alias("decile"),
+    )
+    return (
+        scored.filter(F.col("decile") >= 9)
+        .groupBy(F.col("class").cast("int").alias("true_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_autolabeled"),
+            F.sum(F.when(F.col("pred_class") == F.col("class"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.min("max_logit").cast("bigint").alias("lo_logit"),
+        )
+    )

@@ -1171,3 +1171,20 @@ def test_x37_confusion_is_one_pass_jvm_side(spark, sf_dir):
     plan = plan_of(registry.QUERIES["x37_langid_confusion"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_f11_two_stacked_aggs_one_exchange(spark, sf_dir):
+    """The concentration table is two stacked aggs sharing the day
+    prefix — one hash exchange, no join, no sort."""
+    plan = plan_of(registry.QUERIES["f11_hhi_concentration"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_m15_autolabel_rides_arrow_inference(spark, sf_dir):
+    """The audit shares the Arrow inference seam with m9/m11/m12 —
+    MapInPandas present, never row-Python."""
+    plan = plan_of(registry.QUERIES["m15_autolabel_audit"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
