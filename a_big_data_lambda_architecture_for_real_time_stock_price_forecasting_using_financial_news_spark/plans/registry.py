@@ -10891,7 +10891,7 @@ def g16_deterministic_walks(spark, sf_dir):
     )
     und = raw.unionByName(
         raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()  # cache: released-in-fn after the third hop plans
+    ).persist()  # cache: caller-owns (edge table feeds all three returned hop joins)
 
     def hop(frontier, cur_col, step, out_col):
         e = und.select(F.col("u").alias(cur_col), F.col("v").alias("nx"))
