@@ -11381,3 +11381,202 @@ def m15_autolabel_audit(spark, sf_dir):
             F.min("max_logit").cast("bigint").alias("lo_logit"),
         )
     )
+
+
+@register(
+    "j12_star_broadcast",
+    """
+    SELECT n.n_name AS nation, p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def j12_star_broadcast(spark, sf_dir):
+    """Star-schema fact-to-dims join with EVERY dim broadcast — the
+    canonical OLAP shape (the reference's batch view joined to nothing;
+    real serving queries join the fact to its dimensions constantly)
+    executed the only way that survives 100 TB: the lineitem fact is
+    NEVER shuffled for any of the three joins. part/supplier/nation are
+    explicitly `broadcast()` (at 100 TB the dims are GBs while the fact
+    is TBs — a single SortMergeJoin on l_partkey would shuffle the
+    entire fact once PER DIM), so the only exchange in the plan is the
+    final partial-agg/final-agg pair on (nation, brand). Plan-pinned in
+    tests/test_plan_quality.py: zero SortMergeJoin, three
+    BroadcastHashJoins, and the joins sit inside one WholeStageCodegen
+    span over the fact scan.
+
+    Revenue is the q1 discipline taken integer: cents x (100 - discount
+    percent-cents) as BIGINT products — exact, order-independent, no
+    decimal rendering seam."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(price_c * disc_c).cast("bigint").alias("revenue_c4"),
+        )
+    )
+
+
+@register(
+    "d15_edit_distance_blocked",
+    """
+    WITH v AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_rows AS rows_a, b.n_rows AS rows_b
+    FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+)
+def d15_edit_distance_blocked(spark, sf_dir):
+    """Edit-distance near-collision audit over the DISTINCT name
+    vocabulary — the entity-resolution matcher (Levenshtein, the DP
+    behind every name/address linker) run the only way it survives a
+    100 TB fact table: the quadratic NEVER touches row pairs. First a
+    map-side-combined hash agg collapses the corpus to its distinct
+    names (the j9 record-linkage rewrite — name cardinality grows with
+    the CATALOG, not the row count; matching 'Customer#17' against
+    itself a billion times is the naive plan this entry exists to
+    forbid), then blocking on the name's last token (the product noun)
+    makes the vocab self-join a plain equi-join, and levenshtein runs
+    only inside blocks — JVM-side codegen'd built-in, DuckDB's
+    levenshtein as the same-unit-cost oracle twin. Each surviving pair
+    carries both names' row counts, so the consumer can rank collisions
+    by how much data a merge decision would move.
+
+    The blocking is part of the declared semantics (cross-block pairs
+    are out of scope by definition — the d9 fuzzy-prefix rule); recall
+    vs unblocked matching is measurable with the d11 harness pattern
+    if ever needed. Fixture honesty: p_name is a 64-value
+    'qualifier noun' vocabulary, so the output is small and stable
+    across SF — exactly the point (vocab-quadratic, corpus-linear)."""
+    p = (
+        tbl(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("blk", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a = p.select(
+        F.col("p_name").alias("name_a"), F.col("n_rows").alias("rows_a"), "blk"
+    )
+    b = p.select(
+        F.col("p_name").alias("name_b"), F.col("n_rows").alias("rows_b"), "blk"
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 6)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("dist"),
+            "rows_a",
+            "rows_b",
+        )
+    )
+
+
+@register(
+    "s16_sparse_doc_topk",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, u.t AS t FROM base, unnest(tl) AS u(t)
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), rare AS (
+      SELECT t FROM tf GROUP BY t HAVING count(*) <= 64
+    ), post AS (
+      SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN rare USING (t)
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.tf * b.tf) AS dot
+      FROM post a JOIN post b ON a.t = b.t AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT doc_a, doc_b, dot,
+             row_number() OVER (PARTITION BY doc_a
+                                ORDER BY dot DESC, doc_b) AS rnk
+      FROM dots
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def s16_sparse_doc_topk(spark, sf_dir):
+    """All-docs sparse-vector top-k similarity via an inverted index —
+    the lexical counterpart of s1's dense brute force, and the document-
+    to-DOCUMENT version of s15's query-time lexical leg: every doc's
+    3 nearest neighbors by raw term-frequency dot product (exact
+    BIGINTs — tf x tf products need no idf floats to be a meaningful
+    sparse similarity, and integer dots hash identically cross-engine).
+
+    The scale argument is the s15 champion-list discipline applied to
+    an all-pairs problem: the posting self-join runs ONLY over terms
+    with document frequency <= 64, so each term contributes at most
+    64^2 candidate pairs regardless of corpus size — stopwords (the
+    quadratic hazard: 'the' appears in every doc, its posting self-join
+    IS all-pairs) are excluded by the df cap itself, not by a curated
+    list. Everything is equi-joins + hash aggs; the only per-doc sort
+    is the width-3 top-k window over each doc's own candidate set."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tx.tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rare = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 64
+    )
+    post = tf.join(rare.select("t"), "t")
+    a = post.select(
+        F.col("t"), F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = post.select(
+        F.col("t"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("dot").desc(), F.col("doc_b"))
+    return (
+        dots.select(
+            "doc_a",
+            "doc_b",
+            F.col("dot").cast("bigint").alias("dot"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("doc_a", "doc_b", "dot", F.col("rnk").cast("bigint").alias("rnk"))
+    )
