@@ -11580,3 +11580,260 @@ def s16_sparse_doc_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_a", "doc_b", "dot", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "f12_rsi",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series, day,
+             close_c - lag(close_c) OVER (PARTITION BY series ORDER BY day)
+               AS chg
+      FROM c
+    ), gl AS (
+      SELECT series, day,
+             CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
+             CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss
+      FROM d WHERE chg IS NOT NULL
+    ), r AS (
+      SELECT series, day,
+             sum(gain) OVER w AS g, sum(loss) OVER w AS l,
+             count(*) OVER w AS n
+      FROM gl
+      WINDOW w AS (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, day,
+           CAST(g AS BIGINT) AS gain_c, CAST(l AS BIGINT) AS loss_c,
+           CAST(CASE WHEN g + l > 0 THEN (10000 * g) // (g + l) END
+                AS BIGINT) AS rsi_bp
+    FROM r WHERE n = 14
+    """,
+)
+def f12_rsi(spark, sf_dir):
+    """14-day RSI (Cutler's simple-moving-average form) per series —
+    the momentum oscillator every technical screen runs over exactly
+    the OHLC series this engine's batch view maintains (reference:
+    Batch_layer/stockBatch.py builds the daily closes; RSI is the
+    canonical downstream indicator). Wilder's original exponential
+    smoothing needs an infinite-tail float recursion (the m9 Holt
+    lesson: cross-engine float recursions flap); Cutler's SMA variant
+    is the standard exact-window form — and it stays in INTEGER space
+    end to end: daily closes in cents via the f6 (ts, v)-struct argmax,
+    gains/losses as lagged cent diffs, 14-row rolling sums as BIGINTs,
+    and the oscillator itself reported in basis points by one floor
+    division (both engines floor nonneg integer division identically;
+    the float 100*g/(g+l) is refused on hash-stability grounds).
+    Rows with fewer than 14 prior changes are excluded (n = 14), the
+    textbook warm-up rule.
+
+    Shape: one per-(series, day) hash agg for closes (map-side
+    combined), then ONE window partitioned by series for lag + the two
+    rolling sums — Catalyst fuses all three into a single sort+window
+    over a 30-row-per-series relation; series count, not corpus size,
+    bounds the window state."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    wd = Window.partitionBy("series").orderBy("day")
+    d = c.select(
+        "series", "day", (F.col("close_c") - F.lag("close_c").over(wd)).alias("chg")
+    ).filter(F.col("chg").isNotNull())
+    gl = d.select(
+        "series",
+        "day",
+        F.when(F.col("chg") > 0, F.col("chg")).otherwise(F.lit(0)).alias("gain"),
+        F.when(F.col("chg") < 0, -F.col("chg")).otherwise(F.lit(0)).alias("loss"),
+    )
+    w14 = wd.rowsBetween(-13, 0)
+    r = gl.select(
+        "series",
+        "day",
+        F.sum("gain").over(w14).alias("g"),
+        F.sum("loss").over(w14).alias("l"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    )
+    tot = F.col("g") + F.col("l")
+    return r.filter(F.col("n") == 14).select(
+        "series",
+        "day",
+        F.col("g").cast("bigint").alias("gain_c"),
+        F.col("l").cast("bigint").alias("loss_c"),
+        F.when(tot > 0, F.expr("10000 * g DIV (g + l)"))
+        .cast("bigint")
+        .alias("rsi_bp"),
+    )
+
+
+@register(
+    "f13_signal_backtest",
+    """
+    WITH b AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             min(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS open_c,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT series, day, open_c, close_c,
+             lag(close_c, 1) OVER w AS c1,
+             lag(close_c, 2) OVER w AS c2
+      FROM b WINDOW w AS (PARTITION BY series ORDER BY day)
+    )
+    SELECT series,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(close_c - open_c) AS BIGINT) AS pnl_c,
+           CAST(sum(CASE WHEN close_c > open_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_wins,
+           CAST(max(close_c - open_c) AS BIGINT) AS best_c,
+           CAST(min(close_c - open_c) AS BIGINT) AS worst_c
+    FROM s WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c1 > c2
+    GROUP BY 1
+    """,
+)
+def f13_signal_backtest(spark, sf_dir):
+    """Vectorized signal backtest — the evaluation loop the reference's
+    forecast serving layer implies but never runs: a rule ('yesterday's
+    close above the day before' = 1-day momentum) is turned into a
+    trade ledger and P&L WITHOUT a per-day driver loop. Event-study
+    backtests are embarrassingly parallel when the signal is a pure
+    window function: signal day selection is two lags over the daily
+    bar relation, each simulated trade is buy-at-open/sell-at-close of
+    the SIGNAL day (no lookahead: the signal uses strictly prior
+    closes — the u6 point-in-time discipline applied to strategy eval),
+    and the ledger aggregates per series into trade count, total P&L,
+    hit rate numerator, best and worst trade — all exact cent BIGINTs,
+    no return ratios (per-trade P&L in cents is the additive,
+    hash-stable ledger; compounded-return products are floats and
+    belong to the consumer).
+
+    Shape: one hash agg to daily bars (the f6 struct-argmin/argmax
+    idiom), one window for the two lags, one final agg — at 100 TB of
+    ticks the bar agg is map-side combined and everything after runs
+    on days x series rows."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    s = F.struct(F.col("ts").alias("t"), cents.alias("v"))
+    b = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            s.alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.min("s")["v"].alias("open_c"), F.max("s")["v"].alias("close_c"))
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    sig = b.select(
+        "series",
+        "day",
+        "open_c",
+        "close_c",
+        F.lag("close_c", 1).over(w).alias("c1"),
+        F.lag("close_c", 2).over(w).alias("c2"),
+    ).filter(
+        F.col("c1").isNotNull() & F.col("c2").isNotNull() & (F.col("c1") > F.col("c2"))
+    )
+    pnl = F.col("close_c") - F.col("open_c")
+    return sig.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.sum(pnl).cast("bigint").alias("pnl_c"),
+        F.sum(F.when(F.col("close_c") > F.col("open_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wins"),
+        F.max(pnl).cast("bigint").alias("best_c"),
+        F.min(pnl).cast("bigint").alias("worst_c"),
+    )
+
+
+@register(
+    "m16_drift_tv",
+    """
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 0 ELSE 1 END AS w
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT bin,
+             sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS c_cur
+      FROM e GROUP BY 1
+    ), t AS (
+      SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM c
+    )
+    SELECT c.bin AS bin,
+           CAST(c.c_ref AS BIGINT) AS c_ref,
+           CAST(c.c_cur AS BIGINT) AS c_cur,
+           CAST(abs(c.c_ref * t.n_cur - c.c_cur * t.n_ref) AS BIGINT)
+             AS tv_num,
+           CAST(t.n_ref AS BIGINT) AS n_ref,
+           CAST(t.n_cur AS BIGINT) AS n_cur
+    FROM c, t
+    """,
+)
+def m16_drift_tv(spark, sf_dir):
+    """Training/serving distribution-drift monitor via total-variation
+    distance — the audit a data flywheel runs before trusting m15's
+    auto-labels: has the PURCHASE value distribution shifted between
+    the reference window (first fixture fortnight) and the current one?
+    PSI and KL — the industry defaults — need ln(p/q) floats; total
+    variation is the drift metric that stays EXACT: per 500-cent bin,
+    |c_ref * N_cur - c_cur * N_ref| is the cross-multiplied numerator
+    of |p - q| (TV = sum(tv_num) / (2 * N_ref * N_cur), one consumer-
+    side division), all BIGINTs. Per-bin rows (not one scalar) so the
+    monitor can localize WHERE mass moved — the actionable half of a
+    drift alert; bins absent on one side surface with a zero count,
+    not silently (conditional-sum pivot over the union, never an inner
+    join of two histograms).
+
+    Shape: one filtered scan -> one hash agg on (bin) with two
+    conditional sums (map-side combined; bins are bounded by the value
+    range, not the corpus), then a broadcast of the 1-row totals back
+    across bins. The time-split predicate pushes to the scan at 100 TB
+    when the lake is date-partitioned (p12's layout)."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = ev.select(
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 500").alias("bin"),
+        F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 0)
+        .otherwise(1)
+        .alias("w"),
+    )
+    c = e.groupBy("bin").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    t = c.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("c_ref").cast("bigint").alias("c_ref"),
+        F.col("c_cur").cast("bigint").alias("c_cur"),
+        F.abs(F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref"))
+        .cast("bigint")
+        .alias("tv_num"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+    )

@@ -48,6 +48,9 @@ CROSS_JOIN_ALLOWLIST = {
     # m14 rides s1's sanctioned brute-force scoring leg (broadcast
     # serving-sized query set x corpus scan), same bound as s1
     "m14_knn_eval",
+    # 1-row population-totals broadcast crossJoin back across the bin
+    # histogram, same bound as x10/x26/x30/a21
+    "m16_drift_tv",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression
