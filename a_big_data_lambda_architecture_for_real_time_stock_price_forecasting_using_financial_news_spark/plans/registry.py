@@ -11837,3 +11837,207 @@ def m16_drift_tv(spark, sf_dir):
         F.col("n_ref").cast("bigint").alias("n_ref"),
         F.col("n_cur").cast("bigint").alias("n_cur"),
     )
+
+
+@register(
+    "u10_cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ), last AS (
+      SELECT user_id,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP), i := event_id,
+                             op := op, v := v_c)) AS s,
+             count(*) AS n_ops,
+             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+      FROM log GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(s.v AS BIGINT) AS value_c,
+           s.t AS last_ts,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           CAST(n_deletes AS BIGINT) AS n_deletes
+    FROM last WHERE s.op <> 'D'
+    """,
+)
+def u10_cdc_apply(spark, sf_dir):
+    """CDC log replay to a snapshot — the Debezium/binlog-consumer
+    materialization every lakehouse ingestion runs, and the BATCH twin
+    of the engine's streaming upsert path (K1's last-write-wins +
+    u9's deletes, composed): an ordered change log of upserts and
+    tombstones (op mapping declared: 'error' events are deletes —
+    fixture stand-in for a real op column) collapses to current state
+    in ONE hash aggregation. The struct-argmax carries (ts, event_id,
+    op, value) together, so 'which op wins' and 'what value survives'
+    are decided by the same total order (event_id breaks ts ties — the
+    registry's keyed-argmax rule); keys whose LAST op is a tombstone
+    drop out after the agg, preserving their audit counts until the
+    final filter. No window, no sort, no join: at 100 TB of changelog
+    the partial agg collapses each map task to one row per touched key
+    before the single exchange — the reason CDC compaction is an agg,
+    never a row_number() == 1 window (which would sort the log).
+
+    Also the standing disproof that op-aware merge needs MERGE INTO
+    machinery (u8) when the log is self-contained: apply-at-read is
+    one agg; u8's full-outer arms exist for merging INTO a base table."""
+    ev = tbl(spark, sf_dir, "events")
+    s = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    last = ev.groupBy("user_id").agg(
+        F.max(s).alias("s"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_deletes"
+        ),
+    )
+    return last.filter(F.col("s.op") != "D").select(
+        "user_id",
+        F.col("s.v").cast("bigint").alias("value_c"),
+        F.col("s.t").alias("last_ts"),
+        F.col("n_ops").cast("bigint").alias("n_ops"),
+        F.col("n_deletes").cast("bigint").alias("n_deletes"),
+    )
+
+
+@register(
+    "w18_calendar_gaps",
+    """
+    WITH span AS (
+      SELECT event_type AS series, user_id,
+             min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY 1, 2
+    ), cal AS (
+      SELECT series, user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), have AS (
+      SELECT DISTINCT event_type AS series, user_id, CAST(ts AS DATE) AS day
+      FROM events
+    )
+    SELECT c.series, c.user_id, c.day
+    FROM cal c LEFT JOIN have h
+      ON h.series = c.series AND h.user_id = c.user_id AND h.day = c.day
+    WHERE h.day IS NULL
+    """,
+)
+def w18_calendar_gaps(spark, sf_dir):
+    """Missing-day detection against a GENERATED per-key calendar — the
+    completeness audit that must run before any window entry is
+    trusted (w7's LOCF, w14's interpolation, f12's RSI all assume they
+    know where the holes are; this entry enumerates them): each
+    (series, user)'s min..max day span is densified via
+    sequence()/explode — a generated relation, never a driver-side
+    date loop and never a cross join against a static calendar table —
+    and anti-joined against the days that actually have data. Grain is
+    deliberately per-KEY, where real holes live (the global
+    series-level calendar is dense in any healthy feed; per-entity
+    gaps are what LOCF actually bridges).
+
+    Scale shape: the span agg is map-side combined (2 dates per key);
+    the generated calendar is keys x span-days rows — bounded by the
+    audit window length, linear in keys, independent of per-day event
+    volume; the anti-join hashes on (series, user, day) against the
+    DISTINCT relation every daily rollup already materializes. The
+    dense side is built from the SMALL relation; the corpus is touched
+    exactly twice, both times collapsing immediately to per-key-day
+    grain."""
+    ev = tbl(spark, sf_dir, "events")
+    span = ev.groupBy(F.col("event_type").alias("series"), "user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = span.select(
+        "series",
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    have = ev.select(
+        F.col("event_type").alias("series"), "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    return cal.join(have, ["series", "user_id", "day"], "left_anti")
+
+
+@register(
+    "a27_assoc_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT basket) AS n_baskets FROM items
+    ), supp1 AS (
+      SELECT item, count(*) AS s FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS s_ab
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.s_ab AS BIGINT) AS supp_ab,
+           CAST(sa.s AS BIGINT) AS supp_a,
+           CAST(sb.s AS BIGINT) AS supp_b,
+           CAST(p.s_ab * n.n_baskets AS BIGINT) AS lift_num,
+           CAST(sa.s * sb.s AS BIGINT) AS lift_den
+    FROM pairs p
+    JOIN supp1 sa ON sa.item = p.item_a
+    JOIN supp1 sb ON sb.item = p.item_b
+    CROSS JOIN n
+    """,
+)
+def a27_assoc_rules(spark, sf_dir):
+    """Market-basket association rules (frequent pairs + lift) — the
+    Apriori/FP-growth workload phrased as the one shape that scales:
+    co-occurrence is a BASKET-local self-join (equi-join on the basket
+    key), so the quadratic is bounded by basket width (~items per
+    order, single digits) and never by catalog or corpus size — the
+    same per-group-quadratic discipline as g8's wedge join. The
+    min-support HAVING runs inside the pair agg (partial-agg'd), so
+    the long tail of 1-off pairs dies before the join-back for
+    marginals. Confidence(a->b) = supp_ab/supp_a and lift =
+    supp_ab*N / (supp_a*supp_b) are delivered as exact integer
+    numerator/denominator (the m16/f12 rule: ranking thresholds are
+    the consumer's one division, not a cross-engine float in the
+    hash).
+
+    The marginal join-back broadcasts supp1 at serving scale (catalog-
+    sized); the 1-row basket-count total rides the sanctioned
+    broadcast-crossJoin bound (x10/x26/m16)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = items.agg(F.count_distinct("basket").alias("n_baskets"))
+    supp1 = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    sa = supp1.select(F.col("item").alias("item_a"), F.col("s").alias("supp_a"))
+    sb = supp1.select(F.col("item").alias("item_b"), F.col("s").alias("supp_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("s_ab").cast("bigint").alias("supp_ab"),
+            F.col("supp_a").cast("bigint").alias("supp_a"),
+            F.col("supp_b").cast("bigint").alias("supp_b"),
+            (F.col("s_ab") * F.col("n_baskets")).cast("bigint").alias("lift_num"),
+            (F.col("supp_a") * F.col("supp_b")).cast("bigint").alias("lift_den"),
+        )
+    )

@@ -51,6 +51,9 @@ CROSS_JOIN_ALLOWLIST = {
     # 1-row population-totals broadcast crossJoin back across the bin
     # histogram, same bound as x10/x26/x30/a21
     "m16_drift_tv",
+    # 1-row basket-count broadcast crossJoin onto the frequent-pair
+    # relation (lift numerator), same bound as x10/x26/m16
+    "a27_assoc_rules",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

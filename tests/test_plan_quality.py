@@ -1188,3 +1188,16 @@ def test_m15_autolabel_rides_arrow_inference(spark, sf_dir):
     plan = plan_of(registry.QUERIES["m15_autolabel_audit"](spark, sf_dir))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_j12_star_all_dims_broadcast_no_smj(spark, sf_dir):
+    """j12's contract: the fact is never shuffled for a join — every dim
+    rides a broadcast hint (robust to size-estimate session state, the
+    d3 lesson), so the only exchange is the final agg's."""
+    df = registry.QUERIES["j12_star_broadcast"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the fact side contributes exactly the agg exchange, nothing per-join
+    assert plan.count("Exchange hashpartitioning") <= 2
