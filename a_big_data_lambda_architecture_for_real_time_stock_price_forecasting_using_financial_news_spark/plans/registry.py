@@ -12041,3 +12041,302 @@ def a27_assoc_rules(spark, sf_dir):
             (F.col("supp_a") * F.col("supp_b")).cast("bigint").alias("lift_den"),
         )
     )
+
+
+@register(
+    "m17_nearest_centroid",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(label AS INTEGER) AS label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, u.s.pos AS pos, u.s.v AS v
+      FROM q, unnest(list_transform(range(1, len(q) + 1),
+           i -> struct_pack(pos := i, v := q[i]))) AS u(s)
+    ), cent AS (
+      SELECT label AS c, pos, sum(v) AS s FROM ex GROUP BY 1, 2
+    ), cl AS (
+      SELECT c, list(s ORDER BY pos) AS sv, sum(s * s) AS ss
+      FROM cent GROUP BY 1
+    ), cn AS (
+      SELECT label AS c, count(*) AS n FROM q GROUP BY 1
+    ), costs AS (
+      SELECT q.vec_id, q.label, cl.c,
+             CAST(-2 * cn.n * list_sum(list_transform(
+                    range(1, len(q.q) + 1), i -> q.q[i] * cl.sv[i]))
+                  + cl.ss AS DOUBLE)
+               / CAST(cn.n * cn.n AS DOUBLE) AS cost
+      FROM q CROSS JOIN cl JOIN cn ON cn.c = cl.c
+    ), pick AS (
+      SELECT vec_id, label, min(struct_pack(cost := cost, c := c)) AS m
+      FROM costs GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           CAST(m.c AS INTEGER) AS pred_class,
+           CAST(CASE WHEN m.c = label THEN 1 ELSE 0 END AS INTEGER) AS correct
+    FROM pick
+    """,
+)
+def m17_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification over the embedding
+    corpus — the zero-training baseline every m14-style kNN eval should
+    be compared against (10 centroid comparisons per vector vs a corpus
+    scan), and the serving shape of 'assign to cluster' everywhere
+    (s6's Lloyd assignment step IS this operator). Exactness where
+    centroids are usually floats: vectors land on the s6 integer grid
+    (floor(x*1024)), each class centroid is kept as the PAIR (S_c =
+    elementwise BIGINT sum, n_c = count) instead of the float mean, and
+    squared-L2-to-mean comparisons use the cross-multiplied identity
+    argmin_c ||x - S_c/n_c||^2 = argmin_c (-2*n_c*(x . S_c) + ||S_c||^2)
+    / n_c^2 — exact integer numerator/denominator, ONE deterministic
+    IEEE division per (vector, class), ties broken by class id via the
+    registry's struct-argmin rule (||x||^2 is class-invariant and
+    dropped). |cost_num| <= 2*n*64*1024^2*n stays far inside int64 at
+    any realistic class size.
+
+    Shape: centroids come from one posexplode + (label, pos) hash agg
+    (map-side combined, 64*classes rows), re-assembled to arrays and
+    broadcast; scoring is a 10-row broadcast crossJoin + one zip_with
+    dot per class — JVM-side array math, no shuffle of the corpus, and
+    the final per-vector argmin is a width-10 hash agg, not a window."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        _sim2._km_quant(F.col("embedding")).alias("q"),
+    )
+    ex = q.select("label", F.posexplode("q").alias("pos", "v"))
+    cent = ex.groupBy(F.col("label").alias("c"), "pos").agg(F.sum("v").alias("s"))
+    cl = cent.groupBy("c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+        ).alias("sv"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+    )
+    cn = q.groupBy(F.col("label").alias("c")).agg(F.count(F.lit(1)).alias("n"))
+    cents = cl.join(cn, "c")
+    dot = F.aggregate(
+        F.zip_with("q", "sv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    costs = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c",
+        (
+            (F.lit(-2) * F.col("n") * dot + F.col("ss")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("cost"),
+    )
+    pick = costs.groupBy("vec_id", "label").agg(
+        F.min(F.struct("cost", "c")).alias("m")
+    )
+    return pick.select(
+        "vec_id",
+        "label",
+        F.col("m.c").cast("int").alias("pred_class"),
+        F.when(F.col("m.c") == F.col("label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+@register(
+    "j15_dpp_join",
+    """
+    WITH hot AS (
+      SELECT CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING max(CAST(round(value * 100) AS BIGINT)) >= 30000
+    )
+    SELECT CAST(e.ts AS DATE) AS day, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_c
+    FROM events e JOIN hot h ON CAST(e.ts AS DATE) = h.day
+    GROUP BY 1, 2
+    """,
+)
+def j15_dpp_join(spark, sf_dir):
+    """Dynamic partition pruning — the Spark 3+ scale feature p12's
+    static pruning cannot reach: the filter that selects partitions is
+    NOT a literal in the query, it is the RESULT of another query (the
+    'hot days' dim: days whose max purchase tops 30000 cents). A static
+    planner must scan every partition of the fact; DPP broadcasts the
+    dim first, injects its day-set into the fact scan's
+    PartitionFilters as a dynamicpruningexpression, and only then
+    plans the probe — so a 100 TB date-partitioned fact opens only the
+    qualifying days' directories even though nobody wrote a date
+    literal. Plan-pinned (tests/test_plan_quality.py): the staged
+    fact's scan must carry 'dynamicpruning' in its PartitionFilters.
+
+    The fact is staged partitionBy(event_date) through the p12 scratch
+    machinery (the resting layout of any time-series lake); the dim
+    derives from the ORIGINAL table, the oracle replays the same join
+    unpartitioned — proving the partitioned hop + DPP lossless."""
+    import os as _os
+
+    ev = tbl(spark, sf_dir, "events")
+    _tag, scratch = scratch_dir("spark_graft_dpp", sf_dir)
+    path = _os.path.join(scratch, "events_by_date_dpp")
+    staged = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    staged.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max(cents).alias("mx"))
+        .filter(F.col("mx") >= 30000)
+        .select("day")
+    )
+    return (
+        fact.join(F.broadcast(hot), fact.event_date == F.col("day"))
+        .groupBy(F.col("event_date").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("value_c"),
+        )
+    )
+
+
+@register(
+    "a28_k_anonymity",
+    """
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_n
+    FROM customer
+    GROUP BY 1, 2, 3 HAVING count(*) < 5
+    """,
+)
+def a28_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance bucket) — the governance gate that
+    must pass BEFORE a customer extract ships to a training pipeline
+    (u9/t24 delete on request; this entry answers the prior question:
+    which rows are re-identifiable at all). A group smaller than k = 5
+    means those customers are distinguishable by externally knowable
+    attributes alone — the audit RETURNS the violating groups and their
+    sizes so the masking step knows exactly which strata to generalize
+    (widen the balance bucket / drop the segment) rather than
+    suppressing rows blind.
+
+    Shape: ONE map-side-combined hash agg over the extract with the
+    HAVING evaluated at the final agg — the violating-group relation is
+    tiny by definition (large groups are the compliant ones and die in
+    the partial agg's counts). Bucketing runs in exact integer cents
+    (cents DIV 100000 = 1000-dollar bins) — no float boundary can
+    disagree between engines."""
+    c = tbl(spark, sf_dir, "customer")
+    bal_bucket = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+    return (
+        c.groupBy(
+            "c_nationkey", "c_mktsegment", bal_bucket.alias("bal_bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+        .filter(F.col("group_n") < 5)
+    )
+
+
+@register(
+    "w19_interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP)
+               + to_seconds(CAST(round(value * 100) * 10 AS BIGINT)) AS e,
+             event_id
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e, event_id,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id) AS island
+      FROM m
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def w19_interval_coalesce(spark, sf_dir):
+    """Overlapping-interval coalescing (gaps-and-islands over SPANS) —
+    the general operator w5's sessionize is the fixed-gap special case
+    of: each event carries a real duration (here round(value*100)*10
+    seconds — the fixture's stand-in for job runtimes / visit lengths /
+    position holding windows), and downstream consumers need the UNION
+    of overlapping spans per key (total busy time, concurrent-activity
+    collapse, SCD2 range merging). The textbook exact algorithm, fully
+    window-shaped: a running max of prior interval ENDS per key (an
+    interval can swallow later-starting ones, so lag(e) alone is wrong
+    — the running max is the load-bearing detail), an island opens
+    exactly where a start clears that max, island ids are the running
+    sum of those opens, and one hash agg per (key, island) emits the
+    coalesced span with its merge count.
+
+    Scale: both windows and the final agg share the single per-user
+    hashpartitioning (no global sort — the w11/w12 rule); state per row
+    in flight is one timestamp. Timestamps compare exactly (µs grain
+    both engines, the f5/j13 NTZ discipline)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    dur_s = (F.round(F.col("value") * 100) * 10).cast("bigint")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.expr(
+                "make_dt_interval(0, 0, 0, CAST(round(value * 100) * 10 AS BIGINT))"
+            )
+        ).alias("e"),
+        "event_id",
+    )
+    _ = dur_s
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    m = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "prev_max_e"
+        ),
+    )
+    isl = m.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wo)
+        .alias("island"),
+    )
+    return isl.groupBy("user_id", F.col("island").cast("bigint").alias("island")).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )

@@ -54,6 +54,9 @@ CROSS_JOIN_ALLOWLIST = {
     # 1-row basket-count broadcast crossJoin onto the frequent-pair
     # relation (lift numerator), same bound as x10/x26/m16
     "a27_assoc_rules",
+    # class-count-bounded centroid-table broadcast crossJoin (10 rows),
+    # same bound as s6/s11's centroid crossJoin
+    "m17_nearest_centroid",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

@@ -1201,3 +1201,26 @@ def test_j12_star_all_dims_broadcast_no_smj(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     # the fact side contributes exactly the agg exchange, nothing per-join
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_j15_dynamic_partition_pruning_fires(spark, sf_dir):
+    """j15's whole point: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression (the day-set arrives from the dim subquery
+    at runtime, not as a literal)."""
+    df = registry.QUERIES["j15_dpp_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
+
+
+def test_m17_corpus_never_shuffled_for_scoring(spark, sf_dir):
+    """m17 scores every vector against a broadcast centroid table; the
+    corpus itself must reach the scorer without a hash exchange on
+    vec_id (only agg exchanges on the tiny centroid/argmin sides)."""
+    df = registry.QUERIES["m17_nearest_centroid"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # no sort-based join anywhere, and no exchange of the raw corpus BEFORE
+    # scoring: the only vec_id partitioning allowed is the final argmin agg
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(vec_id") <= 1
