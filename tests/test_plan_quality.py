@@ -1224,3 +1224,73 @@ def test_m17_corpus_never_shuffled_for_scoring(spark, sf_dir):
     # scoring: the only vec_id partitioning allowed is the final argmin agg
     assert "SortMergeJoin" not in plan
     assert plan.count("hashpartitioning(vec_id") <= 1
+
+
+def test_d15_edit_distance_stays_blocked_equi_join(spark, sf_dir):
+    """The Levenshtein audit must plan as an equi-join on the block key —
+    a nested-loop/cartesian here means the quadratic escaped its block."""
+    plan = plan_of(registry.QUERIES["d15_edit_distance_blocked"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # JVM built-in, not Python
+    assert "BatchEvalPython" not in plan
+
+
+def test_s16_sparse_topk_no_cartesian_no_global_sort(spark, sf_dir):
+    """Posting-list dot products are equi-joins on the term; per-query
+    top-k is a windowed rank over hashpartitioning(doc_a), never a
+    global sort."""
+    plan = plan_of(registry.QUERIES["s16_sparse_doc_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_f13_backtest_single_series_exchange(spark, sf_dir):
+    """Join-free, no global sort, no per-trade Python loop: exactly the
+    bar-agg exchange on (series, day) plus ONE per-series exchange that
+    the signal windows and the P&L agg share."""
+    plan = plan_of(registry.QUERIES["f13_signal_backtest"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert _tree_nodes(plan, "Exchange") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_u10_cdc_apply_is_one_agg_no_window(spark, sf_dir):
+    """CDC compaction must be the struct-argmax hash agg, not a window
+    or a self-join: map tasks collapse to one row per touched key before
+    the single exchange."""
+    plan = plan_of(registry.QUERIES["u10_cdc_apply"](spark, sf_dir))
+    assert "Join" not in plan
+    assert ") Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_" in plan  # map-side combine survives
+
+
+def test_w18_calendar_gaps_no_calendar_cross_join(spark, sf_dir):
+    """Missing-day detection builds each key's own date sequence — never
+    a corpus x calendar cross join."""
+    plan = plan_of(registry.QUERIES["w18_calendar_gaps"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_w19_interval_coalesce_single_user_exchange(spark, sf_dir):
+    """Running-max-of-ends, island numbering, and the span agg all ride
+    ONE per-user partitioning; join-free, no global sort."""
+    plan = plan_of(registry.QUERIES["w19_interval_coalesce"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_a28_k_anonymity_one_exchange(spark, sf_dir):
+    """The audit is a single map-side-combined agg with HAVING at the
+    final agg — join-free, exactly one exchange."""
+    plan = plan_of(registry.QUERIES["a28_k_anonymity"](spark, sf_dir))
+    assert "Join" not in plan
+    assert _tree_nodes(plan, "Exchange") == 1
+    assert "partial_count" in plan
