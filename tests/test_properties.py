@@ -258,3 +258,160 @@ def test_chunking_covers_every_word_exactly_once_per_window(spark, docs):
             rebuilt.extend(c.chunk_text.split(" ")[:CHUNK_STRIDE])
         rebuilt.extend(chunks[-1].chunk_text.split(" "))
         assert rebuilt == original
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    # (ts_offset_seconds, price_cents, batch_assignment): a TINY ts space on
+    # purpose so same-timestamp trades with different prices are common —
+    # the r7-advice hazard the t17 fixture's unique timestamps never hit
+    trades=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),      # ts collision-prone
+            st.integers(min_value=1, max_value=999),    # price in cents
+            st.integers(min_value=0, max_value=2),      # micro-batch id
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    day_span=st.integers(min_value=1, max_value=2),
+)
+def test_ohlc_state_split_invariant_under_any_batching(spark, trades, day_span):
+    """The Lambda convergence algebra, property-checked: folding per-batch
+    ``daily_ohlc_state`` partials through ``merge_ohlc_states`` must equal
+    the single-pass state over ALL trades, for ANY assignment of trades to
+    micro-batches and ANY batch arrival order — including same-timestamp
+    different-price collisions, where both sides must apply the same
+    lexicographic (ts, value) tiebreak or open/close diverge."""
+    upsert = _mod("streaming.upsert")
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                Row(
+                    ts=base
+                    + datetime.timedelta(days=(off % day_span), seconds=off),
+                    value=cents / 100.0,
+                )
+                for off, cents, _ in rows
+            ],
+            "ts timestamp, value double",
+        )
+
+    full = upsert.daily_ohlc_state(mk(trades))
+
+    batches = {}
+    for row in trades:
+        batches.setdefault(row[2], []).append(row)
+    # reversed arrival order exercises commutativity, not just associativity
+    parts = [
+        upsert.daily_ohlc_state(mk(rows))
+        for _, rows in sorted(batches.items(), reverse=True)
+    ]
+    folded = parts[0]
+    for p in parts[1:]:
+        folded = upsert.merge_ohlc_states(folded, p, ["event_date"])
+
+    def norm(df):
+        return sorted(
+            (
+                r["event_date"],
+                r["open_ts"],
+                str(r["open_v"]),
+                str(r["high_v"]),
+                str(r["low_v"]),
+                r["close_ts"],
+                str(r["close_v"]),
+                r["n_trades"],
+                str(r["turnover"]),
+            )
+            for r in df.collect()
+        )
+
+    assert norm(folded) == norm(full)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    # duration can be zero (degenerate instant) and starts collide often,
+    # with multi-key interleaving; swallowing intervals (long early span
+    # covering several later ones) appear naturally from the wide range
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),    # user
+            st.integers(min_value=0, max_value=20),   # start offset (s)
+            st.integers(min_value=0, max_value=15),   # duration (s)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_interval_coalesce_matches_naive_sweep(spark, iv):
+    """w19's windowed gaps-and-islands must equal the textbook O(n log n)
+    driver-side sweep on arbitrary spans — including an early interval that
+    swallows several later-starting ones (the case plain lag(e) gets wrong
+    and the running max of prior ends exists to handle)."""
+    from pyspark.sql import Window
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        Row(
+            user_id=u,
+            event_id=i,
+            s=base + datetime.timedelta(seconds=st_),
+            e=base + datetime.timedelta(seconds=st_ + d),
+        )
+        for i, (u, st_, d) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, s timestamp, e timestamp"
+    )
+
+    # the w19 plan shape, applied to the generated spans directly
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    m = df.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)).alias("pm"),
+    )
+    isl = m.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0)
+        )
+        .over(wo)
+        .alias("island"),
+    )
+    got = sorted(
+        (r["user_id"], r["island_start"], r["island_end"], r["n"])
+        for r in isl.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+
+    # naive sweep: sort per key, merge while next.start <= running max end
+    want = []
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.s, r.e, r.event_id))
+    for u, spans in by_user.items():
+        spans.sort(key=lambda t: (t[0], t[2]))
+        cur_s, cur_e, n = spans[0][0], spans[0][1], 1
+        for s, e, _ in spans[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+                n += 1
+            else:
+                want.append((u, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        want.append((u, cur_s, cur_e, n))
+    assert got == sorted(want)
