@@ -415,3 +415,60 @@ def test_interval_coalesce_matches_naive_sweep(spark, iv):
                 cur_s, cur_e, n = s, e, 1
         want.append((u, cur_s, cur_e, n))
     assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    # tiny vocab + containment-prone construction: half the docs are
+    # near-substrings of others, so C(A,B) >= 0.9 pairs actually occur
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c d e f".split()), min_size=12, max_size=30),
+        min_size=2,
+        max_size=6,
+    ),
+    paste=st.booleans(),
+)
+def test_containment_prefix_filter_has_zero_false_negatives(spark, docs, paste):
+    """d12's exactness claim, adversarially checked: the PPJoin prefix
+    filter (each doc posts only its floor(0.1*n)+1 smallest sorted shingle
+    hashes) plus the integer verify must return EXACTLY the brute-force
+    all-pairs containment relation over the same shingle sets — no false
+    negatives (the filter's theorem) and no false positives (the verify)."""
+    dedup = _mod("ext.dedup")
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    if paste and docs:
+        # a guaranteed containment case: doc 0 pasted into a longer page
+        rows.append(
+            Row(
+                doc_id=len(rows),
+                text=" ".join(docs[0]) + " " + " ".join(docs[-1]),
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    got = sorted(
+        (r["id_small"], r["id_big"], r["inter"])
+        for r in dedup.containment_pairs(df, "doc_id", "text").collect()
+    )
+
+    # ground truth: same sketch sets, brute-force all ordered pairs
+    sz = df.select(
+        "doc_id",
+        dedup.shingle_hashes(dedup.shingles(F.col("text"))).alias("hs"),
+    ).collect()
+    sets = {r["doc_id"]: set(r["hs"]) for r in sz if len(r["hs"]) >= 10}
+    want = []
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            # orientation: small side first, (n, id) tuple order
+            if (na, a) >= (nb, b):
+                continue
+            inter = len(sets[a] & sets[b])
+            if 10 * inter >= 9 * na:
+                want.append((a, b, inter))
+    assert got == sorted(want)
