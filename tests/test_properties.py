@@ -472,3 +472,40 @@ def test_containment_prefix_filter_has_zero_false_negatives(spark, docs, paste):
             if 10 * inter >= 9 * na:
                 want.append((a, b, inter))
     assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(st.tuples(_keys, st.integers(min_value=0, max_value=8)), min_size=1, max_size=12),
+    rights=st.lists(
+        st.tuples(_keys, st.integers(min_value=0, max_value=8), _vals),
+        max_size=10,
+        unique_by=lambda t: (t[0], t[1]),  # the operator's documented precondition
+    ),
+)
+def test_asof_join_equals_naive_most_recent_prior(spark, lefts, rights):
+    """The union-sort as-of join must equal the naive per-left-row argmax
+    (most recent right with ts <= left.ts, per key) on any data — dense ts
+    collisions included, where a right row at EXACTLY left.ts must be
+    visible to that left row (ASOF >= semantics, the tag DESC detail)."""
+    asof = _mod("operators.asof")
+    l = spark.createDataFrame(
+        [Row(k=k, ts=_ts(s * 1_000_000), lid=i) for i, (k, s) in enumerate(lefts)],
+        "k int, ts timestamp, lid int",
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, ts=_ts(s * 1_000_000), px=v) for k, s, v in rights],
+        "k int, ts timestamp, px int",
+    )
+    got = {
+        row["lid"]: row["px"]
+        for row in asof.asof_join(l, r, ["k"], "ts", ["px"]).collect()
+    }
+    want = {}
+    for i, (k, s) in enumerate(lefts):
+        best = None
+        for rk, rs, rv in rights:
+            if rk == k and rs <= s and (best is None or rs > best[0]):
+                best = (rs, rv)
+        want[i] = best[1] if best else None
+    assert got == want
