@@ -509,3 +509,118 @@ def test_asof_join_equals_naive_most_recent_prior(spark, lefts, rights):
                 best = (rs, rv)
         want[i] = best[1] if best else None
     assert got == want
+
+
+def _py_phash60(tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+
+def _py_cdc_chunks(toks: list[str]) -> list[tuple[int, int]]:
+    """Independent (hashlib-only) model of x36's per-doc chunking:
+    boundary BEFORE any token whose hash % 64 == 0; rolling fingerprint
+    (acc*131 + ph % p) % p per chunk. Returns [(chunk_hash, n_toks)]."""
+    out, acc, n = [], 0, 0
+    MOD, BASE = 1_000_000_007, 131
+    for t in toks:
+        ph = _py_phash60(t)
+        if ph % 64 == 0 and n:
+            out.append((acc, n))
+            acc, n = 0, 0
+        acc = (acc * BASE + ph % MOD) % MOD
+        n += 1
+    if n:
+        out.append((acc, n))
+    return out
+
+
+def _cdc_vocab() -> list[str]:
+    """6 non-boundary + 2 boundary tokens (hash % 64 == 0), found by probe
+    so generated docs actually contain chunk boundaries."""
+    bound = [w for w in (f"w{i}" for i in range(3000)) if _py_phash60(w) % 64 == 0][:2]
+    plain = [w for w in (f"w{i}" for i in range(3000)) if _py_phash60(w) % 64 != 0][:6]
+    assert len(bound) == 2
+    return plain + bound
+
+
+_CDC_VOCAB = _cdc_vocab()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    doc=st.lists(st.integers(min_value=0, max_value=7), min_size=10, max_size=40),
+    ins_at=st.integers(min_value=0, max_value=40),
+    ins_tok=st.integers(min_value=0, max_value=7),
+)
+def test_cdc_chunking_matches_reference_and_is_insert_local(spark, doc, ins_at, ins_tok):
+    """x36's content-defined chunking, property-checked two ways: (1) the
+    engine pipeline (tokens -> phash60 -> boundary window -> rolling-hash
+    agg) equals an independent hashlib reimplementation on any doc; (2) the
+    operator's reason to exist — inserting ONE token changes at most the
+    one chunk containing the edit (which may split in two if the inserted
+    token is a boundary), every other chunk fingerprint survives — unlike
+    fixed windows, where everything after the edit shifts."""
+    tx, hh = _mod("ext.text"), _mod("ext.hashing")
+
+    toks = [_CDC_VOCAB[i] for i in doc]
+    pos = min(ins_at, len(toks))
+    edited = toks[:pos] + [_CDC_VOCAB[ins_tok]] + toks[pos:]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(toks)), Row(doc_id=2, text=" ".join(edited))],
+        "doc_id int, text string",
+    )
+
+    from pyspark.sql import Window
+
+    t = df.select("doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "t"))
+    h = t.select("doc_id", "pos", hh.phash60(F.col("t")).alias("ph"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    c = h.withColumn(
+        "chunk",
+        F.sum(F.when(F.col("ph") % 64 == 0, 1).otherwise(0)).over(w),
+    )
+    g = c.groupBy("doc_id", "chunk").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("pos").alias("p"), (F.col("ph") % hh.FP_MOD).alias("s"))
+            )
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    fp = g.select(
+        "doc_id",
+        "chunk",
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * hh.FP_BASE + x["s"]) % hh.FP_MOD,
+        ).alias("chunk_hash"),
+        "n_toks",
+    )
+    rows = fp.collect()
+    got = {
+        did: [
+            (r["chunk_hash"], r["n_toks"])
+            for r in sorted(rows, key=lambda r: r["chunk"])
+            if r["doc_id"] == did
+        ]
+        for did in (1, 2)
+    }
+
+    ref_orig, ref_new = _py_cdc_chunks(toks), _py_cdc_chunks(edited)
+    assert got[1] == ref_orig
+    assert got[2] == ref_new
+
+    # insert locality on the chunk sequences
+    i = 0
+    while i < min(len(ref_orig), len(ref_new)) and ref_orig[i] == ref_new[i]:
+        i += 1
+    k = 0
+    while (
+        k < min(len(ref_orig), len(ref_new)) - i
+        and ref_orig[len(ref_orig) - 1 - k] == ref_new[len(ref_new) - 1 - k]
+    ):
+        k += 1
+    assert len(ref_orig) - i - k <= 1, (ref_orig, ref_new)
+    assert len(ref_new) - i - k <= 2, (ref_orig, ref_new)
