@@ -10743,12 +10743,25 @@ def p15_shallow_clone(spark, sf_dir):
     root = _os.path.join(scratch, "clone_" + uuid.uuid4().hex[:8])
     src = KeyedParquetView(spark, _os.path.join(root, "src"), ["event_date"])
     src.merge_overwrite_by_key(daily, "_ord", batch_id=0, writer="p15")
+    # each revision's order column is STRICTLY greater than what the view
+    # already holds (base _ord is max event_id per date, so +1/+2 never
+    # collide): max_by on an exact tie is non-deterministic in Spark, and
+    # relying on it to prefer the revised row could silently flip under
+    # AQE/partitioning changes (r8 advice) — same ts-tiebreak discipline as
+    # the rest of the registry
     src.merge_overwrite_by_key(
-        daily.withColumn("n", F.col("n") * 2), "_ord", batch_id=1, writer="p15"
+        daily.withColumn("n", F.col("n") * 2).withColumn(
+            "_ord", F.col("_ord") + 1
+        ),
+        "_ord",
+        batch_id=1,
+        writer="p15",
     )
     clone = src.clone_to(_os.path.join(root, "fork"))
-    fix = daily.filter(F.dayofmonth("event_date") <= 10).withColumn(
-        "n", F.col("n") * 3
+    fix = (
+        daily.filter(F.dayofmonth("event_date") <= 10)
+        .withColumn("n", F.col("n") * 3)
+        .withColumn("_ord", F.col("_ord") + 2)
     )
     clone.merge_overwrite_by_key(fix, "_ord", batch_id=0, writer="fix")
     return clone.read().select("event_date", "n")
@@ -12058,16 +12071,19 @@ def a27_assoc_rules(spark, sf_dir):
     ), cent AS (
       SELECT label AS c, pos, sum(v) AS s FROM ex GROUP BY 1, 2
     ), cl AS (
-      SELECT c, list(s ORDER BY pos) AS sv, sum(s * s) AS ss
+      SELECT c, list(s ORDER BY pos) AS sv,
+             sum(CAST(s AS HUGEINT) * s) AS ss
       FROM cent GROUP BY 1
     ), cn AS (
       SELECT label AS c, count(*) AS n FROM q GROUP BY 1
     ), costs AS (
       SELECT q.vec_id, q.label, cl.c,
-             CAST(-2 * cn.n * list_sum(list_transform(
-                    range(1, len(q.q) + 1), i -> q.q[i] * cl.sv[i]))
+             CAST(-2 * CAST(cn.n AS HUGEINT)
+                     * CAST(list_sum(list_transform(
+                         range(1, len(q.q) + 1), i -> q.q[i] * cl.sv[i]))
+                       AS HUGEINT)
                   + cl.ss AS DOUBLE)
-               / CAST(cn.n * cn.n AS DOUBLE) AS cost
+               / (CAST(cn.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) AS cost
       FROM q CROSS JOIN cl JOIN cn ON cn.c = cl.c
     ), pick AS (
       SELECT vec_id, label, min(struct_pack(cost := cost, c := c)) AS m
@@ -12090,11 +12106,20 @@ def m17_nearest_centroid(spark, sf_dir):
     elementwise BIGINT sum, n_c = count) instead of the float mean, and
     squared-L2-to-mean comparisons use the cross-multiplied identity
     argmin_c ||x - S_c/n_c||^2 = argmin_c (-2*n_c*(x . S_c) + ||S_c||^2)
-    / n_c^2 — exact integer numerator/denominator, ONE deterministic
-    IEEE division per (vector, class), ties broken by class id via the
-    registry's struct-argmin rule (||x||^2 is class-invariant and
-    dropped). |cost_num| <= 2*n*64*1024^2*n stays far inside int64 at
-    any realistic class size.
+    / n_c^2 — exact integer numerator, ONE deterministic IEEE division
+    per (vector, class), ties broken by class id via the registry's
+    struct-argmin rule (||x||^2 is class-invariant and dropped).
+
+    Overflow discipline (r8 advice): the numerator is ~1.3e8 * n_c^2,
+    which exceeds int64 once a class holds ~2.6e5 vectors — so the
+    -2*n*dot + ||S||^2 arithmetic runs in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB), both exact integer types; the remaining int64
+    term is the per-element dot product q_i * S_i <= 2^20 * n_c, safe
+    to n_c < 2^43 (~8.8e12 rows per class — beyond any 100 TB corpus),
+    and the decimal numerator itself holds to n_c ~ 2.7e14. Both
+    engines round the identical exact integer to double once, so the
+    hash gate still matches bit for bit; the denominator is likewise
+    computed double*double in both.
 
     Shape: centroids come from one posexplode + (label, pos) hash agg
     (map-side combined, 64*classes rows), re-assembled to arrays and
@@ -12113,13 +12138,17 @@ def m17_nearest_centroid(spark, sf_dir):
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
         ).alias("sv"),
-        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        # s*s overflows int64 for classes beyond ~2.6e5 rows: square in
+        # decimal(38,0) so the centroid norm stays exact at corpus scale
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss"),
     )
     cn = q.groupBy(F.col("label").alias("c")).agg(F.count(F.lit(1)).alias("n"))
     cents = cl.join(cn, "c")
+    # per-element products stay int64 (q_i*S_i <= 2^20 * n_c); the SUM and
+    # the -2*n*dot cross term run in decimal(38,0) — see docstring bound
     dot = F.aggregate(
         F.zip_with("q", "sv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: acc + x,
     )
     costs = q.crossJoin(F.broadcast(cents)).select(
@@ -12127,8 +12156,9 @@ def m17_nearest_centroid(spark, sf_dir):
         "label",
         "c",
         (
-            (F.lit(-2) * F.col("n") * dot + F.col("ss")).cast("double")
-            / (F.col("n") * F.col("n")).cast("double")
+            (F.lit(-2).cast("decimal(38,0)") * F.col("n") * dot + F.col("ss"))
+            .cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("cost"),
     )
     pick = costs.groupBy("vec_id", "label").agg(

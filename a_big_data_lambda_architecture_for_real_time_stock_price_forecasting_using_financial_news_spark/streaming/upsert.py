@@ -363,6 +363,37 @@ class KeyedParquetView:
         str() of date/int/str does; exotic key types should pre-format."""
         return str(v)
 
+    @staticmethod
+    def _unescape_part(name: str) -> str:
+        """Invert Spark/Hive partition-path escaping (FileUtils
+        .escapePathName): special characters (':' in timestamps, '#', '%',
+        '=', ...) are written as ``%XX`` hex in the directory name.
+        Unescaping the listing is total and version-proof, unlike trying to
+        re-implement the exact escape set engine-side."""
+        import re
+
+        return re.sub(
+            r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+        )
+
+    def _parts_on_disk(self, vdir: str) -> set[str]:
+        """Partition VALUES actually written under a version dir, decoded
+        from the Hive-escaped ``part_col=...`` directory names. Used for
+        empty-partition detection: checking ``isdir(vdir/col=str(v))`` with
+        the raw value is wrong for any value Spark escapes — the dir exists
+        under the escaped name, the raw check misses it, and a live
+        partition would be silently dropped from the manifest (r8 advice)."""
+        try:
+            entries = os.listdir(vdir)
+        except OSError:
+            return set()
+        pref = f"{self.part_col}="
+        return {
+            self._unescape_part(e[len(pref):])
+            for e in entries
+            if e.startswith(pref)
+        }
+
     def _vdir(self, ver: int, cur: dict | None = None) -> str:
         """Resolve a version dir. A SHALLOW CLONE's manifest carries
         ``base``/``base_version``: versions up to the clone point live
@@ -421,13 +452,21 @@ class KeyedParquetView:
         if parts is None:
             return self.spark.read.parquet(os.path.join(self.path, f"v={version}"))
         # replay manifest history: a partition owned by ver > version must
-        # be re-pointed at its newest surviving dir <= version (scan down)
+        # be re-pointed at its newest surviving dir <= version (scan down).
+        # Presence is checked via the unescaped dir listing (cached per
+        # version dir) — same Hive-escaping hazard as _write_touched.
+        listed: dict[str, set[str]] = {}
+
+        def on_disk(v: int) -> set[str]:
+            d = self._vdir(v, cur)
+            if d not in listed:
+                listed[d] = self._parts_on_disk(d)
+            return listed[d]
+
         sel: dict[str, int] = {}
         for p, ver in parts.items():
             v = min(ver, version)
-            while v >= 1 and not os.path.isdir(
-                os.path.join(self._vdir(v, cur), f"{self.part_col}={p}")
-            ):
+            while v >= 1 and p not in on_disk(v):
                 v -= 1
             if v >= 1:
                 sel[p] = v
@@ -477,12 +516,17 @@ class KeyedParquetView:
         vdir = os.path.join(self.path, f"v={nxt}")
         df.write.mode("overwrite").partitionBy(self.part_col).parquet(vdir)
         parts = dict(cur.get("parts", {}))
+        written = self._parts_on_disk(vdir)
         for p in touched:
             # a merge may legitimately EMPTY a partition (u9's erasure, a
             # retention delete): partitionBy writes no dir for it, so
             # pointing the manifest at the fileless version would break
-            # every read — the partition is DELETED, drop it instead
-            if os.path.isdir(os.path.join(vdir, f"{self.part_col}={p}")):
+            # every read — the partition is DELETED, drop it instead.
+            # Membership is checked against the UNESCAPED dir listing, not
+            # a raw isdir of str(p): Spark Hive-escapes special chars in
+            # partition dir names and a raw-path miss here would silently
+            # drop a live partition.
+            if p in written:
                 parts[p] = nxt
             else:
                 parts.pop(p, None)
@@ -681,39 +725,55 @@ class KeyedParquetView:
         retention or ``compact()`` the clone (a full local rewrite, the
         documented de-clone) before vacuuming the source. Clone-of-clone
         is refused rather than silently mis-resolved: the manifest carries
-        ONE base, so re-clone after compacting the first clone."""
-        cur = self._pointer()
-        if cur["version"] == 0:
-            raise ValueError(f"cannot clone empty view at {self.path}")
-        if cur.get("base"):
-            raise ValueError(
-                f"{self.path} is itself a shallow clone; compact() it into a "
-                "self-contained view before cloning again (single-base "
-                "manifest resolution)"
+        ONE base, so re-clone after compacting the first clone.
+
+        Runs under the SOURCE's writer lease: the pointer snapshot and the
+        clone-manifest write must be atomic w.r.t. source merges, or a
+        concurrent merge+vacuum in the gap could delete version dirs the
+        clone is about to reference — before the documented retention
+        caveat even applies (r8 advice). A ``dst_path`` that already holds
+        a ``_CURRENT`` manifest is refused: silently overwriting it would
+        orphan the pre-existing view's data."""
+        with self._lease():
+            cur = self._pointer()
+            if cur["version"] == 0:
+                raise ValueError(f"cannot clone empty view at {self.path}")
+            if cur.get("base"):
+                raise ValueError(
+                    f"{self.path} is itself a shallow clone; compact() it into "
+                    "a self-contained view before cloning again (single-base "
+                    "manifest resolution)"
+                )
+            if cur.get("parts") is None:
+                raise ValueError(
+                    "shallow clone requires the partitioned manifest layout "
+                    "(partition_by=None views rewrite wholesale — just copy "
+                    "the current version dir)"
+                )
+            if os.path.exists(os.path.join(dst_path, "_CURRENT")):
+                raise ValueError(
+                    f"refusing to clone over existing view at {dst_path}: it "
+                    "already has a _CURRENT manifest (overwriting would "
+                    "orphan its data); choose a fresh path or remove it "
+                    "explicitly"
+                )
+            clone = KeyedParquetView(
+                self.spark, dst_path, self.key_cols, partition_by=self.part_col
             )
-        if cur.get("parts") is None:
-            raise ValueError(
-                "shallow clone requires the partitioned manifest layout "
-                "(partition_by=None views rewrite wholesale — just copy the "
-                "current version dir)"
-            )
-        clone = KeyedParquetView(
-            self.spark, dst_path, self.key_cols, partition_by=self.part_col
-        )
-        doc = {
-            "version": cur["version"],
-            "batch_ids": {},  # fresh replay watermarks: the clone is a new pipeline
-            "ts": time.time(),
-            "parts": dict(cur["parts"]),
-            "part_type": cur.get("part_type"),
-            "base": os.path.abspath(self.path),
-            "base_version": cur["version"],
-        }
-        tmp = os.path.join(dst_path, "_CURRENT.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, os.path.join(dst_path, "_CURRENT"))
-        return clone
+            doc = {
+                "version": cur["version"],
+                "batch_ids": {},  # fresh replay watermarks: a new pipeline
+                "ts": time.time(),
+                "parts": dict(cur["parts"]),
+                "part_type": cur.get("part_type"),
+                "base": os.path.abspath(self.path),
+                "base_version": cur["version"],
+            }
+            tmp = os.path.join(dst_path, "_CURRENT.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh)
+            os.replace(tmp, os.path.join(dst_path, "_CURRENT"))
+            return clone
 
     def vacuum(self) -> list[int]:
         with self._lease():

@@ -1325,8 +1325,15 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, sf_dir, tmp_path):
     assert files == []
     assert {(r["event_date"], r["n"]) for r in clone.read().collect()} == before
 
-    # (2)+(3) merge into the clone: source unchanged, clone diverged
-    fix = daily.filter(F.dayofmonth("event_date") <= 5).withColumn("n", F.lit(0))
+    # (2)+(3) merge into the clone: source unchanged, clone diverged.
+    # The revision's _ord is STRICTLY greater than the stored rows' (+1):
+    # max_by on an exact order tie is non-deterministic, so a tied revision
+    # winning would be undefined behavior, not a contract (r8 advice).
+    fix = (
+        daily.filter(F.dayofmonth("event_date") <= 5)
+        .withColumn("n", F.lit(0))
+        .withColumn("_ord", F.col("_ord") + 1)
+    )
     clone.merge_overwrite_by_key(fix, "_ord", batch_id=0, writer="fix")
     assert {(r["event_date"], r["n"]) for r in src.read().collect()} == before
     forked = {(r["event_date"], r["n"]) for r in clone.read().collect()}
@@ -1336,7 +1343,11 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, sf_dir, tmp_path):
 
     # (4) post-clone source writes are invisible to the clone
     src.merge_overwrite_by_key(
-        daily.withColumn("n", F.col("n") * 10), "_ord", batch_id=1
+        daily.withColumn("n", F.col("n") * 10).withColumn(
+            "_ord", F.col("_ord") + 1
+        ),
+        "_ord",
+        batch_id=1,
     )
     assert {(r["event_date"], r["n"]) for r in clone.read().collect()} == forked
 
@@ -1375,3 +1386,77 @@ def test_merge_that_empties_a_partition_deletes_it(spark, sf_dir, tmp_path):
     got = {(r["b"], r["k"]) for r in view.read().collect()}
     assert got == {(1, 3)}
     assert "0" not in view._pointer()["parts"]
+
+
+def test_hive_escaped_partition_values_survive_merges(spark, tmp_path):
+    """Partition values Spark Hive-escapes in directory names (':' in
+    timestamp strings, '#', '%') must NOT be dropped from the manifest:
+    empty-partition detection compares the manifest's RAW value against
+    the version dir's ESCAPED listing, so a raw isdir() check misses the
+    written dir and silently deletes a live partition on every merge that
+    touches it (r8 advice — silent data loss). Also covers read_at's
+    history scan, which walks the same dirs."""
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.streaming.upsert import (
+        KeyedParquetView,
+    )
+
+    vals = ["2020-01-01 00:00:00", "a#b", "p%q", "plain"]
+    rows = spark.createDataFrame(
+        [(v, i, 10 + i) for i, v in enumerate(vals)], "hr string, k bigint, x bigint"
+    )
+    view = KeyedParquetView(spark, str(tmp_path / "mv"), ["hr", "k"], partition_by="hr")
+    view.merge_overwrite_by_key(rows.withColumn("_o", F.col("k")), "_o", batch_id=0)
+    # every escaped value is in the manifest (v1 wrote them all)
+    assert set(view._pointer()["parts"]) == set(vals)
+
+    # a second merge touching ONLY the escaped partitions must keep them
+    # alive at the new version — the raw-isdir bug dropped them here
+    upd = spark.createDataFrame(
+        [(v, i, 100 + i) for i, v in enumerate(vals[:3])],
+        "hr string, k bigint, x bigint",
+    )
+    view.merge_overwrite_by_key(upd.withColumn("_o", F.col("k") + 10), "_o", batch_id=1)
+    parts = view._pointer()["parts"]
+    assert set(parts) == set(vals)
+    assert all(parts[v] == 2 for v in vals[:3]) and parts["plain"] == 1
+    got = {(r["hr"], r["x"]) for r in view.read().collect()}
+    assert got == {(v, 100 + i) for i, v in enumerate(vals[:3])} | {("plain", 13)}
+
+    # time travel back across escaped dirs: version 1 state intact
+    at1 = {(r["hr"], r["x"]) for r in view.read_at(1).collect()}
+    assert at1 == {(v, 10 + i) for i, v in enumerate(vals)}
+
+    # an emptying merge still deletes the escaped partition (not a false
+    # keep): the listing-based check distinguishes written vs absent
+    def wipe(cur, batch):
+        return (cur if cur is not None else batch).limit(0)
+
+    view.merge_custom(
+        spark.createDataFrame([("a#b",)], "hr string"), wipe, batch_id=0, writer="w"
+    )
+    assert "a#b" not in view._pointer()["parts"]
+    assert {r["hr"] for r in view.read().collect()} == set(vals) - {"a#b"}
+
+
+def test_clone_to_refuses_existing_view(spark, tmp_path):
+    """clone_to must not silently overwrite a destination that already has
+    a _CURRENT manifest — doing so would orphan the pre-existing view's
+    data (r8 advice)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.streaming.upsert import (
+        KeyedParquetView,
+    )
+
+    rows = spark.createDataFrame([(1, 1, 1)], "b bigint, k bigint, x bigint")
+    src = KeyedParquetView(spark, str(tmp_path / "src"), ["b", "k"], partition_by="b")
+    src.merge_overwrite_by_key(rows.withColumn("_o", F.col("k")), "_o", batch_id=0)
+    other = KeyedParquetView(spark, str(tmp_path / "dst"), ["b", "k"], partition_by="b")
+    other.merge_overwrite_by_key(rows.withColumn("_o", F.col("k")), "_o", batch_id=0)
+    with _pytest.raises(ValueError, match="refusing to clone"):
+        src.clone_to(str(tmp_path / "dst"))
+    # the existing view is untouched
+    assert {r["x"] for r in other.read().collect()} == {1}
