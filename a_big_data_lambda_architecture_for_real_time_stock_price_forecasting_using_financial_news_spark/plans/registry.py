@@ -12370,3 +12370,566 @@ def w19_interval_coalesce(spark, sf_dir):
         F.max("e").alias("island_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: technical-indicator + factor-model batch operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f14_bollinger_breakout",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT series, day, close_c,
+             sum(close_c)           OVER w AS s20,
+             sum(close_c * close_c) OVER w AS ss20,
+             count(*)               OVER w AS n
+      FROM c
+      WINDOW w AS (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, day, close_c,
+           CAST(s20 AS BIGINT) AS s20, CAST(ss20 AS BIGINT) AS ss20,
+           CAST(CASE WHEN n * close_c > s20
+                      AND (n * close_c - s20) * (n * close_c - s20)
+                          > 4 * (n * ss20 - s20 * s20)
+                     THEN 1 ELSE 0 END AS INTEGER) AS above_upper,
+           CAST(CASE WHEN n * close_c < s20
+                      AND (s20 - n * close_c) * (s20 - n * close_c)
+                          > 4 * (n * ss20 - s20 * s20)
+                     THEN 1 ELSE 0 END AS INTEGER) AS below_lower
+    FROM r WHERE n = 20
+    """,
+)
+def f14_bollinger_breakout(spark, sf_dir):
+    """Bollinger-band breakout flags (20-day, 2 sigma) per series — the
+    volatility-band screen that consumes exactly the daily-close series
+    the engine's batch view maintains (reference: Batch_layer/
+    stockBatch.py's OHLC rows; f12's RSI is the momentum twin). The
+    textbook test ``close > mean + 2*stddev`` is a float sqrt — refused
+    on hash-stability grounds (the m9/f12 rule).  Both band tests are
+    instead cross-multiplied into EXACT integer inequalities over the
+    rolling sum S and sum-of-squares SS of cent closes:
+
+        close > S/n + 2*sqrt((n*SS - S^2))/n
+          <=>  n*close > S  AND  (n*close - S)^2 > 4*(n*SS - S^2)
+
+    (squaring is valid exactly because the sign test rides along; the
+    variance numerator n*SS - S^2 is the n^2-scaled population variance,
+    nonnegative by Cauchy-Schwarz).  Magnitudes: cents < 2^17, n = 20,
+    so (n*close)^2 < 2^44 and 4*n*SS < 2^49 — int64-exact with 14 bits
+    to spare.  Warm-up rows (n < 20) are excluded, the f12 discipline.
+
+    Shape: one per-(series, day) hash agg for closes (map-side combined,
+    the f6 (ts,v)-struct argmax), then ONE window partitioned by series
+    computing both rolling sums — Catalyst fuses them into a single
+    sort+window over a 30-row-per-series relation.  At 100 TB the agg
+    collapses the tick stream before the window ever sorts: window state
+    is bounded by series count x 20 rows, never by tick volume."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    w20 = Window.partitionBy("series").orderBy("day").rowsBetween(-19, 0)
+    r = c.select(
+        "series",
+        "day",
+        "close_c",
+        F.sum("close_c").over(w20).alias("s20"),
+        F.sum(F.col("close_c") * F.col("close_c")).over(w20).alias("ss20"),
+        F.count(F.lit(1)).over(w20).alias("n"),
+    ).filter(F.col("n") == 20)
+    dev = F.col("n") * F.col("close_c") - F.col("s20")
+    var_n2 = F.col("n") * F.col("ss20") - F.col("s20") * F.col("s20")
+    return r.select(
+        "series",
+        "day",
+        "close_c",
+        F.col("s20").cast("bigint").alias("s20"),
+        F.col("ss20").cast("bigint").alias("ss20"),
+        F.when((dev > 0) & (dev * dev > 4 * var_n2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("above_upper"),
+        F.when((dev < 0) & (dev * dev > 4 * var_n2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("below_lower"),
+    )
+
+
+@register(
+    "f15_capm_beta",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT series, day,
+             close_c - lag(close_c) OVER (PARTITION BY series ORDER BY day)
+               AS ret_c
+      FROM c
+    ), rr AS (SELECT * FROM r WHERE ret_c IS NOT NULL),
+    mkt AS (
+      SELECT day, CAST(sum(ret_c) AS BIGINT) AS m FROM rr GROUP BY 1
+    ), j AS (
+      SELECT rr.series, rr.ret_c AS y, mkt.m AS x
+      FROM rr JOIN mkt USING (day)
+    ), s AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM j GROUP BY 1
+    )
+    SELECT series, n, sx, sy, sxy, sxx,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS beta
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def f15_capm_beta(spark, sf_dir):
+    """CAPM beta per series against the equal-weight market factor — the
+    one-factor regression slope every risk model starts from, computed
+    over the same daily-close cent series as f12/f14.  "Return" here is
+    the lagged cent DIFF (not the log/pct return: those are floats whose
+    cross-engine rounding flaps the hash gate; the absolute-diff factor
+    regression is the standard exactness compromise, documented), and
+    the market factor is the cross-sectional SUM of all series' diffs
+    per day — itself an exact BIGINT.
+
+    beta = cov(y,x)/var(x) is cross-multiplied to the exact integer pair
+        num = n*Sxy - Sx*Sy,   den = n*Sxx - Sx^2
+    with ONE correctly-rounded double division at the output boundary
+    (the a15/f7 discipline); the five sufficient statistics ride along
+    so the oracle pins the exact state, not just the quotient.  Bounds:
+    |diff| < 2^17, market sum over 5 series < 2^20, so Sxy < 30*2^37 and
+    n*Sxy < 2^47 — int64-exact.  Degenerate zero-variance series are
+    excluded by the den <> 0 guard on the EXACT integer (a float
+    epsilon-test would be engine-dependent).
+
+    Shape: closes collapse in one map-side-combined hash agg; the lag is
+    one window over 30 rows/series; the market factor is a 30-row agg
+    broadcast back onto per-series returns (day join, broadcast-hash by
+    size); the sufficient statistics are one final hash agg keyed by
+    series.  At 100 TB: tick->close aggregation dominates and is fully
+    map-side combinable; everything after operates on rows = series x
+    days, cluster-trivial."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    wd = Window.partitionBy("series").orderBy("day")
+    rr = c.select(
+        "series", "day", (F.col("close_c") - F.lag("close_c").over(wd)).alias("ret_c")
+    ).filter(F.col("ret_c").isNotNull())
+    mkt = rr.groupBy("day").agg(F.sum("ret_c").cast("bigint").alias("m"))
+    j = rr.join(F.broadcast(mkt), "day").select(
+        "series", F.col("ret_c").alias("y"), F.col("m").alias("x")
+    )
+    s = j.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(den != 0).select(
+        "series",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (num.cast("double") / den.cast("double")).alias("beta"),
+    )
+
+
+@register(
+    "a29_bitmap_distinct",
+    """
+    WITH b AS (
+      SELECT event_type,
+             user_id // 62 AS word_idx,
+             bit_or((1::BIGINT) << CAST(user_id % 62 AS INTEGER)) AS word
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(bit_count(word)) AS BIGINT) AS distinct_bitmap
+      FROM b GROUP BY 1
+    ), ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, s.n_words, s.distinct_bitmap, ex.exact_distinct
+    FROM s JOIN ex USING (event_type)
+    """,
+)
+def a29_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via word-sliced bitmaps (the Roaring-
+    bitmap design, flattened to SQL) — the third point on the engine's
+    cardinality spectrum: a9/a20 are sketches (fixed error), a6/a12 are
+    exact-by-shuffling-keys; this is exact-by-shuffling-BITS.  Dense
+    integer id spaces (user ids, order keys, dictionary-encoded dims)
+    pack 62 presence bits per BIGINT word: word_idx = id div 62, bit =
+    id mod 62, per-word presence = bit_or(1 << bit) — an agg whose
+    partial state is MERGEABLE BY OR across partitions (the t17
+    algebraic-state contract), so the shuffle carries ceil(|id-space|
+    / 62) words per group instead of one row per distinct id: a 62x
+    reduction on dense spaces, and the words land pre-combined by the
+    map side.  The count is then sum(bit_count(word)) — population
+    count, exact, no estimate.  62 (not 64) bits per word keeps every
+    shifted value strictly positive: Spark's shiftleft and DuckDB's <<
+    agree on sign-bit-free shifts unconditionally, so the word VALUES
+    themselves hash-gate (the sketch state, not just the count; the
+    a20 rule).  exact_distinct rides along as the invariant yardstick
+    (bitmap count == countDistinct, proven per group by the oracle).
+
+    At 100 TB: this is the segment-local bitmap index every OLAP store
+    builds (word_idx doubles as the segment key); set ALGEBRA —
+    audience intersection/union — becomes word-wise AND/OR joins on
+    word_idx, never a re-shuffle of raw ids (a30 is the sparse/
+    unbounded-id-space counterpart)."""
+    ev = tbl(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("user_id div 62").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(user_id % 62 as int))")
+        ).alias("word")
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("distinct_bitmap"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return s.join(ex, "event_type")
+
+
+KMV_K = 64  # sketch size; relative error ~ 1/sqrt(64) = 12.5%
+KMV_NUM = float(KMV_K - 1) * float(1 << 60)  # (k-1) * hash-space size
+
+
+@register(
+    "a30_kmv_setops",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             {phash60_sql("CAST(user_id AS VARCHAR)", seed="kmv")} AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d) WHERE rn <= {KMV_K}
+    ), t AS (SELECT DISTINCT event_type FROM sk),
+    p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM t a JOIN t b ON a.event_type < b.event_type
+    ), u AS (
+      SELECT p.ta, p.tb, s.h, 0 AS side
+      FROM p JOIN sk s ON s.event_type = p.ta
+      UNION ALL
+      SELECT p.ta, p.tb, s.h, 1 AS side
+      FROM p JOIN sk s ON s.event_type = p.tb
+    ), memb AS (
+      SELECT ta, tb, h, count(*) AS n_sides FROM u GROUP BY 1, 2, 3
+    ), x AS (
+      SELECT * FROM (
+        SELECT ta, tb, h, n_sides,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM memb) WHERE rn <= {KMV_K}
+    ), agg AS (
+      SELECT ta, tb, CAST(max(h) AS BIGINT) AS hk_union,
+             CAST(count(*) AS BIGINT) AS kx,
+             CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS matches
+      FROM x GROUP BY 1, 2
+    ), est AS (
+      SELECT ta, tb, hk_union, kx, matches,
+             CASE WHEN kx >= {KMV_K}
+                  THEN {KMV_NUM!r} / CAST(hk_union AS DOUBLE)
+                  ELSE CAST(kx AS DOUBLE) END AS union_est
+      FROM agg
+    ), ex1 AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), eu AS (SELECT DISTINCT event_type, user_id FROM events),
+    exi AS (
+      SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS exact_inter
+      FROM p
+      JOIN eu ea ON ea.event_type = p.ta
+      JOIN eu eb ON eb.event_type = p.tb AND eb.user_id = ea.user_id
+      GROUP BY 1, 2
+    )
+    SELECT e.ta, e.tb, e.hk_union, e.kx, e.matches,
+           CAST(e.union_est AS DOUBLE) AS union_est,
+           CAST(CAST(e.matches AS DOUBLE) / CAST(e.kx AS DOUBLE)
+                * e.union_est AS DOUBLE) AS inter_est,
+           CAST(na.n + nb.n - x.exact_inter AS BIGINT) AS exact_union,
+           x.exact_inter
+    FROM est e
+    JOIN exi x ON x.ta = e.ta AND x.tb = e.tb
+    JOIN ex1 na ON na.event_type = e.ta
+    JOIN ex1 nb ON nb.event_type = e.tb
+    """,
+)
+def a30_kmv_setops(spark, sf_dir):
+    """K-minimum-values sketch SET ALGEBRA (Beyer et al., the theta-
+    sketch family's exact-arithmetic core) — distinct counts for
+    audience UNIONS and INTERSECTIONS no single pre-aggregation can
+    answer: a20's HLL merges by register max (union only); KMV sketches
+    compose for both, which is why warehouse audience-overlap stacks
+    (Theta/Tuple sketches) are built on them.  Per set keep the K=64
+    smallest values of the shared 60-bit hash over distinct members;
+    then for any pair, the K smallest of the two sketches' union IS the
+    KMV sketch of the set union (each side's sketch contains the k
+    union-minima it owns — the closure property, and the whole reason
+    the combine needs only the 2K sketch rows, never the raw sets).
+    Estimators, kept hash-gateable: union_est = (K-1)*2^60 / h_K as ONE
+    double division of a shared double literal by the exact integer
+    K-th minimum (the a20 discipline — no pow/ln); jaccard = matches/K
+    over hashes present in BOTH side sketches among the union-minima
+    (the standard combined-sketch estimator), and inter_est composes
+    the two in a fixed IEEE op order both engines round identically.
+    Sub-K unions (|A u B| < K: the sketch IS the set) fall back to the
+    exact kx count — the textbook KMV small-set rule, decided on the
+    exact integer kx, never a float test.  Exact union/intersection
+    ride along as yardsticks.
+
+    Scale shape: sketch build is distinct + one per-type TOP-K — here a
+    window row_number over the per-type DISTINCT hash stream (cheap:
+    rows = distinct members, already collapsed); at 100 TB you'd swap
+    the window for a partial top-K agg, but the CONTRACT — K rows per
+    set leave the build — is the point: every pairwise overlap after
+    that touches 2K = 128 rows per pair, so a 10^4-segment overlap
+    matrix costs 10^8/2 sketch-row comparisons, not a single raw-data
+    re-shuffle (the a29 bitmap is the dense-id twin; this one never
+    needs the id space bounded)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        phash60(F.col("user_id").cast("string"), seed="kmv").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    t = sk.select("event_type").distinct()
+    p = (
+        t.alias("a")
+        .crossJoin(t.alias("b"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    ua = p.join(F.broadcast(sk).alias("s"), F.col("s.event_type") == F.col("ta")).select(
+        "ta", "tb", "h", F.lit(0).alias("side")
+    )
+    ub = p.join(F.broadcast(sk).alias("s"), F.col("s.event_type") == F.col("tb")).select(
+        "ta", "tb", "h", F.lit(1).alias("side")
+    )
+    memb = ua.unionAll(ub).groupBy("ta", "tb", "h").agg(
+        F.count(F.lit(1)).alias("n_sides")
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    x = memb.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= KMV_K)
+    agg = x.groupBy("ta", "tb").agg(
+        F.max("h").cast("bigint").alias("hk_union"),
+        F.count(F.lit(1)).cast("bigint").alias("kx"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("matches"),
+    )
+    est = agg.withColumn(
+        "union_est",
+        F.when(
+            F.col("kx") >= KMV_K, F.lit(KMV_NUM) / F.col("hk_union").cast("double")
+        ).otherwise(F.col("kx").cast("double")),
+    )
+    ex1 = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n")
+    )
+    eu = ev.select("event_type", "user_id").distinct()
+    exi = (
+        p.join(eu.alias("ea"), F.col("ea.event_type") == F.col("ta"))
+        .join(
+            eu.alias("eb"),
+            (F.col("eb.event_type") == F.col("tb"))
+            & (F.col("eb.user_id") == F.col("ea.user_id")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return (
+        est.join(exi, ["ta", "tb"])
+        .join(F.broadcast(ex1).alias("na"), F.col("na.event_type") == F.col("ta"))
+        .join(F.broadcast(ex1).alias("nb"), F.col("nb.event_type") == F.col("tb"))
+        .select(
+            "ta",
+            "tb",
+            "hk_union",
+            "kx",
+            "matches",
+            F.col("union_est").cast("double").alias("union_est"),
+            (
+                F.col("matches").cast("double")
+                / F.col("kx").cast("double")
+                * F.col("union_est")
+            )
+            .cast("double")
+            .alias("inter_est"),
+            (F.col("na.n") + F.col("nb.n") - F.col("exact_inter"))
+            .cast("bigint")
+            .alias("exact_union"),
+            "exact_inter",
+        )
+    )
+
+
+@register(
+    "w20_cusum_changepoint",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      FROM c GROUP BY 1
+    ), cu AS (
+      SELECT c.series, c.day, c.cnt,
+             t.n * sum(c.cnt) OVER (PARTITION BY c.series ORDER BY c.day)
+               - row_number() OVER (PARTITION BY c.series ORDER BY c.day) * t.s
+               AS d_t,
+             t.n * t.ss - t.s * t.s AS v
+      FROM c JOIN tot t USING (series)
+    ), sc AS (
+      SELECT series, day, cnt, CAST(d_t AS BIGINT) AS d_t,
+             d_t * d_t AS d2, v,
+             min(struct_pack(nd2 := -(d_t * d_t), d := day))
+               OVER (PARTITION BY series) AS best
+      FROM cu
+    )
+    SELECT series, day, cnt, d_t,
+           CAST(CASE WHEN d2 > 4 * v THEN 1 ELSE 0 END AS INTEGER)
+             AS beyond_2sigma,
+           CAST(CASE WHEN best.nd2 = -d2 AND best.d = day THEN 1 ELSE 0 END
+                AS INTEGER) AS is_changepoint
+    FROM sc
+    """,
+)
+def w20_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection over the per-series daily volume
+    series — the drift monitor a 100 TB ingestion pipeline runs beside
+    m16's distribution-drift check: m16 answers "did the VALUE mix
+    shift", this answers "WHEN did the RATE shift".  Classic offline
+    CUSUM: D_t = prefix_t - t*mean, spikes where the series departs its
+    global mean, and argmax|D_t| is the maximum-likelihood single
+    change point (Page's statistic).  Exactness discipline: mean = S/n
+    never materializes — everything is scaled by n, so D_t = n*prefix_t
+    - t*S stays an exact BIGINT (the f14 cross-multiplication rule),
+    and the 2-sigma band test squares it against the n^2-scaled
+    variance numerator V = n*SS - S^2: |D_t| > 2*n*sigma <=> D_t^2 >
+    4V, integers end to end (bounds: daily counts < 2^20 at sf1, so
+    D^2 < 2^50).  The change-point argmax carries the (d^2, day)
+    struct through a per-series window MIN on (-d^2, day) — largest
+    excursion, EARLIEST day on ties, the registry's struct-argmax
+    determinism rule (a bare max would tie-flap the hash gate).
+
+    Shape: the tick stream collapses in one map-side-combined (series,
+    day) count agg; the per-series totals are a 5-row broadcast join;
+    prefix sums, the row counter, and the argmax share ONE per-series
+    sort+window pass (Catalyst fuses all three).  Window state is
+    bounded by days-per-series, never ticks — the f12/f14 contract."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(F.col("event_type").alias("series"), F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = c.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+    )
+    wo = Window.partitionBy("series").orderBy("day")
+    cu = c.join(F.broadcast(tot), "series").select(
+        "series",
+        "day",
+        "cnt",
+        (
+            F.col("n") * F.sum("cnt").over(wo)
+            - F.row_number().over(wo) * F.col("s")
+        ).alias("d_t"),
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("v"),
+    )
+    d2 = F.col("d_t") * F.col("d_t")
+    sc = cu.select(
+        "series",
+        "day",
+        "cnt",
+        F.col("d_t").cast("bigint").alias("d_t"),
+        d2.alias("d2"),
+        "v",
+        F.min(F.struct((-d2).alias("nd2"), F.col("day").alias("d")))
+        .over(Window.partitionBy("series"))
+        .alias("best"),
+    )
+    return sc.select(
+        "series",
+        "day",
+        "cnt",
+        "d_t",
+        F.when(F.col("d2") > 4 * F.col("v"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("beyond_2sigma"),
+        F.when(
+            (F.col("best.nd2") == -F.col("d2")) & (F.col("best.d") == F.col("day")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_changepoint"),
+    )

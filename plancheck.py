@@ -57,6 +57,9 @@ CROSS_JOIN_ALLOWLIST = {
     # class-count-bounded centroid-table broadcast crossJoin (10 rows),
     # same bound as s6/s11's centroid crossJoin
     "m17_nearest_centroid",
+    # 5x5 event-type pair build (10-row cartesian by construction); every
+    # sketch-row join after it is broadcast hash — same bound as m17
+    "a30_kmv_setops",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

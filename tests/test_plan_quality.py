@@ -1294,3 +1294,53 @@ def test_a28_k_anonymity_one_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert _tree_nodes(plan, "Exchange") == 1
     assert "partial_count" in plan
+
+
+def test_f14_bollinger_single_window_no_python(spark, sf_dir):
+    """Both rolling sums and the count fuse into ONE window over the
+    per-(series,day) close relation; the band tests are pure JVM integer
+    math — no Python eval, no second sort."""
+    plan = plan_of(registry.QUERIES["f14_bollinger_breakout"](spark, sf_dir))
+    assert plan.count(") Window") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_f15_beta_market_factor_broadcast(spark, sf_dir):
+    """The 30-row market-factor relation joins back by broadcast; no
+    nested loop anywhere, and the sufficient statistics stay JVM-side."""
+    plan = plan_of(registry.QUERIES["f15_capm_beta"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_a29_bitmap_words_partial_agg(spark, sf_dir):
+    """The bitmap build must partial-aggregate map-side (bit_or is
+    algebraic): partial+final HashAggregate pairs around one exchange,
+    raw user ids never shuffle as rows — only (type, word) words do."""
+    plan = plan_of(registry.QUERIES["a29_bitmap_distinct"](spark, sf_dir))
+    assert "bit_or" in plan
+    assert "partial_bit_or" in plan or "merge_bit_or" in plan or plan.count(
+        "HashAggregate"
+    ) >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_a30_kmv_sketch_joins_broadcast(spark, sf_dir):
+    """Pairwise set-op estimates touch only the K-row sketches: the
+    sketch relations join by broadcast hash; the only nested-loop is the
+    5x5 type-pair build (a 10-row cartesian by construction)."""
+    plan = plan_of(registry.QUERIES["a30_kmv_setops"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_w20_cusum_windows_share_one_sort(spark, sf_dir):
+    """Prefix sum + row counter fuse into one per-series window; the
+    argmax adds at most one more window pass over 30-row partitions —
+    never a global sort, and the totals join is broadcast."""
+    plan = plan_of(registry.QUERIES["w20_cusum_changepoint"](spark, sf_dir))
+    assert plan.count(") Window") <= 2
+    assert "BroadcastHashJoin" in plan
+    assert plan.count(") Sort") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
