@@ -12933,3 +12933,740 @@ def w20_cusum_changepoint(spark, sf_dir):
         .cast("int")
         .alias("is_changepoint"),
     )
+
+
+@register(
+    "m18_naive_bayes",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_tx.tokens_sql('text')}) AS token
+      FROM documents
+    ), ctc AS (
+      SELECT lang AS c, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    ), nc AS (
+      SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
+    ), v AS (
+      SELECT CAST(count(DISTINCT token) AS BIGINT) AS vs FROM tok
+    ), cls AS (SELECT c, n_tok, vs FROM nc CROSS JOIN v),
+    sc AS (
+      SELECT t.doc_id, t.lang, cls.c,
+             CAST(sum(length(bin((cls.n_tok + cls.vs) * (cls.n_tok + cls.vs)))
+                      - length(bin((coalesce(ctc.cnt, 0) + 1)
+                                   * (coalesce(ctc.cnt, 0) + 1))))
+                  AS BIGINT) AS s
+      FROM tok t CROSS JOIN cls
+      LEFT JOIN ctc ON ctc.c = cls.c AND ctc.token = t.token
+      GROUP BY 1, 2, 3
+    ), pri AS (
+      SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS td FROM documents),
+    best AS (
+      SELECT sc.doc_id, sc.lang,
+             min(struct_pack(
+               s := sc.s + length(bin(tot.td * tot.td))
+                         - length(bin(pri.nd * pri.nd)),
+               c := sc.c)) AS b
+      FROM sc JOIN pri ON pri.c = sc.c CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT lang AS lang_true, b.c AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.s) AS BIGINT) AS sum_score_hb
+    FROM best GROUP BY 1, 2
+    """,
+)
+def m18_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier — TRAINED AND SCORED
+    entirely in aggregations (the from-first-principles twin of x6's
+    rule-based language id, and the standing proof that the classic
+    text-classification baseline needs no ML runtime: training is ONE
+    (class, token) count agg, the model is a table, inference is a join).
+    Train-on-corpus/score-on-corpus makes it a model-fit AUDIT like
+    m15's autolabel check; the confusion matrix is the output.
+
+    Exactness: argmax_c [log P(c) + sum log P(t|c)] becomes argmin of
+    SURPRISAL in half-bit integer units — every Laplace-smoothed
+    probability (cnt+1)/(N_c + V) contributes floor(log2 denom^2) -
+    floor(log2 (cnt+1)^2) via the length(bin(n*n)) integer-log2 trick
+    (x26's quantization, squared for half-bit resolution; transcendental
+    log() rounding cross-engine is refused, the m9/x26 rule).  The
+    shared -1s of both floor-log2s cancel in the difference.  Class
+    priors enter the same way from doc counts; the per-doc argmin
+    carries (score, class) through the registry's struct-min rule so
+    score ties break to the lexicographically first class
+    deterministically.  Quantization costs <=0.5 bit per factor -- a
+    documented accuracy trade for a hash-gateable classifier.  Overflow
+    ceiling: (N_c + V)^2 needs N_c + V < 3.0e9 tokens per class; past
+    that, drop to 1-bit resolution (x26's unsquared form) -- documented,
+    not silent.
+
+    Shape: class-conditional counts and class totals are map-side
+    combined aggs; the 5-row (class, N_c, V) model head broadcasts onto
+    the token stream (a documented x|classes| row expansion — the price
+    of dense scoring, bounded by class count, never corpus size); the
+    token-level left join against the (class, token) model is a plain
+    equi-join AQE sizes (broadcast at fixture scale, shuffled at
+    100 TB); per-(doc, class) sums and the per-doc argmin are two more
+    map-side-combinable aggs.  No window, no sort, no Python."""
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("token")
+    )
+    ctc = tok.groupBy(F.col("lang").alias("c"), "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    nc = tok.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    v = tok.agg(F.countDistinct("token").cast("bigint").alias("vs"))
+    cls = nc.crossJoin(F.broadcast(v))
+
+    def hb(col):  # half-bit integer log2: floor(log2(n^2)) + 1
+        return F.length(F.bin(col * col))
+
+    den_hb = hb(F.col("n_tok") + F.col("vs"))
+    cnt1 = F.coalesce(F.col("cnt"), F.lit(0)) + 1
+    sc = (
+        tok.crossJoin(F.broadcast(cls))
+        .join(ctc, ["c", "token"], "left")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.sum(den_hb - hb(cnt1)).cast("bigint").alias("s"))
+    )
+    pri = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("td"))
+    best = (
+        sc.join(F.broadcast(pri), "c")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col("s") + hb(F.col("td")) - hb(F.col("nd"))).alias("s"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.groupBy(
+        F.col("lang").alias("lang_true"), F.col("b.c").alias("pred_lang")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("b.s").cast("bigint").alias("sum_score_hb"),
+    )
+
+
+#: depth-2 regression stumps of the m19 ensemble; each tree is
+#: (root_feat, root_thr, (left_feat, thr, leaf_ll, leaf_lr),
+#:                       (right_feat, thr, leaf_rl, leaf_rr)).
+#: Features: q = whole-unit quantity, dc = discount in cents,
+#: pc = extended price in cents.  Margins in milli-units.  ONE literal
+#: feeds both the Spark expression and the oracle CASE text, so the
+#: model cannot drift between engines.
+GBT_TREES = [
+    ("q", 25, ("pc", 2500000, -840, -120), ("pc", 5000000, 60, 910)),
+    ("pc", 3600000, ("q", 12, -760, -280), ("dc", 5, 530, 460)),
+    ("dc", 3, ("pc", 4200000, -350, 420), ("pc", 3000000, -610, 380)),
+    ("q", 38, ("pc", 3300000, -450, 260), ("pc", 2000000, -380, 700)),
+    ("pc", 1500000, ("q", 20, -900, -900), ("q", 20, -150, 340)),
+    ("q", 8, ("pc", 9000000, -670, -670), ("pc", 2800000, -240, 450)),
+]
+
+
+def _gbt_leaf_sql(node) -> str:
+    f, t, lo, hi = node
+    return f"CASE WHEN {f} <= {t} THEN {lo} ELSE {hi} END"
+
+
+def _gbt_score_sql() -> str:
+    terms = [
+        f"(CASE WHEN {rf} <= {rt} THEN {_gbt_leaf_sql(l)} ELSE {_gbt_leaf_sql(r)} END)"
+        for rf, rt, l, r in GBT_TREES
+    ]
+    return " + ".join(terms)
+
+
+def _gbt_leaf_col(node, cols):
+    f, t, lo, hi = node
+    return F.when(cols[f] <= t, F.lit(lo)).otherwise(F.lit(hi))
+
+
+def _gbt_score_col(cols):
+    s = F.lit(0)
+    for rf, rt, l, r in GBT_TREES:
+        s = s + F.when(
+            cols[rf] <= rt, _gbt_leaf_col(l, cols)
+        ).otherwise(_gbt_leaf_col(r, cols))
+    return s
+
+
+@register(
+    "m19_gbt_inference",
+    f"""
+    WITH f AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, q, dc, pc,
+             {_gbt_score_sql()} AS score,
+             CASE WHEN pc * (100 - dc) > 300000000 THEN 1 ELSE 0 END AS label
+      FROM f
+    )
+    SELECT l_returnflag,
+           CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(score) AS BIGINT) AS sum_score_m,
+           CAST(sum(label) AS BIGINT) AS n_label_pos,
+           CAST(sum(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE 0 END) = label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM s GROUP BY 1, 2
+    """,
+)
+def m19_gbt_inference(spark, sf_dir):
+    """Gradient-boosted-tree ENSEMBLE INFERENCE compiled to the plan —
+    the serving shape of every tabular GBM (XGBoost/LightGBM-style
+    margin sum) when the model is small enough to ship as literals: six
+    depth-2 trees over integer features become nested CASE WHEN chains
+    that Catalyst constant-folds into ONE whole-stage-codegen'd
+    projection.  No model file, no UDF, no broadcast join, no Python —
+    tree inference at 100 TB is a narrow map with zero exchanges until
+    the final confusion agg (contrast m9_mlp_inference, which pays an
+    Arrow batch per row block for dense matmul: trees of this size
+    belong IN the plan; the single GBT_TREES literal feeds both engines
+    so model and oracle cannot drift).
+
+    Exactness: features land on integer grids (whole-unit quantity via
+    floor — Spark's double->int CAST truncates while DuckDB's rounds,
+    the documented registry footgun, so floor() is explicit on both
+    sides; cents via round); leaf margins are milli-units summed as
+    BIGINTs; the yardstick label (net price > $30k) cross-multiplies
+    the discount instead of dividing (pc*(100-dc) > 3e8, exact).  The
+    decision threshold compares the exact integer margin sum to zero.
+    Output pins per-(returnflag, pred) counts, exact margin mass, label
+    prevalence, and agreement — every scored row reaches the hash gate
+    through the sums.
+
+    Scale: one scan, one map-side-combined agg over 6 groups; predicate
+    and column pruning reach the parquet scan (only 4 columns read).
+    Retraining swaps the literal — the operational contract of
+    plan-compiled models (feature-store joins stay upstream)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    cols = {
+        "q": F.floor(F.col("l_quantity")).cast("bigint"),
+        "dc": F.round(F.col("l_discount") * 100).cast("bigint"),
+        "pc": F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+    }
+    score = _gbt_score_col(cols)
+    label = F.when(
+        cols["pc"] * (100 - cols["dc"]) > 300000000, F.lit(1)
+    ).otherwise(F.lit(0))
+    s = li.select(
+        "l_returnflag",
+        score.alias("score"),
+        label.alias("label"),
+    )
+    pred = F.when(F.col("score") > 0, 1).otherwise(0)
+    return s.groupBy(
+        "l_returnflag", pred.cast("int").alias("pred")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("score").cast("bigint").alias("sum_score_m"),
+        F.sum("label").cast("bigint").alias("n_label_pos"),
+        F.sum(F.when(pred == F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+
+
+@register(
+    "o5_systematic_sample",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+             {_ex.shuffle_pos_sql('doc_id', seed='pps')} AS pos
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, w,
+             sum(w) OVER (PARTITION BY source ORDER BY pos, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM d
+    ), t AS (
+      SELECT source, CAST(sum(w) AS BIGINT) AS tw FROM d GROUP BY 1
+    )
+    SELECT c.source, c.doc_id, c.w, CAST(c.cum AS BIGINT) AS cum,
+           CAST((c.cum * 10) // t.tw AS BIGINT) AS sel_idx
+    FROM c JOIN t USING (source)
+    WHERE (c.cum * 10) // t.tw > ((c.cum - c.w) * 10) // t.tw
+    """,
+)
+def o5_systematic_sample(spark, sf_dir):
+    """Weighted SYSTEMATIC sampling (PPS, probability proportional to
+    size) — 10 documents per domain drawn proportional to length,
+    without replacement, in ONE window pass: the corpus-downsampling
+    primitive that complements x27 (exact token quota) and s3
+    (uniform stratified) with the 'long docs count more' design every
+    mixture paper assumes.  Lahiri/systematic form: lay each stratum's
+    documents on a line in the reproducible shuffle order (ext/export
+    shuffle_pos — unbiased, superset-stable), cumulate integer weights,
+    and keep exactly the rows whose weight span crosses one of the 10
+    equal thresholds k*W/10.  The crossing test is pure integer
+    arithmetic — (cum*10) div W > ((cum-w)*10) div W — never a float
+    threshold (floor division agrees across engines on nonnegative
+    ints, the f12 rule); sel_idx rides along so the oracle pins WHICH
+    threshold each kept row crossed.  A row longer than W/10 crosses
+    several thresholds but is kept once (the capped variant — the
+    standard dedup of systematic PPS; its sel_idx records the LAST
+    threshold crossed).  Overflow: cum*10 <= 10*W — W below 9.2e17
+    chars per stratum, beyond any corpus.
+
+    Scale: one hash shuffle on source feeds both the window and the
+    stratum totals (the x27 skew note applies: salt the cumsum for a
+    mega-domain); the totals join is broadcast at fixture scale.  The
+    output is 10 rows per stratum — the shuffle leaves with the sample,
+    never the corpus."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+        _ex.shuffle_pos("doc_id", seed="pps").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pos", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("w").over(w))
+    t = d.groupBy("source").agg(F.sum("w").cast("bigint").alias("tw"))
+    j = c.join(F.broadcast(t), "source")
+    hi = F.expr("(cum * 10) div tw")
+    lo = F.expr("((cum - w) * 10) div tw")
+    return j.filter(hi > lo).select(
+        "source",
+        "doc_id",
+        "w",
+        F.col("cum").cast("bigint").alias("cum"),
+        hi.cast("bigint").alias("sel_idx"),
+    )
+
+
+@register(
+    "pipe3_prep_funnel",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, source, lang, n_chars, text,
+             {_split_sql('doc_id')} AS split
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT {_tx.fingerprint_sql('text')} AS fp
+      FROM lab WHERE split = 'val'
+    ), b AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             md5(text) AS h,
+             {_tx.fingerprint_sql('text')} AS fp,
+             CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS g1,
+             CASE WHEN {_tx.lang_id_sql('text')} = lang THEN 1 ELSE 0 END AS g2,
+             CASE WHEN {_tx.quality_score_sql('text')} >= 0.35 THEN 1 ELSE 0 END
+               AS g3
+      FROM lab WHERE split = 'train'
+    ), s AS (
+      SELECT *, g1 * g2 * g3 AS s3 FROM b
+    ), canon AS (
+      SELECT h, min(doc_id) AS mid FROM s WHERE s3 = 1 GROUP BY 1
+    ), f AS (
+      SELECT s.*, CASE WHEN s.s3 = 1 AND s.doc_id = c.mid THEN 1 ELSE 0 END AS s4
+      FROM s LEFT JOIN canon c USING (h)
+    ), g AS (
+      SELECT f.*, CASE WHEN f.s4 = 1 AND ev.fp IS NULL THEN 1 ELSE 0 END AS s5
+      FROM f LEFT JOIN ev ON ev.fp = f.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(g1) AS BIGINT) AS n_len,
+           CAST(sum(g1 * g2) AS BIGINT) AS n_lang,
+           CAST(sum(s3) AS BIGINT) AS n_qual,
+           CAST(sum(s4) AS BIGINT) AS n_canon,
+           CAST(sum(s5) AS BIGINT) AS n_clean,
+           CAST(coalesce(sum(CASE WHEN s5 = 1 THEN n_chars END), 0) AS BIGINT)
+             AS chars_kept
+    FROM g GROUP BY 1
+    """,
+)
+def pipe3_prep_funnel(spark, sf_dir):
+    """Training-corpus prep FUNNEL with per-stage attrition — the
+    "no silent caps" report beside pipe1's kept-rows output: every gate
+    a corpus run applies (length floor, langid agreement, quality floor,
+    exact-dedup canonical keep, eval-set decontamination) reports how
+    many documents per domain SURVIVE it, cumulatively, plus the final
+    kept char mass.  This is the table a data-mixture review actually
+    reads — which domain loses how much at which gate — and the driver
+    hash-gates the whole funnel, so a drift in ANY stage (tokenizer,
+    lang model, quality formula, dedup key, benchmark fingerprints)
+    shows as a red row, not a silent corpus shift.
+
+    Stage order is the production order and it MATTERS: canonical
+    selection (min doc_id per exact-content hash, the d1 rule) runs
+    among quality survivors only — deduping before filtering would let
+    a low-quality copy shadow a high-quality twin; decontamination
+    (x14's rolling-hash fingerprint against the held-out split's docs)
+    runs last so the audit counts clean SURVIVORS, not clean rejects.
+    The split is the reproducible doc_id-hash split (d13/pipe2's
+    _split_col), so train/eval membership is superset-stable.
+
+    Shape: ONE corpus scan computes every per-doc flag (all Column
+    expressions — the lang vote, quality ratios, content hash, and
+    fingerprint share the persisted token array, the pipe1 CSE
+    barrier); the canonical join is an equi-join against an
+    O(distinct-content) agg; the decontamination join is a broadcast
+    against the eval fingerprint set (|eval| << corpus by
+    construction); the funnel itself is one map-side-combined agg per
+    source.  At 100 TB: scan-dominated, two skinny joins, no window,
+    no Python."""
+    d = tbl(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        _split_col(F.col("doc_id")).alias("split"),
+        _tx.tokens(F.col("text")).alias("_toks"),
+    ).persist()  # cache: caller-owns; released when the action completes
+    toks = F.col("_toks")
+    ev = (
+        lab.filter(F.col("split") == "val")
+        .select(_tx.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    b = lab.filter(F.col("split") == "train").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("h"),
+        _tx.fingerprint(F.col("text")).alias("fp"),
+        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("g1"),
+        F.when(_tx.lang_id(F.col("text"), toks=toks) == F.col("lang"), 1)
+        .otherwise(0)
+        .alias("g2"),
+        F.when(_tx.quality_score(F.col("text"), toks=toks) >= 0.35, 1)
+        .otherwise(0)
+        .alias("g3"),
+    )
+    s = b.withColumn("s3", F.col("g1") * F.col("g2") * F.col("g3"))
+    canon = (
+        s.filter(F.col("s3") == 1).groupBy("h").agg(F.min("doc_id").alias("mid"))
+    )
+    f = s.join(canon, "h", "left").withColumn(
+        "s4",
+        F.when((F.col("s3") == 1) & (F.col("doc_id") == F.col("mid")), 1).otherwise(
+            0
+        ),
+    )
+    g = f.join(
+        F.broadcast(ev.withColumn("_hit", F.lit(1))), "fp", "left"
+    ).withColumn(
+        "s5",
+        F.when((F.col("s4") == 1) & F.col("_hit").isNull(), 1).otherwise(0),
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("g1").cast("bigint").alias("n_len"),
+        F.sum(F.col("g1") * F.col("g2")).cast("bigint").alias("n_lang"),
+        F.sum("s3").cast("bigint").alias("n_qual"),
+        F.sum("s4").cast("bigint").alias("n_canon"),
+        F.sum("s5").cast("bigint").alias("n_clean"),
+        F.coalesce(
+            F.sum(F.when(F.col("s5") == 1, F.col("n_chars"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("chars_kept"),
+    )
+
+
+@register("t25_stream_bitmap_view", ORACLES["a29_bitmap_distinct"])
+def t25_stream_bitmap_view(spark, sf_dir):
+    """STREAMING maintenance of the a29 presence bitmaps — the t22
+    pattern (algebraic sketch state in a keyed view) with the merge
+    operator swapped from register-wise MAX to word-wise OR: the OR of
+    two presence bitmaps IS the bitmap of the union, so micro-batch
+    boundaries are invisible by algebra, and — unlike t22's HLL — the
+    maintained state stays EXACT: the streamed view answers distinct
+    counts with zero error at 62 ids per BIGINT word of state.  The
+    event feed replays in 3 micro-batches; each batch collapses to its
+    own (type, word) partial map-side before touching the view, merges
+    under the writer-lease/replay contract, and the final words must
+    hash-match a29's one-shot batch build — same oracle, streaming
+    twin.  This is the speed-layer shape of a real-time audience
+    counter: the serving read is sum(bit_count(word)) per key, and
+    set algebra across keys (AND/OR of audiences) stays a word-wise
+    join on the view itself."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    feed = ev.select("event_id", "user_id", "event_type")
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "bmmv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(
+        spark,
+        _os.path.join(root, "mv"),
+        ["event_type", "word_idx"],
+        partition_by="event_type",
+    )
+
+    def fn(cur, b):
+        delta = b.groupBy(
+            "event_type", F.expr("user_id div 62").alias("word_idx")
+        ).agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(user_id % 62 as int))")).alias(
+                "word"
+            )
+        )
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["event_type", "word_idx"], "full_outer")
+            .select(
+                "event_type",
+                "word_idx",
+                (
+                    F.coalesce(F.col("v.word"), F.lit(0))
+                    .bitwiseOR(F.coalesce(F.col("d.word"), F.lit(0)))
+                ).alias("word"),
+            )
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="bm")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    words = view.read()
+    s = words.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("distinct_bitmap"),
+    )
+    ex = (
+        spark.read.parquet(stage)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return s.join(ex, "event_type")
+
+
+@register(
+    "u11_zonemap_skipping",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM events
+    WHERE CAST(round(value * 100) AS BIGINT) >= 30000
+    GROUP BY 1
+    """,
+)
+def u11_zonemap_skipping(spark, sf_dir):
+    """FILE-level zone-map data skipping — the lakehouse scan primitive
+    BETWEEN p12 (directory/partition pruning: coarse, needs the column
+    in the path) and parquet row-group stats (fine, but only consulted
+    AFTER every file is opened): a manifest of per-FILE min/max for the
+    clustered column lets the reader drop whole files from the scan
+    plan without touching them — Delta/Iceberg's data-skipping design,
+    and the payoff side of x23's z-order (clustering exists so zone
+    ranges are narrow).  Staged here end to end: the feed is clustered
+    on the probe column (repartitionByRange + sortWithinPartitions — a
+    range layout makes zones DISJOINT, the best case), the zone map is
+    computed by one input_file_name() agg (exactly what a table format
+    persists in its manifest at commit time), and the probe consults
+    the manifest FIRST, handing Spark only qualifying file paths plus
+    the residual filter (still pushed into the surviving files' row
+    groups).  The manifest is O(files) rows collected driver-side —
+    the same size class as any table-format log; never data-sized.
+
+    Correctness contract (the p13 rule): a scan optimization may skip
+    bytes, never change values — the returned aggregate must hash-match
+    the oracle's straight full-scan filter, and the zone-map
+    effectiveness (files actually skipped on this clustered layout) is
+    pinned by its pytest, not the oracle.  At 100 TB with 10^6 files a
+    selective range probe opens only the handful of files whose zones
+    intersect — the difference between a metadata operation and a
+    cluster-wide scan."""
+    import os as _os
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_zonemap", sf_dir)
+    table = _os.path.join(scratch, "clustered")
+    (
+        ev.repartitionByRange(8, "value_c")
+        .sortWithinPartitions("value_c")
+        .write.mode("overwrite")
+        .parquet(table)
+    )
+    # the zone map: per-file min/max of the clustered column (manifest-sized)
+    stats = (
+        spark.read.parquet(table)
+        .groupBy(F.input_file_name().alias("path"))
+        .agg(F.min("value_c").alias("lo"), F.max("value_c").alias("hi"))
+    )
+    threshold = 30000
+    keep = [r["path"] for r in stats.filter(F.col("hi") >= threshold).collect()]
+    if not keep:
+        base = spark.read.parquet(table).limit(0)
+    else:
+        base = spark.read.parquet(*keep)
+    return (
+        base.filter(F.col("value_c") >= threshold)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value_c").cast("bigint").alias("sum_c"),
+        )
+    )
+
+
+@register(
+    "g17_adamic_adar",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
+    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
+             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
+      FROM raw r
+      JOIN deg du ON du.node = r.u
+      JOIN deg dv ON dv.node = r.v
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM ori e1
+      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
+      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    twedges AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v, c AS w FROM tri
+      UNION ALL SELECT least(a, c), greatest(a, c), b FROM tri
+      UNION ALL SELECT least(b, c), greatest(b, c), a FROM tri
+    )
+    SELECT t.u, t.v,
+           CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(720720 // length(bin(dw.d * dw.d))) AS BIGINT) AS aa_q
+    FROM twedges t JOIN deg dw ON dw.node = t.w
+    GROUP BY 1, 2
+    """,
+)
+def g17_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link-prediction scores over the parts-bought-together
+    graph — g15's common-neighbor count upgraded with the degree
+    DISCOUNT that makes the classic AA ranking work: a shared neighbor
+    that connects to everything is weak evidence, one with few edges is
+    strong, weighted 1/log(deg).  The float log is refused (m9/x26
+    rule); the discount is the HALF-BIT integer quantization 720720
+    div floor(2*log2 deg + 1) via length(bin(d*d)) — 720720 (lcm of
+    1..16) keeps the first sixteen discount levels EXACT integer
+    divisions, and the per-edge score is then an order-independent
+    BIGINT sum that hash-gates.  Monotonicity — AA's only contract —
+    is preserved: higher-degree witnesses always weigh less or equal.
+
+    Same O(m^1.5) degree-ordered triangle machinery as g8/g15, but the
+    explode KEEPS the witness vertex with each of the triangle's three
+    edges, so each common neighbor's degree joins back once per edge it
+    witnesses (deg is node-count-sized, broadcast at fixture scale,
+    bucketable at 100 TB).  Edges with no common neighbor carry no AA
+    evidence and are g15's cn = 0 rows — deliberately absent here (the
+    score of an absent witness set is identically zero; g15 is the
+    entry that pins those rows).  All equi-joins on node ids, the
+    g9/g11 bucketed-layout contract."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .persist()  # cache: caller-owns (g8's shared-graph pattern)
+    )
+    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = raw.join(du, "u").join(dv, "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    ori = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).persist()  # cache: caller-owns
+    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
+    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    twedges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                    F.col("c").alias("w"),
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"),
+                    F.greatest("a", "c").alias("v"),
+                    F.col("b").alias("w"),
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                    F.col("a").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    weight = F.expr("720720 div cast(length(bin(dw * dw)) as bigint)")
+    return (
+        twedges.join(dw, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(weight).cast("bigint").alias("aa_q"),
+        )
+    )

@@ -76,6 +76,17 @@ HEADLINE = [
     # single-aggregate shape in the registry — scan-bound by design)
     "g15_common_neighbors",
     "a24_dq_audit",
+    # r9: the composed corpus-prep funnel (scan + two skinny joins — the
+    # heaviest single-plan documents entry), plan-compiled GBT inference
+    # (a pure whole-stage-codegen scan: the codegen-throughput yardstick),
+    # token-stream NB scoring (explode x classes join), exact bitmap
+    # distinct (bit_or partial-agg path), and quantized Adamic-Adar
+    # (the triangle machinery plus a witness-degree join tail)
+    "pipe3_prep_funnel",
+    "m19_gbt_inference",
+    "m18_naive_bayes",
+    "a29_bitmap_distinct",
+    "g17_adamic_adar",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with

@@ -57,6 +57,9 @@ CROSS_JOIN_ALLOWLIST = {
     # class-count-bounded centroid-table broadcast crossJoin (10 rows),
     # same bound as s6/s11's centroid crossJoin
     "m17_nearest_centroid",
+    # class-count-bounded model-head broadcast crossJoin (5 rows) plus the
+    # 1-row doc-total crossJoin — same bounds as m17 and x26
+    "m18_naive_bayes",
     # 5x5 event-type pair build (10-row cartesian by construction); every
     # sketch-row join after it is broadcast hash — same bound as m17
     "a30_kmv_setops",
