@@ -624,3 +624,169 @@ def test_cdc_chunking_matches_reference_and_is_insert_local(spark, doc, ins_at, 
         k += 1
     assert len(ref_orig) - i - k <= 1, (ref_orig, ref_new)
     assert len(ref_new) - i - k <= 2, (ref_orig, ref_new)
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: KMV closure, bitmap OR-merge, plan-compiled GBT, PPS crossing
+# ---------------------------------------------------------------------------
+
+_ids = st.integers(min_value=0, max_value=60)
+
+
+def _phash60_py(s: str, seed: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.sets(_ids, max_size=30),
+    b=st.sets(_ids, max_size=30),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_kmv_sketch_union_closure_and_jaccard(spark, a, b, k):
+    """The a30 combine rule — k smallest of the two SKETCHES' union —
+    must equal the KMV sketch of the full set union (the closure
+    property the 2K-row pairwise combine relies on), and the matches
+    count must equal the textbook combined-sketch Jaccard numerator
+    computed from the raw sets."""
+    ha = sorted(_phash60_py(str(x), "kmv") for x in a)
+    hb = sorted(_phash60_py(str(x), "kmv") for x in b)
+    sk_a, sk_b = ha[:k], hb[:k]
+    # engine-side combine: k smallest of the union of the two sketches
+    combined = sorted(set(sk_a) | set(sk_b))[:k]
+    # naive: KMV of the full union
+    truth = sorted({_phash60_py(str(x), "kmv") for x in (a | b)})[:k]
+    assert combined == truth
+    matches = sum(1 for h in combined if h in set(sk_a) and h in set(sk_b))
+    naive_matches = sum(1 for h in truth if h in set(ha[:k]) and h in set(hb[:k]))
+    assert matches == naive_matches
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(st.tuples(_keys, _ids), min_size=1, max_size=40),
+    cut=st.integers(min_value=0, max_value=40),
+)
+def test_bitmap_or_merge_equals_one_shot_and_exact(spark, rows, cut):
+    """a29/t25's algebra: word-wise OR of per-batch bitmap partials must
+    equal the one-shot bitmap, and popcount must equal exact distinct —
+    for ANY batch split (the t17 mergeable-state contract)."""
+    cut = min(cut, len(rows))
+
+    def words(batch):
+        out = {}
+        for t, u in batch:
+            key = (t, u // 62)
+            out[key] = out.get(key, 0) | (1 << (u % 62))
+        return out
+
+    w1, w2 = words(rows[:cut]), words(rows[cut:])
+    merged = dict(w1)
+    for kk, v in w2.items():
+        merged[kk] = merged.get(kk, 0) | v
+    # engine one-shot over the same rows
+    df = spark.createDataFrame(
+        [Row(event_type=str(t), user_id=u) for t, u in rows],
+        "event_type string, user_id long",
+    )
+    got = {
+        (int(r["event_type"]), r["word_idx"]): r["word"]
+        for r in df.groupBy(
+            "event_type", F.expr("user_id div 62").alias("word_idx")
+        )
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(user_id % 62 as int))")).alias(
+                "word"
+            )
+        )
+        .collect()
+    }
+    assert got == merged
+    # popcount == exact distinct per type
+    exact = {}
+    for t, u in rows:
+        exact.setdefault(t, set()).add(u)
+    for t, mem in exact.items():
+        pop = sum(bin(v).count("1") for (tt, _), v in merged.items() if tt == t)
+        assert pop == len(mem)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    feats=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),      # q
+            st.integers(min_value=0, max_value=12),      # dc
+            st.integers(min_value=0, max_value=12_000_000),  # pc
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gbt_case_chain_equals_tree_walk(spark, feats):
+    """The m19 CASE-chain compilation must score identically to a plain
+    Python walk of the same GBT_TREES literal on arbitrary features."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans import (
+        registry as reg,
+    )
+
+    def walk(q, dc, pc):
+        env = {"q": q, "dc": dc, "pc": pc}
+        total = 0
+        for rf, rt, l, r in reg.GBT_TREES:
+            f, t, lo, hi = l if env[rf] <= rt else r
+            total += lo if env[f] <= t else hi
+        return total
+
+    df = spark.createDataFrame(
+        [Row(q=q, dc=dc, pc=pc) for q, dc, pc in feats],
+        "q long, dc long, pc long",
+    )
+    cols = {"q": F.col("q"), "dc": F.col("dc"), "pc": F.col("pc")}
+    got = [
+        (r["q"], r["dc"], r["pc"], r["score"])
+        for r in df.select(
+            "q", "dc", "pc", reg._gbt_score_col(cols).alias("score")
+        ).collect()
+    ]
+    for q, dc, pc, s in got:
+        assert s == walk(q, dc, pc), (q, dc, pc)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=25), min_size=1, max_size=30),
+    n=st.integers(min_value=1, max_value=10),
+)
+def test_pps_crossing_rule_equals_naive_thresholds(spark, weights, n):
+    """o5's integer crossing test must select exactly the items whose
+    cumulative-weight span covers a threshold k*W/n (naive Fraction
+    reference), and when every weight is below W/n it selects exactly
+    n items."""
+    from fractions import Fraction
+
+    W = sum(weights)
+    cum = 0
+    naive = []
+    for i, w in enumerate(weights):
+        lo, hi = cum, cum + w
+        crossed = [
+            k
+            for k in range(1, n + 1)
+            if Fraction(lo) < Fraction(k * W, n) <= Fraction(hi)
+        ]
+        if crossed:
+            naive.append((i, max(crossed)))
+        cum = hi
+    # the integer rule from the entry
+    cum = 0
+    got = []
+    for i, w in enumerate(weights):
+        cum += w
+        if (cum * n) // W > ((cum - w) * n) // W:
+            got.append((i, (cum * n) // W))
+    assert got == naive
+    if all(w * n < W for w in weights):
+        assert len(got) == n
