@@ -13670,3 +13670,203 @@ def g17_adamic_adar(spark, sf_dir):
             F.sum(weight).cast("bigint").alias("aa_q"),
         )
     )
+
+
+@register(
+    "w21_ks_drift",
+    """
+    WITH v AS (
+      SELECT event_type AS series,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END
+               AS in_a
+      FROM events
+    ), pts AS (
+      SELECT series, x,
+             CAST(sum(in_a) AS BIGINT) AS ca,
+             CAST(sum(1 - in_a) AS BIGINT) AS cb
+      FROM v GROUP BY 1, 2
+    ), tot AS (
+      SELECT series, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM pts GROUP BY 1
+    ), cum AS (
+      SELECT p.series, p.x, t.na, t.nb,
+             abs(sum(p.ca) OVER w * t.nb - sum(p.cb) OVER w * t.na) AS dnum
+      FROM pts p JOIN tot t USING (series)
+      WINDOW w AS (PARTITION BY p.series ORDER BY p.x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), best AS (
+      SELECT series, na, nb,
+             min(struct_pack(nd := -dnum, x := x)) AS b
+      FROM cum GROUP BY 1, 2, 3
+    )
+    SELECT series, na, nb,
+           CAST(-(b.nd) AS BIGINT) AS d_num,
+           b.x AS d_at,
+           CAST(CAST(-(b.nd) AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS DOUBLE) AS ks
+    FROM best
+    """,
+)
+def w21_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic per series — the
+    nonparametric companion to m16's binned total-variation monitor:
+    m16 needs a bin width, KS compares the FULL empirical CDFs of two
+    periods (first half vs second half of the fixture month) and
+    reports the worst-case gap and WHERE it opens.  sup|F_a - F_b| is
+    kept exact by cross-multiplication (the f14/w20 rule): at each
+    observed value, |cum_a * n_b - cum_b * n_a| is an exact BIGINT
+    (bound: counts < 2^32 keeps the product < 2^63 — beyond 4e9 rows
+    per (series, period), pre-scale or go decimal, documented), the
+    per-series max carries (gap, location) through the struct-argmin
+    on (-gap, x) — largest gap, SMALLEST location on ties, the w20
+    determinism rule — and the classical D statistic is ONE double
+    division of exact integers at the output boundary.
+
+    Shape: the tick stream collapses to per-(series, value) counts for
+    BOTH samples in one map-side-combined agg (in_a/1-in_a sum — no
+    second scan, no join between periods); ONE window per series over
+    DISTINCT values computes both running CDFs fused; the argmax is a
+    width-|values| agg.  At 100 TB the distinct-value relation, not
+    the tick count, bounds the window — the same pre-aggregation
+    discipline as f12/w20."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("series"),
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    pts = v.groupBy("series", "x").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    tot = pts.groupBy("series").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.join(F.broadcast(tot), "series").select(
+        "series",
+        "x",
+        "na",
+        "nb",
+        F.abs(
+            F.sum("ca").over(w) * F.col("nb") - F.sum("cb").over(w) * F.col("na")
+        ).alias("dnum"),
+    )
+    best = cum.groupBy("series", "na", "nb").agg(
+        F.min(F.struct((-F.col("dnum")).alias("nd"), F.col("x").alias("x"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "series",
+        "na",
+        "nb",
+        (-F.col("b.nd")).cast("bigint").alias("d_num"),
+        F.col("b.x").alias("d_at"),
+        (
+            (-F.col("b.nd")).cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("ks"),
+    )
+
+
+#: first-digit Benford expectations in parts-per-million — fixed literals
+#: (log10(1 + 1/d) rounded to ppm), shared by both engines; never computed
+#: with a transcendental at query time.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "a31_benford_audit",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+      WHERE round(value * 100) >= 1
+    ), d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM v GROUP BY 1
+    ), t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d),
+    e AS (
+      SELECT * FROM (VALUES
+        {', '.join(f'({d}, {p})' for d, p in BENFORD_PPM.items())}
+      ) AS t(digit, exp_ppm)
+    )
+    SELECT e.digit, coalesce(d.obs, 0) AS obs, t.n,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(coalesce(d.obs, 0) * 1000000 - e.exp_ppm * t.n AS BIGINT)
+             AS dev_ppm_n
+    FROM e LEFT JOIN d USING (digit) CROSS JOIN t
+    """,
+)
+def a31_benford_audit(spark, sf_dir):
+    """Benford first-digit audit over the cent amounts — the classic
+    fraud/synthetic-data screen a DQ suite (a24) runs on monetary
+    columns: organically-scaled positive values follow P(d) =
+    log10(1+1/d); flat or spiky first-digit histograms flag fabricated
+    or truncated feeds.  The expectations are FIXED ppm literals
+    (the only correct way to keep a transcendental out of the query —
+    the constants are math, not data), and the per-digit deviation is
+    reported as the exact integer obs*1e6 - exp_ppm*n: cross-multiplied
+    against the total (the f14 rule) so no frequency division, no
+    float, and the driver hash-gates the full signed deviation vector
+    (bound: |dev| < 1e6 * n — int64-safe to ~9e12 rows).  Digits with
+    zero observations still emit their row through the left join from
+    the literal digit relation — absence of a digit is the loudest
+    Benford signal and must not vanish from the audit.
+
+    Shape: ONE scan, one 9-group map-side-combined count, the total
+    attached by a 9-row global window (a second .agg() branch would
+    re-read the table — 2x scan at 100 TB), and a 9-row literal join
+    — scan-bound at any scale."""
+    ev = tbl(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    v = ev.select(c.alias("c")).filter(F.col("c") >= 1)
+    from pyspark.sql import Window
+
+    d = (
+        v.groupBy(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        # total via a 9-row global window: the scan collapses once; a
+        # second .agg() branch would re-read the table (2x scan at 100 TB)
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()).cast("bigint"))
+    )
+    e = spark.createDataFrame(
+        [(dd, pp) for dd, pp in BENFORD_PPM.items()], "digit long, exp_ppm long"
+    )
+    j = e.join(d, "digit", "left").withColumn(
+        # digits absent from the data carry a null n through the left
+        # join; a second 9-row global window fills it — still no second
+        # scan and no cross join
+        "nn",
+        F.max("n").over(Window.partitionBy()).cast("bigint"),
+    )
+    return j.select(
+        "digit",
+        F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+        F.col("nn").alias("n"),
+        F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+        (
+            F.coalesce(F.col("obs"), F.lit(0)) * F.lit(1000000)
+            - F.col("exp_ppm") * F.col("nn")
+        )
+        .cast("bigint")
+        .alias("dev_ppm_n"),
+    )

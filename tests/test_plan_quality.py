@@ -1447,3 +1447,21 @@ def test_t25_stream_bitmap_matches_batch_bitmap(spark, sf_dir):
         for r in registry.QUERIES["t25_stream_bitmap_view"](spark, sf_dir).collect()
     }
     assert a == t
+
+
+def test_w21_ks_one_window_over_distinct_values(spark, sf_dir):
+    """Both running CDFs fuse into one per-series window over the
+    pre-aggregated (series, value) relation; totals join broadcast; no
+    Python, no second sort."""
+    plan = plan_of(registry.QUERIES["w21_ks_drift"](spark, sf_dir))
+    assert plan.count(") Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_a31_benford_scan_bound(spark, sf_dir):
+    """One scan + a 9-group agg; the literal digit relation joins the
+    observed counts; no Python anywhere."""
+    plan = plan_of(registry.QUERIES["a31_benford_audit"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count(") Scan parquet") == 1
