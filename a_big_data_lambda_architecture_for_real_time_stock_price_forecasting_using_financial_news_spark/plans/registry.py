@@ -13870,3 +13870,204 @@ def a31_benford_audit(spark, sf_dir):
         .cast("bigint")
         .alias("dev_ppm_n"),
     )
+
+
+@register(
+    "a32_hll_union",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {phash60_sql("CAST(user_id AS VARCHAR)", seed="hll")} AS hk
+      FROM events
+    ), regs AS (
+      SELECT event_type, hk % {HLL_M} AS r,
+             MAX(CASE WHEN (hk >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(hk >> 8)) END) AS m_r
+      FROM h GROUP BY 1, 2
+    ), u AS (
+      SELECT r, MAX(m_r) AS m_r FROM regs GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS registers_used,
+             CAST(SUM((1::BIGINT) << CAST(53 - m_r AS INTEGER))
+                  + ({HLL_M} - COUNT(*)) * ((1::BIGINT) << 53) AS BIGINT)
+               AS s_int
+      FROM u
+    ), ex AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events
+    )
+    SELECT s.registers_used, s.s_int,
+           CAST({HLL_NUM!r} / CAST(s.s_int AS DOUBLE) AS DOUBLE) AS hll_estimate,
+           ex.exact_distinct
+    FROM s CROSS JOIN ex
+    """,
+)
+def a32_hll_union(spark, sf_dir):
+    """HLL register-set UNION across groups — the merge leg a20 builds
+    toward: per-segment sketches combine by register-wise MAX into the
+    sketch of the union WITHOUT touching raw ids again (the property
+    that makes HLL the pre-aggregable distinct state: daily sketches
+    roll up to monthly, per-type roll up to global, each merge 256
+    rows).  Here the five per-type register sets from a20's exact
+    construction collapse through ONE more max agg to the global
+    estimate, hash-gated against the global exact count.  Same
+    integer-space discipline as a20: dyadic register sum in BIGINT,
+    one double division by the shared constant at the boundary.
+
+    Shape: the per-(type, register) agg is a20's (map-side combined);
+    the union merge is a 1280-row agg; the global exact count is the
+    yardstick column.  At 100 TB the merge input is segments x 256
+    rows regardless of corpus size — the reason warehouse rollup trees
+    keep sketch columns, not distinct keys."""
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        phash60(F.col("user_id").cast("string"), seed="hll").alias("hk"),
+    )
+    w = F.shiftright("hk", 8)
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    regs = h.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
+        F.max(rho).alias("m_r")
+    )
+    u = regs.groupBy("r").agg(F.max("m_r").alias("m_r"))
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        (
+            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    ex = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    return s.crossJoin(F.broadcast(ex)).select(
+        "registers_used",
+        "s_int",
+        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+@register(
+    "t26_stream_kmv_view",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             {phash60_sql("CAST(user_id AS VARCHAR)", seed="kmv")} AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d) WHERE rn <= {KMV_K}
+    ), s AS (
+      SELECT event_type, CAST(max(h) AS BIGINT) AS hk,
+             CAST(count(*) AS BIGINT) AS kx
+      FROM sk GROUP BY 1
+    ), ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, s.hk, s.kx,
+           CAST(CASE WHEN s.kx >= {KMV_K}
+                     THEN {KMV_NUM!r} / CAST(s.hk AS DOUBLE)
+                     ELSE CAST(s.kx AS DOUBLE) END AS DOUBLE) AS kmv_estimate,
+           ex.exact_distinct
+    FROM s JOIN ex USING (event_type)
+    """,
+)
+def t26_stream_kmv_view(spark, sf_dir):
+    """STREAMING maintenance of per-type KMV sketches — the fourth and
+    final merge algebra in the sketch-view taxonomy (t20 add, t22
+    register max, t25 word OR, now ORDER-STATISTIC merge): the k
+    smallest of (state U delta) IS the KMV sketch of the union (a30's
+    closure property, property-tested in tests/test_properties.py), so
+    replaying the feed in micro-batches converges to the one-shot batch
+    sketch — including EVICTION: a hash that was in the top-64 early
+    can be pushed out by later-arriving smaller hashes, which is why
+    the merge recomputes the per-type top-k over cur U delta instead of
+    appending (the one sketch here whose state update is not a pure
+    per-key upsert — rows must LEAVE the view; merge_custom's
+    whole-state contract handles that where a keyed append could not).
+    The final sketch, its k-th minimum, and the estimate hash-gate
+    against the batch construction; exact counts ride as yardsticks.
+
+    Scale: per micro-batch the delta collapses to <= K rows per type
+    map-side (distinct + top-k); the merge touches 2K rows per type.
+    Unlike t22/t25 the serving read needs no further agg — the sketch
+    IS the answer state for a30-style set algebra across segments."""
+    import os as _os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    feed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        phash60(F.col("user_id").cast("string"), seed="kmv").alias("h"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "kmvmv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(
+        spark,
+        _os.path.join(root, "mv"),
+        ["event_type", "h"],
+        partition_by="event_type",
+    )
+    win = Window.partitionBy("event_type").orderBy("h")
+
+    def topk(df):
+        return (
+            df.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= KMV_K)
+            .select("event_type", "h")
+        )
+
+    def fn(cur, b):
+        delta = b.select("event_type", "h").distinct()
+        if cur is None:
+            return topk(delta)
+        return topk(cur.select("event_type", "h").unionByName(delta).distinct())
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="kmv")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sk = view.read()
+    s = sk.groupBy("event_type").agg(
+        F.max("h").cast("bigint").alias("hk"),
+        F.count(F.lit(1)).cast("bigint").alias("kx"),
+    )
+    ex = (
+        spark.read.parquet(stage)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return s.join(ex, "event_type").select(
+        "event_type",
+        "hk",
+        "kx",
+        F.when(
+            F.col("kx") >= KMV_K, F.lit(KMV_NUM) / F.col("hk").cast("double")
+        )
+        .otherwise(F.col("kx").cast("double"))
+        .cast("double")
+        .alias("kmv_estimate"),
+        "exact_distinct",
+    )

@@ -300,6 +300,99 @@ def pagerank_iter_bench(spark, sf_dir):
     return out
 
 
+def cardinality_bench(spark, sf_dir):
+    """Exact-vs-sketch distinct counting, BUILD phase only, plus the
+    mergeable-state row counts — the number that actually matters at
+    100 TB (the shuffle carries the state, not the raw keys).  Four
+    implementations of "distinct users per event_type" over the same
+    scan: plain countDistinct (Spark pre-dedups map-side and shuffles
+    one row per locally-distinct key), the a29 bitmap (shuffles
+    (type, word) BIGINT words — a 62:1 row reduction on dense ids),
+    the a20 HLL registers (<= 256 rows per type, any id space), and
+    the a30 per-type KMV top-64 (64 rows per type after a distinct).
+    Median of 3 interleaved noop-sink runs; state sizes reported
+    alongside so the timing has its denominator.  At fixture scale the
+    timings cluster (the scan dominates); the state-row column is the
+    scale argument, measured not guessed."""
+    import statistics
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext.hashing import (
+        phash60,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def exact():
+        return ev.groupBy("event_type").agg(F.countDistinct("user_id"))
+
+    def bitmap():
+        return (
+            ev.groupBy("event_type", F.expr("user_id div 62").alias("w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(user_id % 62 as int))")
+                ).alias("word")
+            )
+            .groupBy("event_type")
+            .agg(F.sum(F.bit_count("word")).alias("n"))
+        )
+
+    def hll():
+        hk = phash60(F.col("user_id").cast("string"), seed="hll")
+        w = F.shiftright("hk", 8)
+        rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+        return (
+            ev.select("event_type", hk.alias("hk"))
+            .groupBy("event_type", (F.col("hk") % 256).alias("r"))
+            .agg(F.max(rho).alias("m_r"))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))")).alias("s"))
+        )
+
+    def kmv():
+        h = phash60(F.col("user_id").cast("string"), seed="kmv")
+        d = ev.select("event_type", h.alias("h")).distinct()
+        win = Window.partitionBy("event_type").orderBy("h")
+        return (
+            d.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= 64)
+            .groupBy("event_type")
+            .agg(F.max("h").alias("hk"))
+        )
+
+    cases = {"exact": exact, "bitmap": bitmap, "hll": hll, "kmv": kmv}
+    for fn in cases.values():  # codegen warmup
+        fn().write.format("noop").mode("overwrite").save()
+    reps: dict[str, list[float]] = {name: [] for name in cases}
+    for _ in range(3):
+        for name, fn in cases.items():
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            reps[name].append(time.perf_counter() - t0)
+    out = {name: round(statistics.median(v), 3) for name, v in reps.items()}
+    # mergeable-state rows each approach ships through the exchange
+    out["state_rows_exact"] = ev.distinct().count()
+    out["state_rows_bitmap"] = (
+        ev.select("event_type", F.expr("user_id div 62")).distinct().count()
+    )
+    out["state_rows_hll"] = (
+        ev.select(
+            "event_type",
+            (phash60(F.col("user_id").cast("string"), seed="hll") % 256),
+        )
+        .distinct()
+        .count()
+    )
+    out["state_rows_kmv"] = 64 * ev.select("event_type").distinct().count()
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -351,6 +444,7 @@ def main():
 
     skew = skew_bench(spark, sf_dir)
     pr_iter = {"sf": pagerank_iter_bench(spark, sf_dir)}
+    card = cardinality_bench(spark, sf_dir)
 
     # optional second pass at sf1 (generated locally by tools/gen_sf1.py —
     # 10x sf0.1 with per-replica key shifts). Catches constant factors that
@@ -393,6 +487,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "skew": skew,
         "pagerank_iter": pr_iter,
+        "cardinality": card,
     }
     if sf1 is not None:
         doc["sf1"] = sf1
@@ -423,6 +518,7 @@ def main():
         if len(line) > BUDGET:
             slim.pop("pagerank_iter", None)
             slim.pop("skew", None)
+            slim.pop("cardinality", None)
             line = json.dumps(slim)
         if len(line) > BUDGET:
             # last resort: keep only the slowest queries, preserving the total

@@ -60,6 +60,9 @@ CROSS_JOIN_ALLOWLIST = {
     # class-count-bounded model-head broadcast crossJoin (5 rows) plus the
     # 1-row doc-total crossJoin — same bounds as m17 and x26
     "m18_naive_bayes",
+    # 1-row global-exact-count broadcast crossJoin onto the 1-row merged
+    # sketch summary — same bound as x10/x26
+    "a32_hll_union",
     # 5x5 event-type pair build (10-row cartesian by construction); every
     # sketch-row join after it is broadcast hash — same bound as m17
     "a30_kmv_setops",

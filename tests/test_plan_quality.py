@@ -1465,3 +1465,31 @@ def test_a31_benford_scan_bound(spark, sf_dir):
     plan = plan_of(registry.QUERIES["a31_benford_audit"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count(") Scan parquet") == 1
+
+
+def test_a32_hll_union_no_python_no_second_scan_of_ids(spark, sf_dir):
+    """The union merge aggregates a20's register relation (1280 rows);
+    raw ids are scanned once for registers and once for the exact
+    yardstick — never a third time; all JVM-side."""
+    plan = plan_of(registry.QUERIES["a32_hll_union"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count(") Scan parquet") <= 2
+
+
+def test_t26_stream_kmv_matches_batch_sketch(spark, sf_dir):
+    """Order-statistic merge convergence: the streamed per-type KMV
+    sketch summary must equal the one-shot batch construction row for
+    row — including evictions of early hashes by later smaller ones."""
+    import duckdb
+
+    oracle = registry.ORACLES["t26_stream_kmv_view"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(oracle).fetchall()}
+    got = {
+        tuple(r)
+        for r in registry.QUERIES["t26_stream_kmv_view"](spark, sf_dir).collect()
+    }
+    assert got == want
