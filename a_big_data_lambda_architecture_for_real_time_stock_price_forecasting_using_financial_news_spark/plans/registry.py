@@ -13475,6 +13475,11 @@ def t25_stream_bitmap_view(spark, sf_dir):
     return s.join(ex, "event_type")
 
 
+#: u11 probe threshold (cents); tests override to exercise the
+#: nothing-qualifies manifest arm without touching the oracle
+U11_THRESHOLD = 30000
+
+
 @register(
     "u11_zonemap_skipping",
     """
@@ -13532,7 +13537,7 @@ def u11_zonemap_skipping(spark, sf_dir):
         .groupBy(F.input_file_name().alias("path"))
         .agg(F.min("value_c").alias("lo"), F.max("value_c").alias("hi"))
     )
-    threshold = 30000
+    threshold = U11_THRESHOLD
     keep = [r["path"] for r in stats.filter(F.col("hi") >= threshold).collect()]
     if not keep:
         base = spark.read.parquet(table).limit(0)

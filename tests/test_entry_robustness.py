@@ -92,3 +92,13 @@ def test_g7_pagerank_mass_sane(spark, sf_dir):
     # floors lose < 1 unit per edge-contribution per iteration; with
     # symmetric edges bounded by 2*distinct pairs, the loss stays tiny
     assert total >= n * 1_000_000_000 * 0.9
+
+
+def test_u11_zonemap_empty_prune_returns_empty_with_schema(spark, sf_dir, monkeypatch):
+    """If NO file's zone intersects the probe, the entry's manifest-first
+    scan must take the empty-path arm (limit(0)) and return zero rows
+    with the declared schema — never throw on an empty path list."""
+    monkeypatch.setattr(registry, "U11_THRESHOLD", 10**9)
+    out = registry.QUERIES["u11_zonemap_skipping"](spark, sf_dir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["event_type", "n", "sum_c"]
