@@ -12613,7 +12613,10 @@ def a29_bitmap_distinct(spark, sf_dir):
     shifted value strictly positive: Spark's shiftleft and DuckDB's <<
     agree on sign-bit-free shifts unconditionally, so the word VALUES
     themselves hash-gate (the sketch state, not just the count; the
-    a20 rule).  exact_distinct rides along as the invariant yardstick
+    a20 rule).  Ids must be NONNEGATIVE: div/mod semantics on
+    negatives differ across engines (Spark truncates, DuckDB floors) —
+    offset-map signed id spaces before bitmapping, the same contract
+    every bitmap index imposes.  exact_distinct rides along as the invariant yardstick
     (bitmap count == countDistinct, proven per group by the oracle).
 
     At 100 TB: this is the segment-local bitmap index every OLAP store
@@ -13200,9 +13203,10 @@ def m19_gbt_inference(spark, sf_dir):
       SELECT source, CAST(sum(w) AS BIGINT) AS tw FROM d GROUP BY 1
     )
     SELECT c.source, c.doc_id, c.w, CAST(c.cum AS BIGINT) AS cum,
-           CAST((c.cum * 10) // t.tw AS BIGINT) AS sel_idx
+           CAST((c.cum * 10) // greatest(t.tw, 1) AS BIGINT) AS sel_idx
     FROM c JOIN t USING (source)
-    WHERE (c.cum * 10) // t.tw > ((c.cum - c.w) * 10) // t.tw
+    WHERE (c.cum * 10) // greatest(t.tw, 1)
+          > ((c.cum - c.w) * 10) // greatest(t.tw, 1)
     """,
 )
 def o5_systematic_sample(spark, sf_dir):
@@ -13247,8 +13251,12 @@ def o5_systematic_sample(spark, sf_dir):
     c = d.withColumn("cum", F.sum("w").over(w))
     t = d.groupBy("source").agg(F.sum("w").cast("bigint").alias("tw"))
     j = c.join(F.broadcast(t), "source")
-    hi = F.expr("(cum * 10) div tw")
-    lo = F.expr("((cum - w) * 10) div tw")
+    # greatest(tw, 1): a degenerate all-zero-weight stratum must select
+    # nothing (hi == lo == 0), not raise ANSI DIVIDE_BY_ZERO inside the
+    # filter predicate — weights are nonnegative so tw >= 1 is the only
+    # live case and the guard changes no real result
+    hi = F.expr("(cum * 10) div greatest(tw, 1L)")
+    lo = F.expr("((cum - w) * 10) div greatest(tw, 1L)")
     return j.filter(hi > lo).select(
         "source",
         "doc_id",
@@ -13339,7 +13347,7 @@ def pipe3_prep_funnel(spark, sf_dir):
         "text",
         _split_col(F.col("doc_id")).alias("split"),
         _tx.tokens(F.col("text")).alias("_toks"),
-    ).persist()  # cache: caller-owns; released when the action completes
+    ).persist()  # cache: caller-owns (pipe1's shared-tokens pattern)
     toks = F.col("_toks")
     ev = (
         lab.filter(F.col("split") == "val")
@@ -13711,6 +13719,7 @@ def g17_adamic_adar(spark, sf_dir):
            CAST(CAST(-(b.nd) AS DOUBLE)
                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS DOUBLE) AS ks
     FROM best
+    WHERE na > 0 AND nb > 0
     """,
 )
 def w21_ks_drift(spark, sf_dir):
@@ -13772,7 +13781,10 @@ def w21_ks_drift(spark, sf_dir):
             "b"
         )
     )
-    return best.select(
+    # KS is undefined for a series absent from either period: na*nb = 0
+    # makes the final division IEEE-infinite in Spark but engine-dependent
+    # in general — exclude on the exact integers (the f15 den-guard rule)
+    return best.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
         "series",
         "na",
         "nb",
