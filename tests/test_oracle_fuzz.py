@@ -1,0 +1,159 @@
+"""Oracle-equivalence FUZZING: run registry entries and their DuckDB
+oracles side by side on hypothesis-GENERATED fixtures — the driver's
+value-exact gate, but on adversarial input shapes the testdata never
+exercises (ties everywhere, hot keys, one-sided periods, single-row
+groups, duplicate values on window order keys).
+
+This is the strongest form of the §5 property layer: instead of
+comparing an engine path against a naive reference formulation, it
+compares the ENTIRE cross-engine contract (types, column order,
+rounding discipline, tie rules) on arbitrary data.  Any ordering
+nondeterminism the registry's struct-argmax/tiebreak rules fail to pin
+shows up here as a flaky mismatch long before the driver sees it.
+
+Example counts are small: every example stages parquet and runs both
+engines.  Entries chosen are the r9 additions whose inputs are cheap to
+generate; the fixture-heavy ones (pipe3, u11, t25/t26 streaming) are
+covered by their own convergence/robustness tests.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import selfcheck as sc
+from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans import (
+    registry,
+)
+
+BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _stage(spark, tmp, name, rows, schema):
+    path = os.path.join(tmp, f"{name}.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _check(spark, tmp, qname, tables):
+    con = duckdb.connect()
+    for t in tables:
+        # Spark writes a parquet DIRECTORY; the fixture files are single
+        # files — glob covers both layouts
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp, t + '.parquet')}/*.parquet')"
+        )
+    df = registry.QUERIES[qname](spark, tmp)
+    cols, rows = df.columns, [tuple(r) for r in df.collect()]
+    res = con.execute(registry.ORACLES[qname])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    c1, r1 = sc.norm_rows(cols, rows)
+    c2, r2 = sc.norm_rows(ocols, orows)
+    assert c1 == c2, (qname, c1, c2)
+    assert r1 == r2 or sc.approx_equal(r1, r2), (qname, r1[:5], r2[:5])
+
+
+# -- generated events: tiny key/type spaces force ties and hot groups ------
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=28),  # day offset
+        st.integers(min_value=0, max_value=86_399),  # second of day
+        st.integers(min_value=0, max_value=5),  # user_id
+        st.sampled_from(["click", "view", "purchase"]),
+        st.integers(min_value=0, max_value=60_000),  # cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _events_rows(raw):
+    return [
+        (
+            i,
+            BASE + datetime.timedelta(days=d, seconds=s),
+            u,
+            t,
+            c / 100.0,
+            "x",
+        )
+        for i, (d, s, u, t, c) in enumerate(raw)
+    ]
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+EVENT_ENTRIES = [
+    "w20_cusum_changepoint",
+    "w21_ks_drift",
+    "f14_bollinger_breakout",
+    "f15_capm_beta",
+    "a29_bitmap_distinct",
+    "a30_kmv_setops",
+    "a31_benford_audit",
+    "a32_hll_union",
+]
+
+
+@pytest.mark.parametrize("qname", EVENT_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_events)
+def test_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+# -- generated documents: tiny vocab forces cross-class token collisions --
+_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["web", "wiki"]),
+        st.lists(
+            st.sampled_from(["the", "und", "alpha", "beta", "gamma"]),
+            min_size=0,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+DOC_ENTRIES = ["o5_systematic_sample", "m18_naive_bayes"]
+
+
+@pytest.mark.parametrize("qname", DOC_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_docs)
+def test_documents_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    # empty docs stay in: weight-0 rows are exactly what o5's
+    # greatest(tw,1) guard exists for, and m18 must drop token-less docs
+    # identically in both engines
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
