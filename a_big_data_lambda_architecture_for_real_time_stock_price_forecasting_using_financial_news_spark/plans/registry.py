@@ -7584,7 +7584,7 @@ def m11_eval_metrics(spark, sf_dir):
                 AS DOUBLE) AS max_drawdown,
            CAST(max(peak) AS BIGINT) AS peak_cents,
            CAST(count(*) AS BIGINT) AS n_ticks
-    FROM r GROUP BY 1
+    FROM r WHERE peak > 0 GROUP BY 1
     """,
 )
 def w11_max_drawdown(spark, sf_dir):
@@ -7596,8 +7596,13 @@ def w11_max_drawdown(spark, sf_dir):
     an integer window max, and each row's peak-relative ratio is ONE
     exact IEEE division — so the group-wise min of those ratios (and the
     single ``1 - x`` that turns it into a drawdown) is order-independent
-    and engine-exact, unlike any float-cumsum formulation. The fixture's
-    prices are strictly positive, keeping every division total.
+    and engine-exact, unlike any float-cumsum formulation. Rows with a
+    ZERO running peak (a series whose ticks so far are all zero) are
+    excluded on both sides: their ratio is 0/0, which ANSI Spark raises
+    on while DuckDB yields IEEE NaN — an engine divergence the
+    oracle-fuzz harness caught. A zero tick AFTER a positive peak stays
+    in (drawdown 1.0 — total loss is a real answer); only the undefined
+    leading-zero prefix is dropped, so fixture results are unchanged.
 
     Scale shape: identical to f5 — one window per series partition in
     event-time order (the resting sort order of a tick store, so the
@@ -7620,7 +7625,9 @@ def w11_max_drawdown(spark, sf_dir):
         .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    r = t.select("series", "px", F.max("px").over(w).alias("peak"))
+    r = t.select("series", "px", F.max("px").over(w).alias("peak")).filter(
+        F.col("peak") > 0
+    )
     return r.groupBy("series").agg(
         (
             F.lit(1.0)

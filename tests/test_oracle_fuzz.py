@@ -85,7 +85,7 @@ def _events_rows(raw):
             u,
             t,
             c / 100.0,
-            "x",
+            '{"k": ' + str(c % 100) + "}",
         )
         for i, (d, s, u, t, c) in enumerate(raw)
     ]
@@ -157,3 +157,30 @@ def test_documents_entries_match_oracle_on_generated_data(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
+
+
+# -- legacy events-based entries: same harness, proactive tie hunting ------
+LEGACY_EVENT_ENTRIES = [
+    "f12_rsi",
+    "f13_signal_backtest",
+    "w19_interval_coalesce",
+    "u10_cdc_apply",
+    "a22_last_touch_attribution",
+    "w5_sessionize",
+    "w11_max_drawdown",
+    "w17_streaks",
+    "w18_calendar_gaps",
+    "a18_mode",
+]
+
+
+@pytest.mark.parametrize("qname", LEGACY_EVENT_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_events)
+def test_legacy_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
