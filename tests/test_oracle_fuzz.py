@@ -174,7 +174,32 @@ LEGACY_EVENT_ENTRIES = [
 ]
 
 
-@pytest.mark.parametrize("qname", LEGACY_EVENT_ENTRIES)
+LEGACY_EVENT_ENTRIES_2 = [
+    "w9_ewma",
+    "w12_rolling_zscore",
+    "w14_linear_interpolate",
+    "w15_seasonal_profile",
+    "w16_time_to_convert",
+    "a13_winsorize",
+    "a25_mad_outliers",
+    "a26_rolling_distinct_reach",
+    "f4_vwap",
+    "f5_twap",
+    "f6_ohlc_resample",
+    "f9_realized_variance",
+    "f10_historical_var",
+    "f11_hhi_concentration",
+    "t9_gap_fill",
+    "w13_rolling_median",
+    "j7_interval_join",
+    "a1_a2_daily_agg",
+    "a5_dedup_at_most_once",
+    "w8_funnel_steps",
+    "w10_retention_cohorts",
+]
+
+
+@pytest.mark.parametrize("qname", LEGACY_EVENT_ENTRIES + LEGACY_EVENT_ENTRIES_2)
 @settings(max_examples=4, deadline=None)
 @given(raw=_events)
 def test_legacy_events_entries_match_oracle_on_generated_data(
