@@ -5149,8 +5149,9 @@ def x27_token_budget_sample(spark, sf_dir):
            sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS stddev_qty,
            CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_cents
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+             AS corr_qty_cents
     FROM s
     """,
 )
@@ -5202,7 +5203,13 @@ def a15_corr_stats(spark, sf_dir):
         (sx.cast("double") / nd).alias("mean_qty"),
         (cov_num / (nd * nd)).alias("covar_pop"),
         (F.sqrt(varx) / nd).alias("stddev_qty"),
-        (cov_num / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_cents"),
+        # zero-variance groups (constant x or y, single-row groups) have
+        # no defined correlation: Spark 4 ANSI raises DIVIDE_BY_ZERO even
+        # on DOUBLE 0/0 while DuckDB yields IEEE NaN — try_divide/nullif
+        # pin NULL on both sides (oracle-fuzz finding)
+        F.try_divide(cov_num, F.sqrt(varx) * F.sqrt(vary)).alias(
+            "corr_qty_cents"
+        ),
     )
 
 

@@ -137,7 +137,26 @@ _docs = st.lists(
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
-DOC_ENTRIES = ["o5_systematic_sample", "m18_naive_bayes"]
+DOC_ENTRIES = [
+    "o5_systematic_sample",
+    "m18_naive_bayes",
+    "x6_lang_id",
+    "x7_quality_score",
+    "x8_token_count",
+    "x9_fingerprint",
+    "x11_repetition_score",
+    "x12_length_histogram",
+    "x19_ngram_freq",
+    "x26_unigram_surprisal",
+    "x29_sentence_split",
+    "d1_dedup_exact",
+    "x35_vocab_coverage",
+    "a14_distribution_stats",
+    "x13_pii_redact",
+    "x20_token_packing",
+    "x28_doc_chunking",
+    "d12_containment",
+]
 
 
 @pytest.mark.parametrize("qname", DOC_ENTRIES)
@@ -209,3 +228,70 @@ def test_legacy_events_entries_match_oracle_on_generated_data(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
+
+
+# -- generated lineitem: tiny key spaces, boundary dates/quantities --------
+_lineitems = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),      # orderkey
+        st.integers(min_value=0, max_value=6),      # partkey
+        st.integers(min_value=0, max_value=3),      # suppkey
+        st.integers(min_value=1, max_value=50),     # quantity
+        st.integers(min_value=90_000, max_value=10_500_000),  # price cents
+        st.integers(min_value=0, max_value=10),     # discount %
+        st.integers(min_value=0, max_value=8),      # tax %
+        st.sampled_from(["A", "N", "R"]),
+        st.sampled_from(["O", "F"]),
+        st.integers(min_value=0, max_value=2400),   # days from 1995-01-01
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate timestamp"
+)
+
+LI_BASE = datetime.datetime(1995, 1, 1)
+
+LINEITEM_ENTRIES = [
+    "a15_corr_stats",
+    "a17_weighted_median",
+    "a24_dq_audit",
+    "g13_degree_histogram",
+    "x23_zorder_layout",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "m19_gbt_inference",
+]
+
+
+@pytest.mark.parametrize("qname", LINEITEM_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_lineitems)
+def test_lineitem_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (
+            ok,
+            pk,
+            sk,
+            i + 1,
+            float(qty),
+            pc / 100.0,
+            dc / 100.0,
+            tx / 100.0,
+            rf,
+            ls,
+            LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
+    _check(spark, tmp, qname, ["lineitem"])
