@@ -215,6 +215,7 @@ LEGACY_EVENT_ENTRIES_2 = [
     "a5_dedup_at_most_once",
     "w8_funnel_steps",
     "w10_retention_cohorts",
+    "j15_dpp_join",
 ]
 
 
@@ -295,3 +296,127 @@ def test_lineitem_entries_match_oracle_on_generated_data(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
+
+
+# -- TPC-H join battery: real dims + GENERATED facts ------------------------
+# region/nation/customer/supplier/part copy over from the sf0.001 fixture
+# (stable dimension data); orders and lineitem are hypothesis-generated with
+# foreign keys drawn from the real dims' ranges — referential realism with
+# adversarial fact shapes (empty join sides, all-filtered windows, hot
+# customers, single-line orders).
+
+_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=149),         # custkey (real range)
+        st.sampled_from(["O", "F", "P"]),
+        st.integers(min_value=90_000, max_value=40_000_000),  # totalprice cents
+        st.integers(min_value=0, max_value=2400),        # days from 1995-01-01
+        st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+_fact_lineitems = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),     # index into orders list
+        st.integers(min_value=0, max_value=199),    # partkey (real range)
+        st.integers(min_value=0, max_value=9),      # suppkey (real range)
+        st.integers(min_value=1, max_value=50),
+        st.integers(min_value=90_000, max_value=10_500_000),
+        st.integers(min_value=0, max_value=10),
+        st.integers(min_value=0, max_value=8),
+        st.sampled_from(["A", "N", "R"]),
+        st.sampled_from(["O", "F"]),
+        st.integers(min_value=0, max_value=2400),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+TPCH_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+TPCH_ENTRIES = [
+    "q3_shipping_priority",
+    "q4_exists_agg",
+    "q5_regional_revenue",
+    "q10_returned_revenue",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_global_sales_opportunity",
+    "j1_broadcast_dim_join",
+    "j4_semi_anti_join",
+    "j12_star_broadcast",
+]
+
+
+@pytest.mark.parametrize("qname", TPCH_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(orders_raw=_orders, li_raw=_fact_lineitems)
+def test_tpch_entries_match_oracle_on_generated_facts(
+    spark, tmp_path_factory, qname, orders_raw, li_raw
+):
+    import shutil
+
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    for d in TPCH_DIMS:
+        shutil.copy(f"/root/testdata/sf0.001/{d}.parquet", f"{tmp}/{d}.parquet")
+    orows = [
+        (
+            i,
+            ck,
+            stx,
+            tp / 100.0,
+            LI_BASE + datetime.timedelta(days=d),
+            pri,
+        )
+        for i, (ck, stx, tp, d, pri) in enumerate(orders_raw)
+    ]
+    lrows = [
+        (
+            oi % len(orows),
+            pk,
+            sk,
+            i + 1,
+            float(qty),
+            pc / 100.0,
+            dc / 100.0,
+            tx / 100.0,
+            rf,
+            ls,
+            LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (oi, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(li_raw)
+    ]
+    _stage(spark, tmp, "orders", orows, ORDERS_SCHEMA)
+    _stage(spark, tmp, "lineitem", lrows, LINEITEM_SCHEMA)
+    tables = list(TPCH_DIMS) + ["orders", "lineitem"]
+    # dims are single files, facts are directories: _check globs both via
+    # the read_parquet pattern only when the path is a dir — handle here
+    con = duckdb.connect()
+    for tname in tables:
+        p = os.path.join(tmp, tname + ".parquet")
+        pat = p + "/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{pat}')"
+        )
+    df = registry.QUERIES[qname](spark, tmp)
+    cols, rows = df.columns, [tuple(r) for r in df.collect()]
+    res = con.execute(registry.ORACLES[qname])
+    ocols = [d[0] for d in res.description]
+    orows2 = res.fetchall()
+    c1, r1 = sc.norm_rows(cols, rows)
+    c2, r2 = sc.norm_rows(ocols, orows2)
+    assert c1 == c2, (qname, c1, c2)
+    assert r1 == r2 or sc.approx_equal(r1, r2), (qname, r1[:5], r2[:5])
