@@ -14102,3 +14102,719 @@ def t26_stream_kmv_view(spark, sf_dir):
         .alias("kmv_estimate"),
         "exact_distinct",
     )
+
+
+@register(
+    "a33_spearman_rank",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT series,
+             2 * rank() OVER (PARTITION BY series ORDER BY x)
+               + count(*) OVER (PARTITION BY series, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY series ORDER BY y)
+               + count(*) OVER (PARTITION BY series, y) - 1 AS ry
+      FROM daily
+    ), s AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM r GROUP BY series
+    )
+    SELECT series, n AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
+           CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                                 AS DOUBLE))
+           END AS DOUBLE) AS rho
+    FROM s
+    """,
+)
+def a33_spearman_rank(spark, sf_dir):
+    """Spearman rank correlation between each series' daily activity
+    (event count) and daily flow (cent sum) — the robust, monotonic
+    complement of a15's Pearson battery: rank correlation is what a
+    feature-screening pass actually wants on heavy-tailed monetary
+    columns, where one outlier day saturates Pearson but moves ranks
+    by one. Exactness with ties, no floats until the last expression:
+    the classical tie treatment assigns a tie group the AVERAGE rank
+    (rank_min + (cnt-1)/2) — a half-integer — so both engines carry
+    DOUBLED ranks r2 = 2*rank_min + cnt - 1 (exact BIGINTs; Spearman
+    is Pearson on ranks and Pearson is invariant under the affine
+    doubling). The per-series sufficient statistics (n, Σr2x, Σr2y,
+    Σr2x², Σr2y², Σr2x·r2y) are exact integers, the correlation is
+    assembled a15-style as one exact integer numerator and one
+    sqrt-of-exact-integer denominator — a single correctly-rounded
+    IEEE sqrt and one division per series, bit-stable cross-engine —
+    and zero-variance series yield NULL by an explicit guard (the a15
+    ANSI-0/0 lesson). Bound: r2 <= 2n, so n·Σr2² <= 4n⁴ — int64-safe
+    to ~1.2M days per series (3000 years; the day calendar, not the
+    corpus, is the cardinality).
+
+    Shape: one map-side-combined (series, day) agg collapses the scan;
+    the rank windows run over ~30-day per-series relations (series
+    count × calendar days, corpus-size-independent); one final
+    per-series agg. No global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        ev.select(F.col("event_type").alias("series"), F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("series", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"), F.sum("c").alias("y"))
+    )
+
+    def r2(col):
+        w = Window.partitionBy("series").orderBy(col)
+        tw = Window.partitionBy("series", col)
+        return 2 * F.rank().over(w) + F.count(F.lit(1)).over(tw) - 1
+
+    r = daily.select("series", r2(F.col("x")).alias("rx"), r2(F.col("y")).alias("ry"))
+    s = r.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "series",
+        F.col("n").alias("n_days"),
+        num.cast("bigint").alias("rho_num"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double") / F.sqrt((vx * vy).cast("double")),
+        )
+        .cast("double")
+        .alias("rho"),
+    )
+
+
+@register(
+    "m20_roc_auc",
+    """
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS score,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS np_s,
+             CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
+               AS nn_s
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT score, np_s, nn_s,
+             coalesce(sum(nn_s) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM h
+    ), s AS (
+      SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+             CAST(sum(nn_s) AS BIGINT) AS n_neg,
+             CAST(sum(np_s * (2 * cnb + nn_s)) AS BIGINT) AS auc_num2
+      FROM c
+    )
+    SELECT n_pos, n_neg, auc_num2,
+           CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(auc_num2 AS DOUBLE)
+                     / (2.0 * n_pos * n_neg)
+           END AS DOUBLE) AS auc
+    FROM s
+    """,
+)
+def m20_roc_auc(spark, sf_dir):
+    """Exact ROC-AUC of the cent amount as a classifier score for
+    'purchase' events — the threshold-free ranking metric that belongs
+    next to m11 (confusion at one threshold) and m12 (calibration):
+    AUC is the probability a random positive outranks a random
+    negative, ties counted half. Computed WITHOUT the textbook global
+    rank: AUC's sufficient statistic lives on the SCORE HISTOGRAM, so
+    one (score → n_pos, n_neg) hash agg collapses the corpus, and one
+    window over DISTINCT CENT VALUES (bounded by price resolution,
+    never row count — the a17/w21 discipline) accumulates negatives
+    below each score. The doubled numerator Σ np_s·(2·cum_neg_below +
+    nn_s) counts strict wins twice and ties once — an exact BIGINT;
+    AUC itself is that integer over 2·n_pos·n_neg, ONE final division,
+    NULL-guarded when either class is empty (the a15 ANSI lesson).
+    Bound: num2 < 2·n_pos·n_neg — int64-safe to ~2.1e9 rows per class;
+    past that the product overflows and the m17 decimal(38,0) widening
+    applies (documented, not silent).
+
+    Shape: one map-side-combined agg + one bounded window + one scalar
+    agg — scan-bound at any scale, no global sort of the corpus, no
+    per-row rank shuffle. A Mann-Whitney U test engine gets U = num2/2
+    from the same output."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    is_pos = (F.col("event_type") == "purchase").cast("bigint")
+    h = ev.select(cents.alias("score"), is_pos.alias("p")).groupBy("score").agg(
+        F.sum("p").cast("bigint").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("p")).cast("bigint").alias("nn_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.withColumn("cnb", F.coalesce(F.sum("nn_s").over(w), F.lit(0)))
+    s = c.agg(
+        F.sum("np_s").cast("bigint").alias("n_pos"),
+        F.sum("nn_s").cast("bigint").alias("n_neg"),
+        F.sum(F.col("np_s") * (2 * F.col("cnb") + F.col("nn_s")))
+        .cast("bigint")
+        .alias("auc_num2"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("auc_num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+        )
+        .cast("double")
+        .alias("auc"),
+    )
+
+
+@register(
+    "m21_cohens_kappa",
+    f"""
+    WITH p AS (
+      SELECT lang, {_tx.lang_id_sql('text')} AS lang_pred FROM documents
+    ), conf AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ), rows_t AS (
+      SELECT lang AS lab, CAST(sum(n) AS BIGINT) AS r FROM conf GROUP BY 1
+    ), cols_t AS (
+      SELECT lang_pred AS lab, CAST(sum(n) AS BIGINT) AS c FROM conf GROUP BY 1
+    ), m AS (
+      SELECT CAST(sum(coalesce(r, 0) * coalesce(c, 0)) AS BIGINT) AS src
+      FROM rows_t FULL OUTER JOIN cols_t USING (lab)
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+                  AS BIGINT) AS sd
+      FROM conf
+    )
+    SELECT t.nn AS n, t.sd AS n_agree, m.src AS sum_rowcol,
+           CAST(t.nn * t.sd - m.src AS BIGINT) AS kappa_num,
+           CAST(t.nn * t.nn - m.src AS BIGINT) AS kappa_den,
+           CAST(CASE WHEN t.nn * t.nn - m.src <> 0
+                THEN CAST(t.nn * t.sd - m.src AS DOUBLE)
+                     / CAST(t.nn * t.nn - m.src AS DOUBLE)
+           END AS DOUBLE) AS kappa
+    FROM t CROSS JOIN m
+    """,
+)
+def m21_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa for the x6 language router against fixture truth —
+    chance-corrected agreement, the number that tells you whether x37's
+    pretty diagonal is skill or prior imbalance (a router that says
+    'en' always scores high accuracy on an English-heavy corpus and
+    kappa ~ 0). Exact integer assembly from the same confusion matrix
+    x37 ships: kappa = (p_o - p_e)/(1 - p_e) cross-multiplied by N² to
+    kappa = (N·Σdiag - Σ_k row_k·col_k)/(N² - Σ_k row_k·col_k) — both
+    numerator and denominator exact BIGINTs (int64-safe to N ~ 3e9
+    docs; the m17 decimal widening applies past that), ONE final
+    division, NULL-guarded when p_e = 1 (single-cell degenerate
+    matrix, the a15 ANSI lesson). Labels missing from a margin
+    contribute via the full-outer margin join with coalesce(0) —
+    dropping a never-predicted class would silently shrink p_e.
+
+    Shape: one scan through the single-pass x6 Column expression into
+    a <=36-row confusion agg (map-side combined); every margin/total
+    re-agg runs on that tiny relation. Corpus cost = x37's."""
+    d = tbl(spark, sf_dir, "documents")
+    conf = (
+        d.select("lang", _tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()  # cache: caller-owns
+    )
+    rows_t = conf.groupBy(F.col("lang").alias("lab")).agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    cols_t = conf.groupBy(F.col("lang_pred").alias("lab")).agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    m = (
+        rows_t.join(cols_t, "lab", "full_outer")
+        .select(
+            (F.coalesce(F.col("r"), F.lit(0)) * F.coalesce(F.col("c"), F.lit(0))).alias("rc")
+        )
+        .agg(F.sum("rc").cast("bigint").alias("src"))
+    )
+    t = conf.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sd"),
+    )
+    num = F.col("nn") * F.col("sd") - F.col("src")
+    den = F.col("nn") * F.col("nn") - F.col("src")
+    return t.crossJoin(m).select(
+        F.col("nn").alias("n"),
+        F.col("sd").alias("n_agree"),
+        F.col("src").alias("sum_rowcol"),
+        num.cast("bigint").alias("kappa_num"),
+        den.cast("bigint").alias("kappa_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .cast("double")
+        .alias("kappa"),
+    )
+
+
+@register(
+    "j16_fk_orphan_audit",
+    """
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS edge,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_keys,
+             CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l.l_partkey) AS BIGINT),
+             CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l.l_suppkey) AS BIGINT),
+             CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT),
+             CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT c.c_nationkey) AS BIGINT),
+             CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT s.s_nationkey) AS BIGINT),
+             CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT n.n_regionkey) AS BIGINT),
+             CAST(count(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    """,
+)
+def j16_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema — the DQ gate a warehouse load runs before letting any
+    join-based query (q3/q5/q7...) near the data, because a broken FK
+    silently shrinks every inner join downstream: per edge, total child
+    rows, distinct child keys, and ORPHANS (children whose parent is
+    missing). One left join per edge with a null-parent filter count —
+    the audit must COUNT orphans, not just detect them, so semi/anti
+    shapes that stop at existence are not enough; the three aggregates
+    ride one pass over each join's output with no materialized row set.
+    A healthy load reports an all-zero orphan column — the zero vector
+    IS the audit's contract, so every edge emits its row
+    unconditionally (absence of an edge row would be indistinguishable
+    from a skipped check — the a31 absent-digit rule).
+
+    Shape: dimension-side parents (region/nation/customer/supplier/
+    part) broadcast; the two fact-fact edges (lineitem->orders) shuffle
+    on the join key exactly as q3 does, with the count aggs map-side
+    combined. Each edge is one scan + one join — the whole audit is a
+    union of 7 independent two-table plans, embarrassingly parallel
+    across a cluster's scheduler pools."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, ck, parent, pk in edges:
+        c = tbl(spark, sf_dir, child).select(F.col(ck).alias("ck"))
+        p = tbl(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        j = c.join(p, c.ck == p.pk, "left")
+        row = j.agg(
+            F.lit(f"{child}.{ck}->{parent}").alias("edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.countDistinct("ck").cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("edge", "n_child", "n_keys", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "d16_token_set_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_aggregate(
+               list_sort(list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))),
+               'string_agg', ' ') AS k
+      FROM documents
+    ), g AS (
+      SELECT k, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             list_sort(list(doc_id)) AS member_ids
+      FROM base GROUP BY k HAVING count(*) > 1
+    )
+    SELECT canonical_id, n_members, member_ids FROM g
+    """,
+)
+def d16_token_set_dedup(spark, sf_dir):
+    """EXACT Jaccard = 1.0 dedup — the boundary case every MinHash
+    pipeline (d2) only ESTIMATES, detected with zero error: two
+    documents whose token SETS are equal have unigram Jaccard exactly
+    1 regardless of word order or repetition counts (scraper
+    re-renders, shuffled list pages, boilerplate re-expansions), yet
+    d1's byte hash misses them and d2 only flags them with
+    sketch-collision probability. The canonical key is the sorted
+    DISTINCT token set rendered to one string (array_sort ∘
+    array_distinct + single-space join — a deterministic
+    canonicalization, not a lossy sketch, so false positives are
+    impossible by construction); grouping on it is one hash agg, and
+    only classes with >1 member survive — each class reports its
+    canonical (minimum) doc_id, size, and sorted member list
+    (array_sort'd so the value hash is order-stable cross-engine).
+    Together d1 (bytes) / d16 (token set) / d2 (Jaccard >= t) tile the
+    dedup spectrum at t = 1-exact, with d16 catching what the fixture
+    actually contains: template docs over identical vocabularies.
+
+    Shape: one scan, one map-side-combined hash agg keyed on the
+    canonical string — d1's scaling argument verbatim; the key build
+    is per-row Column work (distinct + sort over ~100 tokens). At
+    100 TB the only added cost vs d1 is that per-row canonicalization;
+    the shuffle carries one (key, doc_id) pair per row."""
+    d = tbl(spark, sf_dir, "documents")
+    k = F.concat_ws(" ", F.array_sort(F.array_distinct(_tx.tokens(F.col("text")))))
+    g = (
+        d.select(k.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    return g.select("canonical_id", "n_members", "member_ids")
+
+
+@register(
+    "f16_macd",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), arrs AS (
+      SELECT series,
+             list(day ORDER BY day) AS days,
+             list_transform(list(close_c ORDER BY day),
+                            x -> CAST(x * 1024 AS BIGINT)) AS vals
+      FROM c GROUP BY series
+    ), pre AS (
+      SELECT series, days[u.i] AS day, vals[u.i] // 1024 AS close_c,
+             CAST(list_reduce(list_slice(vals, 1, u.i),
+                  (acc, x) -> (2 * x + 11 * acc) // 13) AS BIGINT) AS ema12_x,
+             CAST(list_reduce(list_slice(vals, 1, u.i),
+                  (acc, x) -> (2 * x + 25 * acc) // 27) AS BIGINT) AS ema26_x
+      FROM arrs, unnest(generate_series(1, len(vals))) AS u(i)
+    ), m AS (
+      SELECT series, day, close_c, ema12_x, ema26_x,
+             ema12_x - ema26_x AS macd_x
+      FROM pre
+    )
+    SELECT series, day, CAST(close_c AS BIGINT) AS close_c,
+           ema12_x, ema26_x, CAST(macd_x AS BIGINT) AS macd_x,
+           CAST(CASE WHEN count(*) OVER w = 9
+                THEN 9 * macd_x - sum(macd_x) OVER w
+           END AS BIGINT) AS hist9_x
+    FROM m
+    WINDOW w AS (PARTITION BY series ORDER BY day
+                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+    """,
+)
+def f16_macd(spark, sf_dir):
+    """MACD (12/26 EMA spread) with a 9-period signal histogram over
+    each series' daily closes — the second canonical momentum overlay
+    after f12's RSI, and the entry that proves EMA-family indicators
+    can be hash-gated: the float recursion every charting library uses
+    (m9's Holt lesson: cross-engine float folds flap) is replaced by an
+    INTEGER EMA — closes scaled x1024, recurrence e' = (2x + (q-2)e')
+    div q with q = 13/27, every step a floor division of positive
+    integers both engines truncate identically, seeded with the first
+    close (w9's rule: an EMA from zero underestimates every head).
+    Quantization costs < 1/1024 cent per step against the real EMA — a
+    documented resolution trade for bit-stable output. The signal leg
+    is Cutler-style (f12 precedent): hist9_x = 9*macd - Σ(last 9 macd)
+    is the SMA-9 crossover test cross-multiplied into exact integers —
+    its sign flip IS the trading signal, no division ever taken.
+
+    Shape: one (series, day) hash agg collapses the scan; per-series
+    arrays hold ~30 day-rows (calendar-bounded, corpus-independent),
+    and the per-day prefix folds are O(days²) per series — 900 integer
+    ops on a 30-day window, still nothing against the scan; unbounded
+    histories belong to the t6 stateful form instead (documented, the
+    w9 contract). The hist9 window runs per series over day rows. No
+    global sort, no float until nothing is left to compute."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    arrs = c.groupBy("series").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day").alias("d"), F.col("close_c").alias("v")))
+        ).alias("a")
+    )
+    pre = (
+        arrs.withColumn(
+            "vals", F.expr("transform(a, s -> CAST(s.v * 1024 AS BIGINT))")
+        )
+        .select("series", "vals", F.posexplode("a").alias("i0", "s"))
+        .select(
+            "series",
+            F.col("s.d").alias("day"),
+            F.col("s.v").alias("close_c"),
+            F.expr(
+                "aggregate(slice(vals, 2, i0), vals[0],"
+                " (acc, x) -> (2 * x + 11 * acc) div 13)"
+            ).alias("ema12_x"),
+            F.expr(
+                "aggregate(slice(vals, 2, i0), vals[0],"
+                " (acc, x) -> (2 * x + 25 * acc) div 27)"
+            ).alias("ema26_x"),
+        )
+    )
+    m = pre.withColumn("macd_x", F.col("ema12_x") - F.col("ema26_x"))
+    w = Window.partitionBy("series").orderBy("day").rowsBetween(-8, 0)
+    return m.select(
+        "series",
+        "day",
+        F.col("close_c").cast("bigint").alias("close_c"),
+        "ema12_x",
+        "ema26_x",
+        F.col("macd_x").cast("bigint").alias("macd_x"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 9,
+            9 * F.col("macd_x") - F.sum("macd_x").over(w),
+        )
+        .cast("bigint")
+        .alias("hist9_x"),
+    )
+
+
+@register(
+    "f17_atr",
+    """
+    WITH b AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(max(round(value * 100)) AS BIGINT) AS high_c,
+             CAST(min(round(value * 100)) AS BIGINT) AS low_c,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT series, day, high_c, low_c, close_c,
+             CAST(CASE WHEN lag(close_c) OVER w IS NULL THEN high_c - low_c
+                  ELSE greatest(high_c - low_c,
+                                abs(high_c - lag(close_c) OVER w),
+                                abs(low_c - lag(close_c) OVER w))
+             END AS BIGINT) AS tr_c
+      FROM b WINDOW w AS (PARTITION BY series ORDER BY day)
+    )
+    SELECT series, day, tr_c,
+           CAST(sum(tr_c) OVER v AS BIGINT) AS atr14_sum_c,
+           CAST(CASE WHEN count(*) OVER v = 14
+                THEN CAST(sum(tr_c) OVER v AS DOUBLE) / 14.0
+           END AS DOUBLE) AS atr_c
+    FROM tr
+    WINDOW v AS (PARTITION BY series ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def f17_atr(spark, sf_dir):
+    """14-day Average True Range per series — the volatility yardstick
+    position sizing and stop placement are quoted in, computed over the
+    same daily bars the engine's batch view maintains (f6's OHLC
+    algebra: high/low are plain cent extrema, close is the
+    deterministic (ts, value)-struct argmax). True range extends the
+    bar's high-low span across the overnight gap: TR = max(high-low,
+    |high-prev_close|, |low-prev_close|), with the textbook first-bar
+    rule TR = high-low when no prior close exists — all exact cent
+    integers from one lag. The smoothing leg is Cutler-form (the f12
+    decision, same reasoning: Wilder's exponential tail is a float
+    recursion that flaps cross-engine; f16 shows the integer-EMA
+    escape hatch when the exponential form is non-negotiable): the
+    14-bar rolling SUM is the exact BIGINT carried in the output, and
+    ATR itself is that integer over 14 — ONE division, emitted only
+    where the window holds 14 bars (f12's warm-up rule; earlier rows
+    keep a NULL ATR but still report their exact partial sum).
+
+    Shape: one (series, day) hash agg collapses the scan (map-side
+    combined); ONE window partitioned by series covers the lag and
+    both rolling aggregates — Catalyst fuses them into a single
+    sort+window over calendar-bounded per-series relations. No global
+    sort; window state is bounded by series count, never corpus."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    b = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            cents.alias("c"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(
+            F.max("c").alias("high_c"),
+            F.min("c").alias("low_c"),
+            F.max("s")["v"].alias("close_c"),
+        )
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    pc = F.lag("close_c").over(w)
+    tr = b.select(
+        "series",
+        "day",
+        F.when(pc.isNull(), F.col("high_c") - F.col("low_c"))
+        .otherwise(
+            F.greatest(
+                F.col("high_c") - F.col("low_c"),
+                F.abs(F.col("high_c") - pc),
+                F.abs(F.col("low_c") - pc),
+            )
+        )
+        .cast("bigint")
+        .alias("tr_c"),
+    )
+    v = w.rowsBetween(-13, 0)
+    return tr.select(
+        "series",
+        "day",
+        "tr_c",
+        F.sum("tr_c").over(v).cast("bigint").alias("atr14_sum_c"),
+        F.when(
+            F.count(F.lit(1)).over(v) == 14,
+            F.sum("tr_c").over(v).cast("double") / F.lit(14.0),
+        )
+        .cast("double")
+        .alias("atr_c"),
+    )
+
+
+@register(
+    "a34_entropy_balance",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), hn AS (
+      SELECT event_type, hr, c,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ), s AS (
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(c * (length(bin(n * n)) - length(bin(c * c))))
+                  AS BIGINT) AS ent_hb_n
+      FROM hn GROUP BY event_type
+    )
+    SELECT event_type, n, n_buckets, ent_hb_n,
+           CAST(CASE WHEN n > 0
+                THEN CAST(ent_hb_n AS DOUBLE) / (2.0 * n)
+           END AS DOUBLE) AS ent_bits_approx
+    FROM s
+    """,
+)
+def a34_entropy_balance(spark, sf_dir):
+    """Shannon-entropy balance audit of each event type's hour-of-day
+    distribution — the diversity number a corpus-mixing pipeline (x22's
+    domain mixture) thresholds on: near-zero entropy means a source
+    fires from one hour/domain/shard (bot, replay, stuck producer),
+    near-log2(24) means uniform spread. Exactness discipline: N·H =
+    Σ c_i·(log2 N - log2 c_i) is quantized with the m18/x26 half-bit
+    integer log2 (floor(log2 n²)+1 = length(bin(n·n)); the shared +1s
+    cancel in the difference), giving ent_hb_n = Σ c_i·(hb(N)-hb(c_i))
+    — an exact BIGINT both engines assemble identically, ~N·2H
+    half-bits with ≤0.5-bit-per-term quantization (documented accuracy
+    trade, the transcendental-log refusal rule). The readable
+    ent_bits_approx is ONE final division. Bound: each term ≤ c_i·126,
+    int64-safe to ~7e16 rows per group.
+
+    Shape: one (type, hour) map-side-combined count agg collapses the
+    scan to ≤ types×24 rows; the entropy assembly is a window + re-agg
+    on that tiny relation (the SQL's nested window-in-agg is spelled
+    as two stages in Spark). Scan-bound at any scale."""
+    ev = tbl(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", F.hour("ts").cast("bigint").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("event_type")
+    hb = lambda col: F.length(F.bin(col * col))  # noqa: E731
+    hn = h.withColumn("n", F.sum("c").over(wn))
+    s = hn.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("c") * (hb(F.col("n")) - hb(F.col("c"))))
+        .cast("bigint")
+        .alias("ent_hb_n"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "n_buckets",
+        "ent_hb_n",
+        F.when(F.col("n") > 0, F.col("ent_hb_n").cast("double") / (F.lit(2.0) * F.col("n")))
+        .cast("double")
+        .alias("ent_bits_approx"),
+    )
