@@ -14818,3 +14818,328 @@ def a34_entropy_balance(spark, sf_dir):
         .cast("double")
         .alias("ent_bits_approx"),
     )
+
+
+@register(
+    "g18_clustering_coefficient",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
+    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
+             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
+      FROM raw r
+      JOIN deg du ON du.node = r.u
+      JOIN deg dv ON dv.node = r.v
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM ori e1
+      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
+      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    pt AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, CAST(coalesce(pt.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(deg.d * (deg.d - 1) AS BIGINT) AS wedges2,
+           CAST(2.0 * coalesce(pt.n_tri, 0)
+                / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS DOUBLE) AS lcc
+    FROM deg LEFT JOIN pt USING (node)
+    WHERE deg.d >= 2
+    """,
+)
+def g18_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node over the g8 co-purchase
+    graph — lcc(v) = 2·tri(v) / (d(v)·(d(v)-1)), the community-density
+    score that turns g8's raw triangle counts into a comparable
+    per-node number (link prediction g15 and the k-core screen g14 both
+    rank candidates better with density context; a near-1 lcc marks a
+    clique member, near-0 a bridge/hub). Same support-thresholded,
+    DEGREE-ORDERED enumeration as g8 (every triangle found exactly
+    once, wedge work bounded O(m^1.5) under skew — the hub-node
+    quadratic blowup is solved structurally, not by sampling); the new
+    work is only the final LEFT join of the degree table onto the
+    corner counts, direction chosen so every node with d >= 2 emits a
+    row EVEN WITH ZERO TRIANGLES — an inner join would silently drop
+    exactly the bridge nodes whose lcc = 0 is the finding (the
+    j16/a31 absent-row rule). Exactness: tri, degree, and the wedge
+    denominator d·(d-1) are exact BIGINTs; lcc is ONE final division
+    (d >= 2 makes it well-defined — no ANSI 0/0 path).
+
+    Shape: identical to g8 through the wedge join (support agg,
+    symmetrized degree agg, three equi-joins, corner explode), then one
+    hash agg + one left equi-join on node — the degree side is the
+    node relation (small), broadcast at fixture scale, shuffled equi at
+    100 TB. Citation: clustering coefficient belongs to the same
+    operator family the reference's news/stock co-movement analysis
+    implies (SURVEY §2.5 graph battery extension)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .persist()  # cache: caller-owns
+    )
+    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = raw.join(du, "u").join(dv, "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    ori = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).persist()  # cache: caller-owns
+    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
+    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    pt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    # LEFT join from the degree relation: zero-triangle nodes must emit
+    # lcc = 0 rows (dropping them is indistinguishable from not checking)
+    out = deg.filter(F.col("d") >= 2).join(pt, "node", "left")
+    nt = F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+    return out.select(
+        "node",
+        nt.alias("n_tri"),
+        F.col("d").cast("bigint").alias("degree"),
+        (F.col("d") * (F.col("d") - 1)).cast("bigint").alias("wedges2"),
+        (
+            F.lit(2.0) * nt / (F.col("d") * (F.col("d") - 1)).cast("double")
+        ).cast("double").alias("lcc"),
+    )
+
+
+#: phrase queries for x38 and keyword queries for x39 — ONE literal feeds
+#: both the Spark plan and the oracle SQL text (the GBT_TREES discipline:
+#: the "model" cannot drift between engines).
+PHRASE_QUERIES = [
+    ("p1", "hash", "join"),
+    ("p2", "table", "scan"),
+    ("p3", "sort", "merge"),
+]
+BM25_QUERIES = [
+    ("q1", ("hash", "join")),
+    ("q2", ("window", "agg", "sort")),
+    ("q3", ("vector", "scan")),
+]
+
+
+@register(
+    "x38_phrase_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, tl[u.i] AS t, u.i AS pos
+      FROM base, unnest(generate_series(1, len(tl))) AS u(i)
+      WHERE tl[u.i] IN ({', '.join(repr(w) for p in PHRASE_QUERIES for w in p[1:])})
+    ), q(phrase_id, w1, w2) AS (
+      VALUES {', '.join(f"('{p}', '{a}', '{b}')" for p, a, b in PHRASE_QUERIES)}
+    )
+    SELECT q.phrase_id, t1.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+    FROM q
+    JOIN toks t1 ON t1.t = q.w1
+    JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.t = q.w2
+                AND t2.pos = t1.pos + 1
+    GROUP BY 1, 2
+    """,
+)
+def x38_phrase_search(spark, sf_dir):
+    """Exact PHRASE query over a positional inverted index — the search
+    primitive tf/BM25 ranking cannot express: "hash join" must match
+    adjacent tokens in order, not co-occurrence (s15/s16's term joins
+    would conflate "join ... hash" pages). The index is the classic
+    (term, doc, position) posting relation built by one posexplode;
+    adjacency is an equi-join of the two terms' postings on (doc_id,
+    pos+1) — integer keys, no regex over text at query time, and the
+    count per doc is exact occurrences (overlapping matches included,
+    the standard positional-index contract). Positions are 1-based
+    token ordinals AFTER tokenization, so punctuation/case differences
+    between renders of the same phrase do not break matches (same
+    normalization as every text entry, _tx.tokens).
+
+    Shape: the posting build FILTERS to the queried terms inside the
+    projection that explodes (predicate on the generator output — only
+    the ~6 queried terms' postings ever reach a shuffle; the full
+    positional index would be built once and bucketed by term in a
+    serving deployment, the s16 layout). Both join legs are equi-joins
+    keyed (doc_id, pos) — candidate pairs are bounded by the rarer
+    term's posting list, the s15 champion-list argument. The phrase
+    relation (3 rows) broadcasts."""
+    d = tbl(spark, sf_dir, "documents")
+    terms = sorted({w for p in PHRASE_QUERIES for w in p[1:]})
+    toks = (
+        d.select("doc_id", F.posexplode(_tx.tokens(F.col("text"))).alias("i0", "t"))
+        .filter(F.col("t").isin(terms))
+        .select("doc_id", "t", (F.col("i0") + 1).alias("pos"))
+    )
+    q = spark.createDataFrame(PHRASE_QUERIES, "phrase_id string, w1 string, w2 string")
+    t1 = toks.select(F.col("doc_id"), F.col("t").alias("t1"), F.col("pos").alias("p1"))
+    t2 = toks.select(
+        F.col("doc_id").alias("doc2"), F.col("t").alias("t2"), F.col("pos").alias("p2")
+    )
+    j = (
+        F.broadcast(q)
+        .join(t1, F.col("t1") == F.col("w1"))
+        .join(
+            t2,
+            (F.col("doc2") == F.col("doc_id"))
+            & (F.col("t2") == F.col("w2"))
+            & (F.col("p2") == F.col("p1") + 1),
+        )
+    )
+    return j.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+
+
+@register(
+    "x39_bm25",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(tl)) AS BIGINT) AS l
+      FROM base
+    ), toks AS (
+      SELECT doc_id, u.t AS t, CAST(len(tl) AS BIGINT) AS dl
+      FROM base, unnest(tl) AS u(t)
+      WHERE u.t IN ({', '.join(sorted(repr(w) for w in {w for _, ts in BM25_QUERIES for w in ts}))})
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
+             CAST(max(dl) AS BIGINT) AS dl
+      FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+    ), q(query_id, term) AS (
+      VALUES {', '.join(f"('{q}', '{w}')" for q, ts in BM25_QUERIES for w in ts)}
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+             ((length(bin((2 * s.n + 2) * (2 * s.n + 2)))
+               - length(bin((2 * df.df + 1) * (2 * df.df + 1))))
+              * 22 * tf.tf * s.l * 64)
+             // (10 * tf.tf * s.l + 3 * s.l + 9 * tf.dl * s.n) AS sterm
+      FROM q
+      JOIN tf ON tf.t = q.term
+      JOIN df ON df.t = q.term
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT query_id, doc_id, CAST(sum(sterm) AS BIGINT) AS score_q
+      FROM sc GROUP BY 1, 2
+    ), r AS (
+      SELECT query_id, doc_id, score_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_q DESC, doc_id) AS rnk
+      FROM agg
+    )
+    SELECT query_id, doc_id, score_q, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def x39_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval (k1 = 1.2, b = 0.75) — the ranking function
+    s16's raw tf dot deliberately omitted, hash-gated by refusing every
+    float in it: the idf log2((N+0.5+0.5)/(df+0.5)) doubles through to
+    integers as hb(2N+2) - hb(2df+1) in half-bit units (the m18/x26
+    length(bin(n²)) quantization; non-negative since df <= N), and the
+    length-normalized tf leg tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    clears its fractions EXACTLY by multiplying through by 10·L
+    (avgdl = L/N): term score = idf_hb·22·tf·L·64 div (10·tf·L + 3·L +
+    9·dl·N) — one integer floor division per (term, doc), x64 so the
+    division keeps ~6 bits of fraction, summed per (query, doc) as
+    exact BIGINTs. Deterministic top-10 by (score desc, doc_id).
+    Int64 ceiling: idf_hb·22·tf·L·64 needs tf·L < 5e13 (fixture sf1:
+    ~6e9) — past that the m17 decimal(38,0) widening applies,
+    documented not silent. Quantization moves scores < 1 part in 64 —
+    ranking changes only at near-ties, and deterministically.
+
+    Shape: postings are filtered to the query vocabulary inside the
+    exploding projection (only queried terms shuffle — the s15
+    champion-list bound on posting joins); df and the 3-row query
+    relation broadcast; corpus totals (N, L) ride a 1-row broadcast
+    crossJoin (the x10/x26 bound); per-query top-10 is a window over
+    each query's candidate docs, never a global sort."""
+    d = tbl(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    base = d.select("doc_id", _tx.tokens(F.col("text")).alias("tl")).withColumn(
+        "dl", F.size("tl").cast("bigint")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("l"),
+    )
+    terms = sorted({w for _, ts in BM25_QUERIES for w in ts})
+    toks = base.select("doc_id", "dl", F.explode("tl").alias("t")).filter(
+        F.col("t").isin(terms)
+    )
+    tf = toks.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.max("dl").cast("bigint").alias("dl"),
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    q = spark.createDataFrame(
+        [(qq, w) for qq, ts in BM25_QUERIES for w in ts], "query_id string, term string"
+    )
+    hb = lambda col: F.length(F.bin(col))  # noqa: E731  (squared inline below)
+    sc = (
+        F.broadcast(q)
+        .join(tf, tf.t == F.col("term"))
+        .join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_hb",
+            hb((2 * F.col("n") + 2) * (2 * F.col("n") + 2))
+            - hb((2 * F.col("df") + 1) * (2 * F.col("df") + 1)),
+        )
+        .withColumn(
+            "sterm",
+            F.expr(
+                "(idf_hb * 22 * tf * l * 64)"
+                " div (10 * tf * l + 3 * l + 9 * dl * n)"
+            ),
+        )
+    )
+    agg = sc.groupBy("query_id", "doc_id").agg(
+        F.sum("sterm").cast("bigint").alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_q").desc(), "doc_id")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "score_q", F.col("rnk").cast("bigint").alias("rnk"))
+    )

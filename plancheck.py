@@ -66,6 +66,12 @@ CROSS_JOIN_ALLOWLIST = {
     # 5x5 event-type pair build (10-row cartesian by construction); every
     # sketch-row join after it is broadcast hash — same bound as m17
     "a30_kmv_setops",
+    # 1-row corpus-totals (N, L) broadcast crossJoin onto the queried
+    # terms' postings, same bound as x10/x26
+    "x39_bm25",
+    # 1-row x 1-row crossJoin of the two scalar kappa aggregates
+    # (totals x expected-agreement), same bound as x10/x26
+    "m21_cohens_kappa",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression
