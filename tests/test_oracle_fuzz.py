@@ -357,6 +357,7 @@ TPCH_ENTRIES = [
     "j1_broadcast_dim_join",
     "j4_semi_anti_join",
     "j12_star_broadcast",
+    "j16_fk_orphan_audit",
 ]
 
 
@@ -420,3 +421,88 @@ def test_tpch_entries_match_oracle_on_generated_facts(
     c2, r2 = sc.norm_rows(ocols, orows2)
     assert c1 == c2, (qname, c1, c2)
     assert r1 == r2 or sc.approx_equal(r1, r2), (qname, r1[:5], r2[:5])
+
+
+# -- r9b additions: exact-stat analytics batch ------------------------------
+
+R9B_EVENT_ENTRIES = [
+    "a33_spearman_rank",
+    "m20_roc_auc",
+    "f16_macd",
+    "f17_atr",
+    "a34_entropy_balance",
+]
+
+
+@pytest.mark.parametrize("qname", R9B_EVENT_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_events)
+def test_r9b_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+# documents with the x38/x39 query vocabulary IN the sampled token space, so
+# phrase adjacency and BM25 postings actually fire on generated corpora
+_docs_searchable = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["web", "wiki"]),
+        st.lists(
+            st.sampled_from(
+                ["the", "und", "hash", "join", "table", "scan",
+                 "sort", "merge", "window", "agg", "vector"]
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+R9B_DOC_ENTRIES = [
+    "m21_cohens_kappa",
+    "d16_token_set_dedup",
+    "x38_phrase_search",
+    "x39_bm25",
+]
+
+
+@pytest.mark.parametrize("qname", R9B_DOC_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_docs_searchable)
+def test_r9b_documents_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+@pytest.mark.parametrize("qname", ["g18_clustering_coefficient"])
+@settings(max_examples=3, deadline=None)
+@given(raw=_lineitems)
+def test_g18_matches_oracle_on_generated_lineitem(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (
+            ok, pk, sk, i + 1, float(qty), pc / 100.0, dc / 100.0,
+            tx / 100.0, rf, ls, LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
+    _check(spark, tmp, qname, ["lineitem"])

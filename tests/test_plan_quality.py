@@ -1493,3 +1493,130 @@ def test_t26_stream_kmv_matches_batch_sketch(spark, sf_dir):
         for r in registry.QUERIES["t26_stream_kmv_view"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ---- r9b additions: exact-stat analytics batch ----------------------------
+
+
+def test_a33_spearman_no_global_sort(spark, sf_dir):
+    """Rank windows are per-series; a global rank would show up as a
+    rangepartitioning exchange — the corpus must never globally sort."""
+    plan = plan_of(registry.QUERIES["a33_spearman_rank"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(series" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_m20_auc_window_rides_histogram_not_corpus(spark, sf_dir):
+    """The AUC window runs over the distinct-score histogram: one scan,
+    aggregated BEFORE the single-partition window (bounded by price
+    resolution), and no global range sort of raw rows."""
+    plan = plan_of(registry.QUERIES["m20_roc_auc"](spark, sf_dir))
+    assert plan.count(") Scan parquet") == 1
+    assert "rangepartitioning" not in plan
+    # the bounded histogram window is the only single-partition stage
+    assert "SinglePartition" in plan
+
+
+def test_j16_parent_dims_broadcast(spark, sf_dir):
+    """Five of the seven FK edges have dimension-sized parents —
+    orphan probes must broadcast them, not shuffle the fact side."""
+    plan = plan_of(registry.QUERIES["j16_fk_orphan_audit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_d16_token_set_dedup_joinless_single_scan(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["d16_token_set_dedup"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count(") Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_f16_f17_windows_stay_per_series(spark, sf_dir):
+    for name in ("f16_macd", "f17_atr"):
+        plan = plan_of(registry.QUERIES[name](spark, sf_dir))
+        assert "rangepartitioning" not in plan, name
+        assert "hashpartitioning(series" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_x38_phrase_postings_equi_join_only(spark, sf_dir):
+    """Adjacency is an equi-join on (doc, pos+1); the term filter must
+    reach the posting build so only queried terms ever shuffle."""
+    plan = plan_of(registry.QUERIES["x38_phrase_search"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "t#" in plan or "IN (" in plan or "INSET" in plan.upper()
+
+
+def test_x39_bm25_single_bounded_crossjoin(spark, sf_dir):
+    """The only nested-loop join allowed is the 1-row (N, L) totals
+    broadcast; postings/df/query joins are all hash equi-joins."""
+    plan = plan_of(registry.QUERIES["x39_bm25"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert _tree_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "rangepartitioning" not in plan  # top-10 is per-query window
+
+
+def test_g18_lcc_keeps_zero_triangle_nodes(spark, sf_dir):
+    """The degree->triangles join is LEFT: bridge nodes (d >= 2, zero
+    triangles) must emit lcc = 0 rows — dropping them is the bug."""
+    df = registry.QUERIES["g18_clustering_coefficient"](spark, sf_dir)
+    # the row-preserving shape is pinned in the plan: the node-level
+    # degree->triangles join must stay LEFT OUTER (the sf0.001 fixture
+    # graph happens to have no zero-triangle d>=2 node, so a value-level
+    # check cannot distinguish inner from left here)
+    assert "LeftOuter" in plan_of(df)
+    rows = df.collect()
+    assert all(r.wedges2 == r.degree * (r.degree - 1) for r in rows)
+    assert all(0.0 <= r.lcc <= 1.0 + 1e-12 for r in rows)
+    assert all(r.n_tri >= 0 for r in rows)
+
+
+def test_f16_macd_matches_python_fold(spark, sf_dir):
+    """Integer-EMA reference: re-fold one series' closes in pure Python
+    with the same (2x + (q-2)e) // q recurrence and compare exactly."""
+    rows = registry.QUERIES["f16_macd"](spark, sf_dir).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.series, []).append(r)
+    assert by_series
+    for series, rs in by_series.items():
+        rs.sort(key=lambda r: r.day)
+        vals = [r.close_c * 1024 for r in rs]
+        e12 = e26 = None
+        for i, r in enumerate(rs):
+            x = vals[i]
+            e12 = x if e12 is None else (2 * x + 11 * e12) // 13
+            e26 = x if e26 is None else (2 * x + 25 * e26) // 27
+            assert r.ema12_x == e12, (series, r.day)
+            assert r.ema26_x == e26, (series, r.day)
+            assert r.macd_x == e12 - e26
+            if i >= 8:
+                window = [rs[j].macd_x for j in range(i - 8, i + 1)]
+                assert r.hist9_x == 9 * r.macd_x - sum(window)
+            else:
+                assert r.hist9_x is None
+
+
+def test_m20_roc_auc_matches_bruteforce(spark, sf_dir):
+    """Histogram-form AUC equals the quadratic definition (every
+    pos/neg pair, ties half) computed in numpy at fixture scale."""
+    import numpy as np
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    score = np.array([round(r.value * 100) for r in ev], dtype=np.int64)
+    pos = np.array([r.event_type == "purchase" for r in ev])
+    sp, sn = score[pos], score[~pos]
+    wins = (sp[:, None] > sn[None, :]).sum()
+    ties = (sp[:, None] == sn[None, :]).sum()
+    row = registry.QUERIES["m20_roc_auc"](spark, sf_dir).collect()[0]
+    assert row.n_pos == len(sp) and row.n_neg == len(sn)
+    assert row.auc_num2 == 2 * int(wins) + int(ties)
+    expected = (wins + 0.5 * ties) / (len(sp) * len(sn))
+    assert abs(row.auc - expected) < 1e-12
