@@ -15143,3 +15143,193 @@ def x39_bm25(spark, sf_dir):
         .filter(F.col("rnk") <= 10)
         .select("query_id", "doc_id", "score_q", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "w22_theil_sen",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), pr AS (
+      SELECT a.series,
+             CAST(b.close_c - a.close_c AS BIGINT) AS dy,
+             CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dx
+      FROM c a JOIN c b ON a.series = b.series AND a.day < b.day
+    ), r AS (
+      SELECT series, dy, dx,
+             row_number() OVER (PARTITION BY series
+                                ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx)
+               AS rn,
+             count(*) OVER (PARTITION BY series) AS np
+      FROM pr
+    )
+    SELECT series, CAST(np AS BIGINT) AS n_pairs,
+           dy AS med_dy_c, dx AS med_dx_days,
+           CAST(CAST(dy AS DOUBLE) / dx AS DOUBLE) AS slope_c_per_day
+    FROM r WHERE rn = (np + 1) // 2
+    """,
+)
+def w22_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per series — the median of all pairwise
+    slopes over the daily closes, the estimator that shrugs off the
+    outlier days that drag f7's least-squares line (29.3% breakdown
+    point vs OLS's zero). Exactness: each pairwise slope is the exact
+    integer PAIR (dy cents, dx days); the median is selected — never
+    averaged — by ranking on the double quotient dy/dx with (dy, dx)
+    integer tiebreaks. The double sort key is provably ORDER-EXACT
+    here, not approximate: distinct slope fractions with dx <= 31
+    differ by >= 1/(31·31) ~ 1e-3 while the quotient rounding error is
+    ~1e-10, so both engines sort identically; the lower median
+    (rn = (P+1) div 2) pins the even-count case to one element (the
+    d14/a18 deterministic-selection rule). Output keeps the exact
+    (dy, dx) witness pair alongside the one divided readout.
+
+    Shape: the pair build is a per-series self-join of the ~30-row
+    DAILY relation — O(days²) per series, calendar-bounded and
+    corpus-independent (the f16 contract; the raw corpus collapses in
+    the first map-side-combined agg and is never pairwise-joined), and
+    the ranking window runs over those same bounded pair sets. For
+    multi-year series the windowed/repeated-median variants apply —
+    documented, not silently different."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    a = c.select("series", F.col("day").alias("d1"), F.col("close_c").alias("c1"))
+    b = c.select(
+        F.col("series").alias("series_b"),
+        F.col("day").alias("d2"),
+        F.col("close_c").alias("c2"),
+    )
+    pr = a.join(
+        b, (F.col("series") == F.col("series_b")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "series",
+        (F.col("c2") - F.col("c1")).cast("bigint").alias("dy"),
+        F.datediff(F.col("d2"), F.col("d1")).cast("bigint").alias("dx"),
+    )
+    w = Window.partitionBy("series").orderBy(
+        F.col("dy").cast("double") / F.col("dx"), "dy", "dx"
+    )
+    wp = Window.partitionBy("series")
+    r = pr.select(
+        "series",
+        "dy",
+        "dx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    # integer div, not `/`: float division made rn == np/2 + 0.5 vacuous
+    # for EVEN pair counts (every fixture series has odd C(30,2) = 435
+    # pairs, so only the generated-data fuzz battery caught it)
+    return r.filter(F.col("rn") == F.expr("(np + 1) div 2")).select(
+        "series",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("dy").alias("med_dy_c"),
+        F.col("dx").alias("med_dx_days"),
+        (F.col("dy").cast("double") / F.col("dx")).cast("double").alias("slope_c_per_day"),
+    )
+
+
+@register(
+    "f18_sharpe",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series,
+             CAST(close_c - lag(close_c)
+                  OVER (PARTITION BY series ORDER BY day) AS BIGINT) AS ret_c
+      FROM c
+    ), s AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ret_c) AS BIGINT) AS sr,
+             CAST(sum(ret_c * ret_c) AS BIGINT) AS ssq
+      FROM d WHERE ret_c IS NOT NULL GROUP BY series
+    )
+    SELECT series, n AS n_rets, sr AS sum_ret_c, ssq AS ssq_ret_c,
+           CAST(CASE WHEN n >= 2 AND n * ssq - sr * sr > 0
+                THEN (CAST(sr AS DOUBLE) * sqrt(CAST(n * (n - 1) AS DOUBLE)))
+                     / (CAST(n AS DOUBLE)
+                        * sqrt(CAST(n * ssq - sr * sr AS DOUBLE)))
+           END AS DOUBLE) AS sharpe_daily
+    FROM s
+    """,
+)
+def f18_sharpe(spark, sf_dir):
+    """Daily Sharpe ratio per series (zero risk-free rate) over cent
+    P&L returns — mean over sample-stddev of the day-over-day close
+    changes, THE risk-adjusted headline number every backtest (f13)
+    must report next to its raw PnL. Returns are kept as exact cent
+    DIFFERENCES (arithmetic P&L per unit, not log/pct ratios — the
+    integer-exactness choice, documented; ratio returns would force a
+    float at step one). The a15/a33 sufficient-statistic discipline:
+    (n, Σr, Σr²) are exact BIGINTs and Sharpe is assembled as
+    s·√(n(n-1)) / (n·√(nΣr²-s²)) — two correctly-rounded IEEE sqrts of
+    exact integers, one multiply each side, ONE division, spelled
+    identically in both engines so every intermediate double is
+    bit-equal. Zero-variance and single-return series yield NULL by
+    guard (a15's ANSI 0/0 lesson). Int64 bound: n·Σr² needs n·r² <
+    9e18 — safe beyond 10⁶ trading days at ±$30k daily moves.
+
+    Shape: one (series, day) map-side-combined agg collapses the scan,
+    one per-series lag window over calendar-bounded rows, one final
+    tiny agg — scan-bound at any scale, no global sort. Annualization
+    is a literal √252 multiple the consumer applies; baking it in
+    would just scale every row by one constant."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    d = c.select(
+        "series", (F.col("close_c") - F.lag("close_c").over(w)).cast("bigint").alias("ret_c")
+    ).filter(F.col("ret_c").isNotNull())
+    s = d.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ret_c").cast("bigint").alias("sr"),
+        F.sum(F.col("ret_c") * F.col("ret_c")).cast("bigint").alias("ssq"),
+    )
+    var_n = F.col("n") * F.col("ssq") - F.col("sr") * F.col("sr")
+    return s.select(
+        "series",
+        F.col("n").alias("n_rets"),
+        F.col("sr").alias("sum_ret_c"),
+        F.col("ssq").alias("ssq_ret_c"),
+        F.when(
+            (F.col("n") >= 2) & (var_n > 0),
+            (
+                F.col("sr").cast("double")
+                * F.sqrt((F.col("n") * (F.col("n") - 1)).cast("double"))
+            )
+            / (F.col("n").cast("double") * F.sqrt(var_n.cast("double"))),
+        )
+        .cast("double")
+        .alias("sharpe_daily"),
+    )

@@ -431,6 +431,8 @@ R9B_EVENT_ENTRIES = [
     "f16_macd",
     "f17_atr",
     "a34_entropy_balance",
+    "w22_theil_sen",
+    "f18_sharpe",
 ]
 
 

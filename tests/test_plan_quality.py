@@ -1620,3 +1620,55 @@ def test_m20_roc_auc_matches_bruteforce(spark, sf_dir):
     assert row.auc_num2 == 2 * int(wins) + int(ties)
     expected = (wins + 0.5 * ties) / (len(sp) * len(sn))
     assert abs(row.auc - expected) < 1e-12
+
+
+def test_w22_f18_windows_stay_per_series(spark, sf_dir):
+    """Theil-Sen pairs and Sharpe stats never globally sort: the pair
+    self-join and all windows are keyed by series over the tiny daily
+    relation — the raw corpus collapses in the first hash agg."""
+    for name in ("w22_theil_sen", "f18_sharpe"):
+        plan = plan_of(registry.QUERIES[name](spark, sf_dir))
+        assert "rangepartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_w22_theil_sen_matches_python_median(spark, sf_dir):
+    """Reference: recompute the pairwise-slope lower median per series
+    with Fraction arithmetic and compare the selected witness pair."""
+    from fractions import Fraction
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily = {}
+    for r in ev:
+        key = (r.event_type, r.ts.date())
+        cur = daily.get(key)
+        cand = (r.ts, round(r.value * 100))
+        if cur is None or cand > cur:
+            daily[key] = cand
+    series = {}
+    for (s, day), (_, close) in daily.items():
+        series.setdefault(s, []).append((day, close))
+    got = {
+        r.series: (r.n_pairs, r.med_dy_c, r.med_dx_days)
+        for r in registry.QUERIES["w22_theil_sen"](spark, sf_dir).collect()
+    }
+    for s, pts in series.items():
+        pts.sort()
+        pairs = [
+            (b[1] - a[1], (b[0] - a[0]).days)
+            for i, a in enumerate(pts)
+            for b in pts[i + 1 :]
+        ]
+        if not pairs:
+            assert s not in got
+            continue
+        pairs.sort(key=lambda p: (Fraction(p[0], p[1]), p[0], p[1]))
+        med = pairs[(len(pairs) + 1) // 2 - 1]
+        assert got[s] == (len(pairs), med[0], med[1]), s
