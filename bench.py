@@ -87,6 +87,12 @@ HEADLINE = [
     "m18_naive_bayes",
     "a29_bitmap_distinct",
     "g17_adamic_adar",
+    # late-r9: BM25 retrieval (term-filtered posting joins + quantized
+    # idf — the lexical-ranking cost twin of s15's fused pipeline) and
+    # the 7-edge FK orphan audit (seven independent two-table join+agg
+    # plans over the star schema — the widest multi-join DQ shape)
+    "x39_bm25",
+    "j16_fk_orphan_audit",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with
