@@ -14472,12 +14472,11 @@ def j16_fk_orphan_audit(spark, sf_dir):
 
 @register(
     "d16_token_set_dedup",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id,
              list_aggregate(
-               list_sort(list_distinct(list_filter(
-                 string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))),
+               list_sort(list_distinct({_tx.tokens_sql('text')})),
                'string_agg', ' ') AS k
       FROM documents
     ), g AS (
@@ -14956,9 +14955,7 @@ BM25_QUERIES = [
     "x38_phrase_search",
     f"""
     WITH base AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS tl
+      SELECT doc_id, {_tx.tokens_sql('text')} AS tl
       FROM documents
     ), toks AS (
       SELECT doc_id, tl[u.i] AS t, u.i AS pos
@@ -15028,9 +15025,7 @@ def x38_phrase_search(spark, sf_dir):
     "x39_bm25",
     f"""
     WITH base AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS tl
+      SELECT doc_id, {_tx.tokens_sql('text')} AS tl
       FROM documents
     ), stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(tl)) AS BIGINT) AS l

@@ -1498,6 +1498,17 @@ def test_t26_stream_kmv_matches_batch_sketch(spark, sf_dir):
 # ---- r9b additions: exact-stat analytics batch ----------------------------
 
 
+def _detail_nodes(plan: str, name: str) -> int:
+    """Count physical-plan nodes via the details section (`(id) Name`).
+    Join nodes print tree lines with qualifiers between name and id
+    (`BroadcastHashJoin Inner BuildRight (27)`), so neither a plain
+    substring count (double-counts tree + details) nor _tree_nodes
+    (`Name (id)` — never matches joins) counts them correctly."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
 def test_a33_spearman_no_global_sort(spark, sf_dir):
     """Rank windows are per-series; a global rank would show up as a
     rangepartitioning exchange — the corpus must never globally sort."""
@@ -1522,7 +1533,7 @@ def test_j16_parent_dims_broadcast(spark, sf_dir):
     """Five of the seven FK edges have dimension-sized parents —
     orphan probes must broadcast them, not shuffle the fact side."""
     plan = plan_of(registry.QUERIES["j16_fk_orphan_audit"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 5
+    assert _detail_nodes(plan, "BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
 
 
@@ -1547,7 +1558,15 @@ def test_x38_phrase_postings_equi_join_only(spark, sf_dir):
     plan = plan_of(registry.QUERIES["x38_phrase_search"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "t#" in plan or "IN (" in plan or "INSET" in plan.upper()
+    # the vocabulary IN-filter must sit on BOTH posting legs (one per
+    # phrase side) — if the filter stops reaching the posting build, the
+    # full positional index would shuffle into the join
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        PHRASE_QUERIES,
+    )
+
+    inlist = " IN (" + ",".join(sorted({w for p in PHRASE_QUERIES for w in p[1:]})) + ")"
+    assert plan.count(inlist) >= 2, inlist
 
 
 def test_x39_bm25_single_bounded_crossjoin(spark, sf_dir):
@@ -1555,8 +1574,17 @@ def test_x39_bm25_single_bounded_crossjoin(spark, sf_dir):
     broadcast; postings/df/query joins are all hash equi-joins."""
     plan = plan_of(registry.QUERIES["x39_bm25"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert _tree_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    # exactly the one 1-row totals crossJoin (_tree_nodes never matches
+    # join nodes — qualifiers sit between name and id — so count details)
+    assert _detail_nodes(plan, "BroadcastNestedLoopJoin") == 1
     assert "rangepartitioning" not in plan  # top-10 is per-query window
+    # the query-vocabulary filter must reach the posting build here too
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        BM25_QUERIES,
+    )
+
+    inlist = " IN (" + ",".join(sorted({w for _, ts in BM25_QUERIES for w in ts})) + ")"
+    assert plan.count(inlist) >= 1, inlist
 
 
 def test_g18_lcc_keeps_zero_triangle_nodes(spark, sf_dir):
