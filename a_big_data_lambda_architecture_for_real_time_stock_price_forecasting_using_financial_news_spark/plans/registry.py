@@ -15328,3 +15328,499 @@ def f18_sharpe(spark, sf_dir):
         .cast("double")
         .alias("sharpe_daily"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9c: tokenizer training, PCA kernel, community detection, corpus keyness,
+# stochastic oscillator — the remaining pipeline primitives
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled DuckDB twin of x40: fixed-k BPE merge rounds as chained
+    CTEs (pairs_k -> top_k -> rep_k). list_reduce folds the winning pair
+    into each word's symbol string with EXACTLY the Spark aggregate()
+    lambda's semantics (see x40's docstring for the equivalence argument)."""
+    parts = [
+        """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE w <> ''
+      GROUP BY w
+    ), r0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS rep,
+             freq
+      FROM wf
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", p{k} AS (
+      SELECT l[i] AS pa, l[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT string_split(rep, ' ') AS l, freq FROM r{k - 1}) s,
+           LATERAL unnest(generate_series(1, len(l) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ), t{k} AS (
+      SELECT CAST({k} AS BIGINT) AS merge_no, pa, pb, cnt
+      FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
+    ), r{k} AS (
+      SELECT list_reduce(string_split(rep, ' '),
+               (acc, x) -> CASE
+                 WHEN x = t.pb
+                      AND (acc = t.pa OR ends_with(acc, ' ' || t.pa))
+                 THEN left(acc, length(acc) - length(t.pa)) || t.pa || t.pb
+                 ELSE acc || ' ' || x END) AS rep,
+             freq
+      FROM r{k - 1}, t{k} AS t
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT merge_no, pa, pb, cnt FROM t{k}" for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+@register("x40_bpe_merges", _bpe_oracle(3))
+def x40_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016), the first
+    3 merge rounds: the vocabulary-learning step every LLM data pipeline
+    runs BEFORE token counting (x8), packing (x20) or surprisal (x26) can
+    exist. Per round: count adjacent symbol pairs across the corpus
+    weighted by word frequency, pick the most frequent pair (ties broken
+    (count DESC, pa, pb) — deterministic), fuse it into every word, repeat.
+
+    Exactness: the merge fold is EXACT greedy left-to-right BPE — Spark's
+    ``aggregate()`` and DuckDB's ``list_reduce`` both fold the symbol list
+    into a string accumulator with the identical lambda: merge when the
+    accumulator's LAST symbol equals pa and the next symbol equals pb,
+    else append. Re-merging into a just-fused token is impossible by
+    construction (the fused symbol is the string pa||pb, never equal to
+    pa since pb is non-empty) — the same invariant reference BPE
+    implementations rely on. All counts are exact BIGINTs; no floats
+    anywhere. A rejected alternative — space-delimited string replace()
+    of ' pa pb ' — silently DIVERGES from greedy BPE on odd-length runs of
+    a repeated symbol (the second match loses its leading space to the
+    first), so the fold is semantic, not a convenience.
+
+    Shape, and why this is the 100 TB design: the corpus collapses in the
+    FIRST map-side-combined word-count agg — every later stage runs on the
+    WORD-TYPE table (vocabulary-sized, Heaps-law sublinear in corpus
+    size), exactly how production BPE trainers scale. Each round is one
+    pair-count agg over exploded bigrams of word types (map-side partial
+    agg, a few dozen live groups) plus a 1-row broadcast of the winner
+    folded back in a map-side projection — k rounds = k tiny shuffles,
+    zero corpus-sized joins, no driver-side loop over data (the loop is
+    over ROUNDS, a plan-construction constant, the g7 fixed-point
+    pattern). Full-vocab training just raises k."""
+    docs = tbl(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # localCheckpoint: the corpus must collapse into the word-type table
+    # EXACTLY once — with lazy lineage, round k's pair agg re-derives wf
+    # and re-scans the corpus (measured 8.9s -> ~3s at sf0.1); each round
+    # below re-checkpoints the vocab-sized fold result for the same reason
+    # (the g7 fixed-point discipline: iteration state is materialized,
+    # never re-derived from the root).
+    cur = wf.select(
+        F.concat(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" </w>")
+        ).alias("rep"),
+        "freq",
+    ).localCheckpoint()
+    fold = (
+        "aggregate(slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1), "
+        "split(rep, ' ')[0], "
+        "(acc, x) -> IF(x = _pb AND (acc = _pa OR endswith(acc, concat(' ', _pa))), "
+        "concat(left(acc, length(acc) - length(_pa)), _pa, _pb), "
+        "concat(acc, ' ', x)))"
+    )
+    tops = []
+    for k in (1, 2, 3):
+        # size >= 2 filter BEFORE the bigram transform: a fully-fused
+        # single-symbol word makes sequence(1, size-1) = sequence(1, 0),
+        # which Spark evaluates as the DESCENDING [1, 0] (ANSI
+        # out-of-bounds error) while DuckDB's generate_series(1, 0) is
+        # empty — the one engine-semantics divergence in this entry,
+        # caught by the fuzz battery on a single-word corpus
+        pairs = cur.select(
+            "freq", F.split(F.col("rep"), " ").alias("syms")
+        ).filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS pa, syms[i] AS pb))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pa", "pb")
+            .limit(1)
+            .select(F.lit(k).cast("bigint").alias("merge_no"), "pa", "pb", "cnt")
+        )
+        tops.append(top)
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    top.select(F.col("pa").alias("_pa"), F.col("pb").alias("_pb"))
+                )
+            )
+            .select(F.expr(fold).alias("rep"), "freq")
+            .localCheckpoint()
+        )
+    out = tops[0]
+    for t_ in tops[1:]:
+        out = out.unionByName(t_)
+    return out
+
+
+@register(
+    "m22_gram_matrix",
+    """
+    WITH base AS (
+      SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ), wm AS (
+      SELECT e, list_max(list_transform(e, v -> abs(v))) AS m FROM base
+    ), q AS (
+      SELECT list_transform(e, v -> CAST(floor(v / m * 127 + 0.5) AS BIGINT))
+               AS q
+      FROM wm WHERE m > 0
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(sum(q[i] * q[j]) AS BIGINT) AS dot
+    FROM q,
+         LATERAL unnest(generate_series(1, len(q))) AS u(i),
+         LATERAL unnest(generate_series(1, len(q))) AS v(j)
+    WHERE j >= i
+    GROUP BY 1, 2
+    """,
+)
+def m22_gram_matrix(spark, sf_dir):
+    """Distributed Gram matrix G = QᵀQ over s4-quantized int8 embedding
+    codes — the reduction kernel of PCA / covariance estimation / whitening
+    at corpus scale: the d x d Gram is what a pipeline actually
+    DISTRIBUTES; the eigensolve on it is O(d³) driver-side arithmetic on a
+    64x64 matrix and belongs there (documented seam, same split as m5's
+    per-series SARIMAX slot). Codes use s4's exact quantization
+    (floor(x/m*127+0.5), zero vectors dropped), so every Gram entry is an
+    exact BIGINT — |code| <= 127 bounds each product at 16129, safe past
+    5e14 vectors in int64.
+
+    Shape: ZERO-join, zero-explode. mapInPandas accumulates per-Arrow-batch
+    partial Grams with one int64 np.matmul (MᵀM) and emits 2,080
+    upper-triangle rows PER PARTITION — the only shuffle is the final
+    (i, j)-keyed sum over n_partitions x 2,080 tiny rows, map-side
+    combined. The rejected relational shape — posexplode + self-join on
+    vec_id — shuffles the whole corpus twice to build n x d² rows; the
+    matmul form moves O(partitions · d²) instead, the m9_mlp Arrow-batch
+    discipline applied to a reduction instead of a map. The per-vector
+    max stays a plain projected attribute below the transform (s4's
+    measured lambda-inlining trap)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = (
+        emb.select(
+            F.col("embedding").alias("e"),
+            F.array_max(
+                F.transform("embedding", lambda v: F.abs(v.cast("double")))
+            ).alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .select(
+            F.transform(
+                "e",
+                lambda v: F.floor(
+                    v.cast("double") / F.col("m") * 127 + F.lit(0.5)
+                ).cast("int"),
+            ).alias("q")
+        )
+    )
+
+    def gram_partial(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int32"),
+                "j": (iu[1] + 1).astype("int32"),
+                "dot_part": acc[iu],
+            }
+        )
+
+    parts = q.mapInPandas(gram_partial, schema="i int, j int, dot_part long")
+    return parts.groupBy("i", "j").agg(
+        F.sum("dot_part").cast("bigint").alias("dot")
+    )
+
+
+@register(
+    "g19_label_propagation",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), raw AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ), und AS MATERIALIZED (
+      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM und
+    ), c1 AS (
+      SELECT e.u AS node, l.label, count(*) AS cnt
+      FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
+    ), l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ), c2 AS (
+      SELECT e.u AS node, l.label, count(*) AS cnt
+      FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
+    ), l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l2
+    """,
+)
+def g19_label_propagation(spark, sf_dir):
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007), 2 rounds over the parts-bought-together graph (g15's
+    support>=2 edge build): each node adopts the MAJORITY label among its
+    neighbors, ties to the smallest label — communities ≠ connected
+    components (g11 answers reachability; this answers density). Fixed
+    synchronous rounds make the result deterministic and oracle-exact —
+    classic async LPA is run-order dependent and UNVERIFIABLE, so the
+    entry pins the sync-k semantics and documents that production runs
+    more rounds with a convergence check (the g7 fixed-point pattern; LPA
+    typically stabilizes in ~5 sync rounds).
+
+    Shape per round: one equi-join of the edge list to the current label
+    vector (labels co-partition with edges under the g9/g11 bucketed
+    layout — the edge table never re-shuffles across rounds) + one
+    (node,label) count agg + one per-node argmax window over
+    degree-bounded rows. No neighborhood materialization, no all-pairs
+    anything; the round count is a plan constant, not data-driven."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    und = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
+    for _ in range(2):
+        msgs = und.join(
+            labels.select(F.col("node").alias("v2"), "label"),
+            F.col("v") == F.col("v2"),
+        ).select(F.col("u").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.select("node", "label", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+@register(
+    "x41_logodds_keyness",
+    f"""
+    WITH tk AS (
+      SELECT source, unnest({_tx.tokens_sql('text')}) AS term FROM documents
+    ), cnt AS (
+      SELECT term,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM tk GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM cnt
+    )
+    SELECT term, a AS cnt_focus, b AS cnt_rest,
+           CAST((a + 1) * (tb - b + 1) AS BIGINT) AS or_num,
+           CAST((ta - a + 1) * (b + 1) AS BIGINT) AS or_den,
+           CAST(CAST((a + 1) * (tb - b + 1) AS DOUBLE)
+                / CAST((ta - a + 1) * (b + 1) AS DOUBLE) AS DOUBLE)
+             AS odds_ratio
+    FROM cnt, tot
+    """,
+)
+def x41_logodds_keyness(spark, sf_dir):
+    """Corpus-comparison keyness: per-term smoothed ODDS RATIO of the
+    'src0' slice against the rest of the corpus — the statistic behind
+    'what words characterize this source' (Monroe et al. 2008 log-odds;
+    the log is monotone, so the RATIO carries the full ranking and the
+    entry never computes a transcendental — ln is NOT correctly-rounded
+    per IEEE and diverges by ulps across engines, the a15/f18 discipline
+    applied by *removing* the function instead of matching it). Add-one
+    smoothing keeps zero-count cells finite. Output keeps the exact
+    integer numerator/denominator witnesses plus the ONE correctly-rounded
+    IEEE division; consumers sort by it or ln it.
+
+    The companion of x22_domain_mix (which balances sources) — this is
+    the audit that tells you WHAT distributional difference the mix is
+    balancing away. Overflow: (a+1)(tb-b+1) < 2^63 until a source holds
+    ~3e9 tokens against ~3e9; beyond that, promote to DECIMAL(38,0).
+
+    Shape: one token explode into a map-side-combined conditional-count
+    agg (terms are the groups — vocabulary-sized, Heaps-law), one
+    1-row-total broadcast join back. Scan-bound at any corpus size."""
+    d = tbl(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(_tx.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    or_num = (F.col("a") + 1) * (F.col("tb") - F.col("b") + 1)
+    or_den = (F.col("ta") - F.col("a") + 1) * (F.col("b") + 1)
+    return j.select(
+        "term",
+        F.col("a").alias("cnt_focus"),
+        F.col("b").alias("cnt_rest"),
+        or_num.cast("bigint").alias("or_num"),
+        or_den.cast("bigint").alias("or_den"),
+        (or_num.cast("double") / or_den.cast("double"))
+        .cast("double")
+        .alias("odds_ratio"),
+    )
+
+
+@register(
+    "f19_stochastic_oscillator",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT series, day, close_c,
+             min(close_c) OVER win AS lo_c,
+             max(close_c) OVER win AS hi_c,
+             count(*) OVER win AS n_win
+      FROM c
+      WINDOW win AS (PARTITION BY series ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, day, close_c, lo_c, hi_c,
+           CAST(close_c - lo_c AS BIGINT) AS k_num,
+           CAST(hi_c - lo_c AS BIGINT) AS k_den,
+           CAST(CASE WHEN hi_c > lo_c
+                THEN CAST(100 * (close_c - lo_c) AS DOUBLE)
+                     / CAST(hi_c - lo_c AS DOUBLE)
+           END AS DOUBLE) AS pct_k
+    FROM w WHERE n_win = 14
+    """,
+)
+def f19_stochastic_oscillator(spark, sf_dir):
+    """Stochastic oscillator %K over a 14-day lookback per series: where
+    today's close sits inside the recent [low, high] range — the
+    overbought/oversold momentum gauge that completes the indicator
+    battery (f12 RSI, f14 Bollinger, f16 MACD, f17 ATR). Exact-integer
+    inside the window (cent closes, min/max/diff all BIGINT), the f18
+    discipline: output carries the exact (num, den) witness pair and ONE
+    IEEE division; flat ranges (den = 0) yield NULL by guard, and warm-up
+    rows (< 14 closed days) are excluded by an exact window count — both
+    engines agree on membership, not just values. %D (the 3-day SMA of
+    %K) would average three quotients — f6's exact-mean rule doesn't
+    reach it, so consumers derive it from the witness pairs.
+
+    Shape: one map-side-combined (series, day) agg collapses the corpus,
+    then one bounded ROWS window per series — no global sort, no join;
+    scan-bound at any scale (the f12/f17 shape)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    win = Window.partitionBy("series").orderBy("day").rowsBetween(-13, 0)
+    w = c.select(
+        "series",
+        "day",
+        "close_c",
+        F.min("close_c").over(win).alias("lo_c"),
+        F.max("close_c").over(win).alias("hi_c"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    ).filter(F.col("n_win") == 14)
+    return w.select(
+        "series",
+        "day",
+        "close_c",
+        "lo_c",
+        "hi_c",
+        (F.col("close_c") - F.col("lo_c")).cast("bigint").alias("k_num"),
+        (F.col("hi_c") - F.col("lo_c")).cast("bigint").alias("k_den"),
+        F.when(
+            F.col("hi_c") > F.col("lo_c"),
+            (100 * (F.col("close_c") - F.col("lo_c"))).cast("double")
+            / (F.col("hi_c") - F.col("lo_c")).cast("double"),
+        )
+        .cast("double")
+        .alias("pct_k"),
+    )

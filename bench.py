@@ -93,6 +93,13 @@ HEADLINE = [
     # plans over the star schema — the widest multi-join DQ shape)
     "x39_bm25",
     "j16_fk_orphan_audit",
+    # r9c: distributed BPE merge rounds (the vocabulary-learning loop —
+    # corpus collapses into the word-type table once, then k tiny
+    # pair-count shuffles) and the Arrow-matmul Gram kernel (the PCA
+    # reduction: MapInPandas partial Grams, one 2080-key agg — the
+    # reduction twin of m9_mlp's map-side tensor path)
+    "x40_bpe_merges",
+    "m22_gram_matrix",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with

@@ -72,6 +72,12 @@ CROSS_JOIN_ALLOWLIST = {
     # 1-row x 1-row crossJoin of the two scalar kappa aggregates
     # (totals x expected-agreement), same bound as x10/x26
     "m21_cohens_kappa",
+    # per-round 1-row WINNING-PAIR broadcast crossJoin folded back into
+    # the vocabulary-sized word-type table (3 rounds), same bound as x10
+    "x40_bpe_merges",
+    # 1-row corpus-totals (ta, tb) broadcast crossJoin onto the
+    # vocabulary-sized term-count relation, same bound as x10/x26
+    "x41_logodds_keyness",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

@@ -508,3 +508,110 @@ def test_g18_matches_oracle_on_generated_lineitem(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
+
+
+# -- r9c batch ---------------------------------------------------------------
+
+# repeated-letter words hammer the BPE fold's greedy-run semantics (the
+# exact case where a replace()-style merge silently diverges); 'src0' in
+# the source space makes x41's focus slice non-empty on some examples
+_docs_bpe = st.lists(
+    st.tuples(
+        st.sampled_from(["src0", "web", "wiki"]),
+        st.lists(
+            st.sampled_from(
+                ["a", "aa", "aaa", "aaaa", "ab", "aab", "abab",
+                 "b", "bb", "the", "hash", "join"]
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@pytest.mark.parametrize("qname", ["x40_bpe_merges", "x41_logodds_keyness"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_docs_bpe)
+def test_r9c_documents_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), "en", src, len(" ".join(toks)))
+        for i, (src, toks) in enumerate(raw)
+    ]
+    if qname == "x40_bpe_merges" and not any(t for _, t in raw):
+        return  # all-empty corpus: no pairs, LIMIT 1 yields zero merges
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+@pytest.mark.parametrize("qname", ["f19_stochastic_oscillator"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_events)
+def test_r9c_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    # day space 0-28 straddles the 14-day warm-up: examples cover both
+    # empty results (parity on emptiness) and multi-window series with
+    # duplicate closes (den = 0 NULL guard) on both engines
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+@pytest.mark.parametrize("qname", ["g19_label_propagation"])
+@settings(max_examples=3, deadline=None)
+@given(raw=_lineitems)
+def test_r9c_g19_matches_oracle_on_generated_lineitem(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (
+            ok, pk, sk, i + 1, float(qty), pc / 100.0, dc / 100.0,
+            tx / 100.0, rf, ls, LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
+    _check(spark, tmp, qname, ["lineitem"])
+
+
+# embeddings with shared per-example dim (the Gram contract: one corpus,
+# one dimensionality), zero vectors included (both engines must drop them)
+_gram_examples = st.integers(min_value=1, max_value=4).flatmap(
+    lambda dim: st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 250.0),
+            min_size=dim,
+            max_size=dim,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+
+
+@pytest.mark.parametrize("qname", ["m22_gram_matrix"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_gram_examples)
+def test_r9c_m22_matches_oracle_on_generated_embeddings(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
+    if all(all(x == 0.0 for x in vec) for vec in raw):
+        return  # every vector dropped: Gram empty on both sides, vacuous
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["embeddings"])

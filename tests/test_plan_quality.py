@@ -1700,3 +1700,128 @@ def test_w22_theil_sen_matches_python_median(spark, sf_dir):
         pairs.sort(key=lambda p: (Fraction(p[0], p[1]), p[0], p[1]))
         med = pairs[(len(pairs) + 1) // 2 - 1]
         assert got[s] == (len(pairs), med[0], med[1]), s
+
+
+# --- r9c batch: x40 / m22 / g19 / x41 / f19 ---------------------------------
+
+
+def test_x40_bpe_stays_jvm_side_no_smj(spark, sf_dir):
+    """BPE training is pure Column work: the per-round winner is a 1-row
+    broadcast folded back map-side — no Python eval, no sort-merge join
+    anywhere, and the membership invariant that matters at corpus scale:
+    the only aggregations group vocabulary-sized relations."""
+    df = registry.QUERIES["x40_bpe_merges"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x40_fold_is_exact_greedy_bpe(spark):
+    """The merge fold must implement greedy left-to-right BPE exactly —
+    the rejected space-delimited replace() trick diverges on runs of a
+    repeated symbol (an even run [a,a,a,a] must become [aa,aa]; replace
+    leaves [aa,a,a] after one pass and [aa,aa] only after two, while an
+    odd 6-run ends [aa,a,aa,a] instead of [aa,aa,aa]). Drive the exact
+    production lambda over crafted reps and check the fused strings."""
+    fold = (
+        "aggregate(slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1), "
+        "split(rep, ' ')[0], "
+        "(acc, x) -> IF(x = _pb AND (acc = _pa OR endswith(acc, concat(' ', _pa))), "
+        "concat(left(acc, length(acc) - length(_pa)), _pa, _pb), "
+        "concat(acc, ' ', x)))"
+    )
+    rows = [
+        ("a a a a </w>", "a", "a", "aa aa </w>"),
+        ("a a a </w>", "a", "a", "aa a </w>"),
+        ("a a a a a a </w>", "a", "a", "aa aa aa </w>"),
+        ("b a b a b </w>", "a", "b", "b ab ab </w>"),
+        ("aa a a </w>", "aa", "a", "aaa a </w>"),
+        ("x </w>", "x", "</w>", "x</w>"),
+        ("q </w>", "a", "b", "q </w>"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows], "rep string, _pa string, _pb string"
+    ).select(F.expr(fold).alias("rep"))
+    got = [r.rep for r in df.collect()]
+    assert got == [r[3] for r in rows]
+
+
+def test_m22_gram_is_arrow_batched_single_shuffle(spark, sf_dir):
+    """The Gram kernel must be the matmul shape: one MapInPandas (Arrow
+    batches), NO join of any kind, and the only exchange the final tiny
+    (i, j) agg — the corpus itself never shuffles."""
+    df = registry.QUERIES["m22_gram_matrix"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # partial + final agg of the 2080-key partial sums; corpus not shuffled
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_m22_gram_diag_is_sum_of_squares(spark, sf_dir):
+    """Semantic pin: diagonal entries are sums of squares (>= 0), the
+    full upper triangle of a 64-dim Gram is 2080 rows, and G is
+    consistent with s4's exploded quantization on the diagonal."""
+    rows = registry.QUERIES["m22_gram_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    diag = {r.i: r.dot for r in rows if r.i == r.j}
+    assert len(diag) == 64 and all(v >= 0 for v in diag.values())
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as sim,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    q = sim.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    want = {
+        r.pos: r.ss
+        for r in q.groupBy("pos")
+        .agg(F.sum(F.col("code") * F.col("code")).alias("ss"))
+        .collect()
+    }
+    assert diag == want
+
+
+def test_g19_label_propagation_equi_joins_only(spark, sf_dir):
+    """Each LPA round is an equi-join of edges to the label vector plus a
+    count agg and a per-node window — no cartesian, no broadcast of a
+    corpus-sized side masquerading as a dim."""
+    df = registry.QUERIES["g19_label_propagation"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_g19_labels_are_node_ids_and_deterministic(spark, sf_dir):
+    """Labels must come from the node-id domain (sync LPA can only ever
+    propagate an existing id) and the sync-2-round result is a pure
+    function of the graph — two runs agree exactly."""
+    a = registry.QUERIES["g19_label_propagation"](spark, sf_dir).collect()
+    b = registry.QUERIES["g19_label_propagation"](spark, sf_dir).collect()
+    assert sorted((r.node, r.label) for r in a) == sorted(
+        (r.node, r.label) for r in b
+    )
+    nodes = {r.node for r in a}
+    assert nodes and all(r.label in nodes for r in a)
+
+
+def test_x41_keyness_no_smj_no_python(spark, sf_dir):
+    """One explode + one map-side-combined agg + a 1-row totals broadcast:
+    nothing sort-merge joins and nothing leaves the JVM."""
+    df = registry.QUERIES["x41_logodds_keyness"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_f19_stochastic_no_global_sort(spark, sf_dir):
+    """The %K window sorts only within hash-partitioned series — a range
+    (global) exchange would serialize the whole corpus through one
+    ordering at scale."""
+    df = registry.QUERIES["f19_stochastic_oscillator"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
