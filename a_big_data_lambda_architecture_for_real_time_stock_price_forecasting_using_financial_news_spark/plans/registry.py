@@ -15336,11 +15336,13 @@ def f18_sharpe(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
-    """Unrolled DuckDB twin of x40: fixed-k BPE merge rounds as chained
+def _bpe_oracle(n_merges: int = 3, final: str | None = None) -> str:
+    """Unrolled DuckDB twin of x40/x42: fixed-k BPE merge rounds as chained
     CTEs (pairs_k -> top_k -> rep_k). list_reduce folds the winning pair
     into each word's symbol string with EXACTLY the Spark aggregate()
-    lambda's semantics (see x40's docstring for the equivalence argument)."""
+    lambda's semantics (see x40's docstring for the equivalence argument).
+    ``final`` overrides the closing SELECT (default: the merge table);
+    x42 closes over the fused corpus r{n} instead."""
     parts = [
         """
     WITH tok AS (
@@ -15375,10 +15377,12 @@ def _bpe_oracle(n_merges: int = 3) -> str:
       FROM r{k - 1}, t{k} AS t
     )"""
         )
-    union = "\n      UNION ALL ".join(
-        f"SELECT merge_no, pa, pb, cnt FROM t{k}" for k in range(1, n_merges + 1)
-    )
-    parts.append(f"\n    {union}")
+    if final is None:
+        final = "\n      UNION ALL ".join(
+            f"SELECT merge_no, pa, pb, cnt FROM t{k}"
+            for k in range(1, n_merges + 1)
+        )
+    parts.append(f"\n    {final}")
     return "".join(parts)
 
 
@@ -15414,6 +15418,29 @@ def x40_bpe_merges(spark, sf_dir):
     zero corpus-sized joins, no driver-side loop over data (the loop is
     over ROUNDS, a plan-construction constant, the g7 fixed-point
     pattern). Full-vocab training just raises k."""
+    _, tops = _bpe_train(spark, sf_dir, n_merges=3)
+    out = tops[0]
+    for t_ in tops[1:]:
+        out = out.unionByName(t_)
+    return out
+
+
+#: exact greedy left-to-right BPE merge of the 1-row broadcast pair
+#: (_pa, _pb) into the space-joined symbol string `rep` — see x40's
+#: docstring for the list_reduce equivalence argument
+_BPE_FOLD = (
+    "aggregate(slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1), "
+    "split(rep, ' ')[0], "
+    "(acc, x) -> IF(x = _pb AND (acc = _pa OR endswith(acc, concat(' ', _pa))), "
+    "concat(left(acc, length(acc) - length(_pa)), _pa, _pb), "
+    "concat(acc, ' ', x)))"
+)
+
+
+def _bpe_train(spark, sf_dir: str, n_merges: int = 3):
+    """Shared BPE trainer for x40 (merge table) and x42 (fused corpus):
+    returns (cur, tops) — the word-type table after ``n_merges`` fold
+    rounds and the per-round 1-row winner DataFrames."""
     docs = tbl(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -15433,15 +15460,8 @@ def x40_bpe_merges(spark, sf_dir):
         ).alias("rep"),
         "freq",
     ).localCheckpoint()
-    fold = (
-        "aggregate(slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1), "
-        "split(rep, ' ')[0], "
-        "(acc, x) -> IF(x = _pb AND (acc = _pa OR endswith(acc, concat(' ', _pa))), "
-        "concat(left(acc, length(acc) - length(_pa)), _pa, _pb), "
-        "concat(acc, ' ', x)))"
-    )
     tops = []
-    for k in (1, 2, 3):
+    for k in range(1, n_merges + 1):
         # size >= 2 filter BEFORE the bigram transform: a fully-fused
         # single-symbol word makes sequence(1, size-1) = sequence(1, 0),
         # which Spark evaluates as the DESCENDING [1, 0] (ANSI
@@ -15473,13 +15493,45 @@ def x40_bpe_merges(spark, sf_dir):
                     top.select(F.col("pa").alias("_pa"), F.col("pb").alias("_pb"))
                 )
             )
-            .select(F.expr(fold).alias("rep"), "freq")
+            .select(F.expr(_BPE_FOLD).alias("rep"), "freq")
             .localCheckpoint()
         )
-    out = tops[0]
-    for t_ in tops[1:]:
-        out = out.unionByName(t_)
-    return out
+    return cur, tops
+
+
+@register(
+    "x42_bpe_tokenize",
+    _bpe_oracle(
+        3,
+        final="""SELECT sym,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(rep, ' ')) AS sym, freq FROM r3)
+      GROUP BY sym""",
+    ),
+)
+def x42_bpe_tokenize(spark, sf_dir):
+    """BPE APPLY — tokenize the corpus with the x40-learned merges and
+    emit the resulting token histogram (symbol -> corpus frequency):
+    the inference half of tokenizer training, and the vocabulary-usage
+    audit a pipeline runs before freezing a tokenizer (dead symbols,
+    fertility, compression ratio all read off this relation). Shares
+    x40's trainer verbatim (one corpus collapse, k fold rounds), then
+    one explode of the fused word-type reps weighted by word frequency
+    — the corpus is never re-scanned for the apply because the
+    word-type table IS the corpus under the bag-of-words invariant BPE
+    training assumes. Exactness: same fold-equivalence as x40; the
+    histogram is exact BIGINT sums over vocabulary-sized groups.
+
+    At serving scale the merge table (k rows, broadcast) applies
+    map-side to unseen text with the same fold — this entry pins the
+    train-side application; the truth-table pytest pins the fold on
+    crafted runs."""
+    cur, _ = _bpe_train(spark, sf_dir, n_merges=3)
+    return (
+        cur.select(F.explode(F.split(F.col("rep"), " ")).alias("sym"), "freq")
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
 
 
 @register(
@@ -15627,9 +15679,26 @@ def g19_label_propagation(spark, sf_dir):
     (node,label) count agg + one per-node argmax window over
     degree-bounded rows. No neighborhood materialization, no all-pairs
     anything; the round count is a plan constant, not data-driven."""
+    _, _, labels = _lpa_labels(spark, sf_dir, rounds=2)
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+def _lpa_labels(spark, sf_dir: str, rounds: int = 2):
+    """Shared sync-LPA core for g19 (the labels) and g20 (their
+    modularity): returns (raw, und, labels) — canonical u<v edges,
+    symmetrized checkpointed edges, and the label vector after
+    ``rounds`` synchronous majority updates."""
     li = tbl(spark, sf_dir, "lineitem")
     pairs = li.select("l_orderkey", "l_partkey").distinct()
     b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    # checkpoint the CANONICAL edge list, not just its symmetrization:
+    # g20 references raw in two more subtrees (m and the within-edge
+    # count) and Spark recomputes unshared subtrees — without this the
+    # distinct + self-join + support agg ran 3x (measured 18.6s -> 7s
+    # at sf0.1)
     raw = (
         pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
         .select(F.col("l_partkey").alias("u"), "v")
@@ -15637,17 +15706,18 @@ def g19_label_propagation(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .select("u", "v")
+        .localCheckpoint()
     )
     und = raw.unionByName(
         raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    )
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
-    for _ in range(2):
+    for _ in range(rounds):
         msgs = und.join(
             labels.select(F.col("node").alias("v2"), "label"),
             F.col("v") == F.col("v2"),
@@ -15660,9 +15730,132 @@ def g19_label_propagation(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-    return labels.select(
-        F.col("node").cast("bigint").alias("node"),
-        F.col("label").cast("bigint").alias("label"),
+    return raw, und, labels
+
+
+@register(
+    "g20_modularity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ), und AS MATERIALIZED (
+      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM und
+    ), c1 AS (
+      SELECT e.u AS node, l.label, count(*) AS cnt
+      FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
+    ), l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ), c2 AS (
+      SELECT e.u AS node, l.label, count(*) AS cnt
+      FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
+    ), l2 AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM raw
+    ), ein AS (
+      SELECT lu.label, CAST(count(*) AS BIGINT) AS e_c
+      FROM raw r
+      JOIN l2 lu ON lu.node = r.u
+      JOIN l2 lv ON lv.node = r.v
+      WHERE lu.label = lv.label
+      GROUP BY lu.label
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+    ), dsum AS (
+      SELECT l.label, CAST(sum(d.d) AS BIGINT) AS d_c,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM l2 l JOIN deg d ON d.node = l.node GROUP BY l.label
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(m.m) AS BIGINT) AS n_edges,
+           CAST(sum(4 * m.m * coalesce(e.e_c, 0) - s.d_c * s.d_c) AS BIGINT)
+             AS q_num,
+           CAST(4 * max(m.m) * max(m.m) AS BIGINT) AS q_den,
+           CAST(CAST(sum(4 * m.m * coalesce(e.e_c, 0) - s.d_c * s.d_c)
+                     AS DOUBLE)
+                / CAST(4 * max(m.m) * max(m.m) AS DOUBLE) AS DOUBLE)
+             AS modularity
+    FROM dsum s LEFT JOIN ein e ON e.label = s.label, m
+    """,
+)
+def g20_modularity(spark, sf_dir):
+    """Newman modularity Q of the g19 label-propagation partition — the
+    quality score that tells you whether the communities are real
+    structure or noise (Q near 0) before anything downstream trusts
+    them. Exact rational arithmetic: Q = sum_c(e_c/m - (d_c/2m)^2)
+    multiplied through by 4m^2 gives q_num = sum_c(4m*e_c - d_c^2) over
+    q_den = 4m^2 — both exact BIGINTs, emitted as witnesses beside the
+    ONE IEEE division (the w22/x41 discipline; transcendental-free by
+    construction). Communities whose internal edge count is zero
+    contribute -d_c^2 through the left join's coalesce — dropping them
+    would overstate Q. Int64 bound: 4m*e_c needs m*e_c < 2.3e18, safe
+    to ~1.5e9 edges; past that promote the two products to
+    DECIMAL(38,0) (the m17 note pattern).
+
+    Shape: g19's per-round joins plus three aggregates — within-edge
+    count (both endpoints' labels equi-joined onto the canonical u<v
+    edge list), per-community degree sums, and a final
+    communities-count-sized rollup with the 1-row m broadcast. All
+    equi-joins on node ids: the g9/g11 bucketed layout co-locates every
+    stage at corpus scale."""
+    raw, und, labels = _lpa_labels(spark, sf_dir, rounds=2)
+    labels = labels.localCheckpoint()
+    m_df = raw.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    ein = (
+        raw.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.sum("d").cast("bigint").alias("d_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        )
+    )
+    per_c = dsum.join(ein, "label", "left").select(
+        "label",
+        "d_c",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_c"),
+    )
+    j = per_c.crossJoin(F.broadcast(m_df))
+    q_num = F.sum(
+        4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")
+    ).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.max("m").cast("bigint").alias("n_edges"),
+        q_num.alias("q_num"),
+        (4 * F.max("m") * F.max("m")).cast("bigint").alias("q_den"),
+        (
+            q_num.cast("double")
+            / (4 * F.max("m") * F.max("m")).cast("double")
+        )
+        .cast("double")
+        .alias("modularity"),
     )
 
 
@@ -15824,3 +16017,141 @@ def f19_stochastic_oscillator(spark, sf_dir):
         .cast("double")
         .alias("pct_k"),
     )
+
+
+@register(
+    "t27_stream_gram_view",
+    """
+    WITH base AS (
+      SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ), wm AS (
+      SELECT e, list_max(list_transform(e, v -> abs(v))) AS m FROM base
+    ), q AS (
+      SELECT list_transform(e, v -> CAST(floor(v / m * 127 + 0.5) AS BIGINT))
+               AS q
+      FROM wm WHERE m > 0
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(sum(q[i] * q[j]) AS BIGINT) AS dot
+    FROM q,
+         LATERAL unnest(generate_series(1, len(q))) AS u(i),
+         LATERAL unnest(generate_series(1, len(q))) AS v(j)
+    WHERE j >= i
+    GROUP BY 1, 2
+    """,
+)
+def t27_stream_gram_view(spark, sf_dir):
+    """STREAMING maintenance of m22's Gram matrix — the Lambda invariant
+    (t17/t20) proven for LINEAR-ALGEBRA state: the embedding corpus
+    arrives in 3 micro-batches, each batch reduces to its partial Gram
+    through the same Arrow-matmul kernel as m22 (MapInPandas M^T M +
+    a 2,080-key batch-local agg, all BEFORE touching the view), and the
+    partials merge into the keyed view by ADDITION under the
+    writer-lease/replay contract. After the replay the view must
+    hash-match m22's one-shot batch recompute (the oracle is m22's,
+    verbatim) — Gram/covariance/co-occurrence matrices are additive, so
+    the speed layer maintains them incrementally with NO recompute,
+    which is how a streaming feature pipeline keeps PCA/whitening
+    statistics current between batch rebuilds.
+
+    Scale shape: per batch the shuffle carries n_partitions x 2,080
+    partial rows and the view rewrite is O(one aggregate-sized table);
+    the corpus streams through map-side matmuls exactly once."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    emb = tbl(spark, sf_dir, "embeddings")
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "gram_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    emb.repartitionByRange(3, "vec_id").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["i", "j"], partition_by="pb")
+
+    def batch_gram(b):
+        q = (
+            b.select(
+                F.col("embedding").alias("e"),
+                F.array_max(
+                    F.transform("embedding", lambda v: F.abs(v.cast("double")))
+                ).alias("m"),
+            )
+            .filter(F.col("m") > 0)
+            .select(
+                F.transform(
+                    "e",
+                    lambda v: F.floor(
+                        v.cast("double") / F.col("m") * 127 + F.lit(0.5)
+                    ).cast("int"),
+                ).alias("q")
+            )
+        )
+
+        def gram_partial(batches):
+            import numpy as np
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                g = mat.T @ mat
+                acc = g if acc is None else acc + g
+            if acc is None:
+                return
+            iu = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "dot_part": acc[iu],
+                }
+            )
+
+        return (
+            q.mapInPandas(gram_partial, schema="i int, j int, dot_part long")
+            .groupBy("i", "j")
+            .agg(F.sum("dot_part").cast("bigint").alias("dot"))
+        )
+
+    def fn(cur, b):
+        delta = b.groupBy("i", "j", "pb").agg(
+            F.sum("dot").cast("bigint").alias("dot")
+        )
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["i", "j"], "full_outer")
+            .select(
+                "i",
+                "j",
+                F.coalesce(F.col("v.pb"), F.col("d.pb")).alias("pb"),
+                (
+                    F.coalesce(F.col("v.dot"), F.lit(0))
+                    + F.coalesce(F.col("d.dot"), F.lit(0))
+                ).cast("bigint").alias("dot"),
+            )
+        )
+
+    def sink(batch_df, batch_id):
+        g = batch_gram(batch_df).withColumn(
+            "pb", F.pmod(F.xxhash64("i"), F.lit(8))
+        )
+        view.merge_custom(g, fn, batch_id=batch_id, writer="grammv")
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return view.read().select("i", "j", "dot")

@@ -78,6 +78,12 @@ CROSS_JOIN_ALLOWLIST = {
     # 1-row corpus-totals (ta, tb) broadcast crossJoin onto the
     # vocabulary-sized term-count relation, same bound as x10/x26
     "x41_logodds_keyness",
+    # x40's trainer reused verbatim (per-round 1-row winner crossJoin),
+    # same bound as x40
+    "x42_bpe_tokenize",
+    # 1-row edge-total (m) broadcast crossJoin onto the
+    # communities-count-sized per-community relation, same bound as x10
+    "g20_modularity",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

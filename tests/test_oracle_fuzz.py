@@ -532,7 +532,9 @@ _docs_bpe = st.lists(
 )
 
 
-@pytest.mark.parametrize("qname", ["x40_bpe_merges", "x41_logodds_keyness"])
+@pytest.mark.parametrize(
+    "qname", ["x40_bpe_merges", "x41_logodds_keyness", "x42_bpe_tokenize"]
+)
 @settings(max_examples=4, deadline=None)
 @given(raw=_docs_bpe)
 def test_r9c_documents_entries_match_oracle_on_generated_data(
@@ -542,7 +544,7 @@ def test_r9c_documents_entries_match_oracle_on_generated_data(
         (i, " ".join(toks), "en", src, len(" ".join(toks)))
         for i, (src, toks) in enumerate(raw)
     ]
-    if qname == "x40_bpe_merges" and not any(t for _, t in raw):
+    if qname != "x41_logodds_keyness" and not any(t for _, t in raw):
         return  # all-empty corpus: no pairs, LIMIT 1 yields zero merges
     tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
     os.makedirs(tmp, exist_ok=True)
@@ -565,7 +567,7 @@ def test_r9c_events_entries_match_oracle_on_generated_data(
     _check(spark, tmp, qname, ["events"])
 
 
-@pytest.mark.parametrize("qname", ["g19_label_propagation"])
+@pytest.mark.parametrize("qname", ["g19_label_propagation", "g20_modularity"])
 @settings(max_examples=3, deadline=None)
 @given(raw=_lineitems)
 def test_r9c_g19_matches_oracle_on_generated_lineitem(
@@ -608,6 +610,27 @@ def test_r9c_m22_matches_oracle_on_generated_embeddings(
     rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
     if all(all(x == 0.0 for x in vec) for vec in raw):
         return  # every vector dropped: Gram empty on both sides, vacuous
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["embeddings"])
+
+
+@pytest.mark.parametrize("qname", ["t27_stream_gram_view"])
+@settings(max_examples=2, deadline=None)
+@given(raw=_gram_examples)
+def test_r9c_t27_stream_gram_matches_oracle_on_generated_embeddings(
+    spark, tmp_path_factory, qname, raw
+):
+    """The streaming incremental-Gram view must match the batch oracle on
+    arbitrary corpora too — including corpora smaller than the 3-chunk
+    replay (empty micro-batches must merge as identity)."""
+    rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
+    if all(all(x == 0.0 for x in vec) for vec in raw):
+        return  # every vector dropped: view has no rows to key
     tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
     os.makedirs(tmp, exist_ok=True)
     _stage(

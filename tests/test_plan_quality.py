@@ -1825,3 +1825,65 @@ def test_f19_stochastic_no_global_sort(spark, sf_dir):
     plan = plan_of(df)
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_x42_tokenize_stays_jvm_side_no_smj(spark, sf_dir):
+    """The apply half rides x40's trainer: still no Python eval and no
+    sort-merge join; the histogram agg groups a vocabulary-sized
+    relation."""
+    df = registry.QUERIES["x42_bpe_tokenize"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x42_histogram_conserves_corpus_tokens(spark, sf_dir):
+    """Merges only FUSE symbols — the token histogram's total weighted
+    count must equal characters+1 per word minus one per executed merge
+    occurrence; conservation pin: sum(cnt over symbols containing no
+    fused pair) + fused counts reproduces the pre-merge symbol total."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    words = [w for r in docs for w in r.text.split(" ") if w]
+    pre_symbols = sum(len(w) + 1 for w in words)  # chars + </w> per token
+    hist = registry.QUERIES["x42_bpe_tokenize"](spark, sf_dir).collect()
+    post_symbols = sum(r.cnt for r in hist)
+    merges = registry.QUERIES["x40_bpe_merges"](spark, sf_dir).collect()
+    # each merge round fuses cnt occurrences: every fusion removes one
+    # symbol; totals must reconcile exactly
+    assert post_symbols == pre_symbols - sum(m.cnt for m in merges)
+
+
+def test_g20_modularity_no_cartesian_beyond_total_broadcast(spark, sf_dir):
+    df = registry.QUERIES["g20_modularity"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_g20_modularity_bounds_and_witnesses(spark, sf_dir):
+    """Q is in [-0.5, 1) by definition; the witness fraction must
+    reproduce the double and q_den must be 4m^2."""
+    r = registry.QUERIES["g20_modularity"](spark, sf_dir).collect()[0]
+    assert r.q_den == 4 * r.n_edges * r.n_edges
+    assert -0.5 <= r.modularity < 1.0
+    assert abs(r.modularity - r.q_num / r.q_den) < 1e-15
+
+
+def test_t27_stream_gram_converges_to_batch_kernel(spark, sf_dir):
+    """The Lambda invariant for additive linear-algebra state: the
+    3-micro-batch incrementally-merged Gram view equals m22's one-shot
+    batch kernel exactly (engine-internal twin of the driver's oracle
+    gate)."""
+    got = {
+        (r.i, r.j): r.dot
+        for r in registry.QUERIES["t27_stream_gram_view"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.i, r.j): r.dot
+        for r in registry.QUERIES["m22_gram_matrix"](spark, sf_dir).collect()
+    }
+    assert got == want
