@@ -16155,3 +16155,112 @@ def t27_stream_gram_view(spark, sf_dir):
     )
     q.awaitTermination()
     return view.read().select("i", "j", "dot")
+
+
+#: NDCG@10 rank weights in 2^20 fixed-point units: W[r] =
+#: round(2^20 / log2(r+1)) for r = 1..10, precomputed ONCE as integer
+#: literals so neither engine evaluates a transcendental (the x39
+#: half-bit-idf discipline applied to rank discounting); _NDCG_CW[g] is
+#: the ideal-DCG prefix sum for g relevant hits.
+_NDCG_W = [1048576, 661578, 524288, 451597, 405645,
+           373510, 349525, 330789, 315653, 303106]
+_NDCG_CW = [0, 1048576, 1710154, 2234442, 2686039, 3091684,
+            3465194, 3814719, 4145508, 4461161, 4764267]
+
+
+@register(
+    "m23_ndcg",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, label AS tl
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS nl
+      FROM embeddings WHERE vec_id % 50 <> 0
+    ), scored AS (
+      SELECT q.query_id, q.tl, c.nl,
+             {_sim.cosine_sql('q.q_emb', 'c.c_emb')} AS score,
+             c.neighbor_id
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, tl, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ), g AS (
+      SELECT query_id,
+             CASE WHEN nl = tl THEN 1 ELSE 0 END AS gain, rank
+      FROM ranked WHERE rank <= 10
+    ), per AS (
+      SELECT query_id,
+             CAST(sum(gain) AS BIGINT) AS n_rel,
+             CAST(sum(gain * ({_NDCG_W})[rank]) AS BIGINT) AS dcg_w
+      FROM g GROUP BY 1
+    )
+    SELECT query_id, n_rel, dcg_w,
+           CAST(({_NDCG_CW})[n_rel + 1] AS BIGINT) AS idcg_w,
+           CAST(CASE WHEN n_rel > 0
+                THEN CAST(dcg_w AS DOUBLE)
+                     / CAST(({_NDCG_CW})[n_rel + 1] AS DOUBLE)
+           END AS DOUBLE) AS ndcg
+    FROM per
+    """,
+)
+def m23_ndcg(spark, sf_dir):
+    """NDCG@10 of the exact-cosine retriever against label relevance —
+    the rank-sensitive retrieval eval (m14 scores the CLASSIFICATION
+    readout of the same neighbors; NDCG scores the ORDERING, which is
+    what a retrieval stack actually serves). Binary gains (neighbor
+    label == query label) discounted by 1/log2(rank+1) — but the
+    discount table is precomputed as 2^20 fixed-point INTEGER literals
+    (one literal feeding both engines, the GBT_TREES rule), so DCG and
+    ideal-DCG are exact BIGINTs and the entry never evaluates a log:
+    transcendentals are not correctly-rounded across engines (the x41
+    lesson). Ideal DCG for g hits is the prefix-sum literal CW[g]
+    (ideal ordering front-loads all hits); ndcg is the ONE IEEE
+    division, NULL-guarded for zero-relevant queries — dropping them
+    would inflate the average a consumer computes.
+
+    Shape: the s1/m14 sanctioned broadcast-queries x corpus-scan leg
+    (serving-sized query side enforced), then per-query windows over
+    Q x 10 rows and an 11-element literal array lookup — at corpus
+    scale the brute-force leg swaps for the s8 cascade unchanged.
+    Ranks inherit s1's determinism: identically-spelled cosine plus
+    the (score DESC, neighbor_id) tiebreak."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 50 == 0)
+    train = emb.filter(F.col("vec_id") % 50 != 0)
+    nn = _sim.topk_bruteforce(train, test, k=10)
+    nlab = train.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    tlab = test.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tl"))
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    cwarr = F.array(*[F.lit(w) for w in _NDCG_CW])
+    g = (
+        nn.join(nlab, "neighbor_id")
+        .join(F.broadcast(tlab), "query_id")
+        .select(
+            "query_id",
+            F.when(F.col("nl") == F.col("tl"), 1).otherwise(0).alias("gain"),
+            "rank",
+        )
+    )
+    per = g.groupBy("query_id").agg(
+        F.sum("gain").cast("bigint").alias("n_rel"),
+        F.sum(F.col("gain") * F.element_at(warr, F.col("rank")))
+        .cast("bigint")
+        .alias("dcg_w"),
+    )
+    idcg = F.element_at(cwarr, (F.col("n_rel") + 1).cast("int")).cast("bigint")
+    return per.select(
+        "query_id",
+        "n_rel",
+        "dcg_w",
+        idcg.alias("idcg_w"),
+        F.when(
+            F.col("n_rel") > 0, F.col("dcg_w").cast("double") / idcg.cast("double")
+        )
+        .cast("double")
+        .alias("ndcg"),
+    )

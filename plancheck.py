@@ -84,6 +84,9 @@ CROSS_JOIN_ALLOWLIST = {
     # 1-row edge-total (m) broadcast crossJoin onto the
     # communities-count-sized per-community relation, same bound as x10
     "g20_modularity",
+    # m23 rides s1's sanctioned brute-force scoring leg (broadcast
+    # serving-sized query set x corpus scan), same bound as s1/m14
+    "m23_ndcg",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

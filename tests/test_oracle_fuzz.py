@@ -638,3 +638,22 @@ def test_r9c_t27_stream_gram_matches_oracle_on_generated_embeddings(
         "vec_id long, embedding array<float>, label int",
     )
     _check(spark, tmp, qname, ["embeddings"])
+
+
+# labeled embeddings for the ranking-eval entry: vec_id 0 is always a
+# query (0 % 50 = 0); tiny corpora exercise fewer-than-k candidate sets
+# and zero-relevant NULL guards on both engines
+@pytest.mark.parametrize("qname", ["m23_ndcg"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_gram_examples)
+def test_r9c_m23_matches_oracle_on_generated_embeddings(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["embeddings"])

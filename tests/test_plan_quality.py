@@ -1887,3 +1887,35 @@ def test_t27_stream_gram_converges_to_batch_kernel(spark, sf_dir):
         for r in registry.QUERIES["m22_gram_matrix"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_m23_ndcg_no_python_no_transcendental_eval(spark, sf_dir):
+    """NDCG rides the sanctioned brute-force leg; the discount table is
+    literal integers, so no Python eval and no log() call anywhere in
+    the plan."""
+    df = registry.QUERIES["m23_ndcg"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LOG(" not in plan.upper()
+
+
+def test_m23_ndcg_witnesses_reconcile(spark, sf_dir):
+    """dcg_w must be a subset-sum of the literal weight table consistent
+    with n_rel, idcg_w the exact prefix sum, and ndcg <= 1 with equality
+    iff the n_rel hits occupy the top ranks."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        _NDCG_CW,
+        _NDCG_W,
+    )
+
+    rows = registry.QUERIES["m23_ndcg"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.idcg_w == _NDCG_CW[r.n_rel]
+        if r.n_rel == 0:
+            assert r.ndcg is None and r.dcg_w == 0
+        else:
+            # dcg is maximized by the first n_rel weights, minimized by
+            # the last n_rel — and those bounds are the literal table's
+            assert sum(_NDCG_W[-r.n_rel:]) <= r.dcg_w <= _NDCG_CW[r.n_rel]
+            assert 0 < r.ndcg <= 1.0
