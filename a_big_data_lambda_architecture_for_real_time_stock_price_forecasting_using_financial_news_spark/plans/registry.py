@@ -16264,3 +16264,271 @@ def m23_ndcg(spark, sf_dir):
         .cast("double")
         .alias("ndcg"),
     )
+
+
+def _acf_oracle() -> str:
+    legs = "\n      UNION ALL ".join(
+        f"""SELECT series, {k} AS lag, close_c AS x,
+             lead(close_c, {k}) OVER (PARTITION BY series ORDER BY day) AS y
+      FROM c"""
+        for k in range(1, 8)
+    )
+    return f"""
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      {legs}
+    ), s AS (
+      SELECT series, CAST(lag AS INTEGER) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT series, lag, n, sx, sy, sxy, sxx, syy,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS DOUBLE) AS acf
+    FROM s
+    """
+
+
+@register("w23_autocorrelation", _acf_oracle())
+def w23_autocorrelation(spark, sf_dir):
+    """Autocorrelation function per series, lags 1..7 — the diagnostic
+    that decides the AR order (and whether w15's weekly seasonality is
+    real: a lag-7 spike says yes) before any m5/m9 forecaster is fit.
+    Defined as the Pearson correlation of the (close_t, close_{t+k})
+    pair set (the a15/f15 sufficient-statistic assembly): six exact
+    BIGINT statistics per (series, lag), correlation assembled as
+    (n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²)) — two
+    correctly-rounded sqrts of exact integers, one division, spelled
+    identically in both engines. Zero-variance guards on the EXACT
+    integer dens (the f15 rule). Int64 bound: n·sxy needs
+    n·x·y < 9e18 — safe past 10⁶ days at ±$30k closes.
+
+    Shape: one map-side-combined (series, day) agg collapses the
+    corpus; ONE window pass computes all 7 leads (Spark plans
+    same-partition/same-order window functions in a single Window
+    node — 7 lags cost one sort, not seven); an explode unpivots to
+    (lag, x, y) and one final hash agg keyed by (series, lag) emits
+    7 x #series rows. Calendar-bounded after the first agg."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    wd = Window.partitionBy("series").orderBy("day")
+    leads = c.select(
+        "series",
+        F.col("close_c").alias("x"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("lag"),
+                    F.lead("close_c", k).over(wd).alias("y"),
+                )
+                for k in range(1, 8)
+            ]
+        ).alias("ys"),
+    )
+    lagged = (
+        leads.select("series", "x", F.explode("ys").alias("p"))
+        .select("series", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    s = lagged.groupBy("series", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "series",
+        "lag",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.when(
+            (vx > 0) & (vy > 0),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        )
+        .cast("double")
+        .alias("acf"),
+    )
+
+
+@register(
+    "x43_source_overlap",
+    f"""
+    WITH pres AS (
+      SELECT DISTINCT source, t
+      FROM documents, unnest({_tx.tokens_sql('text')}) AS u(t)
+    ), sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM pres GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM pres a JOIN pres b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS src_a, sb.source AS src_b,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - coalesce(i.inter, 0) AS BIGINT) AS uni,
+           CAST(CAST(coalesce(i.inter, 0) AS DOUBLE)
+                / CAST(sa.n + sb.n - coalesce(i.inter, 0) AS DOUBLE)
+             AS DOUBLE) AS jaccard
+    FROM sz sa JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
+    """,
+)
+def x43_source_overlap(spark, sf_dir):
+    """Pairwise vocabulary-overlap matrix between sources — exact
+    Jaccard of the distinct-token SETS of every source pair, the
+    corpus-level companion to x41's per-term keyness (x41 says WHICH
+    terms differ; this says HOW FAR APART each pair of sources is —
+    the number a mixing plan (x22) reads before deciding whether two
+    sources even need separate quotas). Exact by construction: token
+    presence collapses to one distinct (source, token) relation
+    (vocabulary x sources sized), the intersection is a token-keyed
+    equi-self-join counted per ordered pair, and union = n_a + n_b −
+    inter by inclusion-exclusion — zero floats until the single
+    output division. Pairs with empty intersections survive through
+    the left join (their jaccard = 0 rows are the finding).
+
+    Shape: one explode + distinct (map-side combinable), one
+    vocabulary-sized self equi-join on token, then source-count²-sized
+    rollups — corpus-scan-bound; the self-join never touches corpus
+    rows. At 100 TB with huge vocabularies the same relation feeds a
+    KMV/minhash estimate (a30's algebra) — this entry is the exact
+    form, preferred while #distinct tokens x #sources fits a shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    pres = (
+        d.select("source", F.explode(_tx.tokens(F.col("text"))).alias("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sz = pres.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = pres.select(F.col("source").alias("src_a"), "t")
+    b = pres.select(F.col("source").alias("src_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    pairs = sa.join(sb, F.col("src_a") < F.col("src_b")).join(
+        inter, ["src_a", "src_b"], "left"
+    )
+    inter_c = F.coalesce(F.col("inter"), F.lit(0)).cast("bigint")
+    uni = (F.col("n_a") + F.col("n_b") - inter_c).cast("bigint")
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        inter_c.alias("inter"),
+        uni.alias("uni"),
+        (inter_c.cast("double") / uni.cast("double")).cast("double").alias("jaccard"),
+    )
+
+
+@register(
+    "f20_obv",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series, day, close_c, vol,
+             close_c - lag(close_c)
+               OVER (PARTITION BY series ORDER BY day) AS diff
+      FROM c
+    )
+    SELECT series, day, close_c, vol,
+           CAST(sum(CASE WHEN diff > 0 THEN vol
+                         WHEN diff < 0 THEN -vol ELSE 0 END)
+                OVER (PARTITION BY series ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM d
+    """,
+)
+def f20_obv(spark, sf_dir):
+    """On-balance volume per series — the volume-flow confirmation
+    indicator (rising price on rising OBV = conviction; divergence =
+    distribution), completing the f12-f19 overlay battery. The events
+    fixture has no share-volume column, so volume is the per-(series,
+    day) EVENT COUNT — activity as the volume proxy, stated here
+    rather than silently assumed; swapping a real volume column
+    changes one aggregate. Exact throughout: cent closes, integer
+    day-over-day sign, BIGINT running sum; first-day and flat days
+    contribute 0 (the NULL diff falls into the ELSE arm — pinned, not
+    engine-defaulted).
+
+    Shape: one map-side-combined (series, day) agg collapses the
+    corpus, then one lag + one running-sum window over the SAME
+    per-series ordering (one sort, calendar-bounded rows). The f12/f17
+    scan-bound shape."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(
+            F.max("s")["v"].alias("close_c"),
+            F.count(F.lit(1)).cast("bigint").alias("vol"),
+        )
+    )
+    wd = Window.partitionBy("series").orderBy("day")
+    wrun = wd.rowsBetween(Window.unboundedPreceding, 0)
+    diff = F.col("close_c") - F.lag("close_c").over(wd)
+    signed = (
+        F.when(diff > 0, F.col("vol"))
+        .when(diff < 0, -F.col("vol"))
+        .otherwise(F.lit(0))
+    )
+    d = c.select("series", "day", "close_c", "vol", signed.alias("sv"))
+    return d.select(
+        "series",
+        "day",
+        "close_c",
+        "vol",
+        F.sum("sv").over(wrun).cast("bigint").alias("obv"),
+    )

@@ -87,6 +87,10 @@ CROSS_JOIN_ALLOWLIST = {
     # m23 rides s1's sanctioned brute-force scoring leg (broadcast
     # serving-sized query set x corpus scan), same bound as s1/m14
     "m23_ndcg",
+    # source-count-bounded pair build (sz x sz with a < filter, like
+    # a30's 5x5 event-type pairs); the token intersection itself is a
+    # vocabulary-sized EQUI-join — never nested-loop
+    "x43_source_overlap",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

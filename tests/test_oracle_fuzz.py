@@ -533,7 +533,13 @@ _docs_bpe = st.lists(
 
 
 @pytest.mark.parametrize(
-    "qname", ["x40_bpe_merges", "x41_logodds_keyness", "x42_bpe_tokenize"]
+    "qname",
+    [
+        "x40_bpe_merges",
+        "x41_logodds_keyness",
+        "x42_bpe_tokenize",
+        "x43_source_overlap",
+    ],
 )
 @settings(max_examples=4, deadline=None)
 @given(raw=_docs_bpe)
@@ -552,7 +558,9 @@ def test_r9c_documents_entries_match_oracle_on_generated_data(
     _check(spark, tmp, qname, ["documents"])
 
 
-@pytest.mark.parametrize("qname", ["f19_stochastic_oscillator"])
+@pytest.mark.parametrize(
+    "qname", ["f19_stochastic_oscillator", "w23_autocorrelation", "f20_obv"]
+)
 @settings(max_examples=4, deadline=None)
 @given(raw=_events)
 def test_r9c_events_entries_match_oracle_on_generated_data(

@@ -1919,3 +1919,86 @@ def test_m23_ndcg_witnesses_reconcile(spark, sf_dir):
             # the last n_rel — and those bounds are the literal table's
             assert sum(_NDCG_W[-r.n_rel:]) <= r.dcg_w <= _NDCG_CW[r.n_rel]
             assert 0 < r.ndcg <= 1.0
+
+
+def test_w23_acf_single_window_sort_no_global_sort(spark, sf_dir):
+    """All 7 lags must ride ONE window sort (one Sort node per series
+    partitioning, no range/global exchange) and stay JVM-side."""
+    df = registry.QUERIES["w23_autocorrelation"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    # the 7 leads collapse into a single Window node -> a single Sort
+    assert plan.count(") Sort ") <= 1
+
+
+def test_w23_acf_matches_python_pearson(spark, sf_dir):
+    """Reference: recompute lag-k Pearson on the collected daily closes
+    with Fraction-exact sufficient statistics."""
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily = {}
+    for r in ev:
+        key = (r.event_type, r.ts.date())
+        cand = (r.ts, round(r.value * 100))
+        if daily.get(key) is None or cand > daily[key]:
+            daily[key] = cand
+    series = {}
+    for (s, day), (_, close) in daily.items():
+        series.setdefault(s, []).append((day, close))
+    got = {
+        (r.series, r.lag): (r.n, r.sx, r.sy, r.sxy, r.sxx, r.syy)
+        for r in registry.QUERIES["w23_autocorrelation"](spark, sf_dir).collect()
+    }
+    for s, pts in series.items():
+        pts.sort()
+        xs = [c for _, c in pts]
+        for k in range(1, 8):
+            pairs = list(zip(xs, xs[k:]))
+            if not pairs:
+                assert (s, k) not in got
+                continue
+            n = len(pairs)
+            want = (
+                n,
+                sum(a for a, _ in pairs),
+                sum(b for _, b in pairs),
+                sum(a * b for a, b in pairs),
+                sum(a * a for a, _ in pairs),
+                sum(b * b for _, b in pairs),
+            )
+            assert got[(s, k)] == want, (s, k)
+
+
+def test_x43_overlap_token_join_is_equi(spark, sf_dir):
+    """The vocabulary intersection must be an EQUI join on the token
+    (hash or sort-merge — the checkpointed presence relation hides size
+    stats, so Spark conservatively picks SMJ; both are shuffle
+    equi-joins and both are the right shape at scale). The only
+    nested-loop allowed is the source-count-bounded size-pair build."""
+    df = registry.QUERIES["x43_source_overlap"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _tree_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_x43_overlap_inclusion_exclusion(spark, sf_dir):
+    """inter <= min(n_a, n_b), union >= max(n_a, n_b), and jaccard is
+    exactly inter/union for every pair."""
+    rows = registry.QUERIES["x43_source_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.inter <= min(r.n_a, r.n_b)
+        assert r.uni == r.n_a + r.n_b - r.inter >= max(r.n_a, r.n_b)
+        assert abs(r.jaccard - r.inter / r.uni) < 1e-15
+
+
+def test_f20_obv_no_global_sort_no_python(spark, sf_dir):
+    df = registry.QUERIES["f20_obv"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
