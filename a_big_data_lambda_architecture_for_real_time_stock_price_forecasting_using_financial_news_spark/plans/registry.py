@@ -16174,9 +16174,13 @@ _NDCG_CW = [0, 1048576, 1710154, 2234442, 2686039, 3091684,
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS q_emb, label AS tl
       FROM embeddings WHERE vec_id % 50 = 0
+        AND list_max(list_transform(embedding,
+                                    v -> abs(CAST(v AS DOUBLE)))) > 0
     ), c AS (
       SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS nl
       FROM embeddings WHERE vec_id % 50 <> 0
+        AND list_max(list_transform(embedding,
+                                    v -> abs(CAST(v AS DOUBLE)))) > 0
     ), scored AS (
       SELECT q.query_id, q.tl, c.nl,
              {_sim.cosine_sql('q.q_emb', 'c.c_emb')} AS score,
@@ -16226,10 +16230,17 @@ def m23_ndcg(spark, sf_dir):
     Q x 10 rows and an 11-element literal array lookup — at corpus
     scale the brute-force leg swaps for the s8 cascade unchanged.
     Ranks inherit s1's determinism: identically-spelled cosine plus
-    the (score DESC, neighbor_id) tiebreak."""
+    the (score DESC, neighbor_id) tiebreak. Zero-norm vectors are
+    dropped on BOTH sides before scoring (the m22/s4 rule): cosine is
+    undefined there, and the engines DIVERGE loudly if asked — Spark's
+    ANSI mode raises DIVIDE_BY_ZERO while DuckDB emits inf-ranked rows
+    (the fuzz battery surfaced this; the fixture has no zero vectors)."""
     emb = tbl(spark, sf_dir, "embeddings")
-    test = emb.filter(F.col("vec_id") % 50 == 0)
-    train = emb.filter(F.col("vec_id") % 50 != 0)
+    nonzero = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    ) > 0
+    test = emb.filter((F.col("vec_id") % 50 == 0) & nonzero)
+    train = emb.filter((F.col("vec_id") % 50 != 0) & nonzero)
     nn = _sim.topk_bruteforce(train, test, k=10)
     nlab = train.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
