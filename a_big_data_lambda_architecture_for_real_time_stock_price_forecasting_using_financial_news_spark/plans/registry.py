@@ -13092,14 +13092,20 @@ GBT_TREES = [
 ]
 
 
-def _gbt_leaf_sql(node) -> str:
+def _gbt_leaf_sql(node, names: dict | None = None) -> str:
     f, t, lo, hi = node
+    f = (names or {}).get(f, f)
     return f"CASE WHEN {f} <= {t} THEN {lo} ELSE {hi} END"
 
 
-def _gbt_score_sql() -> str:
+def _gbt_score_sql(names: dict | None = None) -> str:
+    """SQL twin of _gbt_score_col; ``names`` remaps feature columns so
+    m24 can score permuted variants (e.g. {'q': 'q_p'}) from the SAME
+    tree literal — model and oracle still cannot drift."""
+    n = names or {}
     terms = [
-        f"(CASE WHEN {rf} <= {rt} THEN {_gbt_leaf_sql(l)} ELSE {_gbt_leaf_sql(r)} END)"
+        f"(CASE WHEN {n.get(rf, rf)} <= {rt} THEN {_gbt_leaf_sql(l, names)}"
+        f" ELSE {_gbt_leaf_sql(r, names)} END)"
         for rf, rt, l, r in GBT_TREES
     ]
     return " + ".join(terms)
@@ -16542,4 +16548,157 @@ def f20_obv(spark, sf_dir):
         "close_c",
         "vol",
         F.sum("sv").over(wrun).cast("bigint").alias("obv"),
+    )
+
+
+def _m24_oracle() -> str:
+    score_base = _gbt_score_sql()
+    legs = []
+    for feat in ("q", "dc", "pc"):
+        sc = _gbt_score_sql({feat: f"{feat}_p"})
+        legs.append(
+            f"""SELECT '{feat}' AS feature, n, corr_base AS n_correct_base,
+             corr_{feat} AS n_correct_perm,
+             CAST(CAST(corr_base - corr_{feat} AS DOUBLE)
+                  / CAST(n AS DOUBLE) AS DOUBLE) AS acc_drop
+      FROM agg"""
+        )
+    corr_cols = ",\n             ".join(
+        f"""CAST(sum(CASE WHEN (CASE WHEN {_gbt_score_sql({feat: f"{feat}_p"})} > 0
+                              THEN 1 ELSE 0 END) = label
+                       THEN 1 ELSE 0 END) AS BIGINT) AS corr_{feat}"""
+        for feat in ("q", "dc", "pc")
+    )
+    union = "\n      UNION ALL ".join(legs)
+    return f"""
+    WITH f AS (
+      SELECT concat(CAST(l_orderkey AS VARCHAR), '-',
+                    CAST(l_linenumber AS VARCHAR)) AS rowkey,
+             CAST(floor(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ), h AS (
+      SELECT *, {_hh.phash60_sql("rowkey", seed="permimp")} AS hv
+      FROM f
+    ), s AS (
+      SELECT *, hv % 64 AS shard FROM h
+    ), p AS (
+      SELECT q, dc, pc,
+             coalesce(lead(q)  OVER w, first_value(q)  OVER w) AS q_p,
+             coalesce(lead(dc) OVER w, first_value(dc) OVER w) AS dc_p,
+             coalesce(lead(pc) OVER w, first_value(pc) OVER w) AS pc_p,
+             CASE WHEN pc * (100 - dc) > 300000000 THEN 1 ELSE 0 END AS label
+      FROM s
+      WINDOW w AS (PARTITION BY shard ORDER BY hv, rowkey, q, dc, pc)
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN (CASE WHEN {score_base} > 0
+                                 THEN 1 ELSE 0 END) = label
+                      THEN 1 ELSE 0 END) AS BIGINT) AS corr_base,
+             {corr_cols}
+      FROM p
+    )
+    {union}
+    """
+
+
+@register("m24_permutation_importance", _m24_oracle())
+def m24_permutation_importance(spark, sf_dir):
+    """Permutation feature importance for the m19 plan-compiled GBT —
+    the model-agnostic explainability eval: break one feature's
+    row-association, re-score, and read the accuracy drop (a feature
+    whose permutation costs nothing is dead weight; here pc carries the
+    signal because the m19 label derives from it — the expected
+    readout, now measured rather than asserted). The "permutation" is a
+    DETERMINISTIC within-shard rotation: rows rank by the 60-bit
+    cross-engine md5 hash inside 64 hash shards and each row takes its
+    successor's feature value (the last row wraps to the shard's
+    first) — association-breaking like a random permutation, but
+    reproducible, oracle-exact, and free of the global sort a true
+    random permutation join would need (the x31 per-shard discipline).
+    All three permuted variants ride ONE window pass; the four scores
+    (base + 3) are CASE chains from the SAME GBT_TREES literal
+    (_gbt_score_sql's rename map — model and oracle cannot drift), and
+    accuracy counts are exact BIGINTs with one output division per
+    feature row.
+
+    Shape: one scan, one 64-shard window sort (no global ordering),
+    one 1-row aggregate, a 3-row literal unpivot. Scan-bound at any
+    scale; the shard count just tracks cluster parallelism."""
+    from pyspark.sql import Window
+
+    li = tbl(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rowkey"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("dc"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+    ).withColumn("hv", _hh.phash60(F.col("rowkey"), seed="permimp"))
+    # (hv, rowkey) alone is NOT a total order: the synthetic fixture has
+    # duplicate (l_orderkey, l_linenumber) pairs (45,832 distinct keys on
+    # 60,000 rows at sf0.01 — caught by the oracle gate as a ±5-count
+    # drift in the permuted accuracies). Appending the feature columns
+    # makes remaining ties INDISTINGUISHABLE rows: either engine may
+    # order them freely, but the multiset of (features, permuted value)
+    # pairs — all the scoring sees — is then identical by construction.
+    w = Window.partitionBy(F.col("hv") % 64).orderBy(
+        "hv", "rowkey", "q", "dc", "pc"
+    )
+    perm = f.select(
+        "q",
+        "dc",
+        "pc",
+        *[
+            F.coalesce(F.lead(c).over(w), F.first(c).over(w)).alias(f"{c}_p")
+            for c in ("q", "dc", "pc")
+        ],
+        F.when(
+            F.col("pc") * (100 - F.col("dc")) > 300000000, F.lit(1)
+        ).otherwise(F.lit(0)).alias("label"),
+    )
+    def cols_with(feat=None):
+        base = {c: F.col(c) for c in ("q", "dc", "pc")}
+        if feat:
+            base[feat] = F.col(f"{feat}_p")
+        return base
+
+    def corr(feat=None):
+        pred = F.when(_gbt_score_col(cols_with(feat)) > 0, 1).otherwise(0)
+        return (
+            F.sum(F.when(pred == F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+        )
+
+    agg = perm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        corr().alias("corr_base"),
+        *[corr(feat).alias(f"corr_{feat}") for feat in ("q", "dc", "pc")],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(feat).alias("feature"),
+                    F.col(f"corr_{feat}").alias("cp"),
+                )
+                for feat in ("q", "dc", "pc")
+            ]
+        )
+    ).alias("r")
+    return agg.select("n", "corr_base", rows).select(
+        F.col("r.feature").alias("feature"),
+        "n",
+        F.col("corr_base").alias("n_correct_base"),
+        F.col("r.cp").alias("n_correct_perm"),
+        (
+            (F.col("corr_base") - F.col("r.cp")).cast("double")
+            / F.col("n").cast("double")
+        )
+        .cast("double")
+        .alias("acc_drop"),
     )

@@ -575,7 +575,10 @@ def test_r9c_events_entries_match_oracle_on_generated_data(
     _check(spark, tmp, qname, ["events"])
 
 
-@pytest.mark.parametrize("qname", ["g19_label_propagation", "g20_modularity"])
+@pytest.mark.parametrize(
+    "qname",
+    ["g19_label_propagation", "g20_modularity", "m24_permutation_importance"],
+)
 @settings(max_examples=3, deadline=None)
 @given(raw=_lineitems)
 def test_r9c_g19_matches_oracle_on_generated_lineitem(

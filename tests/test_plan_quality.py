@@ -2002,3 +2002,32 @@ def test_f20_obv_no_global_sort_no_python(spark, sf_dir):
     plan = plan_of(df)
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_m24_perm_importance_joinless_no_global_sort(spark, sf_dir):
+    """All four score variants ride one scan + one 64-shard window —
+    no join of any kind, no global ordering, nothing leaves the JVM."""
+    df = registry.QUERIES["m24_permutation_importance"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_m24_perm_importance_signal_lands_on_label_feature(spark, sf_dir):
+    """The m19 label derives from pc: permuting pc must crater accuracy
+    while q/dc permutations stay within noise — the readout that makes
+    the eval meaningful rather than decorative."""
+    rows = {
+        r.feature: r
+        for r in registry.QUERIES["m24_permutation_importance"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"q", "dc", "pc"}
+    base = {r.n_correct_base for r in rows.values()}
+    assert len(base) == 1  # one shared baseline
+    assert rows["pc"].acc_drop > 0.2
+    assert rows["pc"].acc_drop > rows["q"].acc_drop
+    assert rows["pc"].acc_drop > rows["dc"].acc_drop
+    assert abs(rows["q"].acc_drop) < 0.05 and abs(rows["dc"].acc_drop) < 0.05
