@@ -8307,8 +8307,10 @@ def g14_kcore_peel(spark, sf_dir):
       FROM r GROUP BY 1
     )
     SELECT series, n,
-           CAST(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-                / CAST(n * sx AS DOUBLE) AS DOUBLE) AS gini
+           CAST(CASE WHEN sx <> 0
+                THEN CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE)
+           END AS DOUBLE) AS gini
     FROM s
     """,
 )
@@ -8346,12 +8348,17 @@ def a19_gini(spark, sf_dir):
         F.sum("cents").cast("bigint").alias("sx"),
         F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("six"),
     )
+    # sx = 0 (an all-zero-value series) is NULL by guard on the EXACT
+    # integer: Spark's ANSI mode raises DIVIDE_BY_ZERO while DuckDB
+    # emits NaN — the a15 divergence class, caught by the fuzz battery
+    # (no fixture series has a zero total)
     return s.select(
         "series",
         "n",
-        (
+        F.when(
+            F.col("sx") != 0,
             (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
-            / (F.col("n") * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double"),
         )
         .cast("double")
         .alias("gini"),

@@ -358,6 +358,7 @@ TPCH_ENTRIES = [
     "j4_semi_anti_join",
     "j12_star_broadcast",
     "j16_fk_orphan_audit",
+    "o1_sort_limit_topn",
 ]
 
 
@@ -668,3 +669,65 @@ def test_r9c_m23_matches_oracle_on_generated_embeddings(
         "vec_id long, embedding array<float>, label int",
     )
     _check(spark, tmp, qname, ["embeddings"])
+
+
+# -- fuzz batch 5: widening coverage over the legacy single-table entries --
+LEGACY_EVENT_ENTRIES_3 = [
+    "a3_last_write_wins",
+    "a6_distinct_agg",
+    "a8_quantiles",
+    "a11_collect_sorted",
+    "a19_gini",
+    "a23_equidepth_bins",
+    "f7_ols_trend",
+    "f8_pairwise_activity_corr",
+    "w1_window_functions",
+    "w2_ranking_functions",
+    "w3_range_frame",
+    "w4_value_window_functions",
+    "w7_locf_impute",
+    "x34_markov_transitions",
+]
+# o1 fuzzes in TPCH_ENTRIES (it reads orders); o3 reads only the `part`
+# dim, which the harness copies FIXED from the fixture — no generative
+# value, so it stays covered by selfcheck alone.
+
+
+@pytest.mark.parametrize("qname", LEGACY_EVENT_ENTRIES_3)
+@settings(max_examples=4, deadline=None)
+@given(raw=_events)
+def test_batch5_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+DOC_ENTRIES_2 = [
+    "x10_tfidf_top_terms",
+    "x14_decontaminate",
+    "x22_domain_mix",
+    "x27_token_budget_sample",
+    "x37_langid_confusion",
+    "d4_dedup_ngram_jaccard",
+    "d9_fuzzy_prefix_pairs",
+    "d14_canonical_selection",
+]
+
+
+@pytest.mark.parametrize("qname", DOC_ENTRIES_2)
+@settings(max_examples=4, deadline=None)
+@given(raw=_docs)
+def test_batch5_documents_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
