@@ -731,3 +731,85 @@ def test_batch5_documents_entries_match_oracle_on_generated_data(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
+
+
+# -- fuzz batch 6: graph entries on generated lineitem, as-of joins on
+# generated events, passage/sparse-retrieval on generated documents, and
+# the embedding-cosine dedup on generated vectors --
+BATCH6_EVENT_ENTRIES = ["j13_asof_tolerance_join", "m10_arrow_group_stats"]
+
+
+@pytest.mark.parametrize("qname", BATCH6_EVENT_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_events)
+def test_batch6_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+BATCH6_DOC_ENTRIES = ["d8_passage_dedup", "s16_sparse_doc_topk"]
+
+
+@pytest.mark.parametrize("qname", BATCH6_DOC_ENTRIES)
+@settings(max_examples=4, deadline=None)
+@given(raw=_docs_searchable)
+def test_batch6_documents_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+BATCH6_LINEITEM_ENTRIES = [
+    "g8_triangle_count",
+    "g12_bfs_distances",
+    "g14_kcore_peel",
+    "g15_common_neighbors",
+    "g16_deterministic_walks",
+    "g17_adamic_adar",
+]
+
+
+@pytest.mark.parametrize("qname", BATCH6_LINEITEM_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_lineitems)
+def test_batch6_graph_entries_match_oracle_on_generated_lineitem(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (
+            ok, pk, sk, i + 1, float(qty), pc / 100.0, dc / 100.0,
+            tx / 100.0, rf, ls, LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
+    _check(spark, tmp, qname, ["lineitem"])
+
+
+@pytest.mark.parametrize("qname", ["d5_dedup_embedding_cosine"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_gram_examples)
+def test_batch6_d5_matches_oracle_on_generated_embeddings(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["embeddings"])
