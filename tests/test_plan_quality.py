@@ -2031,3 +2031,22 @@ def test_m24_perm_importance_signal_lands_on_label_feature(spark, sf_dir):
     assert rows["pc"].acc_drop > rows["q"].acc_drop
     assert rows["pc"].acc_drop > rows["dc"].acc_drop
     assert abs(rows["q"].acc_drop) < 0.05 and abs(rows["dc"].acc_drop) < 0.05
+
+
+def test_topk_per_group_entries_get_window_group_limit(spark, sf_dir):
+    """Spark 3.5+ pushes a rank() <= k filter INTO the per-group sort as
+    WindowGroupLimitExec — each partition keeps a k-row heap instead of
+    fully sorting its group, the difference between top-10-per-query
+    costing O(n log k) and O(n log n) at corpus scale. Pin that every
+    batch top-k-per-group entry keeps qualifying for the pushdown (a
+    refactor that hides the rank filter behind a projection silently
+    loses it; w2 deliberately has no such filter and t10's streaming
+    plan cannot use it)."""
+    for q in (
+        "x39_bm25",
+        "m23_ndcg",
+        "s1_ann_topk_bruteforce",
+        "c2_lateral_topn",
+    ):
+        df = registry.QUERIES[q](spark, sf_dir)
+        assert "WindowGroupLimit" in plan_of(df), q
