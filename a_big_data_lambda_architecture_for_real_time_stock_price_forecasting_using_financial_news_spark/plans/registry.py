@@ -16709,3 +16709,163 @@ def m24_permutation_importance(spark, sf_dir):
         .cast("double")
         .alias("acc_drop"),
     )
+
+
+#: Poisson(1) CDF in parts-per-million, cumulative for k = 0..7 — ONE
+#: literal table feeding both engines (the GBT_TREES/_NDCG_W rule). A
+#: hash-uniform u in [0, 1e6) maps to weight w = #thresholds <= u, i.e.
+#: P(w = k) = the Poisson(1) pmf truncated at 8 (tail mass 1e-5).
+_POIS_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+_BOOT_B = 32
+
+
+def _m25_oracle() -> str:
+    w_sql = "(" + " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POIS_PPM
+    ) + ")"
+    return f"""
+    WITH t AS (
+      SELECT event_type AS series, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), pt AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx
+      FROM t GROUP BY 1
+    ), r AS (
+      SELECT series, cents, b,
+             {_hh.phash60_sql(
+                 "concat(CAST(event_id AS VARCHAR), '|', CAST(b AS VARCHAR))",
+                 seed="boot")} % 1000000 AS u
+      FROM t, LATERAL unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
+    ), wts AS (
+      SELECT series, b, {w_sql} AS w, cents FROM r
+    ), rep AS (
+      SELECT series, b, CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * cents) AS BIGINT) AS swx
+      FROM wts GROUP BY 1, 2 HAVING sum(w) > 0
+    ), means AS (
+      SELECT series, b, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+             row_number() OVER (PARTITION BY series
+                                ORDER BY CAST(swx AS DOUBLE)
+                                         / CAST(sw AS DOUBLE), b) AS rn,
+             count(*) OVER (PARTITION BY series) AS np
+      FROM rep
+    )
+    SELECT p.series, p.n,
+           CAST(CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE) AS DOUBLE)
+             AS mean_cents,
+           CAST(max(np) AS BIGINT) AS n_replicas,
+           CAST(max(CASE WHEN np >= 3 AND rn = 2 THEN m END) AS DOUBLE)
+             AS ci_lo,
+           CAST(max(CASE WHEN np >= 3 AND rn = np - 1 THEN m END) AS DOUBLE)
+             AS ci_hi
+    FROM pt p JOIN means USING (series)
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("m25_bootstrap_ci", _m25_oracle())
+def m25_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the per-series mean —
+    THE distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of resampling n
+    rows with replacement (a shuffle per replica), every row draws an
+    independent Poisson(1) weight per replica — multinomial(n, 1/n)
+    converges to iid Poisson(1) as n grows — so ALL B = 32 replicas
+    ride ONE pass over the corpus with zero resampling shuffles.
+    Determinism and exactness: the weight is derived from the 60-bit
+    cross-engine md5 hash of (event_id, replica) reduced mod 1e6 and
+    cut against the Poisson(1) CDF as parts-per-million INTEGER
+    literals (_POIS_PPM — one literal feeds both engines; no RNG, no
+    transcendental); per-replica (Σw, Σw·x) are exact BIGINTs with one
+    division per replica mean; the CI bounds are SELECTED order
+    statistics of the replica means (rank 2 and rank B−1 of the
+    surviving replicas ≈ a 94% interval at B = 32) — selected, never
+    averaged (the d14/a18/w22 rule), ranked by (mean, replica-id) where
+    the means are bit-identical doubles in both engines by identical
+    spelling. Zero-weight replicas (possible only on tiny groups) are
+    excluded by an exact HAVING on Σw and the bounds are NULL when
+    fewer than 3 replicas survive — pinned, not engine-defaulted.
+
+    Shape: one corpus scan exploded x32 (map-side-combined agg
+    collapses it immediately; the explode is a Generate over a
+    sequence literal, no join), one (series, replica) agg, one
+    per-series window over <= 32 rows, a broadcast-sized join back to
+    the exact point estimate. At 100 TB this is exactly the production
+    uncertainty pipeline: B more replicas = one wider integer array,
+    never another data pass."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        "event_id",
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    pt = t.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    r = t.select(
+        "series",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+        "event_id",
+    ).withColumn(
+        "u",
+        _hh.phash60(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("|"),
+                F.col("b").cast("string"),
+            ),
+            seed="boot",
+        )
+        % 1000000,
+    )
+    w = sum(
+        F.when(F.col("u") >= F.lit(thr), 1).otherwise(0) for thr in _POIS_PPM
+    )
+    rep = (
+        r.select("series", "b", w.alias("w"), "cents")
+        .groupBy("series", "b")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("swx"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    m = (F.col("swx").cast("double") / F.col("sw").cast("double")).alias("m")
+    wd = Window.partitionBy("series").orderBy(
+        F.col("swx").cast("double") / F.col("sw").cast("double"), "b"
+    )
+    wp = Window.partitionBy("series")
+    means = rep.select(
+        "series",
+        m,
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    sel = means.groupBy("series").agg(
+        F.max("np").cast("bigint").alias("n_replicas"),
+        F.max(
+            F.when((F.col("np") >= 3) & (F.col("rn") == 2), F.col("m"))
+        ).cast("double").alias("ci_lo"),
+        F.max(
+            F.when(
+                (F.col("np") >= 3) & (F.col("rn") == F.col("np") - 1),
+                F.col("m"),
+            )
+        ).cast("double").alias("ci_hi"),
+    )
+    return pt.join(sel, "series").select(
+        "series",
+        "n",
+        (F.col("sx").cast("double") / F.col("n").cast("double"))
+        .cast("double")
+        .alias("mean_cents"),
+        "n_replicas",
+        "ci_lo",
+        "ci_hi",
+    )

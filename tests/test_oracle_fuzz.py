@@ -736,7 +736,13 @@ def test_batch5_documents_entries_match_oracle_on_generated_data(
 # -- fuzz batch 6: graph entries on generated lineitem, as-of joins on
 # generated events, passage/sparse-retrieval on generated documents, and
 # the embedding-cosine dedup on generated vectors --
-BATCH6_EVENT_ENTRIES = ["j13_asof_tolerance_join", "m10_arrow_group_stats"]
+BATCH6_EVENT_ENTRIES = [
+    "j13_asof_tolerance_join",
+    "m10_arrow_group_stats",
+    # tiny generated groups exercise m25's zero-weight-replica HAVING
+    # and the np < 3 NULL-bound arm on both engines
+    "m25_bootstrap_ci",
+]
 
 
 @pytest.mark.parametrize("qname", BATCH6_EVENT_ENTRIES)

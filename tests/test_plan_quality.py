@@ -2050,3 +2050,27 @@ def test_topk_per_group_entries_get_window_group_limit(spark, sf_dir):
     ):
         df = registry.QUERIES[q](spark, sf_dir)
         assert "WindowGroupLimit" in plan_of(df), q
+
+
+def test_m25_bootstrap_one_pass_no_global_sort(spark, sf_dir):
+    """All 32 Poisson replicas ride one exploded pass: no global sort,
+    no Python, and the only join is the broadcast-sized point-estimate
+    join back — never a per-replica resample."""
+    df = registry.QUERIES["m25_bootstrap_ci"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m25_bootstrap_ci_brackets_mean_deterministically(spark, sf_dir):
+    """The hash-seeded bootstrap is a pure function of the data: all 32
+    replicas survive on fixture-sized groups, bounds are ordered, and
+    the interval brackets the point estimate (deterministic here, not
+    merely probable — same hash, same data, same interval)."""
+    rows = registry.QUERIES["m25_bootstrap_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_replicas == 32
+        assert r.ci_lo <= r.ci_hi
+        assert r.ci_lo <= r.mean_cents <= r.ci_hi, r.series
