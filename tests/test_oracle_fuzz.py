@@ -359,6 +359,18 @@ TPCH_ENTRIES = [
     "j12_star_broadcast",
     "j16_fk_orphan_audit",
     "o1_sort_limit_topn",
+    # the remaining TPC-H shapes: generated facts force empty joins,
+    # single-row groups, and all-NULL aggregates the fixture never does
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_excluded_suppliers",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
 ]
 
 
