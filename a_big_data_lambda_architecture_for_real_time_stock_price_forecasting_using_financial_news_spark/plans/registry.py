@@ -14495,7 +14495,10 @@ def j16_fk_orphan_audit(spark, sf_dir):
     ), g AS (
       SELECT k, CAST(min(doc_id) AS BIGINT) AS canonical_id,
              CAST(count(*) AS BIGINT) AS n_members,
-             list_sort(list(doc_id)) AS member_ids
+             list_aggregate(
+               list_transform(list_sort(list(doc_id)),
+                              x -> CAST(x AS VARCHAR)),
+               'string_agg', ' ') AS member_ids
       FROM base GROUP BY k HAVING count(*) > 1
     )
     SELECT canonical_id, n_members, member_ids FROM g
@@ -14514,8 +14517,11 @@ def d16_token_set_dedup(spark, sf_dir):
     canonicalization, not a lossy sketch, so false positives are
     impossible by construction); grouping on it is one hash agg, and
     only classes with >1 member survive — each class reports its
-    canonical (minimum) doc_id, size, and sorted member list
-    (array_sort'd so the value hash is order-stable cross-engine).
+    canonical (minimum) doc_id, size, and sorted member list rendered
+    to one space-joined string (numeric-sorted BEFORE the string cast
+    so 2 < 10; flat string output because the driver's pandas-based
+    hash canonicalizer cannot factorize array cells — r9's only red
+    row was this column as array<bigint>).
     Together d1 (bytes) / d16 (token set) / d2 (Jaccard >= t) tile the
     dedup spectrum at t = 1-exact, with d16 catching what the fixture
     actually contains: template docs over identical vocabularies.
@@ -14533,7 +14539,13 @@ def d16_token_set_dedup(spark, sf_dir):
         .agg(
             F.min("doc_id").cast("bigint").alias("canonical_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("member_ids"),
         )
         .filter(F.col("n_members") > 1)
     )

@@ -7,7 +7,9 @@ Invariants (violations exit non-zero):
   only Arrow-batched (MapInPandas / FlatMapGroupsInPandas / ArrowEvalPython);
 - no `CartesianProduct` / `BroadcastNestedLoopJoin` outside the explicit
   allowlist (s1's brute-force ANN is a documented exact-scoring cross join);
-- no DECIMAL output column (cross-engine hash hazard; `dec2dbl` rule).
+- no DECIMAL output column (cross-engine hash hazard; `dec2dbl` rule);
+- no nested-typed (array/map/struct) output column (the driver's pandas
+  hasher cannot factorize list cells — r9's d16 red row).
 
 Also prints per-query Exchange and join-node counts — the at-a-glance
 shuffle budget.
@@ -101,7 +103,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
     from pyspark.sql import SparkSession
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     sys.path.insert(0, "/root/repo")
     from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.session import (
@@ -122,6 +124,15 @@ def main() -> None:
         decs = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
         if decs:
             violations.append(f"{name}: DECIMAL output columns {decs}")
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            # r9: the driver's pandas hasher cannot factorize list cells —
+            # a value-exact query with an array output column is still red
+            violations.append(f"{name}: nested-typed output columns {nested}")
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )

@@ -83,7 +83,7 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -105,6 +105,22 @@ def main():
                 failures.append(name)
                 print(f"{name:35s} FAIL   DECIMAL output columns {dec_cols} "
                       f"(cast to DOUBLE on both sides — see dec2dbl)")
+                continue
+            # Nested-type gate (r9 driver finding): the driver canonicalizes
+            # result frames through pandas sort_values, which raises
+            # "unhashable type: 'list'" on array cells — d16 shipped an
+            # array<bigint> column that was value-exact locally yet red at
+            # the driver. Hard-fail ANY nested top-level output column;
+            # render arrays to space-joined strings on both sides instead.
+            nested_cols = [
+                f.name for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if nested_cols:
+                failures.append(name)
+                print(f"{name:35s} FAIL   nested-typed output columns "
+                      f"{nested_cols} (driver's pandas hasher cannot "
+                      f"factorize list cells — concat_ws to a string)")
                 continue
             srows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
@@ -129,6 +145,16 @@ def main():
                 print(f"{name:35s} FAIL   oracle emits HUGEINT/DECIMAL "
                       f"{bad_types} (Arrow renders decimal128 in the driver "
                       f"hasher — CAST to BIGINT/DOUBLE in the oracle SQL)")
+                continue
+            nested_oracle = [
+                (c, t) for c, t, *_ in otypes
+                if "[]" in t or "STRUCT" in t.upper() or "MAP(" in t.upper()
+            ]
+            if nested_oracle:
+                failures.append(name)
+                print(f"{name:35s} FAIL   oracle emits nested types "
+                      f"{nested_oracle} (driver's pandas hasher cannot "
+                      f"factorize list cells — string_agg to a string)")
                 continue
             dres = con.execute(oracles[name])
             dcols = [d[0] for d in dres.description]

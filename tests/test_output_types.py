@@ -1,12 +1,18 @@
-"""Suite-wide output-boundary invariant (VERDICT r1): no registered query
-may emit a DECIMAL column — decimal trailing-zero rendering differs across
-engines and flaps the driver's value hash even when values are exact.
-DECIMAL stays internal; outputs pin DOUBLE (plans/registry.py:dec2dbl)."""
+"""Suite-wide output-boundary invariants:
+- (VERDICT r1) no registered query may emit a DECIMAL column — decimal
+  trailing-zero rendering differs across engines and flaps the driver's
+  value hash even when values are exact. DECIMAL stays internal; outputs
+  pin DOUBLE (plans/registry.py:dec2dbl).
+- (VERDICT r9) no registered query may emit a nested-typed column
+  (array/map/struct) — the driver canonicalizes result frames through
+  pandas sort_values, which raises "unhashable type: 'list'" on list
+  cells (d16's array<bigint> member_ids was value-exact locally yet red
+  at the driver). Arrays render to space-joined strings at the boundary."""
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.types import DecimalType
+from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
 import __spark_entry__ as entrymod
 
@@ -16,14 +22,35 @@ import __spark_entry__ as entrymod
 SKIP_EXEC = {"t6_stream_running_mean"}
 
 
-def test_no_query_outputs_decimal(spark, sf_dir):
+def test_no_query_outputs_decimal_or_nested(spark, sf_dir):
     qs = entrymod.queries()
-    offenders = {}
+    dec_offenders, nested_offenders = {}, {}
     for name, fn in qs.items():
         if name in SKIP_EXEC:
             continue
         schema = fn(spark, sf_dir).schema
         decs = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
         if decs:
-            offenders[name] = decs
-    assert not offenders, f"DECIMAL output columns: {offenders}"
+            dec_offenders[name] = decs
+        if nested:
+            nested_offenders[name] = nested
+    assert not dec_offenders, f"DECIMAL output columns: {dec_offenders}"
+    assert not nested_offenders, f"nested-typed output columns: {nested_offenders}"
+
+
+def test_nested_gate_trips_on_array_frame(spark):
+    """The gate itself must detect an array column (deliberate offender)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(F.array(F.col("id")).alias("xs"))
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert nested == ["xs"]
