@@ -1015,6 +1015,57 @@ def test_g15_per_edge_counts_reuse_wedge_join(spark, sf_dir):
     assert "Generate" in plan
 
 
+def _wedge_exchange_keysets(spark, sf_dir, name, allowed):
+    """Shared r10 pin for the bucketed-layout graph entries (VERDICT r9
+    item 4): the oriented edge table is bucketBy(s), so NO exchange may
+    ever be keyed on the wedge key alone — the wedge join (a = a2) must
+    be satisfied by bucket-aligned scans; only the downstream keys the
+    algorithm genuinely needs are allowed to shuffle."""
+    import re
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.collect()  # execute THIS QueryExecution so AQE finalizes it
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.catalog.clearCache()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Bucketed: true") >= 2, plan
+    keysets = {
+        tuple(sorted(re.sub(r"#\d+L?", "", c.strip()) for c in m.split(",")[:-1]))
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    # the wedge key itself (s, aliased a/a2 at the join) never moves
+    assert ("a",) not in keysets and ("a2",) not in keysets and ("s",) not in keysets
+    assert keysets <= allowed, keysets
+
+
+def test_g15_bucketed_edges_never_reshuffle_on_wedge_key(spark, sf_dir):
+    """g15 rides the shared write-once bucketed edge table: the wedge
+    join is exchange-free; only the closing-edge re-key, the per-edge
+    count agg, the cn join-back, and (broadcast disabled here) the
+    degree joins shuffle. r9's unbucketed lineage planned ~90 exchanges."""
+    _wedge_exchange_keysets(
+        spark,
+        sf_dir,
+        "g15_common_neighbors",
+        allowed={("b", "c"), ("b3", "c3"), ("u", "v"), ("u",), ("v",)},
+    )
+
+
+def test_g17_bucketed_edges_never_reshuffle_on_wedge_key(spark, sf_dir):
+    """g17 same contract: wedge join bucket-aligned; only the closing
+    re-key, the witness-degree join key w, and the per-edge agg move."""
+    _wedge_exchange_keysets(
+        spark,
+        sf_dir,
+        "g17_adamic_adar",
+        allowed={("b", "c"), ("b3", "c3"), ("u", "v"), ("w",)},
+    )
+
+
 def test_x34_transitions_one_pass_over_events(spark, sf_dir):
     """The bigram matrix must come from one per-user ordered pass plus a
     window over the 25-row matrix — no join back to events, no global
@@ -1379,11 +1430,14 @@ def test_o5_pps_one_window_broadcast_totals(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_pipe3_funnel_two_skinny_joins_no_python(spark, sf_dir):
-    """The funnel is one corpus scan + the canonical equi-join + the
-    broadcast decontamination join; the tokenizer is CSE-barriered
-    behind a persist (InMemoryRelation in-plan), and nothing falls back
-    to Python or a nested loop."""
+def test_pipe3_funnel_single_pass_no_python(spark, sf_dir):
+    """Single-pass funnel (r10): one corpus scan, the canonical window
+    min on the content hash (ONE hashpartitioning exchange on h, no
+    agg-build + join-probe pair, no range exchange), the broadcast
+    decontamination join; the tokenizer is CSE-barriered behind a
+    persist (InMemoryRelation in-plan), and nothing falls back to
+    Python or a nested loop. Exactly one non-broadcast join (the
+    decontamination broadcast) — the r9 canonical self-join is gone."""
     df = registry.QUERIES["pipe3_prep_funnel"](spark, sf_dir)
     try:
         plan = plan_of(df)
@@ -1391,6 +1445,9 @@ def test_pipe3_funnel_two_skinny_joins_no_python(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "InMemoryTableScan" in plan
         assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "Window" in plan
+        assert "rangepartitioning" not in plan
     finally:
         spark.catalog.clearCache()
 
