@@ -31,9 +31,28 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, lazy_replay: bool = False):
+    """Register a query. ``lazy_replay=True`` marks entries whose builder
+    EXECUTES work (streaming replays, staged keyed views) rather than
+    composing a lazy plan: those are wrapped in
+    :class:`~.lazyframe.LazyReplayFrame`, so ``QUERIES[name](spark,
+    sf_dir)`` is construction-free and the replay runs on first touch of
+    the returned frame (VERDICT r9 item 8 — schema audits and harness
+    introspection must not trigger stream I/O)."""
+
     def deco(fn):
-        QUERIES[name] = fn
+        if lazy_replay:
+            import functools
+
+            from .lazyframe import LazyReplayFrame
+
+            @functools.wraps(fn)
+            def wrapper(spark, sf_dir):
+                return LazyReplayFrame(lambda: fn(spark, sf_dir))
+
+            QUERIES[name] = wrapper
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -1186,6 +1205,7 @@ def k5_incremental_mean_merge(spark, sf_dir):
            max(CASE WHEN rn = 3 THEN value END) AS top3
     FROM ranked GROUP BY key
     """,
+    lazy_replay=True,
 )
 def t10_stream_topk(spark, sf_dir):
     """T6 variant: true Structured Streaming top-3 per key through
@@ -1238,6 +1258,7 @@ def t10_stream_topk(spark, sf_dir):
            CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS mean_v
     FROM events GROUP BY user_id
     """,
+    lazy_replay=True,
 )
 def t6_stream_running_mean(spark, sf_dir):
     """T6: genuine Structured Streaming — events replayed as a stream into
@@ -1290,6 +1311,7 @@ def t6_stream_running_mean(spark, sf_dir):
      AND b.ts >= a.ts - INTERVAL 10 MINUTE
      AND b.ts <= a.ts + INTERVAL 10 MINUTE
     """,
+    lazy_replay=True,
 )
 def t11_stream_stream_join(spark, sf_dir):
     """True Structured Streaming stream-stream INNER join with event-time
@@ -1356,6 +1378,7 @@ def t11_stream_stream_join(spark, sf_dir):
     SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
     FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
     """,
+    lazy_replay=True,
 )
 def t12_stream_static_join(spark, sf_dir):
     """Streaming enrichment: the events STREAM joined to a static customer
@@ -1393,6 +1416,7 @@ def t12_stream_static_join(spark, sf_dir):
 @register(
     "t13_stream_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
+    lazy_replay=True,
 )
 def t13_stream_dedup(spark, sf_dir):
     """Streaming dropDuplicates across micro-batches: keyed state emits
@@ -1447,6 +1471,7 @@ def t13_stream_dedup(spark, sf_dir):
     FROM agg, mx
     WHERE epoch_ms(last_ts) + 36000000 < epoch_ms(m) - 7200000
     """,
+    lazy_replay=True,
 )
 def t14_stream_state_expiry(spark, sf_dir):
     """Timeout-driven state EXPIRY through ``applyInPandasWithState``
@@ -4551,6 +4576,7 @@ def x23_zorder_layout(spark, sf_dir):
     FROM r, mx
     WHERE rnk <= 3 AND window_start + INTERVAL 1 DAY <= mx.m
     """,
+    lazy_replay=True,
 )
 def t15_stream_windowed_topk(spark, sf_dir):
     """Streaming trending-terms: watermarked tumbling-day counts per
@@ -5684,6 +5710,7 @@ def m10_arrow_group_stats(spark, sf_dir):
 @register(
     "t16_stream_dedup_within_watermark",
     "SELECT DISTINCT user_id, event_type FROM events",
+    lazy_replay=True,
 )
 def t16_stream_dedup_within_watermark(spark, sf_dir):
     """Streaming dedup with BOUNDED state:
@@ -6280,7 +6307,7 @@ _LAMBDA_VIEW_ORACLE = f"""
     """
 
 
-@register("t17_lambda_convergence", _LAMBDA_VIEW_ORACLE)
+@register("t17_lambda_convergence", _LAMBDA_VIEW_ORACLE, lazy_replay=True)
 def t17_lambda_convergence(spark, sf_dir):
     """THE Lambda-architecture invariant, proven end to end: replaying the
     full event history through the REAL speed-layer path — two streaming
@@ -6389,7 +6416,7 @@ def t17_lambda_convergence(spark, sf_dir):
     )
 
 
-@register("t21_speed_view_stream_join", _LAMBDA_VIEW_ORACLE)
+@register("t21_speed_view_stream_join", _LAMBDA_VIEW_ORACLE, lazy_replay=True)
 def t21_speed_view_stream_join(spark, sf_dir):
     """J2 "Option B" (SURVEY §2.4): the speed-view merge as a WATERMARKED
     STREAM-STREAM FULL-OUTER JOIN — the surveyed alternative to t17's
@@ -7026,7 +7053,7 @@ def w9_ewma(spark, sf_dir):
     )
 
 
-@register("t18_stream_scd2", _SCD2_ORACLE_SQL)
+@register("t18_stream_scd2", _SCD2_ORACLE_SQL, lazy_replay=True)
 def t18_stream_scd2(spark, sf_dir):
     """STREAMING maintenance of the u5 SCD2 dimension, converging exactly
     to the batch build (same oracle — the t17 convergence pattern applied
@@ -7167,6 +7194,7 @@ def x30_pmi_collocations(spark, sf_dir):
     WHERE day(CAST(ts AS DATE)) <= 15
     GROUP BY 1
     """,
+    lazy_replay=True,
 )
 def t19_time_travel(spark, sf_dir):
     """Snapshot isolation / TIME TRAVEL on the keyed view
@@ -7767,6 +7795,7 @@ def g13_degree_histogram(spark, sf_dir):
              AS total
     FROM orders GROUP BY 1, 2
     """,
+    lazy_replay=True,
 )
 def t20_stream_agg_view(spark, sf_dir):
     """STREAMING maintenance of the u7 aggregate view — the t17/t18
@@ -8857,7 +8886,7 @@ def w13_rolling_median(spark, sf_dir):
     )
 
 
-@register("t22_stream_hll_view", ORACLES["a20_hll_distinct"])
+@register("t22_stream_hll_view", ORACLES["a20_hll_distinct"], lazy_replay=True)
 def t22_stream_hll_view(spark, sf_dir):
     """STREAMING maintenance of the a20 HyperLogLog registers — the
     t17/t18/t20 convergence pattern applied to SKETCH state, closing the
@@ -9926,7 +9955,7 @@ def g15_common_neighbors(spark, sf_dir):
     )
 
 
-@register("t23_stream_cms_view", ORACLES["a21_cms_heavy_hitters"])
+@register("t23_stream_cms_view", ORACLES["a21_cms_heavy_hitters"], lazy_replay=True)
 def t23_stream_cms_view(spark, sf_dir):
     """STREAMING maintenance of the a21 count-min sketch — the fourth
     mergeable-state algebra in the t17/t20/t22 family: OHLC merges by
@@ -10769,6 +10798,7 @@ def f10_historical_var(spark, sf_dir):
                 AS BIGINT) AS n
     FROM daily
     """,
+    lazy_replay=True,
 )
 def p15_shallow_clone(spark, sf_dir):
     """Zero-copy SHALLOW CLONE of the keyed view
@@ -10838,6 +10868,7 @@ def p15_shallow_clone(spark, sf_dir):
     )
     GROUP BY 1
     """,
+    lazy_replay=True,
 )
 def u9_right_to_erasure(spark, sf_dir):
     """Right-to-erasure (GDPR Art. 17) on the keyed view — the
@@ -11166,7 +11197,7 @@ def w16_time_to_convert(spark, sf_dir):
     )
 
 
-@register("t24_stream_erasure", ORACLES["u9_right_to_erasure"])
+@register("t24_stream_erasure", ORACLES["u9_right_to_erasure"], lazy_replay=True)
 def t24_stream_erasure(spark, sf_dir):
     """u9's right-to-erasure driven by a STREAMING request queue — which
     is how erasure actually arrives in production (a privacy-requests
@@ -13472,7 +13503,7 @@ def pipe3_prep_funnel(spark, sf_dir):
     )
 
 
-@register("t25_stream_bitmap_view", ORACLES["a29_bitmap_distinct"])
+@register("t25_stream_bitmap_view", ORACLES["a29_bitmap_distinct"], lazy_replay=True)
 def t25_stream_bitmap_view(spark, sf_dir):
     """STREAMING maintenance of the a29 presence bitmaps — the t22
     pattern (algebraic sketch state in a keyed view) with the merge
@@ -14049,6 +14080,7 @@ def a32_hll_union(spark, sf_dir):
            ex.exact_distinct
     FROM s JOIN ex USING (event_type)
     """,
+    lazy_replay=True,
 )
 def t26_stream_kmv_view(spark, sf_dir):
     """STREAMING maintenance of per-type KMV sketches — the fourth and
@@ -16094,6 +16126,7 @@ def f19_stochastic_oscillator(spark, sf_dir):
     WHERE j >= i
     GROUP BY 1, 2
     """,
+    lazy_replay=True,
 )
 def t27_stream_gram_view(spark, sf_dir):
     """STREAMING maintenance of m22's Gram matrix — the Lambda invariant
