@@ -75,7 +75,18 @@ class LazyReplayFrame(_ClassicDataFrame):
     def __getattribute__(self, name):
         if name in _LOCAL or name == "_materialize":
             return object.__getattribute__(self, name)
-        real = LazyReplayFrame._materialize(self)
+        try:
+            real = LazyReplayFrame._materialize(self)
+        except AttributeError as e:
+            # An AttributeError escaping __getattribute__ makes Python fall
+            # back to the CLASS's __getattr__ — the classic DataFrame's
+            # column lookup, which reads self.columns on the (still
+            # unmaterialized, _jdf-less) proxy and recurses forever. A
+            # builder bug must surface as the builder's error, not as
+            # infinite recursion.
+            raise RuntimeError(
+                f"lazy replay builder raised while materializing: {e!r}"
+            ) from e
         return getattr(real, name)
 
     def __setattr__(self, name, value):

@@ -44,6 +44,8 @@ def test_lazy_entries_cover_every_replay_builder():
         "t25_stream_bitmap_view",
         "t26_stream_kmv_view",
         "t27_stream_gram_view",
+        "t28_stream_histogram_view",
+        "t29_stream_minhash_view",
         "p15_shallow_clone",
         "u9_right_to_erasure",
     }
@@ -78,3 +80,19 @@ def test_first_touch_materializes_and_matches_eager(spark, sf_dir):
     assert sorted(map(tuple, lazy.collect())) == sorted(
         map(tuple, eager.collect())
     )
+
+
+def test_builder_attributeerror_surfaces_not_recurses(spark):
+    """A builder bug that raises AttributeError must surface as the
+    builder's error. Before the r10 fix it escaped __getattribute__,
+    triggered Python's class-__getattr__ fallback (the classic
+    DataFrame's column lookup), and recursed forever on the _jdf-less
+    proxy."""
+    import pytest
+
+    def bad_thunk():
+        raise AttributeError("'NoneType' object has no attribute 'select'")
+
+    lf = LazyReplayFrame(bad_thunk)
+    with pytest.raises(RuntimeError, match="lazy replay builder raised"):
+        lf.collect()

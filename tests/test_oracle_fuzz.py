@@ -831,3 +831,356 @@ def test_batch6_d5_matches_oracle_on_generated_embeddings(
         "vec_id long, embedding array<float>, label int",
     )
     _check(spark, tmp, qname, ["embeddings"])
+
+
+# -- fuzz batch 8 (r10): close the long tail — grouping-set shapes, sketch
+# algebras, lambda merges, staged-layout roundtrips, the pipe funnels, the
+# FULL streaming-view battery, and the embedding eval/quantize entries.
+# Everything here rides the existing generators; streaming replays get
+# fewer examples (each example runs a real bounded Structured Streaming
+# query). The r9 fuzz layer's catch record (4 real cross-engine
+# divergences) is the reason this tier keeps growing.
+
+B8_EVENT_ENTRIES = [
+    "g1_rollup",
+    "g2_pivot",
+    "g3_unpivot",
+    "g4_cube",
+    "g5_rollup_grouping_id",
+    "g6_grouping_sets",
+    "a4_pairwise_compat",
+    "a7_salted_agg",
+    "a12_salted_count_distinct",
+    "a9_approx_distinct",
+    "a10_approx_quantiles",
+    "a16_distinct_sketch_gate",
+    "a20_hll_distinct",
+    "a21_cms_heavy_hitters",
+    "j11_interval_join",
+    "j2_keyed_column_merge",
+    "j3_asof_join",
+    "k4_column_half_upsert",
+    "k5_incremental_mean_merge",
+    "m5_serving_forecast",
+    "m9_holt_forecast",
+    "m16_drift_tv",
+    "w6_sequence_assembly",
+    "x3_date_format",
+    "x16_datetime_battery",
+    "u2_union_distinct_except",
+    "p1_p2_json_parse",
+    "p4_constant_columns",
+    "f1_filter_exclude_today",
+    "flagship_batch_view",
+    "t5_tumbling_window",
+    "t5_sliding_window",
+    "t5_session_window",
+    "t7_lambda_reconciliation",
+    "p12_partitioned_pruned_scan",
+    "p13_compaction",
+    "u11_zonemap_skipping",
+]
+
+
+@pytest.mark.parametrize("qname", B8_EVENT_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_events)
+def test_batch8_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+# the full streaming-view battery on generated feeds: corpora smaller than
+# the replay chunk count force EMPTY micro-batches, single-key feeds force
+# every merge onto one state row, and tie-heavy data stresses the
+# struct-argmax LWW rules — exactly the states the fixture never produces
+B8_STREAM_EVENT_ENTRIES = [
+    "t6_stream_running_mean",
+    "t10_stream_topk",
+    "t11_stream_stream_join",
+    "t13_stream_dedup",
+    "t14_stream_state_expiry",
+    "t15_stream_windowed_topk",
+    "t16_stream_dedup_within_watermark",
+    "t17_lambda_convergence",
+    "t19_time_travel",
+    "t21_speed_view_stream_join",
+    "t22_stream_hll_view",
+    "t23_stream_cms_view",
+    "t24_stream_erasure",
+    "t25_stream_bitmap_view",
+    "t26_stream_kmv_view",
+    "t28_stream_histogram_view",
+    "u9_right_to_erasure",
+    "p15_shallow_clone",
+]
+
+
+@pytest.mark.parametrize("qname", B8_STREAM_EVENT_ENTRIES)
+@settings(max_examples=2, deadline=None)
+@given(raw=_events)
+def test_batch8_stream_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+B8_DOC_ENTRIES = [
+    "x4_x5_text_clean",
+    "x15_scalar_battery",
+    "x17_array_battery",
+    "x18_regexp_groups",
+    "f3_keyword_filter",
+    "p6_dropna_short_text",
+    "d2_dedup_minhash_lsh",
+    "d3_dedup_simhash",
+    "d7_dedup_clusters",
+    "d13_leakage_safe_split",
+    "x30_pmi_collocations",
+    "x31_corpus_shuffle",
+    "x36_cdc_chunks",
+    "s3_stratified_sample",
+    "s9_shuffle_shards",
+    "m13_feature_hashing",
+    "pipe1_corpus_filter",
+    "pipe2_split_leakage",
+    "pipe3_prep_funnel",
+    "m1_m4_news_pipeline",
+    "x43_temperature_mix",
+]
+
+
+@pytest.mark.parametrize("qname", B8_DOC_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_docs)
+def test_batch8_documents_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+# documents with NULL langs: the null-safe join's whole contract
+_docs_nullable = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", None]),
+        st.sampled_from(["web", "wiki"]),
+        st.lists(
+            st.sampled_from(["the", "und", "alpha", "beta", "gamma"]),
+            min_size=0,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@pytest.mark.parametrize("qname", ["j6_nullsafe_join"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_docs_nullable)
+def test_batch8_j6_matches_oracle_on_nullable_langs(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+B8_ORDERS_ENTRIES = [
+    "c1_correlated_subquery",
+    "o2_limit_offset_page",
+    "o4_keyset_pagination",
+    "u1_set_ops",
+    "u4_table_diff",
+    "u5_scd2_dimension",
+    "u7_incremental_agg_view",
+    "u8_merge_apply",
+    "f2_date_range_pushdown",
+    "p8_csv_source_roundtrip",
+    "p11_schema_evolution",
+    "p14_schema_evolution",
+]
+
+
+@pytest.mark.parametrize("qname", B8_ORDERS_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_orders)
+def test_batch8_orders_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    orows = [
+        (i, ck, stx, tp / 100.0, LI_BASE + datetime.timedelta(days=d), pri)
+        for i, (ck, stx, tp, d, pri) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "orders", orows, ORDERS_SCHEMA)
+    _check(spark, tmp, qname, ["orders"])
+
+
+B8_STREAM_ORDERS_ENTRIES = ["t18_stream_scd2", "t20_stream_agg_view"]
+
+
+@pytest.mark.parametrize("qname", B8_STREAM_ORDERS_ENTRIES)
+@settings(max_examples=2, deadline=None)
+@given(raw=_orders)
+def test_batch8_stream_orders_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    orows = [
+        (i, ck, stx, tp / 100.0, LI_BASE + datetime.timedelta(days=d), pri)
+        for i, (ck, stx, tp, d, pri) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "orders", orows, ORDERS_SCHEMA)
+    _check(spark, tmp, qname, ["orders"])
+
+
+B8_EMB_ENTRIES = [
+    "s1_ann_topk_bruteforce",
+    "s4_embedding_quantize",
+    "s13_mips_topk",
+    "s10_random_projection",
+    "m9_mlp_inference",
+    "m11_eval_metrics",
+    "m12_calibration_curve",
+    "m14_knn_eval",
+    "m15_autolabel_audit",
+    "m17_nearest_centroid",
+]
+
+
+@pytest.mark.parametrize("qname", B8_EMB_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_gram_examples)
+def test_batch8_embedding_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["embeddings"])
+
+
+B8_LINEITEM_ENTRIES = [
+    "u3_multiset_ops",
+    "a27_assoc_rules",
+    "p3_p5_project_rename_cast",
+    "p10_orc_roundtrip",
+]
+
+
+@pytest.mark.parametrize("qname", B8_LINEITEM_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_lineitems)
+def test_batch8_lineitem_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (
+            ok, pk, sk, i + 1, float(qty), pc / 100.0, dc / 100.0,
+            tx / 100.0, rf, ls, LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
+    _check(spark, tmp, qname, ["lineitem"])
+
+
+# dims + generated facts (the TPCH harness shape) for the join-layout and
+# point-in-time entries that read two fact tables or a fixed dim
+B8_TPCH_ENTRIES = [
+    "j8_bucketed_colocated_join",
+    "u6_pit_dimension_join",
+    "j10_bloom_prune",
+    "c2_lateral_topn",
+]
+
+
+@pytest.mark.parametrize("qname", B8_TPCH_ENTRIES)
+@settings(max_examples=2, deadline=None)
+@given(orders_raw=_orders, li_raw=_fact_lineitems)
+def test_batch8_tpch_entries_match_oracle_on_generated_facts(
+    spark, tmp_path_factory, qname, orders_raw, li_raw
+):
+    import shutil
+
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    for d in TPCH_DIMS:
+        shutil.copy(f"/root/testdata/sf0.001/{d}.parquet", f"{tmp}/{d}.parquet")
+    orows = [
+        (i, ck, stx, tp / 100.0, LI_BASE + datetime.timedelta(days=d), pri)
+        for i, (ck, stx, tp, d, pri) in enumerate(orders_raw)
+    ]
+    lrows = [
+        (
+            oi % len(orows), pk, sk, i + 1, float(qty), pc / 100.0,
+            dc / 100.0, tx / 100.0, rf, ls,
+            LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (oi, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(li_raw)
+    ]
+    _stage(spark, tmp, "orders", orows, ORDERS_SCHEMA)
+    _stage(spark, tmp, "lineitem", lrows, LINEITEM_SCHEMA)
+    con = duckdb.connect()
+    for tname in list(TPCH_DIMS) + ["orders", "lineitem"]:
+        p = os.path.join(tmp, tname + ".parquet")
+        pat = p + "/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{pat}')"
+        )
+    df = registry.QUERIES[qname](spark, tmp)
+    cols, rows = df.columns, [tuple(r) for r in df.collect()]
+    res = con.execute(registry.ORACLES[qname])
+    ocols = [d[0] for d in res.description]
+    orows2 = res.fetchall()
+    c1, r1 = sc.norm_rows(cols, rows)
+    c2, r2 = sc.norm_rows(ocols, orows2)
+    assert c1 == c2, (qname, c1, c2)
+    assert r1 == r2 or sc.approx_equal(r1, r2), (qname, r1[:5], r2[:5])
+
+
+@pytest.mark.parametrize("qname", ["t29_stream_minhash_view"])
+@settings(max_examples=2, deadline=None)
+@given(raw=_docs)
+def test_batch8_t29_matches_oracle_on_generated_documents(
+    spark, tmp_path_factory, qname, raw
+):
+    """The streamed per-source minhash view on arbitrary corpora: short
+    docs drop identically, single-source corpora yield zero pairs, and
+    register-wise MIN across replay chunks must equal the batch sketch."""
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
