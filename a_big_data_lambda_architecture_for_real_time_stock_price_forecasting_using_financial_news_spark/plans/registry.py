@@ -10939,6 +10939,12 @@ def u9_right_to_erasure(spark, sf_dir):
 
     view.merge_custom(victims, erase, batch_id=0, writer="erase")
     out = view.read()
+    if out is None:
+        # every user was a victim (a tiny corpus can be 100% user_id % 997
+        # == 0): the erased view is empty, same as the oracle's NOT IN
+        return spark.createDataFrame(
+            [], "ub bigint, n_events bigint, n_users bigint"
+        )
     return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
@@ -11270,6 +11276,11 @@ def t24_stream_erasure(spark, sf_dir):
     )
     q.awaitTermination()
     out = view.read()
+    if out is None:
+        # all users erased (u9's tiny-corpus arm): empty view, empty census
+        return spark.createDataFrame(
+            [], "ub bigint, n_events bigint, n_users bigint"
+        )
     return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
@@ -13118,9 +13129,16 @@ def m18_naive_bayes(spark, sf_dir):
     100 TB); per-(doc, class) sums and the per-doc argmin are two more
     map-side-combinable aggs.  No window, no sort, no Python."""
     docs = tbl(spark, sf_dir, "documents")
+    # the exploded token stream feeds FOUR consumers (class-token counts,
+    # class totals, vocabulary size, and the x|classes| scoring stream);
+    # without the barrier each one re-runs the tokenizer + explode over
+    # the corpus (the pipe1 CSE rule — measured 3.73 -> 3.38s at sf1;
+    # the x|classes| scoring join dominates the rest).
+    # At 100 TB this is the staged token table d4/pipe1 document: written
+    # once per corpus snapshot, read by every model build on it.
     tok = docs.select(
         "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("token")
-    )
+    ).persist()  # cache: caller-owns
     ctc = tok.groupBy(F.col("lang").alias("c"), "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
