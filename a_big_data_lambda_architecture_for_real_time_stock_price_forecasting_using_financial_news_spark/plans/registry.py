@@ -17345,3 +17345,87 @@ def t29_stream_minhash_view(spark, sf_dir):
         .cast("double")
         .alias("est_jaccard"),
     )
+
+
+@register(
+    "m26_mcnemar_test",
+    f"""
+    WITH p AS (
+      SELECT lang,
+             CASE WHEN {_tx.lang_id_sql('text')} = lang THEN 1 ELSE 0 END
+               AS a_ok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b_ok
+      FROM documents
+    )
+    SELECT CAST(sum(a_ok * b_ok) AS BIGINT) AS n_both_right,
+           CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS n_a_only,
+           CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS n_b_only,
+           CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS n_both_wrong,
+           CAST((sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
+                * (sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
+                AS BIGINT) AS chi2_num,
+           CAST(sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok) AS BIGINT)
+             AS chi2_den,
+           CASE WHEN sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok) = 0
+                THEN NULL
+                ELSE CAST(
+                  CAST((sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
+                       * (sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
+                       AS DOUBLE)
+                  / CAST(sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok)
+                         AS DOUBLE) AS DOUBLE)
+           END AS chi2
+    FROM p
+    """,
+)
+def m26_mcnemar_test(spark, sf_dir):
+    """McNemar's paired-classifier test — the missing member of the eval
+    battery (m20 ROC-AUC ranks ONE scorer, m21 kappa agreement, m23
+    NDCG, m12 calibration): when you replace classifier B with
+    classifier A over the SAME corpus, accuracy deltas lie — what
+    matters is the DISAGREEMENT cells, the documents exactly one model
+    gets right. Here A = the x6 language router and B = the
+    majority-class baseline (predict 'en' always — the bar every
+    learned router must clear); the 2x2 paired-outcome table (both
+    right / A-only / B-only / both wrong) is four exact integer sums
+    over one scan, and the McNemar statistic (b - c)^2 / (b + c) ships
+    as exact integer numerator + denominator (hash-gated) plus ONE IEEE
+    division (the quality_score single-division rule — both engines
+    produce the identical double of the identical integer ratio). No
+    disagreements -> NULL statistic by guard, the a15/a19 ANSI-0/0
+    discipline.
+
+    Shape: one corpus scan, one map-side-combined agg to a single row;
+    the lang vote is the same Column expression x6/x37 ship. At 100 TB
+    the cost IS the scan — the eval is free relative to the inference
+    pass it audits."""
+    d = tbl(spark, sf_dir, "documents")
+    a_ok = F.when(_tx.lang_id(F.col("text")) == F.col("lang"), 1).otherwise(0)
+    b_ok = F.when(F.col("lang") == "en", 1).otherwise(0)
+    p = d.select(a_ok.alias("a_ok"), b_ok.alias("b_ok"))
+    agg = p.agg(
+        F.sum(F.col("a_ok") * F.col("b_ok")).cast("bigint").alias("n_both_right"),
+        F.sum(F.col("a_ok") * (1 - F.col("b_ok")))
+        .cast("bigint")
+        .alias("n_a_only"),
+        F.sum((1 - F.col("a_ok")) * F.col("b_ok"))
+        .cast("bigint")
+        .alias("n_b_only"),
+        F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok")))
+        .cast("bigint")
+        .alias("n_both_wrong"),
+    )
+    diff = F.col("n_a_only") - F.col("n_b_only")
+    den = F.col("n_a_only") + F.col("n_b_only")
+    return agg.select(
+        "n_both_right",
+        "n_a_only",
+        "n_b_only",
+        "n_both_wrong",
+        (diff * diff).cast("bigint").alias("chi2_num"),
+        den.cast("bigint").alias("chi2_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise((diff * diff).cast("double") / den.cast("double"))
+        .cast("double")
+        .alias("chi2"),
+    )

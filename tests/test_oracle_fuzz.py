@@ -954,6 +954,7 @@ B8_DOC_ENTRIES = [
     "pipe3_prep_funnel",
     "m1_m4_news_pipeline",
     "x43_temperature_mix",
+    "m26_mcnemar_test",
 ]
 
 
