@@ -16979,7 +16979,7 @@ def m25_bootstrap_ci(spark, sf_dir):
 
 
 @register(
-    "x43_temperature_mix",
+    "x44_temperature_mix",
     """
     WITH c AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs
@@ -17009,7 +17009,7 @@ def m25_bootstrap_ci(spark, sf_dir):
     FROM r
     """,
 )
-def x43_temperature_mix(spark, sf_dir):
+def x44_temperature_mix(spark, sf_dir):
     """Temperature-scaled domain-mixture quotas — the sampling budget a
     multilingual/multi-domain training run actually allocates: raw
     per-domain counts are flattened by alpha = 0.5 (w_i ~ n_i^0.5, the

@@ -104,7 +104,7 @@ HEADLINE = [
     # domain-sized apportionment window; tracks the scan+count constant
     # factor round over round (t28/t29 streaming views are deliberately
     # NOT headlined, same checkpoint/sink-bound rationale as t21/t17)
-    "x43_temperature_mix",
+    "x44_temperature_mix",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with

@@ -953,7 +953,7 @@ B8_DOC_ENTRIES = [
     "pipe2_split_leakage",
     "pipe3_prep_funnel",
     "m1_m4_news_pipeline",
-    "x43_temperature_mix",
+    "x44_temperature_mix",
     "m26_mcnemar_test",
 ]
 
