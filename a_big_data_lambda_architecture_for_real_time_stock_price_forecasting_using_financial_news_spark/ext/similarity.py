@@ -133,10 +133,16 @@ def cosine_sql(a: str, b: str) -> str:
 
 
 def ivf_cell(emb: Column, dims: int = IVF_DIMS) -> Column:
-    """Data-independent coarse cell: sign bits of the first `dims` dims."""
+    """Data-independent coarse cell: sign bits of the first `dims` dims.
+    try_element_at, not element_at: vectors SHORTER than `dims` must
+    contribute 0 for the missing dimensions (DuckDB's list index returns
+    NULL there; ANSI element_at raised INVALID_ARRAY_INDEX — r10 fuzz
+    catch on a 1-dim generated corpus)."""
     cell = F.lit(0)
     for i in range(dims):
-        cell = cell + F.when(F.element_at(emb, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        cell = cell + F.when(
+            F.try_element_at(emb, F.lit(i + 1)) > 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
     return cell
 
 
