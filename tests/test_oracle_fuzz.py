@@ -35,6 +35,19 @@ from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_
 BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
 
 
+def _fuzz_tmp(tmp_path_factory) -> str:
+    """Fresh per-example staging dir: a CHILD of pytest's numbered dir,
+    never a sibling. A sibling named fuzz<N>_<hex> whose hex happens to
+    be all digits parses as a Python GROUPED int (int("31_493420") ==
+    31493420) in pytest's make-numbered-dir scan, exploding the counter
+    digits roughly 2x per collision until ENAMETOOLONG killed every
+    later test of a full-file run (r10). The uuid child keeps DuckDB
+    view paths unique without ever entering the counter namespace."""
+    return os.path.join(str(tmp_path_factory.mktemp("fuzz")), uuid.uuid4().hex[:6])
+
+
+
+
 def _stage(spark, tmp, name, rows, schema):
     path = os.path.join(tmp, f"{name}.parquet")
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -114,7 +127,7 @@ EVENT_ENTRIES = [
 def test_events_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -172,7 +185,7 @@ def test_documents_entries_match_oracle_on_generated_data(
     # empty docs stay in: weight-0 rows are exactly what o5's
     # greatest(tw,1) guard exists for, and m18 must drop token-less docs
     # identically in both engines
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
@@ -225,7 +238,7 @@ LEGACY_EVENT_ENTRIES_2 = [
 def test_legacy_events_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -292,7 +305,7 @@ def test_lineitem_entries_match_oracle_on_generated_data(
         )
         for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
@@ -382,7 +395,7 @@ def test_tpch_entries_match_oracle_on_generated_facts(
 ):
     import shutil
 
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     for d in TPCH_DIMS:
         shutil.copy(f"/root/testdata/sf0.001/{d}.parquet", f"{tmp}/{d}.parquet")
@@ -455,7 +468,7 @@ R9B_EVENT_ENTRIES = [
 def test_r9b_events_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -498,7 +511,7 @@ def test_r9b_documents_entries_match_oracle_on_generated_data(
         (i, " ".join(toks), lang, src, len(" ".join(toks)))
         for i, (lang, src, toks) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
@@ -517,7 +530,7 @@ def test_g18_matches_oracle_on_generated_lineitem(
         )
         for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
@@ -565,7 +578,7 @@ def test_r9c_documents_entries_match_oracle_on_generated_data(
     ]
     if qname != "x41_logodds_keyness" and not any(t for _, t in raw):
         return  # all-empty corpus: no pairs, LIMIT 1 yields zero merges
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
@@ -582,7 +595,7 @@ def test_r9c_events_entries_match_oracle_on_generated_data(
     # day space 0-28 straddles the 14-day warm-up: examples cover both
     # empty results (parity on emptiness) and multi-window series with
     # duplicate closes (den = 0 NULL guard) on both engines
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -604,7 +617,7 @@ def test_r9c_g19_matches_oracle_on_generated_lineitem(
         )
         for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
@@ -634,7 +647,7 @@ def test_r9c_m22_matches_oracle_on_generated_embeddings(
     rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
     if all(all(x == 0.0 for x in vec) for vec in raw):
         return  # every vector dropped: Gram empty on both sides, vacuous
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(
         spark, tmp, "embeddings", rows,
@@ -655,7 +668,7 @@ def test_r9c_t27_stream_gram_matches_oracle_on_generated_embeddings(
     rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
     if all(all(x == 0.0 for x in vec) for vec in raw):
         return  # every vector dropped: view has no rows to key
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(
         spark, tmp, "embeddings", rows,
@@ -674,7 +687,7 @@ def test_r9c_m23_matches_oracle_on_generated_embeddings(
     spark, tmp_path_factory, qname, raw
 ):
     rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(
         spark, tmp, "embeddings", rows,
@@ -711,7 +724,7 @@ LEGACY_EVENT_ENTRIES_3 = [
 def test_batch5_events_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -739,7 +752,7 @@ def test_batch5_documents_entries_match_oracle_on_generated_data(
         (i, " ".join(toks), lang, src, len(" ".join(toks)))
         for i, (lang, src, toks) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
@@ -763,7 +776,7 @@ BATCH6_EVENT_ENTRIES = [
 def test_batch6_events_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -782,7 +795,7 @@ def test_batch6_documents_entries_match_oracle_on_generated_data(
         (i, " ".join(toks), lang, src, len(" ".join(toks)))
         for i, (lang, src, toks) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
@@ -811,7 +824,7 @@ def test_batch6_graph_entries_match_oracle_on_generated_lineitem(
         )
         for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
@@ -824,7 +837,7 @@ def test_batch6_d5_matches_oracle_on_generated_embeddings(
     spark, tmp_path_factory, qname, raw
 ):
     rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(
         spark, tmp, "embeddings", rows,
@@ -888,7 +901,7 @@ B8_EVENT_ENTRIES = [
 def test_batch8_events_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -926,7 +939,7 @@ B8_STREAM_EVENT_ENTRIES = [
 def test_batch8_stream_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
     _check(spark, tmp, qname, ["events"])
@@ -968,7 +981,7 @@ def test_batch8_documents_entries_match_oracle_on_generated_data(
         (i, " ".join(toks), lang, src, len(" ".join(toks)))
         for i, (lang, src, toks) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
@@ -1000,7 +1013,7 @@ def test_batch8_j6_matches_oracle_on_nullable_langs(
         (i, " ".join(toks), lang, src, len(" ".join(toks)))
         for i, (lang, src, toks) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
@@ -1032,7 +1045,7 @@ def test_batch8_orders_entries_match_oracle_on_generated_data(
         (i, ck, stx, tp / 100.0, LI_BASE + datetime.timedelta(days=d), pri)
         for i, (ck, stx, tp, d, pri) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "orders", orows, ORDERS_SCHEMA)
     _check(spark, tmp, qname, ["orders"])
@@ -1051,7 +1064,7 @@ def test_batch8_stream_orders_entries_match_oracle_on_generated_data(
         (i, ck, stx, tp / 100.0, LI_BASE + datetime.timedelta(days=d), pri)
         for i, (ck, stx, tp, d, pri) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "orders", orows, ORDERS_SCHEMA)
     _check(spark, tmp, qname, ["orders"])
@@ -1078,7 +1091,7 @@ def test_batch8_embedding_entries_match_oracle_on_generated_data(
     spark, tmp_path_factory, qname, raw
 ):
     rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(
         spark, tmp, "embeddings", rows,
@@ -1108,7 +1121,7 @@ def test_batch8_lineitem_entries_match_oracle_on_generated_data(
         )
         for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
@@ -1132,7 +1145,7 @@ def test_batch8_tpch_entries_match_oracle_on_generated_facts(
 ):
     import shutil
 
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     for d in TPCH_DIMS:
         shutil.copy(f"/root/testdata/sf0.001/{d}.parquet", f"{tmp}/{d}.parquet")
@@ -1181,7 +1194,7 @@ def test_batch8_t29_matches_oracle_on_generated_documents(
         (i, " ".join(toks), lang, src, len(" ".join(toks)))
         for i, (lang, src, toks) in enumerate(raw)
     ]
-    tmp = str(tmp_path_factory.mktemp("fuzz")) + "_" + uuid.uuid4().hex[:6]
+    tmp = _fuzz_tmp(tmp_path_factory)
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
