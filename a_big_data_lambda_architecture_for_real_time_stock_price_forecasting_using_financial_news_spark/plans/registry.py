@@ -1749,8 +1749,15 @@ def s7_ann_recall_kmeans_vs_signbit(spark, sf_dir):
         n.cast("bigint").alias("total_true"),
         F.count("km_n").cast("bigint").alias("hits_kmeans"),
         F.count("sb_n").cast("bigint").alias("hits_signbit"),
-        (F.count("km_n").cast("double") / n).cast("double").alias("recall_kmeans"),
-        (F.count("sb_n").cast("double") / n).cast("double").alias("recall_signbit"),
+        # try_divide: an empty truth set (no query has any true neighbor —
+        # possible on degenerate generated corpora) is 0/0 = NULL in DuckDB
+        # where ANSI Spark raises DIVIDE_BY_ZERO (r10 fuzz catch)
+        F.try_divide(F.count("km_n").cast("double"), n)
+        .cast("double")
+        .alias("recall_kmeans"),
+        F.try_divide(F.count("sb_n").cast("double"), n)
+        .cast("double")
+        .alias("recall_signbit"),
     )
 
 

@@ -59,12 +59,11 @@ def _stage(spark, tmp, name, rows, schema):
 def _check(spark, tmp, qname, tables):
     con = duckdb.connect()
     for t in tables:
-        # Spark writes a parquet DIRECTORY; the fixture files are single
-        # files — glob covers both layouts
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(tmp, t + '.parquet')}/*.parquet')"
-        )
+        # Spark stages write parquet DIRECTORIES; dims copied from the
+        # fixture are single FILES — pick the matching read pattern
+        p = os.path.join(tmp, t + ".parquet")
+        pat = p + "/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     df = registry.QUERIES[qname](spark, tmp)
     cols, rows = df.columns, [tuple(r) for r in df.collect()]
     res = con.execute(registry.ORACLES[qname])
@@ -1198,3 +1197,241 @@ def test_batch8_t29_matches_oracle_on_generated_documents(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
+
+
+# -- fuzz batch 9 (r10): FULL-registry sweep — the last 28 entries. New
+# generators for part (record-linkage name fuzzing) and customer
+# (k-anonymity buckets); the k-means / IVF / PQ ANN ladder and the
+# bucketed graph/dedup twins run on generated inputs for the first time
+# (degenerate corpora: fewer vectors than centroids, empty cells,
+# single-node graphs). Heavier entries get 2 examples.
+
+B9_EVENT_ENTRIES = ["p7_malformed_json", "p9_variant_json"]
+
+
+@pytest.mark.parametrize("qname", B9_EVENT_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_events)
+def test_batch9_events_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["events"])
+
+
+B9_DOC_ENTRIES = [
+    "x1_x2_nested_access",
+    "d6_dedup_incremental",
+    "d10_simhash_bucketed",
+    "d11_lsh_recall",
+    "g11_components_bucketed",
+    "m6_multimodal_features",
+    "m7_resize_plan",
+    "m8_frame_sample",
+]
+
+
+@pytest.mark.parametrize("qname", B9_DOC_ENTRIES)
+@settings(max_examples=2, deadline=None)
+@given(raw=_docs)
+def test_batch9_documents_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+B9_EMB_ENTRIES = [
+    "s2_ann_topk_ivf",
+    "s5_ivf_recall",
+    "s6_ann_topk_ivf_kmeans",
+    "s7_ann_recall_kmeans_vs_signbit",
+    "s8_ann_int8_rerank",
+    "s11_incremental_ivf",
+    "s12_ann_ivfpq_adc",
+    "s14_filtered_ann",
+]
+
+
+@pytest.mark.parametrize("qname", B9_EMB_ENTRIES)
+@settings(max_examples=2, deadline=None)
+@given(raw=_gram_examples)
+def test_batch9_embedding_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["embeddings"])
+
+
+# s15 joins lexical postings (documents) with IVF candidates (embeddings)
+@pytest.mark.parametrize("qname", ["s15_hybrid_rrf"])
+@settings(max_examples=2, deadline=None)
+@given(docs_raw=_docs_searchable, emb_raw=_gram_examples)
+def test_batch9_s15_matches_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, docs_raw, emb_raw
+):
+    drows = [
+        (i, " ".join(toks), lang, src, len(" ".join(toks)))
+        for i, (lang, src, toks) in enumerate(docs_raw)
+    ]
+    erows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(emb_raw)]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", drows, DOCS_SCHEMA)
+    _stage(
+        spark, tmp, "embeddings", erows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["documents", "embeddings"])
+
+
+# generated parts: tiny name vocab forces linkage blocks, ties, and
+# Pareto plateaus the fixture's unique names never produce
+_parts = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["alpha beta", "alpha gamma", "beta", "gamma delta", "alpha beta gamma"]
+        ),
+        st.sampled_from(["BRAND#1", "BRAND#2"]),
+        st.sampled_from(["STANDARD", "SMALL", "LARGE"]),
+        st.integers(min_value=1, max_value=50),          # size
+        st.integers(min_value=90_000, max_value=200_000),  # price cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string,"
+    " p_size int, p_retailprice double"
+)
+
+B9_PART_ENTRIES = ["d15_edit_distance_blocked", "j9_record_linkage", "o3_pareto_frontier"]
+
+
+@pytest.mark.parametrize("qname", B9_PART_ENTRIES)
+@settings(max_examples=3, deadline=None)
+@given(raw=_parts)
+def test_batch9_part_entries_match_oracle_on_generated_data(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, name, brand, ptype, size, pc / 100.0)
+        for i, (name, brand, ptype, size, pc) in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "part", rows, PART_SCHEMA)
+    _check(spark, tmp, qname, ["part"])
+
+
+# generated customers: hot (nation, segment, balance-bucket) cells and
+# negative balances exercise the k-anonymity HAVING and salted-join keys
+_customers = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),            # nationkey
+        st.integers(min_value=-99_999, max_value=999_999),  # acctbal cents
+        st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+CUSTOMER_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+    " c_mktsegment string"
+)
+
+
+@pytest.mark.parametrize("qname", ["a28_k_anonymity"])
+@settings(max_examples=3, deadline=None)
+@given(raw=_customers)
+def test_batch9_a28_matches_oracle_on_generated_customers(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, f"Customer#{i}", nk, bal / 100.0, seg)
+        for i, (nk, bal, seg) in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "customer", rows, CUSTOMER_SCHEMA)
+    _check(spark, tmp, qname, ["customer"])
+
+
+@pytest.mark.parametrize("qname", ["j5_salted_join"])
+@settings(max_examples=3, deadline=None)
+@given(raw=_customers)
+def test_batch9_j5_matches_oracle_on_generated_customers(
+    spark, tmp_path_factory, qname, raw
+):
+    """Fixture nation dim + generated (hot-keyed) customers: the salted
+    join must stay value-identical to the plain join it replaces."""
+    import shutil
+
+    rows = [
+        (i, f"Customer#{i}", nk, bal / 100.0, seg)
+        for i, (nk, bal, seg) in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/nation.parquet", f"{tmp}/nation.parquet")
+    _stage(spark, tmp, "customer", rows, CUSTOMER_SCHEMA)
+    _check(spark, tmp, qname, ["nation", "customer"])
+
+
+@pytest.mark.parametrize("qname", ["t12_stream_static_join"])
+@settings(max_examples=2, deadline=None)
+@given(raw=_events)
+def test_batch9_t12_matches_oracle_on_generated_events(
+    spark, tmp_path_factory, qname, raw
+):
+    """Fixture customer dim + generated event stream through the real
+    stream-static enrichment join replay."""
+    import shutil
+
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/customer.parquet", f"{tmp}/customer.parquet")
+    _stage(spark, tmp, "events", _events_rows(raw), EVENTS_SCHEMA)
+    _check(spark, tmp, qname, ["customer", "events"])
+
+
+B9_GRAPH_ENTRIES = [
+    "g7_pagerank_fixedpoint",
+    "g9_triangle_count_bucketed",
+    "g10_pagerank_bucketed",
+]
+
+
+@pytest.mark.parametrize("qname", B9_GRAPH_ENTRIES)
+@settings(max_examples=2, deadline=None)
+@given(raw=_lineitems)
+def test_batch9_graph_entries_match_oracle_on_generated_lineitem(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (
+            ok, pk, sk, i + 1, float(qty), pc / 100.0, dc / 100.0,
+            tx / 100.0, rf, ls, LI_BASE + datetime.timedelta(days=d),
+        )
+        for i, (ok, pk, sk, qty, pc, dc, tx, rf, ls, d) in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
+    _check(spark, tmp, qname, ["lineitem"])
