@@ -1414,3 +1414,126 @@ def topk_mips_sql(
     SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+# --- semantic dedup (SemDeDup: cluster-blocked embedding dedup) --------------
+
+SEM_TAU = 0.35  # within-cluster cosine above this = semantic duplicate
+
+
+def _nonzero_vec(emb_col: str):
+    """Zero-norm vectors are dropped BEFORE any cosine (the m22/m23/s4
+    rule): cosine is undefined there and the engines diverge loudly if
+    asked — Spark's ANSI mode raises DIVIDE_BY_ZERO, DuckDB emits inf."""
+    return F.array_max(F.transform(emb_col, lambda v: F.abs(v.cast("double")))) > 0
+
+
+def _nonzero_vec_sql(emb: str) -> str:
+    return f"list_max(list_transform({emb}, v -> abs(CAST(v AS DOUBLE)))) > 0"
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = SEM_TAU,
+    km_k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + WITHIN-CLUSTER pairwise cosine — the embedding
+    answer to the question MinHash asks about text. Near-duplicate
+    *meaning* (paraphrases, re-encodes, boilerplate variants) survives
+    every lexical pass (d1-d16 operate on tokens/shingles); clustering
+    first makes the quadratic pair pass tractable: candidates are blocked
+    by learned cell exactly like d2 blocks by band and d10 by byte, so
+    the cost is sum(|cell|^2), never corpus^2 — the paper's own scale
+    trick, and this registry's no-all-pairs rule (plancheck gate).
+
+    Keep rule: within a cluster, a vector is REMOVED iff some
+    smaller-id cluster-mate scores cosine >= tau against it; the
+    survivor (``dup_of``) is the SMALLEST such id — d1's min-id
+    canonical-doc discipline, deterministic under the driver hash.
+    (The paper keeps the vector least similar to the centroid; that
+    variant swaps the min key for the staged centroid-cosine and is a
+    parameter, not a different plan.)
+
+    Shape: centroid training is the s6 machinery verbatim (sampled
+    corpus, broadcast k-row centroid table, one Lloyd round); assignment
+    is one broadcast-join argmin pass; the pair pass self-joins the
+    persisted (vec_id, cid, e, nrm) table on cid — ONE shuffle keyed on
+    cid per side; the removal map is a tiny groupBy + left join back.
+    At 100 TB: cells are the unit of work (the paper runs 50k clusters
+    over 5B embeddings); skewed cells split by salting the self-join
+    key, and the cosine threshold filter runs INSIDE the join's
+    projection so no pair table ever materializes."""
+    emb = df.filter(_nonzero_vec(emb_col))
+    cents = train_kmeans_centroids(emb, km_k, iters, id_col, emb_col)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        _km_quant(F.col(emb_col)).alias("q"),
+    )
+    cells = (
+        _km_assign(_spread_corpus(base, heavy=True), cents, extra=["e"])
+        .select("vec_id", "cid", "e", norm(F.col("e")).alias("nrm"))
+        .persist()  # cache: caller-owns — feeds both self-join sides + final left join
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        # spelled dot/(na*nb) exactly like cosine_sql so the doubles (and
+        # therefore the >= tau decisions) agree bit-for-bit cross-engine
+        .withColumn(
+            "score",
+            dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("score") >= tau)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    rm = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        cells.join(rm, cells["vec_id"] == rm["id_b"], "left")
+        .select(
+            cells["vec_id"],
+            F.col("cid").cast("int").alias("cid"),
+            F.when(F.col("id_b").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    tau: float = SEM_TAU,
+    km_k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    src = f"(SELECT * FROM {table} WHERE {_nonzero_vec_sql(emb_col)})"
+    ctes, cfinal = _km_ctes(src, km_k, iters, id_col, emb_col)
+    cost = _km_cost_sql("b.q", "c.c", "c.cn2")
+    cos = cosine_sql("a.e", "b.e")
+    return f"""
+    WITH {ctes},
+    caugf AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {cfinal}),
+    sd_cells AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT b.vec_id, b.e, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM kmbase b CROSS JOIN caugf c
+      ) WHERE rn = 1
+    ),
+    sd_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sd_cells a JOIN sd_cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= {tau}
+    ),
+    sd_rm AS (SELECT id_b, min(id_a) AS dup_of FROM sd_pairs GROUP BY 1)
+    SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cid,
+           CAST(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+           CAST(r.dup_of AS BIGINT) AS dup_of
+    FROM sd_cells c LEFT JOIN sd_rm r ON c.vec_id = r.id_b
+    """

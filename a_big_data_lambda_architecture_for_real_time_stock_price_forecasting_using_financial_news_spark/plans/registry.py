@@ -17475,3 +17475,197 @@ def m26_mcnemar_test(spark, sf_dir):
         .cast("double")
         .alias("chi2"),
     )
+
+
+@register(
+    "d17_semdedup",
+    _sim.semantic_dedup_sql("embeddings"),
+)
+def d17_semdedup(spark, sf_dir):
+    """SemDeDup — SEMANTIC dedup over the embedding column, completing the
+    dedup taxonomy: d1 exact bytes, d2/d16 token sets, d3/d10 simhash,
+    d4 char-grams, d5 raw-cosine-within-label, d8 passages, d12
+    containment, d15 edit distance — and now meaning: k-means clusters
+    first (the s6 learned quantizer verbatim), then pairwise cosine ONLY
+    within each learned cell (Abbas et al. 2023). The keep/remove verdict
+    per vector is the training-set curation signal the paper ships:
+    kept=0 rows are the semantically redundant slice of the corpus.
+
+    Candidate generation is cluster-blocked by construction — sum(|cell|^2)
+    pairs, never corpus^2 (the d2-band / d10-byte / d5-label rule, enforced
+    registry-wide by plancheck's no-CartesianProduct gate; the only cross
+    join in the plan is the k-row broadcast centroid table). Removal rule:
+    min-id cluster-mate with cosine >= tau survives as ``dup_of`` (d1's
+    canonical-id discipline). Zero-norm vectors are dropped on both sides
+    before any cosine (the m23 ANSI-DIVIDE_BY_ZERO rule).
+
+    Shape: train = sampled corpus + broadcast k-row centroids (s6);
+    assign = one broadcast argmin pass, no window; pair pass = self-join
+    of the persisted (vec_id, cid, e, nrm) table keyed on cid — one
+    shuffle per side, threshold filter inside the join projection so no
+    pair table materializes; verdict = tiny groupBy + left join back.
+    At 100 TB the paper's regime applies directly: k scales to ~sqrt(N)
+    cells, cells are the parallelism unit, skewed cells salt the
+    self-join key."""
+    return _sim.semantic_dedup(tbl(spark, sf_dir, "embeddings"))
+
+
+_CHI2_MIN_DF = 5  # document-frequency floor: rare-token chi2 is noise
+_CHI2_TOPK = 10
+
+
+@register(
+    "m28_chi2_feature_select",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest({_tx.tokens_sql('text')}) AS term
+      FROM documents
+    ), nl AS (
+      SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_c FROM tok GROUP BY 1
+    ), tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+    dtc AS (
+      SELECT term, lang, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
+    ), dt AS (
+      SELECT term, CAST(sum(a) AS BIGINT) AS df_t FROM dtc GROUP BY 1
+      HAVING sum(a) >= {_CHI2_MIN_DF}
+    ), grid AS (
+      SELECT dt.term, nl.lang, nl.n_c, dt.df_t, tot.n,
+             coalesce(dtc.a, 0) AS a
+      FROM dt CROSS JOIN nl CROSS JOIN tot
+      LEFT JOIN dtc ON dtc.term = dt.term AND dtc.lang = nl.lang
+    ), cells AS (
+      SELECT term, lang, a,
+             n_c - a AS b, df_t - a AS c, n - n_c - (df_t - a) AS d,
+             a * (n - n_c - (df_t - a)) - (n_c - a) * (df_t - a) AS dev,
+             n_c * (n - n_c) AS rp, df_t * (n - df_t) AS cp, n
+      FROM grid
+    ), scored AS (
+      SELECT term, lang, a, b, c, d,
+             (CAST(n AS DOUBLE) * CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE))
+               / (CAST(rp AS DOUBLE) * CAST(cp AS DOUBLE)) AS chi2
+      FROM cells WHERE rp > 0 AND cp > 0
+    ), ranked AS (
+      SELECT lang, term, a, b, c, d, chi2,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY chi2 DESC, term) AS rank
+      FROM scored
+    )
+    SELECT lang, term, CAST(rank AS INTEGER) AS rank,
+           a AS n_class_with, b AS n_class_without,
+           c AS n_other_with, d AS n_other_without,
+           CAST(chi2 AS DOUBLE) AS chi2
+    FROM ranked WHERE rank <= {_CHI2_TOPK}
+    """,
+)
+def m28_chi2_feature_select(spark, sf_dir):
+    """Chi-square feature selection — the vocabulary-pruning pass that
+    precedes every bag-of-words model build (the m18 Naive Bayes trains
+    on whatever survives it): per (term, class) the 2x2 presence
+    contingency {{A: class docs with term, B: class docs without, C:
+    other docs with, D: other docs without}} scores
+    chi2 = N*(AD-BC)^2 / ((A+B)(C+D)(A+C)(B+D)), and the top-10 terms
+    per language class ship with their exact integer cells.
+
+    Exactness: every contingency cell is an exact BIGINT from two count
+    aggs; the deviation AD-BC and both marginal products stay integer
+    (bounds: all four cells <= N, so dev <= N^2 — 2.5e9 at sf1, squared
+    only AFTER the double cast because N*dev^2 would overflow BIGINT at
+    ~50k docs). The statistic itself is three IEEE multiplies + one
+    division in the SAME spelled order in both engines — identical
+    doubles, so the (chi2 DESC, term) ranking can't flap (the x41 rule:
+    exact integer witnesses ride along, the one float is output-only).
+    Degenerate margins (single-class corpora, every-doc terms) zero a
+    marginal product and are EXCLUDED by the rp/cp guards — chi2 is
+    undefined there (fuzz: single-lang generated corpora hit this).
+
+    Shape: ONE corpus scan explodes to the distinct (doc, lang, term)
+    presence stream (map-side partial distinct); class-conditional and
+    global document frequencies are two map-side-combined aggs over it;
+    the scoring grid is vocabulary x |classes| — built by crossJoining
+    the df-floored term table with the 5-row class table (broadcast,
+    the m18 model-head bound) — then ONE vocabulary-sized equi-join
+    pulls A. The per-class top-10 window sorts the trimmed vocabulary,
+    never the corpus. At 100 TB the token stream is the staged d4/pipe1
+    table and the min-df floor bounds the grid: the whole selection
+    costs one corpus pass + vocabulary-sized tails."""
+    docs = tbl(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .persist()  # cache: caller-owns — feeds nl/tot/dtc
+    )
+    nl = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_c")
+    )
+    tot = tok.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    dtc = tok.groupBy("term", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    dt = (
+        dtc.groupBy("term")
+        .agg(F.sum("a").cast("bigint").alias("df_t"))
+        .filter(F.col("df_t") >= _CHI2_MIN_DF)
+    )
+    grid = (
+        dt.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(tot))
+        .join(dtc, ["term", "lang"], "left")
+        .select(
+            "term",
+            "lang",
+            "n_c",
+            "df_t",
+            "n",
+            F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a"),
+        )
+    )
+    cells = grid.select(
+        "term",
+        "lang",
+        "a",
+        (F.col("n_c") - F.col("a")).alias("b"),
+        (F.col("df_t") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("n_c") - (F.col("df_t") - F.col("a"))).alias("d"),
+        (
+            F.col("a") * (F.col("n") - F.col("n_c") - (F.col("df_t") - F.col("a")))
+            - (F.col("n_c") - F.col("a")) * (F.col("df_t") - F.col("a"))
+        ).alias("dev"),
+        (F.col("n_c") * (F.col("n") - F.col("n_c"))).alias("rp"),
+        (F.col("df_t") * (F.col("n") - F.col("df_t"))).alias("cp"),
+        "n",
+    )
+    scored = cells.filter((F.col("rp") > 0) & (F.col("cp") > 0)).select(
+        "term",
+        "lang",
+        "a",
+        "b",
+        "c",
+        "d",
+        (
+            (
+                F.col("n").cast("double")
+                * F.col("dev").cast("double")
+                * F.col("dev").cast("double")
+            )
+            / (F.col("rp").cast("double") * F.col("cp").cast("double"))
+        ).alias("chi2"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CHI2_TOPK)
+        .select(
+            "lang",
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("a").alias("n_class_with"),
+            F.col("b").alias("n_class_without"),
+            F.col("c").alias("n_other_with"),
+            F.col("d").alias("n_other_without"),
+            F.col("chi2").cast("double").alias("chi2"),
+        )
+    )

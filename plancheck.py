@@ -93,6 +93,12 @@ CROSS_JOIN_ALLOWLIST = {
     # a30's 5x5 event-type pairs); the token intersection itself is a
     # vocabulary-sized EQUI-join — never nested-loop
     "x43_source_overlap",
+    # centroid-table broadcast crossJoin (<= KM_K = 64 rows) for the
+    # SemDeDup cluster assignment — same bound as s6/s11
+    "d17_semdedup",
+    # class-count-bounded (5-row) + 1-row doc-total broadcast crossJoins
+    # building the chi2 scoring grid — same bounds as m18
+    "m28_chi2_feature_select",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

@@ -1435,3 +1435,57 @@ def test_batch9_graph_entries_match_oracle_on_generated_lineitem(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "lineitem", rows, LINEITEM_SCHEMA)
     _check(spark, tmp, qname, ["lineitem"])
+
+
+# -- r10 batch 10: the new-entry pair ---------------------------------------
+# d17 semantic dedup on generated embeddings: tiny dims + the /250 grid
+# produce exact-duplicate and zero-norm vectors (the ANSI-cosine arm and
+# the tau >= 1.0 boundary) that the fixture never has; single-vector
+# corpora exercise the k > n seed path.
+@pytest.mark.parametrize("qname", ["d17_semdedup"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_gram_examples)
+def test_batch10_d17_matches_oracle_on_generated_embeddings(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [(i, [float(x) for x in vec], i % 3) for i, vec in enumerate(raw)]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, qname, ["embeddings"])
+
+
+# m28 chi2 on generated documents: the tiny-vocab corpus hits every
+# degenerate margin — single-class corpora (rp = 0), terms present in
+# every doc (cp = 0), and sub-min-df vocabularies yielding empty output.
+_m28_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "en", "de"]),  # en-heavy: single-class runs
+        st.lists(
+            st.sampled_from(["the", "und", "alpha"]),
+            min_size=0,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.parametrize("qname", ["m28_chi2_feature_select"])
+@settings(max_examples=5, deadline=None)
+@given(raw=_m28_docs)
+def test_batch10_m28_matches_oracle_on_generated_documents(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, "web", len(" ".join(toks)))
+        for i, (lang, toks) in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])

