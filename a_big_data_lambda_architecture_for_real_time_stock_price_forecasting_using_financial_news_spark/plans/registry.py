@@ -13441,9 +13441,71 @@ def o5_systematic_sample(spark, sf_dir):
     )
 
 
-@register(
-    "pipe3_prep_funnel",
-    f"""
+def _prep_survivor_flags(spark, sf_dir):
+    """Shared Spark twin of _PIPE_FUNNEL_CTES: the flagged per-train-doc
+    frame (g1..g3, s3 composed, s4 canonical, s5 decontaminated, exact
+    ntok) that pipe3 aggregates into the attrition funnel and pipe4
+    filters into the export manifest. One corpus scan, the pipe1 CSE
+    token barrier, a conditional window min for canonical selection,
+    and one broadcast decontamination join — see pipe3's docstring for
+    the shape rationale."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        _split_col(F.col("doc_id")).alias("split"),
+        _tx.tokens(F.col("text")).alias("_toks"),
+    ).persist()  # cache: caller-owns (pipe1's shared-tokens pattern)
+    toks = F.col("_toks")
+    ev = (
+        lab.filter(F.col("split") == "val")
+        .select(_tx.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    b = lab.filter(F.col("split") == "train").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("ntok"),
+        F.md5("text").alias("h"),
+        _tx.fingerprint(F.col("text")).alias("fp"),
+        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("g1"),
+        F.when(_tx.lang_id(F.col("text"), toks=toks) == F.col("lang"), 1)
+        .otherwise(0)
+        .alias("g2"),
+        F.when(_tx.quality_score(F.col("text"), toks=toks) >= 0.35, 1)
+        .otherwise(0)
+        .alias("g3"),
+    )
+    s = b.withColumn("s3", F.col("g1") * F.col("g2") * F.col("g3"))
+    # canonical = min doc_id among quality SURVIVORS of the same content
+    # hash: a conditional window aggregate (no orderBy — pure partition
+    # min), one exchange on h instead of the agg-build + join-probe pair
+    mid = F.min(F.when(F.col("s3") == 1, F.col("doc_id"))).over(
+        Window.partitionBy("h")
+    )
+    f = s.withColumn(
+        "s4",
+        F.when((F.col("s3") == 1) & (F.col("doc_id") == mid), 1).otherwise(0),
+    )
+    return f.join(
+        F.broadcast(ev.withColumn("_hit", F.lit(1))), "fp", "left"
+    ).withColumn(
+        "s5",
+        F.when((F.col("s4") == 1) & F.col("_hit").isNull(), 1).otherwise(0),
+    )
+
+
+#: shared funnel CTE chain (pipe3 reads the per-stage attrition off it,
+#: pipe4 reads the surviving rows): per-train-doc gate flags g1..g3,
+#: composed survivor s3, canonical keep s4, decontaminated keep s5,
+#: plus the exact whitespace token count every budget consumer prices in
+_PIPE_FUNNEL_CTES = f"""
     WITH lab AS (
       SELECT doc_id, source, lang, n_chars, text,
              {_split_sql('doc_id')} AS split
@@ -13453,6 +13515,7 @@ def o5_systematic_sample(spark, sf_dir):
       FROM lab WHERE split = 'val'
     ), b AS (
       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len({_tx.tokens_sql('text')}) AS BIGINT) AS ntok,
              md5(text) AS h,
              {_tx.fingerprint_sql('text')} AS fp,
              CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS g1,
@@ -13470,7 +13533,13 @@ def o5_systematic_sample(spark, sf_dir):
     ), g AS (
       SELECT f.*, CASE WHEN f.s4 = 1 AND ev.fp IS NULL THEN 1 ELSE 0 END AS s5
       FROM f LEFT JOIN ev ON ev.fp = f.fp
-    )
+    )"""
+
+
+@register(
+    "pipe3_prep_funnel",
+    _PIPE_FUNNEL_CTES
+    + """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_total,
            CAST(sum(g1) AS BIGINT) AS n_len,
@@ -13519,54 +13588,7 @@ def pipe3_prep_funnel(spark, sf_dir):
     one map-side-combined agg per source.  At 100 TB: scan-dominated,
     one skinny exchange on the uniform content-hash key, one
     broadcast, no Python."""
-    from pyspark.sql import Window
-    d = tbl(spark, sf_dir, "documents")
-    lab = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        "text",
-        _split_col(F.col("doc_id")).alias("split"),
-        _tx.tokens(F.col("text")).alias("_toks"),
-    ).persist()  # cache: caller-owns (pipe1's shared-tokens pattern)
-    toks = F.col("_toks")
-    ev = (
-        lab.filter(F.col("split") == "val")
-        .select(_tx.fingerprint(F.col("text")).alias("fp"))
-        .distinct()
-    )
-    b = lab.filter(F.col("split") == "train").select(
-        "doc_id",
-        "source",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.md5("text").alias("h"),
-        _tx.fingerprint(F.col("text")).alias("fp"),
-        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("g1"),
-        F.when(_tx.lang_id(F.col("text"), toks=toks) == F.col("lang"), 1)
-        .otherwise(0)
-        .alias("g2"),
-        F.when(_tx.quality_score(F.col("text"), toks=toks) >= 0.35, 1)
-        .otherwise(0)
-        .alias("g3"),
-    )
-    s = b.withColumn("s3", F.col("g1") * F.col("g2") * F.col("g3"))
-    # canonical = min doc_id among quality SURVIVORS of the same content
-    # hash: a conditional window aggregate (no orderBy — pure partition
-    # min), one exchange on h instead of the agg-build + join-probe pair
-    mid = F.min(F.when(F.col("s3") == 1, F.col("doc_id"))).over(
-        Window.partitionBy("h")
-    )
-    f = s.withColumn(
-        "s4",
-        F.when((F.col("s3") == 1) & (F.col("doc_id") == mid), 1).otherwise(0),
-    )
-    g = f.join(
-        F.broadcast(ev.withColumn("_hit", F.lit(1))), "fp", "left"
-    ).withColumn(
-        "s5",
-        F.when((F.col("s4") == 1) & F.col("_hit").isNull(), 1).otherwise(0),
-    )
+    g = _prep_survivor_flags(spark, sf_dir)
     return g.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum("g1").cast("bigint").alias("n_len"),
@@ -17668,4 +17690,240 @@ def m28_chi2_feature_select(spark, sf_dir):
             F.col("d").alias("n_other_without"),
             F.col("chi2").cast("double").alias("chi2"),
         )
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = 3) -> str:
+    """Per-language twin of _bpe_oracle: lang rides the word-type table
+    through every fold round (the merge WINNERS stay global — pair counts
+    aggregate over all languages, matching x40's merge table exactly),
+    and the close reads per-language fertility off the fused reps."""
+    parts = [
+        """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wf AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE w <> ''
+      GROUP BY 1, 2
+    ), r0 AS (
+      SELECT lang,
+             trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS rep,
+             freq, CAST(length(w) AS BIGINT) AS wlen
+      FROM wf
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", p{k} AS (
+      SELECT l[i] AS pa, l[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT string_split(rep, ' ') AS l, freq FROM r{k - 1}) s,
+           LATERAL unnest(generate_series(1, len(l) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ), t{k} AS (
+      SELECT pa, pb FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
+    ), r{k} AS (
+      SELECT lang,
+             list_reduce(string_split(rep, ' '),
+               (acc, x) -> CASE
+                 WHEN x = t.pb
+                      AND (acc = t.pa OR ends_with(acc, ' ' || t.pa))
+                 THEN left(acc, length(acc) - length(t.pa)) || t.pa || t.pb
+                 ELSE acc || ' ' || x END) AS rep,
+             freq, wlen
+      FROM r{k - 1}, t{k} AS t
+    )"""
+        )
+    parts.append(
+        f"""
+    , fused AS (
+      SELECT lang, freq, wlen, string_split(rep, ' ') AS syms FROM r{n_merges}
+    ), sized AS (
+      SELECT lang, freq, wlen,
+             CAST(len(syms)
+                  - CASE WHEN syms[len(syms)] = '</w>' THEN 1 ELSE 0 END
+                  AS BIGINT) AS ntok
+      FROM fused
+    ), agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_word_types,
+             CAST(sum(freq) AS BIGINT) AS ws_tokens,
+             CAST(sum(freq * ntok) AS BIGINT) AS bpe_tokens,
+             CAST(sum(freq * wlen) AS BIGINT) AS n_chars
+      FROM sized GROUP BY 1
+    )
+    SELECT lang, n_word_types, ws_tokens, bpe_tokens, n_chars,
+           CAST(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
+                AS DOUBLE) AS fertility,
+           CAST(CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
+                AS DOUBLE) AS chars_per_token
+    FROM agg
+    """
+    )
+    return "".join(parts)
+
+
+@register("x45_tokenizer_fertility", _bpe_fertility_oracle(3))
+def x45_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer FERTILITY audit — BPE tokens per whitespace
+    word and characters per BPE token, the metric multilingual pipelines
+    read before freezing a tokenizer (a vocabulary trained on an
+    en-heavy mix over-segments the other languages; fertility is where
+    that shows up, and it prices every downstream token budget x20/x27
+    allocates). Completes the x40/x42 tokenizer pair with its EVAL: x40
+    learns the merges, x42 applies them, x45 scores the result per
+    language class.
+
+    Semantics: merges are trained GLOBALLY (pair counts aggregate over
+    all languages — bit-identical winners to x40's merge table since
+    summing per-language word frequencies commutes with the pair
+    explode), then scored per language off the lang-keyed word-type
+    table. A word's token count is its fused symbol count EXCLUDING a
+    still-unfused trailing '</w>' sentinel (a symbol that ABSORBED the
+    sentinel is a real token); all counts are exact BIGINTs weighted by
+    word frequency, and the two ratios are single IEEE divisions of
+    exact integers (the m26 rule — denominators are positive whenever
+    the language group exists, since every surviving word contributes
+    >= 1 whitespace token and >= 1 symbol).
+
+    Shape: ONE corpus collapse into the (lang, word-type) table (the
+    x40 Heaps-law move — everything after is vocabulary-sized), k fold
+    rounds each = one map-side pair-count agg + a 1-row broadcast winner
+    crossJoin folded map-side (localCheckpoint per round, the g7
+    fixed-point discipline), then one final per-lang agg. No window, no
+    sort, no Python; lang never enters a shuffle key until the 5-group
+    closing agg."""
+    docs = tbl(spark, sf_dir, "documents")
+    wf = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    cur = wf.select(
+        "lang",
+        F.concat(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" </w>")
+        ).alias("rep"),
+        "freq",
+        F.length("w").cast("bigint").alias("wlen"),
+    ).localCheckpoint()
+    for _k in range(3):
+        pairs = (
+            cur.select("freq", F.split(F.col("rep"), " ").alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS pa, syms[i] AS pb))"
+                    )
+                ).alias("p"),
+            )
+        )
+        top = (
+            pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pa", "pb")
+            .limit(1)
+            .select(F.col("pa").alias("_pa"), F.col("pb").alias("_pb"))
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select("lang", F.expr(_BPE_FOLD).alias("rep"), "freq", "wlen")
+            .localCheckpoint()
+        )
+    sized = cur.select(
+        "lang",
+        "freq",
+        "wlen",
+        (
+            F.size(F.split(F.col("rep"), " "))
+            - F.when(
+                F.element_at(F.split(F.col("rep"), " "), -1) == "</w>", 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ntok"),
+    )
+    agg = sized.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum("freq").cast("bigint").alias("ws_tokens"),
+        F.sum(F.col("freq") * F.col("ntok")).cast("bigint").alias("bpe_tokens"),
+        F.sum(F.col("freq") * F.col("wlen")).cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_word_types",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double"))
+        .cast("double")
+        .alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double"))
+        .cast("double")
+        .alias("chars_per_token"),
+    )
+
+
+@register(
+    "pipe4_export_manifest",
+    _PIPE_FUNNEL_CTES
+    + f"""
+    , kept AS (
+      SELECT doc_id, source, n_chars, ntok,
+             {phash60_sql("CAST(doc_id AS VARCHAR)", seed="shuf")}
+               % {N_SHUF_SHARDS} AS shard
+      FROM g WHERE s5 = 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def pipe4_export_manifest(spark, sf_dir):
+    """Training-shard EXPORT MANIFEST — the closing stage of the corpus
+    prep story and the artifact a training run actually mounts: pipe1
+    proves the gates, pipe3 prices the attrition, pipe4 says what SHIPS —
+    per (shard, domain): document count, exact whitespace-token budget,
+    char mass, and the doc-id range, for every document that survives the
+    full funnel (length, langid, quality, canonical-dedup,
+    eval-decontamination). Shards are x31's reproducible hash shards
+    (same 60-bit key, same seed, same modulus), so this manifest IS the
+    read plan for x31's shuffled loading order — the two entries describe
+    one export.
+
+    The manifest is the load-balance audit in table form: a skewed
+    hash (or a domain glued to one shard) shows as an n_tokens outlier
+    row, which is exactly what a 1000-reader training job checks before
+    launch. All columns are exact integers off the shared funnel frame —
+    no new corpus work beyond pipe3's one scan (the flag battery and the
+    shard key ride the same staged token barrier).
+
+    Shape: _prep_survivor_flags (one scan + one h-keyed window exchange +
+    one broadcast) -> s5 filter -> ONE map-side-combined agg keyed
+    (shard, source) — 16 x |domains| output rows regardless of corpus
+    size. At 100 TB the kept rows would also WRITE partitioned by shard
+    (the p12 layout); the manifest is this same agg emitted by that job."""
+    g = _prep_survivor_flags(spark, sf_dir)
+    kept = g.filter(F.col("s5") == 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "ntok",
+        (phash60(F.col("doc_id").cast("string"), seed="shuf") % N_SHUF_SHARDS)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return kept.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )

@@ -99,6 +99,9 @@ CROSS_JOIN_ALLOWLIST = {
     # class-count-bounded (5-row) + 1-row doc-total broadcast crossJoins
     # building the chi2 scoring grid — same bounds as m18
     "m28_chi2_feature_select",
+    # x40's per-round 1-row winning-pair broadcast crossJoin, folded into
+    # the lang-keyed word-type table — same bound as x40/x42
+    "x45_tokenizer_fertility",
     # NOTE: s12_ann_ivfpq_adc is deliberately NOT allowlisted — PQ training
     # joins on m (broadcast hash join), and the plan-quality test asserts
     # no nested loop; keeping it out lets plancheck catch a regression

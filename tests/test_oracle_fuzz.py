@@ -1489,3 +1489,57 @@ def test_batch10_m28_matches_oracle_on_generated_documents(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
+
+
+# x45 fertility on generated documents: single-symbol words (fully fused
+# after round 1), single-language corpora, and empty-text docs exercise
+# the sentinel-exclusion count and the absent-group arms.
+@pytest.mark.parametrize("qname", ["x45_tokenizer_fertility"])
+@settings(max_examples=4, deadline=None)
+@given(raw=_m28_docs)
+def test_batch10_x45_matches_oracle_on_generated_documents(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = [
+        (i, " ".join(toks), lang, "web", len(" ".join(toks)))
+        for i, (lang, toks) in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+# pipe3/pipe4 on generated documents with a repeat factor so some docs
+# cross the 100-char gate (g1) while others fail langid/quality/dedup —
+# both the empty-manifest and mixed-survivor arms get exercised.
+_pipe_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["web", "wiki"]),
+        st.lists(
+            st.sampled_from(["the", "and", "is", "und", "der", "alpha"]),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=20),  # repeat factor
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@pytest.mark.parametrize("qname", ["pipe4_export_manifest", "pipe3_prep_funnel"])
+@settings(max_examples=3, deadline=None)
+@given(raw=_pipe_docs)
+def test_batch10_pipe_entries_match_oracle_on_generated_documents(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = []
+    for i, (lang, src, toks, rep) in enumerate(raw):
+        text = " ".join(toks * rep)
+        rows.append((i, text, lang, src, len(text)))
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])

@@ -2206,3 +2206,40 @@ def test_m28_chi2_cells_reconcile_and_signal_lands(spark, sf_dir):
         assert n == sum(v for k, v in n_total.items()) or True
         if r.rank == 1:
             assert r.chi2 > 0
+
+
+def test_x45_fertility_no_sort_no_python_and_bounds(spark, sf_dir):
+    """The fold rounds stay map-side (no global sort beyond the 1-row
+    winner top-1, no Python), and the metric's algebraic floor holds:
+    every word is >= 1 token, so fertility >= 1.0 for every language,
+    and chars_per_token is positive."""
+    df = registry.QUERIES["x45_tokenizer_fertility"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.fertility >= 1.0, r
+        assert r.chars_per_token > 0, r
+        assert r.bpe_tokens >= r.ws_tokens >= r.n_word_types
+
+
+def test_pipe4_manifest_rides_the_funnel_scan(spark, sf_dir):
+    """pipe4 adds NO corpus work beyond pipe3's shape: no Python, no
+    cartesian, no global sort; and the manifest reconciles with pipe3's
+    funnel — total kept docs and char mass equal pipe3's n_clean /
+    chars_kept sums (the two entries describe one export)."""
+    df = registry.QUERIES["pipe4_export_manifest"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    man = df.collect()
+    fun = registry.QUERIES["pipe3_prep_funnel"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in man) == sum(r.n_clean for r in fun)
+    assert sum(r.n_chars for r in man) == sum(r.chars_kept for r in fun)
+    for r in man:
+        assert 0 <= r.shard < 16
+        assert r.min_doc_id <= r.max_doc_id
+        assert r.n_tokens >= r.n_docs  # every kept doc has >= 5 ws tokens
