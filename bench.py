@@ -105,6 +105,12 @@ HEADLINE = [
     # factor round over round (t28/t29 streaming views are deliberately
     # NOT headlined, same checkpoint/sink-bound rationale as t21/t17)
     "x44_temperature_mix",
+    # late-r10: SemDeDup (k-means train + assign + within-cell cosine
+    # pair pass — the heaviest embeddings entry and the semantic-dedup
+    # flagship) and the shard export manifest (pipe3's funnel scan plus
+    # the shard agg — tracks the one-plan composed-export constant)
+    "d17_semdedup",
+    "pipe4_export_manifest",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with
