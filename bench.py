@@ -417,6 +417,84 @@ def cardinality_bench(spark, sf_dir):
     return out
 
 
+def incremental_dedup_bench(spark, sf_dir):
+    """The d6 amortization claim, MEASURED: dedup a +10% document batch
+    against a stored sketch table vs re-running the full d2 pass over
+    the grown corpus.  The incremental regime is the whole 100 TB
+    argument for persisting sketch tables (d2/d6/d10 docstrings): the
+    corpus is sketched ONCE per snapshot (build_once, paid at write
+    time), and every arriving batch pays only its own sketch + a band
+    join against the store — so the recurring cost should track batch
+    size, not corpus size, while the naive full re-run grows with the
+    corpus.  Timed on the fixture split doc_id % 10 (90% stored / 10%
+    arriving): probe_batch = sketch new + band-join + verify against
+    the parquet-backed store; full_rerun = minhash_lsh_pairs over the
+    union.  Median of 3, caches cleared between reps (the store READ is
+    part of the recurring cost, honestly).
+
+    Measured (r10 boot, local[32]): sf0.1 probe 1.05s vs full 1.23s —
+    fixed plan/JVM costs dominate 5k docs; sf1 probe 2.60s vs full
+    4.75s (1.8x, build_once 5.24s): the gap is the re-sketch of the
+    stored 90%, exactly the term the layout amortizes, and it widens
+    with corpus-to-batch ratio (at 100 TB-corpus/1 TB-batch the full
+    re-run is ~100x the probe's sketch work)."""
+    import shutil
+    import statistics
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        dedup as dd,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        scratch_dir,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    _tag, scratch = scratch_dir("spark_graft_incdedup", sf_dir)
+    store = os.path.join(scratch, "sk_" + uuid.uuid4().hex[:8])
+    out: dict = {"old_rows": old.count(), "new_rows": new.count()}
+    try:
+        t0 = time.perf_counter()
+        dd.minhash_sketches(old, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(store)
+        out["build_once"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+        def probe():
+            return dd.incremental_minhash_pairs(
+                spark.read.parquet(store), new, "doc_id", "text", threshold=0.5
+            )
+
+        def full():
+            return dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+        cases = {"probe_batch": probe, "full_rerun": full}
+        for fn in cases.values():  # codegen warmup
+            fn().write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        reps: dict[str, list[float]] = {name: [] for name in cases}
+        for _ in range(3):
+            for name, fn in cases.items():
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                reps[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out.update(
+            {name: round(statistics.median(v), 3) for name, v in reps.items()}
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -469,6 +547,7 @@ def main():
     skew = skew_bench(spark, sf_dir)
     pr_iter = {"sf": pagerank_iter_bench(spark, sf_dir)}
     card = cardinality_bench(spark, sf_dir)
+    inc = incremental_dedup_bench(spark, sf_dir)
 
     # optional second pass at sf1 (generated locally by tools/gen_sf1.py —
     # 10x sf0.1 with per-replica key shifts). Catches constant factors that
@@ -512,6 +591,7 @@ def main():
         "skew": skew,
         "pagerank_iter": pr_iter,
         "cardinality": card,
+        "incremental_dedup": inc,
     }
     if sf1 is not None:
         doc["sf1"] = sf1
@@ -543,6 +623,7 @@ def main():
             slim.pop("pagerank_iter", None)
             slim.pop("skew", None)
             slim.pop("cardinality", None)
+            slim.pop("incremental_dedup", None)
             line = json.dumps(slim)
         if len(line) > BUDGET:
             # last resort: keep only the slowest queries, preserving the total
