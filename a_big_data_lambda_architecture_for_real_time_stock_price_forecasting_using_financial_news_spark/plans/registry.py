@@ -7282,7 +7282,15 @@ def t19_time_travel(spark, sf_dir):
     view.merge_overwrite_by_key(m1, "_ord", batch_id=0, writer="tt")
     m2 = daily.withColumn("n", F.col("n") * 2)  # revises overlap + appends rest
     view.merge_overwrite_by_key(m2, "_ord", batch_id=1, writer="tt")
-    return view.read_at(1).select("event_date", "n")
+    snap = view.read_at(1)
+    # merge 1 can be legitimately EMPTY (a feed with no first-half-month
+    # days): version 1 then owns zero partitions and read_at returns None —
+    # the snapshot is the empty relation, matching the oracle's merge-1
+    # recompute (r10 fuzz catch on a single-event generated feed; the
+    # t18/u9/t24 empty-view rule applied to time travel)
+    if snap is None:
+        snap = spark.createDataFrame([], "event_date date, n bigint")
+    return snap.select("event_date", "n")
 
 
 @register(

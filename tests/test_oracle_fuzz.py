@@ -1543,3 +1543,15 @@ def test_batch10_pipe_entries_match_oracle_on_generated_documents(
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
     _check(spark, tmp, qname, ["documents"])
+
+
+def test_t19_time_travel_empty_first_merge(spark, tmp_path_factory):
+    """Regression (r10): a feed whose only events fall AFTER day 15 makes
+    t19's merge-1 legitimately empty; version 1 owns zero partitions,
+    read_at(1) returns None, and the snapshot must materialize as the
+    typed empty relation the oracle computes — not crash on .select."""
+    rows = [(0, BASE + datetime.timedelta(days=15), 0, "click", 0.0, '{"k": 0}')]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", rows, EVENTS_SCHEMA)
+    _check(spark, tmp, "t19_time_travel", ["events"])
