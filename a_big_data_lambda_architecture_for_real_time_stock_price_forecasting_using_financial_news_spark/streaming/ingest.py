@@ -66,6 +66,7 @@ def events_stream(
     n_chunks: int = 1,
     single_batch: bool = False,
     chunk_by: str = "event_id",
+    sentinel_events: bool = False,
 ) -> DataFrame:
     """Stream the events fixture as a Structured Streaming source (same
     NANOS handling as the batch reader).
@@ -78,6 +79,18 @@ def events_stream(
     every file in ONE data batch regardless of the fixture's file layout —
     required by consumers whose determinism contract is
     one-data-batch-then-watermark-flush (t14).
+
+    ``sentinel_events=True`` appends a FINAL micro-batch file holding one
+    far-future event per type-class (a 'purchase' and a 'click' at
+    join.SENTINEL_DATE) — end-of-input punctuation for WATERMARKED
+    consumers: a bounded replay's watermark trails the max seen event
+    time, so a leg whose real data ends early can never finalize its own
+    trailing day-windows (r10 fuzz catch on a single-purchase generated
+    feed: the stock leg closed NOTHING and t21's join lost a both-halves
+    day the batch oracle keeps; on the dense fixture only the excluded
+    DEFAULT_AS_OF day stays open, which is why fixtures never saw it).
+    The sentinel's own window never finalizes, so no 2099 row reaches
+    any sink; downstream filters drop the raw rows by date bound.
     """
     import atexit
     import os
@@ -133,6 +146,44 @@ def events_stream(
             sorted(x for x in os.listdir(stage) if x.endswith(".parquet"))
         ):
             os.utime(os.path.join(stage, f), (base_t + i, base_t + i))
+    if sentinel_events:
+        import time as _time
+
+        before = set(os.listdir(stage))
+        one = spark.read.parquet(src).limit(1)
+        if isinstance(ts_type, T.LongType):  # fixture NANOS layout
+            import calendar
+
+            ts_lit = F.lit(
+                calendar.timegm((2099, 12, 31, 0, 0, 0)) * 1_000_000_000
+            ).cast("long")
+        else:
+            ts_lit = F.to_timestamp(F.lit("2099-12-31 00:00:00")).cast(ts_type)
+
+        def _sent(etype: str, eid: int) -> DataFrame:
+            vals = {
+                "event_id": F.lit(eid).cast("long"),
+                "ts": ts_lit,
+                "user_id": F.lit(0).cast("long"),
+                "event_type": F.lit(etype),
+                "value": F.lit(0.0),
+                "props": F.lit('{"k": 0}'),
+            }
+            return one.select(
+                *[
+                    vals.get(f.name, F.col(f.name)).alias(f.name)
+                    for f in one.schema.fields
+                ]
+            )
+
+        _sent("purchase", 2**61).unionByName(_sent("click", 2**61 + 1)).coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+        # the punctuation file must REPLAY LAST: newest mtime by a margin
+        t_last = _time.time() + 5
+        for f in set(os.listdir(stage)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(stage, f), (t_last, t_last))
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

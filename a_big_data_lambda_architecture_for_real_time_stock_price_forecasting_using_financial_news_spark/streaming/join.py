@@ -284,11 +284,21 @@ def lambda_speed_view_option_b(
     # chunking is the Kafka-log replay model Option B is defined over —
     # and this asymmetry (A tolerates unbounded disorder, B does not) is
     # itself part of the Option A-vs-B verdict.
-    stock_events = events_stream(spark, sf_dir, n_chunks=n_chunks, chunk_by="ts").filter(
-        F.col("event_type") == "purchase"
-    )
+    # sentinel_events: end-of-input punctuation IN the raw replay, so each
+    # leg's stage-1 watermark can close the leg's own trailing days. The
+    # join-stage sentinel (append_sentinel below) cannot do this — it
+    # punctuates the day-state streams, but a leg whose raw data ends
+    # early (a feed with one purchase, say) would otherwise finalize NO
+    # windows at all and the join would lose both-halves days the batch
+    # oracle keeps (r10 fuzz catch; invisible on the dense fixture where
+    # only the excluded DEFAULT_AS_OF day stays open).
+    stock_events = events_stream(
+        spark, sf_dir, n_chunks=n_chunks, chunk_by="ts", sentinel_events=True
+    ).filter(F.col("event_type") == "purchase")
     news_events = (
-        events_stream(spark, sf_dir, n_chunks=n_chunks, chunk_by="ts")
+        events_stream(
+            spark, sf_dir, n_chunks=n_chunks, chunk_by="ts", sentinel_events=True
+        )
         .filter(F.col("event_type") != "purchase")
         .withColumn("k", F.from_json(F.col("props").cast("string"), EVENT_PROPS)["k"])
     )

@@ -1555,3 +1555,22 @@ def test_t19_time_travel_empty_first_merge(spark, tmp_path_factory):
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", rows, EVENTS_SCHEMA)
     _check(spark, tmp, "t19_time_travel", ["events"])
+
+
+def test_t21_stream_join_single_purchase_feed(spark, tmp_path_factory):
+    """Regression (r10): a feed with exactly ONE purchase event gave the
+    stock leg a watermark that never passed any window end — stage 1
+    finalized nothing and the join lost a both-halves day the batch
+    oracle keeps. The raw-replay sentinel events (end-of-input
+    punctuation per leg) must close every real day."""
+    rows = _events_rows(
+        [
+            (13, 73600, 4, "click", 16498),
+            (13, 0, 0, "purchase", 0),
+            (0, 0, 0, "click", 0),
+        ]
+    )
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "events", rows, EVENTS_SCHEMA)
+    _check(spark, tmp, "t21_speed_view_stream_join", ["events"])
