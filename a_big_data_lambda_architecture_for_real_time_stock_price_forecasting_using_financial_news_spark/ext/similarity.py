@@ -1214,8 +1214,16 @@ def topk_ivfpq_adc(
         F.col(id_col).alias("query_id"), ivf_cell(F.col(emb_col), dims).alias("cell")
     )
     q = F.broadcast(lut.join(qmeta, "query_id"))
+    # fold over the subspaces the CODEBOOK actually has, not a hardcoded
+    # 1..PQ_M: vectors shorter than PQ_M*SUB_DIM dims leave the trailing
+    # subspaces' slices empty, Lloyd's recompute then keeps no centroids
+    # for them, and code/lut both carry size(books.m) < PQ_M entries —
+    # ANSI element_at(lut, m) threw where DuckDB indexed NULL (r10 fuzz
+    # catch on a 1-dim generated corpus; the fixture's 64 dims always
+    # fill all 4). code and lut are m-sorted over the SAME m set by
+    # construction, so position i is the same subspace in both.
     adc = F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.sequence(F.lit(1), F.size(F.col("code"))),
         F.lit(0.0),
         lambda acc, m: acc
         + F.element_at(
@@ -1322,7 +1330,9 @@ def topk_ivfpq_adc_sql(
       SELECT q.query_id, c.vec_id AS neighbor_id,
              list_reduce(
                list_prepend(0.0,
-                 list_transform(range(1, {PQ_M} + 1),
+                 -- over the PRESENT subspaces (len(code) == len(lut)),
+                 -- mirroring the engine's size(code)-bounded fold
+                 list_transform(range(1, len(c.code) + 1),
                                 m -> q.lut[m][c.code[m]])),
                (acc, x) -> acc + x) AS adc_dist
       FROM lut q JOIN codes c ON q.cell = c.cell AND q.query_id <> c.vec_id

@@ -1574,3 +1574,19 @@ def test_t21_stream_join_single_purchase_feed(spark, tmp_path_factory):
     os.makedirs(tmp, exist_ok=True)
     _stage(spark, tmp, "events", rows, EVENTS_SCHEMA)
     _check(spark, tmp, "t21_speed_view_stream_join", ["events"])
+
+
+def test_s12_ivfpq_short_vectors(spark, tmp_path_factory):
+    """Regression (r10): a corpus whose dim < PQ_M*SUB_DIM leaves the
+    trailing PQ subspaces with empty slices; Lloyd keeps no centroids
+    for them, code/lut shrink below PQ_M, and the ADC fold must bound
+    itself by the PRESENT subspaces instead of throwing ANSI
+    element_at out-of-bounds (DuckDB indexed NULL)."""
+    rows = [(i, [float(v)], i % 3) for i, v in enumerate([0.0, 0.0, 1.0, -1.0])]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, "s12_ann_ivfpq_adc", ["embeddings"])
