@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import phash60, phash60_sql
+from .hashing import FP_BASE, FP_MOD, phash60, phash60_sql
 from .text import tokens, tokens_sql
 
 # minhash/LSH parameters: k = bands * rows
@@ -1238,4 +1238,196 @@ def containment_pairs_sql(table: str, id_col: str, text_col: str) -> str:
              AS containment
     FROM ex
     WHERE 10 * inter >= 9 * n_small
+    """
+
+
+# --- substring-level exact dedup (d18) ---------------------------------------
+#
+# The last rung of the dedup ladder (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): after document-level
+# passes, real corpus pipelines still carry LONG VERBATIM SUBSTRINGS
+# shared across otherwise-distinct documents (quoted articles, license
+# blocks, templated intros). The paper builds a corpus-wide suffix array;
+# that is a single-machine construction. The distributed re-expression:
+# content-defined chunks (x36's Rabin-style boundaries, which
+# re-synchronize one chunk after any edit) fingerprinted per document,
+# an equi-join of fingerprints ACROSS documents, then a gaps-and-islands
+# stitch of ADJACENT shared chunks on a common (doc_a, doc_b) diagonal
+# into maximal shared spans — never a suffix array in the driver.
+
+SUB_BOUNDARY_MOD = 8  # cut BEFORE tokens whose hash % 8 == 0 (~8-token chunks)
+SUB_DF_CAP = 8  # chunks shared by more docs are boilerplate (x36's report owns those)
+SUB_MIN_TOKS = 20  # report spans >= this many tokens (paper uses 50 on web-scale docs)
+
+
+def substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> DataFrame:
+    """Maximal cross-document verbatim substring spans >= ``min_toks`` tokens.
+
+    Pipeline (every stage an equi-keyed shuffle, no all-pairs anywhere):
+
+    1. one portable hash per token, reused for BOTH the boundary test
+       (``ph % boundary_mod == 0``) and the chunk fingerprint fold
+       (``ph % FP_MOD``) — the x36 never-recompute rule;
+    2. chunk ids are a per-doc running boundary count (one window
+       partitioned by doc — embarrassingly parallel), each chunk folds to
+       an order-sensitive rolling fingerprint inside the agg projection;
+    3. document frequency per fingerprint gates the join: only chunks in
+       ``2..df_cap`` distinct docs pair up. The cap bounds the self-join
+       fan-out at sum(min(df, cap)^2) — super-frequent chunks are
+       boilerplate, a different signal (x36 reports them corpus-wide);
+    4. the cross-doc pair join is an EQUI-join on chunk_hash with
+       ``doc_a < doc_b`` (each unordered pair exactly once);
+    5. adjacent shared chunks stitch via gaps-and-islands on the
+       (doc_a, doc_b, ia - ib) diagonal: chunk index minus its rank is
+       constant exactly on a consecutive run, so one groupBy emits each
+       MAXIMAL shared span (the suffix-array answer, distributed).
+
+    Scale: the chunk table is ~N_tokens/boundary_mod rows; df-gating is a
+    corpus-wide hash agg; the pair join's key cardinality is the shared-
+    fingerprint set and its worst key fan-out is df_cap^2; the islands
+    window partitions by (doc_a, doc_b, diag) — millions of tiny
+    partitions, never a global sort. A 100 TB corpus runs this after
+    d1/d2 document-level passes, exactly like the paper's pipeline."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    h = toks.select("doc_id", "pos", phash60(F.col("t")).alias("ph"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    c = h.withColumn(
+        "cidx",
+        F.sum(F.when(F.col("ph") % boundary_mod == 0, 1).otherwise(0)).over(w),
+    )
+    g = c.groupBy("doc_id", "cidx").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("pos").alias("p"), (F.col("ph") % FP_MOD).alias("s"))
+            )
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_toks"),
+        # 1-based token positions in the OUTPUT (posexplode is 0-based,
+        # the oracle's unnest(range(1, ..)) is 1-based)
+        (F.min("pos") + 1).alias("pos0"),
+    )
+    fp = g.select(
+        "doc_id",
+        "cidx",
+        "n_toks",
+        "pos0",
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * FP_BASE + x["s"]) % FP_MOD,
+        ).alias("chunk_hash"),
+    ).persist()  # cache: caller-owns (feeds the df-gate agg + both pair-join sides)
+    dfreq = (
+        fp.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
+        .select("chunk_hash")
+    )
+    shared = fp.join(dfreq, "chunk_hash")
+    a = shared.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("cidx").alias("ia"),
+        "chunk_hash",
+        "n_toks",
+        F.col("pos0").alias("pos_a"),
+    )
+    b = shared.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("cidx").alias("ib"),
+        "chunk_hash",
+        F.col("pos0").alias("pos_b"),
+    )
+    pairs = a.join(b, "chunk_hash").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("ia") - F.col("ib")).alias("diag")
+    rw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = pairs.select(
+        "doc_a", "doc_b", "ia", "n_toks", "pos_a", "pos_b", diag
+    ).withColumn("run_id", F.col("ia") - F.row_number().over(rw))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_toks").cast("bigint").alias("span_toks"),
+        F.min("pos_a").cast("bigint").alias("start_a"),
+        F.min("pos_b").cast("bigint").alias("start_b"),
+    )
+    return spans.filter(F.col("span_toks") >= min_toks).select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "n_chunks",
+        "span_toks",
+    )
+
+
+def substring_spans_sql(
+    table: str,
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> str:
+    """DuckDB twin of :func:`substring_spans` — same hashes, same chunking,
+    same df gate, same islands stitch, so candidates and spans agree
+    bit-for-bit with the Spark plan."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS tl FROM {table}
+    ), toks AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.t AS t
+      FROM base, unnest(list_transform(range(1, len(tl) + 1),
+           i -> struct_pack(pos := i, t := tl[i]))) AS u(s)
+    ), h AS (
+      SELECT doc_id, pos, {phash60_sql('t')} AS ph FROM toks
+    ), c AS (
+      SELECT doc_id, pos, ph,
+             sum(CASE WHEN ph % {boundary_mod} = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS cidx
+      FROM h
+    ), g AS (
+      SELECT doc_id, cidx,
+             list(ph % {FP_MOD} ORDER BY pos) AS hs,
+             count(*) AS n_toks, min(pos) AS pos0
+      FROM c GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id, cidx, n_toks, pos0,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                         (acc, t) -> (acc * {FP_BASE} + t) % {FP_MOD})
+               AS chunk_hash
+      FROM g
+    ), dfreq AS (
+      SELECT chunk_hash FROM fp GROUP BY 1
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {df_cap}
+    ), shared AS (
+      SELECT f.* FROM fp f JOIN dfreq USING (chunk_hash)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.cidx AS ia, a.cidx - b.cidx AS diag,
+             a.n_toks AS n_toks, a.pos0 AS pos_a, b.pos0 AS pos_b
+      FROM shared a JOIN shared b
+        ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT *, ia - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS run_id
+      FROM pairs
+    ), spans AS (
+      SELECT doc_a, doc_b,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(n_toks) AS BIGINT) AS span_toks,
+             CAST(min(pos_a) AS BIGINT) AS start_a,
+             CAST(min(pos_b) AS BIGINT) AS start_b
+      FROM runs GROUP BY doc_a, doc_b, diag, run_id
+    )
+    SELECT doc_a, doc_b, start_a, start_b, n_chunks, span_toks
+    FROM spans WHERE span_toks >= {min_toks}
     """

@@ -1221,13 +1221,19 @@ def topk_ivfpq_adc(
     # ANSI element_at(lut, m) threw where DuckDB indexed NULL (r10 fuzz
     # catch on a 1-dim generated corpus; the fixture's 64 dims always
     # fill all 4). code and lut are m-sorted over the SAME m set by
-    # construction, so position i is the same subspace in both.
+    # construction, so position i is the same subspace in both — and the
+    # lookups are try_element_at (the ivf_cell precedent) so that if the
+    # invariant ever shifts (e.g. per-query subspace pruning makes
+    # len(lut) < len(code)) BOTH engines degrade identically to a NULL
+    # distance instead of Spark alone throwing ANSI element_at
+    # (ADVICE r10 item 3).
     adc = F.aggregate(
         F.sequence(F.lit(1), F.size(F.col("code"))),
         F.lit(0.0),
         lambda acc, m: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), m), F.element_at(F.col("code"), m)
+        + F.try_element_at(
+            F.try_element_at(F.col("lut"), m),
+            F.try_element_at(F.col("code"), m),
         ),
     )
     scored = (
@@ -1429,6 +1435,15 @@ def topk_mips_sql(
 # --- semantic dedup (SemDeDup: cluster-blocked embedding dedup) --------------
 
 SEM_TAU = 0.35  # within-cluster cosine above this = semantic duplicate
+# Skewed-cell salting for the within-cell pair pass: cells larger than
+# SEM_SALT_CELL split into SEM_SALT_B salted sub-blocks on the self-join
+# key, so one hot cell's quadratic work spreads over SEM_SALT_B reducers
+# instead of landing on one. Pair coverage is exact (each unordered pair
+# appears exactly once — the probe side replicates over all blocks, the
+# build side keeps its own hash block, and id_a < id_b dedups), so the
+# verdict set is identical salted or not.
+SEM_SALT_CELL = 512
+SEM_SALT_B = 8
 
 
 def _nonzero_vec(emb_col: str):
@@ -1449,6 +1464,8 @@ def semantic_dedup(
     iters: int = KM_ITERS,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    salt_cell: int = SEM_SALT_CELL,
+    salt_b: int = SEM_SALT_B,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means clustering + WITHIN-CLUSTER pairwise cosine — the embedding
@@ -1474,9 +1491,13 @@ def semantic_dedup(
     persisted (vec_id, cid, e, nrm) table on cid — ONE shuffle keyed on
     cid per side; the removal map is a tiny groupBy + left join back.
     At 100 TB: cells are the unit of work (the paper runs 50k clusters
-    over 5B embeddings); skewed cells split by salting the self-join
-    key, and the cosine threshold filter runs INSIDE the join's
-    projection so no pair table ever materializes."""
+    over 5B embeddings); skewed cells ARE salted here — cells above
+    ``salt_cell`` rows split into ``salt_b`` sub-blocks on the join key
+    (probe side explodes over all blocks, build side hashes into one;
+    the per-cell block count rides a broadcast k-row size map), so a hot
+    cell's |cell|^2 work lands on salt_b reducers instead of one. The
+    cosine threshold filter runs INSIDE the join's projection so no pair
+    table ever materializes."""
     emb = df.filter(_nonzero_vec(emb_col))
     cents = train_kmeans_centroids(emb, km_k, iters, id_col, emb_col)
     base = emb.select(
@@ -1489,18 +1510,47 @@ def semantic_dedup(
         .select("vec_id", "cid", "e", norm(F.col("e")).alias("nrm"))
         .persist()  # cache: caller-owns — feeds both self-join sides + final left join
     )
-    a, b = cells.alias("a"), cells.alias("b")
+    # per-cell block count: 1 for small cells, salt_b for skewed ones —
+    # a k-row broadcast map, never a corpus-wide shuffle
+    blocks = F.broadcast(
+        cells.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .select(
+            "cid",
+            F.when(F.col("cell_n") > salt_cell, F.lit(salt_b))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("nb"),
+        )
+    )
+    withnb = cells.join(blocks, "cid")
+    a = withnb.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("blk"),
+    )
+    b = withnb.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.pmod(F.xxhash64("vec_id"), F.col("nb").cast("bigint"))
+        .cast("int")
+        .alias("blk"),
+    )
     pairs = (
-        a.join(b, "cid")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, ["cid", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
         # spelled dot/(na*nb) exactly like cosine_sql so the doubles (and
         # therefore the >= tau decisions) agree bit-for-bit cross-engine
         .withColumn(
             "score",
-            dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
+            dot(F.col("e_a"), F.col("e_b")) / (F.col("nrm_a") * F.col("nrm_b")),
         )
         .filter(F.col("score") >= tau)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .select("id_a", "id_b")
     )
     rm = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
     return (

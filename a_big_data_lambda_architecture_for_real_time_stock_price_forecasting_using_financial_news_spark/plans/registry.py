@@ -15562,14 +15562,15 @@ def _bpe_oracle(n_merges: int = 3, final: str | None = None) -> str:
       SELECT CAST({k} AS BIGINT) AS merge_no, pa, pb, cnt
       FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
     ), r{k} AS (
-      SELECT list_reduce(string_split(rep, ' '),
+      SELECT CASE WHEN t.pa IS NULL THEN rep
+             ELSE list_reduce(string_split(rep, ' '),
                (acc, x) -> CASE
                  WHEN x = t.pb
                       AND (acc = t.pa OR ends_with(acc, ' ' || t.pa))
                  THEN left(acc, length(acc) - length(t.pa)) || t.pa || t.pb
-                 ELSE acc || ' ' || x END) AS rep,
+                 ELSE acc || ' ' || x END) END AS rep,
              freq
-      FROM r{k - 1}, t{k} AS t
+      FROM r{k - 1} LEFT JOIN t{k} AS t ON TRUE
     )"""
         )
     if final is None:
@@ -15622,13 +15623,19 @@ def x40_bpe_merges(spark, sf_dir):
 
 #: exact greedy left-to-right BPE merge of the 1-row broadcast pair
 #: (_pa, _pb) into the space-joined symbol string `rep` — see x40's
-#: docstring for the list_reduce equivalence argument
+#: docstring for the list_reduce equivalence argument. Guarded on an
+#: EMPTY winner (ADVICE r10): when a merge round finds no pairs (corpus
+#: fully fused before the last round — e.g. a single-character vocab),
+#: the winner relation is empty; the fold round must then be a NO-OP
+#: (left-join NULL `_pa` keeps `rep`), never an empty crossJoin that
+#: silently drops the whole word-type table.
 _BPE_FOLD = (
+    "IF(_pa IS NULL, rep, "
     "aggregate(slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1), "
     "split(rep, ' ')[0], "
     "(acc, x) -> IF(x = _pb AND (acc = _pa OR endswith(acc, concat(' ', _pa))), "
     "concat(left(acc, length(acc) - length(_pa)), _pa, _pb), "
-    "concat(acc, ' ', x)))"
+    "concat(acc, ' ', x))))"
 )
 
 
@@ -15682,12 +15689,20 @@ def _bpe_train(spark, sf_dir: str, n_merges: int = 3):
             .select(F.lit(k).cast("bigint").alias("merge_no"), "pa", "pb", "cnt")
         )
         tops.append(top)
-        cur = (
-            cur.crossJoin(
-                F.broadcast(
-                    top.select(F.col("pa").alias("_pa"), F.col("pb").alias("_pb"))
-                )
+        # LEFT join on a constant key, not crossJoin: an EMPTY winner
+        # (no pairs left to merge) must leave `rep` untouched, not erase
+        # the word-type table (ADVICE r10 — the oracle goes empty
+        # identically, so only this guard makes the arm reachable-safe)
+        winner = F.broadcast(
+            top.select(
+                F.lit(1).alias("_k"),
+                F.col("pa").alias("_pa"),
+                F.col("pb").alias("_pb"),
             )
+        )
+        cur = (
+            cur.withColumn("_k", F.lit(1))
+            .join(winner, "_k", "left")
             .select(F.expr(_BPE_FOLD).alias("rep"), "freq")
             .localCheckpoint()
         )
@@ -17731,14 +17746,15 @@ def _bpe_fertility_oracle(n_merges: int = 3) -> str:
       SELECT pa, pb FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
     ), r{k} AS (
       SELECT lang,
-             list_reduce(string_split(rep, ' '),
+             CASE WHEN t.pa IS NULL THEN rep
+             ELSE list_reduce(string_split(rep, ' '),
                (acc, x) -> CASE
                  WHEN x = t.pb
                       AND (acc = t.pa OR ends_with(acc, ' ' || t.pa))
                  THEN left(acc, length(acc) - length(t.pa)) || t.pa || t.pb
-                 ELSE acc || ' ' || x END) AS rep,
+                 ELSE acc || ' ' || x END) END AS rep,
              freq, wlen
-      FROM r{k - 1}, t{k} AS t
+      FROM r{k - 1} LEFT JOIN t{k} AS t ON TRUE
     )"""
         )
     parts.append(
@@ -17834,10 +17850,17 @@ def x45_tokenizer_fertility(spark, sf_dir):
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
             .orderBy(F.desc("cnt"), "pa", "pb")
             .limit(1)
-            .select(F.col("pa").alias("_pa"), F.col("pb").alias("_pb"))
+            .select(
+                F.lit(1).alias("_k"),
+                F.col("pa").alias("_pa"),
+                F.col("pb").alias("_pb"),
+            )
         )
+        # same empty-winner guard as _bpe_train: a round with no pairs
+        # left must no-op, never empty the lang-keyed word-type table
         cur = (
-            cur.crossJoin(F.broadcast(top))
+            cur.withColumn("_k", F.lit(1))
+            .join(F.broadcast(top), "_k", "left")
             .select("lang", F.expr(_BPE_FOLD).alias("rep"), "freq", "wlen")
             .localCheckpoint()
         )
@@ -17935,3 +17958,38 @@ def pipe4_export_manifest(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+@register(
+    "d18_substring_dedup",
+    _dd.substring_spans_sql("documents"),
+)
+def d18_substring_dedup(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022) — the LAST rung of
+    the dedup ladder: d1 dedups whole documents, d8 fixed passages, x36
+    reports shared content-defined chunks; this entry finds MAXIMAL
+    cross-document verbatim substring spans — the quoted-article /
+    license-block / templated-intro duplication that survives every
+    document-level pass and that the paper removes with a corpus-wide
+    suffix array. Distributed re-expression (ext/dedup.substring_spans):
+    content-defined chunk fingerprints (boundaries re-synchronize one
+    chunk after any edit, so a shared TAIL still collides even when the
+    head was edited) equi-join across documents, then adjacent shared
+    chunks stitch into maximal spans via gaps-and-islands on the
+    (doc_a, doc_b, chunk-index-difference) diagonal — chunk index minus
+    rank is constant exactly on a consecutive run, so one groupBy emits
+    each maximal span once. Output: (doc_a, doc_b, start_a, start_b,
+    n_chunks, span_toks) per span >= 20 tokens (the paper's production
+    floor is 50 on web-scale docs; the fixture's ~55-token docs need the
+    lower floor to exercise multi-chunk stitching).
+
+    Scale: never a suffix array in the driver — the chunk table is
+    ~N_tokens/8 rows built by one per-doc window; the document-frequency
+    gate (2..8 docs) bounds the pair join's worst key fan-out at df_cap^2
+    (boilerplate chunks shared by MORE docs are a different signal, x36's
+    corpus-wide report owns them); the islands window partitions by
+    (doc_a, doc_b, diag) — millions of tiny partitions, no global sort.
+    Reference parity: the reference has no dedup at all (its news
+    pipeline trusts the feed); this is part of the beyond-reference
+    training-data battery."""
+    return _dd.substring_spans(tbl(spark, sf_dir, "documents"))

@@ -80,17 +80,30 @@ def events_stream(
     required by consumers whose determinism contract is
     one-data-batch-then-watermark-flush (t14).
 
-    ``sentinel_events=True`` appends a FINAL micro-batch file holding one
-    far-future event per type-class (a 'purchase' and a 'click' at
-    join.SENTINEL_DATE) — end-of-input punctuation for WATERMARKED
-    consumers: a bounded replay's watermark trails the max seen event
-    time, so a leg whose real data ends early can never finalize its own
-    trailing day-windows (r10 fuzz catch on a single-purchase generated
-    feed: the stock leg closed NOTHING and t21's join lost a both-halves
-    day the batch oracle keeps; on the dense fixture only the excluded
+    ``sentinel_events=True`` appends a FINAL micro-batch file holding TWO
+    far-future events per type-class (a 'purchase' and a 'click' at
+    join.SENTINEL_DATE, plus one more of each two days later — the
+    "pusher") — end-of-input punctuation for WATERMARKED consumers: a
+    bounded replay's watermark trails the max seen event time, so a leg
+    whose real data ends early can never finalize its own trailing
+    day-windows (r10 fuzz catch on a single-purchase generated feed: the
+    stock leg closed NOTHING and t21's join lost a both-halves day the
+    batch oracle keeps; on the dense fixture only the excluded
     DEFAULT_AS_OF day stays open, which is why fixtures never saw it).
-    The sentinel's own window never finalizes, so no 2099 row reaches
-    any sink; downstream filters drop the raw rows by date bound.
+    The pusher exists so the SENTINEL_DATE window itself finalizes
+    (watermark must pass its end): a windowed-agg consumer thereby emits
+    exactly ONE punctuation day-state row, which downstream watermarked
+    stages use to close THEIR trailing windows in-band — necessary
+    because a streaming file sink's ``_spark_metadata`` log makes
+    batch-appended punctuation invisible to any stream reading the sink
+    (the r11 append_sentinel finding). The pusher's own window never
+    finalizes, so exactly one far-future row per leg exists anywhere,
+    every consumer drops it by date bound before its own sinks, and
+    PRODUCTION semantics need none of this: a live feed's continuing
+    event flow advances watermarks by itself — the sentinel pair is
+    strictly a bounded-replay device (pytest-pinned: sentinel rows are
+    absent from every sink even when the feed carries event types the
+    sentinel map never anticipated).
     """
     import atexit
     import os
@@ -151,16 +164,19 @@ def events_stream(
 
         before = set(os.listdir(stage))
         one = spark.read.parquet(src).limit(1)
-        if isinstance(ts_type, T.LongType):  # fixture NANOS layout
-            import calendar
 
-            ts_lit = F.lit(
-                calendar.timegm((2099, 12, 31, 0, 0, 0)) * 1_000_000_000
-            ).cast("long")
-        else:
-            ts_lit = F.to_timestamp(F.lit("2099-12-31 00:00:00")).cast(ts_type)
+        def _ts_lit(y: int, mo: int, d: int):
+            if isinstance(ts_type, T.LongType):  # fixture NANOS layout
+                import calendar
 
-        def _sent(etype: str, eid: int) -> DataFrame:
+                return F.lit(
+                    calendar.timegm((y, mo, d, 0, 0, 0)) * 1_000_000_000
+                ).cast("long")
+            return F.to_timestamp(
+                F.lit(f"{y}-{mo:02d}-{d:02d} 00:00:00")
+            ).cast(ts_type)
+
+        def _sent(etype: str, eid: int, ts_lit) -> DataFrame:
             vals = {
                 "event_id": F.lit(eid).cast("long"),
                 "ts": ts_lit,
@@ -176,9 +192,21 @@ def events_stream(
                 ]
             )
 
-        _sent("purchase", 2**61).unionByName(_sent("click", 2**61 + 1)).coalesce(
-            1
-        ).write.mode("append").parquet(stage)
+        # SENTINEL_DATE pair + the pusher pair two days later: the pusher
+        # drags each consumer's watermark PAST the sentinel window's end
+        # so the one punctuation day finalizes; the pusher's own window
+        # never does (see the docstring's honesty contract)
+        sent = _ts_lit(2099, 12, 31)
+        push = _ts_lit(2100, 1, 2)
+        (
+            _sent("purchase", 2**61, sent)
+            .unionByName(_sent("click", 2**61 + 1, sent))
+            .unionByName(_sent("purchase", 2**61 + 2, push))
+            .unionByName(_sent("click", 2**61 + 3, push))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
         # the punctuation file must REPLAY LAST: newest mtime by a margin
         t_last = _time.time() + 5
         for f in set(os.listdir(stage)) - before:

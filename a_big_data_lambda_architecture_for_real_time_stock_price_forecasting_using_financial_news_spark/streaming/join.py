@@ -43,11 +43,16 @@ WHY the engine's production path is Option A.)
 
 Bounded-replay completion: a bounded file stream can never close its
 last ``delay`` of event time (the watermark trails the max seen event
-time forever), so after the real data is staged, :func:`append_sentinel`
-appends one far-future punctuation row per leg — the streaming
-equivalent of a batch job's end-of-input. The join then closes and
-GC's every real day; the sentinel row itself is filtered by date
-bound. Reference files cited above; no reference code is reused.
+time forever), so the raw replay is punctuated IN-BAND
+(ingest.events_stream ``sentinel_events``): stage 1 finalizes one
+far-future punctuation day-state row per leg through its own streaming
+sink — the streaming equivalent of a batch job's end-of-input, carried
+through the sink's ``_spark_metadata`` log like any real row (a
+batch-appended file would be invisible to stage 2, the r11 finding).
+Stage 2 filters the punctuation row AFTER its watermark node, so the
+join closes and GC's every real day while no sentinel ever enters join
+state or a sink. Production needs none of this: a live feed's
+continuing event flow advances watermarks by itself. Reference files cited above; no reference code is reused.
 """
 
 from __future__ import annotations
@@ -160,12 +165,19 @@ SENTINEL_DATE = "2099-12-31"
 
 
 def append_sentinel(spark: SparkSession, out_dir: str, leg: str) -> None:
-    """Append the end-of-input punctuation row to a staged day-state dir.
+    """Append the end-of-input punctuation row to a BATCH-staged day-state
+    dir (tests that hand-write day states and drive the join directly).
 
     Carries the leg's own non-null shape (zeros) so it looks like any
     other day-state row to the reader; its only job is to drag the join
     watermark past every real day so bounded replays close completely.
-    """
+
+    NOT valid for a day-state dir produced by a STREAMING sink: such a
+    dir carries a ``_spark_metadata`` log, FileStreamSource trusts the
+    log over a directory listing, and a batch-appended file is silently
+    invisible to every downstream stream (the r11 finding that removed
+    this call from lambda_speed_view_option_b — the production path
+    punctuates IN-BAND through stage 1 instead)."""
     zero_dec = F.lit(0).cast(DEC)
     base = spark.range(1).select(
         F.to_timestamp(F.lit(SENTINEL_DATE)).alias("day_ts"),
@@ -196,11 +208,21 @@ def speed_view_stream_join(
     emitted NULL-padded — the Lambda answer to "news day with no
     trades" (and vice versa), which Option A expresses as a partial
     view row. State held is O(open days), independent of raw volume.
+
+    Punctuation handling: each leg's day-state stream may carry ONE
+    far-future SENTINEL_DATE row (stage 1 finalizes it when the raw
+    replay was punctuated — see ingest.events_stream). It is filtered
+    AFTER ``withWatermark``, so it advances the join watermark (closing
+    every real trailing day) but never enters join state, never reaches
+    the sink, and never meets a partner — sentinel-free sinks by
+    construction, not by output filtering.
     """
+    not_sentinel = F.col("day_ts") < F.to_timestamp(F.lit(SENTINEL_DATE))
     stock = (
         spark.readStream.schema(DAY_STATE_SCHEMA)
         .parquet(stock_dir)
         .withWatermark("day_ts", delay)
+        .filter(not_sentinel)
         .select(
             "day_ts",
             "event_date",
@@ -217,6 +239,7 @@ def speed_view_stream_join(
         spark.readStream.schema(DAY_STATE_SCHEMA)
         .parquet(news_dir)
         .withWatermark("day_ts", delay)
+        .filter(not_sentinel)
         .select("day_ts", "event_date", "sum_score", "nbr_article")
         .alias("n")
     )
@@ -310,8 +333,14 @@ def lambda_speed_view_option_b(
     run_day_state_stage(
         spark, "news", news_events, news_dir, os.path.join(root, "ckpt_news")
     )
-    append_sentinel(spark, stock_dir, "stock")
-    append_sentinel(spark, news_dir, "news")
+    # No append_sentinel here (r11 finding): the day-state dirs are
+    # STREAMING file sinks, and FileStreamSource honors their
+    # _spark_metadata log — a batch-appended punctuation file is
+    # INVISIBLE to stage 2 (measured: the appended row never reached the
+    # join). Punctuation is in-band instead: the raw-replay sentinels
+    # (sentinel_events above) finalize ONE far-future day-state row per
+    # leg through stage 1's own sink, which stage 2 reads, uses to close
+    # trailing days, and filters before its join (speed_view_stream_join).
     return run_speed_view_join(
         spark,
         stock_dir,

@@ -1288,3 +1288,76 @@ def test_ivfpq_adc_survives_empty_pq_cluster(spark, tmp_path):
     assert [
         (r.query_id, r.neighbor_id, r.adc_dist, r.rank) for r in got
     ] == [tuple(w) for w in want]
+
+
+def test_substring_spans_resyncs_after_edit(spark):
+    """d18's content-defined boundaries must RE-SYNCHRONIZE after an
+    insertion: doc 11 = doc 10 with one word injected near the front, so
+    fixed-window passages would lose every fingerprint after the edit,
+    but CDC chunks recover — a long shared span over the untouched tail
+    must still surface (on a shifted diagonal when the insertion adds a
+    boundary, diagonal 0 otherwise)."""
+    base_toks = [f"word{i}" for i in range(80)]
+    edited = base_toks[:5] + ["inserted"] + base_toks[5:]
+    rows = [
+        Row(doc_id=10, text=" ".join(base_toks), lang="en", source="s"),
+        Row(doc_id=11, text=" ".join(edited), lang="en", source="s"),
+    ]
+    out = dedup.substring_spans(spark.createDataFrame(rows)).collect()
+    assert out, "no shared span found after a single-word insertion"
+    best = max(out, key=lambda r: r.span_toks)
+    assert best.doc_a == 10 and best.doc_b == 11
+    # the tail after the edit is 75 shared tokens; at least the portion
+    # after the next chunk boundary must be recovered
+    assert best.span_toks >= 40
+
+
+def test_substring_spans_df_cap_drops_boilerplate(spark):
+    """Chunks shared by more than df_cap docs are boilerplate and must
+    NOT pair up (x36's corpus-wide report owns that signal): 12 docs
+    carrying the same license block produce no spans at cap 8, and the
+    same corpus passes with cap 16."""
+    block = " ".join(f"lic{i}" for i in range(40))
+    rows = [
+        Row(doc_id=i, text=block, lang="en", source="s") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    assert dedup.substring_spans(df, df_cap=8).count() == 0
+    assert dedup.substring_spans(df, df_cap=16).count() == 12 * 11 // 2
+
+
+def test_semantic_dedup_salted_verdicts_identical_under_skew(spark):
+    """d17's skewed-cell salting is a PHYSICAL rewrite only: a corpus
+    with one giant near-duplicate blob (everything lands in one k-means
+    cell) must produce the identical (vec_id, cid, kept, dup_of) rows
+    whether the hot cell salts into sub-blocks or not."""
+    rows = [
+        Row(vec_id=i, embedding=[1.0, 0.01 * (i % 7)], label=0)
+        for i in range(120)
+    ] + [
+        Row(vec_id=1000 + i, embedding=[-1.0, float(i)], label=1)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    unsalted = sorted(
+        map(tuple, similarity.semantic_dedup(df, salt_cell=10**9).collect())
+    )
+    salted = sorted(
+        map(tuple, similarity.semantic_dedup(df, salt_cell=16, salt_b=4).collect())
+    )
+    assert salted == unsalted
+    assert any(r[2] == 0 for r in salted), "blob produced no removals"
+
+
+def test_semantic_dedup_salted_pair_join_keys_on_block(spark):
+    """Plan pin for the salting: with a forced-low threshold the pair
+    join's key set includes the salt block alongside the cell id, and the
+    block map rides a broadcast (never a corpus-keyed shuffle)."""
+    rows = [
+        Row(vec_id=i, embedding=[1.0, 0.1 * (i % 5)], label=0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.semantic_dedup(df, salt_cell=8, salt_b=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "blk" in plan, "salt block column absent from the physical plan"
+    assert "CartesianProduct" not in plan

@@ -1590,3 +1590,81 @@ def test_s12_ivfpq_short_vectors(spark, tmp_path_factory):
         "vec_id long, embedding array<float>, label int",
     )
     _check(spark, tmp, "s12_ann_ivfpq_adc", ["embeddings"])
+
+
+# -- batch 11: d18 substring dedup on generated documents -------------------
+# Repeat-heavy corpora (one token block repeated many times collapses every
+# chunk fingerprint onto a handful of values — the df-cap arm), single-chunk
+# docs (no boundary token ever fires), identical docs (span = whole doc),
+# and empty docs all land here; the tiny vocab forces cross-doc chunk
+# collisions the fixture's English text never produces.
+_sub_docs = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["the", "and", "alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=6),  # repeat factor
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.parametrize("qname", ["d18_substring_dedup"])
+@settings(max_examples=6, deadline=None)
+@given(raw=_sub_docs)
+def test_batch11_d18_matches_oracle_on_generated_documents(
+    spark, tmp_path_factory, qname, raw
+):
+    rows = []
+    for i, (toks, rep) in enumerate(raw):
+        text = " ".join(toks * rep)
+        rows.append((i, text, "en", "web", len(text)))
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+
+
+def test_batch11_d18_identical_docs_span_whole_doc(spark, tmp_path_factory):
+    """Two byte-identical docs must share one maximal span on diagonal 0
+    covering every chunk — the degenerate arm where substring dedup and
+    document dedup (d1) agree; a third unrelated doc pairs with neither."""
+    shared = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, shared, "en", "web", len(shared)),
+        (2, shared, "en", "web", len(shared)),
+        (3, " ".join(f"zzz{i}" for i in range(60)), "en", "web", 0),
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, "d18_substring_dedup", ["documents"])
+    out = registry.QUERIES["d18_substring_dedup"](spark, tmp).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+    (span,) = out
+    assert span.span_toks == 60 and span.start_a == 1 and span.start_b == 1
+
+
+@pytest.mark.parametrize(
+    "qname", ["x40_bpe_merges", "x42_bpe_tokenize", "x45_tokenizer_fertility"]
+)
+def test_batch11_bpe_empty_merge_round_is_a_noop(
+    spark, tmp_path_factory, qname
+):
+    """Regression (ADVICE r10): a corpus that fully fuses before the last
+    merge round ('a' -> 'a</w>' after round 1; rounds 2-3 find NO pairs)
+    previously crossJoined an EMPTY winner and silently erased the whole
+    word-type table — x42/x45 returned zero rows and the oracle went
+    empty identically, so the value-hash gate could not catch it. The
+    guarded fold must no-op instead: x42's fused corpus and x45's
+    per-lang rows are non-empty, and both engines agree."""
+    rows = [(0, "a a a", "en", "web", 5), (1, "a", "en", "web", 1)]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, qname, ["documents"])
+    if qname != "x40_bpe_merges":  # x40's merge TABLE is legitimately short
+        assert registry.QUERIES[qname](spark, tmp).count() > 0

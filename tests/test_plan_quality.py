@@ -2192,6 +2192,23 @@ def test_m28_chi2_cells_reconcile_and_signal_lands(spark, sf_dir):
     strictly positive)."""
     rows = registry.QUERIES["m28_chi2_feature_select"](spark, sf_dir).collect()
     assert rows
+    # N computed INDEPENDENTLY of the output rows (ADVICE r10: summing
+    # per-lang class sizes of SURVIVING rows undercounts when a lang has
+    # no ranked terms): distinct tokenized docs, the oracle's `tot` CTE
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        text as _tx,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        tbl,
+    )
+
+    n_corpus = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.size(_tx.tokens(F.col("text"))) > 0)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
     n_total = {
         (r.lang): r.n_class_with + r.n_class_without for r in rows
     }
@@ -2203,7 +2220,7 @@ def test_m28_chi2_cells_reconcile_and_signal_lands(spark, sf_dir):
             + r.n_other_without
         )
         assert r.n_class_with + r.n_class_without == n_total[r.lang]
-        assert n == sum(v for k, v in n_total.items()) or True
+        assert n == n_corpus, (r.term, r.lang, n, n_corpus)
         if r.rank == 1:
             assert r.chi2 > 0
 
@@ -2242,4 +2259,7 @@ def test_pipe4_manifest_rides_the_funnel_scan(spark, sf_dir):
     for r in man:
         assert 0 <= r.shard < 16
         assert r.min_doc_id <= r.max_doc_id
-        assert r.n_tokens >= r.n_docs  # every kept doc has >= 5 ws tokens
+        # >= 1 token per kept doc: the g3 quality gate (>= 0.35) cannot
+        # pass a token-less doc. The length gate g1 is CHAR-based (>= 100
+        # chars), so no stronger per-doc token floor is guaranteed.
+        assert r.n_tokens >= r.n_docs
