@@ -1260,6 +1260,63 @@ SUB_DF_CAP = 8  # chunks shared by more docs are boilerplate (x36's report owns 
 SUB_MIN_TOKS = 20  # report spans >= this many tokens (paper uses 50 on web-scale docs)
 
 
+def _chunk_fps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document content-defined chunk fingerprints:
+    (doc_id, cidx, n_toks, pos0, chunk_hash[, carry...]).
+
+    One portable hash per token, reused for the boundary test
+    (``ph % boundary_mod == 0``) and the fingerprint fold (``ph %
+    FP_MOD``); chunk ids are a per-doc running boundary count (one
+    window partitioned by doc — embarrassingly parallel); each chunk
+    folds to an order-sensitive rolling fingerprint inside the agg
+    projection. ``carry`` columns must be constant per document (they
+    ride the window partition key and the chunk groupBy)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry],
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    h = toks.select(
+        "doc_id", *carry, "pos", phash60(F.col("t")).alias("ph")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    c = h.withColumn(
+        "cidx",
+        F.sum(F.when(F.col("ph") % boundary_mod == 0, 1).otherwise(0)).over(w),
+    )
+    g = c.groupBy("doc_id", *carry, "cidx").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("pos").alias("p"), (F.col("ph") % FP_MOD).alias("s"))
+            )
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_toks"),
+        # 1-based token positions in the OUTPUT (posexplode is 0-based,
+        # the oracle's unnest(range(1, ..)) is 1-based)
+        (F.min("pos") + 1).alias("pos0"),
+    )
+    return g.select(
+        "doc_id",
+        *carry,
+        "cidx",
+        "n_toks",
+        "pos0",
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * FP_BASE + x["s"]) % FP_MOD,
+        ).alias("chunk_hash"),
+    )
+
+
 def substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1297,38 +1354,7 @@ def substring_spans(
     d1/d2 document-level passes, exactly like the paper's pipeline."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
-    )
-    h = toks.select("doc_id", "pos", phash60(F.col("t")).alias("ph"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    c = h.withColumn(
-        "cidx",
-        F.sum(F.when(F.col("ph") % boundary_mod == 0, 1).otherwise(0)).over(w),
-    )
-    g = c.groupBy("doc_id", "cidx").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.col("pos").alias("p"), (F.col("ph") % FP_MOD).alias("s"))
-            )
-        ).alias("arr"),
-        F.count(F.lit(1)).alias("n_toks"),
-        # 1-based token positions in the OUTPUT (posexplode is 0-based,
-        # the oracle's unnest(range(1, ..)) is 1-based)
-        (F.min("pos") + 1).alias("pos0"),
-    )
-    fp = g.select(
-        "doc_id",
-        "cidx",
-        "n_toks",
-        "pos0",
-        F.aggregate(
-            F.col("arr"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * FP_BASE + x["s"]) % FP_MOD,
-        ).alias("chunk_hash"),
-    ).persist()  # cache: caller-owns (feeds the df-gate agg + both pair-join sides)
+    fp = _chunk_fps(df, id_col, text_col, boundary_mod).persist()  # cache: caller-owns (feeds the df-gate agg + both pair-join sides)
     dfreq = (
         fp.groupBy("chunk_hash")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
@@ -1430,4 +1456,232 @@ def substring_spans_sql(
     )
     SELECT doc_a, doc_b, start_a, start_b, n_chunks, span_toks
     FROM spans WHERE span_toks >= {min_toks}
+    """
+
+
+def substring_trim_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> DataFrame:
+    """The ACTIONABLE artifact on top of :func:`substring_spans`: per
+    victim document, the exact token budget a substring-dedup pass would
+    remove. The canonical rule is d1's — the LOWER doc_id of every span
+    keeps its copy, the higher one (``doc_b``) trims — so each span is a
+    half-open token interval [start_b, start_b + span_toks) on its
+    victim (contiguous by construction: a span is a run of ADJACENT
+    chunks). Spans from different partners OVERLAP on the same victim
+    (three near-copies of one document each contribute a span over the
+    same region), so summing span_toks double-counts; the exact answer
+    is the INTERVAL UNION per victim — w19's running-max-of-ends
+    gaps-and-islands, reused here over token positions instead of
+    timestamps.
+
+    Output per victim doc: raw span count, merged island count, and the
+    exact trimmed-token total. Scale: rides substring_spans' plan plus
+    one per-doc window and two hash aggs on the (tiny) span relation."""
+    from pyspark.sql import Window
+
+    spans = substring_spans(df, id_col, text_col, boundary_mod, df_cap, min_toks)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_toks")).alias("e"),
+    )
+    # ties on (s, e) are island-stable: peer rows share the RANGE-framed
+    # running sum, and an overlap group opens at most once whatever the
+    # peer order — so no unique tiebreak column is needed (w19 note)
+    wo = Window.partitionBy("doc_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(wo),
+    )
+    per = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("i_s"),
+        F.max("e").alias("i_e"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_spans"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_e") - F.col("i_s")).cast("bigint").alias("trim_toks"),
+    )
+
+
+def substring_trim_plan_sql(
+    table: str,
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> str:
+    return f"""
+    WITH spans AS ({substring_spans_sql(table, boundary_mod, df_cap, min_toks)}
+    ), iv AS (
+      SELECT doc_b AS doc_id, start_b AS s, start_b + span_toks AS e
+      FROM spans
+    ), m AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ), isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+      FROM m
+    ), per AS (
+      SELECT doc_id, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_spans,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_e - i_s) AS BIGINT) AS trim_toks
+    FROM per GROUP BY 1
+    """
+
+
+def substring_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> DataFrame:
+    """Substring-level train/eval DECONTAMINATION — the cross-split twin
+    of :func:`substring_spans` and the pass GPT-3-style pipelines run as
+    n-gram overlap scrubbing (Brown et al. 2020 filter train docs sharing
+    13-grams with eval sets; Lee et al. 2022 §6.2 measure the same leak
+    class with substrings): a train document that shares a long verbatim
+    span with any eval document inflates the benchmark. Doc-level
+    fingerprint decontamination (x14, pipe funnel stage s5) only catches
+    whole-doc copies; this catches the QUOTED-PASSAGE leak.
+
+    Same machinery as substring_spans with the self-join replaced by a
+    train-side x val-side equi-join on chunk fingerprint (df gate over
+    the WHOLE corpus, same boilerplate cap), islands stitched per
+    (train doc, val doc) diagonal. Output: one row per CONTAMINATED
+    train doc — distinct eval partners, span count, worst span length.
+    ``split_col`` must hold 'train'/'val' constant per document."""
+    from pyspark.sql import Window
+
+    fp = _chunk_fps(
+        df, id_col, text_col, boundary_mod, carry=(split_col,)
+    ).persist()  # cache: caller-owns (feeds the df-gate agg + both pair-join sides)
+    dfreq = (
+        fp.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
+        .select("chunk_hash")
+    )
+    shared = fp.join(dfreq, "chunk_hash")
+    tr = shared.filter(F.col(split_col) == "train").select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("cidx").alias("it"),
+        "chunk_hash",
+        "n_toks",
+    )
+    va = shared.filter(F.col(split_col) == "val").select(
+        F.col("doc_id").alias("val_doc_id"),
+        F.col("cidx").alias("iv"),
+        "chunk_hash",
+    )
+    pairs = tr.join(va, "chunk_hash")
+    rw = Window.partitionBy("train_doc_id", "val_doc_id", "diag").orderBy("it")
+    runs = pairs.select(
+        "train_doc_id",
+        "val_doc_id",
+        "it",
+        "n_toks",
+        (F.col("it") - F.col("iv")).alias("diag"),
+    ).withColumn("run_id", F.col("it") - F.row_number().over(rw))
+    spans = runs.groupBy("train_doc_id", "val_doc_id", "diag", "run_id").agg(
+        F.sum("n_toks").alias("span_toks")
+    )
+    hits = spans.filter(F.col("span_toks") >= min_toks)
+    return hits.groupBy("train_doc_id").agg(
+        F.count_distinct("val_doc_id").cast("bigint").alias("n_val_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("span_toks").cast("bigint").alias("max_span_toks"),
+    )
+
+
+def substring_contamination_sql(
+    table: str,
+    split_sql: str,
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> str:
+    """``split_sql``: a SQL expression over the table's columns yielding
+    'train'/'val' (constant per doc_id) — the caller owns the split rule
+    so engine and oracle derive it from the identical hash."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {split_sql} AS split, {tokens_sql('text')} AS tl
+      FROM {table}
+    ), toks AS (
+      SELECT doc_id, split, u.s.pos AS pos, u.s.t AS t
+      FROM base, unnest(list_transform(range(1, len(tl) + 1),
+           i -> struct_pack(pos := i, t := tl[i]))) AS u(s)
+    ), h AS (
+      SELECT doc_id, split, pos, {phash60_sql('t')} AS ph FROM toks
+    ), c AS (
+      SELECT doc_id, split, pos, ph,
+             sum(CASE WHEN ph % {boundary_mod} = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS cidx
+      FROM h
+    ), g AS (
+      SELECT doc_id, split, cidx,
+             list(ph % {FP_MOD} ORDER BY pos) AS hs,
+             count(*) AS n_toks
+      FROM c GROUP BY 1, 2, 3
+    ), fp AS (
+      SELECT doc_id, split, cidx, n_toks,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                         (acc, t) -> (acc * {FP_BASE} + t) % {FP_MOD})
+               AS chunk_hash
+      FROM g
+    ), dfreq AS (
+      SELECT chunk_hash FROM fp GROUP BY 1
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {df_cap}
+    ), shared AS (
+      SELECT f.* FROM fp f JOIN dfreq USING (chunk_hash)
+    ), pairs AS (
+      SELECT t.doc_id AS train_doc_id, v.doc_id AS val_doc_id,
+             t.cidx AS it, t.cidx - v.cidx AS diag, t.n_toks AS n_toks
+      FROM shared t JOIN shared v
+        ON t.chunk_hash = v.chunk_hash
+       AND t.split = 'train' AND v.split = 'val'
+    ), runs AS (
+      SELECT *, it - row_number() OVER (
+               PARTITION BY train_doc_id, val_doc_id, diag ORDER BY it)
+               AS run_id
+      FROM pairs
+    ), spans AS (
+      SELECT train_doc_id, val_doc_id, sum(n_toks) AS span_toks
+      FROM runs GROUP BY train_doc_id, val_doc_id, diag, run_id
+    )
+    SELECT train_doc_id,
+           CAST(count(DISTINCT val_doc_id) AS BIGINT) AS n_val_docs,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_toks) AS BIGINT) AS max_span_toks
+    FROM spans WHERE span_toks >= {min_toks}
+    GROUP BY 1
     """

@@ -1441,8 +1441,15 @@ SEM_TAU = 0.35  # within-cluster cosine above this = semantic duplicate
 # instead of landing on one. Pair coverage is exact (each unordered pair
 # appears exactly once — the probe side replicates over all blocks, the
 # build side keeps its own hash block, and id_a < id_b dedups), so the
-# verdict set is identical salted or not.
-SEM_SALT_CELL = 512
+# verdict set is identical salted or not. Threshold rationale: the cost
+# unit is cell_n^2 cosine folds per reducer; 256 rows ~ 32k pairs is the
+# measured point where one cell's fold time dominates a task (sf1,
+# local[32], median of 3: unsalted 11.8s -> 8.1s at 256, while 512 was a
+# no-op because the largest k-means cell held 460 rows). Production sets
+# this to its per-reducer pair budget (pairs_per_task ~ salt_cell^2 /
+# salt_b); the per-cell size map the decision rides is computed inside
+# the plan, so no extra pass.
+SEM_SALT_CELL = 256
 SEM_SALT_B = 8
 
 

@@ -17993,3 +17993,55 @@ def d18_substring_dedup(spark, sf_dir):
     pipeline trusts the feed); this is part of the beyond-reference
     training-data battery."""
     return _dd.substring_spans(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "d19_substring_trim_plan",
+    _dd.substring_trim_plan_sql("documents"),
+)
+def d19_substring_trim_plan(spark, sf_dir):
+    """The trim PLAN on top of d18 — what a substring-dedup pass would
+    actually DO to the corpus: per victim document (the higher doc_id of
+    each span, d1's keep-the-lower-id rule), the exact token budget
+    removed. Spans from different partners overlap on the same victim
+    (k near-copies of one passage each contribute a span over the same
+    region), so the exact count is the per-doc INTERVAL UNION of
+    [start_b, start_b + span_toks) — w19's running-max-of-ends
+    gaps-and-islands replayed over token positions. Real pipelines
+    ship exactly this artifact (Lee et al. 2022 cut the spans, not the
+    docs): trim_toks prices the cut, n_spans/n_islands say how
+    fragmented it is.
+
+    Scale: d18's plan plus one window and two hash aggs over the SPAN
+    relation — which is duplication-sized, not corpus-sized; the window
+    partitions per victim doc. All exact integers."""
+    return _dd.substring_trim_plan(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "d20_substring_decontamination",
+    _dd.substring_contamination_sql("documents", _split_sql("doc_id")),
+)
+def d20_substring_decontamination(spark, sf_dir):
+    """Substring-level train/eval DECONTAMINATION — the quoted-passage
+    leak doc-level decontamination cannot see: x14 and the pipe funnel's
+    s5 stage drop train docs whose whole-document fingerprint matches an
+    eval doc (and pipe2 audits near-dup split leakage), but a train doc
+    QUOTING twenty eval tokens verbatim sails through both and inflates
+    the benchmark anyway. GPT-3 scrubbed this class with 13-gram overlap
+    (Brown et al. 2020, App. C); Lee et al. 2022 §6.2 measure it with
+    shared substrings. Here: d18's chunk-fingerprint machinery with the
+    self-join swapped for a train-side x val-side equi-join (same
+    x31-seeded hash split as pipe1/pipe2, same corpus-wide df
+    boilerplate cap), islands stitched per (train doc, val doc)
+    diagonal, spans >= 20 tokens flag the train doc. Output: one row per
+    contaminated train doc — distinct eval partners, span count, worst
+    span length; the drop list a decontaminated export would subtract.
+
+    Scale: identical bounds to d18 (chunk table ~N_tokens/8, df-capped
+    pair fan-out, per-pair islands windows), with the val side typically
+    corpus-fraction-sized so the pair join's probe side is small."""
+    d = tbl(spark, sf_dir, "documents")
+    return _dd.substring_contamination(
+        d.withColumn("split", _split_col(F.col("doc_id")))
+    )

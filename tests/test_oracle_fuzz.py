@@ -1612,7 +1612,14 @@ _sub_docs = st.lists(
 )
 
 
-@pytest.mark.parametrize("qname", ["d18_substring_dedup"])
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "d18_substring_dedup",
+        "d19_substring_trim_plan",
+        "d20_substring_decontamination",
+    ],
+)
 @settings(max_examples=6, deadline=None)
 @given(raw=_sub_docs)
 def test_batch11_d18_matches_oracle_on_generated_documents(
@@ -1668,3 +1675,32 @@ def test_batch11_bpe_empty_merge_round_is_a_noop(
     _check(spark, tmp, qname, ["documents"])
     if qname != "x40_bpe_merges":  # x40's merge TABLE is legitimately short
         assert registry.QUERIES[qname](spark, tmp).count() > 0
+
+
+def test_batch11_d20_flags_quoting_train_doc(spark, tmp_path_factory):
+    """Deterministic arm: doc 7 hashes into the 'val' split (the
+    x31-seeded 60-bit hash, seed='split'); doc 0 is a train doc QUOTING
+    a 30-token val passage inside otherwise-original text — the leak
+    class doc-level fingerprint decontamination (x14/s5) cannot see.
+    d20 must flag exactly train doc 0; the unrelated train doc 2 stays
+    clean. Cross-engine checked, then the verdict pinned."""
+    # 40 tokens, not 30: CDC boundaries fall where token-hash % 8 == 0,
+    # and only chunks FULLY inside the quote are shared (the edge chunks
+    # merge with each doc's differing context) — for this vocab the
+    # interior boundary run spans tokens 3..38, a 35-token shared span,
+    # comfortably over the 20-token floor (30 tokens left only 17)
+    quote = " ".join(f"eval{i}" for i in range(40))
+    rows = [
+        (0, "intro words here " + quote + " closing remarks follow now",
+         "en", "web", 0),
+        (7, "question preamble " + quote + " answer key text", "en", "web", 0),
+        (2, " ".join(f"clean{i}" for i in range(40)), "en", "web", 0),
+    ]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, "d20_substring_decontamination", ["documents"])
+    out = registry.QUERIES["d20_substring_decontamination"](spark, tmp).collect()
+    assert [r.train_doc_id for r in out] == [0]
+    assert out[0].n_val_docs == 1 and out[0].max_span_toks >= 20

@@ -2263,3 +2263,43 @@ def test_pipe4_manifest_rides_the_funnel_scan(spark, sf_dir):
         # pass a token-less doc. The length gate g1 is CHAR-based (>= 100
         # chars), so no stronger per-doc token floor is guaranteed.
         assert r.n_tokens >= r.n_docs
+
+
+def test_d18_family_plans_are_equi_keyed(spark, sf_dir):
+    """The substring-dedup family must never fall back to all-pairs or
+    driver-side suffix machinery: the chunk pair join is an EQUI join on
+    the fingerprint, no CartesianProduct / nested-loop anywhere, no
+    Python, and no global sort (the islands windows partition by
+    (doc_a, doc_b, diag) / victim doc)."""
+    for name in (
+        "d18_substring_dedup",
+        "d19_substring_trim_plan",
+        "d20_substring_decontamination",
+    ):
+        plan = plan_of(registry.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # windows partition by doc/pair keys; rangepartitioning would mean
+        # a global sort crept in
+        assert "rangepartitioning" not in plan, name
+
+
+def test_d19_trim_plan_reconciles_with_d18_spans(spark, sf_dir):
+    """Interval-union invariants against the span relation it derives
+    from: every victim doc in d19 appears as a doc_b in d18; per doc,
+    n_spans equals its d18 span count, n_islands <= n_spans, and the
+    union length is bounded by the span-length sum (equality iff no
+    overlap) and by the longest single span from below."""
+    spans = registry.QUERIES["d18_substring_dedup"](spark, sf_dir).collect()
+    plan = registry.QUERIES["d19_substring_trim_plan"](spark, sf_dir).collect()
+    by_victim = {}
+    for s in spans:
+        by_victim.setdefault(s.doc_b, []).append(s)
+    assert set(p.doc_id for p in plan) == set(by_victim)
+    for p in plan:
+        group = by_victim[p.doc_id]
+        assert p.n_spans == len(group)
+        assert p.n_islands <= p.n_spans
+        assert max(g.span_toks for g in group) <= p.trim_toks
+        assert p.trim_toks <= sum(g.span_toks for g in group)
