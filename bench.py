@@ -508,6 +508,48 @@ def incremental_dedup_bench(spark, sf_dir):
     return out
 
 
+def semdedup_salt_bench(spark, sf_dir):
+    """d17's skewed-cell salting claim, MEASURED every round (the r11
+    change): the within-cell pair pass with cells > SEM_SALT_CELL split
+    into SEM_SALT_B hashed sub-blocks vs the same plan unsalted
+    (salt_cell=2^40 disables it; verdict sets are identical by
+    construction, pytest-pinned). The win only exists where cells
+    actually cross the threshold — at sf0.1 no k-means cell does, so
+    this section runs on the LARGEST dataset handed to it (sf1 when
+    present). Median of 3, caches cleared between reps.
+
+    Measured at introduction (r11 boot, sf1, 64 cells, max cell 460):
+    unsalted 11.8s -> salted 8.1s (-31%); threshold choice documented
+    at ext/similarity.py::SEM_SALT_CELL."""
+    import statistics
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as sim,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def run(salt_cell):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        sim.semantic_dedup(emb, salt_cell=salt_cell).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    run(1 << 40)
+    run(sim.SEM_SALT_CELL)  # warmup both shapes
+    out = {}
+    for name, sc in (("unsalted", 1 << 40), ("salted", sim.SEM_SALT_CELL)):
+        out[name] = round(statistics.median([run(sc) for _ in range(3)]), 3)
+    out["salt_cell"] = sim.SEM_SALT_CELL
+    out["salt_b"] = sim.SEM_SALT_B
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -593,6 +635,9 @@ def main():
         }
         sf1 = {"total": round(sum(sf1_t.values()), 3), "queries": sf1_t}
         pr_iter["sf1"] = pagerank_iter_bench(spark, sf1_dir)
+        # the salting A/B belongs on the dataset where cells actually
+        # cross the threshold (sf1); at sf0.1 it measures plan overhead
+        sf1["semdedup_salt"] = semdedup_salt_bench(spark, sf1_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     doc = {
@@ -629,8 +674,13 @@ def main():
         slim = dict(doc)
         slim["detail_file"] = os.path.basename(out_path)
         # sf1 per-query timings are the largest block — keep the total
+        # (and the tiny salting A/B, the r11 measured-claim trail)
         if "sf1" in slim and isinstance(slim["sf1"], dict):
-            slim["sf1"] = {"total": slim["sf1"]["total"]}
+            slim["sf1"] = {
+                k: v
+                for k, v in slim["sf1"].items()
+                if k in ("total", "semdedup_salt")
+            }
         line = json.dumps(slim)
         if len(line) > BUDGET:
             slim.pop("pagerank_iter", None)
