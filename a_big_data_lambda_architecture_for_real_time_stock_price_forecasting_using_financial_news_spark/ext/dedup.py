@@ -1685,3 +1685,100 @@ def substring_contamination_sql(
     FROM spans WHERE span_toks >= {min_toks}
     GROUP BY 1
     """
+
+
+def incremental_substring_spans(
+    old_fps: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> DataFrame:
+    """Probe an incoming batch against a STORED chunk-fingerprint table
+    WITHOUT re-tokenizing the old corpus — d6's amortized-sketch-store
+    regime applied to substring dedup (the 100 TB answer for d18: the
+    corpus is chunk-fingerprinted once per snapshot, every arriving
+    batch pays only its own hashing plus fingerprint-table joins).
+
+    ``old_fps``: the stored (doc_id, cidx, n_toks, pos0, chunk_hash)
+    relation (:func:`_chunk_fps` output, parquet-backed in production).
+    Only ``new_df`` is tokenized here. Every output span involves at
+    least one new doc; old-old spans were found when the old data
+    arrived. Because chunking and fingerprints are deterministic pure
+    functions of the text, the result EQUALS the full-corpus
+    :func:`substring_spans` restricted to pairs touching a new doc —
+    the oracle states exactly that.
+
+    The document-frequency boilerplate gate stays CORPUS-GLOBAL (one
+    agg over the fingerprint table — fingerprint-sized work, not
+    corpus-sized; a production store amortizes even that by keeping a
+    merged per-hash df count). The pair join's probe side is
+    batch-sized: new chunks join the full gated store, with new-new
+    pairs kept once by id order."""
+    from pyspark.sql import Window
+
+    new_fps = _chunk_fps(new_df, id_col, text_col, boundary_mod)
+    cols = ["doc_id", "cidx", "n_toks", "pos0", "chunk_hash"]
+    all_fps = (
+        old_fps.select(*cols)
+        .withColumn("is_new", F.lit(0))
+        .unionByName(new_fps.select(*cols).withColumn("is_new", F.lit(1)))
+        .persist()  # cache: caller-owns (feeds the df gate + both join sides)
+    )
+    dfreq = (
+        all_fps.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
+        .select("chunk_hash")
+    )
+    shared = all_fps.join(dfreq, "chunk_hash")
+    n = shared.filter(F.col("is_new") == 1).select(
+        F.col("doc_id").alias("doc_n"),
+        F.col("cidx").alias("i_n"),
+        "chunk_hash",
+        "n_toks",
+        F.col("pos0").alias("pos_n"),
+    )
+    o = shared.select(
+        F.col("doc_id").alias("doc_o"),
+        F.col("cidx").alias("i_o"),
+        "chunk_hash",
+        F.col("pos0").alias("pos_o"),
+        "is_new",
+    )
+    pairs = (
+        n.join(o, "chunk_hash")
+        .filter(F.col("doc_n") != F.col("doc_o"))
+        # each new-new pair exactly once (probe orientation keeps the
+        # smaller id on the probe side); new-old pairs appear once by
+        # construction since the probe side is new-only
+        .filter((F.col("is_new") == 0) | (F.col("doc_n") < F.col("doc_o")))
+    )
+    rw = Window.partitionBy("doc_n", "doc_o", "diag").orderBy("i_n")
+    runs = pairs.select(
+        "doc_n",
+        "doc_o",
+        "i_n",
+        "n_toks",
+        "pos_n",
+        "pos_o",
+        (F.col("i_n") - F.col("i_o")).alias("diag"),
+    ).withColumn("run_id", F.col("i_n") - F.row_number().over(rw))
+    spans = runs.groupBy("doc_n", "doc_o", "diag", "run_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_toks").cast("bigint").alias("span_toks"),
+        F.min("pos_n").cast("bigint").alias("start_n"),
+        F.min("pos_o").cast("bigint").alias("start_o"),
+    )
+    # normalize to d18's output contract: doc_a < doc_b, starts aligned
+    flip = F.col("doc_o") < F.col("doc_n")
+    return spans.filter(F.col("span_toks") >= min_toks).select(
+        F.when(flip, F.col("doc_o")).otherwise(F.col("doc_n")).alias("doc_a"),
+        F.when(flip, F.col("doc_n")).otherwise(F.col("doc_o")).alias("doc_b"),
+        F.when(flip, F.col("start_o")).otherwise(F.col("start_n")).alias("start_a"),
+        F.when(flip, F.col("start_n")).otherwise(F.col("start_o")).alias("start_b"),
+        "n_chunks",
+        "span_toks",
+    )

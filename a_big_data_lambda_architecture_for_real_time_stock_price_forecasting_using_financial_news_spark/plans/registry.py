@@ -18045,3 +18045,31 @@ def d20_substring_decontamination(spark, sf_dir):
     return _dd.substring_contamination(
         d.withColumn("split", _split_col(F.col("doc_id")))
     )
+
+
+@register(
+    "d21_substring_incremental",
+    f"""
+    SELECT * FROM (
+      {_dd.substring_spans_sql("documents")}
+    ) WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+    """,
+)
+def d21_substring_incremental(spark, sf_dir):
+    """Incremental substring dedup (ext/dedup.py:
+    incremental_substring_spans) — d6's amortized-store regime closing
+    the r11 substring family: docs with doc_id % 5 == 0 arrive as the
+    NEW batch and are chunk-fingerprinted + probed against the stored
+    fingerprints of the rest; the old corpus is never re-tokenized.
+    Chunking and fingerprints are deterministic pure functions of the
+    text, so the result must EQUAL the full-corpus d18 run restricted
+    to spans touching a new doc — the oracle states exactly that (the
+    d6 equivalence contract). At 100 TB this is the only affordable
+    shape: the corpus chunk table (~N_tokens/8 fingerprint rows) is
+    written once per snapshot, each day's batch pays its own hashing
+    plus fingerprint-table equi-joins, and the df boilerplate gate is
+    one mergeable per-hash count over the store."""
+    d = tbl(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    return _dd.incremental_substring_spans(_dd._chunk_fps(old), new)

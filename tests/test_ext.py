@@ -1361,3 +1361,34 @@ def test_semantic_dedup_salted_pair_join_keys_on_block(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "blk" in plan, "salt block column absent from the physical plan"
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_substring_probe_equals_full_restriction(spark):
+    """d21's equivalence contract on a planted corpus: the probe of a
+    new batch against the stored chunk table equals the full
+    substring_spans run restricted to pairs touching a new doc — and
+    old-old spans are genuinely absent from the probe."""
+    base = [f"tok{i}" for i in range(60)]
+    rows = [
+        Row(doc_id=1, text=" ".join(base), lang="en", source="s"),        # old
+        Row(doc_id=2, text=" ".join(base), lang="en", source="s"),        # old
+        Row(doc_id=5, text=" ".join(base[:40]), lang="en", source="s"),   # new
+        Row(doc_id=10, text=" ".join(f"z{i}" for i in range(40)),
+            lang="en", source="s"),                                        # new
+    ]
+    df = spark.createDataFrame(rows)
+    old = df.filter(F.col("doc_id") % 5 != 0)
+    new = df.filter(F.col("doc_id") % 5 == 0)
+    probe = sorted(
+        map(tuple, dedup.incremental_substring_spans(
+            dedup._chunk_fps(old), new).collect())
+    )
+    full = dedup.substring_spans(df)
+    want = sorted(
+        map(tuple, full.filter(
+            (F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0)
+        ).collect())
+    )
+    assert probe == want and probe, "probe must find the new-old spans"
+    # the old-old pair (1,2) shares the whole doc but must NOT re-emerge
+    assert all(not (a == 1 and b == 2) for (a, b, *_rest) in probe)

@@ -1618,6 +1618,7 @@ _sub_docs = st.lists(
         "d18_substring_dedup",
         "d19_substring_trim_plan",
         "d20_substring_decontamination",
+        "d21_substring_incremental",
     ],
 )
 @settings(max_examples=6, deadline=None)

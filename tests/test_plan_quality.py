@@ -2275,6 +2275,7 @@ def test_d18_family_plans_are_equi_keyed(spark, sf_dir):
         "d18_substring_dedup",
         "d19_substring_trim_plan",
         "d20_substring_decontamination",
+        "d21_substring_incremental",
     ):
         plan = plan_of(registry.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
