@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import FP_BASE, FP_MOD, phash60, phash60_sql
+from .hashing import fold60, fold60_sql, phash60, phash60_sql
 from .text import tokens, tokens_sql
 
 # minhash/LSH parameters: k = bands * rows
@@ -1271,11 +1271,13 @@ def _chunk_fps(
     (doc_id, cidx, n_toks, pos0, chunk_hash[, carry...]).
 
     One portable hash per token, reused for the boundary test
-    (``ph % boundary_mod == 0``) and the fingerprint fold (``ph %
-    FP_MOD``); chunk ids are a per-doc running boundary count (one
-    window partitioned by doc — embarrassingly parallel); each chunk
-    folds to an order-sensitive rolling fingerprint inside the agg
-    projection. ``carry`` columns must be constant per document (they
+    (``ph % boundary_mod == 0``) and the chunk identity; chunk ids are a
+    per-doc running boundary count (one window partitioned by doc —
+    embarrassingly parallel); each chunk's identity is the 60-bit
+    :func:`~..ext.hashing.fold60` over its ordered token hashes (NOT the
+    old mod-1e9 rolling fold, whose birthday collisions near ~3e4 chunks
+    would fabricate shared spans and saturate the df gate at corpus
+    scale). ``carry`` columns must be constant per document (they
     ride the window partition key and the chunk groupBy)."""
     from pyspark.sql import Window
 
@@ -1295,7 +1297,7 @@ def _chunk_fps(
     g = c.groupBy("doc_id", *carry, "cidx").agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col("pos").alias("p"), (F.col("ph") % FP_MOD).alias("s"))
+                F.struct(F.col("pos").alias("p"), F.col("ph").alias("s"))
             )
         ).alias("arr"),
         F.count(F.lit(1)).alias("n_toks"),
@@ -1309,11 +1311,7 @@ def _chunk_fps(
         "cidx",
         "n_toks",
         "pos0",
-        F.aggregate(
-            F.col("arr"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * FP_BASE + x["s"]) % FP_MOD,
-        ).alias("chunk_hash"),
+        fold60(F.transform(F.col("arr"), lambda x: x["s"])).alias("chunk_hash"),
     )
 
 
@@ -1330,8 +1328,9 @@ def substring_spans(
     Pipeline (every stage an equi-keyed shuffle, no all-pairs anywhere):
 
     1. one portable hash per token, reused for BOTH the boundary test
-       (``ph % boundary_mod == 0``) and the chunk fingerprint fold
-       (``ph % FP_MOD``) — the x36 never-recompute rule;
+       (``ph % boundary_mod == 0``) and the chunk identity (fold60 over
+       the ordered token hashes — 60-bit, see hashing.fold60) — the x36
+       never-recompute rule;
     2. chunk ids are a per-doc running boundary count (one window
        partitioned by doc — embarrassingly parallel), each chunk folds to
        an order-sensitive rolling fingerprint inside the agg projection;
@@ -1422,14 +1421,12 @@ def substring_spans_sql(
       FROM h
     ), g AS (
       SELECT doc_id, cidx,
-             list(ph % {FP_MOD} ORDER BY pos) AS hs,
+             list(ph ORDER BY pos) AS hs,
              count(*) AS n_toks, min(pos) AS pos0
       FROM c GROUP BY 1, 2
     ), fp AS (
       SELECT doc_id, cidx, n_toks, pos0,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-                         (acc, t) -> (acc * {FP_BASE} + t) % {FP_MOD})
-               AS chunk_hash
+             {fold60_sql('hs')} AS chunk_hash
       FROM g
     ), dfreq AS (
       SELECT chunk_hash FROM fp GROUP BY 1
@@ -1649,14 +1646,12 @@ def substring_contamination_sql(
       FROM h
     ), g AS (
       SELECT doc_id, split, cidx,
-             list(ph % {FP_MOD} ORDER BY pos) AS hs,
+             list(ph ORDER BY pos) AS hs,
              count(*) AS n_toks
       FROM c GROUP BY 1, 2, 3
     ), fp AS (
       SELECT doc_id, split, cidx, n_toks,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-                         (acc, t) -> (acc * {FP_BASE} + t) % {FP_MOD})
-               AS chunk_hash
+             {fold60_sql('hs')} AS chunk_hash
       FROM g
     ), dfreq AS (
       SELECT chunk_hash FROM fp GROUP BY 1

@@ -52,3 +52,27 @@ def fp_step_mod(col: Column) -> Column:
 
 def fp_step_mod_sql(expr: str) -> str:
     return f"({phash60_sql(expr)} % {FP_MOD})"
+
+
+def fold60(arr: Column) -> Column:
+    """60-bit order-sensitive fingerprint of an ``array<bigint>`` column:
+    md5 over the decimal renderings joined with ``'|'`` (a character the
+    alnum tokenizer can never emit), truncated to 60 bits — the same
+    phash60 primitive, applied to a sequence. Replaces the old
+    ``(acc*131 + h) % 1e9+7`` rolling fold for CHUNK identities: a 1e9
+    modulus starts birthday-colliding near ~3e4 distinct chunks, which at
+    corpus scale turns into spurious shared spans and silently saturates
+    document-frequency gates; 60 bits pushes the birthday horizon to
+    ~2^30 distinct chunks. Both engines compute the identical value
+    (``fold60_sql`` twin) and the digest stays JVM-side / vectorized —
+    one md5 per chunk, not per token."""
+    return phash60(F.concat_ws("|", F.transform(arr, lambda x: x.cast("string"))))
+
+
+def fold60_sql(list_expr: str) -> str:
+    """DuckDB twin of :func:`fold60` over a ``LIST(BIGINT)`` expression."""
+    joined = (
+        f"array_to_string(list_transform({list_expr}, "
+        f"x -> CAST(x AS VARCHAR)), '|')"
+    )
+    return phash60_sql(joined)

@@ -8508,7 +8508,7 @@ def a19_gini(spark, sf_dir):
 # Bloom), rolling exact median — the remaining training-pipeline staples
 # ---------------------------------------------------------------------------
 
-from ..ext.hashing import FP_BASE, FP_MOD, phash60, phash60_sql  # noqa: E402
+from ..ext.hashing import phash60, phash60_sql  # noqa: E402
 
 N_SHUF_SHARDS = 16
 
@@ -11096,7 +11096,7 @@ def g16_deterministic_walks(spark, sf_dir):
 
 @register(
     "x36_cdc_chunks",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents
     ), toks AS (
@@ -11112,13 +11112,12 @@ def g16_deterministic_walks(spark, sf_dir):
       FROM h
     ), g AS (
       SELECT doc_id, chunk,
-             list(ph % 1000000007 ORDER BY pos) AS hs,
+             list(ph ORDER BY pos) AS hs,
              count(*) AS n_toks
       FROM c GROUP BY 1, 2
     ), fp AS (
       SELECT doc_id, n_toks,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-                         (acc, t) -> (acc * 131 + t) % 1000000007) AS chunk_hash
+             {_hh.fold60_sql('hs')} AS chunk_hash
       FROM g
     )
     SELECT chunk_hash,
@@ -11142,12 +11141,14 @@ def x36_cdc_chunks(spark, sf_dir):
     containment/content-defined).
 
     One hash per token, computed ONCE and reused for both decisions
-    (boundary test on ph mod 64, fingerprint step on ph mod p — the
-    ext/dedup rule about never re-mentioning an expensive expression);
-    chunk ids are a per-doc running boundary count (one window per doc,
-    partitions by doc_id — embarrassingly parallel); each chunk's
-    order-sensitive rolling fingerprint folds inside the agg projection
-    (x9's fingerprint, per chunk). Shared chunks (n_occ >= 2) come out
+    (boundary test on ph mod 64, chunk identity over the ordered ph
+    list — the ext/dedup rule about never re-mentioning an expensive
+    expression); chunk ids are a per-doc running boundary count (one
+    window per doc, partitions by doc_id — embarrassingly parallel);
+    each chunk's identity is the 60-bit hashing.fold60 over its ordered
+    token hashes (widened from the mod-1e9 rolling fold whose birthday
+    collisions start near ~3e4 chunks — r11 ADVICE item; both engines
+    share the digest). Shared chunks (n_occ >= 2) come out
     of one final hash agg. All integers; boundaries, chunks, and
     fingerprints are pure functions of the text."""
     from pyspark.sql import Window
@@ -11165,7 +11166,7 @@ def x36_cdc_chunks(spark, sf_dir):
     g = c.groupBy("doc_id", "chunk").agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col("pos").alias("p"), (F.col("ph") % FP_MOD).alias("s"))
+                F.struct(F.col("pos").alias("p"), F.col("ph").alias("s"))
             )
         ).alias("arr"),
         F.count(F.lit(1)).alias("n_toks"),
@@ -11173,11 +11174,9 @@ def x36_cdc_chunks(spark, sf_dir):
     fp = g.select(
         "doc_id",
         "n_toks",
-        F.aggregate(
-            F.col("arr"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * FP_BASE + x["s"]) % FP_MOD,
-        ).alias("chunk_hash"),
+        _hh.fold60(F.transform(F.col("arr"), lambda x: x["s"])).alias(
+            "chunk_hash"
+        ),
     )
     return (
         fp.groupBy("chunk_hash")

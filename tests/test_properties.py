@@ -517,21 +517,31 @@ def _py_phash60(tok: str) -> int:
     return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
 
 
+def _py_fold60(phs: list[int]) -> int:
+    """hashlib twin of hashing.fold60: md5 over '|'-joined decimals,
+    first 15 hex chars as an int (60 bits)."""
+    import hashlib
+
+    joined = "|".join(str(p) for p in phs)
+    return int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+
+
 def _py_cdc_chunks(toks: list[str]) -> list[tuple[int, int]]:
     """Independent (hashlib-only) model of x36's per-doc chunking:
-    boundary BEFORE any token whose hash % 64 == 0; rolling fingerprint
-    (acc*131 + ph % p) % p per chunk. Returns [(chunk_hash, n_toks)]."""
-    out, acc, n = [], 0, 0
-    MOD, BASE = 1_000_000_007, 131
+    boundary BEFORE any token whose hash % 64 == 0; chunk identity =
+    60-bit fold60 over the chunk's ordered token hashes (widened from
+    the old mod-1e9 rolling fold, r11 ADVICE). Returns
+    [(chunk_hash, n_toks)]."""
+    out: list[tuple[int, int]] = []
+    cur: list[int] = []
     for t in toks:
         ph = _py_phash60(t)
-        if ph % 64 == 0 and n:
-            out.append((acc, n))
-            acc, n = 0, 0
-        acc = (acc * BASE + ph % MOD) % MOD
-        n += 1
-    if n:
-        out.append((acc, n))
+        if ph % 64 == 0 and cur:
+            out.append((_py_fold60(cur), len(cur)))
+            cur = []
+        cur.append(ph)
+    if cur:
+        out.append((_py_fold60(cur), len(cur)))
     return out
 
 
@@ -555,7 +565,7 @@ _CDC_VOCAB = _cdc_vocab()
 )
 def test_cdc_chunking_matches_reference_and_is_insert_local(spark, doc, ins_at, ins_tok):
     """x36's content-defined chunking, property-checked two ways: (1) the
-    engine pipeline (tokens -> phash60 -> boundary window -> rolling-hash
+    engine pipeline (tokens -> phash60 -> boundary window -> fold60
     agg) equals an independent hashlib reimplementation on any doc; (2) the
     operator's reason to exist — inserting ONE token changes at most the
     one chunk containing the edit (which may split in two if the inserted
@@ -583,7 +593,7 @@ def test_cdc_chunking_matches_reference_and_is_insert_local(spark, doc, ins_at, 
     g = c.groupBy("doc_id", "chunk").agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col("pos").alias("p"), (F.col("ph") % hh.FP_MOD).alias("s"))
+                F.struct(F.col("pos").alias("p"), F.col("ph").alias("s"))
             )
         ).alias("arr"),
         F.count(F.lit(1)).alias("n_toks"),
@@ -591,11 +601,7 @@ def test_cdc_chunking_matches_reference_and_is_insert_local(spark, doc, ins_at, 
     fp = g.select(
         "doc_id",
         "chunk",
-        F.aggregate(
-            F.col("arr"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * hh.FP_BASE + x["s"]) % hh.FP_MOD,
-        ).alias("chunk_hash"),
+        hh.fold60(F.transform(F.col("arr"), lambda x: x["s"])).alias("chunk_hash"),
         "n_toks",
     )
     rows = fp.collect()

@@ -200,10 +200,12 @@ def test_sentinel_never_reaches_a_sink_under_novel_event_type(spark):
     NOVEL event type the sentinel map never anticipated ('share', routed
     to the news leg by its != 'purchase' filter), no sentinel-day row
     ever reaches a sink — each day-state dir holds exactly the ONE
-    deliberate join-stage punctuation row (append_sentinel's), i.e. the
-    raw sentinels' own windows never finalized, and the join's raw
-    parquet sink (read UNFILTERED, so the date-bound filter is not doing
-    load-bearing work) contains no far-future day."""
+    in-band punctuation row: the SENTINEL_DATE window that stage 1
+    deliberately finalizes (ingest.events_stream's pusher events, two
+    days later, close it; lambda_speed_view_option_b no longer calls
+    append_sentinel). Only the pusher's own window never finalizes, and
+    the join's raw parquet sink (read UNFILTERED, so the date-bound
+    filter is not doing load-bearing work) contains no far-future day."""
     import datetime as dt
     import tempfile
 
