@@ -550,6 +550,46 @@ def semdedup_salt_bench(spark, sf_dir):
     return out
 
 
+def machine_state():
+    """Machine-state stamp (r11 judge item 4): two rounds of bench deltas
+    were machine drift, not plans (r10 reboot 1.3x, r11 same-boot afternoon
+    drift 1.2x), each diagnosed by hand from ad-hoc re-runs. Recording the
+    state WITH the numbers makes the confound first-class: boot_id separates
+    reboots, loadavg shows concurrent load, cpufreq catches governor/thermal
+    state, and `cpu_micro_sec` — a FIXED 256 MiB single-thread md5, the same
+    digest the engine's phash60 leans on — is the like-for-like normalizer:
+    ratios of (query_sec / cpu_micro_sec) across rounds cancel uniform CPU
+    drift. SURVEY §8 reads its round-over-round table off this field."""
+    import hashlib
+
+    st: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            st["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            st["boot_id"] = f.read().strip()
+    except OSError:
+        pass
+    try:
+        with open(
+            "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq"
+        ) as f:
+            st["cpu0_khz"] = int(f.read().strip())
+    except (OSError, ValueError):
+        pass
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(256):
+        h.update(buf)
+    st["cpu_micro_sec"] = round(time.perf_counter() - t0, 4)
+    st["cpu_micro_work"] = "md5_256MiB_1thread"
+    return st
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -569,6 +609,8 @@ def main():
         .config("spark.ui.showConsoleProgress", "false")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    machine_pre = machine_state()
 
     import __spark_entry__ as entrymod
 
@@ -650,6 +692,10 @@ def main():
         "pagerank_iter": pr_iter,
         "cardinality": card,
         "incremental_dedup": inc,
+        # pre = before warmup, post = after all timed sections: a diverging
+        # pair flags drift DURING the run, not just between rounds
+        "machine": machine_pre,
+        "machine_post": machine_state(),
     }
     if sf1 is not None:
         doc["sf1"] = sf1
@@ -687,6 +733,9 @@ def main():
             slim.pop("skew", None)
             slim.pop("cardinality", None)
             slim.pop("incremental_dedup", None)
+            # "machine" (the pre-run stamp with the normalizing microbench)
+            # survives every shed tier — it is how the numbers are read
+            slim.pop("machine_post", None)
             line = json.dumps(slim)
         if len(line) > BUDGET:
             # last resort: keep only the slowest queries, preserving the total
