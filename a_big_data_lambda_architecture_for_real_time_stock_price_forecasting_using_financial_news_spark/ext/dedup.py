@@ -1266,9 +1266,13 @@ def _chunk_fps(
     text_col: str = "text",
     boundary_mod: int = SUB_BOUNDARY_MOD,
     carry: tuple[str, ...] = (),
+    with_tokens: bool = False,
 ) -> DataFrame:
     """Per-document content-defined chunk fingerprints:
-    (doc_id, cidx, n_toks, pos0, chunk_hash[, carry...]).
+    (doc_id, cidx, n_toks, pos0, chunk_hash[, toks][, carry...]).
+    ``with_tokens`` additionally retains the chunk's ordered token array
+    (d23's boundary-refinement pass compares neighbor-chunk tokens; the
+    array is chunk-sized, ~boundary_mod strings).
 
     One portable hash per token, reused for the boundary test
     (``ph % boundary_mod == 0``) and the chunk identity; chunk ids are a
@@ -1286,8 +1290,9 @@ def _chunk_fps(
         *[F.col(c) for c in carry],
         F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
     )
+    keep = ("t",) if with_tokens else ()
     h = toks.select(
-        "doc_id", *carry, "pos", phash60(F.col("t")).alias("ph")
+        "doc_id", *carry, "pos", *keep, phash60(F.col("t")).alias("ph")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     c = h.withColumn(
@@ -1297,13 +1302,18 @@ def _chunk_fps(
     g = c.groupBy("doc_id", *carry, "cidx").agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col("pos").alias("p"), F.col("ph").alias("s"))
+                F.struct(F.col("pos").alias("p"), F.col("ph").alias("s"), *keep)
             )
         ).alias("arr"),
         F.count(F.lit(1)).alias("n_toks"),
         # 1-based token positions in the OUTPUT (posexplode is 0-based,
         # the oracle's unnest(range(1, ..)) is 1-based)
         (F.min("pos") + 1).alias("pos0"),
+    )
+    tok_cols = (
+        [F.transform(F.col("arr"), lambda x: x["t"]).alias("toks")]
+        if with_tokens
+        else []
     )
     return g.select(
         "doc_id",
@@ -1312,6 +1322,7 @@ def _chunk_fps(
         "n_toks",
         "pos0",
         fold60(F.transform(F.col("arr"), lambda x: x["s"])).alias("chunk_hash"),
+        *tok_cols,
     )
 
 
@@ -1354,6 +1365,25 @@ def substring_spans(
     from pyspark.sql import Window
 
     fp = _chunk_fps(df, id_col, text_col, boundary_mod).persist()  # cache: caller-owns (feeds the df-gate agg + both pair-join sides)
+    return _span_geometry(fp, df_cap, min_toks).select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "n_chunks",
+        "span_toks",
+    )
+
+
+def _span_geometry(fp: DataFrame, df_cap: int, min_toks: int) -> DataFrame:
+    """d18's df-gate + cross-doc pair join + gaps-and-islands stitch over
+    a chunk-fingerprint table, retaining the CHUNK-INDEX geometry
+    (ia0/ia1 + diag) alongside the token positions so callers (d23's
+    boundary refinement) can locate each span's edge-adjacent chunks.
+    The extra min/max aggregates are column-pruned away for callers that
+    drop them (substring_spans' plan is unchanged)."""
+    from pyspark.sql import Window
+
     dfreq = (
         fp.groupBy("chunk_hash")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
@@ -1385,15 +1415,10 @@ def substring_spans(
         F.sum("n_toks").cast("bigint").alias("span_toks"),
         F.min("pos_a").cast("bigint").alias("start_a"),
         F.min("pos_b").cast("bigint").alias("start_b"),
+        F.min("ia").alias("ia0"),
+        F.max("ia").alias("ia1"),
     )
-    return spans.filter(F.col("span_toks") >= min_toks).select(
-        "doc_a",
-        "doc_b",
-        "start_a",
-        "start_b",
-        "n_chunks",
-        "span_toks",
-    )
+    return spans.filter(F.col("span_toks") >= min_toks)
 
 
 def substring_spans_sql(
@@ -1453,6 +1478,237 @@ def substring_spans_sql(
     )
     SELECT doc_a, doc_b, start_a, start_b, n_chunks, span_toks
     FROM spans WHERE span_toks >= {min_toks}
+    """
+
+
+def _common_prefix_len(x, y):
+    """Length of the longest common prefix of two string arrays, all
+    JVM-side: null-safe elementwise equality (zip_with pads the shorter
+    side with NULL, eqNullSafe turns pads into False) then the position
+    of the first mismatch. Arrays here are chunk-sized (~boundary_mod
+    tokens), so the double mention inside when() is a few comparisons,
+    not a recompute hazard."""
+    eq = F.zip_with(x, y, lambda a, b: a.eqNullSafe(b))
+    p = F.array_position(eq, F.lit(False))
+    return F.when(p == 0, F.size(eq)).otherwise(p - 1).cast("bigint")
+
+
+def _common_prefix_len_sql(x: str, y: str) -> str:
+    """DuckDB twin: IS NOT DISTINCT FROM is the eqNullSafe; the
+    no-mismatch case is guarded for BOTH list_position conventions
+    (0 like Spark's array_position, or NULL — it returned 0 here,
+    measured: the naive coalesce(pos - 1, len) yielded -1 on spans at
+    document start, where both neighbor arrays are empty)."""
+    eq = (
+        f"list_transform(range(1, greatest(len({x}), len({y})) + 1),"
+        f" i -> {x}[i] IS NOT DISTINCT FROM {y}[i])"
+    )
+    return (
+        f"CASE WHEN coalesce(list_position({eq}, false), 0) = 0"
+        f" THEN greatest(len({x}), len({y}))"
+        f" ELSE list_position({eq}, false) - 1 END"
+    )
+
+
+def substring_spans_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> DataFrame:
+    """:func:`substring_spans` with TOKEN-EXACT boundaries — the r11
+    verdict's named refinement: CDC chunking loses up to one chunk
+    (~boundary_mod tokens) at each span edge, because the true duplicated
+    region need not start or end on a content-defined boundary. The
+    refinement re-compares exactly the two edge-adjacent chunks of each
+    emitted span token-by-token: the left extension is the longest common
+    SUFFIX of the two chunks preceding the span, the right extension the
+    longest common PREFIX of the two chunks following it.
+
+    One-chunk comparison IS token-exact here, by CDC determinism: a cut
+    happens before any token whose hash % boundary_mod == 0, a pure
+    per-token rule, so inside any matched region the boundaries of both
+    documents align — a match extending a full chunk past the span edge
+    would make that chunk pair share a fingerprint and join the run
+    itself. The one disclosed residue: when the whole neighbor chunk
+    matches (ext == its length), the span abuts a chunk the df_cap gate
+    excluded as boilerplate — extension stops at the gate's edge, the
+    same semantic choice d18 makes about boilerplate itself.
+
+    Candidates are exactly d18's spans (same df gate, same min_toks
+    emission rule — the reconciliation contract is per-row: start_a =
+    d18.start_a - ext_left, span_toks = d18.span_toks + ext_left +
+    ext_right). Output adds (ext_left, ext_right) so the refinement is
+    auditable.
+
+    Scale: rides d18's plan (the geometry aggregates are the same
+    groupBy) plus FOUR left equi-joins of the span relation (tiny)
+    against the chunk table on (doc_id, cidx) — span-count-sized probes,
+    never corpus-sized; the token arrays ride the chunk table at
+    ~1 string-array per chunk, and the suffix/prefix compares are
+    chunk-sized JVM array ops."""
+    fp = _chunk_fps(
+        df, id_col, text_col, boundary_mod, with_tokens=True
+    ).persist()  # cache: caller-owns (df-gate agg + pair sides + 4 edge probes)
+    geom = _span_geometry(
+        fp.select("doc_id", "cidx", "n_toks", "pos0", "chunk_hash"),
+        df_cap,
+        min_toks,
+    )
+    nb = fp.select("doc_id", "cidx", "toks")
+
+    def edge(nm: str):
+        return nb.select(
+            F.col("doc_id").alias(f"{nm}_doc"),
+            F.col("cidx").alias(f"{nm}_idx"),
+            F.col("toks").alias(f"{nm}_toks"),
+        )
+
+    j = (
+        geom.join(
+            edge("pa"),
+            (F.col("pa_doc") == F.col("doc_a"))
+            & (F.col("pa_idx") == F.col("ia0") - 1),
+            "left",
+        )
+        .join(
+            edge("pb"),
+            (F.col("pb_doc") == F.col("doc_b"))
+            & (F.col("pb_idx") == F.col("ia0") - F.col("diag") - 1),
+            "left",
+        )
+        .join(
+            edge("na"),
+            (F.col("na_doc") == F.col("doc_a"))
+            & (F.col("na_idx") == F.col("ia1") + 1),
+            "left",
+        )
+        .join(
+            edge("nb"),
+            (F.col("nb_doc") == F.col("doc_b"))
+            & (F.col("nb_idx") == F.col("ia1") - F.col("diag") + 1),
+            "left",
+        )
+    )
+    empty = F.array().cast("array<string>")
+    ext_l = _common_prefix_len(
+        F.reverse(F.coalesce(F.col("pa_toks"), empty)),
+        F.reverse(F.coalesce(F.col("pb_toks"), empty)),
+    )
+    ext_r = _common_prefix_len(
+        F.coalesce(F.col("na_toks"), empty),
+        F.coalesce(F.col("nb_toks"), empty),
+    )
+    refined = j.select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "n_chunks",
+        "span_toks",
+        ext_l.alias("ext_left"),
+        ext_r.alias("ext_right"),
+    )
+    return refined.select(
+        "doc_a",
+        "doc_b",
+        (F.col("start_a") - F.col("ext_left")).cast("bigint").alias("start_a"),
+        (F.col("start_b") - F.col("ext_left")).cast("bigint").alias("start_b"),
+        "n_chunks",
+        (F.col("span_toks") + F.col("ext_left") + F.col("ext_right"))
+        .cast("bigint")
+        .alias("span_toks"),
+        F.col("ext_left").cast("bigint").alias("ext_left"),
+        F.col("ext_right").cast("bigint").alias("ext_right"),
+    )
+
+
+def substring_spans_exact_sql(
+    table: str,
+    boundary_mod: int = SUB_BOUNDARY_MOD,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> str:
+    """DuckDB twin of :func:`substring_spans_exact` — d18's CTE chain
+    with chunk token arrays retained, geometry kept through the islands
+    stitch, the same four edge-chunk left joins, and the identical
+    suffix/prefix refinement."""
+    ext_l = _common_prefix_len_sql("list_reverse(pa_ts)", "list_reverse(pb_ts)")
+    ext_r = _common_prefix_len_sql("na_ts", "nb_ts")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS tl FROM {table}
+    ), toks AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.t AS t
+      FROM base, unnest(list_transform(range(1, len(tl) + 1),
+           i -> struct_pack(pos := i, t := tl[i]))) AS u(s)
+    ), h AS (
+      SELECT doc_id, pos, t, {phash60_sql('t')} AS ph FROM toks
+    ), c AS (
+      SELECT doc_id, pos, t, ph,
+             sum(CASE WHEN ph % {boundary_mod} = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS cidx
+      FROM h
+    ), g AS (
+      SELECT doc_id, cidx,
+             list(ph ORDER BY pos) AS hs,
+             list(t ORDER BY pos) AS ts,
+             count(*) AS n_toks, min(pos) AS pos0
+      FROM c GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id, cidx, n_toks, pos0, ts,
+             {fold60_sql('hs')} AS chunk_hash
+      FROM g
+    ), dfreq AS (
+      SELECT chunk_hash FROM fp GROUP BY 1
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {df_cap}
+    ), shared AS (
+      SELECT f.* FROM fp f JOIN dfreq USING (chunk_hash)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.cidx AS ia, a.cidx - b.cidx AS diag,
+             a.n_toks AS n_toks, a.pos0 AS pos_a, b.pos0 AS pos_b
+      FROM shared a JOIN shared b
+        ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT *, ia - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS run_id
+      FROM pairs
+    ), geom AS (
+      SELECT doc_a, doc_b, diag,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(n_toks) AS BIGINT) AS span_toks,
+             CAST(min(pos_a) AS BIGINT) AS start_a,
+             CAST(min(pos_b) AS BIGINT) AS start_b,
+             min(ia) AS ia0, max(ia) AS ia1
+      FROM runs GROUP BY doc_a, doc_b, diag, run_id
+      HAVING sum(n_toks) >= {min_toks}
+    ), ext AS (
+      SELECT g.doc_a, g.doc_b, g.n_chunks, g.span_toks, g.start_a, g.start_b,
+             coalesce(pa.ts, CAST([] AS VARCHAR[])) AS pa_ts,
+             coalesce(pb.ts, CAST([] AS VARCHAR[])) AS pb_ts,
+             coalesce(na.ts, CAST([] AS VARCHAR[])) AS na_ts,
+             coalesce(nb.ts, CAST([] AS VARCHAR[])) AS nb_ts
+      FROM geom g
+      LEFT JOIN fp pa ON pa.doc_id = g.doc_a AND pa.cidx = g.ia0 - 1
+      LEFT JOIN fp pb ON pb.doc_id = g.doc_b AND pb.cidx = g.ia0 - g.diag - 1
+      LEFT JOIN fp na ON na.doc_id = g.doc_a AND na.cidx = g.ia1 + 1
+      LEFT JOIN fp nb ON nb.doc_id = g.doc_b AND nb.cidx = g.ia1 - g.diag + 1
+    ), ref AS (
+      SELECT doc_a, doc_b, n_chunks, span_toks, start_a, start_b,
+             {ext_l} AS ext_left, {ext_r} AS ext_right
+      FROM ext
+    )
+    SELECT doc_a, doc_b,
+           CAST(start_a - ext_left AS BIGINT) AS start_a,
+           CAST(start_b - ext_left AS BIGINT) AS start_b,
+           n_chunks,
+           CAST(span_toks + ext_left + ext_right AS BIGINT) AS span_toks,
+           CAST(ext_left AS BIGINT) AS ext_left,
+           CAST(ext_right AS BIGINT) AS ext_right
+    FROM ref
     """
 
 

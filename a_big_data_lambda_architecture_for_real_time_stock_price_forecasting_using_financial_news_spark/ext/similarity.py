@@ -1453,6 +1453,28 @@ SEM_SALT_CELL = 256
 SEM_SALT_B = 8
 
 
+def _sem_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign (already zero-norm-filtered) vectors to their nearest
+    centroid from a GIVEN (cid, c) table: -> (vec_id, cid, e, nrm).
+    The d17 assignment stage, factored so the incremental probe (d22)
+    can run it against STORED centroids instead of freshly-trained ones
+    — assignment is a pure function of (vector, centroid table), which
+    is what makes the incremental equivalence contract provable."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        _km_quant(F.col(emb_col)).alias("q"),
+    )
+    return _km_assign(_spread_corpus(base, heavy=True), cents, extra=["e"]).select(
+        "vec_id", "cid", "e", norm(F.col("e")).alias("nrm")
+    )
+
+
 def _nonzero_vec(emb_col: str):
     """Zero-norm vectors are dropped BEFORE any cosine (the m22/m23/s4
     rule): cosine is undefined there and the engines diverge loudly if
@@ -1507,16 +1529,8 @@ def semantic_dedup(
     table ever materializes."""
     emb = df.filter(_nonzero_vec(emb_col))
     cents = train_kmeans_centroids(emb, km_k, iters, id_col, emb_col)
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("e"),
-        _km_quant(F.col(emb_col)).alias("q"),
-    )
-    cells = (
-        _km_assign(_spread_corpus(base, heavy=True), cents, extra=["e"])
-        .select("vec_id", "cid", "e", norm(F.col("e")).alias("nrm"))
-        .persist()  # cache: caller-owns — feeds both self-join sides + final left join
-    )
+    cells = _sem_cells(emb, cents, id_col, emb_col).persist()
+    # cache: caller-owns — feeds both self-join sides + final left join
     # per-cell block count: 1 for small cells, salt_b for skewed ones —
     # a k-row broadcast map, never a corpus-wide shuffle
     blocks = F.broadcast(
@@ -1603,4 +1617,189 @@ def semantic_dedup_sql(
            CAST(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
            CAST(r.dup_of AS BIGINT) AS dup_of
     FROM sd_cells c LEFT JOIN sd_rm r ON c.vec_id = r.id_b
+    """
+
+
+def incremental_semantic_dedup(
+    stored_cells: DataFrame,
+    new_df: DataFrame,
+    cents: DataFrame,
+    tau: float = SEM_TAU,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    salt_cell: int = SEM_SALT_CELL,
+    salt_b: int = SEM_SALT_B,
+) -> DataFrame:
+    """Probe an arriving embedding batch against a STORED SemDeDup state
+    WITHOUT re-training k-means or re-pairing the old corpus — d6's
+    (MinHash) and d21's (substring) amortized-store regime applied to
+    semantic dedup, the one dedup rung that still re-ran corpus-wide per
+    batch (r11 verdict item 1). At 100 TB the full d17 pass re-trains
+    centroids and re-pays sum(|cell|^2) cosines over the WHOLE corpus
+    for every arriving batch; production freezes the centroids per
+    snapshot and each batch pays only its own assignment plus pair work
+    inside the cells it actually touches.
+
+    Inputs: ``stored_cells`` is the persisted (vec_id, cid, e, nrm)
+    assignment table (:func:`_sem_cells` output, parquet-backed and
+    partitioned by cid in production so the touched-cell probe prunes
+    partitions); ``cents`` is the frozen (cid, c) centroid table
+    (:func:`train_kmeans_centroids` output, k rows, broadcast);
+    ``new_df`` is the arriving batch, zero-norm-filtered here.
+
+    Shape: assign the batch with one broadcast-argmin pass (pure
+    function of (vector, centroids) — identical to what the store
+    holds for old vectors, which is what makes the contract provable);
+    prune the store to TOUCHED cells via a broadcast <=k-row cell list;
+    pair-pass new x (old + new) inside touched cells only, with d17's
+    skewed-cell salting verbatim (probe side explodes over the block
+    count, build side hashes into one block; the per-cell block map is
+    a broadcast k-row agg) and new-new pairs kept once by id order.
+
+    Output — the mergeable REMOVAL-MAP DELTA, one row per vector that
+    gained at least one smaller-id duplicate partner through a pair
+    touching the batch: (vec_id, cid, dup_of = min such partner,
+    n_dups). Contract (stated by the oracle): because assignment is
+    deterministic under frozen centroids, this EQUALS the full d17
+    pair relation restricted to pairs touching a new vector, min-grouped
+    per victim; min-merging the delta into the stored removal map (k5's
+    mergeable-state discipline — min is associative/commutative) yields
+    exactly the removal map a full frozen-centroid d17 run over the
+    grown corpus would produce. Old-old pairs were found when the old
+    data arrived; a small-id arrival correctly evicts larger-id OLD
+    vectors (rows for old victims appear in the delta).
+
+    Scale: probe cost tracks the batch and its touched cells, never the
+    corpus — batch assignment is |batch| x k broadcast work, the store
+    scan is partition-pruned to touched cells, and the pair join's
+    per-reducer fan-out is bounded by the same salting budget d17
+    measured (~salt_cell^2/salt_b pairs per task)."""
+    new_cells = _sem_cells(
+        new_df.filter(_nonzero_vec(emb_col)), cents, id_col, emb_col
+    )
+    cols = ["vec_id", "cid", "e", "nrm"]
+    allc = (
+        stored_cells.select(*cols)
+        .withColumn("is_new", F.lit(0))
+        .unionByName(new_cells.select(*cols).withColumn("is_new", F.lit(1)))
+    )
+    touched = new_cells.select("cid").distinct()
+    # cache: caller-owns — feeds the block-size agg + both pair-join sides
+    build = allc.join(F.broadcast(touched), "cid").persist()
+    blocks = F.broadcast(
+        build.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .select(
+            "cid",
+            F.when(F.col("cell_n") > salt_cell, F.lit(salt_b))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("nb"),
+        )
+    )
+    withnb = build.join(blocks, "cid")
+    n = withnb.filter(F.col("is_new") == 1).select(
+        "cid",
+        F.col("vec_id").alias("id_n"),
+        F.col("e").alias("e_n"),
+        F.col("nrm").alias("nrm_n"),
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("blk"),
+    )
+    o = withnb.select(
+        "cid",
+        F.col("vec_id").alias("id_o"),
+        F.col("e").alias("e_o"),
+        F.col("nrm").alias("nrm_o"),
+        "is_new",
+        F.pmod(F.xxhash64("vec_id"), F.col("nb").cast("bigint"))
+        .cast("int")
+        .alias("blk"),
+    )
+    pairs = (
+        n.join(o, ["cid", "blk"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        # each new-new pair exactly once (kept in the orientation where
+        # the probe side holds the smaller id); new-old pairs appear once
+        # by construction since the probe side is new-only
+        .filter((F.col("is_new") == 0) | (F.col("id_n") < F.col("id_o")))
+        # dot/(na*nb) spelled exactly like d17/cosine_sql; dot and the
+        # fold order are orientation-symmetric, so the score (and the
+        # >= tau decision) is identical however the pair arrived
+        .withColumn(
+            "score",
+            dot(F.col("e_n"), F.col("e_o")) / (F.col("nrm_n") * F.col("nrm_o")),
+        )
+        .filter(F.col("score") >= tau)
+    )
+    flip = F.col("id_o") < F.col("id_n")
+    orient = pairs.select(
+        "cid",
+        F.when(flip, F.col("id_o")).otherwise(F.col("id_n")).alias("id_a"),
+        F.when(flip, F.col("id_n")).otherwise(F.col("id_o")).alias("id_b"),
+    )
+    return (
+        orient.groupBy("id_b", "cid")
+        .agg(
+            F.min("id_a").cast("bigint").alias("dup_of"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select(
+            F.col("id_b").cast("bigint").alias("vec_id"),
+            F.col("cid").cast("int").alias("cid"),
+            "dup_of",
+            "n_dups",
+        )
+    )
+
+
+def incremental_semantic_dedup_sql(
+    table: str,
+    new_pred: str,
+    tau: float = SEM_TAU,
+    km_k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`incremental_semantic_dedup`, stating the
+    equivalence contract directly: train k-means on the OLD subset only
+    (frozen centroids), assign the WHOLE corpus to them, build the full
+    within-cell pair relation, restrict it to pairs touching a new
+    vector, min-group per victim. ``new_pred`` is a format string with
+    an ``{id}`` placeholder (e.g. ``'{id} % 5 = 0'``) so the same batch
+    rule applies to the training filter and both pair sides."""
+    src_old = (
+        f"(SELECT * FROM {table} WHERE {_nonzero_vec_sql(emb_col)}"
+        f" AND NOT ({new_pred.format(id=id_col)}))"
+    )
+    ctes, cfinal = _km_ctes(src_old, km_k, iters, id_col, emb_col)
+    cost = _km_cost_sql("b.q", "c.c", "c.cn2")
+    cos = cosine_sql("a.e", "b.e")
+    pa = new_pred.format(id="a.vec_id")
+    pb = new_pred.format(id="b.vec_id")
+    return f"""
+    WITH {ctes},
+    caugf AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {cfinal}),
+    isd_all AS (
+      SELECT {id_col} AS vec_id, {emb_col} AS e,
+             list_transform({emb_col},
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS q
+      FROM {table} WHERE {_nonzero_vec_sql(emb_col)}
+    ),
+    isd_cells AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT b.vec_id, b.e, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM isd_all b CROSS JOIN caugf c
+      ) WHERE rn = 1
+    ),
+    isd_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cid
+      FROM isd_cells a JOIN isd_cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= {tau} AND (({pa}) OR ({pb}))
+    )
+    SELECT id_b AS vec_id, CAST(cid AS INTEGER) AS cid,
+           CAST(min(id_a) AS BIGINT) AS dup_of,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM isd_pairs GROUP BY 1, 2
     """

@@ -18072,3 +18072,74 @@ def d21_substring_incremental(spark, sf_dir):
     old = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
     return _dd.incremental_substring_spans(_dd._chunk_fps(old), new)
+
+
+@register(
+    "d22_semdedup_incremental",
+    _sim.incremental_semantic_dedup_sql("embeddings", "{id} % 5 = 0"),
+)
+def d22_semdedup_incremental(spark, sf_dir):
+    """Incremental SemDeDup (ext/similarity.py:incremental_semantic_dedup)
+    — the amortized-store regime (d6 for MinHash, d21 for substrings)
+    applied to the last dedup rung that still re-ran corpus-wide per
+    batch: vectors with vec_id % 5 == 0 arrive as the NEW batch, are
+    assigned to centroids TRAINED ON THE STORED 80% ONLY (the frozen
+    snapshot), and pair-pass only inside the cells the batch touches;
+    the old corpus is never re-trained or re-paired.
+
+    Output is the mergeable removal-map DELTA: per victim vector, the
+    min-id duplicate partner among pairs touching the batch. The oracle
+    states the d21-style equivalence contract directly — train k-means
+    on the old subset, assign EVERYONE to those frozen centroids, build
+    the full within-cell pair relation, keep only pairs touching a new
+    vector, min-group per victim. Equality holds because cell assignment
+    is a pure function of (vector, frozen centroids): the store's rows
+    for old vectors are bit-identical to a recompute, so pruning the
+    pair pass to (new x touched-cell) loses exactly the old-old pairs —
+    the ones the store already accounted for when that data arrived.
+
+    At 100 TB: the store is partitioned by cid (touched-cell probe =
+    partition pruning), the batch pays |batch| x k broadcast-argmin
+    assignment work, and the pair pass inherits d17's measured
+    skewed-cell salting budget. Min-merging the delta into the stored
+    removal map (k5's mergeable-state discipline) reproduces the full
+    frozen-centroid d17 map over the grown corpus."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0).filter(
+        _sim._nonzero_vec("embedding")
+    )
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = _sim.train_kmeans_centroids(old)
+    stored = _sim._sem_cells(old, cents)
+    return _sim.incremental_semantic_dedup(stored, new, cents)
+
+
+@register(
+    "d23_substring_exact_bounds",
+    _dd.substring_spans_exact_sql("documents"),
+)
+def d23_substring_exact_bounds(spark, sf_dir):
+    """d18 with TOKEN-EXACT span boundaries (ext/dedup.py:
+    substring_spans_exact) — closing the r11 verdict's disclosed
+    one-chunk edge approximation: CDC chunking loses up to one
+    ~8-token chunk at each span edge, and d20's contamination
+    decisions near the >= 20-token threshold inherited that blur.
+    For every d18 span, the two edge-adjacent chunk pairs are
+    re-compared token-by-token — left extension = longest common
+    suffix of the preceding chunks, right = longest common prefix of
+    the following ones. CDC determinism (cut-before-token is a pure
+    per-token hash rule, so boundaries align inside any matched
+    region) makes the one-chunk comparison token-exact; a match
+    covering the WHOLE neighbor chunk can only abut a df_cap-gated
+    boilerplate chunk, where extension stops at the gate's own edge.
+
+    Reconciliation contract (pytest-pinned): candidates are exactly
+    d18's spans; per row, start = d18.start - ext_left and span_toks =
+    d18.span_toks + ext_left + ext_right, with ext bounded by the
+    neighbor chunk lengths. The oracle pins the exact start/length
+    columns directly.
+
+    Scale: d18's plan plus four span-count-sized LEFT equi-joins
+    against the chunk table on (doc_id, cidx) and chunk-sized array
+    compares — no new corpus-sized pass, no window, no all-pairs."""
+    return _dd.substring_spans_exact(tbl(spark, sf_dir, "documents"))

@@ -508,6 +508,82 @@ def incremental_dedup_bench(spark, sf_dir):
     return out
 
 
+def incremental_semdedup_bench(spark, sf_dir):
+    """d22's amortization claim, MEASURED (the incremental_dedup section's
+    twin for the semantic rung): dedup a +20% embedding batch against a
+    STORED SemDeDup state — frozen centroids + cell assignments, both
+    parquet-backed — vs re-running full d17 over the grown corpus.
+    build_once = train k-means on the stored 80% and write the centroid
+    and cell tables (paid once per snapshot); probe_batch = read both
+    stores, assign the batch to the frozen centroids, pair only inside
+    touched cells; full_rerun = semantic_dedup over the union (re-train +
+    corpus-wide within-cell pair pass). Median of 3, caches cleared
+    between reps (the store READ is part of the recurring cost,
+    honestly). The term the store amortizes is the re-train + re-pair of
+    the stored 80%; at 100 TB-corpus/1 TB-batch the full re-run re-pays
+    ~100x the probe's assignment work plus the whole pair pass."""
+    import shutil
+    import statistics
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.ext import (
+        similarity as sim,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.plans.registry import (
+        scratch_dir,
+    )
+    from a_big_data_lambda_architecture_for_real_time_stock_price_forecasting_using_financial_news_spark.sources.batch import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0).filter(
+        sim._nonzero_vec("embedding")
+    )
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    _tag, scratch = scratch_dir("spark_graft_incsem", sf_dir)
+    run_id = uuid.uuid4().hex[:8]
+    cdir = os.path.join(scratch, f"cents_{run_id}")
+    sdir = os.path.join(scratch, f"cells_{run_id}")
+    out: dict = {"old_rows": old.count(), "new_rows": new.count()}
+    try:
+        t0 = time.perf_counter()
+        cents = sim.train_kmeans_centroids(old)
+        cents.write.mode("overwrite").parquet(cdir)
+        sim._sem_cells(old, cents).write.mode("overwrite").parquet(sdir)
+        out["build_once"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+        def probe():
+            return sim.incremental_semantic_dedup(
+                spark.read.parquet(sdir), new, spark.read.parquet(cdir)
+            )
+
+        def full():
+            return sim.semantic_dedup(emb)
+
+        cases = {"probe_batch": probe, "full_rerun": full}
+        for fn in cases.values():  # codegen warmup
+            fn().write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        reps: dict[str, list[float]] = {name: [] for name in cases}
+        for _ in range(3):
+            for name, fn in cases.items():
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                reps[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out.update(
+            {name: round(statistics.median(v), 3) for name, v in reps.items()}
+        )
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)
+    return out
+
+
 def semdedup_salt_bench(spark, sf_dir):
     """d17's skewed-cell salting claim, MEASURED every round (the r11
     change): the within-cell pair pass with cells > SEM_SALT_CELL split
@@ -645,6 +721,7 @@ def main():
     pr_iter = {"sf": pagerank_iter_bench(spark, sf_dir)}
     card = cardinality_bench(spark, sf_dir)
     inc = incremental_dedup_bench(spark, sf_dir)
+    inc_sem = incremental_semdedup_bench(spark, sf_dir)
 
     # optional second pass at sf1 (generated locally by tools/gen_sf1.py —
     # 10x sf0.1 with per-replica key shifts). Catches constant factors that
@@ -692,6 +769,7 @@ def main():
         "pagerank_iter": pr_iter,
         "cardinality": card,
         "incremental_dedup": inc,
+        "incremental_semdedup": inc_sem,
         # pre = before warmup, post = after all timed sections: a diverging
         # pair flags drift DURING the run, not just between rounds
         "machine": machine_pre,
@@ -733,6 +811,7 @@ def main():
             slim.pop("skew", None)
             slim.pop("cardinality", None)
             slim.pop("incremental_dedup", None)
+            slim.pop("incremental_semdedup", None)
             # "machine" (the pre-run stamp with the normalizing microbench)
             # survives every shed tier — it is how the numbers are read
             slim.pop("machine_post", None)

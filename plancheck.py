@@ -96,6 +96,9 @@ CROSS_JOIN_ALLOWLIST = {
     # centroid-table broadcast crossJoin (<= KM_K = 64 rows) for the
     # SemDeDup cluster assignment — same bound as s6/s11
     "d17_semdedup",
+    # incremental SemDeDup probe: the same <= KM_K = 64-row broadcast
+    # centroid crossJoin as d17 (batch assignment against the frozen table)
+    "d22_semdedup_incremental",
     # class-count-bounded (5-row) + 1-row doc-total broadcast crossJoins
     # building the chi2 scoring grid — same bounds as m18
     "m28_chi2_feature_select",

@@ -1392,3 +1392,162 @@ def test_incremental_substring_probe_equals_full_restriction(spark):
     assert probe == want and probe, "probe must find the new-old spans"
     # the old-old pair (1,2) shares the whole doc but must NOT re-emerge
     assert all(not (a == 1 and b == 2) for (a, b, *_rest) in probe)
+
+
+def test_substring_exact_bounds_reconciles_with_d18(spark):
+    """d23's reconciliation contract on a half-shared-edge corpus: the
+    candidate set is exactly d18's spans, and per row start_a =
+    d18.start_a - ext_left, span_toks = d18.span_toks + ext_left +
+    ext_right, ext >= 0. The planted pair shares a region whose edges
+    fall MID-CHUNK on both sides (different prefixes/suffixes), so the
+    refinement must recover tokens d18's chunk alignment dropped."""
+    base = [f"tok{i}" for i in range(80)]
+    rows = [
+        Row(doc_id=1, text=" ".join(["aaa", "bbb"] + base + ["ccc"]),
+            lang="en", source="s"),
+        Row(doc_id=2, text=" ".join(["xx", "yy", "zz"] + base + ["qq", "rr"]),
+            lang="en", source="s"),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40)),
+            lang="en", source="s"),
+    ]
+    df = spark.createDataFrame(rows)
+    plain = {
+        (r.doc_a, r.doc_b): r for r in dedup.substring_spans(df).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.substring_spans_exact(df).collect()
+    }
+    assert set(exact) == set(plain) == {(1, 2)}
+    p, e = plain[(1, 2)], exact[(1, 2)]
+    assert e.ext_left >= 0 and e.ext_right >= 0
+    assert e.start_a == p.start_a - e.ext_left
+    assert e.start_b == p.start_b - e.ext_left
+    assert e.span_toks == p.span_toks + e.ext_left + e.ext_right
+    assert e.n_chunks == p.n_chunks
+    # token-exact: the shared region is all 80 base tokens, starting
+    # right after doc 1's 2-token and doc 2's 3-token private prefixes
+    assert (e.start_a, e.start_b, e.span_toks) == (3, 4, 80)
+    # and d18 alone really had dropped edge tokens (the refinement is
+    # not vacuous on this corpus)
+    assert e.ext_left > 0 and e.ext_right > 0
+
+
+def test_substring_exact_bounds_stops_at_doc_edges(spark):
+    """Spans flush with document start/end have no neighbor chunks: both
+    extensions must be 0 (the empty-array arm that caught the DuckDB
+    list_position convention) — identical docs reconcile with d18
+    exactly and keep the whole-doc span unchanged."""
+    shared = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        Row(doc_id=1, text=shared, lang="en", source="s"),
+        Row(doc_id=2, text=shared, lang="en", source="s"),
+    ]
+    df = spark.createDataFrame(rows)
+    (e,) = dedup.substring_spans_exact(df).collect()
+    (p,) = dedup.substring_spans(df).collect()
+    assert (e.ext_left, e.ext_right) == (0, 0)
+    assert (e.doc_a, e.doc_b, e.start_a, e.start_b, e.n_chunks, e.span_toks) == (
+        p.doc_a, p.doc_b, p.start_a, p.start_b, p.n_chunks, p.span_toks,
+    )
+
+
+def test_incremental_semdedup_probe_equals_full_restriction(spark):
+    """d22's equivalence contract on a planted corpus: probing a new
+    batch against the stored cell table (frozen centroids) equals the
+    FULL within-cell pair relation under the same centroids restricted
+    to pairs touching a new vector, min-grouped per victim — i.e. the
+    touched-cell pruning, probe orientation, and salting lose nothing.
+    Planted facts: a new copy of an old vector (new-old pair), two new
+    copies of each other (new-new pair kept once), an old-old duplicate
+    pair that must NOT re-emerge, a zero-norm new vector (dropped), and
+    a small-id new arrival evicting a larger-id OLD vector."""
+    import math
+
+    def vec(theta):
+        return [float(math.cos(theta)), float(math.sin(theta)), 0.0]
+
+    rows = [
+        Row(vec_id=1, embedding=vec(0.0), label=0),     # old
+        Row(vec_id=2, embedding=vec(0.01), label=0),    # old dup of 1 (old-old)
+        Row(vec_id=3, embedding=vec(1.2), label=0),     # old, near 5's arrival
+        Row(vec_id=5, embedding=vec(0.005), label=0),   # new dup of 1 and 2
+        Row(vec_id=10, embedding=vec(0.006), label=0),  # new dup of 1/2/5
+        Row(vec_id=15, embedding=[0.0, 0.0, 0.0], label=0),  # new zero-norm
+        Row(vec_id=0, embedding=vec(1.21), label=0),    # new, evicts OLD 3
+    ]
+    df = spark.createDataFrame(rows)
+    old = df.filter(F.col("vec_id") % 5 != 0).filter(
+        similarity._nonzero_vec("embedding")
+    )
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.train_kmeans_centroids(old)
+    stored = similarity._sem_cells(old, cents)
+    got = sorted(
+        map(
+            tuple,
+            similarity.incremental_semantic_dedup(stored, new, cents).collect(),
+        )
+    )
+    # salting must not change the verdict set (pair coverage is exact)
+    salted = sorted(
+        map(
+            tuple,
+            similarity.incremental_semantic_dedup(
+                stored, new, cents, salt_cell=2, salt_b=3
+            ).collect(),
+        )
+    )
+    assert got == salted
+
+    # reference: full pair relation under the SAME frozen centroids,
+    # restricted to pairs touching a new vector, min-grouped per victim
+    cells_all = similarity._sem_cells(
+        df.filter(similarity._nonzero_vec("embedding")), cents
+    )
+    a = cells_all.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cid").alias("cid"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = cells_all.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cid").alias("cid"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "score",
+                similarity.dot(F.col("e_a"), F.col("e_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+            )
+            .filter(F.col("score") >= similarity.SEM_TAU)
+            .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+            .groupBy(F.col("id_b").alias("vec_id"), "cid")
+            .agg(
+                F.min("id_a").cast("bigint").alias("dup_of"),
+                F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            )
+            .select(
+                F.col("vec_id").cast("bigint"),
+                F.col("cid").cast("int"),
+                "dup_of",
+                "n_dups",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got, "probe must find the new-touching pairs"
+    victims = {r[0] for r in got}
+    assert 15 not in victims, "zero-norm new vector must be dropped"
+    assert 3 in victims, "small-id arrival (0) must evict larger-id OLD 3"
+    assert all(v != 2 or d != 1 for (v, _c, d, _n) in got) or (
+        # old victim 2's delta row may exist only via a NEW partner
+        all(d % 5 == 0 for (v, _c, d, _n) in got if v == 2)
+    ), "old-old pair (1,2) must not re-emerge as a 1->2 delta"

@@ -1458,6 +1458,32 @@ def test_batch10_d17_matches_oracle_on_generated_embeddings(
     _check(spark, tmp, qname, ["embeddings"])
 
 
+# d22 incremental semantic dedup on the same generated embeddings: the
+# /250 grid produces exact duplicates (tau boundary) and zero-norm
+# vectors on BOTH sides of the batch split; `stride` flips the corpus
+# between mixed old/new (stride 1), ALL-NEW (stride 5: every id % 5 == 0,
+# so the stored snapshot is EMPTY — no centroids, vacuously empty delta
+# on both engines — the bootstrap-with-full-d17 regime), and all-old
+# (stride 5, offset 1: empty arriving batch, empty delta).
+@pytest.mark.parametrize("stride,offset", [(1, 0), (5, 0), (5, 1)])
+@settings(max_examples=3, deadline=None)
+@given(raw=_gram_examples)
+def test_batch12_d22_matches_oracle_on_generated_embeddings(
+    spark, tmp_path_factory, stride, offset, raw
+):
+    rows = [
+        (i * stride + offset, [float(x) for x in vec], i % 3)
+        for i, vec in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, "d22_semdedup_incremental", ["embeddings"])
+
+
 # m28 chi2 on generated documents: the tiny-vocab corpus hits every
 # degenerate margin — single-class corpora (rp = 0), terms present in
 # every doc (cp = 0), and sub-min-df vocabularies yielding empty output.
@@ -1619,6 +1645,9 @@ _sub_docs = st.lists(
         "d19_substring_trim_plan",
         "d20_substring_decontamination",
         "d21_substring_incremental",
+        # d23 inherits every arm (repeat-heavy, single-chunk, identical,
+        # empty) and adds the edge-refinement geometry to each of them
+        "d23_substring_exact_bounds",
     ],
 )
 @settings(max_examples=6, deadline=None)
