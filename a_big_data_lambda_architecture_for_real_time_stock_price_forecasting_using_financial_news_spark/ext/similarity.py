@@ -1529,8 +1529,7 @@ def semantic_dedup(
     table ever materializes."""
     emb = df.filter(_nonzero_vec(emb_col))
     cents = train_kmeans_centroids(emb, km_k, iters, id_col, emb_col)
-    cells = _sem_cells(emb, cents, id_col, emb_col).persist()
-    # cache: caller-owns — feeds both self-join sides + final left join
+    cells = _sem_cells(emb, cents, id_col, emb_col).persist()  # cache: caller-owns — feeds both self-join sides + final left join
     # per-cell block count: 1 for small cells, salt_b for skewed ones —
     # a k-row broadcast map, never a corpus-wide shuffle
     blocks = F.broadcast(
@@ -1684,8 +1683,7 @@ def incremental_semantic_dedup(
         .unionByName(new_cells.select(*cols).withColumn("is_new", F.lit(1)))
     )
     touched = new_cells.select("cid").distinct()
-    # cache: caller-owns — feeds the block-size agg + both pair-join sides
-    build = allc.join(F.broadcast(touched), "cid").persist()
+    build = allc.join(F.broadcast(touched), "cid").persist()  # cache: caller-owns — feeds the block-size agg + both pair-join sides
     blocks = F.broadcast(
         build.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("cell_n"))

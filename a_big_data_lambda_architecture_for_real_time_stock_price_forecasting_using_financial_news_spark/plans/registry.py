@@ -12,18134 +12,46 @@ testdata tables. Invariants that keep cross-engine value-hashes stable:
 
 The oracle strings are *semantic* equivalents in DuckDB SQL — they verify
 results, they don't have to mirror the Spark plan shape.
+
+Since r12 the 18k-line single file is split into per-battery modules
+(registry_base ... registry_tokenizer, imported below IN ORDER so
+QUERIES/ORACLES registration order is exactly the old declaration order);
+this facade re-exports every module-level name, so ``registry.<anything>``
+— including private helpers tests and bench reach for — behaves as before.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
-
-from ..operators.aggregate import daily_ohlc, daily_sentiment, last_write_wins
-from ..plans.batch_pipeline import DEFAULT_AS_OF, build_batch_view, flagship, parse_props
-from ..session import prepare
-from ..sources.batch import load_table
-
-DEC = "decimal(18,2)"
-
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None, lazy_replay: bool = False):
-    """Register a query. ``lazy_replay=True`` marks entries whose builder
-    EXECUTES work (streaming replays, staged keyed views) rather than
-    composing a lazy plan: those are wrapped in
-    :class:`~.lazyframe.LazyReplayFrame`, so ``QUERIES[name](spark,
-    sf_dir)`` is construction-free and the replay runs on first touch of
-    the returned frame (VERDICT r9 item 8 — schema audits and harness
-    introspection must not trigger stream I/O)."""
-
-    def deco(fn):
-        if lazy_replay:
-            import functools
-
-            from .lazyframe import LazyReplayFrame
-
-            @functools.wraps(fn)
-            def wrapper(spark, sf_dir):
-                return LazyReplayFrame(lambda: fn(spark, sf_dir))
-
-            QUERIES[name] = wrapper
-        else:
-            QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    prepare(spark)
-    return load_table(spark, sf_dir, name)
-
-
-def dec2dbl(df: DataFrame) -> DataFrame:
-    """Output-boundary rule (VERDICT r1): DECIMAL is an *internal* type only
-    — exact, order-independent money sums — but every query OUTPUT pins
-    DOUBLE. Decimal trailing-fractional-zero rendering (``1400362.00``)
-    differs between engines and flaps the driver's value hash even when the
-    values are bit-exact; a final DOUBLE cast on BOTH sides (the
-    ``m5_serving_forecast`` pattern) is representation-stable because both
-    engines produce the correctly-rounded IEEE double of the same exact
-    decimal. Oracles must CAST the same columns to DOUBLE. Applied AFTER any
-    ORDER BY/LIMIT so top-N membership is still decided on exact decimals.
-    """
-    fields = df.schema.fields
-    if not any(isinstance(f.dataType, DecimalType) for f in fields):
-        return df
-    return df.select(
-        *[
-            F.col(f.name).cast("double").alias(f.name)
-            if isinstance(f.dataType, DecimalType)
-            else F.col(f.name)
-            for f in fields
-        ]
-    )
-
-
-def bucket_count(spark, sf_dir: str, table: str, small: int = 8) -> int:
-    """Size a ``bucketBy`` count from the input table's on-disk bytes,
-    aligned to the session's shuffle-partition budget.
-
-    The r7 ``pagerank_iter`` bench measured BOTH failure modes of a
-    hardcoded count on local[32]: 8 buckets at sf1-lineitem (~6M edges,
-    130 MB source) caps the bucketed join at 1/4 of the box (2.34s vs
-    1.49s at 32), while 32 buckets at sf0.1 fragments the files below
-    per-task amortization (2.63s vs 1.17s at 8) — and an unaligned count
-    (29 on a 32-partition budget) re-shuffles the small side every round
-    (2.99s vs 1.57s). The crossover sits between those fixtures: the r8
-    probe on sf1-documents (5.9 MB source, ~480k banded sketch rows)
-    measured 8 buckets still AHEAD of 32 (join 1.36s vs 1.46s, write
-    1.69s vs 1.88s) — ~60k rows/bucket amortizes a task; 15k doesn't.
-    So the threshold is 32 MB of source bytes (≈1M+ derived rows on
-    these fixtures): below it keep ``small``, above it use the
-    shuffle-partition count itself — aligned by construction. At 100 TB
-    the same rule holds with a bigger constant: buckets ≈ cluster
-    parallelism, never less, and never misaligned with it."""
-    import os as _os
-
-    p = _os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if _os.path.isdir(p):
-            size = sum(
-                _os.path.getsize(_os.path.join(r, f))
-                for r, _, fs in _os.walk(p)
-                for f in fs
-            )
-        else:
-            size = _os.path.getsize(p)
-    except OSError:
-        size = 0
-    if size < (32 << 20):
-        return small
-    return int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-
-# ---------------------------------------------------------------------------
-# Per-process scratch staging (bucketed tables, format-roundtrip files)
-# ---------------------------------------------------------------------------
-
-#: every dir this process created via :func:`scratch_dir`, removed at exit
-_SCRATCH_OWNED: set = set()
-#: staging roots already swept for dead-owner dirs this process
-_SCRATCH_SWEPT: set = set()
-
-
-def _pid_alive(pid: int) -> bool:
-    import os as _os
-
-    try:
-        _os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else — leave it
-    return True
-
-
-def _scratch_cleanup() -> None:
-    import shutil
-
-    for d in list(_SCRATCH_OWNED):
-        shutil.rmtree(d, ignore_errors=True)
-
-
-def scratch_dir(kind: str, sf_dir: str) -> tuple[str, str]:
-    """Per-process staging dir ``/tmp/<kind>/<sf-hash>_<pid>``; returns
-    ``(tag, path)``.
-
-    The pid suffix de-races concurrent sessions (pytest + plancheck +
-    bench on one fixture must not overwrite each other's staging while
-    the other side reads it back), but r6 left the dirs behind: entries
-    cannot clean up inline because the DataFrame they return lazily
-    reads the staged files until the caller collects (judge r6 finding:
-    46 orphan dirs / 208 MB after one verification session). Lifecycle
-    now owned here instead:
-
-    - first use of a ``kind`` per process SWEEPS sibling dirs whose
-      owning pid is dead (plus legacy un-suffixed dirs from pre-r6
-      code) — any crashed or finished process's litter goes away on the
-      next run;
-    - an ``atexit`` hook removes every dir this process created, so a
-      full selfcheck/bench/pytest session exits clean. Catalog entries
-      (``saveAsTable``) need no sweeping: the in-memory session catalog
-      dies with the process.
-    """
-    import atexit
-    import hashlib
-    import os as _os
-    import re
-    import shutil
-    import time as _time
-
-    base = _os.path.join("/tmp", kind)
-    if base not in _SCRATCH_SWEPT:
-        _SCRATCH_SWEPT.add(base)
-        if _os.path.isdir(base):
-            for entry in _os.listdir(base):
-                m = re.fullmatch(r"[0-9a-f]{8}(?:_(\d+))?", entry)
-                if not m:
-                    continue
-                p = _os.path.join(base, entry)
-                # pid liveness alone can hold an orphan forever (recycled
-                # pid, or PermissionError reading as "alive" for a foreign
-                # process) — an age guard closes that residue: no entry's
-                # staging legitimately outlives a session by hours
-                try:
-                    stale = (_time.time() - _os.path.getmtime(p)) > 4 * 3600
-                except OSError:
-                    stale = False
-                if m.group(1) is None or stale or not _pid_alive(int(m.group(1))):
-                    shutil.rmtree(p, ignore_errors=True)
-    tag = f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
-    path = _os.path.join(base, tag)
-    if not _SCRATCH_OWNED:
-        atexit.register(_scratch_cleanup)
-    _SCRATCH_OWNED.add(path)
-    return tag, path
-
-
-# ---------------------------------------------------------------------------
-# Flagship (§3.2): full batch-view pipeline
-# ---------------------------------------------------------------------------
-
-@register(
-    "flagship_batch_view",
-    f"""
-    WITH ev AS (
-      SELECT CAST(ts AS DATE) AS event_date, ts, event_type,
-             CAST(value AS DECIMAL(18,2)) AS price,
-             CAST(props->>'k' AS BIGINT) AS k
-      FROM events
-    ), stock AS (
-      SELECT event_date,
-             arg_min(price, ts) AS open_v,
-             max(price) AS high_v,
-             min(price) AS low_v,
-             arg_max(price, ts) AS close_v,
-             count(*) AS n_trades,
-             CAST(sum(price) AS DECIMAL(18,2)) AS turnover
-      FROM ev WHERE event_type = 'purchase' GROUP BY 1
-    ), senti AS (
-      SELECT event_date AS news_date, count(*) AS nbr_article, avg(k) AS avg_score
-      FROM ev WHERE event_type <> 'purchase' GROUP BY 1
-    )
-    SELECT s.event_date,
-           CAST(s.open_v AS DOUBLE) AS open_v,
-           CAST(s.high_v AS DOUBLE) AS high_v,
-           CAST(s.low_v AS DOUBLE) AS low_v,
-           CAST(s.close_v AS DOUBLE) AS close_v,
-           s.n_trades,
-           CAST(s.turnover AS DOUBLE) AS turnover,
-           n.nbr_article, n.avg_score
-    FROM stock s JOIN senti n ON s.event_date = n.news_date
-    WHERE s.event_date <> DATE '{DEFAULT_AS_OF}'
-    """,
-)
-def flagship_batch_view(spark, sf_dir):
-    """Flagship (§3.2): full batch-view pipeline; DOUBLE at the boundary."""
-    return dec2dbl(flagship(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# P: projections / parse (SURVEY §2.3 P1-P6)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "p1_p2_json_parse",
-    "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events",
-)
-def p1_p2_json_parse(spark, sf_dir):
-    """P1 cast + P2 from_json/flatten (reference yfConsumer.py:33,47)."""
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    return ev.select("event_id", "k")
-
-
-@register(
-    "p3_p5_project_rename_cast",
-    """
-    SELECT l_orderkey AS order_key, l_linenumber AS line_no,
-           CAST(l_quantity AS INTEGER) AS qty,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
-    FROM lineitem
-    """,
-)
-def p3_p5_project_rename_cast(spark, sf_dir):
-    """P3 select-list + P5 withColumnRenamed + X2 cast
-    (reference batchPipeline.py:129,164). The 2-decimal pin stays (X2
-    semantics); the output rides DOUBLE (dec2dbl boundary rule)."""
-    li = tbl(spark, sf_dir, "lineitem")
-    return dec2dbl(
-        li.withColumnRenamed("l_orderkey", "order_key")
-        .withColumnRenamed("l_linenumber", "line_no")
-        .select(
-            "order_key",
-            "line_no",
-            F.col("l_quantity").cast("int").alias("qty"),
-            F.col("l_extendedprice").cast(DEC).alias("price"),
-        )
-    )
-
-
-@register(
-    "p4_constant_columns",
-    """
-    SELECT DISTINCT CAST(ts AS DATE) AS event_date,
-           0 AS nbr_article,
-           CAST(0.33 AS DOUBLE) AS positive,
-           CAST(0.33 AS DOUBLE) AS negative,
-           CAST(0.33 AS DOUBLE) AS neutre
-    FROM events
-    """,
-)
-def p4_constant_columns(spark, sf_dir):
-    """P4: the speed-view default row — lit() defaults per key
-    (reference yfConsumerStream.py:49-53: Nbr_article=0, probs=0.33)."""
-    ev = tbl(spark, sf_dir, "events")
-    return (
-        ev.select(F.to_date("ts").alias("event_date"))
-        .distinct()
-        .withColumn("nbr_article", F.lit(0))
-        .withColumn("positive", F.lit(0.33))
-        .withColumn("negative", F.lit(0.33))
-        .withColumn("neutre", F.lit(0.33))
-    )
-
-
-@register(
-    "p6_dropna_short_text",
-    "SELECT doc_id, text AS text_clean FROM documents WHERE length(text) >= 10",
-)
-def p6_dropna_short_text(spark, sf_dir):
-    """X5 null-out (len<10 → null, reference batchPipeline.py:42-43) + P6
-    dropna (batchPipeline.py:64)."""
-    docs = tbl(spark, sf_dir, "documents")
-    return (
-        docs.withColumn(
-            "text_clean", F.when(F.length("text") >= 10, F.col("text"))
-        )
-        .na.drop(subset=["text_clean"])
-        .select("doc_id", "text_clean")
-    )
-
-
-# ---------------------------------------------------------------------------
-# F: filters (SURVEY §2.3 F1-F3)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "f1_filter_exclude_today",
-    f"""
-    SELECT event_id, event_type FROM events
-    WHERE CAST(ts AS DATE) <> DATE '{DEFAULT_AS_OF}'
-    """,
-)
-def f1_filter_exclude_today(spark, sf_dir):
-    """F1: ``Date != dateNow`` (reference batchPipeline.py:166-167), clock
-    injected as as_of."""
-    ev = tbl(spark, sf_dir, "events")
-    return ev.filter(F.to_date("ts") != F.to_date(F.lit(DEFAULT_AS_OF))).select(
-        "event_id", "event_type"
-    )
-
-
-@register(
-    "f2_date_range_pushdown",
-    """
-    SELECT o_orderkey, o_orderdate,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    """,
-)
-def f2_date_range_pushdown(spark, sf_dir):
-    """F2: the serving layer's ES range query (reference prediction.py:37-47)
-    as a Catalyst-pushed parquet range filter."""
-    o = tbl(spark, sf_dir, "orders")
-    return dec2dbl(
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        ).select("o_orderkey", "o_orderdate", F.col("o_totalprice").cast(DEC).alias("total"))
-    )
-
-
-@register(
-    "f3_keyword_filter",
-    """
-    SELECT doc_id, text FROM documents
-    WHERE contains(text, 'spark') AND NOT contains(text, 'slow')
-    """,
-)
-def f3_keyword_filter(spark, sf_dir):
-    """F3: keyword containment + negative containment — the tweet keep rule
-    (reference twitterProducer.py:27: AAPL-keyword and not 'RT @')."""
-    docs = tbl(spark, sf_dir, "documents")
-    return docs.filter(
-        F.col("text").contains("spark") & ~F.col("text").contains("slow")
-    ).select("doc_id", "text")
-
-
-# ---------------------------------------------------------------------------
-# X: scalar expressions (SURVEY §2.3 X1-X3)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "x1_x2_nested_access",
-    """
-    SELECT doc_id,
-           string_split(text, ' ')[1] AS first_word,
-           string_split(text, ' ')[-1] AS last_word,
-           CAST(length(text) AS BIGINT) AS len_from_map
-    FROM documents
-    """,
-)
-def x1_x2_nested_access(spark, sf_dir):
-    """X1: array-ordinal + struct-field + map-value access — the reference
-    reads ``col('class')[0]['metadata']`` then ``map_values(...)[i]``
-    (batchPipeline.py:80-82). Same access patterns over a synthesized
-    nested column."""
-    docs = tbl(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    nested = F.struct(
-        words.alias("words"),
-        F.create_map(F.lit("len"), F.length("text").cast("bigint")).alias("meta"),
-    )
-    d = docs.withColumn("ann", nested)
-    return d.select(
-        "doc_id",
-        F.element_at(F.col("ann.words"), 1).alias("first_word"),
-        F.element_at(F.col("ann.words"), -1).alias("last_word"),
-        F.element_at(F.col("ann.meta"), "len").alias("len_from_map"),
-    )
-
-
-@register(
-    "x3_date_format",
-    """
-    SELECT event_id, strftime(ts, '%Y-%m-%d') AS day_iso,
-           strftime(ts, '%Y%m%d') AS day_compact,
-           strftime(ts, '%H') AS hour_str
-    FROM events
-    """,
-)
-def x3_date_format(spark, sf_dir):
-    """X3: producer-side strftime date normalization
-    (reference yfProducer.py:25-31, twitterProducer.py:32)."""
-    ev = tbl(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd").alias("day_iso"),
-        F.date_format("ts", "yyyyMMdd").alias("day_compact"),
-        F.date_format("ts", "HH").alias("hour_str"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# A: aggregations (SURVEY §2.5)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a1_a2_daily_agg",
-    """
-    SELECT CAST(ts AS DATE) AS event_date,
-           count(*) AS nbr_article,
-           CAST(sum(1) AS BIGINT) AS nbr_article_sum_of_ones,
-           avg(CAST(props->>'k' AS BIGINT)) AS avg_score
-    FROM events WHERE event_type <> 'purchase'
-    GROUP BY 1
-    """,
-)
-def a1_a2_daily_agg(spark, sf_dir):
-    """A1 groupBy().agg(sum, avg...) + A2 count-via-sum-of-ones
-    (reference batchPipeline.py:79,87-91)."""
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    return daily_sentiment(ev.filter(F.col("event_type") != "purchase"))
-
-
-@register(
-    "a3_last_write_wins",
-    """
-    SELECT event_id, ts, user_id, event_type, value FROM (
-      SELECT e.*, row_number() OVER (
-        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events e
-    ) WHERE rn = 1
-    """,
-)
-def a3_last_write_wins(spark, sf_dir):
-    """A3: keyed last-write-wins — the ES ``es.mapping.id=Date`` overwrite /
-    painless stock-half upsert (reference yfConsumerStream.py:57-68), as one
-    hash aggregation (max_by), no window sort."""
-    ev = tbl(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    return last_write_wins(ev, "user_id", F.struct("ts", "event_id")).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-
-
-@register(
-    "a5_dedup_at_most_once",
-    """
-    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts FROM (
-      SELECT e.*, row_number() OVER (
-        PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events e
-    ) WHERE rn = 1
-    """,
-)
-def a5_dedup_at_most_once(spark, sf_dir):
-    """A5: at-most-once keep-first dedup (reference nytProducer.py:47-49
-    last_id gate) — min_by per key."""
-    ev = tbl(spark, sf_dir, "events")
-    packed = F.struct("ts", "event_id")
-    return ev.groupBy("user_id", "event_type").agg(
-        F.min_by(F.col("event_id"), packed).alias("first_event_id"),
-        F.min_by(F.col("ts"), packed).alias("first_ts"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# J: joins (SURVEY §2.4)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "j1_broadcast_dim_join",
-    """
-    SELECT r.r_name, count(*) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-)
-def j1_broadcast_dim_join(spark, sf_dir):
-    """J1: inner equi-join with tiny dimension sides — explicitly broadcast
-    (the reference's stock⋈sentiment join at batchPipeline.py:163 relies on
-    Catalyst defaults)."""
-    c = tbl(spark, sf_dir, "customer")
-    n = tbl(spark, sf_dir, "nation")
-    r = tbl(spark, sf_dir, "region")
-    return dec2dbl(
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast(DEC).alias("total_acctbal"),
-        )
-    )
-
-
-@register(
-    "j2_keyed_column_merge",
-    f"""
-    WITH ev AS (
-      SELECT CAST(ts AS DATE) AS event_date, ts, event_type,
-             CAST(value AS DECIMAL(18,2)) AS price,
-             CAST(props->>'k' AS BIGINT) AS k
-      FROM events
-    ), stock AS (
-      SELECT event_date, arg_max(price, ts) AS close_v, count(*) AS n_trades
-      FROM ev WHERE event_type = 'purchase' GROUP BY 1
-    ), senti AS (
-      SELECT event_date, count(*) AS nbr_article, avg(k) AS avg_score
-      FROM ev WHERE event_type <> 'purchase' GROUP BY 1
-    )
-    SELECT COALESCE(s.event_date, n.event_date) AS event_date,
-           CAST(s.close_v AS DOUBLE) AS close_v, s.n_trades,
-           COALESCE(n.nbr_article, 0) AS nbr_article,
-           COALESCE(n.avg_score, CAST(0.33 AS DOUBLE)) AS avg_score
-    FROM stock s FULL OUTER JOIN senti n ON s.event_date = n.event_date
-    """,
-)
-def j2_keyed_column_merge(spark, sf_dir):
-    """J2/K4/K5: two streams upsert disjoint column-halves of the same keyed
-    row (reference yfConsumerStream.py:57-87 + twitterConsumerStream.py:94-127,
-    merged by ES doc id). Batch equivalent: full-outer join on the key with
-    per-half defaults (reference defaults at yfConsumerStream.py:49-53)."""
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    p = F.col("value").cast(DEC)
-    stock = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("event_date"))
-        .agg(
-            F.max_by(p, F.col("ts")).alias("close_v"),
-            F.count(F.lit(1)).alias("n_trades"),
-        )
-    )
-    senti = (
-        ev.filter(F.col("event_type") != "purchase")
-        .groupBy(F.to_date("ts").alias("event_date"))
-        .agg(
-            F.count(F.lit(1)).alias("nbr_article"),
-            F.avg("k").alias("avg_score"),
-        )
-    )
-    s, n = stock.alias("s"), senti.alias("n")
-    return dec2dbl(
-        s.join(n, F.col("s.event_date") == F.col("n.event_date"), "full_outer").select(
-            F.coalesce(F.col("s.event_date"), F.col("n.event_date")).alias("event_date"),
-            F.col("s.close_v").alias("close_v"),
-            F.col("s.n_trades").alias("n_trades"),
-            F.coalesce(F.col("n.nbr_article"), F.lit(0).cast("bigint")).alias("nbr_article"),
-            F.coalesce(F.col("n.avg_score"), F.lit(0.33)).alias("avg_score"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# T7: lambda reconciliation (serving union of batch + speed views)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "t7_lambda_reconciliation",
-    f"""
-    WITH ev AS (
-      SELECT CAST(ts AS DATE) AS event_date, ts, event_type,
-             CAST(value AS DECIMAL(18,2)) AS price,
-             CAST(props->>'k' AS BIGINT) AS k
-      FROM events
-    ), stock AS (
-      SELECT event_date,
-             arg_min(price, ts) AS open_v, max(price) AS high_v,
-             min(price) AS low_v, arg_max(price, ts) AS close_v,
-             count(*) AS n_trades, CAST(sum(price) AS DECIMAL(18,2)) AS turnover
-      FROM ev WHERE event_type = 'purchase' GROUP BY 1
-    ), senti AS (
-      SELECT event_date AS news_date, count(*) AS nbr_article, avg(k) AS avg_score
-      FROM ev WHERE event_type <> 'purchase' GROUP BY 1
-    ), view AS (
-      SELECT s.event_date,
-             CAST(s.open_v AS DOUBLE) AS open_v,
-             CAST(s.high_v AS DOUBLE) AS high_v,
-             CAST(s.low_v AS DOUBLE) AS low_v,
-             CAST(s.close_v AS DOUBLE) AS close_v,
-             s.n_trades,
-             CAST(s.turnover AS DOUBLE) AS turnover,
-             n.nbr_article, n.avg_score
-      FROM stock s JOIN senti n ON s.event_date = n.news_date
-    )
-    SELECT *, 'batch' AS layer FROM view
-    WHERE event_date >= DATE '{DEFAULT_AS_OF}' - INTERVAL 8 DAY
-      AND event_date < DATE '{DEFAULT_AS_OF}' - INTERVAL 2 DAY
-    UNION ALL
-    SELECT *, 'speed' AS layer FROM view
-    WHERE event_date >= DATE '{DEFAULT_AS_OF}'
-    """,
-)
-def t7_lambda_reconciliation(spark, sf_dir):
-    """T7: the serving layer reads speed_view for today and batch_view for
-    D-8..D-2 (reference prediction.py:37-60) — disjoint range selection
-    UNION, batch never clobbers the live day (batchPipeline.py:166-167)."""
-    ev = tbl(spark, sf_dir, "events")
-    view = build_batch_view(ev, as_of="9999-12-31")  # full view, no live-day cut
-    as_of = F.to_date(F.lit(DEFAULT_AS_OF))
-    batch = view.filter(
-        (F.col("event_date") >= F.date_sub(as_of, 8))
-        & (F.col("event_date") < F.date_sub(as_of, 2))
-    ).withColumn("layer", F.lit("batch"))
-    speed = view.filter(F.col("event_date") >= as_of).withColumn("layer", F.lit("speed"))
-    return dec2dbl(batch.unionAll(speed))
-
-
-# ---------------------------------------------------------------------------
-# TPC-H-flavored plan-quality queries (bench headliners)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: wide scan → partial+final hash agg; everything stays
-    in WholeStageCodegen, money in DECIMAL."""
-    li = tbl(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    return dec2dbl(
-        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
-            F.sum(price).cast(DEC).alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.avg(F.col("l_quantity").cast("bigint")).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@register(
-    "q5_regional_revenue",
-    """
-    SELECT n.n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1998-01-01'
-    GROUP BY n.n_name
-    """,
-)
-def q5_regional_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join; dims broadcast, fact-fact joins shuffle on
-    keys, date filter pushed to the orders scan."""
-    c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
-    l = tbl(spark, sf_dir, "lineitem")
-    s = tbl(spark, sf_dir, "supplier")
-    n = tbl(spark, sf_dir, "nation")
-    r = tbl(spark, sf_dir, "region")
-    revenue = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
-    return (
-        l.join(
-            o.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            ),
-            l["l_orderkey"] == o["o_orderkey"],
-        )
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(18,4)").cast("double").alias("revenue"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# X4/X5 + M1-M5: cleaning, ML pipeline, forecasting (SURVEY §2.3, §2.6)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "x4_x5_text_clean",
-    """
-    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_clean
-    FROM documents WHERE length(text) >= 10
-    """,
-)
-def x4_x5_text_clean(spark, sf_dir):
-    """X5 cleaning chain (reference batchPipeline.py:41-52) as pure Column
-    expressions — URL/handle/emoji/symbol stripping + whitespace collapse +
-    length gate. The fixture texts are already clean, so the oracle reduces
-    to the whitespace+gate steps; dirty-input behavior is pinned by unit
-    tests."""
-    from ..functions.cleaning import clean_text
-
-    docs = tbl(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("text_clean", clean_text("text"))
-        .na.drop(subset=["text_clean"])
-        .select("doc_id", "text_clean")
-    )
-
-
-@register(
-    "m1_m4_news_pipeline",
-    """
-    WITH dated AS (
-      SELECT doc_id, text,
-             DATE '2024-01-01' + CAST(doc_id % 30 AS INTEGER) AS Date
-      FROM documents WHERE length(text) >= 10
-    ), scored AS (
-      SELECT Date,
-             len(string_split(text, ' ')) AS n,
-             len(list_filter(string_split(text, ' '), w -> w IN ('fast','big'))) AS pos,
-             len(list_filter(string_split(text, ' '), w -> w IN ('slow','small'))) AS neg
-      FROM dated
-    ), ratios AS (
-      SELECT Date,
-             CAST(CAST(pos AS DOUBLE) / n AS DECIMAL(18,12)) AS rp,
-             CAST(CAST(neg AS DOUBLE) / n AS DECIMAL(18,12)) AS rn,
-             CAST(CAST(n - pos - neg AS DOUBLE) / n AS DECIMAL(18,12)) AS rt
-      FROM scored
-    )
-    SELECT Date, count(*) AS Nbr_article,
-           CAST(sum(rp) AS DOUBLE) / count(*) AS Positive,
-           CAST(sum(rn) AS DOUBLE) / count(*) AS Negative,
-           CAST(sum(rt) AS DOUBLE) / count(*) AS Neutre
-    FROM ratios GROUP BY Date
-    """,
-)
-def m1_m4_news_pipeline(spark, sf_dir):
-    """M1 CleanNews + M3 lexicon scorer + M2 AggNews chained as a
-    pyspark.ml Pipeline (reference batchPipeline.py:151-160), decimal-stable
-    daily means."""
-    from .serving import run_news_pipeline
-
-    return run_news_pipeline(spark, sf_dir)
-
-
-@register(
-    "m5_serving_forecast",
-    """
-    WITH daily AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_v
-      FROM events GROUP BY 1, 2
-    ), s AS (
-      SELECT series, count(*) AS n_days,
-             arg_min(close_v, day) AS first_close,
-             arg_max(close_v, day) AS last_close
-      FROM daily GROUP BY 1
-    )
-    SELECT series, n_days, first_close, last_close,
-           CASE WHEN n_days = 1 THEN last_close
-                ELSE last_close + (last_close - first_close) / (n_days - 1)
-           END AS pred_close
-    FROM s
-    """,
-)
-def m5_serving_forecast(spark, sf_dir):
-    """M5: per-series grouped-map forecast (drift surrogate) — replaces the
-    reference's driver-side toPandas + pickled SARIMAX
-    (prediction.py:63-76)."""
-    from .serving import run_serving_forecast
-
-    return run_serving_forecast(spark, sf_dir)
-
-
-@register(
-    "f4_vwap",
-    """
-    SELECT event_type AS series, CAST(ts AS DATE) AS day,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))
-                         * CAST(props->>'k' AS BIGINT)) AS DOUBLE)
-                / CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) AS DOUBLE)
-             AS vwap,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS volume
-    FROM events
-    WHERE CAST(props->>'k' AS BIGINT) > 0
-    GROUP BY 1, 2
-    """,
-)
-def f4_vwap(spark, sf_dir):
-    """Volume-weighted average price per (series, day) — THE quote-feed
-    aggregate (k plays volume). Both sums exact (DECIMAL / BIGINT), one
-    final double division: order-independent and engine-exact. Zero-volume
-    rows are excluded up front so the division is total."""
-    ev = parse_props(tbl(spark, sf_dir, "events")).filter(F.col("k") > 0)
-    pv = F.col("value").cast(DEC) * F.col("k")
-    return (
-        ev.groupBy(
-            F.col("event_type").alias("series"), F.to_date("ts").alias("day")
-        )
-        .agg(
-            (F.sum(pv).cast("double") / F.sum("k").cast("double"))
-            .cast("double")
-            .alias("vwap"),
-            F.sum("k").cast("bigint").alias("volume"),
-        )
-    )
-
-
-@register(
-    "t9_gap_fill",
-    """
-    WITH daily AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_v
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-    ), spine AS (
-      SELECT series,
-             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
-                                         CAST(hi AS TIMESTAMP),
-                                         INTERVAL 1 DAY)) AS DATE) AS day
-      FROM (SELECT series, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1)
-    )
-    SELECT s.series, s.day,
-           last_value(daily.close_v IGNORE NULLS)
-             OVER (PARTITION BY s.series ORDER BY s.day
-                   ROWS UNBOUNDED PRECEDING) AS close_filled,
-           CAST(CASE WHEN daily.close_v IS NULL THEN 1 ELSE 0 END AS INTEGER)
-             AS was_gap
-    FROM spine s LEFT JOIN daily ON daily.series = s.series AND daily.day = s.day
-    """,
-)
-def t9_gap_fill(spark, sf_dir):
-    """Calendar gap-fill + forward-fill: build the full day spine per
-    series (sequence between min and max day), left-join the observed
-    closes, carry the last observation forward with an ignore-nulls
-    window. The op every daily view needs before a forecaster sees it
-    (the reference's ES keyed view silently leaves holes). One window
-    sort per series; the spine explode is O(days), never O(events)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    daily = ev.groupBy(
-        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
-    ).agg(
-        F.max_by(F.col("value").cast(DEC), F.col("ts")).cast("double").alias("close_v")
-    )
-    spine = (
-        daily.groupBy("series")
-        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(
-            "series",
-            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
-    )
-    joined = spine.join(daily, ["series", "day"], "left")
-    w = Window.partitionBy("series").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return joined.select(
-        "series",
-        "day",
-        F.last("close_v", ignorenulls=True).over(w).alias("close_filled"),
-        F.when(F.col("close_v").isNull(), F.lit(1)).otherwise(F.lit(0))
-        .cast("int")
-        .alias("was_gap"),
-    )
-
-
-@register(
-    "m9_holt_forecast",
-    """
-    WITH RECURSIVE daily AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_v
-      FROM events GROUP BY 1, 2
-    ), ordered AS (
-      SELECT series, close_v,
-             row_number() OVER (PARTITION BY series ORDER BY day) AS rn
-      FROM daily
-    ), sizes AS (
-      SELECT series, max(rn) AS t_max FROM ordered GROUP BY series
-    ), rec AS (
-      SELECT o1.series, 1 AS t, o1.close_v AS l, o2.close_v - o1.close_v AS b
-      FROM ordered o1 JOIN ordered o2
-        ON o1.series = o2.series AND o1.rn = 1 AND o2.rn = 2
-      UNION ALL
-      SELECT r.series, r.t + 1,
-             0.5 * o.close_v + 0.5 * (r.l + r.b),
-             0.5 * ((0.5 * o.close_v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
-      FROM rec r
-      JOIN ordered o ON o.series = r.series AND o.rn = r.t + 1
-      JOIN sizes s ON s.series = r.series
-      WHERE r.t < s.t_max
-    ), ser AS (
-      SELECT o.series, s.t_max AS n_days,
-             arg_min(o.close_v, o.rn) AS first_close,
-             arg_max(o.close_v, o.rn) AS last_close
-      FROM ordered o JOIN sizes s ON s.series = o.series
-      GROUP BY o.series, s.t_max
-    )
-    SELECT ser.series, ser.n_days, ser.first_close, ser.last_close,
-           CASE WHEN ser.n_days = 1 THEN ser.last_close
-                ELSE fin.l + fin.b END AS pred_close
-    FROM ser LEFT JOIN (
-      SELECT r.series, r.l, r.b
-      FROM rec r JOIN sizes s ON s.series = r.series AND r.t = s.t_max
-    ) fin ON fin.series = ser.series
-    """,
-)
-def m9_holt_forecast(spark, sf_dir):
-    """M5 upgrade path: Holt linear-trend smoothing per series — a genuine
-    iterative recursion through the ``applyInPandas`` grouped-map seam
-    (state at step t depends on step t-1, unlike the closed-form drift).
-    The oracle replays the recursion as a DuckDB RECURSIVE CTE stepping
-    through the same float ops in the same order, so values match
-    bit-for-bit. (A ``list_reduce`` fold would be the natural oracle, but
-    DuckDB 1.0's lambda CSE caches stale accumulator subtrees across fold
-    iterations — verified wrong on a 3-element fold — so the recursion is
-    materialized row-by-row instead.)"""
-    from ..ml.forecast import forecast_per_series, holt_forecast
-    from .serving import daily_close_by_series
-
-    daily = daily_close_by_series(spark, sf_dir)
-    return forecast_per_series(daily, holt_forecast)
-
-
-@register(
-    "a4_pairwise_compat",
-    """
-    SELECT CAST(ts AS DATE) AS event_date,
-           list_reduce(
-             list(CAST(CAST(props->>'k' AS BIGINT) AS DOUBLE)
-                  ORDER BY ts, CAST(props->>'k' AS BIGINT)),
-             (a, b) -> (a + b) / 2.0) AS pairwise_avg,
-           count(*) AS n
-    FROM events WHERE event_type <> 'purchase'
-    GROUP BY 1
-    """,
-)
-def a4_pairwise_compat(spark, sf_dir):
-    """A4 bug-compat mode: the reference's ES painless pairwise-average
-    recurrence (twitterConsumerStream.py:100-106) as an event-time-ordered
-    fold per day. The recurrence is order-DEPENDENT, but our fold pins a
-    total order (ts, then value), so DuckDB's first-element-seeded
-    list_reduce over the identically-ordered list reproduces it float-exact
-    — the one formerly rows-only query now has a full value oracle."""
-    from ..operators.aggregate import pairwise_mean_compat
-
-    ev = parse_props(tbl(spark, sf_dir, "events")).withColumn(
-        "event_date", F.to_date("ts")
-    )
-    return pairwise_mean_compat(
-        ev.filter(F.col("event_type") != "purchase"), ["event_date"], "ts", "k"
-    )
-
-
-# ---------------------------------------------------------------------------
-# T5/T6 + K4/K5: windows, watermarkable aggs, keyed merges (SURVEY §2.7, §2.2)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "t5_tumbling_window",
-    """
-    SELECT date_trunc('hour', ts) AS window_start,
-           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2, 3
-    """,
-)
-def t5_tumbling_window(spark, sf_dir):
-    """T5 (reference gap): tumbling event-time window agg — same builder
-    serves the streaming path under trigger(availableNow)."""
-    from ..streaming.windows import tumbling
-
-    return tumbling(tbl(spark, sf_dir, "events"), "ts", "1 hour", "event_type")
-
-
-@register(
-    "t5_sliding_window",
-    """
-    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (i.i * 15) MINUTE AS window_start,
-           time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (i.i * 15) MINUTE + INTERVAL 1 HOUR AS window_end,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) i
-    GROUP BY 1, 2, 3
-    """,
-)
-def t5_sliding_window(spark, sf_dir):
-    """T5: sliding window (1h / 15m) — each event feeds 4 window buckets;
-    state cost scales with duration/slide (flagged in streaming.windows)."""
-    from ..streaming.windows import sliding
-
-    return sliding(tbl(spark, sf_dir, "events"), "ts", "1 hour", "15 minutes", "event_type")
-
-
-@register(
-    "t5_session_window",
-    """
-    WITH o AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), g AS (
-      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-      FROM o
-    )
-    SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM g GROUP BY user_id, sid
-    """,
-)
-def t5_session_window(spark, sf_dir):
-    """T5: session windows (30 min gap) per user — Spark session_window in
-    batch mode; oracle is the classic gaps-and-islands formulation."""
-    from ..streaming.windows import session
-
-    return session(tbl(spark, sf_dir, "events"), "ts", "30 minutes", "user_id")
-
-
-@register(
-    "k4_column_half_upsert",
-    """
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS event_date,
-             CAST(arg_max(CAST(value AS DECIMAL(18,2)), ts) AS DECIMAL(18,2)) AS close_v,
-             count(*) AS n_trades
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
-    ), senti AS (
-      SELECT CAST(ts AS DATE) AS event_date, count(*) AS nbr_article
-      FROM events WHERE event_type <> 'purchase' GROUP BY 1
-    ), cur AS (
-      SELECT d.event_date, d.close_v, d.n_trades, s.nbr_article
-      FROM daily d JOIN senti s USING (event_date)
-      WHERE d.event_date <= DATE '2024-01-20'
-    ), batch AS (
-      SELECT event_date, CAST(close_v * 2 AS DECIMAL(18,2)) AS close_v, n_trades
-      FROM daily WHERE event_date >= DATE '2024-01-11'
-    )
-    SELECT COALESCE(b.event_date, c.event_date) AS event_date,
-           CAST(COALESCE(b.close_v, c.close_v) AS DOUBLE) AS close_v,
-           COALESCE(b.n_trades, c.n_trades) AS n_trades,
-           c.nbr_article
-    FROM cur c FULL OUTER JOIN batch b ON c.event_date = b.event_date
-    """,
-)
-def k4_column_half_upsert(spark, sf_dir):
-    """K4: the painless 'set stock fields, preserve sentiment fields' upsert
-    (reference yfConsumerStream.py:57-87) as a pure column-half merge — the
-    batch owns (close_v, n_trades), nbr_article survives from the current
-    view. The doubled close marks which half won."""
-    from ..streaming.upsert import merge_halves
-
-    ev = tbl(spark, sf_dir, "events")
-    p = F.col("value").cast(DEC)
-    daily = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("event_date"))
-        .agg(
-            F.max_by(p, F.col("ts")).cast(DEC).alias("close_v"),
-            F.count(F.lit(1)).alias("n_trades"),
-        )
-    )
-    senti = (
-        ev.filter(F.col("event_type") != "purchase")
-        .groupBy(F.to_date("ts").alias("event_date"))
-        .agg(F.count(F.lit(1)).alias("nbr_article"))
-    )
-    cur = (
-        daily.join(senti, "event_date")
-        .filter(F.col("event_date") <= F.lit("2024-01-20").cast("date"))
-    )
-    batch = daily.filter(F.col("event_date") >= F.lit("2024-01-11").cast("date")).select(
-        "event_date",
-        (F.col("close_v") * 2).cast(DEC).alias("close_v"),
-        "n_trades",
-    )
-    return dec2dbl(merge_halves(cur, batch, ["event_date"], ["close_v", "n_trades"]))
-
-
-@register(
-    "k5_incremental_mean_merge",
-    """
-    SELECT user_id,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_v,
-           count(*) AS cnt_v,
-           CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS mean_v
-    FROM events GROUP BY user_id
-    """,
-)
-def k5_incremental_mean_merge(spark, sf_dir):
-    """K5 correct semantics: two disjoint (sum,count) states merged must
-    equal the global mean — the property the reference's pairwise recurrence
-    violates (twitterConsumerStream.py:100-106)."""
-    from ..streaming.upsert import merge_mean_states
-
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-
-    def state(df):
-        return df.groupBy("user_id").agg(
-            F.sum("k").cast("bigint").alias("sum_v"),
-            F.count(F.lit(1)).alias("cnt_v"),
-        )
-
-    half1 = state(ev.filter(F.dayofmonth("ts") <= 15))
-    half2 = state(ev.filter(F.dayofmonth("ts") > 15))
-    merged = merge_mean_states(half1, half2, ["user_id"])
-    return merged.select(
-        "user_id",
-        F.col("sum_v").cast("bigint").alias("sum_v"),
-        F.col("cnt_v").cast("bigint").alias("cnt_v"),
-        (F.col("sum_v").cast("double") / F.col("cnt_v")).alias("mean_v"),
-    )
-
-
-@register(
-    "t10_stream_topk",
-    """
-    WITH ranked AS (
-      SELECT CAST(user_id AS VARCHAR) AS key, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn,
-             count(*) OVER (PARTITION BY user_id) AS n
-      FROM events
-    )
-    SELECT key, CAST(max(n) AS BIGINT) AS n,
-           max(CASE WHEN rn = 1 THEN value END) AS top1,
-           max(CASE WHEN rn = 2 THEN value END) AS top2,
-           max(CASE WHEN rn = 3 THEN value END) AS top3
-    FROM ranked GROUP BY key
-    """,
-    lazy_replay=True,
-)
-def t10_stream_topk(spark, sf_dir):
-    """T6 variant: true Structured Streaming top-3 per key through
-    ``applyInPandasWithState`` — non-algebraic order-statistic state,
-    bounded at O(k) per key regardless of stream length. Events replayed
-    as a stream; final state read back from the memory sink (max-n row
-    per key). Ties make the VALUE multiset deterministic even though row
-    ranks are not, so the windowed oracle matches exactly."""
-    import uuid
-
-    from ..streaming.ingest import events_stream
-    from ..streaming.state import running_topk_stream
-
-    prepare(spark)
-    stream = events_stream(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("key"),
-        F.col("value").cast("double").alias("v"),
-    )
-    out = running_topk_stream(stream)
-    sink = f"t10_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    tblu = spark.table(sink)
-    packed = F.struct("n", "top1", "top2", "top3")
-    return (
-        tblu.groupBy("key")
-        .agg(F.max_by(packed, F.col("n")).alias("s"))
-        .select(
-            "key",
-            F.col("s.n").alias("n"),
-            F.col("s.top1").alias("top1"),
-            F.col("s.top2").alias("top2"),
-            F.col("s.top3").alias("top3"),
-        )
-    )
-
-
-@register(
-    "t6_stream_running_mean",
-    """
-    SELECT CAST(user_id AS VARCHAR) AS key,
-           count(*) AS n,
-           CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_v,
-           CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS mean_v
-    FROM events GROUP BY user_id
-    """,
-    lazy_replay=True,
-)
-def t6_stream_running_mean(spark, sf_dir):
-    """T6: genuine Structured Streaming — events replayed as a stream into
-    ``applyInPandasWithState`` (sum/count state per key, update mode), final
-    state read back from the memory sink. The correct-mean replacement for
-    the reference's ES-scripted sentiment state."""
-    import uuid
-
-    from ..plans.batch_pipeline import parse_props as _pp
-    from ..streaming.ingest import events_stream
-    from ..streaming.state import running_mean_stream
-
-    prepare(spark)
-    stream = _pp(events_stream(spark, sf_dir)).select(
-        F.col("user_id").cast("string").alias("key"),
-        F.col("k").cast("double").alias("v"),
-    )
-    out = running_mean_stream(stream)
-    sink = f"t6_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # final state per key = the row with the highest n (monotone per key)
-    tblu = spark.table(sink)
-    packed = F.struct("n", "sum_v", "mean_v")
-    return (
-        tblu.groupBy("key")
-        .agg(F.max_by(packed, F.col("n")).alias("s"))
-        .select("key", F.col("s.n").alias("n"), F.col("s.sum_v").alias("sum_v"),
-                F.col("s.mean_v").alias("mean_v"))
-    )
-
-
-@register(
-    "t11_stream_stream_join",
-    """
-    WITH a AS (
-      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
-    ), b AS (
-      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
-    )
-    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
-    FROM a JOIN b
-      ON a.user_id = b.user_id
-     AND b.ts >= a.ts - INTERVAL 10 MINUTE
-     AND b.ts <= a.ts + INTERVAL 10 MINUTE
-    """,
-    lazy_replay=True,
-)
-def t11_stream_stream_join(spark, sf_dir):
-    """True Structured Streaming stream-stream INNER join with event-time
-    range bounds and watermarks on BOTH sides (the quotes-x-articles shape
-    of the reference's speed layer, generalized): clicks join views of the
-    same user within ±10 minutes, replayed via availableNow across
-    micro-batches, results from the memory sink. The watermark delay
-    exceeds the fixture's time span, so no row is dropped and the batch
-    range-join oracle is the exact truth (late-data *dropping* semantics
-    are pytest-gated separately in tests/test_streaming.py)."""
-    import uuid
-
-    from ..streaming.ingest import events_stream
-
-    prepare(spark)
-    # the stream-stream join's state store allocates one state partition
-    # per shuffle partition PER SIDE per micro-batch; at 200 session
-    # partitions that is thousands of tiny state files for a bounded
-    # replay — pin a small count for the streaming query, restore after
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sink = f"t11_sink_{uuid.uuid4().hex[:8]}"
-    try:
-        # inside the try (t13's pattern) so a failure anywhere — including
-        # building the stream DataFrames — still restores the session conf
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        clicks = (
-            events_stream(spark, sf_dir, n_chunks=2)
-            .filter(F.col("event_type") == "click")
-            .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("a_ts"))
-            .withWatermark("a_ts", "3650 days")
-        )
-        views = (
-            events_stream(spark, sf_dir, n_chunks=2)
-            .filter(F.col("event_type") == "view")
-            .select(
-                F.col("user_id").alias("v_user"),
-                F.col("event_id").alias("view_id"),
-                F.col("ts").alias("b_ts"),
-            )
-            .withWatermark("b_ts", "3650 days")
-        )
-        joined = clicks.join(
-            views,
-            (F.col("user_id") == F.col("v_user"))
-            & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 10 MINUTES"))
-            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
-        ).select("user_id", "click_id", "view_id")
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(sink)
-
-
-@register(
-    "t12_stream_static_join",
-    """
-    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
-    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
-    """,
-    lazy_replay=True,
-)
-def t12_stream_static_join(spark, sf_dir):
-    """Streaming enrichment: the events STREAM joined to a static customer
-    dimension (the speed layer's quote-enrichment shape). Stream-static
-    inner joins are stateless per micro-batch and Spark plans the static
-    side as a broadcast hash join inside every batch — the scale path for
-    enriching an unbounded stream against a dimension table without any
-    state store."""
-    import uuid
-
-    from ..streaming.ingest import events_stream
-
-    prepare(spark)
-    cust = tbl(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-    enriched = (
-        events_stream(spark, sf_dir, n_chunks=2)
-        .select("event_id", "user_id")
-        .join(cust, F.col("user_id") + 1 == F.col("c_custkey"))
-        .select("event_id", "user_id", "c_name", "c_mktsegment")
-    )
-    sink = f"t12_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
-
-
-@register(
-    "t13_stream_dedup",
-    "SELECT DISTINCT user_id, event_type FROM events",
-    lazy_replay=True,
-)
-def t13_stream_dedup(spark, sf_dir):
-    """Streaming dropDuplicates across micro-batches: keyed state emits
-    each (user_id, event_type) once over the whole replay — S8's
-    at-most-once contract as a genuinely stateful streaming op (a5 is its
-    batch twin). Only the key survives to the sink, so the result set is
-    deterministic no matter which physical row wins the race; in
-    production the same pipeline adds a watermark to bound state
-    (dropDuplicatesWithinWatermark), pytest-covered in
-    tests/test_streaming.py."""
-    import uuid
-
-    from ..streaming.ingest import events_stream
-
-    prepare(spark)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sink = f"t13_sink_{uuid.uuid4().hex[:8]}"
-    try:
-        # inside the try so a failure anywhere (including building the
-        # stream) still restores the session-wide partition count
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        dedup = (
-            events_stream(spark, sf_dir, n_chunks=2)
-            .select("user_id", "event_type")
-            .dropDuplicates(["user_id", "event_type"])
-        )
-        q = (
-            dedup.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(sink)
-
-
-@register(
-    "t14_stream_state_expiry",
-    """
-    WITH mx AS (SELECT max(ts) AS m FROM events),
-    agg AS (
-      SELECT CAST(user_id AS VARCHAR) AS key,
-             count(*) AS n,
-             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
-             max(ts) AS last_ts
-      FROM events GROUP BY user_id
-    )
-    SELECT key, n, sum_v
-    FROM agg, mx
-    WHERE epoch_ms(last_ts) + 36000000 < epoch_ms(m) - 7200000
-    """,
-    lazy_replay=True,
-)
-def t14_stream_state_expiry(spark, sf_dir):
-    """Timeout-driven state EXPIRY through ``applyInPandasWithState``
-    (``GroupStateTimeout.EventTimeTimeout``): per-user session state is
-    emitted exactly once when the watermark passes last-activity + 10h,
-    then removed — the state-GC behavior t6/t10 (and the reference's ES
-    keyed docs, Speed_layer/twitterConsumerStream.py:94-107) never
-    exercise, and the thing that bounds state to active keys at 100 TB.
-
-    Determinism: one data batch (availableNow), then Spark's final no-data
-    micro-batch advances the watermark to max(ts) - 2h and fires every
-    timeout strictly below it. So the emitted set is exactly the users
-    whose last activity is > 12h before the stream's end — the HAVING-gated
-    batch aggregate in the oracle. Users still active in the final 12h
-    remain open (in state, unemitted) — expected session semantics."""
-    import uuid
-
-    from ..streaming.ingest import events_stream
-    from ..streaming.state import idle_session_close
-
-    prepare(spark)
-    stream = (
-        events_stream(spark, sf_dir, single_batch=True)
-        .select(
-            F.col("user_id").cast("string").alias("key"),
-            F.col("ts"),
-            F.floor("value").cast("bigint").alias("v"),
-        )
-        .withWatermark("ts", "2 hours")
-    )
-    out = idle_session_close(stream, gap_ms=10 * 3600 * 1000)
-    sink = f"t14_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # each key emits at most once (state removed on expiry): sink == result
-    return spark.table(sink)
-
-
-# The Spark 4 typed-state successor API (transformWithStateInPandas) lives
-# in streaming/state.py::user_stats_stream. Its state-server protocol needs
-# google.protobuf, which this sandbox lacks (same class of constraint as
-# the absent Kafka broker), so it is dependency-gated plumbing with a
-# skip-gated pytest (tests/test_streaming.py) instead of an oracle entry.
-
-
-# ---------------------------------------------------------------------------
-# Extensions: dedup / similarity / text analysis / multimodal (driver
-# mandate — first-class alongside SURVEY §2). Oracle SQL is GENERATED from
-# the same parameters as the Spark builders (ext/*.py), so LSH candidate
-# sets and float folds match bit-for-bit across engines.
-# ---------------------------------------------------------------------------
-
-from ..ext import dedup as _dd
-from ..ext import hashing as _hh
-from ..ext import multimodal as _mm
-from ..ext import similarity as _sim
-from ..ext import text as _tx
-
-
-@register(
-    "d1_dedup_exact",
-    f"""
-    SELECT md5({_dd.norm_text_sql('text')}) AS content_hash,
-           min(doc_id) AS canonical_id,
-           count(*) AS n_copies
-    FROM documents GROUP BY 1
-    """,
-)
-def d1_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on normalized content (ext/dedup.py)."""
-    return _dd.exact_dedup(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register(
-    "d2_dedup_minhash_lsh",
-    _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5),
-)
-def d2_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(16) + LSH(4x4 bands) near-dup pairs, exact-Jaccard verified
-    at 0.5. Candidate generation is an equi-join on band hash — never
-    all-pairs (ext/dedup.py:minhash_lsh_pairs)."""
-    return _dd.minhash_lsh_pairs(
-        tbl(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
-    )
-
-
-@register(
-    "d3_dedup_simhash",
-    _dd.simhash_pairs_sql("documents", "doc_id", "text", max_hamming=3),
-)
-def d3_dedup_simhash(spark, sf_dir):
-    """SimHash-32 near-dup pairs, hamming <= 3, byte-banded candidates
-    (pigeonhole guarantees recall at this radius)."""
-    return _dd.simhash_pairs(
-        tbl(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
-    )
-
-
-@register(
-    "d4_dedup_ngram_jaccard",
-    _dd.ngram_jaccard_pairs_sql(
-        "documents", "doc_id", "text", ["lang", "source"], threshold=0.75
-    ),
-)
-def d4_dedup_ngram_jaccard(spark, sf_dir):
-    """Char-4-gram Jaccard >= 0.75 within (lang, source) blocks — the
-    high-precision blocked pass."""
-    return _dd.ngram_jaccard_pairs(
-        tbl(spark, sf_dir, "documents"), "doc_id", "text",
-        ["lang", "source"], threshold=0.75,
-    )
-
-
-@register(
-    "d5_dedup_embedding_cosine",
-    _sim.embedding_near_dup_sql("embeddings", threshold=0.35),
-)
-def d5_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within the coarse `label` cell."""
-    return _sim.embedding_near_dup(tbl(spark, sf_dir, "embeddings"), threshold=0.35)
-
-
-@register(
-    "s1_ann_topk_bruteforce",
-    _sim.topk_bruteforce_sql("embeddings", "vec_id % 50 = 0", k=5),
-)
-def s1_ann_topk_bruteforce(spark, sf_dir):
-    """Exact cosine top-5 for queries vec_id % 50 == 0: broadcast queries x
-    one corpus scan (ext/similarity.py:topk_bruteforce)."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    return _sim.topk_bruteforce(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
-
-
-@register(
-    "s2_ann_topk_ivf",
-    _sim.topk_ivf_sql("embeddings", "vec_id % 50 = 0", k=5),
-)
-def s2_ann_topk_ivf(spark, sf_dir):
-    """IVF top-5: probe only the query's sign-bit cell (64 cells) — the
-    O(Q*N/cells) scale path; recall measured against s1."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    return _sim.topk_ivf(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
-
-
-@register(
-    "s5_ivf_recall",
-    f"""
-    WITH bf AS ({_sim.topk_bruteforce_sql("embeddings", "vec_id % 50 = 0", k=5)}),
-    ivf AS ({_sim.topk_ivf_sql("embeddings", "vec_id % 50 = 0", k=5)}),
-    hits AS (
-      SELECT bf.query_id,
-             count(ivf.neighbor_id) AS n_hit,
-             count(*) AS n_true
-      FROM bf LEFT JOIN ivf
-        ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
-      GROUP BY bf.query_id
-    )
-    SELECT count(*) AS n_queries,
-           CAST(sum(n_hit) AS BIGINT) AS total_hits,
-           CAST(sum(n_true) AS BIGINT) AS total_true,
-           CAST(CAST(sum(n_hit) AS DOUBLE) / sum(n_true) AS DOUBLE) AS recall
-    FROM hits
-    """,
-)
-def s5_ivf_recall(spark, sf_dir):
-    """ANN quality harness: recall of the IVF scale path against the exact
-    brute-force baseline, computed IN the engine (the eval loop a vector
-    pipeline runs after every quantizer change). Both sides are
-    deterministic, so recall is a fixed number per dataset — integer hit
-    counts, one final division."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    bf = _sim.topk_bruteforce(emb, queries_df, k=5).select(
-        "query_id", F.col("neighbor_id").alias("bf_neighbor")
-    )
-    ivf = _sim.topk_ivf(emb, queries_df, k=5).select(
-        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
-    )
-    hits = (
-        bf.join(
-            ivf,
-            (bf["query_id"] == ivf["query_id"])
-            & (bf["bf_neighbor"] == ivf["ivf_neighbor"]),
-            "left",
-        )
-        .groupBy(bf["query_id"])
-        .agg(
-            F.count(ivf["ivf_neighbor"]).alias("n_hit"),
-            F.count(F.lit(1)).alias("n_true"),
-        )
-    )
-    return hits.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.sum("n_hit").cast("bigint").alias("total_hits"),
-        F.sum("n_true").cast("bigint").alias("total_true"),
-        (F.sum("n_hit").cast("double") / F.sum("n_true")).cast("double").alias("recall"),
-    )
-
-
-@register(
-    "s6_ann_topk_ivf_kmeans",
-    _sim.topk_ivf_kmeans_sql("embeddings", "vec_id % 50 = 0", k=5, probe=2),
-)
-def s6_ann_topk_ivf_kmeans(spark, sf_dir):
-    """ANN top-5 with the LEARNED coarse quantizer + multiprobe
-    (ext/similarity.py:topk_ivf_kmeans): k-means centroids trained on a
-    hash-gated sample with deterministic md5 seeding and integer-exact
-    Lloyd updates, corpus assigned to nearest-centroid cells, each query
-    probing its 2 nearest cells. Training is fully deterministic, so the
-    identical procedure in SQL is the oracle — the learned upgrade the
-    sign-bit `ivf_cell` docstring (s2) promises."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    return _sim.topk_ivf_kmeans(
-        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, probe=2
-    )
-
-
-@register(
-    "s7_ann_recall_kmeans_vs_signbit",
-    f"""
-    WITH bf AS ({_sim.topk_bruteforce_sql("embeddings", "vec_id % 50 = 0", k=5)}),
-    km AS ({_sim.topk_ivf_kmeans_sql("embeddings", "vec_id % 50 = 0", k=5, probe=1)}),
-    sb AS ({_sim.topk_ivf_sql("embeddings", "vec_id % 50 = 0", k=5)}),
-    j AS (
-      SELECT bf.query_id, km.neighbor_id AS km_n, sb.neighbor_id AS sb_n
-      FROM bf
-      LEFT JOIN km ON bf.query_id = km.query_id AND bf.neighbor_id = km.neighbor_id
-      LEFT JOIN sb ON bf.query_id = sb.query_id AND bf.neighbor_id = sb.neighbor_id
-    )
-    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-           CAST(count(*) AS BIGINT) AS total_true,
-           CAST(count(km_n) AS BIGINT) AS hits_kmeans,
-           CAST(count(sb_n) AS BIGINT) AS hits_signbit,
-           CAST(CAST(count(km_n) AS DOUBLE) / count(*) AS DOUBLE) AS recall_kmeans,
-           CAST(CAST(count(sb_n) AS DOUBLE) / count(*) AS DOUBLE) AS recall_signbit
-    FROM j
-    """,
-)
-def s7_ann_recall_kmeans_vs_signbit(spark, sf_dir):
-    """Head-to-head recall harness at EQUAL probe fraction: the learned
-    k-means quantizer (64 cells, probe 1) vs the data-independent sign-bit
-    quantizer (64 cells, probe 1), both against the exact brute-force
-    top-5. Each candidate set is ~N/64, so any recall gap is pure cell
-    quality — the number that justifies (or rejects) training a quantizer.
-    tests/test_ext.py asserts recall_kmeans >= recall_signbit."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    qdf = emb.filter(F.col("vec_id") % 50 == 0)
-    bf = _sim.topk_bruteforce(emb, qdf, k=5).select(
-        "query_id", F.col("neighbor_id").alias("bf_neighbor")
-    )
-    km = _sim.topk_ivf_kmeans(emb, qdf, k=5, probe=1).select(
-        F.col("query_id").alias("kq"), F.col("neighbor_id").alias("km_n")
-    )
-    sb = _sim.topk_ivf(emb, qdf, k=5).select(
-        F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sb_n")
-    )
-    j = bf.join(
-        km,
-        (F.col("query_id") == F.col("kq")) & (F.col("bf_neighbor") == F.col("km_n")),
-        "left",
-    ).join(
-        sb,
-        (F.col("query_id") == F.col("sq")) & (F.col("bf_neighbor") == F.col("sb_n")),
-        "left",
-    )
-    n = F.count(F.lit(1))
-    return j.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        n.cast("bigint").alias("total_true"),
-        F.count("km_n").cast("bigint").alias("hits_kmeans"),
-        F.count("sb_n").cast("bigint").alias("hits_signbit"),
-        # try_divide: an empty truth set (no query has any true neighbor —
-        # possible on degenerate generated corpora) is 0/0 = NULL in DuckDB
-        # where ANSI Spark raises DIVIDE_BY_ZERO (r10 fuzz catch)
-        F.try_divide(F.count("km_n").cast("double"), n)
-        .cast("double")
-        .alias("recall_kmeans"),
-        F.try_divide(F.count("sb_n").cast("double"), n)
-        .cast("double")
-        .alias("recall_signbit"),
-    )
-
-
-@register(
-    "s8_ann_int8_rerank",
-    _sim.topk_int8_rerank_sql("embeddings", "vec_id % 50 = 0", k=5),
-)
-def s8_ann_int8_rerank(spark, sf_dir):
-    """The full ANN serving cascade (ext/similarity.py:topk_int8_rerank):
-    IVF cell probe -> int8 integer-dot prefilter (top-25 per query) ->
-    exact cosine rerank (top-5). The quantized middle stage is what makes
-    the candidate scoring affordable when cells are large at 100 TB."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    return _sim.topk_int8_rerank(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
-
-
-@register(
-    "x6_lang_id",
-    f"""
-    SELECT doc_id, lang, {_tx.lang_id_sql('text')} AS lang_pred
-    FROM documents
-    """,
-)
-def x6_lang_id(spark, sf_dir):
-    """Heuristic stopword language-ID (ext/text.py:lang_id)."""
-    d = tbl(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", _tx.lang_id(F.col("text")).alias("lang_pred"))
-
-
-@register(
-    "x7_quality_score",
-    f"""
-    SELECT doc_id, {_tx.quality_score_sql('text')} AS quality
-    FROM documents
-    """,
-)
-def x7_quality_score(spark, sf_dir):
-    """Deterministic quality score: alpha/punct/stopword ratios."""
-    d = tbl(spark, sf_dir, "documents")
-    return d.select("doc_id", _tx.quality_score(F.col("text")).alias("quality"))
-
-
-@register(
-    "x8_token_count",
-    (lambda ws, bpe: f"""
-    SELECT doc_id, CAST({ws} AS INTEGER) AS n_ws_tokens,
-           CAST({bpe} AS INTEGER) AS n_bpe_units
-    FROM documents
-    """)(*_tx.token_counts_sql("text")),
-)
-def x8_token_count(spark, sf_dir):
-    """Whitespace + BPE-ish token counts, pure regexp expressions."""
-    d = tbl(spark, sf_dir, "documents")
-    ws, bpe = _tx.token_counts(F.col("text"))
-    return d.select(
-        "doc_id",
-        ws.cast("int").alias("n_ws_tokens"),
-        bpe.cast("int").alias("n_bpe_units"),
-    )
-
-
-@register(
-    "x9_fingerprint",
-    f"""
-    SELECT doc_id, {_tx.fingerprint_sql('text')} AS fp
-    FROM documents
-    """,
-)
-def x9_fingerprint(spark, sf_dir):
-    """Order-sensitive rolling-hash document fingerprint."""
-    d = tbl(spark, sf_dir, "documents")
-    return d.select("doc_id", _tx.fingerprint(F.col("text")).alias("fp"))
-
-
-@register(
-    "m6_multimodal_features",
-    """
-    SELECT doc_id,
-           CAST(16 AS INTEGER) AS byte_len,
-           CAST(list_sum(list_transform(range(0, 16),
-                i -> CAST(concat('0x', md5(text)[2*i+1 : 2*i+2]) AS BIGINT)))
-                AS BIGINT) AS byte_sum,
-           CAST(concat('0x', md5(text)[1:15]) AS BIGINT) AS head64,
-           'fake' AS fmt
-    FROM documents
-    """,
-)
-def m6_multimodal_features(spark, sf_dir):
-    """Binary media column + Arrow-batched mapInPandas feature extraction
-    (ext/multimodal.py). Payload = md5(text) bytes, so the oracle recomputes
-    the same features from hex; head64 = first 60 bits = phash60(text)."""
-    d = tbl(spark, sf_dir, "documents")
-    return _mm.extract_features(_mm.attach_media(d, "doc_id", "text"))
-
-
-from ..ext import sampling as _sp
-
-
-@register(
-    "x11_repetition_score",
-    _tx.repetition_stats_sql("documents", "doc_id", "text"),
-)
-def x11_repetition_score(spark, sf_dir):
-    """Within-doc repetition (duplicate word-3-gram fraction) — the
-    Gopher-style boilerplate/spam signal for training-data filtering
-    (ext/text.py:repetition_stats)."""
-    return _tx.repetition_stats(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register(
-    "x12_length_histogram",
-    """
-    SELECT CAST(least(floor(length(text) / 100.0), 9) AS INTEGER) AS bucket,
-           count(*) AS n_docs,
-           CAST(sum(length(text)) AS BIGINT) AS total_chars
-    FROM documents GROUP BY 1
-    """,
-)
-def x12_length_histogram(spark, sf_dir):
-    """Corpus length profile: 100-char buckets (capped at 9) with doc and
-    char totals — the histogram a quality-filter threshold is read off.
-    One map-side-combined agg over ~10 groups: shuffle is O(buckets)."""
-    d = tbl(spark, sf_dir, "documents")
-    bucket = F.least(F.floor(F.length("text") / 100), F.lit(9)).cast("int")
-    return d.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
-    )
-
-
-@register(
-    "s3_stratified_sample",
-    _sp.stratified_sample_sql(
-        "documents",
-        "lang",
-        "doc_id",
-        rates={"en": 200},
-        default_rate=600,
-        select="doc_id, lang",
-    ),
-)
-def s3_stratified_sample(spark, sf_dir):
-    """Deterministic hash-stratified sampling (ext/sampling.py): rebalance
-    the language mixture at ingest — keep 20% of the dominant 'en' stratum,
-    60% elsewhere. Membership = pure row hash: stable across partitioning,
-    runs, and supersets (unlike df.sample's per-partition RNG)."""
-    d = tbl(spark, sf_dir, "documents")
-    return _sp.stratified_sample(
-        d, "lang", "doc_id", rates={"en": 200}, default_rate=600
-    ).select("doc_id", "lang")
-
-
-@register(
-    "a8_quantiles",
-    """
-    SELECT event_type,
-           quantile_cont(CAST(props->>'k' AS BIGINT), 0.5) AS med_k,
-           quantile_cont(CAST(props->>'k' AS BIGINT), 0.9) AS p90_k,
-           count(*) AS n
-    FROM events GROUP BY event_type
-    """,
-)
-def a8_quantiles(spark, sf_dir):
-    """Exact quantiles per group (median + p90 of the score column): Spark
-    ``percentile`` and DuckDB ``quantile_cont`` both use linear
-    interpolation over the sorted group; over integer inputs the
-    interpolation arithmetic agrees bit-for-bit (verified on the driver
-    fixtures). Exact percentile sorts each group — at 100 TB prefer
-    ``approx_percentile`` (t-digest, mergeable partial states) when 1%
-    error is acceptable; this entry pins the exact semantics."""
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    k = F.col("k").cast("bigint")
-    return ev.groupBy("event_type").agg(
-        F.percentile(k, F.lit(0.5)).alias("med_k"),
-        F.percentile(k, F.lit(0.9)).alias("p90_k"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "a11_collect_sorted",
-    """
-    SELECT event_type,
-           array_to_string(list_sort(list_distinct(
-             list(CAST(user_id % 100 AS BIGINT)))), ',') AS user_buckets,
-           CAST(len(list_distinct(list(user_id % 100))) AS INTEGER) AS n_buckets
-    FROM events GROUP BY event_type
-    """,
-)
-def a11_collect_sorted(spark, sf_dir):
-    """Collect-set aggregation made deterministic: collect_set's order is
-    arbitrary, so the canonical form is sort_array + string join — the
-    only hash-stable way to emit a set-valued aggregate. Bounded per key
-    (distinct buckets <= 100); unbounded collect_list per key is the OOM
-    pattern pairwise_mean_compat guards against."""
-    ev = tbl(spark, sf_dir, "events")
-    buckets = F.sort_array(F.collect_set((F.col("user_id") % 100).cast("bigint")))
-    return ev.groupBy("event_type").agg(
-        F.concat_ws(",", buckets.cast("array<string>")).alias("user_buckets"),
-        F.size(buckets).cast("int").alias("n_buckets"),
-    )
-
-
-@register(
-    "a10_approx_quantiles",
-    """
-    SELECT event_type,
-           quantile_cont(CAST(props->>'k' AS BIGINT), 0.5) AS exact_med,
-           1 AS approx_within_tol
-    FROM events GROUP BY event_type
-    """,
-)
-def a10_approx_quantiles(spark, sf_dir):
-    """approx_percentile (Greenwald-Khanna sketch, mergeable partial
-    states) — the quantile path that scales where exact percentile's
-    per-group sort does not. Sketch values are engine-specific, so the
-    gated output is the exact median plus a flag asserting the approx
-    answer landed within the sketch's RANK guarantee: with accuracy A
-    the returned value is an actual element whose rank error is at most
-    n/A, i.e. strictly under one position for groups smaller than A —
-    so it must lie between the order statistics bracketing the median
-    (ranks floor(n/2) .. floor(n/2)+2, clamped). r9's flag used a VALUE
-    distance (|approx - exact| <= 2.0), which is not an invariant at
-    all — the r10 fuzz layer falsified it with a two-element group
-    {0, 5}: exact 2.5, approx 0 or 5, distance 2.5. Rank windows are
-    what the sketch actually promises; value windows were a fixture
-    artifact."""
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    k = F.col("k").cast("bigint")
-    agg = ev.groupBy("event_type").agg(
-        F.percentile(k, F.lit(0.5)).alias("exact_med"),
-        F.percentile_approx(k, F.lit(0.5), F.lit(10000)).alias("_approx"),
-        F.array_sort(F.collect_list(k)).alias("_arr"),
-    )
-    n = F.size("_arr")
-    lo_i = F.greatest(F.floor(n / 2).cast("int"), F.lit(1))
-    hi_i = F.least(n, F.floor(n / 2).cast("int") + F.lit(2))
-    within = (F.col("_approx") >= F.element_at("_arr", lo_i)) & (
-        F.col("_approx") <= F.element_at("_arr", hi_i)
-    )
-    return agg.select(
-        "event_type",
-        "exact_med",
-        F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
-            "approx_within_tol"
-        ),
-    )
-
-
-@register(
-    "q6_forecast_revenue",
-    """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the query
-    whose whole cost is the scan, so every predicate must reach the parquet
-    reader and the agg must be a single partial+final pass."""
-    li = tbl(spark, sf_dir, "lineitem")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & disc.between(0.05, 0.07)
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        F.sum(F.col("l_extendedprice").cast(DEC) * disc).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-
-
-@register(
-    "q7_nation_volume",
-    """
-    SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n_lines
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INTEGER) AS l_year,
-             CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
-      FROM supplier s
-      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-    )
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-)
-def q7_nation_volume(spark, sf_dir):
-    """TPC-H Q7 shape: bilateral trade volume — the nation dimension joins
-    the fact tree TWICE (supplier side and customer side), with a
-    symmetric pair predicate that can only be applied after both joins.
-    Both nation aliases broadcast; the sum runs in DECIMAL, output
-    DOUBLE."""
-    s = tbl(spark, sf_dir, "supplier")
-    li = tbl(spark, sf_dir, "lineitem")
-    o = tbl(spark, sf_dir, "orders")
-    c = tbl(spark, sf_dir, "customer")
-    n1 = tbl(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = tbl(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    vol = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
-    pair = (
-        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    )
-    return (
-        s.join(li, s["s_suppkey"] == li["l_suppkey"])
-        .join(o, o["o_orderkey"] == li["l_orderkey"])
-        .join(c, c["c_custkey"] == o["o_custkey"])
-        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
-        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
-        .filter(pair)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("int").alias("l_year"),
-        )
-        .agg(
-            F.sum(vol).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q8_market_share",
-    """
-    SELECT l_year,
-           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                     AS DOUBLE)
-                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
-           count(*) AS n_lines
-    FROM (
-      SELECT n1.n_name AS supp_nation,
-             CAST(year(l_shipdate) AS INTEGER) AS l_year,
-             CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
-      FROM supplier s
-      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-      JOIN part p ON p.p_partkey = l.l_partkey
-      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-      WHERE p.p_type = 'ECONOMY'
-    )
-    GROUP BY l_year
-    """,
-)
-def q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape: one nation's share of a product segment's revenue
-    per year — conditional DECIMAL sum over the full segment divided by
-    the segment total (one final double division, the m5/k5 ratio
-    pattern). Dims broadcast; the p_type filter prunes the part side
-    before its join."""
-    s = tbl(spark, sf_dir, "supplier")
-    li = tbl(spark, sf_dir, "lineitem")
-    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    n1 = tbl(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    vol = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
-    national = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
-    return (
-        s.join(li, s["s_suppkey"] == li["l_suppkey"])
-        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
-        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
-        .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(
-            (F.sum(national).cast("double") / F.sum(vol).cast("double"))
-            .cast("double")
-            .alias("mkt_share"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q13_customer_distribution",
-    """
-    SELECT c_count, count(*) AS custdist
-    FROM (
-      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_custkey
-    )
-    GROUP BY c_count
-    """,
-)
-def q13_customer_distribution(spark, sf_dir):
-    """TPC-H Q13 shape: aggregate-of-aggregate — orders per customer
-    (LEFT join keeps zero-order customers, count(col) skips their nulls),
-    then the distribution of those counts. Two hash aggs; the second
-    groups on the first's output, O(distinct counts) rows out."""
-    c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy(c["c_custkey"])
-        .agg(F.count(o["o_orderkey"]).alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@register(
-    "q18_large_orders",
-    """
-    SELECT c_name, c_custkey, o_orderkey,
-           CAST(total_qty AS BIGINT) AS total_qty,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
-    FROM orders
-    JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
-          FROM lineitem GROUP BY l_orderkey
-          HAVING sum(CAST(l_quantity AS BIGINT)) > 150) big
-      ON o_orderkey = big.l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    """,
-)
-def q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to the fact
-    and dim tables — the big-volume-order report. The grouped side shrinks
-    to qualifying orders before any join; quantity sums are integer-exact."""
-    li = tbl(spark, sf_dir, "lineitem")
-    o = tbl(spark, sf_dir, "orders")
-    c = tbl(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
-    )
-    return (
-        o.join(big, o["o_orderkey"] == big["l_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            F.col("total_qty").cast("bigint").alias("total_qty"),
-            F.col("o_totalprice").cast(DEC).cast("double").alias("total"),
-        )
-    )
-
-
-@register(
-    "q14_promo_share",
-    """
-    SELECT CAST(CAST(sum(CASE WHEN p_type = 'ECONOMY'
-                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                     ELSE 0 END) AS DOUBLE)
-           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-             AS DOUBLE) AS promo_share,
-           count(*) AS n_lines
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-06-01'
-    """,
-)
-def q14_promo_share(spark, sf_dir):
-    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join — the
-    part side broadcasts, both sums run exact in DECIMAL, one final double
-    division (the m5/k5 pattern) keeps the ratio engine-exact."""
-    li = tbl(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
-    )
-    p = tbl(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
-    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .agg(
-            (F.sum(promo).cast("double") / F.sum(rev).cast("double"))
-            .cast("double")
-            .alias("promo_share"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "j5_salted_join",
-    """
-    SELECT n.n_name, count(*) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-)
-def j5_salted_join(spark, sf_dir):
-    """Skew-robust salted join (operators/joins.py): customer.c_nationkey
-    is exactly the hot-key shape (25 nations, skewed populations). The
-    nation side is replicated over 16 salts, customers scatter uniformly,
-    so no reducer owns a whole nation. Oracle = the plain join: salting
-    must be invisible in the result."""
-    from ..operators.joins import salted_join
-
-    c = tbl(spark, sf_dir, "customer")
-    n = tbl(spark, sf_dir, "nation")
-    joined = salted_join(
-        c.withColumnRenamed("c_nationkey", "nk"),
-        n.select(F.col("n_nationkey").alias("nk"), "n_name"),
-        on=["nk"],
-        n_salts=16,
-    )
-    return joined.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast(DEC)).cast(DEC).cast("double").alias("total_acctbal"),
-    )
-
-
-@register(
-    "q17_small_quantity_revenue",
-    """
-    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
-             AS DOUBLE) AS avg_yearly,
-           count(*) AS n_lines
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_brand = 'Brand#3'
-      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-    """,
-)
-def q17_small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17 shape: correlated AVG subquery — decorrelated by hand into
-    a per-part aggregate joined back (exactly the rewrite Catalyst performs
-    on the SQL form), so the fact table is scanned twice but never per-row.
-    l_quantity is integer-valued, so the float avg is exact in any
-    summation order and the 0.2x threshold compares identically across
-    engines."""
-    li = tbl(spark, sf_dir, "lineitem")
-    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
-    )
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(thresholds, li["l_partkey"] == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_cap"))
-        .agg(
-            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
-            .cast("double")
-            .alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q19_disjunctive_filter",
-    """
-    SELECT count(*) AS n_lines,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
-       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
-       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
-    """,
-)
-def q19_disjunctive_filter(spark, sf_dir):
-    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst must
-    factor the common subexpressions per side so each scan still receives
-    a pushable predicate (the l_quantity range union reaches lineitem, the
-    brand/size union reaches part) instead of evaluating the whole
-    disjunction post-join."""
-    li = tbl(spark, sf_dir, "lineitem")
-    p = tbl(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    q = F.col("l_quantity")
-    cond = (
-        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & (F.col("p_size") <= 5))
-        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & (F.col("p_size") <= 10))
-        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & (F.col("p_size") <= 15))
-    )
-    rev = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
-    return j.filter(cond).agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(rev).cast("double").alias("revenue"),
-    )
-
-
-@register(
-    "q16_excluded_suppliers",
-    """
-    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
-      AND p_type NOT LIKE 'SMALL%'
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY p_brand, p_type
-    """,
-)
-def q16_excluded_suppliers(spark, sf_dir):
-    """TPC-H Q16 shape: NOT IN value list + NOT LIKE + NOT IN subquery
-    (planned as an anti join) + distinct aggregation; the excluded-supplier
-    side (negative balance, standing in for the reference schema's
-    complaints filter) is tiny and broadcasts."""
-    li = tbl(spark, sf_dir, "lineitem")
-    p = tbl(spark, sf_dir, "part").filter(
-        ~F.col("p_brand").isin("Brand#1", "Brand#2")
-        & ~F.col("p_type").like("SMALL%")
-    )
-    bad_s = tbl(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 0
-    ).select(F.col("s_suppkey").alias("l_suppkey"))
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(bad_s), "l_suppkey", "left_anti")
-        .groupBy("p_brand", "p_type")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@register(
-    "j6_nullsafe_join",
-    """
-    WITH a AS (
-      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang
-      FROM documents WHERE doc_id % 2 = 0
-    ), b AS (
-      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang
-      FROM documents WHERE doc_id % 2 = 1
-    )
-    SELECT a.lang AS lang, count(*) AS n_pairs
-    FROM a JOIN b ON a.lang IS NOT DISTINCT FROM b.lang
-    GROUP BY a.lang
-    """,
-)
-def j6_nullsafe_join(spark, sf_dir):
-    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
-    each other — the semantics a plain equi-join silently drops. Still a
-    hash join (the null bucket is just another key), never a nested loop.
-    Nulls synthesized in-query so the oracle sees identical input."""
-    d = tbl(spark, sf_dir, "documents")
-    lang = F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang"))
-    a = d.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("id_a"), lang.alias("lang_a")
-    )
-    b = d.filter(F.col("doc_id") % 2 == 1).select(
-        F.col("doc_id").alias("id_b"), lang.alias("lang_b")
-    )
-    return (
-        a.join(b, a["lang_a"].eqNullSafe(b["lang_b"]))
-        .groupBy(F.col("lang_a").alias("lang"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-
-
-@register(
-    "j7_interval_join",
-    """
-    WITH iv AS (
-      SELECT user_id, CAST(ts AS DATE) AS day,
-             min(ts) AS start_ts,
-             min(ts) + INTERVAL 2 HOUR AS end_ts
-      FROM events GROUP BY user_id, CAST(ts AS DATE)
-    )
-    SELECT iv.user_id, iv.day, count(e.event_id) AS n_in_window,
-           CAST(sum(CAST(e.props->>'k' AS BIGINT)) AS BIGINT) AS k_in_window
-    FROM iv JOIN events e
-      ON e.user_id = iv.user_id
-     AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
-    GROUP BY iv.user_id, iv.day
-    """,
-)
-def j7_interval_join(spark, sf_dir):
-    """Range join done the scale way (operators/range_join.py): each
-    user-day's first-2-hours window matched to its events by bucketed
-    equi-join + exact refine — a plain hash join, never the
-    nested-loop/cartesian Spark plans for raw non-equi conditions
-    (asserted by plancheck). Oracle is the naive BETWEEN join."""
-    from ..operators.range_join import point_in_interval_join
-
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.min("ts").alias("start_ts"),
-        (F.min("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
-    )
-    pts = ev.select("user_id", "ts", "event_id", "k")
-    joined = point_in_interval_join(
-        pts, iv, ["user_id"], "ts", "start_ts", "end_ts", bucket_seconds=3600
-    )
-    return joined.groupBy("user_id", "day").agg(
-        F.count("event_id").alias("n_in_window"),
-        F.sum(F.col("k").cast("bigint")).cast("bigint").alias("k_in_window"),
-    )
-
-
-@register(
-    "c1_correlated_subquery",
-    """
-    SELECT o_orderkey, o_custkey,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
-    FROM orders o
-    WHERE CAST(o_totalprice AS DECIMAL(18,2)) =
-          (SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
-           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-    """,
-)
-def c1_correlated_subquery(spark, sf_dir):
-    """Correlated scalar subquery (each customer's priciest order),
-    written AS SQL so Catalyst's decorrelation does the rewrite: the
-    subquery becomes one aggregate per correlation key + an equi-join —
-    never a per-row re-execution. The comparison runs on the exact
-    DECIMAL; the output rides DOUBLE."""
-    prepare(spark)
-    o = tbl(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("c1_orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
-        FROM c1_orders o
-        WHERE CAST(o_totalprice AS DECIMAL(18,2)) =
-              (SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
-               FROM c1_orders o2 WHERE o2.o_custkey = o.o_custkey)
-        """
-    )
-
-
-@register(
-    "c2_lateral_topn",
-    """
-    SELECT c.c_custkey, t.o_orderkey,
-           CAST(t.total AS DOUBLE) AS total, CAST(t.rk AS INTEGER) AS rk
-    FROM customer c, LATERAL (
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
-             row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
-                                DESC, o_orderkey) AS rk
-      FROM orders WHERE o_custkey = c.c_custkey
-      ORDER BY total DESC, o_orderkey LIMIT 2
-    ) t
-    WHERE c.c_mktsegment = 'BUILDING'
-    """,
-)
-def c2_lateral_topn(spark, sf_dir):
-    """LATERAL correlated table subquery (each BUILDING customer's 2
-    priciest orders) — the join-family member c1's scalar form doesn't
-    cover. Written as SQL so Catalyst's DecorrelateInnerQuery rewrites the
-    per-row subquery into a ranked window + filter over ONE orders scan —
-    never a re-execution per customer row. Top-2 membership and rank are
-    decided on the exact DECIMAL; DOUBLE rides out."""
-    prepare(spark)
-    tbl(spark, sf_dir, "customer").createOrReplaceTempView("c2_customer")
-    tbl(spark, sf_dir, "orders").createOrReplaceTempView("c2_orders")
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey,
-               CAST(t.total AS DOUBLE) AS total, CAST(t.rk AS INTEGER) AS rk
-        FROM c2_customer c, LATERAL (
-          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
-                 row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
-                                    DESC, o_orderkey) AS rk
-          FROM c2_orders WHERE o_custkey = c.c_custkey
-          ORDER BY total DESC, o_orderkey LIMIT 2
-        ) t
-        WHERE c.c_mktsegment = 'BUILDING'
-        """
-    )
-
-
-@register(
-    "a9_approx_distinct",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS exact_users,
-           1 AS approx_within_5pct
-    FROM events GROUP BY event_type
-    """,
-)
-def a9_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the 100 TB path when exact
-    distinct's expand+shuffle is too expensive. Sketch values are
-    engine-specific, so the gated output is the EXACT count plus a flag
-    asserting the approx answer landed within 5% (HLL++ at default rsd=5%
-    is deterministic for fixed data, so the flag is stable)."""
-    ev = tbl(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("_approx"),
-    )
-    within = (
-        F.abs(F.col("_approx") - F.col("exact_users"))
-        / F.col("exact_users")
-        <= 0.05
-    )
-    return agg.select(
-        "event_type",
-        "exact_users",
-        F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("approx_within_5pct"),
-    )
-
-
-@register(
-    "j4_semi_anti_join",
-    """
-    SELECT c_custkey, c_name, 'no_orders' AS segment
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    UNION ALL
-    SELECT c_custkey, c_name, 'recent_buyer' AS segment
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                  AND o.o_orderdate >= DATE '1998-01-01')
-    """,
-)
-def j4_semi_anti_join(spark, sf_dir):
-    """Left-anti + left-semi joins (relational completeness): customers who
-    never ordered, and customers with a 1998+ order. Both plan as hash
-    joins that keep only the probe side's columns — no row multiplication,
-    shuffle keyed on the join key (broadcast-eligible when orders' distinct
-    keys are small after the pushed date filter)."""
-    c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
-    no_orders = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
-        .select("c_custkey", "c_name")
-        .withColumn("segment", F.lit("no_orders"))
-    )
-    recent = (
-        c.join(
-            o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")),
-            c["c_custkey"] == o["o_custkey"],
-            "left_semi",
-        )
-        .select("c_custkey", "c_name")
-        .withColumn("segment", F.lit("recent_buyer"))
-    )
-    return no_orders.unionByName(recent)
-
-
-@register(
-    "q4_exists_agg",
-    """
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= DATE '1996-07-01' AND o.o_orderdate < DATE '1996-10-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-    GROUP BY o_orderpriority
-    """,
-)
-def q4_exists_agg(spark, sf_dir):
-    """TPC-H Q4 shape (EXISTS → semi join → agg): orders in a quarter with
-    at least one returned line, counted per priority. The semi join
-    deduplicates lineitem matches for free (no distinct), the returnflag
-    filter is pushed to the fact scan, and the final agg is O(priorities)."""
-    o = tbl(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
-    )
-    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
-    "pipe1_corpus_filter",
-    f"""
-    WITH feats AS (
-      SELECT doc_id, lang,
-             {_tx.lang_id_sql('text')} AS lang_pred,
-             {_tx.quality_score_sql('text')} AS quality,
-             CAST(len({_tx.tokens_sql('text')}) AS INTEGER) AS n_ws_tokens,
-             md5({_dd.norm_text_sql('text')}) AS content_hash,
-             text
-      FROM documents
-    ), rep AS (
-      {_tx.repetition_stats_sql('documents', 'doc_id', 'text')}
-    ), canon AS (
-      SELECT md5({_dd.norm_text_sql('text')}) AS content_hash,
-             min(doc_id) AS canonical_id
-      FROM documents GROUP BY 1
-    )
-    SELECT f.doc_id, f.lang, f.n_ws_tokens, r.rep_ratio
-    FROM feats f
-    JOIN rep r USING (doc_id)
-    JOIN canon c ON f.content_hash = c.content_hash AND f.doc_id = c.canonical_id
-    WHERE f.lang_pred = f.lang
-      AND f.quality >= 0.5
-      AND (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
-      AND f.n_ws_tokens >= 5
-    """,
-)
-def pipe1_corpus_filter(spark, sf_dir):
-    """END-TO-END training-corpus filter — the composed pipeline a corpus
-    team actually runs, as ONE Catalyst plan: language-confidence gate
-    (predicted == declared), quality floor, within-doc repetition cap,
-    minimum length, and exact-dedup canonical-only keep. Every stage is a
-    Column expression over the same scan; the only joins are the per-doc
-    repetition stats (equi on doc_id) and the canonical filter (equi on
-    content hash, broadcast-eligible: one row per distinct content).
-    At 100 TB this composes into: one corpus scan, one O(distinct-content)
-    agg, narrow filters. The tokens column is PERSISTED before the feature
-    expressions read it — Spark has no CSE and CollapseProject re-inlines
-    staged projections, so without the barrier every feature (lang vote,
-    stopword ratio, length gate, trigram stats) re-runs the tokenizer
-    (measured 1.4x end-to-end on this query at sf0.1: 3.5s -> 2.5s)."""
-    d = tbl(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id",
-        "lang",
-        "text",
-        _tx.tokens(F.col("text")).alias("_toks"),
-    ).persist()  # cache: caller-owns
-    toks = F.col("_toks")
-    tri = _tx.word_trigrams(toks)
-    n_tri = F.size(tri)
-    feats = staged.select(
-        "doc_id",
-        "lang",
-        _tx.lang_id(F.col("text"), toks=toks).alias("lang_pred"),
-        _tx.quality_score(F.col("text"), toks=toks).alias("quality"),
-        F.size(toks).cast("int").alias("n_ws_tokens"),
-        F.md5(_dd.norm_text(F.col("text"))).alias("content_hash"),
-        F.try_divide(
-            (n_tri - F.size(F.array_distinct(tri))).cast("double"),
-            n_tri.cast("double"),
-        ).alias("rep_ratio"),
-    )
-    canon = _dd.exact_dedup(d, "doc_id", "text").select(
-        "content_hash", F.col("canonical_id")
-    )
-    return (
-        feats.join(F.broadcast(canon), "content_hash")
-        .filter(
-            (F.col("doc_id") == F.col("canonical_id"))
-            & (F.col("lang_pred") == F.col("lang"))
-            & (F.col("quality") >= 0.5)
-            & (F.col("rep_ratio").isNull() | (F.col("rep_ratio") <= 0.2))
-            & (F.col("n_ws_tokens") >= 5)
-        )
-        .select("doc_id", "lang", "n_ws_tokens", "rep_ratio")
-    )
-
-
-@register(
-    "d6_dedup_incremental",
-    f"""
-    SELECT * FROM (
-      {_dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)}
-    ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
-    """,
-)
-def d6_dedup_incremental(spark, sf_dir):
-    """Incremental minhash dedup (ext/dedup.py:incremental_minhash_pairs):
-    docs with doc_id % 5 == 0 arrive as the NEW batch and are sketched +
-    band-joined against the stored sketches of the rest — the old corpus is
-    never re-tokenized. Because band hashes are deterministic, the result
-    must equal the full-corpus LSH run restricted to pairs touching a new
-    doc; the oracle states exactly that."""
-    d = tbl(spark, sf_dir, "documents")
-    old = d.filter(F.col("doc_id") % 5 != 0)
-    new = d.filter(F.col("doc_id") % 5 == 0)
-    old_sk = _dd.minhash_sketches(old, "doc_id", "text")
-    return _dd.incremental_minhash_pairs(old_sk, new, "doc_id", "text", threshold=0.5)
-
-
-@register(
-    "d7_dedup_clusters",
-    _dd.cluster_pairs_sql(
-        _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)
-    ),
-)
-def d7_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTER assignment (ext/dedup.py:cluster_pairs): connected
-    components over the minhash-LSH pair graph via min-label propagation —
-    the step that turns pairwise output into canonical keep/drop decisions.
-    Rounds = cluster diameter (near-dup clusters are near-cliques, so 2-4);
-    each round is one shuffle join + hash agg, labels never hit the driver.
-    Oracle: DuckDB recursive-CTE transitive closure."""
-    pairs = _dd.minhash_lsh_pairs(
-        tbl(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
-    )
-    return _dd.cluster_pairs(pairs)
-
-
-@register(
-    "d8_passage_dedup",
-    _dd.passage_dedup_sql("documents", "doc_id", "text"),
-)
-def d8_passage_dedup(spark, sf_dir):
-    """Sub-document exact dedup over fixed 16-word passages
-    (ext/dedup.py:passage_dedup) — catches boilerplate shared across
-    otherwise-distinct documents. One narrow chunking pass (persisted token
-    barrier), one hash agg on md5(passage); no joins."""
-    return _dd.passage_dedup(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register(
-    "d9_fuzzy_prefix_pairs",
-    _dd.fuzzy_prefix_pairs_sql("documents", "doc_id", "text"),
-)
-def d9_fuzzy_prefix_pairs(spark, sf_dir):
-    """Blocked Levenshtein near-dup pairs (ext/dedup.py:fuzzy_prefix_pairs):
-    typo-level variants of the same leading text that token-set measures
-    (d2/d4) are insensitive to. Equi-join on a 12-char prefix block, edit
-    distance over 48-char heads — work bounded by block sizes, not corpus
-    size."""
-    return _dd.fuzzy_prefix_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-from ..ext import export as _ex  # noqa: E402
-
-
-@register(
-    "s9_shuffle_shards",
-    f"""
-    WITH s AS (
-      SELECT doc_id, n_chars, {_ex.shuffle_pos_sql('doc_id')} AS pos
-      FROM documents
-    )
-    SELECT CAST(pos % {_ex.N_SHARDS} AS BIGINT) AS shard_id,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           min(pos) AS first_pos,
-           max(pos) AS last_pos
-    FROM s GROUP BY 1
-    """,
-)
-def s9_shuffle_shards(spark, sf_dir):
-    """Deterministic training-export shuffle (ext/export.py:shuffle_shards):
-    shard and order are pure hash functions of the doc id — reproducible
-    bit-for-bit, no global sort, hash-uniform shard sizes. The entry
-    aggregates the per-shard manifest (count / chars / pos range)."""
-    d = _ex.shuffle_shards(tbl(spark, sf_dir, "documents"), "doc_id")
-    return d.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("sum_chars"),
-        F.min("pos").alias("first_pos"),
-        F.max("pos").alias("last_pos"),
-    )
-
-
-@register(
-    "x20_token_packing",
-    _ex.pack_manifest_sql(
-        "documents", "doc_id", f"len({_tx.tokens_sql('text')})", budget=512
-    ),
-)
-def x20_token_packing(spark, sf_dir):
-    """Sequence-packing manifest (ext/export.py:pack_manifest): documents
-    in deterministic shuffle order are concatenated per shard and cut
-    every 512 tokens (concat-and-chunk); the entry aggregates per
-    (shard, pack). Token counts via the proven cross-engine tokenizer
-    (ext/text.py). The cumulative window is per-shard, so no global
-    single-partition window exists at any scale."""
-    d = tbl(spark, sf_dir, "documents").withColumn(
-        "tok", F.size(_tx.tokens(F.col("text"))).cast("bigint")
-    )
-    m = _ex.pack_manifest(d, "doc_id", "tok", budget=512)
-    return m.groupBy("shard_id", "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tok").cast("bigint").alias("pack_tokens"),
-    )
-
-
-@register(
-    "s4_embedding_quantize",
-    _sim.quantize_int8_sql("embeddings"),
-)
-def s4_embedding_quantize(spark, sf_dir):
-    """Symmetric int8 quantization of the embedding column
-    (ext/similarity.py:quantize_int8) — 4x storage compression for the
-    serving path; integer codes make the oracle exact."""
-    return _sim.quantize_int8(tbl(spark, sf_dir, "embeddings"))
-
-
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_URL = "https?://[A-Za-z0-9./_-]+"
-
-
-@register(
-    "x13_pii_redact",
-    f"""
-    WITH enriched AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0
-                  THEN concat(text, ' contact user', doc_id,
-                              '@example.com via https://ex.com/d/', doc_id)
-                  ELSE text END AS t
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(t, '{_PII_URL}')) AS INTEGER) AS n_urls,
-           regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                          '{_PII_URL}', '<URL>', 'g') AS text_redacted
-    FROM enriched
-    """,
-)
-def x13_pii_redact(spark, sf_dir):
-    """PII scrubbing for a training corpus: count + redact emails and URLs
-    with dialect-portable regexes (Java and RE2 agree on these classes).
-    The fixtures carry no PII, so deterministic addresses are synthesized
-    onto every 7th doc IN the query — the oracle rebuilds the same input,
-    making the redaction parity check non-vacuous. Pure Column regexp
-    chain: scan-bound, no UDF."""
-    d = tbl(spark, sf_dir, "documents")
-    t = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id"),
-            F.lit("@example.com via https://ex.com/d/"),
-            F.col("doc_id"),
-        ),
-    ).otherwise(F.col("text"))
-    base = d.select("doc_id", t.alias("t"))
-    return base.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0)).cast("int").alias("n_emails"),
-        F.size(F.regexp_extract_all("t", F.lit(_PII_URL), 0)).cast("int").alias("n_urls"),
-        F.regexp_replace(
-            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_URL, "<URL>"
-        ).alias("text_redacted"),
-    )
-
-
-@register(
-    "x15_scalar_battery",
-    """
-    SELECT doc_id,
-           substring(text, 3, 10) AS sub,
-           upper(substring(text, 1, 5)) AS up5,
-           replace(substring(text, 1, 20), ' ', '_') AS underscored,
-           CAST(strpos(text, 'data') AS INTEGER) AS pos_data,
-           reverse(substring(text, 1, 8)) AS rev8,
-           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
-           repeat('ab', CAST(doc_id % 3 AS INTEGER)) AS rep_ab,
-           CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_cp,
-           left(trim(text), 4) AS left4,
-           CASE WHEN length(text) > 100 THEN 'long' ELSE 'short' END AS bucket,
-           COALESCE(NULLIF(lang, 'en'), 'default') AS lang_or_default,
-           greatest(length(text), 50) AS g, least(length(text), 50) AS l
-    FROM documents
-    """,
-)
-def x15_scalar_battery(spark, sf_dir):
-    """Scalar string/conditional battery — the everyday function surface
-    (substr/replace/locate/pad/repeat/reverse/ascii/trim + CASE/NULLIF/
-    COALESCE/greatest/least), pinned cross-engine. All pure Column ops in
-    codegen; the point is semantic parity (1-based substring indexing,
-    empty-match locate=0, NULLIF null-propagation), not plan shape."""
-    d = tbl(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        t.substr(3, 10).alias("sub"),
-        F.upper(t.substr(1, 5)).alias("up5"),
-        F.replace(t.substr(1, 20), F.lit(" "), F.lit("_")).alias("underscored"),
-        F.locate("data", t).cast("int").alias("pos_data"),
-        F.reverse(t.substr(1, 8)).alias("rev8"),
-        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
-        F.repeat(F.lit("ab"), (F.col("doc_id") % 3).cast("int")).alias("rep_ab"),
-        F.ascii(t.substr(1, 1)).cast("int").alias("first_cp"),
-        F.left(F.trim(t), F.lit(4)).alias("left4"),
-        F.when(F.length(t) > 100, F.lit("long")).otherwise(F.lit("short")).alias("bucket"),
-        F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("default")).alias(
-            "lang_or_default"
-        ),
-        F.greatest(F.length(t), F.lit(50)).alias("g"),
-        F.least(F.length(t), F.lit(50)).alias("l"),
-    )
-
-
-@register(
-    "x16_datetime_battery",
-    """
-    SELECT event_id,
-           CAST(year(ts) AS INTEGER) AS y,
-           CAST(month(ts) AS INTEGER) AS m,
-           CAST(day(ts) AS INTEGER) AS d,
-           CAST(dayofyear(ts) AS INTEGER) AS doy,
-           CAST(isodow(ts) AS INTEGER) AS iso_dow,
-           CAST(hour(ts) AS INTEGER) AS h,
-           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
-           CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS next_week,
-           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
-             AS days_since_jan1,
-           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
-    FROM events
-    """,
-)
-def x16_datetime_battery(spark, sf_dir):
-    """Date/time battery pinned cross-engine: extraction fields, ISO
-    day-of-week (Spark's dayofweek is 1=Sunday, so weekday()+1 supplies the
-    ISO convention both engines agree on), truncation, date arithmetic,
-    day difference, epoch seconds. UTC session timezone makes these
-    engine-independent (session.prepare)."""
-    ev = tbl(spark, sf_dir, "events")
-    ts = F.col("ts")
-    return ev.select(
-        "event_id",
-        F.year(ts).cast("int").alias("y"),
-        F.month(ts).cast("int").alias("m"),
-        F.dayofmonth(ts).cast("int").alias("d"),
-        F.dayofyear(ts).cast("int").alias("doy"),
-        (F.weekday(ts) + 1).cast("int").alias("iso_dow"),
-        F.hour(ts).cast("int").alias("h"),
-        F.date_trunc("month", ts).alias("month_start"),
-        F.date_add(ts.cast("date"), 7).alias("next_week"),
-        F.datediff(ts.cast("date"), F.lit("2024-01-01").cast("date"))
-        .cast("int")
-        .alias("days_since_jan1"),
-        F.unix_timestamp(F.date_trunc("second", ts)).cast("bigint").alias("epoch_s"),
-    )
-
-
-@register(
-    "x17_array_battery",
-    f"""
-    WITH t AS (
-      SELECT doc_id, {_tx.tokens_sql('text')} AS arr FROM documents
-    )
-    SELECT doc_id,
-           COALESCE(array_to_string(list_sort(arr)[1:3], '|'), '')
-             AS first3_sorted,
-           CAST(len(list_distinct(arr)) AS INTEGER) AS n_uniq,
-           CAST(CASE WHEN list_contains(arr, 'the') THEN 1 ELSE 0 END AS INTEGER)
-             AS has_the,
-           CAST(COALESCE(list_position(arr, 'the'), 0) AS BIGINT) AS pos_the,
-           CAST(COALESCE(length(array_to_string(arr, '')), 0) AS INTEGER)
-             AS total_chars,
-           COALESCE(array_to_string(list_transform(arr[1:3], x -> upper(x)), '|'),
-                    '') AS up3,
-           COALESCE(array_to_string(list_filter(arr, x -> length(x) > 6)[1:2], '|'), '')
-             AS long2
-    FROM t
-    """,
-)
-def x17_array_battery(spark, sf_dir):
-    """Array-function battery over the token arrays: sort, slice, distinct,
-    contains, position (Spark returns 0 on miss — DuckDB's NULL coalesced
-    to match), transform, filter. Array results ride as '|'-joined strings
-    so the cross-engine value hash never depends on array rendering. On
-    an EMPTY token array DuckDB's array_to_string returns NULL where
-    Spark's concat_ws returns '' — every joined column is COALESCE'd
-    (r10 fuzz catch: a zero-token document; the fixture has none)."""
-    d = tbl(spark, sf_dir, "documents")
-    t = d.select("doc_id", _tx.tokens(F.col("text")).alias("arr"))
-    arr = F.col("arr")
-    return t.select(
-        "doc_id",
-        F.concat_ws("|", F.slice(F.array_sort(arr), 1, 3)).alias("first3_sorted"),
-        F.size(F.array_distinct(arr)).cast("int").alias("n_uniq"),
-        F.when(F.array_contains(arr, "the"), F.lit(1)).otherwise(F.lit(0))
-        .cast("int")
-        .alias("has_the"),
-        F.array_position(arr, "the").cast("bigint").alias("pos_the"),
-        F.length(F.concat_ws("", arr)).cast("int").alias("total_chars"),
-        F.concat_ws("|", F.transform(F.slice(arr, 1, 3), lambda x: F.upper(x))).alias(
-            "up3"
-        ),
-        F.concat_ws(
-            "|", F.slice(F.filter(arr, lambda x: F.length(x) > 6), 1, 2)
-        ).alias("long2"),
-    )
-
-
-@register(
-    "x18_regexp_groups",
-    """
-    SELECT doc_id,
-           regexp_extract(text, '([a-z]+)ing', 1) AS ing_stem,
-           regexp_extract(text, '([0-9]+)', 1) AS first_num,
-           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
-           CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS INTEGER) AS n_ing
-    FROM documents
-    """,
-)
-def x18_regexp_groups(spark, sf_dir):
-    """Regexp capture groups: group-indexed extraction (both engines
-    return '' on no-match) plus match counting — the everyday structured
-    scrape. Dialect-portable patterns only (no lookarounds: RE2 lacks
-    them)."""
-    d = tbl(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        F.regexp_extract(t, "([a-z]+)ing", 1).alias("ing_stem"),
-        F.regexp_extract(t, "([0-9]+)", 1).alias("first_num"),
-        F.regexp_extract(t, "([a-z]+) ([a-z]+)", 2).alias("second_word"),
-        F.size(F.regexp_extract_all(t, F.lit("[a-z]+ing"), 0)).cast("int").alias("n_ing"),
-    )
-
-
-@register(
-    "w4_value_window_functions",
-    """
-    SELECT event_id, user_id,
-           first_value(k) OVER w AS first_k,
-           last_value(k) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND UNBOUNDED FOLLOWING) AS final_k,
-           nth_value(k, 2) OVER w AS second_k
-    FROM (SELECT event_id, ts, user_id, CAST(props->>'k' AS BIGINT) AS k FROM events)
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def w4_value_window_functions(spark, sf_dir):
-    """Value window functions: first_value over the default running frame,
-    last_value over the FULL partition frame (the default frame stops at
-    CURRENT ROW — the classic last_value gotcha, made explicit), and
-    nth_value. Full (ts, event_id) ordering keeps all three
-    deterministic."""
-    from pyspark.sql import Window
-
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    k = F.col("k").cast("bigint")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.first(k).over(w).alias("first_k"),
-        F.last(k).over(w_full).alias("final_k"),
-        F.nth_value(k, 2).over(w).alias("second_k"),
-    )
-
-
-@register(
-    "w5_sessionize",
-    """
-    WITH o AS (
-      SELECT user_id, event_id, epoch_us(ts) AS us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id)
-                  > 1800000000 OR
-                  lag(epoch_us(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             THEN 1 ELSE 0 END AS new_sess
-      FROM events
-    ), s AS (
-      SELECT user_id, us,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-      FROM o
-    )
-    SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
-           CAST(count(*) AS BIGINT) AS n_events,
-           min(us) AS start_us, max(us) AS end_us,
-           max(us) - min(us) AS duration_us
-    FROM s GROUP BY user_id, session_seq
-    """,
-)
-def w5_sessionize(spark, sf_dir):
-    """Batch sessionization (the gap-based session assignment every
-    clickstream/behavior pipeline needs; the streaming twin is
-    t5_session_window): a 30-minute inactivity gap opens a new session —
-    lag + conditional + running sum over one (user_id) window, then one
-    hash agg per session. Exactly one shuffle on user_id serves BOTH window
-    passes and the final agg (same partitioning). Epoch-microsecond integer
-    math end-to-end, so the oracle is exact; (ts, event_id) is a total
-    order per user, making session numbering deterministic."""
-    from pyspark.sql import Window
-
-    e = tbl(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = us - F.lag(us).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    sess = e.select(
-        "user_id",
-        us.alias("us"),
-        F.sum(new_sess)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("session_seq"),
-    )
-    return sess.groupBy(
-        "user_id", F.col("session_seq").cast("int").alias("session_seq")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("us").alias("start_us"),
-        F.max("us").alias("end_us"),
-        (F.max("us") - F.min("us")).alias("duration_us"),
-    )
-
-
-@register(
-    "x19_ngram_freq",
-    _tx.ngram_freq_sql("documents", "text", n=2, k=100),
-)
-def x19_ngram_freq(spark, sf_dir):
-    """Corpus bigram frequency, deterministic top-100
-    (ext/text.py:ngram_freq): explode -> one map-side-combined hash agg ->
-    TakeOrderedAndProject (per-partition heap, k rows to the driver — never
-    a global sort)."""
-    return _tx.ngram_freq(tbl(spark, sf_dir, "documents"), "text", n=2, k=100)
-
-
-@register(
-    "x14_decontaminate",
-    _tx.decontaminate_flags_sql(
-        "documents", "doc_id", "text", bench_pred="doc_id % 97 = 0", n=5
-    ),
-)
-def x14_decontaminate(spark, sf_dir):
-    """Benchmark decontamination (ext/text.py:decontaminate_flags): flag
-    training docs sharing any word 5-gram with the held-out 'benchmark'
-    docs (doc_id % 97 == 0 stands in for an eval set) — the overlap scrub
-    every pretraining corpus runs before release. Benchmark grams are a
-    broadcast set; the corpus side is one scan + explode."""
-    return _tx.decontaminate_flags(
-        tbl(spark, sf_dir, "documents"), "doc_id", "text",
-        bench_pred="doc_id % 97 = 0", n=5,
-    )
-
-
-@register(
-    "a7_salted_agg",
-    """
-    SELECT event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-           max(value) AS max_v
-    FROM events GROUP BY event_type
-    """,
-)
-def a7_salted_agg(spark, sf_dir):
-    """Skew-salted two-stage aggregation (operators/aggregate.py:salted_agg):
-    stage 1 spreads each (possibly hot) key over 16 salts, stage 2 refolds
-    the algebraic partials. The oracle is the plain GROUP BY — salted must
-    equal direct by construction."""
-    from ..operators.aggregate import salted_agg
-
-    ev = parse_props(tbl(spark, sf_dir, "events")).select(
-        "event_type", "event_id", F.col("k").cast("bigint").alias("k"), "value"
-    )
-    out = salted_agg(
-        ev,
-        ["event_type"],
-        {
-            "n_events": ("event_id", "count"),
-            "sum_k": ("k", "sum"),
-            "max_v": ("value", "max"),
-        },
-    )
-    return out.select(
-        "event_type",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.col("sum_k").cast("bigint").alias("sum_k"),
-        "max_v",
-    )
-
-
-@register(
-    "a12_salted_count_distinct",
-    """
-    SELECT user_id, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
-    FROM events GROUP BY user_id
-    """,
-)
-def a12_salted_count_distinct(spark, sf_dir):
-    """Skew-robust distinct counting (operators/aggregate.py:
-    salted_count_distinct): the one aggregate family where skew genuinely
-    stalls a reducer — the final agg receives one row per DISTINCT value of
-    a key — solved by value-derived salting (each distinct value lives in
-    exactly one salt cell, so per-cell counts add exactly). Oracle is the
-    plain COUNT(DISTINCT): salting must be invisible."""
-    from ..operators.aggregate import salted_count_distinct
-
-    ev = tbl(spark, sf_dir, "events").select("user_id", "event_id")
-    return salted_count_distinct(ev, ["user_id"], "event_id", n_salts=16)
-
-
-@register(
-    "m7_resize_plan",
-    """
-    WITH m AS (
-      SELECT doc_id,
-             CAST(doc_id % 64 + 1 AS INTEGER) AS w,
-             CAST(doc_id % 48 + 1 AS INTEGER) AS h,
-             CAST(doc_id % 16 + 1 AS INTEGER) AS n_frames
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(CASE WHEN w <= 32 AND h <= 24 THEN w
-                     WHEN w * 24 >= h * 32 THEN least(w, 32)
-                     ELSE greatest(CAST(floor(w * 24.0 / h) AS INTEGER), 1)
-                END AS INTEGER) AS width,
-           CAST(CASE WHEN w <= 32 AND h <= 24 THEN h
-                     WHEN w * 24 >= h * 32 THEN greatest(CAST(floor(h * 32.0 / w) AS INTEGER), 1)
-                     ELSE least(h, 24)
-                END AS INTEGER) AS height,
-           n_frames,
-           CAST(16 AS INTEGER) AS byte_len
-    FROM m
-    """,
-)
-def m7_resize_plan(spark, sf_dir):
-    """Multimodal resize (ext/multimodal.py:resize) to fit 32x24: the
-    aspect-preserving integer dimension plan is JVM Column math (Catalyst
-    can prune no-op rows before Python starts); the pixel seam runs the
-    Arrow-batched fake backend, payload passes through (byte_len pins it)."""
-    d = tbl(spark, sf_dir, "documents")
-    resized = _mm.resize(_mm.attach_media(d, "doc_id", "text"), 32, 24)
-    return resized.select(
-        "doc_id",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.n_frames").alias("n_frames"),
-        F.length("payload").cast("int").alias("byte_len"),
-    )
-
-
-@register(
-    "m8_frame_sample",
-    """
-    SELECT doc_id,
-           CAST(doc_id % 16 + 1 AS INTEGER) AS n_frames,
-           CAST(unnest(range(0, doc_id % 16 + 1, 4)) AS INTEGER) AS frame_idx
-    FROM documents
-    """,
-)
-def m8_frame_sample(spark, sf_dir):
-    """Deterministic every-4th frame sampling plan over 'video' rows
-    (ext/multimodal.py:sample_frames) — pure sequence+explode, no Python."""
-    d = tbl(spark, sf_dir, "documents")
-    sampled = _mm.sample_frames(_mm.attach_media(d, "doc_id", "text"), every_n=4)
-    return sampled.select(
-        "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
-    )
-
-
-from ..ml import infer as _inf
-
-
-@register(
-    "m9_mlp_inference",
-    _inf.mlp_infer_sql("embeddings"),
-)
-def m9_mlp_inference(spark, sf_dir):
-    """M3's model slot exercised with REAL batched tensor math: a 2-layer
-    integer MLP (quantize -> matmul -> relu -> matmul -> argmax) over each
-    Arrow record batch via mapInPandas (ml/infer.py). Exact-integer model,
-    so the DuckDB twin matches bit-for-bit; the Spark path is the genuine
-    BLAS-shaped batch workload the FinBERT seam needs proven
-    (batchPipeline.py:134-147)."""
-    return _inf.mlp_infer(tbl(spark, sf_dir, "embeddings"))
-
-
-# ---------------------------------------------------------------------------
-# Relational completeness: operators the reference lacks but a full engine
-# must serve (SURVEY §2.5 note: "no distinct-agg, grouping sets, window
-# functions, sorts, limits, or set operations exist anywhere in the
-# reference"). All Catalyst built-ins; oracles pin cross-engine semantics.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "w1_window_functions",
-    """
-    SELECT event_id, user_id,
-           CAST(row_number() OVER w AS BIGINT) AS rn,
-           lag(k, 1) OVER w AS prev_k,
-           CAST(sum(k) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS k_sum3
-    FROM (SELECT event_id, ts, user_id, CAST(props->>'k' AS BIGINT) AS k
-          FROM events)
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def w1_window_functions(spark, sf_dir):
-    """Analytic window functions (row_number / lag / moving frame sum) over
-    the per-user event stream. Shuffles once on the partition key; the frame
-    sum is integer-exact so it hash-matches the oracle."""
-    from pyspark.sql import Window
-
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.lag("k", 1).over(w).alias("prev_k"),
-        F.sum("k").over(w.rowsBetween(-2, 0)).cast("bigint").alias("k_sum3"),
-    )
-
-
-@register(
-    "w2_ranking_functions",
-    """
-    SELECT event_id, user_id,
-           CAST(rank() OVER w AS BIGINT) AS rnk,
-           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           percent_rank() OVER w AS prank
-    FROM (SELECT event_id, user_id, CAST(props->>'k' AS BIGINT) AS k FROM events)
-    WINDOW w AS (PARTITION BY user_id ORDER BY k, event_id)
-    """,
-)
-def w2_ranking_functions(spark, sf_dir):
-    """Ranking battery (rank / dense_rank / ntile / percent_rank) per user
-    ordered by score: one shuffle on the partition key, one sort, all four
-    functions share the frame. percent_rank = (rank-1)/(n-1), a single
-    int/int IEEE division — engine-exact."""
-    from pyspark.sql import Window
-
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy("k", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.rank().over(w).cast("bigint").alias("rnk"),
-        F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.percent_rank().over(w).alias("prank"),
-    )
-
-
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@register(
-    "g2_pivot",
-    f"""
-    SELECT CAST(ts AS DATE) AS event_date,
-           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
-                      for t in _EVENT_TYPES)}
-    FROM events GROUP BY 1
-    """,
-)
-def g2_pivot(spark, sf_dir):
-    """PIVOT: daily counts spread into one column per event type. An
-    explicit value list keeps it a single pass (no distinct-values
-    pre-query) — at scale always pass the values; cells with no rows pin 0."""
-    ev = tbl(spark, sf_dir, "events")
-    pivoted = (
-        ev.groupBy(F.to_date("ts").alias("event_date"))
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    return pivoted.select(
-        "event_date",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES],
-    )
-
-
-@register(
-    "g3_unpivot",
-    f"""
-    WITH wide AS (
-      SELECT CAST(ts AS DATE) AS event_date,
-             {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
-                        for t in _EVENT_TYPES)}
-      FROM events GROUP BY 1
-    )
-    {" UNION ALL ".join(
-        f"SELECT event_date, '{t}' AS event_type, CAST({t} AS BIGINT) AS n FROM wide"
-        for t in _EVENT_TYPES)}
-    """,
-)
-def g3_unpivot(spark, sf_dir):
-    """UNPIVOT (melt) the pivoted daily counts back to long form via
-    ``unpivot`` — the wide⇄long round-trip a feature store needs. Stays one
-    narrow projection per row after the agg."""
-    wide = QUERIES["g2_pivot"](spark, sf_dir)
-    return wide.unpivot(
-        "event_date", list(_EVENT_TYPES), "event_type", "n"
-    ).select("event_date", "event_type", F.col("n").cast("bigint").alias("n"))
-
-
-@register(
-    "p7_malformed_json",
-    """
-    WITH raw AS (
-      SELECT event_id,
-             CASE WHEN event_id % 11 = 0 THEN '{oops'
-                  ELSE CAST(props AS VARCHAR) END AS payload
-      FROM events
-    )
-    SELECT event_id,
-           CASE WHEN json_valid(payload)
-                THEN CAST(payload->>'k' AS BIGINT) END AS k_parsed,
-           CAST(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END AS INTEGER)
-             AS parse_ok
-    FROM raw
-    """,
-)
-def p7_malformed_json(spark, sf_dir):
-    """P2 failure semantics: ``from_json`` is PERMISSIVE — a malformed
-    payload fills the corrupt-record column and nulls the data fields,
-    never failing the task (the reference's consumers would crash the
-    stream on bad Kafka payloads). PERMISSIVE returns an all-null STRUCT,
-    not a null struct, so failure detection must read the corrupt column,
-    not ``isNull`` on the struct. Corruption is synthesized in-query
-    (every 11th payload truncated) so the oracle sees identical input."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    from ..schemas import EVENT_PROPS
-
-    ev = tbl(spark, sf_dir, "events")
-    payload = F.when(
-        F.col("event_id") % 11 == 0, F.lit("{oops")
-    ).otherwise(F.col("props").cast("string"))
-    schema = StructType(
-        list(EVENT_PROPS.fields) + [StructField("_corrupt", StringType())]
-    )
-    parsed = F.from_json(payload, schema, {"columnNameOfCorruptRecord": "_corrupt"})
-    ok = parsed["_corrupt"].isNull()
-    return ev.select(
-        "event_id",
-        F.when(ok, parsed["k"]).alias("k_parsed"),
-        F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("parse_ok"),
-    )
-
-
-@register(
-    "w3_range_frame",
-    """
-    SELECT event_id, user_id,
-           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) OVER w AS BIGINT) AS k_last_hour
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-    """,
-)
-def w3_range_frame(spark, sf_dir):
-    """RANGE window frame over event time: per-user rolling 1-hour count
-    and score sum — unlike ROW frames (w1), the frame bound is a VALUE
-    distance on the ordering key, so ties (same second) all join the
-    frame and the result is deterministic. Ordering on integer epoch
-    seconds keeps both engines' range arithmetic identical."""
-    from pyspark.sql import Window
-
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
-    w = Window.partitionBy("user_id").orderBy(sec.alias("sec")).rangeBetween(-3600, 0)
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
-        F.sum(F.col("k").cast("bigint")).over(w).cast("bigint").alias("k_last_hour"),
-    )
-
-
-@register(
-    "g5_rollup_grouping_id",
-    """
-    SELECT event_type, CAST(ts AS DATE) AS event_date,
-           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER)
-             AS gid,
-           count(*) AS n
-    FROM events
-    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
-    """,
-)
-def g5_rollup_grouping_id(spark, sf_dir):
-    """grouping_id() over a rollup: distinguishes a genuinely-NULL group
-    key from a subtotal/total row — the correctness nuance naive rollup
-    consumers get wrong. Bit semantics (left key = high bit) agree across
-    engines."""
-    ev = tbl(spark, sf_dir, "events")
-    return (
-        ev.select("event_type", F.col("ts").cast("date").alias("event_date"))
-        .rollup("event_type", "event_date")
-        .agg(
-            F.grouping_id().cast("int").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("event_type", "event_date", "gid", "n")
-    )
-
-
-@register(
-    "g6_grouping_sets",
-    """
-    SELECT event_type, user_id,
-           CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS INTEGER) AS gid,
-           count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY GROUPING SETS ((event_type, user_id), (user_id), ())
-    """,
-)
-def g6_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS — the general form ROLLUP/CUBE (g1/g4) are
-    sugar for, with a NON-hierarchical set list ((type,user), (user), ())
-    neither could express. Catalyst expands the sets in ONE pass over the
-    input (an Expand node, no re-scan per set); grouping_id disambiguates
-    subtotal NULLs. DECIMAL keeps the money sums exact; DOUBLE rides out."""
-    prepare(spark)
-    tbl(spark, sf_dir, "events").createOrReplaceTempView("g6_events")
-    return spark.sql(
-        """
-        SELECT event_type, user_id,
-               CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS INTEGER)
-                 AS gid,
-               count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM g6_events
-        GROUP BY GROUPING SETS ((event_type, user_id), (user_id), ())
-        """
-    )
-
-
-@register(
-    "g1_rollup",
-    """
-    SELECT event_type, CAST(ts AS DATE) AS event_date,
-           count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
-    """,
-)
-def g1_rollup(spark, sf_dir):
-    """Hierarchical rollup (event_type -> date -> grand total): one pass,
-    Catalyst expands the grouping sets; DECIMAL keeps totals exact."""
-    ev = tbl(spark, sf_dir, "events")
-    return (
-        ev.select(
-            "event_type",
-            F.col("ts").cast("date").alias("event_date"),
-            F.col("value").cast(DEC).alias("v"),
-        )
-        .rollup("event_type", "event_date")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast(DEC).cast("double").alias("sum_value"),
-        )
-    )
-
-
-@register(
-    "g4_cube",
-    """
-    SELECT event_type, user_id % 10 AS user_bucket,
-           count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY CUBE (event_type, user_id % 10)
-    """,
-)
-def g4_cube(spark, sf_dir):
-    """CUBE over (event_type, user bucket): all four grouping sets in one
-    pass (Catalyst expands then partially aggregates — the shuffle carries
-    4x one row per (mapper, group), not 4 scans). Completes the
-    grouping-sets family next to g1's ROLLUP."""
-    ev = tbl(spark, sf_dir, "events")
-    return (
-        ev.select(
-            "event_type",
-            (F.col("user_id") % 10).alias("user_bucket"),
-            F.col("value").cast(DEC).alias("v"),
-        )
-        .cube("event_type", "user_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast(DEC).cast("double").alias("sum_value"),
-        )
-    )
-
-
-@register(
-    "o1_sort_limit_topn",
-    """
-    SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total FROM (
-      SELECT o_orderkey, o_custkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS total
-      FROM orders
-      ORDER BY total DESC, o_orderkey
-      LIMIT 100
-    )
-    """,
-)
-def o1_sort_limit_topn(spark, sf_dir):
-    """Global top-N: Spark plans TakeOrderedAndProject (per-partition top-N
-    then driver-side merge of N*partitions rows), never a full sort. Top-100
-    membership is decided on the exact DECIMAL; the cast rides after."""
-    o = tbl(spark, sf_dir, "orders")
-    return dec2dbl(
-        o.select(
-            "o_orderkey", "o_custkey", F.col("o_totalprice").cast(DEC).alias("total")
-        )
-        .orderBy(F.desc("total"), F.asc("o_orderkey"))
-        .limit(100)
-    )
-
-
-@register(
-    "o2_limit_offset_page",
-    """
-    SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total FROM (
-      SELECT o_orderkey, o_custkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS total
-      FROM orders
-      ORDER BY total DESC, o_orderkey
-      LIMIT 50 OFFSET 100
-    )
-    """,
-)
-def o2_limit_offset_page(spark, sf_dir):
-    """Keyset-free pagination (page 3 of 50 under a total order): Spark
-    plans LIMIT+OFFSET as a single TakeOrdered of offset+limit rows and
-    drops the prefix on the driver — rows 1..100 never ship to one reducer
-    as a global sort would. (Deep pages should switch to keyset pagination;
-    this entry pins the operator, o1 the top-N form.) Page membership is
-    decided on the exact DECIMAL; DOUBLE rides out."""
-    prepare(spark)
-    tbl(spark, sf_dir, "orders").createOrReplaceTempView("o2_orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, CAST(total AS DOUBLE) AS total FROM (
-          SELECT o_orderkey, o_custkey,
-                 CAST(o_totalprice AS DECIMAL(18,2)) AS total
-          FROM o2_orders
-          ORDER BY total DESC, o_orderkey
-          LIMIT 50 OFFSET 100
-        )
-        """
-    )
-
-
-@register(
-    "u1_set_ops",
-    """
-    WITH buyers AS (
-      SELECT DISTINCT o_custkey AS custkey FROM orders
-      WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 150000
-    ), recent AS (
-      SELECT DISTINCT o_custkey AS custkey FROM orders
-      WHERE o_orderdate >= DATE '1997-01-01'
-    )
-    SELECT custkey, 'both' AS segment FROM (SELECT * FROM buyers INTERSECT SELECT * FROM recent)
-    UNION ALL
-    SELECT custkey, 'big_only' AS segment FROM (SELECT * FROM buyers EXCEPT SELECT * FROM recent)
-    """,
-)
-def u1_set_ops(spark, sf_dir):
-    """INTERSECT / EXCEPT / UNION ALL over customer segments — planned as
-    semi/anti hash joins on the distinct sets."""
-    o = tbl(spark, sf_dir, "orders")
-    buyers = (
-        o.filter(F.col("o_totalprice").cast(DEC) > 150000)
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    recent = (
-        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    both = buyers.intersect(recent).withColumn("segment", F.lit("both"))
-    big_only = buyers.exceptAll(recent).withColumn("segment", F.lit("big_only"))
-    return both.unionByName(big_only)
-
-
-@register(
-    "u2_union_distinct_except",
-    """
-    WITH a AS (SELECT event_type, user_id % 50 AS bucket FROM events
-               WHERE event_type IN ('click', 'view')),
-         b AS (SELECT event_type, user_id % 50 AS bucket FROM events
-               WHERE event_type IN ('view', 'purchase'))
-    SELECT event_type, bucket, 'union_d' AS op FROM (
-      SELECT * FROM a UNION SELECT * FROM b)
-    UNION ALL
-    SELECT event_type, bucket, 'except_d' AS op FROM (
-      SELECT DISTINCT * FROM a EXCEPT SELECT * FROM b)
-    """,
-)
-def u2_union_distinct_except(spark, sf_dir):
-    """UNION DISTINCT + set-EXCEPT (vs u1's EXCEPT ALL): the deduplicating
-    set operators, planned as aggregate + anti join over the distinct
-    sets. Completes the set-operation family."""
-    ev = tbl(spark, sf_dir, "events")
-    proj = lambda types: ev.filter(F.col("event_type").isin(*types)).select(
-        "event_type", (F.col("user_id") % 50).alias("bucket")
-    )
-    a, b = proj(["click", "view"]), proj(["view", "purchase"])
-    union_d = a.union(b).distinct().withColumn("op", F.lit("union_d"))
-    except_d = a.distinct().exceptAll(b.distinct()).withColumn("op", F.lit("except_d"))
-    return union_d.unionByName(except_d)
-
-
-@register(
-    "a6_distinct_agg",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-)
-def a6_distinct_agg(spark, sf_dir):
-    """Distinct aggregation (exact count-distinct): Catalyst's two-phase
-    expand + partial agg. approx_count_distinct is the 100 TB alternative
-    when 2% error is acceptable."""
-    ev = tbl(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@register(
-    "q3_shipping_priority",
-    """
-    SELECT l_orderkey, CAST(revenue AS DOUBLE) AS revenue, order_date, o_orderpriority
-    FROM (
-      SELECT l_orderkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
-               AS revenue,
-             CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
-      FROM customer JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING'
-        AND o_orderdate < DATE '1995-03-15'
-        AND l_shipdate > DATE '1995-03-15'
-      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-      ORDER BY revenue DESC, order_date, l_orderkey
-      LIMIT 10
-    )
-    """,
-)
-def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dimension filters pushed to the scans, two
-    equi-joins (customer side broadcast-eligible), agg, top-10."""
-    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = tbl(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
-    )
-    li = tbl(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
-    )
-    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
-    return (
-        F.broadcast(c)
-        .join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy(
-            "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_date"),
-            "o_orderpriority",
-        )
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
-        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
-        .limit(10)
-        .transform(dec2dbl)
-    )
-
-
-@register(
-    "j3_asof_join",
-    """
-    WITH quotes AS (
-      SELECT user_id, ts,
-             CAST(arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS DECIMAL(18,2)) AS price
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY user_id, ts
-    ), lookups AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
-    )
-    SELECT l.event_id, l.user_id, CAST(r.price AS DOUBLE) AS price
-    FROM lookups l ASOF LEFT JOIN quotes r
-      ON l.user_id = r.user_id AND l.ts >= r.ts
-    """,
-)
-def j3_asof_join(spark, sf_dir):
-    """As-of join (operators/asof.py): every non-purchase event gets the
-    most recent purchase price at-or-before its timestamp per user — one
-    shuffle via the union-sort formulation, never a range join. Oracle is
-    DuckDB's native ASOF JOIN."""
-    from ..operators.asof import asof_join
-
-    ev = tbl(spark, sf_dir, "events")
-    quotes = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max_by(F.col("value").cast(DEC), F.col("event_id")).cast(DEC).alias("price"))
-    )
-    lookups = ev.filter(F.col("event_type") != "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    joined = asof_join(lookups, quotes, ["user_id"], "ts", ["price"])
-    return dec2dbl(joined.select("event_id", "user_id", "price"))
-
-
-@register(
-    "x10_tfidf_top_terms",
-    _tx.tfidf_top_terms_sql("documents", "doc_id", "text", k=3),
-)
-def x10_tfidf_top_terms(spark, sf_dir):
-    """Top-3 tf-idf terms per document (ext/text.py:tfidf_top_terms).
-    Integer-only output so libm ulp differences can't flap the oracle."""
-    return _tx.tfidf_top_terms(tbl(spark, sf_dir, "documents"), "doc_id", "text", k=3)
-
-
-@register(
-    "q10_returned_revenue",
-    """
-    SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, n_name
-    FROM (
-      SELECT c_custkey, c_name,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
-               AS revenue,
-             n_name
-      FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE l_returnflag = 'R'
-        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
-      GROUP BY c_custkey, c_name, n_name
-      ORDER BY revenue DESC, c_custkey
-      LIMIT 20
-    )
-    """,
-)
-def q10_returned_revenue(spark, sf_dir):
-    """TPC-H Q10 shape: returned-item revenue per customer — a fact-to-dim
-    join tree grouped on a HIGH-cardinality key (every customer), unlike
-    Q1/Q5's few-group aggs. nation broadcasts; the lineitem filter
-    (l_returnflag = 'R') is pushed to the scan so only ~25% of the fact
-    table reaches the join."""
-    c = tbl(spark, sf_dir, "customer")
-    n = tbl(spark, sf_dir, "nation")
-    o = tbl(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
-    )
-    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
-    return (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-        .transform(dec2dbl)
-    )
-
-
-@register(
-    "q9_product_profit",
-    """
-    SELECT n_name, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit,
-           count(*) AS n_lines
-    FROM (
-      SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-             CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
-             - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(3,1))
-               * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
-      FROM part p
-      JOIN lineitem l ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN nation n ON s.s_nationkey = n.n_nationkey
-      WHERE p.p_name LIKE '%red%'
-    )
-    GROUP BY n_name, o_year
-    """,
-)
-def q9_product_profit(spark, sf_dir):
-    """TPC-H Q9 shape: product-line profit by supplier nation and year —
-    a 5-way join tree with a LIKE gate on part name, where the cost term
-    multiplies two DECIMAL measures per line. (The fixture has no
-    partsupp, so supply cost is 0.6*p_retailprice — the join tree and
-    exact-decimal profit arithmetic are the point.) Sum in DECIMAL,
-    output DOUBLE."""
-    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    li = tbl(spark, sf_dir, "lineitem")
-    s = tbl(spark, sf_dir, "supplier")
-    o = tbl(spark, sf_dir, "orders")
-    n = tbl(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice").cast(DEC) * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.lit(0.6).cast(
-        "decimal(3,1)"
-    ) * F.col("l_quantity").cast("decimal(12,2)")
-    return (
-        p.join(li, p["p_partkey"] == li["l_partkey"])
-        .join(s, s["s_suppkey"] == li["l_suppkey"])
-        .join(o, o["o_orderkey"] == li["l_orderkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(
-            F.sum(amount).cast("double").alias("sum_profit"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q12_priority_class",
-    """
-    SELECT l_returnflag,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
-    GROUP BY l_returnflag
-    """,
-)
-def q12_priority_class(spark, sf_dir):
-    """TPC-H Q12 shape: conditional CASE-counting of order priorities per
-    line class after a fact-fact join with a cross-table date predicate
-    (shipped >= 30 days after ordering; the fixture has no l_shipmode /
-    commitdate, so returnflag plays the shipmode role). Integer-only
-    output."""
-    o = tbl(spark, sf_dir, "orders")
-    li = tbl(spark, sf_dir, "lineitem")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 30))
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
-        )
-    )
-
-
-@register(
-    "q15_top_supplier",
-    """
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
-    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-)
-def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: quarterly revenue per supplier compared against
-    the global maximum via an uncorrelated scalar subquery (no window, no
-    driver collect — Catalyst plans the subquery as a broadcast scalar).
-    The equality compare runs on the EXACT decimal; only the output rides
-    DOUBLE."""
-    prepare(spark)
-    li = tbl(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("q15_lineitem")
-    tbl(spark, sf_dir, "supplier").createOrReplaceTempView("q15_supplier")
-    return spark.sql(
-        """
-        WITH revenue AS (
-          SELECT l_suppkey AS supplier_no,
-                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
-          FROM q15_lineitem
-          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
-          GROUP BY l_suppkey
-        )
-        SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
-        FROM q15_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
-        """
-    )
-
-
-@register(
-    "q21_suppliers_kept_waiting",
-    """
-    WITH late AS (
-      SELECT l.l_orderkey, l.l_suppkey
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-    ), multi AS (
-      SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
-    )
-    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM late l1
-    JOIN multi m ON l1.l_orderkey = m.l_orderkey
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    WHERE NOT EXISTS (
-      SELECT 1 FROM late l2
-      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-    )
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
-    LIMIT 20
-    """,
-)
-def q21_suppliers_kept_waiting(spark, sf_dir):
-    """TPC-H Q21 shape: the sole-blame anti-join — suppliers whose line
-    shipped late (> 60 days after ordering; the fixture has no
-    commit/receipt dates) in a multi-supplier order where NO other
-    supplier was late: one EXISTS (semi) collapsed into the multi join
-    and one NOT EXISTS (anti) against the same derived 'late' set.
-    Integer counts; ORDER BY (numwait, name) is a total order, so the
-    LIMIT 20 set is deterministic."""
-    li = tbl(spark, sf_dir, "lineitem")
-    o = tbl(spark, sf_dir, "orders")
-    s = tbl(spark, sf_dir, "supplier")
-    # `late` feeds both the candidate side and the NOT-EXISTS side of the
-    # anti-join: persist so the orders join isn't computed twice
-    late = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
-        .select("l_orderkey", "l_suppkey")
-        .persist()  # cache: caller-owns
-    )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("l_orderkey")
-    )
-    l1 = late.alias("l1")
-    l2 = late.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    sole = l1.join(multi, "l_orderkey").join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_anti",
-    )
-    return (
-        sole.join(s, sole["l_suppkey"] == s["s_suppkey"])
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(20)
-    )
-
-
-@register(
-    "q22_global_sales_opportunity",
-    """
-    WITH positive AS (
-      SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS code
-      FROM customer WHERE c_acctbal > 0.0
-    ), threshold AS (
-      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
-      FROM positive
-      WHERE code IN ('01', '13', '21', '30', '45', '77')
-    )
-    SELECT code AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-    FROM positive p
-    WHERE p.code IN ('01', '13', '21', '30', '45', '77')
-      AND p.c_acctbal > (SELECT avg_bal FROM threshold)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
-                      AND o.o_orderdate >= DATE '2000-07-01')
-    GROUP BY code
-    """,
-)
-def q22_global_sales_opportunity(spark, sf_dir):
-    """TPC-H Q22 shape: customers from selected 'country codes' (substring
-    of the fixture's fixed-width name — it has no phone column) with
-    above-average balances and no RECENT orders (every fixture customer
-    has some order, so the anti-join gates on orders since mid-2000 to stay
-    non-vacuous): substring grouping, an
-    uncorrelated scalar-average subquery, and an anti-join against the
-    fact table. The average follows the exactness rule — DECIMAL sum,
-    ONE double division — and the balance sum rides DOUBLE only at the
-    output."""
-    prepare(spark)
-    tbl(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
-    tbl(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
-    return spark.sql(
-        """
-        WITH positive AS (
-          SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS code
-          FROM q22_customer WHERE c_acctbal > 0.0
-        ), threshold AS (
-          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
-          FROM positive
-          WHERE code IN ('01', '13', '21', '30', '45', '77')
-        )
-        SELECT code AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-        FROM positive p
-        WHERE p.code IN ('01', '13', '21', '30', '45', '77')
-          AND p.c_acctbal > (SELECT avg_bal FROM threshold)
-          AND NOT EXISTS (SELECT 1 FROM q22_orders o WHERE o.o_custkey = p.c_custkey
-                          AND o.o_orderdate >= DATE '2000-07-01')
-        GROUP BY code
-        """
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q2 / Q11 / Q20 shapes — the three that need a supply relation.
-# The fixture has no partsupp table, so each derives one from lineitem:
-# supply(ps_partkey, ps_suppkey, ps_supplycost=min unit price offered,
-# ps_availqty=total quantity ever shipped). min() over DECIMAL and sum()
-# over integer-valued quantities are both exact and order-independent, so
-# the derived relation itself is hash-stable cross-engine. With these the
-# full 22-query TPC-H battery is covered.
-# ---------------------------------------------------------------------------
-
-
-def _supply(li: DataFrame, with_qty: bool = False) -> DataFrame:
-    """Derived partsupp: one map-side-combined agg over lineitem. At 100 TB
-    this is a single shuffle on (partkey, suppkey) — the natural key the
-    downstream joins reuse, so AQE can avoid re-shuffling."""
-    aggs = [F.min(F.col("l_extendedprice").cast(DEC)).alias("ps_supplycost")]
-    if with_qty:
-        aggs.append(
-            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("ps_availqty")
-        )
-    return li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
-    ).agg(*aggs)
-
-
-_SUPPLY_SQL = """
-  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
-  FROM lineitem GROUP BY 1, 2
-"""
-
-
-@register(
-    "q2_min_cost_supplier",
-    f"""
-    WITH supply AS ({_SUPPLY_SQL}), eur AS (
-      SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
-      FROM supply ps
-      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'EUROPE'
-    )
-    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
-           CAST(e.ps_supplycost AS DOUBLE) AS min_cost
-    FROM part p JOIN eur e ON e.ps_partkey = p.p_partkey
-    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
-      AND e.ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eur e2
-                             WHERE e2.ps_partkey = p.p_partkey)
-    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
-    LIMIT 100
-    """,
-)
-def q2_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
-    offering it at the regional minimum cost. The reference's Q2 correlated
-    MIN subquery is expressed Spark-first as a per-part window MIN over the
-    regional supply relation — ONE pass, one shuffle on ps_partkey, no
-    self-join (a min/rejoin formulation recomputes the supply agg twice;
-    measured ~1.3s -> 1.04s median at sf0.1). Per-part groups are a handful of
-    suppliers, so the window carries no skew risk at scale. nation/region/
-    part are broadcast; the LIMIT rides a total order (s_name, p_partkey
-    unique) so membership is deterministic. Decimal min compares exactly;
-    only the output casts DOUBLE."""
-    from pyspark.sql import Window
-
-    li = tbl(spark, sf_dir, "lineitem")
-    s = tbl(spark, sf_dir, "supplier")
-    n = tbl(spark, sf_dir, "nation")
-    r = tbl(spark, sf_dir, "region")
-    p = tbl(spark, sf_dir, "part")
-    eur = (
-        _supply(li)
-        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(
-            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
-    )
-    out = (
-        eur.withColumn(
-            "_min_cost",
-            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
-        )
-        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
-        .join(
-            F.broadcast(
-                p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
-            ),
-            F.col("ps_partkey") == F.col("p_partkey"),
-        )
-        .select(
-            "s_acctbal",
-            "s_name",
-            "n_name",
-            "p_partkey",
-            "p_type",
-            F.col("ps_supplycost").alias("min_cost"),
-        )
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
-        .limit(100)
-    )
-    return dec2dbl(out)
-
-
-@register(
-    "q11_important_stock",
-    f"""
-    WITH supply AS ({_SUPPLY_SQL}), national AS (
-      SELECT ps.ps_partkey,
-             ps.ps_supplycost * CAST(ps.ps_availqty AS DECIMAL(10,0)) AS val
-      FROM supply ps
-      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      WHERE n.n_name IN ('NATION_7', 'NATION_12')
-    ), per AS (
-      SELECT ps_partkey, sum(val) AS v FROM national GROUP BY ps_partkey
-    )
-    SELECT ps_partkey, CAST(v AS DOUBLE) AS total_value
-    FROM per
-    WHERE CAST(v AS DOUBLE) > 3.0 * CAST((SELECT sum(v) FROM per) AS DOUBLE)
-                                  / (SELECT count(*) FROM per)
-    ORDER BY total_value DESC, ps_partkey
-    """,
-)
-def q11_important_stock(spark, sf_dir):
-    """TPC-H Q11 shape: per-part inventory value within a nation group,
-    kept only when it exceeds a threshold derived from the TOTAL national
-    value — a group-agg compared against an uncorrelated scalar subquery.
-    The classic fixed fraction (0.0001/SF) is scale-dependent; here the
-    gate is 3x the MEAN per-part value, which stays non-vacuous at every
-    SF. val = supplycost x availqty stays DECIMAL end-to-end (exact
-    multiply, exact sum, order-independent); the threshold compare
-    converts both sides to DOUBLE via ONE deterministic IEEE division,
-    identical in both engines. At scale: one shuffle for the per-part agg;
-    the scalar total is a byte-sized broadcast, not a driver collect. The
-    #parts-sized `per` aggregate is persisted because the two uncorrelated
-    scalar subqueries re-execute their whole input subtree: without the
-    cache the expensive lineitem agg runs three times. Persisting `per`
-    (not `national`) is deliberate — `per` is small at any SF, while
-    `national` is supply-pair-sized; caching the big relation measured
-    SLOWER (1.68s) than caching `per` (1.13s) or nothing (1.21s) at
-    sf0.1."""
-    li = tbl(spark, sf_dir, "lineitem")
-    s = tbl(spark, sf_dir, "supplier")
-    n = tbl(spark, sf_dir, "nation")
-    national = (
-        _supply(li, with_qty=True)
-        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
-        .join(
-            F.broadcast(n.filter(F.col("n_name").isin("NATION_7", "NATION_12"))),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select(
-            "ps_partkey",
-            (
-                F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(10,0)")
-            ).alias("val"),
-        )
-    )
-    per = national.groupBy("ps_partkey").agg(F.sum("val").alias("v")).persist()  # cache: caller-owns
-    per.createOrReplaceTempView("q11_per")
-    return spark.sql(
-        """
-        SELECT ps_partkey, CAST(v AS DOUBLE) AS total_value
-        FROM q11_per
-        WHERE CAST(v AS DOUBLE) > 3.0 * CAST((SELECT sum(v) FROM q11_per) AS DOUBLE)
-                                      / (SELECT count(*) FROM q11_per)
-        ORDER BY total_value DESC, ps_partkey
-        """
-    )
-
-
-@register(
-    "q20_potential_promotion",
-    f"""
-    WITH supply AS ({_SUPPLY_SQL}), shipped AS (
-      SELECT l_partkey, l_suppkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty96
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-      GROUP BY 1, 2
-    )
-    SELECT s.s_suppkey, s.s_name
-    FROM supplier s
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE n.n_name IN ('NATION_3', 'NATION_9', 'NATION_17')
-      AND s.s_suppkey IN (
-        SELECT ps.ps_suppkey FROM supply ps
-        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
-                       AND sh.l_suppkey = ps.ps_suppkey
-        WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
-                                WHERE p_name LIKE 'blue%')
-          AND ps.ps_availqty > 4 * sh.qty96
-      )
-    ORDER BY s.s_name
-    """,
-)
-def q20_potential_promotion(spark, sf_dir):
-    """TPC-H Q20 shape: suppliers in selected nations holding excess stock
-    of 'blue' parts — the nested IN-subquery chain (part-name gate ->
-    availqty-vs-shipped gate -> supplier gate) expressed Spark-first as a
-    cascade of broadcast + left_semi joins, so no subquery re-scans. The
-    oracle's supply-vs-shipped join collapses into ONE conditional-sum
-    aggregate over lineitem (availqty = total qty, qty96 = qty shipped in
-    1996 via sum(CASE)): one scan + one shuffle instead of two of each
-    (measured 0.69s -> 0.54s median at sf0.1); the blue-part semi gate is pushed
-    BELOW the agg so only blue lineitem rows shuffle at all. The inner
-    join's existence requirement survives as qty96 > 0. availqty > 4 x
-    qty96 compares exact BIGINTs."""
-    li = tbl(spark, sf_dir, "lineitem")
-    s = tbl(spark, sf_dir, "supplier")
-    n = tbl(spark, sf_dir, "nation")
-    p = tbl(spark, sf_dir, "part")
-    blue = p.filter(F.col("p_name").startswith("blue")).select("p_partkey")
-    in_96 = (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
-    excess = (
-        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("ps_availqty"),
-            F.sum(
-                F.when(in_96, F.col("l_quantity").cast("bigint")).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("qty96"),
-        )
-        .filter((F.col("qty96") > 0) & (F.col("ps_availqty") > 4 * F.col("qty96")))
-        .select("ps_suppkey")
-    )
-    return (
-        s.join(
-            F.broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_9", "NATION_17"))),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
-        .select("s_suppkey", "s_name")
-        .orderBy("s_name")
-    )
-
-
-# ---------------------------------------------------------------------------
-# r5: corpus mixture rebalancing + sequence assembly (training-data ops)
-# ---------------------------------------------------------------------------
-from ..ext import sampling as _sp2  # noqa: E402
-
-# Synthesized skewed domain: the fixture's `source` column is uniform (20
-# sources x equal counts), which would make a rebalance vacuous. Derive a
-# power-law-ish domain from the doc id hash — 50% web / 25% news / 15%
-# books / 7% code / 3% wiki — identically in both engines, then flatten it.
-_DOM_BUCKET = _sp2.phash60_sql("CAST(doc_id AS VARCHAR)", seed="dom") + " % 100"
-_DOM_SQL = (
-    f"CASE WHEN {_DOM_BUCKET} < 50 THEN 'web' "
-    f"WHEN {_DOM_BUCKET} < 75 THEN 'news' "
-    f"WHEN {_DOM_BUCKET} < 90 THEN 'books' "
-    f"WHEN {_DOM_BUCKET} < 97 THEN 'code' ELSE 'wiki' END"
-)
-
-
-def _domain_col():
-    b = _sp2.phash60(F.col("doc_id").cast("string"), seed="dom") % 100
-    return (
-        F.when(b < 50, "web")
-        .when(b < 75, "news")
-        .when(b < 90, "books")
-        .when(b < 97, "code")
-        .otherwise("wiki")
-    )
-
-
-@register(
-    "x22_domain_mix",
-    f"""
-    WITH src AS (SELECT *, {_DOM_SQL} AS domain FROM documents),
-    r AS ({_sp2.temperature_rates_sql("src", "domain", 500)})
-    SELECT s.domain, any_value(r.rate_mille) AS rate_mille,
-           count(*) AS n_kept, CAST(sum(s.n_chars) AS BIGINT) AS kept_chars
-    FROM src s JOIN r ON s.domain = r.domain
-    WHERE {_sp2.sample_bucket_sql("s.domain", "s.doc_id", seed="mix")} < r.rate_mille
-    GROUP BY s.domain
-    """,
-)
-def x22_domain_mix(spark, sf_dir):
-    """Temperature-flattened domain mixture (ext/sampling.py:
-    temperature_rebalance): per-domain keep-rates derived from the data
-    (alpha=0.5 — sqrt-flattening, the standard LLM-corpus mixture move),
-    membership decided by the portable hash so the sample is reproducible
-    bit-for-bit on any partitioning of any superset. Entry aggregates the
-    kept rows per domain. Scale shape: count scan + broadcast rate table +
-    narrow filter scan; no corpus-sized shuffle anywhere.
-
-    Reference anchor: the reference ingests ALL rows of both feeds
-    symmetrically (Batch_layer/batchProcess.py) — no notion of rebalancing
-    a skewed mixture; this is the corpus-scale generalization its data
-    model needs at 100 TB."""
-    docs = tbl(spark, sf_dir, "documents").withColumn("domain", _domain_col())
-    kept = _sp2.temperature_rebalance(docs, "domain", "doc_id", 500)
-    return kept.groupBy("domain").agg(
-        F.any_value(F.col("rate_mille")).alias("rate_mille"),
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_chars").cast("bigint").alias("kept_chars"),
-    )
-
-
-@register(
-    "w6_sequence_assembly",
-    """
-    SELECT user_id,
-           count(*) AS n_events,
-           array_to_string(list(event_type ORDER BY ts, event_id)[1:50], '>')
-             AS seq
-    FROM events GROUP BY user_id
-    """,
-)
-def w6_sequence_assembly(spark, sf_dir):
-    """Per-key ordered sequence assembly — the conversation/session-turn
-    construction step of a training pipeline (events of one user, in event
-    time, truncated to the first 50 turns, joined into one training
-    string). One hash shuffle on user_id; state per group is bounded by
-    that key's event count (sessions, not corpus). The sort is per-group
-    via array_sort on (ts, event_id, type) structs — no global sort, and
-    the struct tiebreak (event_id) makes the order total, so the string is
-    deterministic cross-engine.
-
-    Reference anchor: the speed layer keys tweets by (stock, day) and
-    appends text per key (Speed_layer/twitterConsumerStream.py:94-107) —
-    same assemble-per-key shape, here with a total order contract."""
-    ev = tbl(spark, sf_dir, "events")
-    sorted_structs = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", "event_type"))
-    )
-    return ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.array_join(
-            F.slice(sorted_structs, 1, 50).event_type, ">"
-        ).alias("seq"),
-    )
-
-
-from ..ext import layout as _ly  # noqa: E402
-from ..ext import similarity as _sim2  # noqa: E402
-
-
-@register(
-    "s10_random_projection",
-    f"""
-    WITH p AS ({_sim2.random_projection_sql("embeddings")})
-    SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7
-    FROM p WHERE vec_id % 10 = 0
-    """,
-)
-def s10_random_projection(spark, sf_dir):
-    """Sparse-integer random projection 64->8 dims
-    (ext/similarity.py:random_projection): the JL-lemma bandwidth reducer
-    in front of an ANN index build. Zero shuffle, zero join, zero Python —
-    one codegen Project; integer weights make the doubles bit-exact
-    cross-engine. Entry keeps every 10th vector so the driver hashes full
-    projected rows without 500x8 output bloat."""
-    p = _sim2.random_projection(tbl(spark, sf_dir, "embeddings"))
-    return p.filter(F.col("vec_id") % 10 == 0)
-
-
-@register(
-    "x23_zorder_layout",
-    f"""
-    SELECT {_ly.zorder_bucket_sql("(l_partkey % 256)", "(l_suppkey % 256)")} AS bucket,
-           count(*) AS n_rows,
-           min(l_partkey % 256) AS d1_min, max(l_partkey % 256) AS d1_max,
-           min(l_suppkey % 256) AS d2_min, max(l_suppkey % 256) AS d2_max
-    FROM lineitem GROUP BY bucket
-    """,
-)
-def x23_zorder_layout(spark, sf_dir):
-    """Z-order layout key (ext/layout.py): Morton-interleave the low 8
-    bits of two independent join keys and bucket rows by the key's top 8
-    bits — the file boundaries a range-partitioned Z-ordered writer
-    produces. The per-bucket (d1, d2) min/max the entry emits IS the
-    parquet row-group statistic that makes scans filtering on EITHER
-    column prune files at 100 TB; each bucket's spans stay <=16-wide in
-    both dims, where a d1-sorted layout would span all 256 d2 values.
-    Key computation is pure bit arithmetic in codegen; the physical
-    re-layout (write_zordered) is one range shuffle."""
-    li = tbl(spark, sf_dir, "lineitem")
-    d1 = F.pmod(F.col("l_partkey"), F.lit(256))
-    d2 = F.pmod(F.col("l_suppkey"), F.lit(256))
-    return (
-        li.select(
-            _ly.zorder_bucket(d1, d2).alias("bucket"),
-            d1.alias("d1"),
-            d2.alias("d2"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("d1").alias("d1_min"),
-            F.max("d1").alias("d1_max"),
-            F.min("d2").alias("d2_min"),
-            F.max("d2").alias("d2_max"),
-        )
-    )
-
-
-@register(
-    "t15_stream_windowed_topk",
-    """
-    WITH mx AS (SELECT max(ts) AS m FROM events),
-    wc AS (
-      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
-             event_type,
-             count(*) AS n_events
-      FROM events GROUP BY 1, 2
-    ), r AS (
-      SELECT window_start, event_type, n_events,
-             row_number() OVER (PARTITION BY window_start
-                                ORDER BY n_events DESC, event_type) AS rnk
-      FROM wc
-    )
-    SELECT window_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
-    FROM r, mx
-    WHERE rnk <= 3 AND window_start + INTERVAL 1 DAY <= mx.m
-    """,
-    lazy_replay=True,
-)
-def t15_stream_windowed_topk(spark, sf_dir):
-    """Streaming trending-terms: watermarked tumbling-day counts per
-    event_type emitted in APPEND mode (a window row exists only once its
-    window is FINALIZED — the watermark passed its end), then the serving
-    step ranks top-3 per window over the sink table. Ranking lives at the
-    serving boundary because a rank over a streaming agg is not
-    incrementally maintainable — the lambda split the reference's speed
-    layer applies to its daily sentiment means
-    (Speed_layer/twitterConsumerStream.py), generalized to top-k.
-
-    Determinism contract: one data batch + the availableNow no-data flush
-    (single_batch=True, the t14 replay shape) with a zero-delay watermark
-    — every window that ENDS at-or-before the stream's max event time is
-    emitted exactly once; the still-open last window is withheld, and the
-    oracle applies the same cutoff. State per key is one (window, type)
-    count, dropped at finalization — bounded by ACTIVE windows, the
-    append-mode guarantee that holds at any scale."""
-    import uuid
-
-    from pyspark.sql import Window
-
-    from ..streaming.ingest import events_stream
-
-    prepare(spark)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sink = f"t15_sink_{uuid.uuid4().hex[:8]}"
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        agg = (
-            events_stream(spark, sf_dir, single_batch=True)
-            .withWatermark("ts", "0 seconds")
-            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"))
-            .select(
-                F.col("win.start").alias("window_start"),
-                "event_type",
-                "n_events",
-            )
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    w = Window.partitionBy("window_start").orderBy(
-        F.desc("n_events"), F.asc("event_type")
-    )
-    return (
-        spark.table(sink)
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 3)
-        .select("window_start", "event_type", "n_events", "rnk")
-    )
-
-
-@register(
-    "s11_incremental_ivf",
-    _sim2.incremental_ivf_sql("embeddings", "vec_id % 5 <> 0", "vec_id % 5 = 0"),
-)
-def s11_incremental_ivf(spark, sf_dir):
-    """Incremental IVF index maintenance
-    (ext/similarity.py:incremental_ivf_assign): centroids trained on the
-    existing corpus are FROZEN; an incoming batch (every 5th vector) is
-    assigned with one scan of the new data only, and appended to the
-    stored assignment — the indexed corpus is never re-scanned, the ANN
-    mirror of d6's incremental minhash. Entry summarizes the merged index
-    per cell (old/new counts)."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 5 != 0)
-    new = emb.filter(F.col("vec_id") % 5 == 0)
-    cents = _sim2.train_kmeans_centroids(old)
-    old_base = old.select(
-        "vec_id", _sim2._km_quant(F.col("embedding")).alias("q")
-    )
-    old_assign = _sim2._km_assign(old_base, cents, extra=[])
-    merged = _sim2.incremental_ivf_assign(old_assign, new, cents)
-    return merged.groupBy("cid").agg(
-        F.count(F.when(~F.col("is_new"), 1)).alias("n_old"),
-        F.count(F.when(F.col("is_new"), 1)).alias("n_new"),
-    )
-
-
-@register(
-    "a13_winsorize",
-    """
-    WITH r AS (
-      SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rnk,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-    ), p AS (
-      SELECT event_type, value AS p99
-      FROM r WHERE rnk = CAST(ceil(0.99 * n) AS BIGINT)
-    )
-    SELECT e.event_type, count(*) AS n_rows,
-           any_value(p.p99) AS p99_value,
-           count(CASE WHEN e.value > p.p99 THEN 1 END) AS n_clipped
-    FROM events e JOIN p USING (event_type)
-    GROUP BY e.event_type
-    """,
-)
-def a13_winsorize(spark, sf_dir):
-    """Exact-percentile winsorization spec — the outlier-clipping step of
-    a feature pipeline, computed as the value at rank ceil(0.99*n) per
-    group (rank tiebreak on event_id) rather than an interpolated
-    percentile: engines interpolate differently, a ranked data value is
-    bit-identical everywhere. One event_type shuffle serves both windows;
-    the per-group threshold table is tiny and broadcast back. a10 is the
-    approx-sketch contrast entry (approx_percentile), this is the exact
-    twin a training pipeline uses when reproducibility beats one pass."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    cw = Window.partitionBy("event_type")
-    ranked = (
-        ev.select("event_type", "event_id", "value")
-        .withColumn("rnk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(cw))
-    )
-    p99 = ranked.filter(
-        F.col("rnk") == F.ceil(F.lit(0.99) * F.col("n"))
-    ).select("event_type", F.col("value").alias("p99"))
-    return (
-        ev.join(F.broadcast(p99), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.any_value(F.col("p99")).alias("p99_value"),
-            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clipped"),
-        )
-    )
-
-
-def _split_sql(id_expr: str) -> str:
-    h = _sp2.phash60_sql(f"CAST({id_expr} AS VARCHAR)", seed="split")
-    return f"CASE WHEN {h} % 10 = 0 THEN 'val' ELSE 'train' END"
-
-
-def _split_col(id_col):
-    h = _sp2.phash60(id_col.cast("string"), seed="split") % 10
-    return F.when(h == 0, "val").otherwise("train")
-
-
-@register(
-    "pipe2_split_leakage",
-    f"""
-    WITH pairs AS (
-      SELECT id_a, id_b
-      FROM ({_dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)})
-    ), lab AS (
-      SELECT id_a, id_b, {_split_sql("id_a")} AS sa, {_split_sql("id_b")} AS sb
-      FROM pairs
-    ), leaked AS (
-      SELECT * FROM lab WHERE sa <> sb
-    ), members AS (
-      SELECT id_a AS vid, sa AS split FROM leaked
-      UNION ALL
-      SELECT id_b AS vid, sb AS split FROM leaked
-    ), ls AS (
-      SELECT split, count(*) AS leaked_pairs, count(DISTINCT vid) AS tainted_docs
-      FROM members GROUP BY split
-    ), dc AS (
-      SELECT {_split_sql("doc_id")} AS split, count(*) AS n_docs
-      FROM documents GROUP BY split
-    )
-    SELECT dc.split, dc.n_docs,
-           coalesce(ls.leaked_pairs, 0) AS leaked_pairs,
-           coalesce(ls.tainted_docs, 0) AS tainted_docs
-    FROM dc LEFT JOIN ls ON dc.split = ls.split
-    """,
-)
-def pipe2_split_leakage(spark, sf_dir):
-    """Train/validation split + cross-split near-dup LEAKAGE audit: the
-    hash split is reproducible on any superset (same contract as every
-    sampler here), and the audit reuses the minhash-LSH pair machinery to
-    find validation docs whose near-duplicate twin sits in train — the
-    contamination that silently inflates eval scores. Per split: doc
-    count, leaked-pair count, and distinct tainted docs.
-
-    Scale shape: the split is a narrow map-side label (no shuffle beyond
-    d2's own banded candidate join); the leak summary aggregates id-only
-    pair rows. This is the between-splits complement of x14's
-    benchmark decontamination."""
-    docs = tbl(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-    leaked = (
-        pairs.withColumn("sa", _split_col(F.col("id_a")))
-        .withColumn("sb", _split_col(F.col("id_b")))
-        .filter(F.col("sa") != F.col("sb"))
-    )
-    members = leaked.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("vid"), F.col("sa").alias("split")),
-                F.struct(F.col("id_b").alias("vid"), F.col("sb").alias("split")),
-            )
-        ).alias("m")
-    ).select("m.vid", "m.split")
-    leak_stats = members.groupBy("split").agg(
-        F.count(F.lit(1)).alias("leaked_pairs"),
-        F.countDistinct("vid").alias("tainted_docs"),
-    )
-    doc_counts = (
-        docs.select(_split_col(F.col("doc_id")).alias("split"))
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    return doc_counts.join(F.broadcast(leak_stats), "split", "left").select(
-        "split",
-        "n_docs",
-        F.coalesce(F.col("leaked_pairs"), F.lit(0)).alias("leaked_pairs"),
-        F.coalesce(F.col("tainted_docs"), F.lit(0)).alias("tainted_docs"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# r5 continuation: imputation, distribution stats, multiset ops,
-# bucketed co-located join, unigram LM scoring, token-budget sampling
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "w7_locf_impute",
-    """
-    WITH t AS (
-      SELECT event_id, user_id, ts,
-             CASE WHEN event_type = 'purchase' THEN value END AS px
-      FROM events
-    )
-    SELECT event_id, user_id, px,
-           last_value(px IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px_locf,
-           first_value(px IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS px_nocb
-    FROM t
-    """,
-)
-def w7_locf_impute(spark, sf_dir):
-    """Gap-fill imputation over a sparse per-key series: LOCF (last
-    observation carried forward) and NOCB (next observation carried
-    backward) via ``last/first(..., ignorenulls=True)`` over mirrored
-    window frames — the standard time-series repair before feeding a
-    forecaster. Only 'purchase' events carry a price; every other event
-    row gets the neighbouring price imputed. Values are CARRIED, never
-    recomputed, so doubles are bit-exact cross-engine. One hash shuffle
-    on user_id serves both frames; per-key state in the window is O(1).
-
-    Reference anchor: the serving join (Serving_layer/prediction.py)
-    pairs each day's sentiment with the day's close and silently drops
-    days with no trade — LOCF is the scale-correct version of that
-    hole-patching."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    px = F.when(F.col("event_type") == "purchase", F.col("value"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    return ev.select(
-        "event_id",
-        "user_id",
-        px.alias("px"),
-        F.last(px, ignorenulls=True).over(back).alias("px_locf"),
-        F.first(px, ignorenulls=True).over(fwd).alias("px_nocb"),
-    )
-
-
-@register(
-    "a14_distribution_stats",
-    """
-    WITH r AS (
-      SELECT lang, n_chars,
-             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-             count(*) OVER (PARTITION BY lang) AS n
-      FROM documents
-    ), m AS (
-      SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY lang, n_chars
-    ), md AS (
-      SELECT lang, n_chars AS mode_chars,
-             row_number() OVER (PARTITION BY lang ORDER BY c DESC, n_chars ASC) AS mrn
-      FROM m
-    )
-    SELECT r.lang,
-           any_value(r.n) AS n_docs,
-           CAST(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
-                         THEN n_chars END) AS DOUBLE)
-             / count(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
-                          THEN 1 END) AS med_chars,
-           min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
-                    THEN n_chars END) AS p25_chars,
-           min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
-                    THEN n_chars END) AS p75_chars,
-           any_value((SELECT mode_chars FROM md
-                      WHERE md.lang = r.lang AND mrn = 1)) AS mode_chars
-    FROM r GROUP BY r.lang
-    """,
-)
-def a14_distribution_stats(spark, sf_dir):
-    """Per-group distribution stats — median, discrete p25/p75, and a
-    deterministic mode — composed from row_number + one count-window
-    instead of engine quantile builtins, because the builtins disagree
-    across engines on which element a discrete quantile picks when
-    p*(n-1) lands on an integer (DuckDB indexes floor(p*(n-1)); Spark's
-    percentile_disc takes the smallest value with cume_dist >= p). The
-    composition pins ONE definition — value at row ceil(p*n) — on both
-    sides, and stays in integer math until the single median division.
-    Mode ties break toward the smaller value (the builtin mode() is
-    nondeterministic under ties in both engines).
-
-    Scale shape: one lang shuffle shared by both windows + one
-    (lang, n_chars) map-side-combined agg for the mode; no global
-    sort."""
-    from pyspark.sql import Window
-
-    d = tbl(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    wn = Window.partitionBy("lang")
-    r = d.select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    n, rn = F.col("n"), F.col("rn")
-    mid = (rn == F.floor((n + 1) / F.lit(2))) | (
-        rn == F.floor((n + 2) / F.lit(2))
-    )
-    p25 = rn == F.ceil(F.lit(0.25) * n).cast("bigint")
-    p75 = rn == F.ceil(F.lit(0.75) * n).cast("bigint")
-    stats = r.groupBy("lang").agg(
-        F.any_value(n).alias("n_docs"),
-        (
-            F.sum(F.when(mid, F.col("n_chars"))).cast("double")
-            / F.count(F.when(mid, F.lit(1)))
-        ).alias("med_chars"),
-        F.min(F.when(p25, F.col("n_chars"))).alias("p25_chars"),
-        F.min(F.when(p75, F.col("n_chars"))).alias("p75_chars"),
-    )
-    counts = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
-    wmode = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("n_chars"))
-    mode = (
-        counts.withColumn("mrn", F.row_number().over(wmode))
-        .filter(F.col("mrn") == 1)
-        .select("lang", F.col("n_chars").alias("mode_chars"))
-    )
-    return stats.join(F.broadcast(mode), "lang")
-
-
-@register(
-    "u3_multiset_ops",
-    """
-    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
-         b AS (SELECT l_partkey FROM lineitem
-               WHERE l_shipdate >= DATE '2024-01-15')
-    SELECT 'intersect' AS op, l_partkey, count(*) AS n
-    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
-    UNION ALL
-    SELECT 'except' AS op, l_partkey, count(*) AS n
-    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
-    """,
-)
-def u3_multiset_ops(spark, sf_dir):
-    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL — the
-    duplicate-preserving complements of u2's distinct set ops. Spark
-    plans both as a single hash aggregate counting per-side multiplicity
-    (min / left-minus-right copies), i.e. ONE shuffle on the value, no
-    join — exactly how a 100 TB bag-diff should run. The entry re-groups
-    the surviving copies so the driver hashes (value, multiplicity)
-    instead of a multiset rendering."""
-    li = tbl(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    b = li.filter(F.col("l_shipdate") >= F.lit("2024-01-15").cast("date")).select(
-        "l_partkey"
-    )
-    inter = (
-        a.intersectAll(b)
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("intersect").alias("op"), "l_partkey", "n")
-    )
-    exc = (
-        a.exceptAll(b)
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("except").alias("op"), "l_partkey", "n")
-    )
-    return inter.unionByName(exc)
-
-
-@register(
-    "j8_bucketed_colocated_join",
-    f"""
-    SELECT o.o_orderpriority,
-           count(*) AS n_items,
-           CAST(sum(CAST(l.l_extendedprice AS {DEC})
-                    * (1 - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-    """,
-)
-def j8_bucketed_colocated_join(spark, sf_dir):
-    """Bucketed CO-LOCATED join: both fact tables are written
-    ``bucketBy(8, orderkey).sortBy(orderkey)`` and re-read through the
-    catalog, so the sort-merge join consumes pre-partitioned,
-    pre-sorted bucket files — ZERO Exchange and ZERO Sort on either join
-    input (asserted in tests/test_plan_quality.py). This is THE 100 TB
-    move for a join repeated every run (the reference joins stock and
-    news daily, Batch_layer/batchProcess.py): pay the layout shuffle
-    once at write time, then every subsequent join is shuffle-free. At
-    scale the bucket count is sized so one bucket ~ one task's memory
-    (8 here only because the fixture is small). The entry writes the
-    bucketed twin tables to a deterministic scratch dir (overwritten
-    per call — idempotent), joins with an explicit merge hint (a
-    broadcast would hide the layout win), and aggregates revenue per
-    priority in exact DECIMAL, DOUBLE only at the output boundary."""
-    import os as _os
-
-    li = tbl(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    # per-process scratch (pid token de-races concurrent sessions; swept +
-    # atexit-removed by scratch_dir so no orphan dirs survive the process)
-    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
-    names = {}
-    for df, key, base in ((li, "l_orderkey", "lineitem"), (orders, "o_orderkey", "orders")):
-        tname = f"j8_bkt_{base}_{tag}"
-        spark.sql(f"DROP TABLE IF EXISTS {tname}")
-        (
-            df.write.format("parquet")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .option("path", _os.path.join(scratch, base))
-            .mode("overwrite")
-            .saveAsTable(tname)
-        )
-        names[base] = tname
-    l = spark.table(names["lineitem"]).hint("merge")
-    o = spark.table(names["orders"])
-    rev = (F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
-    return dec2dbl(
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(rev).alias("revenue"),
-        )
-    )
-
-
-@register(
-    "x26_unigram_surprisal",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_tx.tokens_sql('text')}) AS token FROM documents
-    ), v AS (
-      SELECT token, count(*) AS cnt FROM tok GROUP BY token
-    ), t AS (
-      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v
-    )
-    SELECT tok.doc_id,
-           count(*) AS n_tokens,
-           CAST(sum(length(bin(t.total)) - length(bin(v.cnt))) AS BIGINT)
-             AS bits_q,
-           CAST(sum(length(bin(t.total)) - length(bin(v.cnt))) AS DOUBLE)
-             / count(*) AS bits_per_token
-    FROM tok JOIN v USING (token) CROSS JOIN t
-    GROUP BY tok.doc_id
-    """,
-)
-def x26_unigram_surprisal(spark, sf_dir):
-    """Corpus-trained unigram LM surprisal per document — the
-    perplexity-proxy quality score of an LLM data pipeline (low
-    bits/token = repetitive boilerplate, high = rare-token noise), with
-    the log2 QUANTIZED to floor via ``length(bin(cnt))`` so the score is
-    pure INTEGER math: cross-engine transcendental log() rounding can
-    never flap the value hash (x10's ln() happens to agree between
-    engines on these inputs; this entry removes the dependence
-    entirely). surprisal_q(token) = floor(log2 total) - floor(log2 cnt).
-
-    Scale shape: explode -> one map-side-combined token count; the
-    token->cnt join is a plain equi-join (AQE broadcasts the vocab at
-    test scale, shuffles it at 100 TB — no hint pinned; a min-count
-    cutoff would cap the vocab in production); the corpus total is a
-    1-row broadcast; per-doc sum is map-side-combinable on doc_id."""
-    docs = tbl(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_tx.tokens(F.col("text"))).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
-    surprisal = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt")))
-    return (
-        tok.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(surprisal).cast("bigint").alias("bits_q"),
-        )
-        .withColumn(
-            "bits_per_token", F.col("bits_q").cast("double") / F.col("n_tokens")
-        )
-    )
-
-
-@register(
-    "x27_token_budget_sample",
-    f"""
-    WITH d AS (
-      SELECT source, doc_id,
-             len({_tx.tokens_sql('text')}) AS n_tok,
-             {_ex.shuffle_pos_sql('doc_id', seed='budget')} AS pos
-      FROM documents
-    ), c AS (
-      SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY pos, doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM d
-    )
-    SELECT source,
-           count(*) AS n_total,
-           CAST(count(CASE WHEN cum <= 1000 THEN 1 END) AS BIGINT) AS n_kept,
-           CAST(coalesce(sum(CASE WHEN cum <= 1000 THEN n_tok END), 0) AS BIGINT)
-             AS tokens_kept
-    FROM c GROUP BY source
-    """,
-)
-def x27_token_budget_sample(spark, sf_dir):
-    """Token-BUDGET quota sampling per domain: order each source's
-    documents by the reproducible shuffle position (ext/export.py
-    shuffle_pos — an unbiased, superset-stable order), accumulate token
-    counts, and keep documents while the running total fits the budget —
-    how a corpus is downsampled to 'N billion tokens per domain' for a
-    training mixture, complementing x22's rate-based temperature
-    mixture with an exact token quota. All-integer arithmetic.
-
-    Scale shape: one hash shuffle on source serves the running-sum
-    window; per-key window state is O(1); the budget gate is a narrow
-    filter. Skew note: a single giant domain makes one fat partition —
-    at 100 TB pair this with the salted-window trick (two-level cumsum:
-    per-salt partial sums + broadcast per-salt offsets) if one domain
-    exceeds a task's input ceiling."""
-    from pyspark.sql import Window
-
-    docs = tbl(spark, sf_dir, "documents")
-    d = docs.select(
-        "source",
-        "doc_id",
-        F.size(_tx.tokens(F.col("text"))).alias("n_tok"),
-        _ex.shuffle_pos("doc_id", seed="budget").alias("pos"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("pos", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = d.withColumn("cum", F.sum("n_tok").over(w))
-    kept = F.col("cum") <= 1000
-    return c.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count(F.when(kept, F.lit(1))).cast("bigint").alias("n_kept"),
-        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
-        .cast("bigint")
-        .alias("tokens_kept"),
-    )
-
-
-@register(
-    "a15_corr_stats",
-    """
-    WITH b AS (
-      SELECT l_returnflag,
-             CAST(l_quantity AS HUGEINT) AS x,
-             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
-      FROM lineitem
-    ), s AS (
-      SELECT l_returnflag,
-             CAST(count(*) AS HUGEINT) AS n,
-             sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
-      FROM b GROUP BY l_returnflag
-    )
-    SELECT l_returnflag,
-           CAST(n AS BIGINT) AS n_rows,
-           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop,
-           sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-             / CAST(n AS DOUBLE) AS stddev_qty,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
-             AS corr_qty_cents
-    FROM s
-    """,
-)
-def a15_corr_stats(spark, sf_dir):
-    """Correlation / covariance / stddev per group, composed from EXACT
-    integer moment sums instead of the corr()/covar_pop() builtins:
-    builtin second-moment aggregates fold doubles in partition order, so
-    their last bits differ run-to-run and engine-to-engine. Here x
-    (integer-valued quantity) and y (price in cents) accumulate n, Σx,
-    Σy, Σxx, Σxy, Σyy exactly — DECIMAL(38,0) on the Spark side, HUGEINT
-    in DuckDB — and the classical formulas run as one fixed sequence of
-    IEEE ops on those exact sums, so the doubles are bit-identical on
-    any partitioning. sqrt() is a correctly-rounded IEEE primitive (not
-    libm-approximated like log), so it is safe cross-engine. The
-    variance products are NOT multiplied under one sqrt — n·Σyy−Σy²
-    squared would overflow 38 digits at sf1; sqrt each factor first.
-
-    Scale shape: one map-side-combined agg — the moment sums ARE the
-    classic one-pass parallel algorithm. 5 rows out.
-
-    Reference anchor: the batch layer's avg_score daily sentiment
-    (Batch_layer/batchProcess.py) is the first moment of the same
-    pattern; this generalizes to second moments at full determinism."""
-    li = tbl(spark, sf_dir, "lineitem")
-    D38 = "decimal(38,0)"
-    x = F.col("l_quantity").cast(D38)
-    y = F.round(F.col("l_extendedprice") * 100).cast(D38)
-    s = (
-        li.select("l_returnflag", x.alias("x"), y.alias("y"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast(D38).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-        )
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    nd = n.cast("double")
-    cov_num = (n * sxy - sx * sy).cast("double")
-    varx = (n * sxx - sx * sx).cast("double")
-    vary = (n * syy - sy * sy).cast("double")
-    return s.select(
-        "l_returnflag",
-        n.cast("bigint").alias("n_rows"),
-        (sx.cast("double") / nd).alias("mean_qty"),
-        (cov_num / (nd * nd)).alias("covar_pop"),
-        (F.sqrt(varx) / nd).alias("stddev_qty"),
-        # zero-variance groups (constant x or y, single-row groups) have
-        # no defined correlation: Spark 4 ANSI raises DIVIDE_BY_ZERO even
-        # on DOUBLE 0/0 while DuckDB yields IEEE NaN — try_divide/nullif
-        # pin NULL on both sides (oracle-fuzz finding)
-        F.try_divide(cov_num, F.sqrt(varx) * F.sqrt(vary)).alias(
-            "corr_qty_cents"
-        ),
-    )
-
-
-_THETA_GATE = 8  # keep keys whose hash % GATE == 0 (~1/8 sample of key space)
-
-
-@register(
-    "a16_distinct_sketch_gate",
-    f"""
-    SELECT event_type,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS gated_users,
-           CAST(count(DISTINCT user_id) * {_THETA_GATE} AS BIGINT) AS est_users
-    FROM events
-    WHERE {_sp2.phash60_sql("CAST(user_id AS VARCHAR)", seed="theta")}
-          % {_THETA_GATE} = 0
-    GROUP BY event_type
-    """,
-)
-def a16_distinct_sketch_gate(spark, sf_dir):
-    """Distinct-count sketch via a fixed HASH GATE (theta-sketch shape):
-    keep only keys whose seeded hash lands in 1/GATE of the hash space,
-    count those exactly, scale by GATE. Completes the distinct-count
-    ladder: a6/a12 are exact (full dedup shuffle; salted for hot keys),
-    a9 is HLL++ (constant memory but sketch values are engine-specific,
-    so its gate asserts a tolerance band around the exact answer) — this
-    one is the estimator that is DETERMINISTIC AND ENGINE-PORTABLE: the
-    gate is a pure narrow filter, both engines hash identically, and the
-    driver hash-compares the estimates themselves, not a tolerance flag.
-
-    Scale shape: the filter cuts dedup-shuffle volume by GATE x before
-    any wide operation (at 100 TB with GATE=1024, a trillion-key dedup
-    ships ~a billion rows), the per-group distinct on survivors is
-    map-side combinable, and the estimate's relative error is
-    ~1/sqrt(distinct/GATE) — tune GATE to the accuracy budget. Unlike
-    HLL the gated sample also supports ANY downstream per-key analysis
-    (join the survivors back), which is why theta sketches power
-    set-operation estimates."""
-    ev = tbl(spark, sf_dir, "events")
-    gated = ev.filter(
-        _sp2.phash60(F.col("user_id").cast("string"), seed="theta") % _THETA_GATE
-        == 0
-    )
-    return gated.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("gated_users"),
-        (F.countDistinct("user_id") * _THETA_GATE).cast("bigint").alias("est_users"),
-    )
-
-
-# shared by g7 (persisted degree-annotated edges) and g10 (bucketed edges)
-_PAGERANK_ORACLE_SQL = """
-    WITH pairs AS (
-      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-    ), edges AS (
-      SELECT s AS src, p + 1000000 AS dst FROM pairs
-      UNION ALL
-      SELECT p + 1000000 AS src, s AS dst FROM pairs
-    ), deg AS (
-      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
-    ), r0 AS (
-      SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg
-    ), i1 AS (
-      SELECT e.dst AS node,
-             CAST(150000000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
-      FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
-      GROUP BY e.dst
-    ), i2 AS (
-      SELECT e.dst AS node,
-             CAST(150000000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
-      FROM edges e JOIN deg d ON e.src = d.src JOIN i1 r ON e.src = r.node
-      GROUP BY e.dst
-    ), i3 AS (
-      SELECT e.dst AS node,
-             CAST(150000000 + (sum(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
-      FROM edges e JOIN deg d ON e.src = d.src JOIN i2 r ON e.src = r.node
-      GROUP BY e.dst
-    )
-    SELECT node, rank AS pagerank FROM i3
-    """
-
-
-def _pagerank_edges(li: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(edges, degrees) of the symmetrized supplier<->part co-occurrence
-    graph — the shared setup of g7 (persisted) and g10 (bucketed)."""
-    pairs = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    edges = pairs.select(
-        F.col("s").alias("src"), (F.col("p") + 1000000).alias("dst")
-    ).unionByName(
-        pairs.select((F.col("p") + 1000000).alias("src"), F.col("s").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    return edges, deg
-
-
-def _pagerank_iterate(
-    ed: DataFrame, ranks: DataFrame, n_iter: int = 3, co_partition: int | None = None
-) -> DataFrame:
-    """The 3 fixed-point power iterations shared by g7 and g10 — split out
-    so bench.py can time the ITERATION PHASE alone (the claim the bucketed
-    layout makes: after the one-time write, the edge set never moves).
-    ``co_partition`` re-keys the node-sized rank vector to the edge
-    table's bucket count each round; without it EnsureRequirements
-    resolves the bucket-count vs shuffle-partitions mismatch by
-    re-shuffling the EDGE side (the g10 plan-pinned hazard)."""
-    for _ in range(n_iter):
-        if co_partition is not None:
-            ranks = ranks.repartition(co_partition, "node")
-        ranks = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select("dst", F.expr("rank div deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(
-                (F.lit(150000000) + F.expr("(sum(contrib) * 85) div 100")).alias(
-                    "rank"
-                )
-            )
-            .select(F.col("dst").alias("node"), "rank")
-        )
-    return ranks.select("node", F.col("rank").alias("pagerank"))
-
-
-@register("g7_pagerank_fixedpoint", _PAGERANK_ORACLE_SQL)
-def g7_pagerank_fixedpoint(spark, sf_dir):
-    """Iterative PageRank (3 power iterations, damping 0.85) over the
-    supplier<->part co-occurrence graph, in FIXED-POINT integer
-    arithmetic: ranks live in 1e-9 units, per-edge contribution is
-    integer division (`div`), damping is ``(x*85) div 100`` — so every
-    iteration is exact integer math, bit-identical on any partitioning
-    and engine (float PageRank sums in partition order and can never
-    hash-match). Edges are symmetrized (s->p and p->s), so every node
-    has out-degree >= 1 — no sink-mass term needed.
-
-    Scale shape per iteration: edges JOIN ranks on src (both sides
-    partitionable on src — at 100 TB pre-partition/bucket edges by src
-    once and every iteration's join is co-located) + one map-side-
-    combined sum on dst. Iteration count is fixed; the driver-side loop
-    only BUILDS the plan (no data moves through Python). The graph
-    mirror of d7's label-propagation connected components; at many more
-    iterations, add the same durable checkpoint() d7 uses to cut
-    lineage."""
-    li = tbl(spark, sf_dir, "lineitem")
-    edges, deg = _pagerank_edges(li)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1000000000).cast("bigint").alias("rank")
-    )
-    # persist the degree-annotated edge table: every iteration joins it, and
-    # without the barrier each of the 3 iterations re-runs the pair-distinct
-    # + degree aggregation from the parquet scan (measured 2.5x end-to-end
-    # at sf0.1). The production mirror is the bucketed/checkpointed edge
-    # table the docstring describes.
-    ed = edges.join(deg, "src").persist()  # cache: caller-owns
-    return _pagerank_iterate(ed, ranks)
-
-
-@register("g10_pagerank_bucketed", _PAGERANK_ORACLE_SQL)
-def g10_pagerank_bucketed(spark, sf_dir):
-    """g7's fixed-point PageRank with the degree-annotated edge table
-    WRITTEN ONCE bucketed by the iteration-join key ``src`` — the layout
-    g7's docstring promises for 100 TB, demonstrated.
-
-    Every power iteration is ``edges JOIN ranks ON src = node`` followed
-    by a map-side-combined sum on dst. g7 persists the edge table, which
-    keeps the construction out of the loop but still re-shuffles the
-    EDGE side of the join every iteration (the big side: |edges| >>
-    |nodes|). Bucketing by src pins the edge side's layout at write
-    time: each iteration then shuffles only the node-sized rank vector
-    to the edge table's 8 buckets plus the contribution stream into the
-    dst aggregate — the two movements power iteration fundamentally
-    needs. The plan test asserts NO exchange ever carries the edge
-    table (no shuffle keyed on src). Shares g7's oracle: byte-identical
-    fixed-point ranks, two physical strategies. At real scale this is
-    the difference between moving the edge set 3x per PageRank call and
-    never moving it at all after one bucketed write amortized across
-    every graph query (g9 shares the layout for triangles).
-
-    Fixture-scale crossover (r8, measured): at sf1 (11.8M edges) the
-    iteration phase is PARITY with g7 on local[32] — persisted 1.39s vs
-    bucketed 1.60s — because a RAM-resident shuffle on one box costs
-    about the same as re-decoding the bucketed parquet per iteration,
-    and the dst-sum shuffle both modes pay dominates. Caching the
-    bucketed table forfeits the layout (InMemoryRelation drops the
-    bucketed outputPartitioning; the src exchange returns). The full
-    analysis with numbers lives in bench.py:pagerank_iter_bench; the
-    invariant that survives to network-scale clusters (edge table never
-    re-keyed) is what the plan test pins."""
-    import os as _os
-
-    li = tbl(spark, sf_dir, "lineitem")
-    edges, deg = _pagerank_edges(li)
-    # per-process scratch: swept + atexit-removed (see scratch_dir)
-    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
-    tname = f"g10_bkt_edges_{tag}"
-    spark.sql(f"DROP TABLE IF EXISTS {tname}")
-    (
-        edges.join(deg, "src")
-        .write.format("parquet")
-        .bucketBy(8, "src")
-        .sortBy("src", "dst")
-        .option("path", _os.path.join(scratch, "edges"))
-        .mode("overwrite")
-        .saveAsTable(tname)
-    )
-    ed = spark.table(tname)
-    ranks = ed.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(1000000000).cast("bigint").alias("rank")
-    )
-    # co_partition=8 re-keys the NODE-SIZED rank vector to the edge
-    # table's bucket count each round: without this the previous
-    # iteration leaves ranks at Hash(dst, shuffle.partitions) and
-    # EnsureRequirements resolves the numPartitions mismatch by
-    # re-shuffling the EDGE side up to the larger count — silently
-    # forfeiting the bucket layout from iteration 2 on (observed:
-    # Exchange hashpartitioning(src, 32) around the bucketed scan).
-    # Explicitly co-partitioning the small side is the movement power
-    # iteration owes anyway.
-    return _pagerank_iterate(ed, ranks, co_partition=8)
-
-
-@register(
-    "p8_csv_source_roundtrip",
-    """
-    SELECT o_orderkey, o_custkey,
-           CAST(o_orderdate AS DATE) AS order_date,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
-    FROM orders WHERE o_orderkey % 10 = 0
-    """,
-)
-def p8_csv_source_roundtrip(spark, sf_dir):
-    """CSV source breadth: export orders to headered, pipe-delimited CSV
-    and read it back through an EXPLICIT schema (no inferSchema — a
-    schema-inference pass doubles the scan at 100 TB), FAILFAST mode (we
-    wrote the file; silent row drops would corrupt the oracle compare —
-    the reference's pandas CSV reads, Dataset/dataset.py, have no such
-    contract). Doubles are pinned to integer cents BEFORE export so the
-    value hash never depends on decimal text rendering; dates travel as
-    ISO strings into a DATE column. The oracle reads the original
-    parquet — so the check proves the CSV hop is lossless.
-
-    Scale shape: CSV write + schema'd read are both narrow per-partition
-    streams; the filter pushes to the CSV scan's row group... CSV has no
-    row groups — which is the point: the entry documents WHY parquet is
-    the resting format (no pushdown, no pruning, full-file parse) while
-    proving the engine still speaks CSV at the edges."""
-    import os as _os
-
-    orders = tbl(spark, sf_dir, "orders")
-    staged = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("order_date"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
-    )
-    # per-process scratch: swept + atexit-removed (see scratch_dir)
-    _tag, scratch = scratch_dir("spark_graft_csv", sf_dir)
-    path = _os.path.join(scratch, "orders")
-    (
-        staged.write.mode("overwrite")
-        .option("header", True)
-        .option("delimiter", "|")
-        .csv(path)
-    )
-    schema = "o_orderkey BIGINT, o_custkey BIGINT, order_date DATE, total_cents BIGINT"
-    back = (
-        spark.read.schema(schema)
-        .option("header", True)
-        .option("delimiter", "|")
-        .option("mode", "FAILFAST")
-        .csv(path)
-    )
-    return back.filter(F.col("o_orderkey") % 10 == 0)
-
-
-@register(
-    "p9_variant_json",
-    """
-    SELECT event_id,
-           CAST(props->>'k' AS BIGINT) AS k,
-           props->>'missing' AS missing_field
-    FROM events
-    WHERE CAST(props->>'k' AS BIGINT) % 7 = 0
-    """,
-)
-def p9_variant_json(spark, sf_dir):
-    """Semi-structured ingestion through Spark 4's VARIANT type:
-    ``parse_json`` turns the raw ``props`` payload into a binary variant
-    once, then ``variant_get`` extracts typed paths without re-parsing
-    the JSON text per field (the reference re-parses with a full
-    ``from_json`` + fixed StructType per stream,
-    Batch_layer/yfConsumer.py:47 — VARIANT is the schema-flexible path
-    for payloads whose keys drift). ``try_variant_get`` on an absent
-    path yields NULL instead of failing, mirroring the oracle's
-    ``->>'missing'``.
-
-    Scale shape: a narrow per-row projection — no shuffle, no Python;
-    variant encode/decode runs JVM-side inside codegen. At 100 TB the
-    win over from_json-per-field is one parse per row instead of one
-    per extracted column, and variants stored to parquet keep shredded
-    column stats for pushdown."""
-    ev = tbl(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
-    return ev.select(
-        "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k"),
-        F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
-    ).filter(F.col("k") % 7 == 0)
-
-
-@register(
-    "p10_orc_roundtrip",
-    """
-    SELECT l_orderkey, l_partkey, l_suppkey,
-           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
-           CAST(l_shipdate AS DATE) AS ship_date
-    FROM lineitem WHERE l_orderkey % 25 = 0
-    """,
-)
-def p10_orc_roundtrip(spark, sf_dir):
-    """ORC source/sink breadth (the second columnar format Spark speaks
-    natively): stage lineitem to ORC, read it back, and prove the hop is
-    lossless against the oracle reading the ORIGINAL parquet. Doubles
-    are pinned to integer cents before export (p8's rule) so the value
-    hash never depends on float text rendering.
-
-    Unlike the CSV edge (p8), ORC keeps columnar stripes with min/max
-    statistics — the read-back filter is eligible for predicate
-    pushdown and column pruning exactly like parquet, so an ORC-resident
-    dataset at 100 TB scans only the projected columns of the stripes
-    that can match."""
-    import os as _os
-
-    li = tbl(spark, sf_dir, "lineitem")
-    staged = li.select(
-        "l_orderkey",
-        "l_partkey",
-        "l_suppkey",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
-        F.col("l_shipdate").cast("date").alias("ship_date"),
-    )
-    # per-process scratch: swept + atexit-removed (see scratch_dir)
-    _tag, scratch = scratch_dir("spark_graft_orc", sf_dir)
-    path = _os.path.join(scratch, "lineitem")
-    staged.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.filter(F.col("l_orderkey") % 25 == 0)
-
-
-CHUNK_WORDS = 32
-CHUNK_STRIDE = 24
-
-
-@register(
-    "x28_doc_chunking",
-    f"""
-    WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS w
-      FROM documents WHERE length(text) > 0
-    ), s AS (
-      SELECT doc_id, w, len(w) AS n,
-             unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS start
-      FROM d
-    )
-    SELECT doc_id,
-           CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
-           CAST(start AS INT) AS start_word,
-           CAST(least({CHUNK_WORDS}, n - start) AS INT) AS n_words,
-           array_to_string(list_slice(w, start + 1, start + {CHUNK_WORDS}), ' ')
-             AS chunk_text
-    FROM s
-    """,
-)
-def x28_doc_chunking(spark, sf_dir):
-    """RAG-style document chunking: fixed windows of CHUNK_WORDS=32 words
-    with stride 24 (8-word overlap so no sentence is orphaned at a chunk
-    boundary), each chunk carrying its ordinal, word offset, and width.
-    The overlapping-window retrieval shape — distinct from d8's
-    non-overlapping 16-word passage windows, whose job is dedup grouping,
-    not retrieval context. The reference has no chunking at all (tweets
-    are short; FinBERT truncates at 512 tokens, batchPipeline.py:147) —
-    this is the op that makes long documents usable by a
-    bounded-context encoder.
-
-    Scale shape: split + sequence + posexplode + slice is a single
-    narrow pass — no shuffle, no Python, everything inside
-    whole-stage codegen. Output size is input x (1/stride overlap
-    factor about 1.33); chunk rows inherit the input partitioning so a
-    downstream embed step (m9's mapInPandas shape) streams
-    batch-by-batch without a repartition."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    d = docs.select(
-        "doc_id",
-        F.split(F.col("text"), " ").alias("w"),
-    ).withColumn("n", F.size("w"))
-    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
-    ch = d.select(
-        "doc_id",
-        "w",
-        "n",
-        F.posexplode(starts).alias("chunk_idx", "start_word"),
-    )
-    return ch.select(
-        "doc_id",
-        "chunk_idx",
-        "start_word",
-        F.least(F.lit(CHUNK_WORDS), F.col("n") - F.col("start_word"))
-        .cast("int")
-        .alias("n_words"),
-        F.array_join(
-            F.slice(F.col("w"), F.col("start_word") + 1, F.lit(CHUNK_WORDS)), " "
-        ).alias("chunk_text"),
-    )
-
-
-@register(
-    "m10_arrow_group_stats",
-    """
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-           min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
-           max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
-    FROM events GROUP BY event_type
-    """,
-)
-def m10_arrow_group_stats(spark, sf_dir):
-    """Grouped-map through Spark 4's ``applyInArrow``: per event_type the
-    whole group arrives as ONE pyarrow.Table and is reduced with
-    vectorized ``pyarrow.compute`` kernels — no pandas materialization
-    at all (the ``applyInPandas`` seams, ml/forecast.py:113, pay an
-    Arrow->pandas conversion both ways; this is the zero-copy variant
-    for numeric reductions). Values are floored to integer cents inside
-    the plan BEFORE crossing into Python so the Arrow kernel sums exact
-    int64s — order-independent, hash-stable.
-
-    Scale shape: one hash-partition shuffle on the (low-cardinality)
-    group key, then per-group Arrow batches; memory is bounded by the
-    largest single group. For the five event_type groups here that is
-    fine; a high-cardinality key would use the same plan with many
-    small groups. A pure-SQL twin of this reduction exists (the oracle)
-    — the entry's point is proving the Arrow-native grouped-map seam
-    for reductions SQL can NOT express (custom model featurizers),
-    bit-exactly."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    ev = tbl(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-
-    def stats(table: pa.Table) -> pa.Table:
-        cents = table.column("cents")
-        return pa.table(
-            {
-                "event_type": [table.column("event_type")[0].as_py()],
-                "n": pa.array([table.num_rows], pa.int64()),
-                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
-                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
-                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
-            }
-        )
-
-    return ev.groupBy("event_type").applyInArrow(
-        stats,
-        schema=(
-            "event_type string, n bigint, sum_cents bigint, "
-            "min_cents bigint, max_cents bigint"
-        ),
-    )
-
-
-@register(
-    "t16_stream_dedup_within_watermark",
-    "SELECT DISTINCT user_id, event_type FROM events",
-    lazy_replay=True,
-)
-def t16_stream_dedup_within_watermark(spark, sf_dir):
-    """Streaming dedup with BOUNDED state:
-    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
-    watermark passes its event time + delay, then evicts it — the
-    100 TB fix for t13, whose plain ``dropDuplicates`` state grows with
-    every key ever seen (the same unbounded-key hazard as the
-    reference's ES keyed docs, Speed_layer/twitterConsumerStream.py:94-107).
-    Here the delay (10 years) exceeds the fixture's span so nothing is
-    evicted mid-replay and the batch DISTINCT oracle is the exact truth;
-    in production the delay is the real dedup horizon (e.g. 24h) and
-    state is bounded by keys active within it.
-
-    Only the key columns survive to the sink, so the result is
-    deterministic regardless of which physical duplicate row wins."""
-    import uuid
-
-    from ..streaming.ingest import events_stream
-
-    prepare(spark)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sink = f"t16_sink_{uuid.uuid4().hex[:8]}"
-    try:
-        # inside the try (t13's pattern) so any failure restores the conf
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        dedup = (
-            events_stream(spark, sf_dir, n_chunks=2)
-            .select("user_id", "event_type", "ts")
-            .withWatermark("ts", "3650 days")
-            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-            .select("user_id", "event_type")
-        )
-        q = (
-            dedup.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(sink)
-
-
-@register(
-    "j9_record_linkage",
-    """
-    WITH q AS (
-      SELECT p_partkey AS query_key,
-             regexp_replace(p_name, '[aeiou]', '', 'g') AS dirty_name
-      FROM part WHERE p_partkey % 50 = 0
-    ), qq AS (
-      SELECT query_key, dirty_name,
-             split_part(dirty_name, ' ', 1) AS blk1,
-             length(dirty_name) AS blk2
-      FROM q
-    ), qd AS (
-      SELECT DISTINCT dirty_name, blk1, blk2 FROM qq
-    ), cd AS (
-      SELECT p_name AS matched_name,
-             split_part(regexp_replace(p_name, '[aeiou]', '', 'g'), ' ', 1)
-               AS blk1,
-             length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS blk2,
-             min(p_partkey) AS matched_key
-      FROM part GROUP BY 1, 2, 3
-    ), best AS (
-      SELECT dirty_name, matched_key, matched_name, dist FROM (
-        SELECT qd.dirty_name, cd.matched_key, cd.matched_name,
-               levenshtein(qd.dirty_name, cd.matched_name) AS dist,
-               row_number() OVER (
-                 PARTITION BY qd.dirty_name
-                 ORDER BY levenshtein(qd.dirty_name, cd.matched_name),
-                          cd.matched_key
-               ) AS rn
-        FROM qd JOIN cd USING (blk1, blk2)
-      ) WHERE rn = 1
-    )
-    SELECT qq.query_key, qq.dirty_name,
-           best.matched_key, best.matched_name, best.dist
-    FROM qq JOIN best USING (dirty_name)
-    """,
-)
-def j9_record_linkage(spark, sf_dir):
-    """Entity resolution / record linkage: resolve a 'dirty catalog' query
-    set (every 50th part name, deterministically corrupted by stripping
-    vowels) against the clean catalog by NORMALIZE-THEN-BLOCK + edit-
-    distance verify: both sides block on (first word of the
-    vowel-stripped name, stripped length) — keys the corruption provably
-    preserves — candidates are the blocked equi-join, and the winner per
-    query is the argmin of levenshtein distance with the part key as
-    deterministic tiebreaker. No capability in the reference comes close
-    — its only join is a clean equi-join (Batch_layer/batchPipeline.py:163).
-
-    Scale contract (the d2/d4 one, learned the hard way): r5 ran
-    levenshtein on blocked (query x catalog) ROW pairs, blocked on the
-    skeleton's first character — <= 26 blocks forever, so candidates
-    grew O(N^2): measured 1.9s at sf0.1 ballooning to 66s at sf1 (10x
-    data, ~36x time) the moment the entry entered the bench. The fix is
-    structural, not a better block key: distance depends only on the
-    STRINGS, so both sides dedup to distinct names first — the catalog
-    side as a map-side-combined (name -> min key) agg, which preserves
-    the argmin-by-(dist, key) tiebreak exactly because only a name's
-    smallest key can ever win — the edit-distance join runs on
-    (distinct x distinct) within blocks, and the resulting name -> match
-    map (broadcast-sized) joins back to the query rows. Levenshtein
-    work is now bounded by the NAME VOCABULARY, independent of corpus
-    row count: sf1 66s -> ~0.8s. Blocking keys needing more recall
-    (phonetic, q-gram) still slot in as extra blk variants unioned
-    before the join.
-
-    The per-name argmin is a packed-struct min AGGREGATE (map-side
-    combinable), not a row_number window that would shuffle and sort
-    every candidate pair for a single survivor each (the a3 lesson)."""
-    part = tbl(spark, sf_dir, "part")
-    strip = lambda c: F.regexp_replace(c, "[aeiou]", "")  # noqa: E731
-    q = (
-        part.filter(F.col("p_partkey") % 50 == 0)
-        .select(
-            F.col("p_partkey").alias("query_key"),
-            strip(F.col("p_name")).alias("dirty_name"),
-        )
-        .withColumn("blk1", F.substring_index("dirty_name", " ", 1))
-        .withColumn("blk2", F.length("dirty_name"))
-    )
-    qd = q.select("dirty_name", "blk1", "blk2").distinct()
-    cd = (
-        part.select(
-            F.col("p_name").alias("matched_name"),
-            F.substring_index(strip(F.col("p_name")), " ", 1).alias("blk1"),
-            F.length(strip(F.col("p_name"))).alias("blk2"),
-            F.col("p_partkey").alias("matched_key"),
-        )
-        .groupBy("matched_name", "blk1", "blk2")
-        .agg(F.min("matched_key").alias("matched_key"))
-    )
-    cand = qd.join(cd, ["blk1", "blk2"]).withColumn(
-        "dist", F.levenshtein(F.col("dirty_name"), F.col("matched_name"))
-    )
-    best = cand.groupBy("dirty_name").agg(
-        F.min(F.struct("dist", "matched_key", "matched_name")).alias("b")
-    )
-    return q.select("query_key", "dirty_name").join(best, "dirty_name").select(
-        "query_key",
-        "dirty_name",
-        F.col("b.matched_key").alias("matched_key"),
-        F.col("b.matched_name").alias("matched_name"),
-        F.col("b.dist").alias("dist"),
-    )
-
-
-def _cooccur_graph_bucketed(spark, sf_dir):
-    """Write-once staging of the parts-bought-together graph, shared by
-    every graph entry that rides the bucketed layout (g9 triangles, g15
-    common neighbors, g17 Adamic-Adar): the support-thresholded
-    (co-occurrence >= 2 orders), degree-oriented edge table is written
-    ONCE per (fixture, process) bucketed+sorted on the wedge-join key
-    ``s`` (count sized by :func:`bucket_count` on the lineitem source),
-    plus the node-degree table alongside it. Returns ``(ori, deg)``
-    catalog reads.
-
-    This is the g9 docstring's promise made literal: at 100 TB the
-    oriented edge table is the big object and the bucketed write is
-    amortized across EVERY graph query on it — triangle counts, link
-    features, AA scores all start from bucket-aligned scans instead of
-    re-running the co-occurrence join + orientation (2 scans + 4
-    shuffles) per query.
-
-    Measured honesty (sf1, local[32], warm codegen): the one-time
-    staging build is 8.2 s; the amortized probes are then g9 1.6 s /
-    g15 1.75 s / g17 1.36 s (median of 3) vs r9's
-    3.73 / 5.85 / 5.18 s when each entry rebuilt the graph in its own
-    lineage — 14.8 s -> 12.9 s INCLUDING the build on its very first
-    session use, and 4.7 s on every session that runs the trio after
-    staging (the bench's warmed timed passes measure exactly that
-    amortized regime, the d6/d10 production shape). Reuse is catalog-keyed per session and
-    staged per (sf-hash, pid) via scratch_dir, so concurrent sessions
-    and different fixtures never collide; a second session in the same
-    process rebuilds with mode(overwrite) onto its own staging."""
-    import os as _os
-
-    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
-    tname = f"g_bkt_ori_{tag}"
-    dname = f"g_bkt_deg_{tag}"
-    if not (spark.catalog.tableExists(tname) and spark.catalog.tableExists(dname)):
-        li = tbl(spark, sf_dir, "lineitem")
-        pairs = li.select("l_orderkey", "l_partkey").distinct()
-        b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-        raw = (
-            pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
-            .select(F.col("l_partkey").alias("u"), "v")
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= 2)
-            .select("u", "v")
-            .persist()  # cache: released-in-fn
-        )
-        und = raw.unionByName(
-            raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        deg = und.groupBy(F.col("u").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
-        )
-        (
-            deg.write.format("parquet")
-            .option("path", _os.path.join(scratch, "g_deg"))
-            .mode("overwrite")
-            .saveAsTable(dname)
-        )
-        degt = spark.table(dname)
-        du = degt.select(F.col("node").alias("u"), F.col("d").alias("du"))
-        dv = degt.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-        ranked = raw.join(du, "u").join(dv, "v")
-        u_first = F.struct("du", "u") < F.struct("dv", "v")
-        ori = ranked.select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        (
-            ori.write.format("parquet")
-            .bucketBy(bucket_count(spark, sf_dir, "lineitem"), "s")
-            .sortBy("s", "t")
-            .option("path", _os.path.join(scratch, "g_ori"))
-            .mode("overwrite")
-            .saveAsTable(tname)
-        )
-        raw.unpersist()
-    return spark.table(tname), spark.table(dname)
-
-
-# shared by g8 (persisted edges) and g9 (bucketed edges): same graph, same
-# answer, two physical strategies
-_TRIANGLE_ORACLE_SQL = """
-    -- AS MATERIALIZED throughout: with inlined CTEs DuckDB re-plans tri
-    -- per reference and (without cardinality knowledge) can pick the
-    -- hub-on-hub t=t join first — measured spilling >80 GB of temp at
-    -- 10x scale. Materialization pins one execution per stage, the
-    -- exact analogue of the Spark side's staged DataFrames.
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
-    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
-    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
-    ori AS MATERIALIZED (
-      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
-             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
-      FROM raw r
-      JOIN deg du ON du.node = r.u
-      JOIN deg dv ON dv.node = r.v
-    ),
-    tri AS MATERIALIZED (
-      SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      FROM ori e1
-      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
-      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
-    )
-    SELECT node, count(*) AS n_tri FROM (
-      SELECT a AS node FROM tri
-      UNION ALL SELECT b FROM tri
-      UNION ALL SELECT c FROM tri
-    ) GROUP BY node
-    """
-
-
-@register("g8_triangle_count", _TRIANGLE_ORACLE_SQL)
-def g8_triangle_count(spark, sf_dir):
-    """Per-node triangle counting over the parts-bought-together graph
-    (parts co-occurring in >= 2 orders — an association-rule SUPPORT
-    threshold, because a raw co-occurrence projection of a transaction
-    table is structurally dense: at 10x scale the unthresholded graph
-    averages degree ~1200 and wedge enumeration goes to billions;
-    support >= 2 sparsifies it to the statistically meaningful edges),
-    using DEGREE ORDERING — the trick that makes distributed triangle
-    enumeration survive skew: every undirected edge is directed from
-    its lower-(degree, id) endpoint to the higher one, so a celebrity
-    node with degree d contributes wedges only through its few
-    lower-degree out-edges, bounding total wedges by O(m^1.5) instead
-    of sum(d^2) (naive wedge counting on a hub node is quadratic in
-    its degree — the same hot-key blowup the salted entries j5/a7
-    exist for, solved structurally here). Completes d7 (components)
-    and g7 (PageRank) as the graph battery.
-
-    Scale shape: the support threshold is one map-side-combined
-    count agg; then three equi-joins (wedge build on shared source +
-    closing-edge hash probe). All joins key on node ids so the edge
-    table buckets once and every stage co-locates. (deg, id) tuple
-    ordering makes the orientation — and so the exact wedge set —
-    deterministic on any partitioning."""
-    li = tbl(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
-    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    # persist the support-thresholded edge table and the oriented edges:
-    # raw feeds three consumers (both halves of the symmetrized degree
-    # count + the orientation join) and ori feeds all three legs of the
-    # wedge join — without the barriers each consumer replays the
-    # distinct + co-occurrence join + support agg from the scan (the g7
-    # edge-persist pattern; ~10% end-to-end at sf0.1 where ReuseExchange
-    # already dedupes most of the replay, but the barrier is what keeps
-    # the co-occurrence join from ever running more than once when the
-    # graph is big enough that the reused exchange spills)
-    raw = (
-        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
-        .select(F.col("l_partkey").alias("u"), "v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-        .persist()  # cache: caller-owns
-    )
-    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = raw.join(du, "u").join(dv, "v")
-    u_first = F.struct("du", "u") < F.struct("dv", "v")
-    ori = ranked.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).persist()  # cache: caller-owns
-    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
-    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
-    tri = (
-        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
-        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-    )
-    # one corner row per triangle vertex via explode — NOT a 3-way union
-    # of projections, which re-plans (and re-executes) the whole wedge
-    # join once per branch (measured: the union tripled the join subtree
-    # in the physical plan; the oracle's UNION ALL is free because its
-    # tri CTE is MATERIALIZED)
-    corners = tri.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
-    )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
-
-
-@register("g9_triangle_count_bucketed", _TRIANGLE_ORACLE_SQL)
-def g9_triangle_count_bucketed(spark, sf_dir):
-    """g8's triangle count with the oriented edge table WRITTEN ONCE
-    bucketed by its wedge-join key instead of session-persisted — the
-    layout that makes iterated self-joins co-locate at cluster scale.
-
-    g8's returned plan carries the whole edge construction in lineage
-    (250 exchanges at sf0.001, heaviest plan in the registry), and every
-    wedge-join leg re-shuffles the SAME oriented edge table on the SAME
-    key s. Here the support threshold + degree orientation run once into
-    a ``bucketBy(8, s)`` parquet table (the j8 layout), so:
-
-    - e1 |><| e2 on s = s reads two bucket-aligned scans — ZERO exchange
-      on either side (asserted in tests/test_plan_quality.py);
-    - e3's side of the closing-edge join is satisfied by its bucket
-      layout (HashPartitioning(s) clusters the (s, t) key), so only the
-      wedge stream shuffles — the one shuffle the algorithm genuinely
-      needs, since wedges are keyed by a different node than their
-      center.
-
-    At 100 TB this is the difference between re-shuffling the edge set
-    three times per query (or per PageRank iteration — g7 shares the
-    layout) and paying one bucketed write amortized across every graph
-    query on the table — made literal since r10: the staged table
-    (:func:`_cooccur_graph_bucketed`) is SHARED with g15/g17, so in any
-    session that runs more than one graph query the write really is
-    paid once. Same oracle as g8: byte-identical answers, two physical
-    strategies."""
-    t, _deg = _cooccur_graph_bucketed(spark, sf_dir)
-    e1 = t.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = t.select(F.col("s").alias("a2"), F.col("t").alias("c"))
-    e3 = t.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
-    tri = (
-        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
-        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-    )
-    # one corner row per triangle vertex via explode — NOT a 3-way union
-    # of projections, which re-plans (and re-executes) the whole wedge
-    # join once per branch (measured: the union tripled the join subtree
-    # in the physical plan; the oracle's UNION ALL is free because its
-    # tri CTE is MATERIALIZED)
-    corners = tri.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
-    )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
-
-
-@register(
-    "p11_schema_evolution",
-    """
-    SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS priority_code
-    FROM orders WHERE o_orderkey % 2 = 0
-    UNION ALL
-    SELECT o_orderkey, o_custkey, o_orderkey % 5 AS priority_code
-    FROM orders WHERE o_orderkey % 2 = 1
-    """,
-)
-def p11_schema_evolution(spark, sf_dir):
-    """Parquet schema evolution: a dataset written in two generations —
-    the old writer emits (o_orderkey, o_custkey), the new writer adds a
-    priority_code column — read back as ONE table with
-    ``mergeSchema=true``; rows from old files surface the new column as
-    NULL. The append-only master datasets of the reference
-    (news_master, Batch_layer/twitterConsumer.py:61) face exactly this
-    when a producer adds a field; ES absorbs it by being schemaless,
-    a lakehouse absorbs it with merged parquet footers.
-
-    Scale shape: schema merge is a FOOTER-level operation (one small
-    read per file at planning time; spark.sql.parquet.mergeSchema
-    itself warns this is O(files) — which is why it's off by default
-    and a production table pins the merged schema in a catalog). Data
-    reading stays columnar with pushdown; old files simply have no
-    pages for the new column and materialize NULLs for free."""
-    import os as _os
-
-    orders = tbl(spark, sf_dir, "orders")
-    # per-process scratch: swept + atexit-removed (see scratch_dir)
-    _tag, scratch = scratch_dir("spark_graft_evo", sf_dir)
-    path = _os.path.join(scratch, "orders")
-    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_custkey"
-    )
-    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_orderkey") % 5).alias("priority_code"),
-    )
-    old_gen.write.mode("overwrite").parquet(_os.path.join(path, "gen=old"))
-    new_gen.write.mode("overwrite").parquet(_os.path.join(path, "gen=new"))
-    back = spark.read.option("mergeSchema", True).parquet(
-        _os.path.join(path, "gen=old"), _os.path.join(path, "gen=new")
-    )
-    return back.select("o_orderkey", "o_custkey", "priority_code")
-
-
-@register(
-    "u4_table_diff",
-    """
-    WITH old_t AS (
-      SELECT o_orderkey AS k, o_custkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-      FROM orders
-    ), new_t AS (
-      SELECT o_orderkey AS k, o_custkey,
-             CASE WHEN o_orderkey % 13 = 0
-                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
-                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents
-      FROM orders WHERE o_orderkey % 97 <> 0
-      UNION ALL
-      SELECT o_orderkey + 10000000 AS k, o_custkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-      FROM orders WHERE o_orderkey % 53 = 0
-    )
-    SELECT COALESCE(o.k, n.k) AS k,
-           CASE WHEN o.k IS NULL THEN 'added'
-                WHEN n.k IS NULL THEN 'removed'
-                WHEN o.o_custkey <> n.o_custkey
-                     OR o.price_cents <> n.price_cents THEN 'changed'
-                ELSE 'unchanged' END AS status,
-           o.price_cents AS old_price_cents,
-           n.price_cents AS new_price_cents
-    FROM old_t o FULL OUTER JOIN new_t n ON o.k = n.k
-    WHERE o.k IS NULL OR n.k IS NULL
-       OR o.o_custkey <> n.o_custkey OR o.price_cents <> n.price_cents
-    """,
-)
-def u4_table_diff(spark, sf_dir):
-    """Snapshot diff (CDC-style table comparison): given two versions of
-    a keyed table, emit every added / removed / changed row with old and
-    new values — the audit primitive behind incremental view
-    maintenance and data-quality gates (the reference overwrites its
-    batch_view blind every day, Batch_layer/batchPipeline.py:169-180;
-    a diff is how you KNOW what a rebuild changed). The 'new' version
-    here is derived deterministically in-plan (drops keys % 97, bumps
-    price on keys % 13, adds shifted keys % 53) so both engines diff
-    identical snapshots.
-
-    Scale shape: ONE full-outer equi-join on the key — both sides
-    hash-partition on k, so with both snapshots bucketed on the key
-    (the j8 layout) the diff is exchange-free; unchanged rows are
-    filtered before the sink so output is proportional to churn, not
-    table size. Change classification is pure Column logic in codegen."""
-    orders = tbl(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    old_t = orders.select(
-        F.col("o_orderkey").alias("k"),
-        "o_custkey",
-        cents.alias("price_cents"),
-    )
-    new_t = (
-        orders.filter(F.col("o_orderkey") % 97 != 0)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            "o_custkey",
-            F.when(F.col("o_orderkey") % 13 == 0, cents + 500)
-            .otherwise(cents)
-            .alias("price_cents"),
-        )
-        .unionByName(
-            orders.filter(F.col("o_orderkey") % 53 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("k"),
-                "o_custkey",
-                cents.alias("price_cents"),
-            )
-        )
-    )
-    o = old_t.alias("o")
-    n = new_t.alias("n")
-    j = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
-    changed = (F.col("o.o_custkey") != F.col("n.o_custkey")) | (
-        F.col("o.price_cents") != F.col("n.price_cents")
-    )
-    status = (
-        F.when(F.col("o.k").isNull(), F.lit("added"))
-        .when(F.col("n.k").isNull(), F.lit("removed"))
-        .when(changed, F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-    )
-    return (
-        j.select(
-            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
-            status.alias("status"),
-            F.col("o.price_cents").alias("old_price_cents"),
-            F.col("n.price_cents").alias("new_price_cents"),
-        )
-        .filter(F.col("status") != "unchanged")
-    )
-
-
-@register(
-    "s12_ann_ivfpq_adc",
-    _sim.topk_ivfpq_adc_sql("embeddings", "vec_id % 50 = 0", k=5),
-)
-def s12_ann_ivfpq_adc(spark, sf_dir):
-    """IVF-PQ with asymmetric-distance scoring
-    (ext/similarity.py:topk_ivfpq_adc) — the product-quantization serving
-    shape: four 16-dim subspace codebooks trained by the deterministic
-    Lloyd procedure, the corpus stored as 4 codes per vector (64x memory
-    reduction), queries building a 4x16 distance LUT once and scoring
-    every cell-probed candidate with 4 array lookups instead of a 64-dim
-    fold. Completes the ANN family: s1 exact, s2/s6 coarse-only,
-    s4/s8 int8, s10 random projection, s12 PQ — the quantization
-    ladder a 100 TB vector corpus actually descends. Training, encoding,
-    LUT, probe, and ranking are all deterministic, so the identical
-    procedure in SQL is the oracle."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    return _sim.topk_ivfpq_adc(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
-
-
-# ---------------------------------------------------------------------------
-# T17: the Lambda capstone — speed-layer replay CONVERGES to batch recompute
-# ---------------------------------------------------------------------------
-
-
-#: shared by t17 (Option A: foreachBatch keyed merge) and t21 (Option B:
-#: stream-stream full-outer join) — one batch-recompute truth, two speed-
-#: layer physical strategies proving the same Lambda invariant
-_LAMBDA_VIEW_ORACLE = f"""
-    WITH ev AS (
-      SELECT CAST(ts AS DATE) AS event_date, ts, event_type,
-             CAST(value AS DECIMAL(18,2)) AS price,
-             CAST(props->>'k' AS BIGINT) AS k
-      FROM events
-    ), stock AS (
-      SELECT event_date,
-             arg_min(price, ts) AS open_v,
-             max(price) AS high_v,
-             min(price) AS low_v,
-             arg_max(price, ts) AS close_v,
-             count(*) AS n_trades,
-             CAST(sum(price) AS DECIMAL(18,2)) AS turnover
-      FROM ev WHERE event_type = 'purchase' GROUP BY 1
-    ), senti AS (
-      SELECT event_date AS news_date,
-             count(*) AS nbr_article,
-             CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(*) AS avg_score
-      FROM ev WHERE event_type <> 'purchase' GROUP BY 1
-    )
-    SELECT s.event_date,
-           CAST(s.open_v AS DOUBLE) AS open_v,
-           CAST(s.high_v AS DOUBLE) AS high_v,
-           CAST(s.low_v AS DOUBLE) AS low_v,
-           CAST(s.close_v AS DOUBLE) AS close_v,
-           s.n_trades,
-           CAST(s.turnover AS DOUBLE) AS turnover,
-           n.nbr_article, n.avg_score
-    FROM stock s JOIN senti n ON s.event_date = n.news_date
-    WHERE s.event_date <> DATE '{DEFAULT_AS_OF}'
-    """
-
-
-@register("t17_lambda_convergence", _LAMBDA_VIEW_ORACLE, lazy_replay=True)
-def t17_lambda_convergence(spark, sf_dir):
-    """THE Lambda-architecture invariant, proven end to end: replaying the
-    full event history through the REAL speed-layer path — two streaming
-    writers racing column-halves into one keyed view — yields, for closed
-    days, rows VALUE-IDENTICAL to the batch layer's one-shot recompute
-    (``flagship_batch_view``); the oracle is the batch SQL itself.
-
-    The reference merely hopes this holds: its speed layer upserts ES docs
-    with painless scripts (yfConsumerStream.py:57-87 sets the stock half
-    from the newest row; twitterConsumerStream.py:94-107 folds a pairwise
-    sentiment mean) and its batch layer overwrites the same index daily
-    (batchPipeline.py:163-167) — but overwrite-newest loses high/low/
-    turnover across micro-batches and the pairwise mean is order-biased,
-    so its speed view NEVER exactly equals its batch view. Re-expressed
-    with mergeable state (OHLC partial state combined by
-    ``merge_ohlc_states``; sentiment as (sum, count) via
-    ``merge_incremental_mean``) the convergence is exact by construction,
-    and this entry makes it a driver-checked fact.
-
-    Mechanics: the events fixture is replayed as 3 micro-batches per
-    stream (``maxFilesPerTrigger=1``; chunks split by event_id range, so
-    days straddle batch boundaries and the merges genuinely combine
-    partial days). Each stream is a ``foreachBatch`` sink with its own
-    checkpoint; per-writer batch-id watermarks make replays idempotent
-    (tests restart mid-replay from the checkpoint). Scale shape: each
-    merge is a full-outer join pruned to the partitions (days) the batch
-    touched — O(touched), never O(view) — and state per key is constant-
-    width, so a year of 100 TB replay costs the same per batch as day one."""
-    import os as _os
-    import uuid
-
-    from ..schemas import EVENT_PROPS
-    from ..streaming.ingest import events_stream
-    from ..streaming.upsert import KeyedParquetView, daily_ohlc_state
-
-    prepare(spark)
-    # fresh per-call view+checkpoints under the swept/atexit-cleaned root:
-    # a second in-session call must start from an empty view, not replay-
-    # skip into the previous call's state
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, uuid.uuid4().hex[:8])
-    view = KeyedParquetView(spark, _os.path.join(root, "speed_view"), ["event_date"])
-
-    stock_stream = events_stream(spark, sf_dir, n_chunks=3).filter(
-        F.col("event_type") == "purchase"
-    )
-
-    def stock_sink(batch_df, batch_id):
-        view.merge_daily_ohlc(
-            daily_ohlc_state(batch_df), batch_id=batch_id, writer="stock"
-        )
-
-    q = (
-        stock_stream.writeStream.foreachBatch(stock_sink)
-        .option("checkpointLocation", _os.path.join(root, "ckpt_stock"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    news_stream = (
-        events_stream(spark, sf_dir, n_chunks=3)
-        .filter(F.col("event_type") != "purchase")
-        .withColumn("k", F.from_json(F.col("props").cast("string"), EVENT_PROPS)["k"])
-    )
-
-    def news_sink(batch_df, batch_id):
-        state = batch_df.groupBy(F.to_date("ts").alias("event_date")).agg(
-            F.sum("k").cast("bigint").alias("sum_score"),
-            F.count(F.lit(1)).alias("nbr_article"),
-        )
-        view.merge_incremental_mean(
-            state,
-            sum_col="sum_score",
-            cnt_col="nbr_article",
-            mean_col="avg_score",
-            batch_id=batch_id,
-            writer="news",
-        )
-
-    q = (
-        news_stream.writeStream.foreachBatch(news_sink)
-        .option("checkpointLocation", _os.path.join(root, "ckpt_news"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    speed = view.read()
-    # a one-sided feed (a corpus with only trades, or only news) leaves the
-    # view missing the other half's columns entirely — not just NULL: no
-    # version ever wrote them (r10 fuzz catch on generated events). The
-    # reconciliation's both-halves-present filter then needs the columns to
-    # EXIST; materialize the absent half as typed NULLs so the filter
-    # yields the oracle's empty result instead of failing analysis.
-    _halves = {
-        "open_v": DEC, "high_v": DEC, "low_v": DEC, "close_v": DEC,
-        "n_trades": "bigint", "turnover": DEC,
-        "sum_score": "bigint", "nbr_article": "bigint", "avg_score": "double",
-    }
-    if speed is None:
-        speed = spark.createDataFrame(
-            [], "event_date date, " + ", ".join(f"{c} {t}" for c, t in _halves.items())
-        )
-    for _c, _t in _halves.items():
-        if _c not in speed.columns:
-            speed = speed.withColumn(_c, F.lit(None).cast(_t))
-    return dec2dbl(
-        speed.filter(
-            (F.col("event_date") != F.to_date(F.lit(DEFAULT_AS_OF)))
-            & F.col("n_trades").isNotNull()
-            & F.col("nbr_article").isNotNull()
-        ).select(
-            "event_date",
-            "open_v",
-            "high_v",
-            "low_v",
-            "close_v",
-            "n_trades",
-            "turnover",
-            F.col("nbr_article").cast("bigint").alias("nbr_article"),
-            "avg_score",
-        )
-    )
-
-
-@register("t21_speed_view_stream_join", _LAMBDA_VIEW_ORACLE, lazy_replay=True)
-def t21_speed_view_stream_join(spark, sf_dir):
-    """J2 "Option B" (SURVEY §2.4): the speed-view merge as a WATERMARKED
-    STREAM-STREAM FULL-OUTER JOIN — the surveyed alternative to t17's
-    foreachBatch keyed merge, demonstrated on the same fixture replay
-    and proven against the SAME batch-recompute oracle. The reference's
-    two consumers (Speed_layer/yfConsumerStream.py:57-87,
-    twitterConsumerStream.py:94-127) race column-halves into one ES doc
-    per date — a full-outer join materialized in the sink; here the
-    join happens IN the engine: each leg reduces to a per-day STATE
-    stream (one windowed agg each — compact, deterministic), and the
-    full-outer join on the watermarked day key assembles the view,
-    evicting state and emitting NULL-padded singles as the watermark
-    closes days (streaming/join.py has the full design rationale,
-    including the measured Spark 4.1 replay nondeterminism of the
-    single-query agg->join chain and the quadratic hazard of the
-    raw-granularity join — the reasons Option A remains the production
-    path). Closed-day equivalence: identical output columns to t17,
-    same oracle, value-hash-exact. Scale shape: join state is O(open
-    days), the raw firehose never crosses a join boundary, and each
-    stage is an independently checkpointed exactly-once query."""
-    import os as _os
-    import uuid
-
-    from ..streaming.join import lambda_speed_view_option_b
-
-    prepare(spark)
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "t21_" + uuid.uuid4().hex[:8])
-    view = lambda_speed_view_option_b(spark, sf_dir, root)
-    return dec2dbl(
-        view.filter(
-            (F.col("event_date") != F.to_date(F.lit(DEFAULT_AS_OF)))
-            & F.col("n_trades").isNotNull()
-            & F.col("nbr_article").isNotNull()
-        ).select(
-            "event_date",
-            "open_v",
-            "high_v",
-            "low_v",
-            "close_v",
-            "n_trades",
-            "turnover",
-            F.col("nbr_article").cast("bigint").alias("nbr_article"),
-            (F.col("sum_score").cast("double") / F.col("nbr_article")).alias(
-                "avg_score"
-            ),
-        )
-    )
-
-
-@register(
-    "g11_components_bucketed",
-    _dd.cluster_pairs_sql(
-        _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)
-    ),
-)
-def g11_components_bucketed(spark, sf_dir):
-    """d7's connected components over the SAME minhash-LSH pair graph and
-    oracle, but with the symmetrized edge table written once bucketed on
-    dst (ext/dedup.py:cluster_pairs_bucketed; count sized by
-    :func:`bucket_count`) — label
-    propagation is exactly the shape that hit g10's EnsureRequirements
-    bucket-forfeit hazard (a big table joined to a node-sized vector
-    every round), so the fix is demonstrated on it: the label vector is
-    co-partitioned to the bucket count each round and the plan test
-    asserts NO exchange is ever keyed on dst — the edge table never
-    re-shuffles across the propagation rounds. Byte-identical output to
-    d7; two physical strategies, one oracle.
-
-    Measured honesty (sf1, local[32], median of 3): d7 7.3s vs g11 9.1s
-    END TO END — at fixture scale the near-dup pair graph is tiny, so
-    the one-time durable bucketed write costs more than the rounds save
-    (d7's localCheckpoint keeps edges in memory). The entry's deliverable
-    is the PLAN shape: at corpus scale the pair graph is the big object
-    (one row per near-dup pair, both directions), the write is amortized
-    across every propagation/dedup run on it, and the invariant that the
-    edge table never moves again is what survives 100 TB — same
-    persisted-vs-bucketed tradeoff g8/g9 measure on triangles."""
-    import os as _os
-
-    pairs = _dd.minhash_lsh_pairs(
-        tbl(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
-    )
-    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
-    return _dd.cluster_pairs_bucketed(
-        spark,
-        pairs,
-        f"g11_bkt_edges_{tag}",
-        _os.path.join(scratch, "cc_edges"),
-        # sized by source volume + aligned to the shuffle budget (r7 judge
-        # item: hardcoded 8 capped local[32] at sf1; see bucket_count)
-        n_buckets=bucket_count(spark, sf_dir, "documents"),
-    )
-
-
-@register(
-    "d10_simhash_bucketed",
-    _dd.simhash_pairs_sql("documents", "doc_id", "text", max_hamming=3),
-)
-def d10_simhash_bucketed(spark, sf_dir):
-    """d3's simhash near-dup pass with the banded sketch table written
-    once bucketed on (band, byte) (ext/dedup.py:simhash_pairs_bucketed;
-    count sized by :func:`bucket_count`) — the heaviest non-graph sf1
-    entry gets the j8/g9 layout treatment. The band self-join then reads
-    both sides bucket-aligned with zero exchange (plan-pinned).
-
-    Measured honesty (amended r8 — the driver did not reproduce an
-    earlier locally-observed end-to-end win): END TO END at sf1 this is
-    PARITY-to-slightly-behind d3 (BENCH_r07 driver: 4.10s vs 3.98s; r8
-    local median-of-3: 4.17s vs 3.36s) because the entry re-pays the
-    durable bucketed write every run. The phase split shows where the
-    layout actually wins: write 1.69s + probe 1.36s — the PROBE alone is
-    2.4x faster than d3 end to end. Production shape is d6's: the corpus
-    sketch table is written once and probed by every incremental batch,
-    so the amortized cost IS the probe. Shares d3's oracle:
-    byte-identical pairs, two physical strategies."""
-    import os as _os
-
-    tag, scratch = scratch_dir("spark_graft_bucketed", sf_dir)
-    return _dd.simhash_pairs_bucketed(
-        spark,
-        tbl(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        max_hamming=3,
-        table_name=f"d10_bkt_bands_{tag}",
-        path=_os.path.join(scratch, "sim_bands"),
-        # sized by source volume + aligned to the shuffle budget (r7 judge
-        # item: hardcoded 8 capped local[32] at sf1; see bucket_count)
-        n_buckets=bucket_count(spark, sf_dir, "documents"),
-    )
-
-
-_SCD2_ORACLE_SQL = """
-    SELECT o_custkey AS custkey,
-           CAST(row_number() OVER w AS BIGINT) AS version,
-           o_orderpriority AS priority,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
-           CAST(o_orderdate AS DATE) AS valid_from,
-           CAST(lead(CAST(o_orderdate AS DATE)) OVER w AS DATE) AS valid_to,
-           CASE WHEN lead(o_orderkey) OVER w IS NULL THEN 1 ELSE 0 END
-             AS is_current
-    FROM orders
-    WHERE o_custkey % 20 = 0
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """
-
-
-def _scd2_rows(changes: DataFrame, extra_cols: tuple = ()) -> DataFrame:
-    """SCD2 build from a change set (custkey, o_orderkey, o_orderdate,
-    priority, price_cents): one keyed window, shared by the batch entry
-    (u5) and the streaming maintenance entry (t18) so both hit the same
-    oracle. ``extra_cols`` pass through untouched (t18 keeps the raw
-    change columns in the view so touched keys can be re-versioned)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
-    return changes.select(
-        "custkey",
-        *extra_cols,
-        F.row_number().over(w).cast("bigint").alias("version"),
-        "priority",
-        "price_cents",
-        F.col("o_orderdate").cast("date").alias("valid_from"),
-        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("valid_to"),
-        F.when(F.lead("o_orderkey").over(w).isNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("is_current"),
-    )
-
-
-@register("u5_scd2_dimension", _SCD2_ORACLE_SQL)
-def u5_scd2_dimension(spark, sf_dir):
-    """Slowly-changing-dimension TYPE 2 build — the lakehouse op that turns
-    an append-only change stream into a versioned dimension with validity
-    intervals: per key, each change opens a version (valid_from = its
-    date) and closes the previous one (valid_to = the next change's
-    date); the last version per key is current. The reference's
-    append-only ES masters (news_master, twitterConsumer.py:61) keep
-    only the latest doc per id — point-in-time queries ('what did this
-    dimension say when the model trained?') need exactly this structure,
-    and training-data reproducibility at 100 TB is its core use.
-
-    Spark shape: one hash shuffle on the key + per-partition sort
-    (row_number + lead over the same window — Catalyst plans a single
-    Window operator, one sort), output linear in changes. Skew bound =
-    max changes per key; a key hot enough to matter gets the j5 salting
-    treatment upstream. The (date, orderkey) ordering carries a unique
-    tiebreaker so same-day changes version deterministically."""
-    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
-    changes = o.select(
-        F.col("o_custkey").alias("custkey"),
-        "o_orderkey",
-        "o_orderdate",
-        F.col("o_orderpriority").alias("priority"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
-    )
-    return _scd2_rows(changes)
-
-
-@register(
-    "g12_bfs_distances",
-    """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-    ), edges AS MATERIALIZED (
-      SELECT s AS src, p + 1000000 AS dst FROM pairs
-      UNION ALL
-      SELECT p + 1000000 AS src, s AS dst FROM pairs
-    ), r0 AS MATERIALIZED (
-      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
-      FROM edges WHERE src <= 5
-    ), i1 AS MATERIALIZED (
-      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
-        SELECT node, dist FROM r0
-        UNION ALL
-        SELECT e.dst AS node, r.dist + 1 AS dist
-        FROM edges e JOIN r0 r ON e.src = r.node
-      ) GROUP BY node
-    ), i2 AS MATERIALIZED (
-      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
-        SELECT node, dist FROM i1
-        UNION ALL
-        SELECT e.dst AS node, r.dist + 1 AS dist
-        FROM edges e JOIN i1 r ON e.src = r.node
-      ) GROUP BY node
-    ), i3 AS MATERIALIZED (
-      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
-        SELECT node, dist FROM i2
-        UNION ALL
-        SELECT e.dst AS node, r.dist + 1 AS dist
-        FROM edges e JOIN i2 r ON e.src = r.node
-      ) GROUP BY node
-    )
-    SELECT node, dist FROM i3
-    """,
-)
-def g12_bfs_distances(spark, sf_dir):
-    """Multi-source BFS (3 rounds) over the supplier<->part co-occurrence
-    graph: hop distance from the seed suppliers {1..5} — the
-    shortest-path / reachability member of the graph family (g7/g10
-    rank, g8/g9 triangles, g11 components). Distances are small
-    integers, so cross-engine equality is exact.
-
-    Implemented FRONTIER-based — the formulation that survives scale:
-    each round joins the edge table to only the nodes FIRST REACHED last
-    round (not the whole distance table), dedups the reached set, and
-    anti-joins out already-settled nodes. Work per round is O(edges
-    incident to the frontier), the textbook BFS bound; the naive
-    min-relaxation (the oracle's spelling — fine at oracle scale) grows
-    each round's join input to the full reachable set. Same edge-join-
-    on-src shape as g10, so the bucketed layout applies when the graph
-    is resident; the oracle's unrolled min-relaxation is provably equal
-    to frontier BFS for distances <= the round budget."""
-    li = tbl(spark, sf_dir, "lineitem")
-    edges, _deg = _pagerank_edges(li)
-    ed = edges.persist()  # cache: caller-owns
-    seeds = (
-        ed.filter(F.col("src") <= 5)
-        .select(F.col("src").alias("node"))
-        .distinct()
-    )
-    dist = seeds.withColumn("dist", F.lit(0).cast("bigint"))
-    frontier = seeds
-    for k in range(1, 4):
-        reached = (
-            ed.join(frontier, ed.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        new_frontier = reached.join(dist.select("node"), "node", "left_anti")
-        dist = dist.unionByName(
-            new_frontier.withColumn("dist", F.lit(k).cast("bigint"))
-        )
-        frontier = new_frontier
-    return dist
-
-
-_SENT_MARK = "\x01"
-
-
-@register(
-    "x29_sentence_split",
-    f"""
-    WITH p AS (
-      SELECT doc_id,
-             regexp_replace(text, '([a-z]+[hw])(\\s+)', '\\1.\\2', 'g') AS text
-      FROM documents
-    ), d AS (
-      SELECT doc_id,
-             string_split(
-               regexp_replace(text, '([.!?])\\s+', '\\1{_SENT_MARK}', 'g'),
-               chr(1)
-             ) AS l
-      FROM p
-    ), s AS (
-      SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM d
-    )
-    SELECT doc_id,
-           CAST(i - 1 AS INT) AS sent_idx,
-           l[i] AS sentence,
-           CAST(length(l[i]) AS INT) AS n_chars,
-           CAST(len(string_split_regex(trim(l[i]), '\\s+')) AS INT) AS n_words
-    FROM s
-    WHERE length(l[i]) > 0
-    """,
-)
-def x29_sentence_split(spark, sf_dir):
-    """Sentence segmentation for RAG / curriculum pipelines: split each
-    document at terminal punctuation followed by whitespace, keeping the
-    punctuation with its sentence and emitting per-sentence ordinals and
-    width stats. Complements x28's fixed word windows (chunking) — the
-    boundary-aware unit an encoder pipeline packs from.
-
-    Portability note: the natural spelling is a lookbehind split
-    (``(?<=[.!?])\\s+``), but DuckDB's RE2 has no lookbehind — so both
-    engines instead REPLACE the boundary with a sentinel control char
-    (backreference keeps the punctuation) and split on the sentinel:
-    identical semantics, engine-portable, and still one narrow
-    generate-free projection chain in Spark (regexp_replace + split +
-    posexplode, no shuffle, no Python).
-
-    Fixture accommodation (disclosed): the synthetic corpus carries no
-    punctuation at all, so sentence boundaries are first SYNTHESIZED
-    deterministically from word suffixes (a period after words ending
-    in h/w — ~1 in 6 of the fixture vocabulary, giving realistic
-    multi-sentence documents on both engines); the splitter itself is
-    the general terminal-punctuation rule and runs unchanged on real
-    text."""
-    punct = F.regexp_replace(F.col("text"), r"([a-z]+[hw])(\s+)", "$1.$2")
-    marked = F.regexp_replace(punct, r"([.!?])\s+", "$1" + _SENT_MARK)
-    d = tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.split(marked, _SENT_MARK).alias("l")
-    )
-    s = d.select("doc_id", F.posexplode("l").alias("sent_idx", "sentence"))
-    return s.filter(F.length("sentence") > 0).select(
-        "doc_id",
-        F.col("sent_idx").cast("int").alias("sent_idx"),
-        "sentence",
-        F.length("sentence").cast("int").alias("n_chars"),
-        F.size(F.split(F.trim(F.col("sentence")), r"\s+")).cast("int").alias("n_words"),
-    )
-
-
-@register(
-    "d11_lsh_recall",
-    _dd.lsh_recall_sql(
-        "(SELECT * FROM documents WHERE doc_id % 4 = 0) sub",
-        "doc_id",
-        "text",
-        threshold=0.5,
-    ),
-)
-def d11_lsh_recall(spark, sf_dir):
-    """Candidate-recall harness for minhash-LSH dedup
-    (ext/dedup.py:lsh_recall) — the dedup mirror of the ANN recall
-    harnesses s5/s7: brute-force all-pairs exact shingle Jaccard on a
-    bounded subset is the truth, the d2 banded pipeline is the
-    prediction, and the one-row integer output (n_true, n_lsh, n_missed)
-    IS the recall measurement. The all-pairs truth is quadratic BY
-    DESIGN (the yardstick contract of s1 — subset-bounded, and excluded
-    from sf1 sweeps with the other quadratic yardsticks s1/s5/s7/d4/d5:
-    measured, the sf1 subset's 780k-pair truth side exceeds 10 minutes
-    in the oracle engine); production recall audits run it on a sampled
-    stratum exactly like this."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    return _dd.lsh_recall(docs, "doc_id", "text", threshold=0.5)
-
-
-@register(
-    "u6_pit_dimension_join",
-    """
-    WITH dim AS MATERIALIZED (
-      SELECT o_custkey AS custkey,
-             CAST(o_orderdate AS DATE) AS d,
-             CAST(max(row_number) AS BIGINT) AS version,
-             arg_max(o_orderpriority, row_number) AS priority
-      FROM (
-        SELECT o_custkey, o_orderdate, o_orderpriority,
-               row_number() OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ) AS row_number
-        FROM orders WHERE o_custkey % 20 = 0
-      )
-      GROUP BY 1, 2
-    ), facts AS MATERIALIZED (
-      SELECT o.o_custkey AS custkey,
-             l.l_orderkey, l.l_linenumber,
-             CAST(l.l_shipdate AS DATE) AS d
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE o.o_custkey % 20 = 0
-    )
-    SELECT f.custkey, f.l_orderkey, f.l_linenumber, f.d AS ship_date,
-           dim.version, dim.priority
-    FROM facts f ASOF JOIN dim
-      ON f.custkey = dim.custkey AND f.d >= dim.d
-    """,
-)
-def u6_pit_dimension_join(spark, sf_dir):
-    """POINT-IN-TIME join against the u5 SCD2 dimension — the feature-store
-    correctness op: every fact row (a lineitem shipment) is joined to the
-    dimension version that was CURRENT at its own timestamp, never a later
-    one (no training-data leakage from the future). The reference's
-    latest-doc ES masters cannot answer this at all; with u5's validity
-    intervals it is an as-of join (j3's union-sort operator — ONE shuffle
-    on the key + a per-key sort, no range join, no per-key collect).
-
-    The dimension is first reduced to its END-OF-DAY version per
-    (key, date) (max version per day — same-day changes collapse to the
-    day's final state), which makes the as-of pick deterministic: validity
-    intervals partition the timeline, so 'latest valid_from <= ts' is
-    exactly interval membership. Facts shipping before the first version
-    drop (inner PIT semantics). Oracle: DuckDB's native ASOF JOIN."""
-    from pyspark.sql import Window
-
-    from ..operators.asof import asof_join
-
-    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    versions = o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderdate").cast("date").alias("d"),
-        F.row_number().over(w).cast("bigint").alias("version"),
-        F.col("o_orderpriority").alias("priority"),
-    )
-    packed = F.struct("version", "priority")
-    dim = versions.groupBy("custkey", "d").agg(
-        F.max_by(packed, F.col("version")).alias("s")
-    ).select("custkey", "d", F.col("s.version").alias("version"), F.col("s.priority").alias("priority"))
-
-    li = tbl(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("d")
-    )
-    facts = li.join(
-        o.select(F.col("o_orderkey").alias("l_orderkey"), F.col("o_custkey").alias("custkey")),
-        "l_orderkey",
-    ).select("custkey", "l_orderkey", "l_linenumber", "d")
-    joined = asof_join(facts, dim, ["custkey"], "d", ["version", "priority"])
-    return joined.filter(F.col("version").isNotNull()).select(
-        "custkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.col("d").alias("ship_date"),
-        "version",
-        "priority",
-    )
-
-
-@register(
-    "w8_funnel_steps",
-    """
-    WITH v AS MATERIALIZED (
-      SELECT user_id, min(ts) AS t_view FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ), c AS MATERIALIZED (
-      SELECT e.user_id, min(e.ts) AS t_click
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click'
-        AND e.ts >= v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
-      GROUP BY e.user_id
-    ), p AS MATERIALIZED (
-      SELECT e.user_id, min(e.ts) AS t_purchase
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase'
-        AND e.ts >= c.t_click AND e.ts <= c.t_click + INTERVAL 7 DAY
-      GROUP BY e.user_id
-    )
-    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
-           CAST(1 + (c.user_id IS NOT NULL)::INT
-                  + (p.user_id IS NOT NULL)::INT AS INT) AS step
-    FROM v LEFT JOIN c ON v.user_id = c.user_id
-           LEFT JOIN p ON v.user_id = p.user_id
-    """,
-)
-def w8_funnel_steps(spark, sf_dir):
-    """Ordered event-funnel analysis: per user, the first ``view``, the
-    first ``click`` within 7 days AFTER that view, and the first
-    ``purchase`` within 7 days after that click — plus the funnel step
-    reached (1-3). The sequencing constraint (each stage strictly at or
-    after the previous stage's chosen event) is what separates a funnel
-    from three independent mins, and is the standard product-analytics /
-    conversion query.
-
-    Spark shape: one keyed min-aggregate per stage plus an equi-join
-    back on user_id — every stage is map-side combinable and all joins
-    and aggregates share the user_id key, so at scale one
-    repartition(user_id) co-locates the whole funnel (no window sort
-    needed; stage count is the only plan-depth factor). Timestamps
-    compare at microsecond precision identically in both engines."""
-    ev = tbl(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") >= F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") >= F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            "t_view",
-            "t_click",
-            "t_purchase",
-            (
-                F.lit(1)
-                + F.col("t_click").isNotNull().cast("int")
-                + F.col("t_purchase").isNotNull().cast("int")
-            ).cast("int").alias("step"),
-        )
-    )
-
-
-@register(
-    "s13_mips_topk",
-    _sim.topk_mips_sql("embeddings", "vec_id % 50 = 0", k=5),
-)
-def s13_mips_topk(spark, sf_dir):
-    """Maximum-inner-product top-k (ext/similarity.py:topk_mips) — the
-    missing retrieval objective in the ANN ladder: s1/s2/s6/s12 rank by
-    cosine, which is WRONG for un-normalized embeddings where the answer
-    is argmax dot. Sign-bit cell probe with raw sequential-fold dot
-    scoring; the docstring carries the norm-augmentation reduction that
-    lets the cosine index family serve MIPS at build scale."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    return _sim.topk_mips(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
-
-
-@register(
-    "p12_partitioned_pruned_scan",
-    """
-    SELECT event_id, user_id, event_type, value,
-           CAST(ts AS DATE) AS event_date
-    FROM events
-    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
-    """,
-)
-def p12_partitioned_pruned_scan(spark, sf_dir):
-    """Hive-style date-partitioned lake layout + partition-PRUNED read:
-    the events feed is staged ``partitionBy(event_date)`` (the resting
-    layout of every time-series lake table — the reference's ES indexes
-    route by Date the same way) and read back through a date-range
-    filter that Catalyst resolves at PLANNING time against the
-    directory structure: the scan's ``PartitionFilters`` eliminate
-    whole directories, so a 3-day query over a year-long 100 TB table
-    opens ~3/365ths of the files — no footer, no row group, no byte of
-    the rest is touched (vs f2's row-group pruning, which still lists
-    and opens files). The oracle reads the ORIGINAL table with the same
-    predicate, proving the partitioned hop lossless. Plan test asserts
-    the pruning actually happened."""
-    import os as _os
-
-    ev = tbl(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        F.to_date("ts").alias("event_date"),
-    )
-    # per-process scratch: swept + atexit-removed (see scratch_dir)
-    _tag, scratch = scratch_dir("spark_graft_part", sf_dir)
-    path = _os.path.join(scratch, "events_by_date")
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
-    back = spark.read.parquet(path)
-    return back.filter(
-        F.col("event_date").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
-    ).select("event_id", "user_id", "event_type", "value", "event_date")
-
-
-@register(
-    "w9_ewma",
-    """
-    WITH ordered AS (
-      SELECT user_id,
-             list(value ORDER BY ts, event_id) AS vals
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id,
-           CAST(len(vals) AS BIGINT) AS n,
-           list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
-    FROM ordered
-    """,
-)
-def w9_ewma(spark, sf_dir):
-    """Per-key exponentially-weighted moving average (alpha = 0.25) over
-    the event-time-ordered value stream — the time-series smoother the
-    reference's pairwise mean accidentally approximates (a4's bug-compat
-    fold IS an EWMA with alpha = 1/2); here it is the deliberate,
-    parameterized operator. The recurrence is order-dependent, so per-key
-    values are materialized in one row (sort_array'd collect, the a4
-    pattern) and folded sequentially; 0.25/0.75 are exact binary
-    fractions and every step is one IEEE multiply-add chain, so both
-    engines produce bit-identical doubles. The fold seeds with the FIRST
-    value (DuckDB list_reduce semantics, mirrored via slice+element_at),
-    not 0 — an EWMA from zero underestimates every key's head. Same
-    scale contract as a4: a hot key is O(key width) in one row; for
-    unbounded streams use the t6 stateful running form instead."""
-    ev = tbl(spark, sf_dir, "events")
-    packed = F.array_sort(
-        F.collect_list(
-            F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v"))
-        )
-    )
-    grouped = ev.groupBy("user_id").agg(packed.alias("p"))
-    vals = F.transform(F.col("p"), lambda s: s["v"])
-    return grouped.select(
-        "user_id",
-        F.size("p").cast("bigint").alias("n"),
-        F.aggregate(
-            F.slice(vals, 2, F.greatest(F.size("p") - 1, F.lit(0))),
-            F.element_at(vals, 1),
-            lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
-        ).alias("ewma"),
-    )
-
-
-@register("t18_stream_scd2", _SCD2_ORACLE_SQL, lazy_replay=True)
-def t18_stream_scd2(spark, sf_dir):
-    """STREAMING maintenance of the u5 SCD2 dimension, converging exactly
-    to the batch build (same oracle — the t17 convergence pattern applied
-    to dimension versioning): order changes arrive in 3 micro-batches
-    split by orderkey range (so a later batch routinely carries an
-    EARLIER-dated change — the case that breaks append-only versioning),
-    and each batch re-versions ONLY the touched keys: semi-join the
-    current view to the batch's keys, union their raw change history with
-    the new changes, dedup by change id (replay-safe), recompute
-    row_number/lead per key, and pass every co-partitioned untouched
-    key's rows through unchanged. Late-arriving changes thus rewrite
-    exactly the affected keys' version chains in place.
-
-    Scale shape: per batch the work is O(touched keys' history), not
-    O(dimension) — partition pruning (16 hash partitions of the key)
-    bounds what is read and rewritten, and the recompute window sorts
-    only the touched keys' rows. The view keeps the raw change columns
-    alongside the serving columns precisely so this re-versioning never
-    needs the source table."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
-    changes = o.select(
-        F.col("o_custkey").alias("custkey"),
-        "o_orderkey",
-        "o_orderdate",
-        F.col("o_orderpriority").alias("priority"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "scd2_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "changes")
-    changes.repartitionByRange(3, "o_orderkey").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(spark, _os.path.join(root, "dim"), ["custkey"], partition_by="pb")
-
-    RAW = ["custkey", "o_orderkey", "o_orderdate", "priority", "price_cents", "pb"]
-
-    def fn(cur, b):
-        if cur is None:
-            return _scd2_rows(b, extra_cols=("o_orderkey", "o_orderdate", "pb"))
-        bkeys = b.select("custkey").distinct()
-        passthrough = cur.join(bkeys, "custkey", "left_anti")
-        hist = cur.join(bkeys, "custkey", "semi").select(*RAW)
-        merged = hist.unionByName(b.select(*RAW)).dropDuplicates(["o_orderkey"])
-        rebuilt = _scd2_rows(merged, extra_cols=("o_orderkey", "o_orderdate", "pb"))
-        return rebuilt.unionByName(passthrough.select(*rebuilt.columns))
-
-    def sink(batch_df, batch_id):
-        b = batch_df.withColumn("pb", F.pmod(F.col("custkey"), F.lit(16)))
-        view.merge_custom(b, fn, batch_id=batch_id, writer="scd2")
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    dim = view.read()
-    if dim is None:
-        # no order matched the tracked-customer predicate (possible on a
-        # tiny generated corpus): the dimension is empty, as is the oracle
-        return spark.createDataFrame(
-            [],
-            "custkey bigint, version bigint, priority string, "
-            "price_cents bigint, valid_from date, valid_to date, "
-            "is_current int",
-        )
-    return dim.select(
-        "custkey",
-        "version",
-        "priority",
-        "price_cents",
-        "valid_from",
-        "valid_to",
-        "is_current",
-    )
-
-
-@register(
-    "s14_filtered_ann",
-    f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_emb,
-             {_sim.ivf_cell_sql('embedding')} AS cell
-      FROM embeddings WHERE vec_id % 50 = 0
-    ), c AS (
-      SELECT vec_id AS neighbor_id, embedding AS c_emb,
-             {_sim.ivf_cell_sql('embedding')} AS cell
-      FROM embeddings WHERE label = 3
-    ), scored AS (
-      SELECT q.query_id, c.neighbor_id, {_sim.cosine_sql('q.q_emb', 'c.c_emb')} AS score
-      FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
-    ), ranked AS (
-      SELECT query_id, neighbor_id, score,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
-    FROM ranked WHERE rank <= 5
-    """,
-)
-def s14_filtered_ann(spark, sf_dir):
-    """FILTERED vector search — top-k among only the vectors matching a
-    metadata predicate (here ``label = 3``), the shape every production
-    vector store serves ('nearest English docs', 'nearest in-tenant
-    vectors'). The filter is applied to the corpus BEFORE the cell probe
-    (pre-filtering): candidates are label-3 vectors in the query's cell,
-    so k survivors are k MATCHING survivors — post-filtering (rank first,
-    filter after) silently returns fewer than k whenever the filter is
-    selective, the classic filtered-ANN recall bug. Pre-filtering also
-    prunes the probe input: at 100 TB a selective predicate (pushed to
-    the parquet scan — label is a plain column) shrinks the join's corpus
-    side by the filter's selectivity before any distance math runs."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    return _sim.topk_ivf(
-        emb.filter(F.col("label") == 3), emb.filter(F.col("vec_id") % 50 == 0), k=5
-    )
-
-
-@register(
-    "x30_pmi_collocations",
-    _tx.pmi_collocations_sql("documents", "text", k=50, min_count=5),
-)
-def x30_pmi_collocations(spark, sf_dir):
-    """Top-50 collocations by integer-quantized PMI
-    (ext/text.py:pmi_collocations) — association strength, not raw
-    frequency (x19): pairs that co-occur far beyond their unigram rates,
-    the multiword-expression primer. log2 floor-quantized via the x26
-    length(bin(x)) trick so no transcendental reaches an output column."""
-    return _tx.pmi_collocations(tbl(spark, sf_dir, "documents"), "text", k=50, min_count=5)
-
-
-@register(
-    "t19_time_travel",
-    """
-    SELECT CAST(ts AS DATE) AS event_date,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events
-    WHERE day(CAST(ts AS DATE)) <= 15
-    GROUP BY 1
-    """,
-    lazy_replay=True,
-)
-def t19_time_travel(spark, sf_dir):
-    """Snapshot isolation / TIME TRAVEL on the keyed view
-    (streaming/upsert.py:KeyedParquetView.read_at): merge 1 writes the
-    first half-month's daily counts; merge 2 REVISES the overlapping days
-    (x2) and appends the rest of the month; ``read_at(1)`` must return
-    exactly the pre-revision merge-1 state — each partition resolved to
-    its newest version dir <= the requested version, the Delta/Iceberg
-    `VERSION AS OF` contract (same retention caveat: vacuum() removes
-    history). The oracle recomputes merge-1's input from the source
-    table, so the check proves the historical snapshot is bit-faithful,
-    not merely present. Scale: version resolution is manifest-level (one
-    dict scan per partition), reads open only the selected version dirs."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.max("event_id").alias("_ord"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "tt_" + uuid.uuid4().hex[:8])
-    view = KeyedParquetView(spark, root, ["event_date"])
-    m1 = daily.filter(F.dayofmonth("event_date") <= 15)
-    view.merge_overwrite_by_key(m1, "_ord", batch_id=0, writer="tt")
-    m2 = daily.withColumn("n", F.col("n") * 2)  # revises overlap + appends rest
-    view.merge_overwrite_by_key(m2, "_ord", batch_id=1, writer="tt")
-    snap = view.read_at(1)
-    # merge 1 can be legitimately EMPTY (a feed with no first-half-month
-    # days): version 1 then owns zero partitions and read_at returns None —
-    # the snapshot is the empty relation, matching the oracle's merge-1
-    # recompute (r10 fuzz catch on a single-event generated feed; the
-    # t18/u9/t24 empty-view rule applied to time travel)
-    if snap is None:
-        snap = spark.createDataFrame([], "event_date date, n bigint")
-    return snap.select("event_date", "n")
-
-
-@register(
-    "u7_incremental_agg_view",
-    """
-    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
-           o_orderpriority AS priority,
-           CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders
-    GROUP BY 1, 2
-    """,
-)
-def u7_incremental_agg_view(spark, sf_dir):
-    """Incremental MATERIALIZED-VIEW maintenance — the refresh pattern the
-    reference's batch layer lacks (Batch_layer/batchPipeline.py:163-167
-    recomputes the whole batch_view every DAG run): the monthly revenue
-    rollup is stored once over the history (< 2000-01-01), then refreshed
-    by aggregating ONLY the delta (>= 2000-01-01) and merging partials —
-    counts add, DECIMAL sums add — via one full-outer join on the group
-    key. Sum/count are self-maintainable aggregates, so view ⊕ delta is
-    value-identical to the full recompute, which is exactly what the
-    oracle computes over the whole table.
-
-    Scale shape: the refresh reads O(|delta|) fact rows (date predicate
-    pushed to the scan) plus the stored aggregate (|view| ≪ |fact| —
-    group-key cardinality, not row count); the delta agg is map-side
-    combined, and the merge joins two aggregate-sized relations. At
-    100 TB this turns a daily full-history scan into a yesterday-only
-    scan — maintenance cost proportional to churn, the u4 contract
-    applied to aggregation state. AVG/stddev maintain the same way via
-    their sum/count/moment decompositions (a15); MIN/MAX do not survive
-    deletes and need the full recompute path this entry also exercises
-    as its oracle."""
-    import os as _os
-
-    o = tbl(spark, sf_dir, "orders")
-    ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
-    pri = F.col("o_orderpriority").alias("priority")
-
-    def rollup(df):
-        return df.groupBy(ym, pri).agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
-        )
-
-    _tag, scratch = scratch_dir("spark_graft_mv", sf_dir)
-    mv_path = _os.path.join(scratch, "monthly_revenue_mv")
-    # one-time build over the closed history: this is the stored view
-    rollup(o.filter(F.col("o_orderdate") < F.lit("2000-01-01"))).write.mode(
-        "overwrite"
-    ).parquet(mv_path)
-
-    # refresh: aggregate the delta only, merge partials into the view
-    delta = rollup(o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")))
-    stored = spark.read.parquet(mv_path)
-    zero = F.lit(0).cast(stored.schema["total"].dataType)
-    merged = (
-        stored.alias("v")
-        .join(delta.alias("d"), ["ym", "priority"], "full_outer")
-        .select(
-            "ym",
-            "priority",
-            (
-                F.coalesce(F.col("v.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))
-            ).cast("bigint").alias("cnt"),
-            (
-                F.coalesce(F.col("v.total"), zero) + F.coalesce(F.col("d.total"), zero)
-            ).alias("total"),
-        )
-    )
-    return dec2dbl(merged)
-
-
-@register(
-    "w10_retention_cohorts",
-    """
-    WITH firsts AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-      FROM events GROUP BY user_id
-    ), active AS (
-      SELECT DISTINCT e.user_id, f.cohort_day,
-             CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
-                  AS INTEGER) AS week_offset
-      FROM events e JOIN firsts f USING (user_id)
-    )
-    SELECT cohort_day, week_offset, CAST(count(*) AS BIGINT) AS users
-    FROM active GROUP BY 1, 2
-    """,
-)
-def w10_retention_cohorts(spark, sf_dir):
-    """Cohort retention matrix — the product-analytics staple: users are
-    cohorted by their FIRST-seen day, and each cell counts how many of a
-    cohort's users were still active N weeks later. Three map-side-
-    combinable hash aggs and one equi-join: first-seen per user (keyed
-    min), activity de-dup per (user, week-offset), and the final cell
-    count — no window function, no sort. The week offset is integer
-    floor-division of a day difference (both engines divide the same
-    nonnegative integers), so the matrix is engine-exact.
-
-    Scale shape: the first-seen table and the event feed shuffle once on
-    user_id and join co-partitioned (at 100 TB the user dimension is too
-    big to broadcast — this is deliberately a shuffle join, with AQE free
-    to downgrade it when a filtered cohort IS small); the (user, week)
-    de-dup is a partial-aggregated distinct, and the final matrix is
-    cohort-days × weeks — tiny. In production the first-seen table is
-    the stored dimension (u7's maintenance pattern: keyed min is
-    insert-only self-maintainable), making the whole refresh delta-
-    proportional."""
-    ev = tbl(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("d")
-    )
-    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-    active = (
-        ev.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.expr("CAST((datediff(d, cohort_day) div 7) AS INT)").alias(
-                "week_offset"
-            ),
-        )
-        .distinct()
-    )
-    return active.groupBy("cohort_day", "week_offset").agg(
-        F.count(F.lit(1)).cast("bigint").alias("users")
-    )
-
-
-@register(
-    "f5_twap",
-    """
-    WITH ticks AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             epoch_us(ts) AS us, event_id,
-             CAST(value AS DECIMAL(18,2)) AS px,
-             epoch_us(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP))
-               AS end_us
-      FROM events
-    ), d AS (
-      SELECT series, day, px,
-             (coalesce(lead(us) OVER (PARTITION BY series, day
-                                      ORDER BY us, event_id),
-                       end_us) - us) // 1000000 AS dur_s
-      FROM ticks
-    )
-    SELECT series, day,
-           CAST(CAST(sum(px * dur_s) AS DOUBLE)
-                / CAST(CAST(sum(dur_s) AS BIGINT) AS DOUBLE) AS DOUBLE) AS twap,
-           CAST(count(*) AS BIGINT) AS n_ticks,
-           CAST(sum(dur_s) AS BIGINT) AS total_s
-    FROM d GROUP BY 1, 2
-    """,
-)
-def f5_twap(spark, sf_dir):
-    """Time-weighted average price per (series, day) — f4's VWAP sibling
-    and the other standard execution benchmark on a quote feed: each tick
-    holds until the NEXT tick (lead over event-time; the day's last tick
-    holds to midnight), so thin after-hours prints stop dominating the
-    way they do in a plain AVG. All weights are integer seconds derived
-    from exact epoch microseconds (``unix_micros`` ↔ ``epoch_us``, same
-    integral floor-division — the fixture's nanos are truncated to µs
-    identically by both readers), prices sum in DECIMAL × BIGINT, and the
-    single final division is IEEE-exact: engine-identical without any
-    float accumulation.
-
-    Scale shape: one window sort per (series, day) partition — the
-    natural partitioning of any tick store, bounded by a day's ticks per
-    symbol, never a global sort — then a map-side-combinable hash agg on
-    the same key, which AQE can collapse into the window's shuffle. At
-    100 TB this is the p12 layout read with partition pruning feeding a
-    per-partition pipeline; no stage sees more than one trading day of
-    one series."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    ticks = ev.select(
-        F.col("event_type").alias("series"),
-        F.to_date("ts").alias("day"),
-        # ts is TIMESTAMP_NTZ off the nanos fixture; the UTC-pinned session
-        # makes the NTZ->instant cast wall-clock-identical to DuckDB's
-        # naive epoch_us
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        "event_id",
-        F.col("value").cast(DEC).alias("px"),
-    ).withColumn(
-        "end_us", F.unix_micros(F.date_add("day", 1).cast("timestamp"))
-    )
-    w = Window.partitionBy("series", "day").orderBy("us", "event_id")
-    d = ticks.select(
-        "series",
-        "day",
-        "px",
-        (
-            (F.coalesce(F.lead("us").over(w), F.col("end_us")) - F.col("us"))
-        ).alias("held_us"),
-    ).withColumn("dur_s", F.expr("held_us div 1000000"))
-    return d.groupBy("series", "day").agg(
-        (
-            F.sum(F.col("px") * F.col("dur_s")).cast("double")
-            / F.sum("dur_s").cast("bigint").cast("double")
-        )
-        .cast("double")
-        .alias("twap"),
-        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
-        F.sum("dur_s").cast("bigint").alias("total_s"),
-    )
-
-
-@register(
-    "a17_weighted_median",
-    """
-    WITH pw AS (
-      SELECT l_returnflag AS flag,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-      FROM lineitem GROUP BY 1, 2
-    ), c AS (
-      SELECT flag, cents, w,
-             sum(w) OVER (PARTITION BY flag ORDER BY cents
-                          ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(w) OVER (PARTITION BY flag) AS tot
-      FROM pw
-    )
-    SELECT flag,
-           CAST(CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS DOUBLE)
-                / 100.0 AS DOUBLE) AS w_median,
-           CAST(min(tot) AS BIGINT) AS total_weight
-    FROM c GROUP BY flag
-    """,
-)
-def a17_weighted_median(spark, sf_dir):
-    """Exact WEIGHTED median (quantity-weighted price per return flag) —
-    the quantile the a8/a10 family cannot produce: every unit of quantity
-    counts as one observation, so a 50-unit line pulls the median 50× as
-    hard as a 1-unit line. Definition: the smallest price whose running
-    weight reaches half the total (``2·cum >= tot`` keeps the test in
-    exact integers — no division, no .5 threshold float). Weights are
-    first COLLAPSED per distinct price by a map-side-combinable hash agg,
-    so the window's cumulative sum runs over distinct prices (≪ rows) and
-    ties are pre-merged — cumulative order among equal prices, the
-    classic nondeterminism of this query, cannot arise.
-
-    Scale shape: the heavy input is reduced by the hash agg before any
-    sort; the window then orders only the distinct-price table. The
-    3-value group key makes those per-group sorts wide at 100 TB — that
-    is inherent to EXACT medians (a total order per group); the engine's
-    scale answer for massive groups is the a8 percentile_disc path or
-    a10's sketched quantiles, while this entry is the exact yardstick
-    the sketches are graded against (the s1 contract applied to
-    quantiles)."""
-    from pyspark.sql import Window
-
-    li = tbl(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice").cast(DEC) * 100).cast("bigint")
-    pw = li.groupBy(
-        F.col("l_returnflag").alias("flag"), cents.alias("cents")
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
-    c = pw.select(
-        "flag",
-        "cents",
-        F.sum("w")
-        .over(
-            Window.partitionBy("flag")
-            .orderBy("cents")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        .alias("cum"),
-        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
-    )
-    return c.groupBy("flag").agg(
-        (
-            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))).cast(
-                "double"
-            )
-            / F.lit(100.0)
-        )
-        .cast("double")
-        .alias("w_median"),
-        F.min("tot").cast("bigint").alias("total_weight"),
-    )
-
-
-@register(
-    "p13_compaction",
-    """
-    SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
-    FROM events
-    """,
-)
-def p13_compaction(spark, sf_dir):
-    """Small-file COMPACTION — the lakehouse ``OPTIMIZE`` primitive, and
-    the op that keeps every other entry's scan fast: streaming sinks and
-    fine-grained upserts (K4/K5, t18's touched-key rewrites) leave a
-    partition as hundreds of kilobyte-sized files, and at 100 TB the
-    resulting open/footer/seek overhead — plus a task per file — costs
-    more than the bytes themselves. Here the feed is deliberately staged
-    as 64 shards, then compacted with ``coalesce`` (a pure partition
-    merge: NO shuffle, no re-sort — the p11-family plan tests' Exchange
-    discipline applies to maintenance jobs too) under a
-    ``maxRecordsPerFile`` cap that re-splits any merged partition that
-    would exceed the target file size. The returned read of the compacted
-    table must hash-equal the oracle reading the ORIGINAL table: a
-    maintenance job may move bytes, never values.
-
-    Scale shape: production compaction runs per p12 date-partition on the
-    cold end of the table (never racing the writer's lease), picks
-    ``ceil(partition_bytes / target_file_bytes)`` output files, and is
-    idempotent — re-running it is a no-op rewrite. Timestamps travel as
-    exact epoch microseconds; the nanos fixture truncates identically in
-    both engines (f5's rule)."""
-    import os as _os
-
-    ev = tbl(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        "user_id",
-        "event_type",
-        "value",
-    )
-    # per-process scratch: swept + atexit-removed (see scratch_dir)
-    _tag, scratch = scratch_dir("spark_graft_compact", sf_dir)
-    small = _os.path.join(scratch, "small")
-    compacted = _os.path.join(scratch, "compacted")
-    # the small-file problem: 64 shards of a table this size is pathological
-    ev.repartition(64).write.mode("overwrite").parquet(small)
-    sm = spark.read.parquet(small)
-    (
-        sm.coalesce(4)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 2_000_000)
-        .parquet(compacted)
-    )
-    return spark.read.parquet(compacted)
-
-
-@register(
-    "m11_eval_metrics",
-    f"""
-    WITH pred AS ({{MLP_SQL}}),
-    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
-    cells AS (
-      SELECT t.class, p.pred_class, count(*) AS n
-      FROM pred p JOIN truth t USING (vec_id)
-      GROUP BY 1, 2
-    ), per AS (
-      SELECT class,
-             CAST(sum(n) AS BIGINT) AS support,
-             CAST(sum(CASE WHEN pred_class = class THEN n ELSE 0 END)
-                  AS BIGINT) AS tp
-      FROM cells GROUP BY class
-    ), predcnt AS (
-      SELECT pred_class AS class, CAST(sum(n) AS BIGINT) AS predicted
-      FROM cells GROUP BY 1
-    )
-    SELECT per.class, support, tp,
-           CAST(coalesce(predicted, 0) AS BIGINT) AS predicted,
-           CAST(CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) AS DOUBLE) AS rec,
-           CAST(CASE WHEN coalesce(predicted, 0) = 0 THEN NULL
-                     ELSE CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE)
-                END AS DOUBLE) AS prec
-    FROM per LEFT JOIN predcnt USING (class)
-    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
-)
-def m11_eval_metrics(spark, sf_dir):
-    """Model EVALUATION over the m9 inference path — the pipeline stage
-    every training loop needs next to inference itself: per-class
-    support/true-positive counts and the precision/recall they imply,
-    computed by joining predictions back to labels and folding the
-    confusion matrix. All counts are exact integers off one hash agg;
-    the two metric columns are single IEEE divisions of those integers
-    (guarded where a class is never predicted), so the whole scorecard
-    is engine-exact — no float accumulation anywhere. Classes predicted
-    but never true cannot exist in the output key (classes are keyed by
-    TRUE label; their spurious predictions show up as missing tp mass in
-    other rows' precision).
-
-    Scale shape: predictions stream out of the Arrow-batched
-    ``mapInPandas`` already proven by m9; the label join keys on vec_id
-    (co-partitioned with the inference input, so AQE plans it
-    shuffle-light), and everything after the cells agg operates on a
-    #classes x #classes relation — driver-tiny at any corpus size. This
-    is the eval harness the M3 FinBERT slot plugs into unchanged:
-    swap the model fn, keep the scorecard."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    pred = _inf.mlp_infer(emb)
-    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
-    cells = pred.join(truth, "vec_id").groupBy("class", "pred_class").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    per = cells.groupBy("class").agg(
-        F.sum("n").cast("bigint").alias("support"),
-        F.sum(
-            F.when(F.col("pred_class") == F.col("class"), F.col("n")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("tp"),
-    )
-    predcnt = cells.groupBy(F.col("pred_class").alias("class")).agg(
-        F.sum("n").cast("bigint").alias("predicted")
-    )
-    return per.join(predcnt, "class", "left").select(
-        "class",
-        "support",
-        "tp",
-        F.coalesce("predicted", F.lit(0)).cast("bigint").alias("predicted"),
-        (F.col("tp").cast("double") / F.col("support").cast("double"))
-        .cast("double")
-        .alias("rec"),
-        F.when(
-            F.coalesce("predicted", F.lit(0)) > 0,
-            F.col("tp").cast("double") / F.col("predicted").cast("double"),
-        )
-        .cast("double")
-        .alias("prec"),
-    )
-
-
-@register(
-    "w11_max_drawdown",
-    """
-    WITH t AS (
-      SELECT event_type AS series, epoch_us(ts) AS us, event_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS px
-      FROM events
-    ), r AS (
-      SELECT series, px,
-             max(px) OVER (PARTITION BY series ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS peak
-      FROM t
-    )
-    SELECT series,
-           CAST(1.0 - min(CAST(px AS DOUBLE) / CAST(peak AS DOUBLE))
-                AS DOUBLE) AS max_drawdown,
-           CAST(max(peak) AS BIGINT) AS peak_cents,
-           CAST(count(*) AS BIGINT) AS n_ticks
-    FROM r WHERE peak > 0 GROUP BY 1
-    """,
-)
-def w11_max_drawdown(spark, sf_dir):
-    """Maximum drawdown per series — THE risk number for the reference's
-    stock-forecasting serving layer (a forecast feed that never reports
-    how far a series fell from its running peak is not a trading tool):
-    largest peak-to-trough loss fraction over the event-time-ordered
-    price path. Prices are pinned to integer cents, the running peak is
-    an integer window max, and each row's peak-relative ratio is ONE
-    exact IEEE division — so the group-wise min of those ratios (and the
-    single ``1 - x`` that turns it into a drawdown) is order-independent
-    and engine-exact, unlike any float-cumsum formulation. Rows with a
-    ZERO running peak (a series whose ticks so far are all zero) are
-    excluded on both sides: their ratio is 0/0, which ANSI Spark raises
-    on while DuckDB yields IEEE NaN — an engine divergence the
-    oracle-fuzz harness caught. A zero tick AFTER a positive peak stays
-    in (drawdown 1.0 — total loss is a real answer); only the undefined
-    leading-zero prefix is dropped, so fixture results are unchanged.
-
-    Scale shape: identical to f5 — one window per series partition in
-    event-time order (the resting sort order of a tick store, so the
-    window degenerates to a streaming scan per partition), then a
-    map-side-combinable agg on the same key; nothing global, nothing
-    quadratic. The streaming twin is a two-value state (running peak,
-    running worst ratio) per key — the t6 pattern — kept exactly because
-    max/min are insert-only self-maintainable (u7's taxonomy)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    t = ev.select(
-        F.col("event_type").alias("series"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        "event_id",
-        (F.col("value").cast(DEC) * 100).cast("bigint").alias("px"),
-    )
-    w = (
-        Window.partitionBy("series")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = t.select("series", "px", F.max("px").over(w).alias("peak")).filter(
-        F.col("peak") > 0
-    )
-    return r.groupBy("series").agg(
-        (
-            F.lit(1.0)
-            - F.min(F.col("px").cast("double") / F.col("peak").cast("double"))
-        )
-        .cast("double")
-        .alias("max_drawdown"),
-        F.max("peak").cast("bigint").alias("peak_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
-    )
-
-
-@register(
-    "g13_degree_histogram",
-    """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
-    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
-    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u)
-    SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS log2_degree,
-           CAST(count(*) AS BIGINT) AS n_nodes,
-           CAST(min(d) AS BIGINT) AS min_degree,
-           CAST(max(d) AS BIGINT) AS max_degree
-    FROM deg GROUP BY 1
-    """,
-)
-def g13_degree_histogram(spark, sf_dir):
-    """Degree DISTRIBUTION of the parts-bought-together graph (g8's
-    support-thresholded edge set) in power-of-two buckets — the first
-    diagnostic run on any production graph, because it answers the
-    question every operator in the g-battery plans around: how heavy is
-    the tail? A heavy log2 tail is the empirical trigger for g8's degree
-    ordering, j5/a7's salting, and the broadcast-ineligibility of rank
-    vectors (g10). Buckets come from the x26 integer trick —
-    ``length(bin(d)) - 1 = floor(log2 d)`` — so no transcendental
-    reaches an output column and the histogram is engine-exact.
-
-    Scale shape: the co-occurrence projection and support threshold are
-    g8's first stage unchanged (one self-join co-located on orderkey +
-    one map-side-combined agg); symmetrized degrees are a second hash
-    agg on node; the histogram itself aggregates #distinct-degrees'
-    worth of rows into ~32 buckets — free. On a shared cluster this
-    runs off the g9/g10 bucketed edge table without any exchange at
-    all."""
-    li = tbl(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
-    a = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    raw = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-        .select("u", "v")
-    )
-    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    return deg.groupBy(
-        (F.length(F.bin("d")) - 1).cast("int").alias("log2_degree")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.min("d").cast("bigint").alias("min_degree"),
-        F.max("d").cast("bigint").alias("max_degree"),
-    )
-
-
-@register(
-    "t20_stream_agg_view",
-    """
-    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
-           o_orderpriority AS priority,
-           CAST(count(*) AS BIGINT) AS cnt,
-           CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                              AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE)
-             AS total
-    FROM orders GROUP BY 1, 2
-    """,
-    lazy_replay=True,
-)
-def t20_stream_agg_view(spark, sf_dir):
-    """STREAMING maintenance of the u7 aggregate view — the t17/t18
-    convergence pattern applied to the self-maintainable-aggregate
-    taxonomy: the order feed arrives in 3 micro-batches, each batch is
-    reduced to partial aggregates (count + integer-cent sum, both
-    map-side combined BEFORE touching the view), and the partials merge
-    into the keyed view by addition under the writer-lease/replay
-    contract. After the last batch the view must hash-match a one-shot
-    batch recompute over the full feed (the oracle) — the Lambda
-    invariant for aggregation state, proven the same way t17 proved it
-    for OHLC and t18 for version chains.
-
-    Scale shape: per batch the view rewrite is O(touched partitions of
-    an aggregate-sized table) — the batch's partial agg is
-    delta-proportional, and untouched months pass through via partition
-    pruning. Money flows as BIGINT cents (exact, overflow-safe at this
-    key width) with a single final division to DOUBLE on both engines.
-    This is what the reference's incremental-mean upsert (K5) SHOULD be:
-    merge partial (sum, count) pairs, never a pairwise mean of means."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    o = tbl(spark, sf_dir, "orders")
-    feed = o.select(
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-        F.col("o_orderpriority").alias("priority"),
-        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("cents"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "aggmv_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    feed.repartitionByRange(3, "o_orderkey").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["ym", "priority"], partition_by="pb")
-
-    def fn(cur, b):
-        delta = b.groupBy("ym", "priority", "pb").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-            F.sum("cents").cast("bigint").alias("cents"),
-        )
-        if cur is None:
-            return delta
-        return (
-            cur.alias("v")
-            .join(delta.alias("d"), ["ym", "priority"], "full_outer")
-            .select(
-                "ym",
-                "priority",
-                F.coalesce(F.col("v.pb"), F.col("d.pb")).alias("pb"),
-                (
-                    F.coalesce(F.col("v.cnt"), F.lit(0))
-                    + F.coalesce(F.col("d.cnt"), F.lit(0))
-                ).cast("bigint").alias("cnt"),
-                (
-                    F.coalesce(F.col("v.cents"), F.lit(0))
-                    + F.coalesce(F.col("d.cents"), F.lit(0))
-                ).cast("bigint").alias("cents"),
-            )
-        )
-
-    def sink(batch_df, batch_id):
-        b = batch_df.withColumn("pb", F.pmod(F.xxhash64("ym"), F.lit(8)))
-        view.merge_custom(b, fn, batch_id=batch_id, writer="aggmv")
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return view.read().select(
-        "ym",
-        "priority",
-        "cnt",
-        (F.col("cents").cast("double") / F.lit(100.0)).cast("double").alias("total"),
-    )
-
-
-HYBRID_DF_CAP = 64  # champion-list bound: lexical postings keep rare terms only
-RRF_K = 60
-
-
-@register(
-    "s15_hybrid_rrf",
-    f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_emb,
-             {_sim.ivf_cell_sql('embedding')} AS cell
-      FROM embeddings WHERE vec_id % 100 = 0
-    ), c AS (
-      SELECT vec_id AS neighbor_id, embedding AS c_emb,
-             {_sim.ivf_cell_sql('embedding')} AS cell
-      FROM embeddings
-    ), vscored AS (
-      SELECT q.query_id, c.neighbor_id,
-             {_sim.cosine_sql('q.q_emb', 'c.c_emb')} AS score
-      FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
-    ), vranked AS (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, neighbor_id) AS vrank
-      FROM vscored
-    ), vtop AS (SELECT * FROM vranked WHERE vrank <= 10),
-    post AS (
-      SELECT doc_id, unnest(list_distinct({_tx.tokens_sql('text')})) AS tok
-      FROM documents
-    ), rare AS (
-      SELECT tok FROM post GROUP BY tok HAVING count(*) <= {HYBRID_DF_CAP}
-    ), rp AS (SELECT doc_id, tok FROM post JOIN rare USING (tok)),
-    lshared AS (
-      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
-             count(*) AS shared
-      FROM rp a JOIN rp b ON a.tok = b.tok AND a.doc_id <> b.doc_id
-      WHERE a.doc_id % 100 = 0
-      GROUP BY 1, 2
-    ), lranked AS (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY shared DESC, neighbor_id) AS lrank
-      FROM lshared
-    ), ltop AS (SELECT * FROM lranked WHERE lrank <= 10),
-    fused AS (
-      SELECT coalesce(v.query_id, l.query_id) AS query_id,
-             coalesce(v.neighbor_id, l.neighbor_id) AS neighbor_id,
-             coalesce(1.0 / ({RRF_K} + v.vrank), 0.0)
-               + coalesce(1.0 / ({RRF_K} + l.lrank), 0.0) AS rrf,
-             v.vrank, l.lrank
-      FROM vtop v FULL JOIN ltop l
-        ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
-    ), final AS (
-      SELECT query_id, neighbor_id, CAST(rrf AS DOUBLE) AS rrf,
-             CAST(vrank AS INTEGER) AS vrank, CAST(lrank AS INTEGER) AS lrank,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY rrf DESC, neighbor_id) AS rk
-      FROM fused
-    )
-    SELECT query_id, neighbor_id, rrf, vrank, lrank, CAST(rk AS INTEGER) AS rk
-    FROM final WHERE rk <= 5
-    """,
-)
-def s15_hybrid_rrf(spark, sf_dir):
-    """HYBRID retrieval — lexical + vector legs fused by Reciprocal Rank
-    Fusion, the de-facto serving pattern of every modern search stack
-    (vector-only misses exact terms, lexical-only misses paraphrase; RRF
-    needs no score calibration because it consumes only RANKS). The
-    vector leg is the s2 IVF cell probe (top-10 cosine); the lexical leg
-    is a real INVERTED-INDEX retrieval: distinct-token postings,
-    champion-list pruned to rare terms (df <= 64 — posting lists for
-    stopword-grade terms are the quadratic hazard of term joins, the d9
-    block-key lesson in IR form), self-joined on token and ranked by
-    shared-rare-term count. Fusion: 1/(60+rank) per leg — each term one
-    exact IEEE division of small integers, summed in fixed operand
-    order, so the fused score and final top-5 are engine-exact (ranks
-    tiebreak on id, fusion tiebreaks on id).
-
-    Scale shape: both legs are equi-joins (cell id / token id) with the
-    500-query side broadcast; the posting-list join's fan-out is bounded
-    by df-cap x query postings, not corpus^2; fusion joins two
-    10-rows-per-query relations. The df threshold is the absolute form
-    of the production df/N cut; doc/vec ids are aligned 1:1 in the
-    fixtures, which is exactly the dual-index layout (one id space, two
-    indexes) a hybrid store maintains."""
-    prepare(spark)
-    emb = tbl(spark, sf_dir, "embeddings")
-    docs = tbl(spark, sf_dir, "documents")
-
-    vtop = _sim.topk_ivf(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10).select(
-        "query_id", "neighbor_id", F.col("rank").alias("vrank")
-    )
-
-    post = docs.select(
-        "doc_id", F.explode(F.array_distinct(_tx.tokens(F.col("text")))).alias("tok")
-    )
-    rare = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= HYBRID_DF_CAP
-    )
-    rp = post.join(rare.select("tok"), "tok")
-    qp = rp.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"), "tok"
-    )
-    lshared = (
-        qp.join(rp.select(F.col("doc_id").alias("neighbor_id"), "tok"), "tok")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    from pyspark.sql import Window
-
-    lw = Window.partitionBy("query_id").orderBy(
-        F.col("shared").desc(), F.col("neighbor_id")
-    )
-    ltop = (
-        lshared.withColumn("lrank", F.row_number().over(lw))
-        .filter(F.col("lrank") <= 10)
-        .select("query_id", "neighbor_id", "lrank")
-    )
-
-    fused = (
-        vtop.alias("v")
-        .join(ltop.alias("l"), ["query_id", "neighbor_id"], "full_outer")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lrank")), F.lit(0.0))
-            ).alias("rrf"),
-            "vrank",
-            "lrank",
-        )
-    )
-    fw = Window.partitionBy("query_id").orderBy(
-        F.col("rrf").desc(), F.col("neighbor_id")
-    )
-    return (
-        fused.withColumn("rk", F.row_number().over(fw))
-        .filter(F.col("rk") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rrf").cast("double").alias("rrf"),
-            F.col("vrank").cast("int").alias("vrank"),
-            F.col("lrank").cast("int").alias("lrank"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
-
-
-@register(
-    "d12_containment",
-    _dd.containment_pairs_sql("documents", "doc_id", "text"),
-)
-def d12_containment(spark, sf_dir):
-    """Asymmetric CONTAINMENT dedup (ext/dedup.py:containment_pairs):
-    passages pasted into larger pages, quote farms, wrapper boilerplate —
-    pairs where >= 90% of the smaller doc's shingles appear in the bigger
-    one, invisible to the symmetric-Jaccard battery (d2-d4). Candidates
-    come from an exact PPJoin-style prefix filter (the small side posts
-    only its ~10% smallest sorted hashes), so unlike the banded sketches
-    there is NO probabilistic miss class: every qualifying pair is
-    guaranteed a candidate. Completes the dedup taxonomy: exact (d1),
-    symmetric near-dup (d2-d4), embedding (d5), passage (d8), prefix
-    (d9), containment (d12)."""
-    return _dd.containment_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register(
-    "u8_merge_apply",
-    """
-    WITH snap AS (
-      SELECT o_orderkey,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS price_cents,
-             o_orderpriority AS priority
-      FROM orders
-    ), changes AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
-               AS price_cents,
-             'REPRICED' AS priority
-      FROM orders WHERE o_orderkey % 3 = 0
-      UNION ALL
-      SELECT -o_orderkey AS o_orderkey, 'U' AS op,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS price_cents,
-             'INSERTED' AS priority
-      FROM orders WHERE o_orderkey % 7 = 0
-    )
-    SELECT coalesce(s.o_orderkey, c.o_orderkey) AS o_orderkey,
-           coalesce(c.price_cents, s.price_cents) AS price_cents,
-           coalesce(c.priority, s.priority) AS priority
-    FROM snap s FULL JOIN changes c ON s.o_orderkey = c.o_orderkey
-    WHERE coalesce(c.op, '') <> 'D'
-    """,
-)
-def u8_merge_apply(spark, sf_dir):
-    """Batch MERGE (Delta/Iceberg ``MERGE INTO`` semantics) as one
-    relational plan: a changelog of upserts and deletes applies to a
-    snapshot — WHEN MATCHED AND op='U' THEN UPDATE, WHEN MATCHED AND
-    op='D' THEN DELETE, WHEN NOT MATCHED AND op='U' THEN INSERT, and a
-    delete for an absent key is a no-op. The whole statement is ONE
-    full-outer equi-join on the key plus coalesce/filter arms — no
-    row-at-a-time path exists or is needed; this is the set-based form
-    every lakehouse engine compiles MERGE into. The changelog is derived
-    deterministically from the fixture (every third key repriced, every
-    fifteenth deleted, negated keys as guaranteed-new inserts), and the
-    oracle replays the identical algebra.
-
-    Scale shape: output ∝ |snapshot| + |changes| with the join
-    co-partitioned on the key; in the stored form this is exactly
-    ``KeyedParquetView.merge_custom``'s contract (t18/t20) where
-    partition pruning cuts the rewrite to touched partitions and the
-    full-outer join runs per partition. AQE handles the skewed-key case;
-    a broadcast applies when the changelog is serving-sized. MIN/MAX
-    aggregates downstream of deletes need u7's full-recompute caveat."""
-    o = tbl(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("bigint")
-    snap = o.select(
-        "o_orderkey",
-        cents.alias("price_cents"),
-        F.col("o_orderpriority").alias("priority"),
-    )
-    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-        (cents + 500).alias("price_cents"),
-        F.lit("REPRICED").alias("priority"),
-    )
-    ins = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        (-F.col("o_orderkey")).alias("o_orderkey"),
-        F.lit("U").alias("op"),
-        cents.alias("price_cents"),
-        F.lit("INSERTED").alias("priority"),
-    )
-    changes = upd.unionByName(ins)
-    s, c = snap.alias("s"), changes.alias("c")
-    joined = s.join(c, F.col("s.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
-    return joined.filter(
-        F.coalesce(F.col("c.op"), F.lit("")) != "D"
-    ).select(
-        F.coalesce(F.col("s.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
-        F.coalesce(F.col("c.price_cents"), F.col("s.price_cents")).alias("price_cents"),
-        F.coalesce(F.col("c.priority"), F.col("s.priority")).alias("priority"),
-    )
-
-
-@register(
-    "a18_mode",
-    """
-    WITH counts AS (
-      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2
-    ), ranked AS (
-      SELECT event_type, k, cnt,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY cnt DESC, k) AS rn
-      FROM counts
-    )
-    SELECT event_type, k AS mode_k, cnt AS mode_count
-    FROM ranked WHERE rn = 1
-    """,
-)
-def a18_mode(spark, sf_dir):
-    """Exact per-group MODE (most frequent value, smallest-value
-    tiebreak) — the last member of the central-tendency family after
-    mean (a1), median (a8), and weighted median (a17), and the one
-    SQL engines never ship as a deterministic built-in precisely
-    because of the tie: two values with equal counts make bare
-    ``mode()`` partition-order-dependent, so the tiebreak is pinned
-    explicitly (count DESC, value ASC) and both engines rank the same
-    exact integers.
-
-    Scale shape: one map-side-combinable (group, value) count agg —
-    the heavy input reduces before any per-group work — then a
-    row_number over each group's distinct values (≪ rows; same
-    distinct-first discipline as a17). For millions of distinct values
-    per group the window's per-group sort is the cost, and the
-    sketched alternative is a16's gated-distinct ladder; this entry is
-    the exact yardstick."""
-    from pyspark.sql import Window
-
-    ev = parse_props(tbl(spark, sf_dir, "events"))
-    counts = ev.groupBy("event_type", F.col("k").cast("bigint").alias("k")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("k"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_type", F.col("k").alias("mode_k"), F.col("cnt").alias("mode_count"))
-    )
-
-
-ZSCORE_WIN = 16  # rolling window width (rows); flags need the full window
-
-
-@register(
-    "w12_rolling_zscore",
-    f"""
-    WITH t AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             epoch_us(ts) AS us, event_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS px
-      FROM events
-    ), r AS (
-      SELECT series, day, px,
-             sum(px)      OVER w AS sx,
-             sum(px * px) OVER w AS sxx,
-             count(*)     OVER w AS n
-      FROM t
-      WINDOW w AS (PARTITION BY series ORDER BY us, event_id
-                   ROWS BETWEEN {ZSCORE_WIN - 1} PRECEDING AND CURRENT ROW)
-    )
-    SELECT series, day,
-           CAST(count(*) FILTER (
-             WHERE n = {ZSCORE_WIN}
-               AND (px * {ZSCORE_WIN} - sx) * (px * {ZSCORE_WIN} - sx)
-                   > 4 * ({ZSCORE_WIN} * sxx - sx * sx)
-           ) AS BIGINT) AS n_anomalies,
-           CAST(count(*) FILTER (WHERE n = {ZSCORE_WIN}) AS BIGINT)
-             AS n_windows
-    FROM r GROUP BY 1, 2
-    """,
-)
-def w12_rolling_zscore(spark, sf_dir):
-    """Rolling z-score anomaly counts per (series, day) — tick-stream
-    outlier detection (|z| > 2 against the trailing 16-tick window)
-    with a twist that makes it bit-proof: the flag never computes a
-    z-score. ``|x - mean| > 2·std`` is multiplied out to
-    ``(x·n - Σx)² > 4·(n·Σx² - (Σx)²)`` — every term an exact BIGINT
-    from integer-cent prices (bounded: cents ≤ ~5e4, so n·Σx² ≤ ~6e11),
-    so the decision needs no division, no sqrt, no float, and cannot
-    flap cross-engine the way any mean/std formulation of doubles
-    would. Windows shorter than 16 ticks don't flag (a half-filled
-    baseline calls everything anomalous).
-
-    Scale shape: the f5/w11 template — one rolling-frame window per
-    series partition in event-time order (a streaming scan over the
-    resting sort of a tick store; Spark computes the ROWS frame
-    incrementally, not per-row re-sums), then a map-side-combinable
-    day-level count agg. The stateful twin is a 16-slot ring buffer
-    per key via applyInPandasWithState (t6 family)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    t = ev.select(
-        F.col("event_type").alias("series"),
-        F.to_date("ts").alias("day"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        "event_id",
-        (F.col("value").cast(DEC) * 100).cast("bigint").alias("px"),
-    )
-    w = (
-        Window.partitionBy("series")
-        .orderBy("us", "event_id")
-        .rowsBetween(-(ZSCORE_WIN - 1), Window.currentRow)
-    )
-    r = t.select(
-        "series",
-        "day",
-        "px",
-        F.sum("px").over(w).alias("sx"),
-        F.sum(F.col("px") * F.col("px")).over(w).alias("sxx"),
-        F.count(F.lit(1)).over(w).alias("n"),
-    )
-    dev = F.col("px") * ZSCORE_WIN - F.col("sx")
-    full = F.col("n") == ZSCORE_WIN
-    anomalous = full & (
-        dev * dev > 4 * (ZSCORE_WIN * F.col("sxx") - F.col("sx") * F.col("sx"))
-    )
-    return r.groupBy("series", "day").agg(
-        F.sum(anomalous.cast("bigint")).cast("bigint").alias("n_anomalies"),
-        F.sum(full.cast("bigint")).cast("bigint").alias("n_windows"),
-    )
-
-
-KCORE_K = 3  # peel threshold
-KCORE_ROUNDS = 3  # fixed unrolled peel rounds (deterministic cut-off)
-
-
-@register(
-    "g14_kcore_peel",
-    f"""
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
-    e0 AS MATERIALIZED (
-      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
-    ),
-    d0 AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM e0 GROUP BY u),
-    s0 AS MATERIALIZED (SELECT node FROM d0 WHERE d >= {KCORE_K}),
-    e1 AS MATERIALIZED (
-      SELECT e.u, e.v FROM e0 e
-      JOIN s0 a ON e.u = a.node JOIN s0 b ON e.v = b.node
-    ),
-    d1 AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM e1 GROUP BY u),
-    s1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= {KCORE_K}),
-    e2 AS MATERIALIZED (
-      SELECT e.u, e.v FROM e1 e
-      JOIN s1 a ON e.u = a.node JOIN s1 b ON e.v = b.node
-    ),
-    d2 AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM e2 GROUP BY u),
-    s2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= {KCORE_K}),
-    e3 AS MATERIALIZED (
-      SELECT e.u, e.v FROM e2 e
-      JOIN s2 a ON e.u = a.node JOIN s2 b ON e.v = b.node
-    )
-    SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
-    FROM e3 GROUP BY u
-    """,
-)
-def g14_kcore_peel(spark, sf_dir):
-    """K-CORE peeling (k=3, three unrolled rounds) over the parts-
-    bought-together graph — the density filter run before any expensive
-    graph analytics: each round drops nodes whose CURRENT degree fell
-    under k and every edge touching them, so hubs that only looked
-    connected through low-degree fringe get progressively exposed.
-    Completes the iterative-graph family (PageRank g7/g10, components
-    d7/g11, BFS g12, triangles g8/g9) with the degeneracy-style peel.
-    Output is the surviving edge set's degree table after round 3 — a
-    fixed, deterministic cut-off (full convergence is data-dependent;
-    the oracle unrolls exactly the same three rounds, CTE-materialized
-    against DuckDB's re-planning, the g8 lesson).
-
-    Scale shape: each round is one map-side-combinable degree agg plus
-    two semi-joins of the edge table against the (node-sized) survivor
-    set — the same edge-side/node-side split as g10, so the g9/g10
-    bucketed layout serves it with the edge table never re-shuffling;
-    here the rounds chain lazily (fixture-sized), while a production
-    peel checkpoints the edge set per round exactly like d7's label
-    propagation. Peeling is monotone — nodes only ever leave — so a
-    fixed round budget is a safe under-approximation of the true
-    k-core."""
-    li = tbl(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
-    a = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    raw = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-        .select("u", "v")
-    )
-    sym = raw.unionByName(
-        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()  # cache: released-in-fn
-    e = sym
-    for _ in range(KCORE_ROUNDS):
-        ok = (
-            e.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select(F.col("u").alias("node"))
-        )
-        e = (
-            e.join(ok, e["u"] == ok["node"], "left_semi")
-            .join(ok, F.col("v") == ok["node"], "left_semi")
-        )
-    out = e.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
-    out = out.localCheckpoint(eager=True)  # cut the 3-round lineage once
-    sym.unpersist()  # cache: released-in-fn (checkpoint above materialized)
-    return out
-
-
-@register(
-    "a19_gini",
-    """
-    WITH t AS (
-      SELECT event_type AS series,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-             event_id
-      FROM events
-    ), r AS (
-      SELECT series, cents,
-             row_number() OVER (PARTITION BY series
-                                ORDER BY cents, event_id) AS i
-      FROM t
-    ), s AS (
-      SELECT series,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS sx,
-             CAST(sum(i * cents) AS BIGINT) AS six
-      FROM r GROUP BY 1
-    )
-    SELECT series, n,
-           CAST(CASE WHEN sx <> 0
-                THEN CAST(2 * six - (n + 1) * sx AS DOUBLE)
-                     / CAST(n * sx AS DOUBLE)
-           END AS DOUBLE) AS gini
-    FROM s
-    """,
-)
-def a19_gini(spark, sf_dir):
-    """GINI coefficient per series — the concentration/inequality measure
-    a corpus team runs on token counts per domain and a trading desk runs
-    on volume per venue: 0 = perfectly even, ->1 = one row owns
-    everything. Uses the rank formula G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx)
-    over ascending-sorted integer cents, where every term stays an exact
-    BIGINT until ONE final IEEE division. Rank ties are harmless by
-    construction: equal values occupy a consecutive rank block, and
-    x·(sum of a fixed consecutive range) is independent of their internal
-    order — so the event_id tiebreak is belt-and-braces, not load-
-    bearing. Completes the distribution family: moments (a14/a15),
-    quantiles (a8/a10/a17), histogram (x12), mode (a18), now
-    concentration.
-
-    Scale shape: the a17 template — one per-group sort for the ranks
-    (cost ∝ group size; for few massive groups, range-repartition the
-    sort and offset per-range ranks by broadcast prefix counts), then a
-    map-side-combinable sum agg. Magnitudes bounded: i·x ≤ n·max_cents
-    keeps n·Σx within BIGINT past 10⁸ rows per group at these prices."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    t = ev.select(
-        F.col("event_type").alias("series"),
-        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
-        "event_id",
-    )
-    w = Window.partitionBy("series").orderBy("cents", "event_id")
-    r = t.select("series", "cents", F.row_number().over(w).alias("i"))
-    s = r.groupBy("series").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("sx"),
-        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("six"),
-    )
-    # sx = 0 (an all-zero-value series) is NULL by guard on the EXACT
-    # integer: Spark's ANSI mode raises DIVIDE_BY_ZERO while DuckDB
-    # emits NaN — the a15 divergence class, caught by the fuzz battery
-    # (no fixture series has a zero total)
-    return s.select(
-        "series",
-        "n",
-        F.when(
-            F.col("sx") != 0,
-            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
-            / (F.col("n") * F.col("sx")).cast("double"),
-        )
-        .cast("double")
-        .alias("gini"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# r8: corpus-shuffle, leakage-safe split, mergeable sketches (HLL / CMS /
-# Bloom), rolling exact median — the remaining training-pipeline staples
-# ---------------------------------------------------------------------------
-
-from ..ext.hashing import phash60, phash60_sql  # noqa: E402
-
-N_SHUF_SHARDS = 16
-
-
-@register(
-    "x31_corpus_shuffle",
-    f"""
-    WITH h AS (
-      SELECT doc_id,
-             {phash60_sql("CAST(doc_id AS VARCHAR)", seed="shuf")} AS hkey
-      FROM documents
-    )
-    SELECT doc_id, CAST(hkey % {N_SHUF_SHARDS} AS BIGINT) AS shard,
-           CAST(row_number() OVER (PARTITION BY hkey % {N_SHUF_SHARDS}
-                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
-    FROM h
-    """,
-)
-def x31_corpus_shuffle(spark, sf_dir):
-    """Deterministic corpus shuffle WITHOUT a global sort — the op that
-    randomizes 100 TB of training data for sharded sequential reads.
-    A global ORDER BY rand() is the naive answer and it range-shuffles
-    the entire corpus through a sampled boundary exchange; at 100 TB
-    that is the single largest shuffle a pipeline can issue, and its
-    output order is not even reproducible. Instead: a keyed 60-bit hash
-    is the permutation (seeded, so re-runs and incremental appends land
-    identically), shard = hash mod N gives each reader an independent
-    ~uniform slice, and pos = row_number within shard orders by the
-    hash — one hash exchange + per-shard sorts, no range exchange, no
-    driver-sampled boundaries (plan-pinned: no rangepartitioning).
-    Readers interleave shards round-robin for a full-corpus stream that
-    is pseudorandom, reproducible, and appendable (new docs slot into
-    their hash position without re-shuffling old shards — the d6
-    incremental contract applied to data loading). The reference has no
-    shuffle op at all (its training reads ES query order:
-    Model_layer/create_dataset.py); this is the Spark-first replacement."""
-    from pyspark.sql import Window
-
-    docs = tbl(spark, sf_dir, "documents")
-    h = docs.select(
-        "doc_id", phash60(F.col("doc_id").cast("string"), seed="shuf").alias("hkey")
-    )
-    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
-    return (
-        h.withColumn("shard", (F.col("hkey") % N_SHUF_SHARDS).cast("bigint"))
-        .select(
-            "doc_id",
-            "shard",
-            F.row_number().over(w).cast("bigint").alias("pos"),
-        )
-    )
-
-
-@register(
-    "d13_leakage_safe_split",
-    f"""
-    WITH labeled AS MATERIALIZED (
-      {_dd.cluster_pairs_sql(_dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5))}
-    )
-    SELECT d.doc_id,
-           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
-           CASE WHEN {phash60_sql("CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)", seed="split")} % 100 < 90
-                THEN 'train' ELSE 'heldout' END AS split
-    FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
-    """,
-)
-def d13_leakage_safe_split(spark, sf_dir):
-    """Near-dup-aware train/heldout split — the decontamination invariant
-    of LLM data work: a document and its near-duplicates must land on
-    the SAME side, or the eval set is contaminated by paraphrases of
-    training data. Naive per-doc hash splits violate this exactly as
-    often as the corpus has near-dup pairs. Here the split key is the
-    near-dup CLUSTER id (d7's min-label components over the minhash-LSH
-    pair graph); singleton docs — the overwhelming majority — never
-    enter the graph and use their own id, so the expensive step stays
-    proportional to the near-dup subset, not the corpus. The 90/10
-    assignment is a seeded hash of the cluster id: deterministic,
-    re-runnable, and stable under corpus appends (new members of an old
-    cluster inherit its side). One LSH candidate pass + a few label
-    rounds + one left join; nothing is quadratic, nothing sorts
-    globally. Completes the dedup family: detect (d2/d3), resolve (d7),
-    now CONSUME the resolution downstream."""
-    docs = tbl(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-    labels = _dd.cluster_pairs(pairs).select("doc_id", "cluster_id")
-    joined = docs.select("doc_id").join(labels, "doc_id", "left")
-    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    return joined.select(
-        "doc_id",
-        cid.alias("cluster_id"),
-        F.when(
-            phash60(cid.cast("string"), seed="split") % 100 < 90, F.lit("train")
-        )
-        .otherwise(F.lit("heldout"))
-        .alias("split"),
-    )
-
-
-HLL_M = 256  # registers; standard error 1.04/sqrt(256) = 6.5%
-#: alpha_256 * m^2 * 2^53 — the HLL estimate's constant numerator, folded
-#: to ONE double literal shared verbatim by both engines (pow/ln are never
-#: correctly-rounded cross-engine; a literal is)
-HLL_NUM = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << 53)
-
-
-@register(
-    "a20_hll_distinct",
-    f"""
-    WITH h AS (
-      SELECT event_type,
-             {phash60_sql("CAST(user_id AS VARCHAR)", seed="hll")} AS hk
-      FROM events
-    ), regs AS (
-      SELECT event_type, hk % {HLL_M} AS r,
-             MAX(CASE WHEN (hk >> 8) = 0 THEN 53
-                      ELSE 53 - length(bin(hk >> 8)) END) AS m_r
-      FROM h GROUP BY 1, 2
-    ), s AS (
-      SELECT event_type,
-             CAST(COUNT(*) AS BIGINT) AS registers_used,
-             CAST(SUM((1::BIGINT) << CAST(53 - m_r AS INTEGER))
-                  + ({HLL_M} - COUNT(*)) * ((1::BIGINT) << 53) AS BIGINT)
-               AS s_int
-      FROM regs GROUP BY 1
-    ), ex AS (
-      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
-      FROM events GROUP BY 1
-    )
-    SELECT s.event_type, s.registers_used, s.s_int,
-           CAST({HLL_NUM!r} / CAST(s.s_int AS DOUBLE) AS DOUBLE) AS hll_estimate,
-           ex.exact_distinct
-    FROM s JOIN ex ON s.event_type = ex.event_type
-    """,
-)
-def a20_hll_distinct(spark, sf_dir):
-    """HyperLogLog distinct-count sketch, ORACLE-EXACT — the mergeable
-    cardinality state a 100 TB pipeline keeps per partition and combines
-    by register-wise MAX (this entry's groupBy IS that merge). Spark's
-    own approx_count_distinct is a black-box HLL++ whose value no other
-    engine can reproduce; this one is deterministic from the shared
-    60-bit hash, so the driver hash-gates the full sketch state:
-    register index = h mod 256, rho = leading-zero rank of the remaining
-    52 bits via the length(bin()) integer-log trick (g13/x26), register
-    = MAX(rho) — a map-side-combinable agg, one shuffle of at most
-    256 rows per group. Exactness discipline: the harmonic sum is kept
-    in INTEGER space (sum of 2^(53-rho) — dyadic terms whose BIGINT sum
-    is exact; floats would round once register spans exceed 53 bits),
-    and the estimate is a single correctly-rounded division of one
-    shared double literal by that integer — no pow/ln anywhere (which is
-    also why the small/large-range corrections are deliberately absent:
-    they need ln, which isn't correctly-rounded cross-engine; the raw
-    estimate plus the exact count documents the error instead).
-    exact_distinct rides along purely as the yardstick column."""
-    ev = tbl(spark, sf_dir, "events")
-    h = ev.select(
-        "event_type",
-        phash60(F.col("user_id").cast("string"), seed="hll").alias("hk"),
-    )
-    w = F.shiftright("hk", 8)
-    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
-    regs = h.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
-        F.max(rho).alias("m_r")
-    )
-    s = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
-        (
-            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
-            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
-        )
-        .cast("bigint")
-        .alias("s_int"),
-    )
-    ex = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
-    )
-    return s.join(ex, "event_type").select(
-        "event_type",
-        "registers_used",
-        "s_int",
-        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
-        "exact_distinct",
-    )
-
-
-CMS_D, CMS_W = 4, 512  # depth x width; eps = e/512, delta = e^-4
-
-
-@register(
-    "a21_cms_heavy_hitters",
-    f"""
-    WITH rows_h AS (
-      SELECT user_id, i,
-             CASE i
-               WHEN 0 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms0")}
-               WHEN 1 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms1")}
-               WHEN 2 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms2")}
-               ELSE        {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms3")}
-             END % {CMS_W} AS col
-      FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
-    ), sketch AS MATERIALIZED (
-      SELECT i, col, CAST(COUNT(*) AS BIGINT) AS c
-      FROM rows_h GROUP BY 1, 2
-    ), est AS (
-      SELECT r.user_id, MIN(s.c) AS est_cms
-      FROM (SELECT DISTINCT user_id, i, col FROM rows_h) r
-      JOIN sketch s ON s.i = r.i AND s.col = r.col
-      GROUP BY 1
-    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
-    exact AS (
-      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
-      FROM events GROUP BY 1
-    )
-    SELECT e.user_id, CAST(e.est_cms AS BIGINT) AS est_cms, x.exact_cnt
-    FROM est e JOIN exact x USING (user_id) CROSS JOIN tot
-    WHERE 1000 * e.est_cms >= tot.n
-    """,
-)
-def a21_cms_heavy_hitters(spark, sf_dir):
-    """Count-min-sketch heavy hitters, oracle-exact: the fixed-size
-    frequency state (4 x 512 BIGINT counters) that answers "which keys
-    exceed 0.1% of all traffic" without a per-key hash table — the
-    100 TB shape for skew DETECTION, feeding the salting path the skew
-    bench measures. Sketch build is 4 seeded projections of the shared
-    60-bit hash -> one map-side-combinable count agg (the counter matrix
-    is mergeable by cell-wise ADDITION across partitions/days — the
-    same algebraic-state contract as t17's OHLC). Estimates upper-bound
-    true counts (min over rows), so the candidate scan can never MISS a
-    heavy hitter; candidates here are the distinct keys (bounded by the
-    users dimension, not the event volume), each probing 4 cells by
-    equi-join against the 2048-row broadcast sketch. The threshold
-    compare is all-integer (1000*est >= total). exact_cnt rides along
-    as the yardstick; at production scale the exact branch is exactly
-    what this sketch exists to avoid."""
-    ev = tbl(spark, sf_dir, "events")
-    keys = ev.select(F.col("user_id"))
-    proj = None
-    for i in range(CMS_D):
-        p = keys.select(
-            "user_id",
-            F.lit(i).alias("i"),
-            (phash60(F.col("user_id").cast("string"), seed=f"cms{i}") % CMS_W).alias(
-                "col"
-            ),
-        )
-        proj = p if proj is None else proj.unionByName(p)
-    sketch = proj.groupBy("i", "col").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cand = proj.distinct()
-    est = (
-        cand.join(F.broadcast(sketch), ["i", "col"])
-        .groupBy("user_id")
-        .agg(F.min("c").cast("bigint").alias("est_cms"))
-    )
-    tot = ev.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    exact = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
-    )
-    return (
-        est.join(exact, "user_id")
-        .join(F.broadcast(tot))
-        .filter(1000 * F.col("est_cms") >= F.col("n"))
-        .select("user_id", "est_cms", "exact_cnt")
-    )
-
-
-BLOOM_BITS = 4096  # 128 x 32-bit words; ~2 bits/key at sf1's ~2k build keys
-
-
-def _bloom_probe_sql(expr: str, seed: str) -> str:
-    return f"{phash60_sql(expr, seed=seed)} % {BLOOM_BITS}"
-
-
-@register(
-    "j10_bloom_prune",
-    f"""
-    WITH build AS (
-      SELECT s_suppkey AS k FROM supplier WHERE s_nationkey < 5
-    ), bits AS MATERIALIZED (
-      SELECT pos >> 5 AS word, CAST(bit_or((1::BIGINT) << CAST(pos & 31 AS INTEGER)) AS BIGINT) AS bits
-      FROM (
-        SELECT {_bloom_probe_sql("CAST(k AS VARCHAR)", "bf1")} AS pos FROM build
-        UNION ALL
-        SELECT {_bloom_probe_sql("CAST(k AS VARCHAR)", "bf2")} AS pos FROM build
-      ) GROUP BY 1
-    ), probe AS (
-      SELECT l_orderkey, l_suppkey,
-             {_bloom_probe_sql("CAST(l_suppkey AS VARCHAR)", "bf1")} AS p1,
-             {_bloom_probe_sql("CAST(l_suppkey AS VARCHAR)", "bf2")} AS p2
-      FROM lineitem
-    ), passed AS (
-      SELECT p.l_orderkey, p.l_suppkey
-      FROM probe p
-      JOIN bits b1 ON b1.word = p.p1 >> 5
-      JOIN bits b2 ON b2.word = p.p2 >> 5
-      WHERE (b1.bits & ((1::BIGINT) << CAST(p.p1 & 31 AS INTEGER))) != 0
-        AND (b2.bits & ((1::BIGINT) << CAST(p.p2 & 31 AS INTEGER))) != 0
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
-           CAST(COUNT(*) FILTER (WHERE l_suppkey IN (SELECT k FROM build))
-                AS BIGINT) AS n_true,
-           CAST(COUNT(*) FILTER (WHERE l_suppkey NOT IN (SELECT k FROM build))
-                AS BIGINT) AS n_false_positive
-    FROM passed
-    """,
-)
-def j10_bloom_prune(spark, sf_dir):
-    """Bloom-filter join pruning, oracle-exact — the semi-join
-    replacement for the case the broadcast hash join cannot serve: the
-    build side's KEY SET is small enough to summarize but the join is
-    only a FILTER (no build columns needed), so shipping a 512-byte
-    bitmap beats shipping the key table, and at 100 TB the bitmap
-    drops non-matching fact rows AT THE SCAN, before the shuffle the
-    real join would pay (Spark's own runtime row-group pruning does
-    this opaquely; this entry is the deterministic, driver-checkable
-    version). Build: 2 seeded 60-bit hashes per key -> bit positions ->
-    one bit_or agg into 128 x 32-bit words (32-bit words keep every
-    shift strictly below the BIGINT sign bit — 1<<63 wraps negative in
-    Spark and overflows in DuckDB). Probe: each fact row computes its 2
-    words + masks and equi-joins the broadcast word table twice — all
-    JVM-side integer ops in one codegen stage, no Python, no shuffle of
-    the fact side. Output quantifies the contract: every true match
-    passes (zero false negatives BY CONSTRUCTION — the driver-gated
-    n_true equals the exact semi-join count), false positives are the
-    tunable cost (n_false_positive at ~2 bits/key documents the
-    undersized-filter regime on purpose)."""
-    sup = tbl(spark, sf_dir, "supplier")
-    li = tbl(spark, sf_dir, "lineitem")
-    build = sup.filter(F.col("s_nationkey") < 5).select(F.col("s_suppkey").alias("k"))
-    pos = None
-    for seed in ("bf1", "bf2"):
-        p = build.select(
-            (phash60(F.col("k").cast("string"), seed=seed) % BLOOM_BITS).alias("pos")
-        )
-        pos = p if pos is None else pos.unionByName(p)
-    bits = pos.groupBy(F.shiftright("pos", 5).alias("word")).agg(
-        F.bit_or(F.expr("shiftleft(1L, cast(pos & 31 as int))"))
-        .cast("bigint")
-        .alias("bits")
-    )
-    probe = li.select(
-        "l_orderkey",
-        "l_suppkey",
-        (phash60(F.col("l_suppkey").cast("string"), seed="bf1") % BLOOM_BITS).alias(
-            "p1"
-        ),
-        (phash60(F.col("l_suppkey").cast("string"), seed="bf2") % BLOOM_BITS).alias(
-            "p2"
-        ),
-    )
-    b1, b2 = bits.alias("b1"), bits.alias("b2")
-    passed = (
-        probe.join(
-            F.broadcast(b1), F.shiftright(F.col("p1"), 5) == F.col("b1.word")
-        )
-        .join(F.broadcast(b2), F.shiftright(F.col("p2"), 5) == F.col("b2.word"))
-        .filter(
-            (
-                F.col("b1.bits").bitwiseAND(
-                    F.expr("shiftleft(1L, cast(p1 & 31 as int))")
-                )
-                != 0
-            )
-            & (
-                F.col("b2.bits").bitwiseAND(
-                    F.expr("shiftleft(1L, cast(p2 & 31 as int))")
-                )
-                != 0
-            )
-        )
-        .select("l_orderkey", "l_suppkey")
-    )
-    truth = passed.join(build, passed.l_suppkey == build.k, "left").select(
-        "l_orderkey", "l_suppkey", F.col("k").isNotNull().alias("hit")
-    )
-    # coalesce: over an EMPTY pass set Spark's sum is NULL where the
-    # oracle's COUNT(*) FILTER is 0 (r10 fuzz catch — generated facts
-    # whose every probe misses the filter words)
-    return truth.groupBy().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"),
-        F.coalesce(F.sum(F.when(F.col("hit"), 1).otherwise(0)), F.lit(0))
-        .cast("bigint")
-        .alias("n_true"),
-        F.coalesce(F.sum(F.when(F.col("hit"), 0).otherwise(1)), F.lit(0))
-        .cast("bigint")
-        .alias("n_false_positive"),
-    )
-
-
-@register(
-    "w13_rolling_median",
-    """
-    SELECT user_id, event_id, cents,
-           CAST(list_sort(cents_w)[(len(cents_w) + 1) // 2] AS BIGINT)
-             AS med_cents
-    FROM (
-      SELECT user_id, event_id,
-             CAST(round(value * 100) AS BIGINT) AS cents,
-             list(CAST(round(value * 100) AS BIGINT))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cents_w
-      FROM events
-    )
-    """,
-)
-def w13_rolling_median(spark, sf_dir):
-    """Exact rolling MEDIAN (last-5 window, lower-middle tiebreak) — the
-    robust-statistics window the mean-based anomaly entries (w9/w12)
-    can't provide when the series itself is outlier-ridden. percentile
-    built-ins interpolate in float (and differ across engines); this is
-    integer-exact: collect the bounded window as an array, sort it, and
-    index the lower middle — O(k log k) per row with k=5 pinned, never a
-    function of partition size, and the whole thing rides the single
-    per-user hashpartitioning every other w-entry shares (no global
-    sort). The bounded-window contract is the scale story: rolling
-    medians over UNbounded frames require order-statistic trees no
-    engine vectorizes; fixed-k frames are the shape that survives 100 TB
-    (k x 8 bytes of state per row in flight). Ties on ts are broken by
-    event_id on BOTH engines, and cents quantization keeps every
-    compared value a BIGINT (Spark round = DuckDB round: both
-    half-away-from-zero on positive doubles here)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-4, 0)
-    )
-    t = ev.select(
-        "user_id",
-        "event_id",
-        cents.alias("cents"),
-        F.sort_array(F.collect_list(cents).over(w)).alias("cents_w"),
-    )
-    return t.select(
-        "user_id",
-        "event_id",
-        "cents",
-        F.element_at(
-            "cents_w", ((F.size("cents_w") + 1) / 2).cast("int")
-        )
-        .cast("bigint")
-        .alias("med_cents"),
-    )
-
-
-@register("t22_stream_hll_view", ORACLES["a20_hll_distinct"], lazy_replay=True)
-def t22_stream_hll_view(spark, sf_dir):
-    """STREAMING maintenance of the a20 HyperLogLog registers — the
-    t17/t18/t20 convergence pattern applied to SKETCH state, closing the
-    algebraic-state taxonomy: OHLC (t17, merge by struct least/greatest
-    + sums), version chains (t18, rebuild-touched), additive aggregates
-    (t20, merge by +), and now sub-linear sketches (merge by
-    register-wise MAX — HLL's defining property: the merge of two
-    register sets IS the sketch of the union, so batch boundaries are
-    invisible BY ALGEBRA, not by care). The event feed replays in 3
-    micro-batches; each batch reduces to its own 256-register partial
-    (map-side combined before touching the view) and merges under the
-    writer-lease/replay contract; the final registers must hash-match
-    a20's one-shot batch build — same oracle, streaming twin.
-    exact_distinct is the yardstick column, recomputed in batch from the
-    staged feed (it is exactly what the sketch exists to avoid keeping
-    exactly, and the oracle needs it for the error context)."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    hk = phash60(F.col("user_id").cast("string"), seed="hll")
-    feed = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        hk.alias("hk"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "hllmv_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(
-        spark, _os.path.join(root, "mv"), ["event_type", "r"], partition_by="event_type"
-    )
-
-    def fn(cur, b):
-        w = F.shiftright("hk", 8)
-        rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
-        delta = b.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
-            F.max(rho).cast("int").alias("m_r")
-        )
-        if cur is None:
-            return delta
-        return (
-            cur.alias("v")
-            .join(delta.alias("d"), ["event_type", "r"], "full_outer")
-            .select(
-                "event_type",
-                "r",
-                F.greatest(F.col("v.m_r"), F.col("d.m_r")).cast("int").alias("m_r"),
-            )
-        )
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(
-            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="hll")
-        )
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    regs = view.read()
-    s = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
-        (
-            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
-            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
-        )
-        .cast("bigint")
-        .alias("s_int"),
-    )
-    ex = (
-        spark.read.parquet(stage)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
-    )
-    return s.join(ex, "event_type").select(
-        "event_type",
-        "registers_used",
-        "s_int",
-        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
-        "exact_distinct",
-    )
-
-
-@register(
-    "a22_last_touch_attribution",
-    """
-    WITH e AS (
-      SELECT user_id, event_id, event_type, ts,
-             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
-                        IGNORE NULLS)
-               OVER w AS touch_event_id,
-             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                        IGNORE NULLS)
-               OVER w AS touch_type,
-             last_value(CASE WHEN event_type <> 'purchase'
-                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
-                        IGNORE NULLS)
-               OVER w AS touch_us
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    )
-    SELECT user_id, event_id AS purchase_event_id, touch_event_id, touch_type,
-           CAST(epoch_us(CAST(ts AS TIMESTAMP)) - touch_us AS BIGINT)
-             AS gap_us
-    FROM e WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
-    """,
-)
-def a22_last_touch_attribution(spark, sf_dir):
-    """Last-touch conversion attribution — the marketing/causal staple:
-    each purchase is credited to the user's most recent PRIOR
-    non-purchase event. The naive formulation is a per-user non-equi
-    self-join (touch.ts < purchase.ts, argmax) — quadratic in the hot
-    user; this is the windowed rewrite: ONE per-user ordered pass where
-    `last_value(... IGNORE NULLS)` over an UNBOUNDED PRECEDING..1
-    PRECEDING frame carries the running last touch, then a filter keeps
-    the conversions. All three attributed columns ride the same frame,
-    so they come from the same touch row by construction. Cost: the one
-    per-user hashpartitioning the whole w-family shares; no self-join
-    exists to skew. Determinism: (ts, event_id) order on both engines;
-    the gap is exact integer microseconds (epoch_us twin of
-    unix_micros under the UTC session — the f5 rule)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    np_ = F.col("event_type") != "purchase"
-    t = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.last(F.when(np_, F.col("event_id")), ignorenulls=True)
-        .over(w)
-        .alias("touch_event_id"),
-        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
-        .over(w)
-        .alias("touch_type"),
-        F.last(
-            F.when(np_, F.unix_micros(F.col("ts").cast("timestamp"))),
-            ignorenulls=True,
-        )
-        .over(w)
-        .alias("touch_us"),
-    )
-    return (
-        t.filter((F.col("event_type") == "purchase") & F.col("touch_event_id").isNotNull())
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_event_id"),
-            "touch_event_id",
-            "touch_type",
-            (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("touch_us"))
-            .cast("bigint")
-            .alias("gap_us"),
-        )
-    )
-
-
-INTERVAL_US = 2 * 3600 * 1_000_000  # 2-hour attribution window
-BUCKET_US = 3600 * 1_000_000  # 1-hour buckets: each interval spans <= 3
-
-
-@register(
-    "j11_interval_join",
-    f"""
-    WITH iv AS (
-      SELECT user_id, event_id AS purchase_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
-             epoch_us(CAST(ts AS TIMESTAMP)) + {INTERVAL_US} AS e
-      FROM events WHERE event_type = 'purchase'
-    ), pt AS (
-      SELECT user_id, event_id AS view_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-      FROM events WHERE event_type = 'view'
-    )
-    SELECT i.purchase_id, p.view_id,
-           CAST(p.t - i.s AS BIGINT) AS offset_us
-    FROM iv i JOIN pt p
-      ON p.user_id = i.user_id AND p.t >= i.s AND p.t <= i.e
-    """,
-)
-def j11_interval_join(spark, sf_dir):
-    """Point-in-interval RANGE join without a nested loop — the temporal
-    join engines either special-case (DuckDB's IEJoin, the oracle here)
-    or degrade to a per-key cross product on (Spark's default for
-    non-equi conditions). The Spark-first rewrite BUCKETS time: every
-    interval is exploded to the 1-hour buckets it overlaps (<= 3 rows —
-    bounded because the interval length is bounded, the contract that
-    makes this shape work), every point computes its single bucket, and
-    the join becomes a pure EQUI-join on (user, bucket) + a residual
-    range filter. Each (interval, point) pair meets in EXACTLY one
-    bucket (the point's), so no post-join dedup exists — the r5 d3
-    lesson (first-matching-band emission) applied to time. Cost:
-    |intervals| x 3 + |points| rows through one hash exchange,
-    plan-pinned to never plan a cartesian/BNLJ. At 100 TB this is the
-    sessionized-attribution join (ad impressions to conversions) that a
-    range-join hint can't save once both sides are fact-sized."""
-    ev = tbl(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    iv = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        us.alias("s"),
-        (us + INTERVAL_US).alias("e"),
-    )
-    ivb = iv.select(
-        "user_id",
-        "purchase_id",
-        "s",
-        "e",
-        F.explode(
-            F.sequence(
-                (F.col("s") / BUCKET_US).cast("bigint"),
-                (F.col("e") / BUCKET_US).cast("bigint"),
-            )
-        ).alias("bucket"),
-    )
-    pt = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        F.col("event_id").alias("view_id"),
-        us.alias("t"),
-        (us / BUCKET_US).cast("bigint").alias("bucket"),
-    )
-    return (
-        ivb.join(pt, ["user_id", "bucket"])
-        .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
-        .select(
-            "purchase_id",
-            "view_id",
-            (F.col("t") - F.col("s")).cast("bigint").alias("offset_us"),
-        )
-    )
-
-
-@register(
-    "p14_schema_evolution",
-    """
-    SELECT o_orderkey,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
-           CASE WHEN o_orderkey % 2 = 1
-                THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 50
-                          AS BIGINT)
-           END AS discount_cents
-    FROM orders WHERE o_custkey % 10 = 0
-    """,
-)
-def p14_schema_evolution(spark, sf_dir):
-    """Schema evolution across a table's file history — the lakehouse
-    fact of life the reference's ES mappings silently absorb: a column
-    added in year N exists only in files written after year N. Staged
-    concretely: the even-orderkey half of the feed is written with the
-    v1 schema, the odd half with v2 (adds discount_cents), and ONE
-    mergeSchema read reconciles them — v1 rows surface a typed NULL,
-    exactly the semantics a downstream coalesce-default expects. The
-    scale note is the COST: mergeSchema must reconcile footers across
-    every file, so production tables pin the evolved schema in a
-    catalog and pay footer-merging once per evolution, not per read
-    (the p12/p13 layout family's catalog argument, applied to schema).
-    Pruning survives evolution: the driver gate proves values, the plan
-    test proves the v1-absent column still prunes at the scan."""
-    import os as _os
-
-    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
-    base = o.select(
-        "o_orderkey",
-        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("total_cents"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_files", sf_dir)
-    root = _os.path.join(scratch, "evo")
-    v1 = base.filter(F.col("o_orderkey") % 2 == 0)
-    v2 = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
-        "discount_cents", (F.col("total_cents") / 50).cast("bigint")
-    )
-    v1.write.mode("overwrite").parquet(_os.path.join(root, "v=1"))
-    v2.write.mode("overwrite").parquet(_os.path.join(root, "v=2"))
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(_os.path.join(root, "v=1"), _os.path.join(root, "v=2"))
-        .select("o_orderkey", "total_cents", "discount_cents")
-    )
-
-
-@register(
-    "a23_equidepth_bins",
-    """
-    WITH t AS (
-      SELECT event_type AS series,
-             CAST(round(value * 100) AS BIGINT) AS cents, event_id,
-             ntile(8) OVER (PARTITION BY event_type
-                            ORDER BY CAST(round(value * 100) AS BIGINT),
-                                     event_id) AS bin
-      FROM events
-    )
-    SELECT series, CAST(bin AS INTEGER) AS bin,
-           CAST(min(cents) AS BIGINT) AS lo_cents,
-           CAST(max(cents) AS BIGINT) AS hi_cents,
-           CAST(count(*) AS BIGINT) AS n
-    FROM t GROUP BY 1, 2
-    """,
-)
-def a23_equidepth_bins(spark, sf_dir):
-    """Equi-depth feature binning — the quantile-bucket boundaries a
-    training pipeline fits once and applies everywhere (feature
-    bucketizers, monotonic-binned calibration, histogram sketches).
-    Spark's approxQuantile is a black-box GK sketch no oracle can
-    reproduce; this is the exact formulation: per-series ntile(8) over
-    a (value, id)-tiebroken order, then min/max/count per bin — the bin
-    EDGES come out as exact integers and adjacent bins meet exactly
-    (hi of bin k = lo of bin k+1 when values repeat across the cut,
-    which is the honest equi-depth semantics: ties split by id). Cost
-    is the a17/a19 template: one per-series sort for the ranks, one
-    map-side-combined agg — for few massive series, range-repartition
-    the sort and offset ranks by broadcast prefix counts (the
-    documented scale-out of every rank-based entry). Ntile's
-    remainder rule (first bins take the extra row) is the SQL-standard
-    one on both engines, driver-gated here."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    w = Window.partitionBy("event_type").orderBy(cents, "event_id")
-    t = ev.select(
-        F.col("event_type").alias("series"),
-        cents.alias("cents"),
-        F.ntile(8).over(w).alias("bin"),
-    )
-    return t.groupBy("series", F.col("bin").cast("int").alias("bin")).agg(
-        F.min("cents").cast("bigint").alias("lo_cents"),
-        F.max("cents").cast("bigint").alias("hi_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-
-
-@register(
-    "m12_calibration_curve",
-    f"""
-    WITH pred AS ({{MLP_SQL}}),
-    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
-    scored AS (
-      SELECT p.vec_id, p.max_logit,
-             CASE WHEN p.pred_class = t.class THEN 1 ELSE 0 END AS ok,
-             ntile(10) OVER (ORDER BY p.max_logit, p.vec_id) AS decile
-      FROM pred p JOIN truth t USING (vec_id)
-    )
-    SELECT CAST(decile AS INTEGER) AS decile,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(ok) AS BIGINT) AS n_correct,
-           CAST(min(max_logit) AS BIGINT) AS lo_logit,
-           CAST(max(max_logit) AS BIGINT) AS hi_logit,
-           CAST(CAST(sum(ok) AS DOUBLE) / count(*) AS DOUBLE) AS accuracy
-    FROM scored GROUP BY 1
-    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
-)
-def m12_calibration_curve(spark, sf_dir):
-    """Confidence calibration over the m9 inference path — the third leg
-    of the eval stool (m9 predicts, m11 scores classes, m12 asks
-    whether CONFIDENCE means anything): predictions bucketed into
-    logit-margin deciles, each reporting exact correct/total counts and
-    the accuracy they imply. A well-calibrated model shows accuracy
-    rising monotonically across deciles; the flat or inverted shape is
-    the signal to temperature-scale before thresholding auto-labels —
-    the decision this table exists to drive in a data-labeling
-    pipeline (only decile-9/10 predictions become training labels).
-    Exactness: the model is the integer MLP, so logits are BIGINTs,
-    deciles are ntile over a (logit, id)-tiebroken order, and the one
-    double is a single division of exact counts. Scale: predictions
-    stream from the Arrow mapInPandas seam; the global ntile is over a
-    #predictions-sized relation of two integers — and for corpus-sized
-    prediction sets the documented rank scale-out (range-repartition +
-    broadcast prefix offsets) applies unchanged."""
-    from pyspark.sql import Window
-
-    emb = tbl(spark, sf_dir, "embeddings")
-    pred = _inf.mlp_infer(emb)
-    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
-    scored = (
-        pred.join(truth, "vec_id")
-        .select(
-            "vec_id",
-            "max_logit",
-            F.when(F.col("pred_class") == F.col("class"), 1).otherwise(0).alias("ok"),
-        )
-        .select(
-            "max_logit",
-            "ok",
-            F.ntile(10).over(Window.orderBy("max_logit", "vec_id")).alias("decile"),
-        )
-    )
-    return scored.groupBy(F.col("decile").cast("int").alias("decile")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("ok").cast("bigint").alias("n_correct"),
-        F.min("max_logit").cast("bigint").alias("lo_logit"),
-        F.max("max_logit").cast("bigint").alias("hi_logit"),
-        (F.sum("ok").cast("double") / F.count(F.lit(1))).alias("accuracy"),
-    )
-
-
-@register(
-    "f6_ohlc_resample",
-    """
-    SELECT CAST(ts AS DATE) AS event_date,
-           CAST(min(struct_pack(t := CAST(ts AS TIMESTAMP),
-                                v := CAST(round(value * 100) AS BIGINT))).v
-                AS BIGINT) AS open_cents,
-           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high_cents,
-           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low_cents,
-           CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                                v := CAST(round(value * 100) AS BIGINT))).v
-                AS BIGINT) AS close_cents,
-           CAST(count(*) AS BIGINT) AS n_trades,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-             AS turnover_cents
-    FROM events WHERE event_type = 'purchase'
-    GROUP BY 1
-    """,
-)
-def f6_ohlc_resample(spark, sf_dir):
-    """Candle RESAMPLING through the bar hierarchy — daily OHLC built
-    from HOURLY bars, not from raw trades, and driver-proven equal to
-    the direct daily computation (the oracle computes straight from
-    raw). This is the associativity property production tick stores
-    depend on: 1-minute bars roll to 5-minute to hourly to daily
-    without ever re-reading ticks, because OHLC state is mergeable —
-    open/close as lexicographic (ts, value) struct min/max (t17's
-    deterministic tiebreak), high/low/count/turnover as max/min/sums.
-    Two map-side-combinable aggs; the second operates on 24x fewer rows
-    and reuses the first's (day, hour) partitioning prefix. At 100 TB
-    the raw->finest-bar agg is the only pass over ticks; every coarser
-    granularity is a rollup over bars — this entry IS that contract,
-    checked. (Same algebra t17 exploits across micro-batches, here
-    exploited across time granularities.)"""
-    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    ts = F.col("ts").cast("timestamp")
-    tv = F.struct(ts.alias("t"), cents.alias("v"))
-    hourly = ev.groupBy(
-        F.to_date(ts).alias("event_date"), F.hour(ts).alias("hh")
-    ).agg(
-        F.min(tv).alias("open_s"),
-        F.max(cents).alias("high_cents"),
-        F.min(cents).alias("low_cents"),
-        F.max(tv).alias("close_s"),
-        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
-        F.sum(cents).cast("bigint").alias("turnover_cents"),
-    )
-    return hourly.groupBy("event_date").agg(
-        F.min("open_s")["v"].cast("bigint").alias("open_cents"),
-        F.max("high_cents").cast("bigint").alias("high_cents"),
-        F.min("low_cents").cast("bigint").alias("low_cents"),
-        F.max("close_s")["v"].cast("bigint").alias("close_cents"),
-        F.sum("n_trades").cast("bigint").alias("n_trades"),
-        F.sum("turnover_cents").cast("bigint").alias("turnover_cents"),
-    )
-
-
-@register(
-    "f7_ols_trend",
-    """
-    WITH daily AS (
-      SELECT event_type AS series,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-      FROM events GROUP BY 1, 2
-    )
-    SELECT series,
-           CAST(count(*) AS BIGINT) AS n_days,
-           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
-           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
-           CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS BIGINT) AS icept_num
-    FROM daily GROUP BY 1
-    """,
-)
-def f7_ols_trend(spark, sf_dir):
-    """Per-series least-squares trend of daily turnover — the trend
-    feature every forecasting pipeline derives before it reaches for a
-    model (the reference hands raw keyed closes to SARIMAX,
-    Batch_layer/batchPipeline.py:70-90; the trend/detrend split is the
-    first thing its forecaster fits internally). Emitted EXACTLY: slope
-    = slope_num / slope_den and intercept = icept_num / slope_den are
-    returned as their integer normal-equation terms (n*Sxy - Sx*Sy,
-    n*Sxx - Sx^2, Sy*Sxx - Sx*Sxy) so the driver hash-compares pure
-    BIGINTs — no float ever computed (the w12/a19 discipline).
-
-    Overflow discipline: x is days-since-fixture-start (0..29), NOT
-    epoch days — regressing on the raw epoch axis makes n*Sxy blow
-    past int64 around sf1 (DuckDB raises on BIGINT overflow rather
-    than wrapping, which is the honest canary). Centering the axis
-    keeps every term under ~1e14 at sf100.
-
-    Scale shape: one map-side-combinable daily agg — the ONLY pass
-    over raw events — then a per-series agg over #days rows. At
-    100 TB the second agg is ~free (5 series x 30 days); the regression
-    itself never sees raw data. Adding series or days grows the tiny
-    relation, never the pass count."""
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    daily = ev.groupBy(
-        F.col("event_type").alias("series"),
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint").alias("x"),
-    ).agg(F.sum(cents).alias("y"))
-    n = F.count(F.lit(1)).cast("bigint")
-    sx, sy = F.sum("x"), F.sum("y")
-    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
-    return daily.groupBy("series").agg(
-        n.alias("n_days"),
-        (n * sxy - sx * sy).cast("bigint").alias("slope_num"),
-        (n * sxx - sx * sx).cast("bigint").alias("slope_den"),
-        (sy * sxx - sx * sxy).cast("bigint").alias("icept_num"),
-    )
-
-
-@register(
-    "f8_pairwise_activity_corr",
-    """
-    WITH daily AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT a.series AS series_a, b.series AS series_b, a.c AS x, b.c AS y
-      FROM daily a JOIN daily b ON a.day = b.day AND a.series < b.series
-    )
-    SELECT series_a, series_b,
-           CAST(count(*) AS BIGINT) AS n_days,
-           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS corr_num,
-           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den_x,
-           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS den_y
-    FROM pairs GROUP BY 1, 2
-    """,
-)
-def f8_pairwise_activity_corr(spark, sf_dir):
-    """All-pairs correlation between series' daily activity — the
-    cross-asset correlation matrix a portfolio/risk view derives from
-    the same keyed daily views the reference serves (its ES serving
-    view holds exactly these per-day series side by side; correlating
-    them is the first multi-asset question a user asks of it). Pearson
-    r = corr_num / sqrt(den_x * den_y); the three terms come back as
-    exact BIGINTs (f7's normal-equation discipline), so the driver
-    compare never sees a float.
-
-    The quadratic is in SERIES COUNT, never in rows: raw events
-    collapse to (series, day, count) in one map-side-combined agg —
-    the only pass over data — and the pair join runs on that tiny
-    relation (#series x #days rows), equi-keyed on day with the
-    series_a < series_b triangle predicate halving it. k series make
-    k(k-1)/2 pairs x #days rows through the join: at 5k series x 3
-    years it's ~1e10 pair-days, which shuffle-partitions by day
-    exactly like any fact join — still independent of raw-event
-    volume. Correlating COUNTS (not value sums) keeps y^2 terms
-    int64-safe at any SF (daily cents sums square past 2^63 near
-    sf10 — the f7 overflow canary, avoided structurally)."""
-    ev = tbl(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    a = daily.select(F.col("series").alias("series_a"), "day", F.col("c").alias("x"))
-    b = daily.select(F.col("series").alias("series_b"), "day", F.col("c").alias("y"))
-    pairs = a.join(b, "day").filter(F.col("series_a") < F.col("series_b"))
-    n = F.count(F.lit(1)).cast("bigint")
-    sx, sy = F.sum("x"), F.sum("y")
-    sxx = F.sum(F.col("x") * F.col("x"))
-    syy = F.sum(F.col("y") * F.col("y"))
-    sxy = F.sum(F.col("x") * F.col("y"))
-    return pairs.groupBy("series_a", "series_b").agg(
-        n.alias("n_days"),
-        (n * sxy - sx * sy).cast("bigint").alias("corr_num"),
-        (n * sxx - sx * sx).cast("bigint").alias("den_x"),
-        (n * syy - sy * sy).cast("bigint").alias("den_y"),
-    )
-
-
-@register(
-    "o3_pareto_frontier",
-    """
-    WITH pts AS (
-      SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
-             CAST(p_size AS BIGINT) AS size
-      FROM part
-    ),
-    m AS (
-      SELECT price_cents, size,
-             max(size) OVER (ORDER BY price_cents ASC, size DESC
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING) AS prior
-      FROM pts
-    )
-    SELECT price_cents, size FROM m WHERE prior IS NULL OR size > prior
-    """,
-)
-def o3_pareto_frontier(spark, sf_dir):
-    """Pareto frontier (skyline) over parts: the set of (price, size)
-    points where no other part is both cheaper-or-equal AND
-    bigger-or-equal with one strict — the multi-objective shortlist
-    query (best price/size tradeoffs) that no single ORDER BY can
-    answer. Classic sweep: order distinct points by (price ASC, size
-    DESC); a point survives iff its size strictly exceeds the running
-    max over all predecessors (a predecessor with size >= mine is
-    cheaper-or-equal and at-least-as-big, hence dominates; the DESC
-    tiebreak makes the equal-price case exact).
-
-    TWO-PHASE so the sweep never needs a global sort of the full set:
-    the frontier operator is idempotent over any partition of its
-    input — frontier(S) = frontier(U frontier(Pi)) — so phase 1 runs
-    the sweep per hash bucket (a partitionBy window, no global
-    exchange of the raw points), and only the per-bucket survivors
-    (output-sized, tiny: bounded by #distinct prices) meet the global
-    sweep in phase 2. At 100 TB phase 1 is embarrassingly parallel
-    after one dedup agg and phase 2 sorts thousands of rows, not
-    billions — the a17/a23 rank scale-out argument made structural.
-    The bucket hash only affects intermediate sizes, never the result
-    (any partition works), so the plan is deterministic by
-    construction."""
-    from pyspark.sql import Window
-
-    p = tbl(spark, sf_dir, "part")
-    pts = p.select(
-        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
-        F.col("p_size").cast("bigint").alias("size"),
-    ).distinct()
-    sweep = Window.orderBy(F.col("price_cents").asc(), F.col("size").desc())
-
-    def survivors(df, w):
-        prior = F.max("size").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return (
-            df.withColumn("prior", prior)
-            .filter(F.col("prior").isNull() | (F.col("size") > F.col("prior")))
-            .drop("prior")
-        )
-
-    local = survivors(
-        pts.withColumn("b", F.pmod(F.hash("price_cents", "size"), F.lit(32))),
-        Window.partitionBy("b").orderBy(F.col("price_cents").asc(), F.col("size").desc()),
-    ).drop("b")
-    return survivors(local, sweep)
-
-
-_DQ_COLS_SQL = """
-    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
-           count(*) - count(l_quantity) AS n_null,
-           count(DISTINCT l_quantity) AS n_distinct,
-           min(CAST(round(l_quantity) AS BIGINT)) AS min_v,
-           max(CAST(round(l_quantity) AS BIGINT)) AS max_v,
-           sum(CASE WHEN round(l_quantity) BETWEEN 1 AND 45
-                    THEN 0 ELSE 1 END) AS n_bad
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_discount', count(*), count(*) - count(l_discount),
-           count(DISTINCT l_discount),
-           min(CAST(round(l_discount * 100) AS BIGINT)),
-           max(CAST(round(l_discount * 100) AS BIGINT)),
-           sum(CASE WHEN round(l_discount * 100) BETWEEN 0 AND 8
-                    THEN 0 ELSE 1 END)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_tax', count(*), count(*) - count(l_tax),
-           count(DISTINCT l_tax),
-           min(CAST(round(l_tax * 100) AS BIGINT)),
-           max(CAST(round(l_tax * 100) AS BIGINT)),
-           sum(CASE WHEN round(l_tax * 100) BETWEEN 0 AND 6
-                    THEN 0 ELSE 1 END)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
-           count(DISTINCT l_extendedprice),
-           min(CAST(round(l_extendedprice * 100) AS BIGINT)),
-           max(CAST(round(l_extendedprice * 100) AS BIGINT)),
-           sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
-           count(DISTINCT l_shipdate),
-           min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))),
-           max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))),
-           sum(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '2000-12-31'
-                    THEN 0 ELSE 1 END)
-    FROM lineitem
-"""
-
-
-@register(
-    "a24_dq_audit",
-    f"""
-    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
-           CAST(n_null AS BIGINT) AS n_null,
-           CAST(n_distinct AS BIGINT) AS n_distinct,
-           CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v,
-           CAST(n_bad AS BIGINT) AS n_bad
-    FROM ({_DQ_COLS_SQL})
-    """,
-)
-def a24_dq_audit(spark, sf_dir):
-    """Data-quality audit (Deequ-style constraint suite) — the
-    validation gate a training pipeline runs BEFORE any batch enters
-    the corpus: per-column completeness (null count), cardinality
-    (exact distinct), observed range (scaled-integer min/max), and
-    expectation violations (range rules a downstream consumer assumes:
-    quantity in [1,45], discount <= 8c, tax <= 6c, positive price,
-    shipdate <= 2000-12-31 — deliberately tighter than the generator so
-    n_bad is a real, nonzero signal, not a vacuous zero). Output is the
-    audit TABLE (one row per column, metrics as exact BIGINTs), the
-    shape a quality dashboard or a circuit-breaker reads.
-
-    ONE scan: all five columns' metrics compute in a single wide
-    aggregate (the multi-count_distinct makes Catalyst plan an Expand —
-    x5 row multiply BEFORE the map-side combine, the documented price
-    of exact multi-column cardinality in one pass; approx_count_distinct
-    collapses the Expand when 2% error is acceptable — a9's tradeoff,
-    cross-referenced not duplicated), then the 1-row wide result
-    unpivots driver-free through an explode of per-column structs.
-    The oracle is five UNION ALL scans — DuckDB reads the parquet five
-    times so Spark's one-pass shape is the thing under test, not a
-    shared plan."""
-    li = tbl(spark, sf_dir, "lineitem")
-    epoch = F.lit("1970-01-01")
-    qty = F.round(F.col("l_quantity")).cast("bigint")
-    disc = F.round(F.col("l_discount") * 100).cast("bigint")
-    tax = F.round(F.col("l_tax") * 100).cast("bigint")
-    price = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    ship = F.datediff(F.col("l_shipdate").cast("date"), epoch).cast("bigint")
-
-    def bad(cond):
-        return F.sum(F.when(cond, 0).otherwise(1)).cast("bigint")
-
-    def metrics(tag, raw, scaled, ok_cond):
-        return [
-            F.count(F.lit(1)).cast("bigint").alias(f"{tag}_rows"),
-            (F.count(F.lit(1)) - F.count(raw)).cast("bigint").alias(f"{tag}_null"),
-            F.count_distinct(raw).cast("bigint").alias(f"{tag}_dist"),
-            F.min(scaled).alias(f"{tag}_min"),
-            F.max(scaled).alias(f"{tag}_max"),
-            bad(ok_cond).alias(f"{tag}_bad"),
-        ]
-
-    wide = li.agg(
-        *metrics("qty", F.col("l_quantity"), qty, qty.between(1, 45)),
-        *metrics("disc", F.col("l_discount"), disc, disc.between(0, 8)),
-        *metrics("tax", F.col("l_tax"), tax, tax.between(0, 6)),
-        *metrics("price", F.col("l_extendedprice"), price, F.col("l_extendedprice") > 0),
-        *metrics(
-            "ship",
-            F.col("l_shipdate"),
-            ship,
-            F.col("l_shipdate").cast("date") <= F.lit("2000-12-31").cast("date"),
-        ),
-    )
-    rows = [
-        ("l_quantity", "qty"),
-        ("l_discount", "disc"),
-        ("l_tax", "tax"),
-        ("l_extendedprice", "price"),
-        ("l_shipdate", "ship"),
-    ]
-    audit = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("col_name"),
-                F.col(f"{tag}_rows").alias("n_rows"),
-                F.col(f"{tag}_null").alias("n_null"),
-                F.col(f"{tag}_dist").alias("n_distinct"),
-                F.col(f"{tag}_min").alias("min_v"),
-                F.col(f"{tag}_max").alias("max_v"),
-                F.col(f"{tag}_bad").alias("n_bad"),
-            )
-            for name, tag in rows
-        ]
-    )
-    return wide.select(F.explode(audit).alias("m")).select("m.*")
-
-
-@register(
-    "m13_feature_hashing",
-    """
-    WITH toks AS (
-      SELECT doc_id, t
-      FROM documents, unnest({TOKS}) AS u(t)
-    ),
-    b AS (
-      SELECT doc_id, t, {PH} % 256 AS bucket FROM toks
-    )
-    SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT t) AS BIGINT) AS n_terms
-    FROM b GROUP BY 1
-    """.replace("{TOKS}", _tx.tokens_sql("text")).replace(
-        "{PH}", _hh.phash60_sql("t")
-    ),
-)
-def m13_feature_hashing(spark, sf_dir):
-    """Hashing-trick feature space audit — the collision accounting for
-    a feature-hashed text vectorizer (the 2^k-bucket trick that makes
-    text featurization vocabulary-free and therefore streamable: no
-    fitted dictionary to ship, new terms land deterministically). Per
-    bucket of a 256-dim hashed space: total token mass, document
-    frequency, and the COLLISION COUNT (n_terms > 1 means distinct
-    terms share the bucket — the quantity that decides whether k is
-    big enough, measured exactly rather than assumed from the birthday
-    bound).
-
-    The bucket hash is the portable 60-bit md5 (ext/hashing.py) mod a
-    power of two, so Spark and DuckDB land every term in the same
-    bucket and the driver hash-compares exact counts. Shape: explode
-    tokens (the x8/x10 corpus pass), one groupBy(bucket) with two exact
-    count_distincts — the Expand x2 cost a24 documents; 256 buckets
-    mean the post-explode agg combines map-side into at most 256 rows
-    per partition regardless of corpus size. At 100 TB this is
-    scan-bound, and the same pass emits the per-(doc, bucket) sparse
-    vectors when run un-aggregated."""
-    d = tbl(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(_tx.tokens(F.col("text"))).alias("t")
-    )
-    b = toks.withColumn("bucket", _hh.phash60(F.col("t")) % 256)
-    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-        F.count_distinct("t").cast("bigint").alias("n_terms"),
-    )
-
-
-@register(
-    "w14_linear_interpolate",
-    """
-    WITH obs AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                                  v := CAST(round(value * 100) AS BIGINT))).v
-                  AS BIGINT) AS cv
-      FROM events WHERE event_id % 150 = 0 GROUP BY 1, 2
-    ), spine AS (
-      SELECT series,
-             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
-                                         CAST(hi AS TIMESTAMP),
-                                         INTERVAL 1 DAY)) AS DATE) AS day
-      FROM (SELECT series, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1)
-    ), j AS (
-      SELECT s.series, s.day, o.cv
-      FROM spine s LEFT JOIN obs o ON o.series = s.series AND o.day = s.day
-    ), n AS (
-      SELECT series, day, cv,
-             last_value(CASE WHEN cv IS NOT NULL THEN day END IGNORE NULLS)
-               OVER w_prev AS pd,
-             last_value(cv IGNORE NULLS) OVER w_prev AS pv,
-             first_value(CASE WHEN cv IS NOT NULL THEN day END IGNORE NULLS)
-               OVER w_next AS nd,
-             first_value(cv IGNORE NULLS) OVER w_next AS nv
-      FROM j
-      WINDOW w_prev AS (PARTITION BY series ORDER BY day
-                        ROWS UNBOUNDED PRECEDING),
-             w_next AS (PARTITION BY series ORDER BY day
-                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT series, day,
-           CAST(CASE WHEN cv IS NOT NULL THEN cv
-                ELSE pv * date_diff('day', day, nd)
-                     + nv * date_diff('day', pd, day) END AS BIGINT)
-             AS interp_num,
-           CAST(CASE WHEN cv IS NOT NULL THEN 1
-                ELSE date_diff('day', pd, nd) END AS BIGINT) AS interp_den,
-           CAST(CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_obs
-    FROM n
-    """,
-)
-def w14_linear_interpolate(spark, sf_dir):
-    """Linear interpolation across gaps — t9's gap-fill upgraded from
-    staircase (LOCF) to the straight line between neighbors, the fill a
-    forecaster's preprocessor actually wants for slow-moving series.
-    The interpolated close at day d between observations (p, vp) and
-    (n, vn) is [vp*(n-d) + vn*(d-p)] / (n-p) — emitted as its EXACT
-    integer numerator/denominator pair (the f7 rational discipline), so
-    the driver compares pure BIGINTs and the one float division belongs
-    to the consumer. Observed days return (cv, 1); the spine is bounded
-    by each series' first/last observation so both neighbors always
-    exist.
-
-    Sparsity comes from the fixture being dense: the event_id % 150
-    sample thins each series until real multi-day gaps appear at
-    sf0.001-0.01 (and the occasional gap survives even at sf1), so the
-    interpolation arms are genuinely exercised at the correctness SFs.
-    Shape: one daily agg (deterministic lexicographic (ts, value) close
-    — the t17/f6 tiebreak), a spine explode that is O(days) never
-    O(events), one spine join, and TWO ignore-nulls windows over the
-    same per-series sort (Catalyst runs both directions in one
-    Window node pair, no extra exchange: the w7 LOCF shape plus its
-    mirror). Partitions by series; no global sort anywhere."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") % 150 == 0)
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    obs = ev.groupBy(
-        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
-    ).agg(
-        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
-        .cast("bigint")
-        .alias("cv")
-    )
-    spine = (
-        obs.groupBy("series")
-        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(
-            "series",
-            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
-    )
-    j = spine.join(obs, ["series", "day"], "left")
-    w_prev = Window.partitionBy("series").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_next = Window.partitionBy("series").orderBy("day").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    cv = F.col("cv")
-    obs_day = F.when(cv.isNotNull(), F.col("day"))
-    n = j.select(
-        "series",
-        "day",
-        "cv",
-        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
-        F.last(cv, ignorenulls=True).over(w_prev).alias("pv"),
-        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
-        F.first(cv, ignorenulls=True).over(w_next).alias("nv"),
-    )
-    gap_num = F.col("pv") * F.datediff(F.col("nd"), F.col("day")) + F.col(
-        "nv"
-    ) * F.datediff(F.col("day"), F.col("pd"))
-    return n.select(
-        "series",
-        "day",
-        F.when(cv.isNotNull(), cv).otherwise(gap_num).cast("bigint").alias("interp_num"),
-        F.when(cv.isNotNull(), F.lit(1))
-        .otherwise(F.datediff(F.col("nd"), F.col("pd")))
-        .cast("bigint")
-        .alias("interp_den"),
-        F.when(cv.isNotNull(), 1).otherwise(0).cast("int").alias("is_obs"),
-    )
-
-
-@register(
-    "g15_common_neighbors",
-    """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
-    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
-    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
-    ori AS MATERIALIZED (
-      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
-             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
-      FROM raw r
-      JOIN deg du ON du.node = r.u
-      JOIN deg dv ON dv.node = r.v
-    ),
-    tri AS MATERIALIZED (
-      SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      FROM ori e1
-      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
-      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
-    ),
-    tedges AS (
-      SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
-      UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
-      UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
-    ),
-    cn AS MATERIALIZED (SELECT u, v, count(*) AS cn FROM tedges GROUP BY 1, 2)
-    SELECT r.u, r.v, CAST(coalesce(c.cn, 0) AS BIGINT) AS cn,
-           CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
-           CAST(du.d + dv.d - coalesce(c.cn, 0) AS BIGINT) AS jac_den
-    FROM raw r
-    LEFT JOIN cn c ON c.u = r.u AND c.v = r.v
-    JOIN deg du ON du.node = r.u
-    JOIN deg dv ON dv.node = r.v
-    """,
-)
-def g15_common_neighbors(spark, sf_dir):
-    """Per-edge link-prediction features over the parts-bought-together
-    graph: common-neighbor count and the Jaccard terms (jac = cn /
-    jac_den with jac_den = deg_u + deg_v - cn) for every support-
-    thresholded edge — the classic neighborhood-overlap scores a
-    recommender ranks candidate links by. Exact integers throughout.
-
-    Computed WITHOUT materializing neighborhoods: a triangle {a,b,c}
-    contributes exactly one common neighbor to each of its three edges,
-    so per-edge cn = per-edge triangle count — the g8 degree-ordered
-    wedge join (O(m^1.5) wedges, hub-safe by orientation) followed by
-    one explode of each triangle into its three canonical (min,max)
-    edges and a count agg. Degrees join back broadcast-sized. Edges
-    closing no triangle keep cn = 0 through the left join — they are
-    the NEGATIVE evidence a link model trains on, not noise to drop.
-
-    Since r10 the graph rides the g9/g11 bucketed layout for real
-    (:func:`_cooccur_graph_bucketed`, shared write-once staging with
-    g9/g17): the wedge join reads two bucket-aligned scans of the
-    oriented edge table with ZERO exchange on either side, the raw
-    canonical edges are recovered from the same scan by
-    (least, greatest) — a projection, not a recomputation — and the
-    only shuffles left are the ones the algorithm genuinely needs
-    (closing-edge re-key, the per-edge count agg, the cn join-back).
-    r9's version re-ran the full co-occurrence+orientation build in
-    lineage (~90 exchanges); the verdict's item-4 target."""
-    ori, deg = _cooccur_graph_bucketed(spark, sf_dir)
-    raw = ori.select(
-        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
-    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
-    tri = (
-        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
-        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-    )
-    tedges = tri.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-                ),
-                F.struct(
-                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
-                ),
-                F.struct(
-                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    cn = tedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
-    return (
-        raw.join(cn, ["u", "v"], "left")
-        .join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
-            F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("cn"),
-            F.col("du").cast("bigint").alias("deg_u"),
-            F.col("dv").cast("bigint").alias("deg_v"),
-            (F.col("du") + F.col("dv") - F.coalesce(F.col("cn"), F.lit(0)))
-            .cast("bigint")
-            .alias("jac_den"),
-        )
-    )
-
-
-@register("t23_stream_cms_view", ORACLES["a21_cms_heavy_hitters"], lazy_replay=True)
-def t23_stream_cms_view(spark, sf_dir):
-    """STREAMING maintenance of the a21 count-min sketch — the fourth
-    mergeable-state algebra in the t17/t20/t22 family: OHLC merges by
-    struct least/greatest + sums, additive aggregates by +, HLL by
-    register-wise MAX, and the CMS counter matrix by CELL-WISE ADDITION
-    (CMS(A ∪ B) = CMS(A) + CMS(B) exactly — the sketch is linear, so
-    micro-batch boundaries are invisible by algebra). The event feed
-    replays in 3 micro-batches; each batch reduces to its own 4x512
-    partial counter matrix (map-side combined BEFORE touching the view
-    — the delta is at most 2048 rows regardless of batch size) and
-    merges into the keyed view under the writer-lease/replay contract.
-    The final matrix must be byte-identical to a21's one-shot build, so
-    the heavy-hitter probe over it hash-matches a21's oracle end to
-    end — streaming twin, same oracle. The candidate/exact legs are
-    batch recomputes over the staged feed (serving-time work the sketch
-    state exists to keep OUT of the hot path)."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    feed = ev.select("event_id", "user_id")
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "cmsmv_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["i", "col"], partition_by="i")
-
-    def expand(df):
-        proj = None
-        for i in range(CMS_D):
-            p = df.select(
-                "user_id",
-                F.lit(i).alias("i"),
-                (
-                    phash60(F.col("user_id").cast("string"), seed=f"cms{i}") % CMS_W
-                ).alias("col"),
-            )
-            proj = p if proj is None else proj.unionByName(p)
-        return proj
-
-    def fn(cur, b):
-        # b arrives pre-expanded to (user_id, i, col) — the view's
-        # partition pruning reads the partition column off the batch
-        delta = b.groupBy("i", "col").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        if cur is None:
-            return delta
-        return (
-            cur.alias("v")
-            .join(delta.alias("d"), ["i", "col"], "full_outer")
-            .select(
-                "i",
-                "col",
-                # keep NULL when neither side carries state (the r7
-                # merge_ohlc_states advice: a passthrough key sharing a
-                # partition must not grow a phantom zero row)
-                F.when(
-                    F.col("v.c").isNotNull() | F.col("d.c").isNotNull(),
-                    F.coalesce(F.col("v.c"), F.lit(0))
-                    + F.coalesce(F.col("d.c"), F.lit(0)),
-                )
-                .cast("bigint")
-                .alias("c"),
-            )
-        )
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(
-            lambda b, bid: view.merge_custom(expand(b), fn, batch_id=bid, writer="cms")
-        )
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sketch = view.read().select("i", "col", F.col("c").cast("bigint").alias("c"))
-    staged = spark.read.parquet(stage)
-    cand = expand(staged).distinct()
-    est = (
-        cand.join(F.broadcast(sketch), ["i", "col"])
-        .groupBy("user_id")
-        .agg(F.min("c").cast("bigint").alias("est_cms"))
-    )
-    tot = staged.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    exact = staged.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
-    )
-    return (
-        est.join(exact, "user_id")
-        .join(F.broadcast(tot))
-        .filter(1000 * F.col("est_cms") >= F.col("n"))
-        .select("user_id", "est_cms", "exact_cnt")
-    )
-
-
-@register(
-    "x34_markov_transitions",
-    """
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
-      FROM events
-    )
-    SELECT prev_type AS from_type, event_type AS to_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from
-    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
-    """,
-)
-def x34_markov_transitions(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event
-    sequences — the next-event model a sequence-modeling pipeline fits
-    before anything neural (and the sanity check after: a trained
-    sequence model that disagrees wildly with the empirical bigram
-    matrix is broken). P(to|from) = n / n_from, emitted as its two
-    exact integer terms (f7's rational discipline); the matrix is
-    #event_types squared, so the output is tiny no matter the corpus.
-
-    Shape: ONE per-user ordered pass (lag over (ts, event_id) — the
-    a22/w6 sequence sort, deterministically tiebroken), one
-    map-side-combinable count agg over (from, to), and the n_from
-    denominator as a window sum over the 25-row matrix itself —
-    never a second pass over events. Cross-user boundaries emit no
-    transition (prev is NULL at each user's first event), which is the
-    semantically-honest handling: sessions don't leak across users."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).filter(F.col("prev_type").isNotNull())
-    counts = seq.groupBy(
-        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w_from = Window.partitionBy("from_type")
-    return counts.select(
-        "from_type",
-        "to_type",
-        "n",
-        F.sum("n").over(w_from).cast("bigint").alias("n_from"),
-    )
-
-
-@register(
-    "a25_mad_outliers",
-    """
-    WITH t AS (
-      SELECT event_type AS series,
-             CAST(round(value * 100) AS BIGINT) AS cents, event_id,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY CAST(round(value * 100) AS BIGINT),
-                                         event_id) AS r,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-    ),
-    med AS (
-      SELECT series, cents AS med_cents, n FROM t WHERE r = (n + 1) // 2
-    ),
-    dev AS (
-      SELECT t.series, t.cents, abs(t.cents - m.med_cents) AS d, t.event_id,
-             m.med_cents, m.n,
-             row_number() OVER (PARTITION BY t.series
-                                ORDER BY abs(t.cents - m.med_cents),
-                                         t.event_id) AS r2
-      FROM t JOIN med m ON m.series = t.series
-    ),
-    mad AS (
-      SELECT series, d AS mad_cents FROM dev WHERE r2 = (n + 1) // 2
-    )
-    SELECT v.series, CAST(max(v.med_cents) AS BIGINT) AS med_cents,
-           CAST(max(a.mad_cents) AS BIGINT) AS mad_cents,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN v.d > 3 * a.mad_cents THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers
-    FROM dev v JOIN mad a ON a.series = v.series
-    GROUP BY 1
-    """,
-)
-def a25_mad_outliers(spark, sf_dir):
-    """Median-absolute-deviation outlier screen — the ROBUST companion
-    to w12's rolling z-score: mean/stddev move with the very outliers
-    they're meant to flag (one fat-fingered tick inflates sigma and
-    hides its siblings), while the median/MAD pair has a 50% breakdown
-    point. Flags |x - med| > 3*MAD per series with EVERY quantity an
-    exact integer: the 'lower median' is the element at rank
-    (n+1) div 2 of a (value, event_id)-tiebroken order — a pinned
-    ELEMENT, not an interpolated midpoint, so both engines select the
-    identical row and no float exists anywhere (the a23 ntile/a17
-    weighted-median discipline, applied twice: once over values, once
-    over deviations).
-
-    Shape: two per-series rank passes (values, then deviations) with
-    the 5-row median/MAD relations broadcast back between them, one
-    final count agg. Same scale-out as every rank entry: few massive
-    series range-repartition the sort and offset ranks by broadcast
-    prefix counts. The 3*MAD compare multiplies integers — w12's
-    no-float trick."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    w_rank = Window.partitionBy("series").orderBy("cents", "event_id")
-    w_all = Window.partitionBy("series")
-    t = (
-        ev.select(
-            F.col("event_type").alias("series"), cents.alias("cents"), "event_id"
-        )
-        .withColumn("r", F.row_number().over(w_rank))
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
-    )
-    med = t.filter(F.col("r") == F.expr("(n + 1) div 2")).select(
-        "series", F.col("cents").alias("med_cents"), "n"
-    )
-    dev = (
-        t.select("series", "cents", "event_id")
-        .join(F.broadcast(med), "series")
-        .withColumn("d", F.abs(F.col("cents") - F.col("med_cents")))
-    )
-    w_rank2 = Window.partitionBy("series").orderBy("d", "event_id")
-    dev_r = dev.withColumn("r2", F.row_number().over(w_rank2))
-    mad = dev_r.filter(F.col("r2") == F.expr("(n + 1) div 2")).select(
-        "series", F.col("d").alias("mad_cents")
-    )
-    return (
-        dev.join(F.broadcast(mad), "series")
-        .groupBy("series")
-        .agg(
-            F.max("med_cents").cast("bigint").alias("med_cents"),
-            F.max("mad_cents").cast("bigint").alias("mad_cents"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-    )
-
-
-@register(
-    "d14_canonical_selection",
-    """
-    WITH labeled AS ({CLUSTERS}),
-    q AS (SELECT doc_id, {QUALITY} AS quality FROM documents)
-    SELECT cluster_id,
-           CAST(max(cluster_size) AS BIGINT) AS cluster_size,
-           CAST(max(struct_pack(q := quality, id := doc_id)).id AS BIGINT)
-             AS canonical_id,
-           CAST(max(struct_pack(q := quality, id := doc_id)).q AS DOUBLE)
-             AS canonical_quality,
-           CAST(max(cluster_size) - 1 AS BIGINT) AS n_dropped
-    FROM labeled JOIN q USING (doc_id)
-    GROUP BY cluster_id
-    """.replace(
-        "{CLUSTERS}",
-        _dd.cluster_pairs_sql(
-            _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)
-        ),
-    ).replace("{QUALITY}", _tx.quality_score_sql("text")),
-)
-def d14_canonical_selection(spark, sf_dir):
-    """Canonical-document selection — the step AFTER clustering that the
-    d-battery stopped short of: each near-dup cluster keeps its
-    highest-QUALITY member (not the arbitrary min-id d7 labels clusters
-    by), because dedup that keeps the worst copy of every duplicated
-    page poisons the corpus it was meant to clean. Winner = argmax by
-    the (quality, doc_id) struct — quality is x7's deterministic score
-    (identical IEEE doubles on both engines from identical integer
-    ratios), doc_id breaks exact ties, so the keep decision is
-    reproducible run to run, engine to engine.
-
-    Composition, not re-implementation: d7's label-propagation clusters
-    x x7's quality column, joined once, one struct-argmax agg. The
-    quality join touches only CLUSTERED docs (pair-graph members —
-    vanishingly few of the corpus at 100 TB), so the expensive text
-    scoring runs on the small side; n_dropped per cluster is the audit
-    number a dedup report publishes."""
-    d = tbl(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
-    labeled = _dd.cluster_pairs(pairs)
-    q = d.select("doc_id", _tx.quality_score(F.col("text")).alias("quality"))
-    pick = F.max(F.struct(F.col("quality").alias("q"), F.col("doc_id").alias("id")))
-    return (
-        labeled.join(q, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.max("cluster_size").cast("bigint").alias("cluster_size"),
-            pick["id"].cast("bigint").alias("canonical_id"),
-            pick["q"].cast("double").alias("canonical_quality"),
-            (F.max("cluster_size") - 1).cast("bigint").alias("n_dropped"),
-        )
-    )
-
-
-@register(
-    "j13_asof_tolerance_join",
-    """
-    WITH quotes AS (
-      SELECT user_id, ts,
-             CAST(arg_max(CAST(value AS DECIMAL(18,2)), event_id)
-                  AS DECIMAL(18,2)) AS price
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY user_id, ts
-    ), lookups AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
-    ), m AS (
-      SELECT l.event_id, l.user_id,
-             CAST(r.price AS DOUBLE) AS price,
-             epoch_us(CAST(l.ts AS TIMESTAMP))
-               - epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us
-      FROM lookups l ASOF LEFT JOIN quotes r
-        ON l.user_id = r.user_id AND l.ts >= r.ts
-    )
-    SELECT event_id, user_id,
-           CASE WHEN gap_us <= 21600000000 THEN price END AS price,
-           CAST(CASE WHEN gap_us <= 21600000000 THEN gap_us END AS BIGINT)
-             AS staleness_us
-    FROM m
-    """,
-)
-def j13_asof_tolerance_join(spark, sf_dir):
-    """j3's as-of join with a MAX-STALENESS tolerance (pandas
-    merge_asof(tolerance=...)): a quote older than 6 hours is no quote —
-    the serving-correctness rule every market-data join needs (the
-    reference's ES lookup happily serves a week-old close as 'current';
-    this is the guardrail). Match first, THEN age out: the prior quote
-    is found exactly as in j3 (the union-sort single-shuffle
-    formulation — never a range join), with the quote's own timestamp
-    carried as a second filled column so the staleness test is one
-    row-local integer compare (microsecond gap vs 21_600_000_000).
-    Out-of-tolerance rows keep their left row with NULL price AND NULL
-    staleness — left semantics preserved, so downstream LOCF/interp
-    (w7/w14) can take over exactly where the tolerance gave up.
-
-    Same cost as j3: one hash exchange + per-key sort; the tolerance
-    adds a projection, not a pass. Oracle: DuckDB native ASOF JOIN plus
-    the same CASE."""
-    from ..operators.asof import asof_join
-
-    ev = tbl(spark, sf_dir, "events")
-    quotes = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max_by(F.col("value").cast(DEC), F.col("event_id"))
-            .cast(DEC)
-            .alias("price")
-        )
-        .withColumn("qts", F.col("ts"))
-    )
-    lookups = ev.filter(F.col("event_type") != "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    joined = asof_join(lookups, quotes, ["user_id"], "ts", ["price", "qts"])
-    # timestampdiff is NTZ-safe (unix_micros rejects TIMESTAMP_NTZ, and a
-    # cast through TIMESTAMP would drag the session timezone into a gap)
-    gap = F.expr("timestampdiff(MICROSECOND, qts, ts)")
-    fresh = gap <= 21_600_000_000  # 6 hours
-    return dec2dbl(
-        joined.select(
-            "event_id",
-            "user_id",
-            F.when(fresh, F.col("price")).alias("price"),
-            F.when(fresh, gap).cast("bigint").alias("staleness_us"),
-        )
-    )
-
-
-@register(
-    "f9_realized_variance",
-    """
-    WITH t AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(round(value * 100) AS BIGINT)
-               - lag(CAST(round(value * 100) AS BIGINT))
-                 OVER (PARTITION BY event_type, CAST(ts AS DATE)
-                       ORDER BY ts, event_id) AS d
-      FROM events
-    )
-    SELECT series, day,
-           CAST(count(*) + 1 AS BIGINT) AS n_ticks,
-           CAST(sum(d * d) AS BIGINT) AS rv_cents2,
-           CAST(sum(abs(d)) AS BIGINT) AS rav_cents
-    FROM t WHERE d IS NOT NULL GROUP BY 1, 2
-    """,
-)
-def f9_realized_variance(spark, sf_dir):
-    """Daily realized variance (and realized absolute variation) per
-    series — THE model-free volatility estimator (sum of squared
-    successive price moves within the day; Andersen/Bollerslev's
-    realized-vol literature), and the one volatility number that stays
-    in EXACT integer space: no log returns, no stddev — squared cent
-    differences summed as BIGINTs (the w12 multiply-it-out discipline;
-    log-return vol needs ln(), which isn't correctly-rounded
-    cross-engine). The forecaster the reference wraps (SARIMAX) is
-    exactly the consumer: realized variance is the canonical
-    heteroskedasticity regressor.
-
-    Shape: one per-(series, day) ordered pass for the lag diffs — the
-    partition key includes the DAY, so overnight gaps never pollute the
-    intraday sum AND the sort parallelizes across series x days (30x
-    more partitions than a per-series sort; at 100 TB that is the
-    difference between 5 sort tasks and 150+) — then one
-    map-side-combined agg on the same key: Catalyst reuses the window's
-    partitioning for the groupBy, zero extra exchange."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    w = Window.partitionBy("series", "day").orderBy("ts", "event_id")
-    t = ev.select(
-        F.col("event_type").alias("series"),
-        F.to_date("ts").alias("day"),
-        cents.alias("cents"),
-        "ts",
-        "event_id",
-    ).select(
-        "series",
-        "day",
-        (F.col("cents") - F.lag("cents").over(w)).alias("d"),
-    )
-    return (
-        t.filter(F.col("d").isNotNull())
-        .groupBy("series", "day")
-        .agg(
-            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_ticks"),
-            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("rv_cents2"),
-            F.sum(F.abs(F.col("d"))).cast("bigint").alias("rav_cents"),
-        )
-    )
-
-
-@register(
-    "o4_keyset_pagination",
-    """
-    SELECT o_orderkey, o_orderdate,
-           CAST(o_totalprice AS DOUBLE) AS total
-    FROM orders
-    WHERE o_orderdate > DATE '1997-01-01'
-       OR (o_orderdate = DATE '1997-01-01' AND o_orderkey > 0)
-    ORDER BY o_orderdate, o_orderkey LIMIT 20
-    """,
-)
-def o4_keyset_pagination(spark, sf_dir):
-    """Keyset (seek-method) pagination — the scale-correct page-N query
-    that o2's LIMIT/OFFSET deliberately is not: OFFSET k scans and
-    discards k rows EVERY page (page 10_000 of a 100 TB log reads ~all
-    of it), while the keyset predicate '(date, key) > last-seen' is
-    SARGABLE — it pushes to the parquet scan as a min/max row-group
-    filter, so page N costs the same as page 1 forever. The compound
-    tuple compare is expanded into its OR form because parquet pushdown
-    speaks single-column ranges; o_orderkey's uniqueness makes the
-    (date, key) sort total, hence pages are gap-free and overlap-free
-    by construction (the o1/o2 determinism rule).
-
-    Plan: pushed date filter + TakeOrderedAndProject — Spark's
-    distributed top-k (per-partition heap then a 20-row merge), never a
-    global sort. The anchor here is a literal; in a paging service it
-    is the last row of the previous page, which is exactly what makes
-    the next page's predicate prunable."""
-    o = tbl(spark, sf_dir, "orders")
-    anchor_date = F.lit("1997-01-01").cast("date")
-    page = (
-        o.filter(
-            (F.col("o_orderdate") > anchor_date)
-            | ((F.col("o_orderdate") == anchor_date) & (F.col("o_orderkey") > 0))
-        )
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            F.col("o_totalprice").cast(DEC).alias("total"),
-        )
-        .orderBy("o_orderdate", "o_orderkey")
-        .limit(20)
-    )
-    return dec2dbl(page)
-
-
-@register(
-    "w15_seasonal_profile",
-    """
-    WITH d AS (
-      SELECT event_type AS series, isodow(CAST(ts AS DATE)) AS dow,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
-    ), g AS (
-      SELECT series, CAST(dow AS INTEGER) AS dow,
-             CAST(sum(cents) AS BIGINT) AS sum_cents,
-             CAST(count(*) AS BIGINT) AS n
-      FROM d GROUP BY 1, 2
-    )
-    SELECT series, dow, sum_cents, n,
-           CAST(sum(sum_cents) OVER (PARTITION BY series) AS BIGINT)
-             AS series_sum,
-           CAST(sum(n) OVER (PARTITION BY series) AS BIGINT) AS series_n
-    FROM g
-    """,
-)
-def w15_seasonal_profile(spark, sf_dir):
-    """Day-of-week seasonal profile per series — the seasonal-naive
-    baseline every forecast evaluation needs (a SARIMAX that can't beat
-    'same weekday last week' isn't earning its fit cost — this table IS
-    that baseline, and doubles as the seasonality diagnostic deciding
-    the S in SARIMAX). Per (series, ISO weekday): exact turnover sum
-    and count, with the series totals alongside so the seasonal lift
-    (dow mean / series mean) is one consumer-side division of four
-    exact integers — no float crosses the engine boundary.
-
-    Weekday convention is pinned cross-engine: Spark weekday() is
-    0=Monday, DuckDB isodow() is 1=Monday — the entry emits ISO
-    (weekday()+1), the kind of off-by-one that silently shifts a
-    week of seasonality if left to engine defaults. Shape: one
-    map-side-combined agg to ≤ 7 x #series rows; the series totals are
-    a window over THAT relation, never a second event pass."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    g = ev.groupBy(
-        F.col("event_type").alias("series"),
-        (F.weekday(F.to_date("ts")) + 1).cast("int").alias("dow"),
-    ).agg(
-        F.sum(cents).cast("bigint").alias("sum_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    w = Window.partitionBy("series")
-    return g.select(
-        "series",
-        "dow",
-        "sum_cents",
-        "n",
-        F.sum("sum_cents").over(w).cast("bigint").alias("series_sum"),
-        F.sum("n").over(w).cast("bigint").alias("series_n"),
-    )
-
-
-@register(
-    "m14_knn_eval",
-    """
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_emb, label AS tl
-      FROM embeddings WHERE vec_id % 50 = 0
-    ), c AS (
-      SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS nl
-      FROM embeddings WHERE vec_id % 50 <> 0
-    ), scored AS (
-      SELECT q.query_id, q.tl, c.neighbor_id, c.nl,
-             {COS} AS score
-      FROM q CROSS JOIN c
-    ), ranked AS (
-      SELECT query_id, tl, nl,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, neighbor_id) AS rank
-      FROM scored
-    ), votes AS (
-      SELECT query_id, tl, nl, count(*) AS cnt
-      FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3
-    ), pick AS (
-      SELECT query_id, tl,
-             min(struct_pack(nc := -cnt, lb := nl)).lb AS pred
-      FROM votes GROUP BY 1, 2
-    )
-    SELECT CAST(tl AS INTEGER) AS true_label,
-           CAST(pred AS INTEGER) AS pred_label,
-           CAST(count(*) AS BIGINT) AS n
-    FROM pick GROUP BY 1, 2
-    """.replace("{COS}", _sim.cosine_sql("q.q_emb", "c.c_emb")),
-)
-def m14_knn_eval(spark, sf_dir):
-    """k-NN classification eval — the model-free baseline every
-    embedding-quality report needs: if 5-NN majority vote over the
-    embedding space can't recover labels, no probe trained on it will
-    (and if it CAN, the m9 MLP has a floor to beat — this matrix is the
-    third eval leg after m11's confusion and m12's calibration, for the
-    classifier that needs no training at all). Held-out queries
-    (vec_id % 50 — the serving-sized 2% sample _serving_sized enforces)
-    score against the TRAIN side only; 5 nearest by cosine with the s1
-    (score DESC, neighbor_id) deterministic tiebreak; majority vote
-    resolves ties to the SMALLEST label via one struct argmin — no
-    engine-dependent arbitrary pick anywhere. Output is the exact
-    confusion matrix of the vote.
-
-    Shape: the s1 broadcast-queries x corpus-scan pattern (the one
-    sanctioned nested-loop in the registry, bounded by the broadcast
-    contract) + two tiny aggs over Q*5 vote rows. At corpus scale the
-    brute-force leg swaps for the s8 IVF->rerank cascade unchanged —
-    the vote/confusion tail never sees more than Q*k rows either way."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    test = emb.filter(F.col("vec_id") % 50 == 0)
-    train = emb.filter(F.col("vec_id") % 50 != 0)
-    nn = _sim.topk_bruteforce(train, test, k=5)
-    nlab = train.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
-    )
-    tlab = test.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tl"))
-    votes = (
-        nn.join(nlab, "neighbor_id")
-        .groupBy("query_id", "nl")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    pick = (
-        votes.groupBy("query_id")
-        .agg(
-            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("nl").alias("lb")))[
-                "lb"
-            ].alias("pred")
-        )
-        .join(F.broadcast(tlab), "query_id")
-    )
-    return pick.groupBy(
-        F.col("tl").cast("int").alias("true_label"),
-        F.col("pred").cast("int").alias("pred_label"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-
-
-@register(
-    "x35_vocab_coverage",
-    """
-    WITH toks AS (
-      SELECT doc_id, lang, t
-      FROM documents, unnest({TOKS}) AS u(t)
-    ), df AS (
-      SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
-    ), vocab AS (
-      SELECT t FROM df ORDER BY df DESC, t LIMIT 256
-    )
-    SELECT lang,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_oov
-    FROM toks LEFT JOIN vocab v USING (t)
-    GROUP BY 1
-    """.replace("{TOKS}", _tx.tokens_sql("text")),
-)
-def x35_vocab_coverage(spark, sf_dir):
-    """Vocabulary coverage / OOV audit — the fit-then-transform shape of
-    every tokenizer pipeline, measured exactly: fit a 256-term vocab as
-    the top document-frequency terms (ORDER BY df DESC with the term
-    itself as tiebreak — a pinned, reproducible vocabulary, which is
-    the whole point: a vocab that changes under re-sort poisons every
-    downstream model), then score the corpus's out-of-vocabulary token
-    mass per language. High OOV in one language = the vocab underfits
-    it — the multilingual-tokenizer fairness number (per-language
-    compression disparity) reported before anyone trains.
-
-    Two passes over tokens by necessity (fit needs global df before
-    transform can score — same contract as x10's IDF), but the vocab
-    selection is a DISTRIBUTED TOP-K (TakeOrderedAndProject: per-
-    partition heaps then a 256-row merge), never a global sort of the
-    term table, and the coverage join broadcasts 256 terms against the
-    token stream. m13's hashing trick is the vocab-free alternative;
-    this entry is the measured case for when it's worth it."""
-    d = tbl(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("t")
-    )
-    df_ = toks.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
-    vocab = df_.orderBy(F.desc("df"), F.asc("t")).limit(256).select("t")
-    cov = toks.join(
-        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "t", "left"
-    )
-    return cov.groupBy("lang").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_oov"),
-    )
-
-
-@register(
-    "a26_rolling_distinct_reach",
-    """
-    WITH ud AS (
-      SELECT DISTINCT event_type AS series, user_id, CAST(ts AS DATE) AS day
-      FROM events
-    ), expanded AS (
-      SELECT series, user_id,
-             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
-                                         CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
-                                         INTERVAL 1 DAY)) AS DATE) AS wday
-      FROM ud
-    ), bounds AS (
-      SELECT series, min(day) AS lo, max(day) AS hi FROM ud GROUP BY 1
-    )
-    SELECT e.series, e.wday AS day,
-           CAST(count(DISTINCT e.user_id) AS BIGINT) AS reach_7d
-    FROM expanded e JOIN bounds b
-      ON b.series = e.series AND e.wday BETWEEN b.lo AND b.hi
-    GROUP BY 1, 2
-    """,
-)
-def a26_rolling_distinct_reach(spark, sf_dir):
-    """Rolling 7-day distinct-user reach per series — the windowed
-    COUNT(DISTINCT) that window functions CANNOT express (distinct
-    aggregates are illegal in a frame, in Spark and in the standard)
-    and that naive rewrites get quadratically wrong (a per-day self-join
-    over the window re-scans 7x per day). The scalable rewrite: dedup
-    to (series, user, day) grain — the only pass over raw events —
-    then each user-day VOTES into the 7 windows that can see it
-    (explode of a 7-element day sequence: a bounded x7 blowup of the
-    already-tiny distinct grain), and one count-distinct agg per
-    (series, window-day). Window days outside the observed span are
-    clipped so every emitted day aggregates a fully-defined window
-    position (leading partial windows are real reach, trailing
-    phantom days are not emitted).
-
-    At 100 TB the x7 explode happens AFTER the dedup agg has collapsed
-    events to active-user-days (orders of magnitude smaller), and both
-    aggs are map-side combinable on their keys. Generalizes to any
-    window length W at cost xW of the grain — the honest price of
-    exact distinct over sliding windows; a9/a20 are the sketch answers
-    when W gets long."""
-    ev = tbl(spark, sf_dir, "events")
-    ud = ev.select(
-        F.col("event_type").alias("series"),
-        "user_id",
-        F.to_date("ts").alias("day"),
-    ).distinct()
-    bounds = ud.groupBy("series").agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
-    )
-    expanded = ud.select(
-        "series",
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
-            )
-        ).alias("wday"),
-    )
-    return (
-        expanded.join(F.broadcast(bounds), "series")
-        .filter(F.col("wday").between(F.col("lo"), F.col("hi")))
-        .groupBy("series", F.col("wday").alias("day"))
-        .agg(F.count_distinct("user_id").cast("bigint").alias("reach_7d"))
-    )
-
-
-@register(
-    "f10_historical_var",
-    """
-    WITH daily AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                                  v := CAST(round(value * 100) AS BIGINT))).v
-                  AS BIGINT) AS close_cents
-      FROM events GROUP BY 1, 2
-    ), rets AS (
-      SELECT series,
-             close_cents - lag(close_cents)
-               OVER (PARTITION BY series ORDER BY day) AS ret,
-             day
-      FROM daily
-    ), ranked AS (
-      SELECT series, ret, day,
-             row_number() OVER (PARTITION BY series ORDER BY ret, day) AS r,
-             count(*) OVER (PARTITION BY series) AS n
-      FROM rets WHERE ret IS NOT NULL
-    )
-    SELECT series,
-           CAST(max(n) AS BIGINT) AS n_days,
-           CAST(max(CASE WHEN r = (n * 5 + 99) // 100 THEN ret END)
-                AS BIGINT) AS var95_cents,
-           CAST(max(CASE WHEN r = (n * 1 + 99) // 100 THEN ret END)
-                AS BIGINT) AS var99_cents,
-           CAST(min(ret) AS BIGINT) AS worst_cents
-    FROM ranked GROUP BY 1
-    """,
-)
-def f10_historical_var(spark, sf_dir):
-    """Historical value-at-risk per series — the risk number the
-    reference's serving view exists to feed a human deciding position
-    sizes, computed the way a risk desk actually does it (empirical
-    quantile of realized daily moves, no distributional assumption):
-    VaR95/VaR99 = the ceil(0.05n)/ceil(0.01n)-th WORST daily close
-    change, selected as a pinned rank element over a (return, day)-
-    tiebroken order — the a25 exact-quantile discipline, so both
-    engines pick the identical day's move and every column is a BIGINT
-    (ceil(kn/100) = (n*k + 99) div 100 in pure integers). The worst
-    single move rides along (VaR's blind spot — the tail beyond the
-    quantile — made visible; w11's drawdown is the path-dependent
-    companion).
-
-    Shape: daily close agg (deterministic (ts, value) struct rule),
-    one per-series lag, one per-series rank, one final agg — all on
-    the days-per-series grain, never raw ticks. The conditional-max
-    rank pick means no second join back: the quantile SELECTION is
-    part of the aggregation."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    daily = ev.groupBy(
-        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
-    ).agg(
-        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
-        .cast("bigint")
-        .alias("close_cents")
-    )
-    w_lag = Window.partitionBy("series").orderBy("day")
-    rets = daily.select(
-        "series",
-        (F.col("close_cents") - F.lag("close_cents").over(w_lag)).alias("ret"),
-        "day",
-    ).filter(F.col("ret").isNotNull())
-    w_rank = Window.partitionBy("series").orderBy("ret", "day")
-    w_all = Window.partitionBy("series")
-    ranked = rets.withColumn("r", F.row_number().over(w_rank)).withColumn(
-        "n", F.count(F.lit(1)).over(w_all)
-    )
-    return ranked.groupBy("series").agg(
-        F.max("n").cast("bigint").alias("n_days"),
-        F.max(F.when(F.col("r") == F.expr("(n * 5 + 99) div 100"), F.col("ret")))
-        .cast("bigint")
-        .alias("var95_cents"),
-        F.max(F.when(F.col("r") == F.expr("(n * 1 + 99) div 100"), F.col("ret")))
-        .cast("bigint")
-        .alias("var99_cents"),
-        F.min("ret").cast("bigint").alias("worst_cents"),
-    )
-
-
-@register(
-    "p15_shallow_clone",
-    """
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS event_date,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1
-    )
-    SELECT event_date,
-           CAST(CASE WHEN day(event_date) <= 10 THEN 3 * n ELSE 2 * n END
-                AS BIGINT) AS n
-    FROM daily
-    """,
-    lazy_replay=True,
-)
-def p15_shallow_clone(spark, sf_dir):
-    """Zero-copy SHALLOW CLONE of the keyed view
-    (streaming/upsert.py:KeyedParquetView.clone_to) — the lakehouse
-    fork primitive (Delta SHALLOW CLONE / Iceberg snapshot-ref): the
-    clone is ONE JSON manifest whose base pointer resolves shared
-    history in the source's version dirs, so forking a 100 TB table for
-    a what-if reprocess costs O(metadata), not O(data). This entry
-    proves the full copy-on-write lifecycle: the source view takes two
-    merges (daily counts, then a x2 revision of every day — the t19
-    history); the CLONE then receives a x3 correction for days <= 10.
-    The returned clone state must show the correction ONLY where
-    applied (3n for days <= 10, the shared 2n elsewhere), read through
-    a mixed manifest — corrected partitions from the clone's own
-    version dir, untouched partitions from the source's. The pytest
-    twin additionally pins the zero-copy and isolation halves: no
-    parquet under the clone before its merge, source unchanged after
-    it."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.max("event_id").alias("_ord"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "clone_" + uuid.uuid4().hex[:8])
-    src = KeyedParquetView(spark, _os.path.join(root, "src"), ["event_date"])
-    src.merge_overwrite_by_key(daily, "_ord", batch_id=0, writer="p15")
-    # each revision's order column is STRICTLY greater than what the view
-    # already holds (base _ord is max event_id per date, so +1/+2 never
-    # collide): max_by on an exact tie is non-deterministic in Spark, and
-    # relying on it to prefer the revised row could silently flip under
-    # AQE/partitioning changes (r8 advice) — same ts-tiebreak discipline as
-    # the rest of the registry
-    src.merge_overwrite_by_key(
-        daily.withColumn("n", F.col("n") * 2).withColumn(
-            "_ord", F.col("_ord") + 1
-        ),
-        "_ord",
-        batch_id=1,
-        writer="p15",
-    )
-    clone = src.clone_to(_os.path.join(root, "fork"))
-    fix = (
-        daily.filter(F.dayofmonth("event_date") <= 10)
-        .withColumn("n", F.col("n") * 3)
-        .withColumn("_ord", F.col("_ord") + 2)
-    )
-    clone.merge_overwrite_by_key(fix, "_ord", batch_id=0, writer="fix")
-    return clone.read().select("event_date", "n")
-
-
-@register(
-    "u9_right_to_erasure",
-    """
-    SELECT CAST(user_id % 16 AS BIGINT) AS ub,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events
-    WHERE user_id NOT IN (
-      SELECT DISTINCT user_id FROM events WHERE user_id % 997 = 0
-    )
-    GROUP BY 1
-    """,
-    lazy_replay=True,
-)
-def u9_right_to_erasure(spark, sf_dir):
-    """Right-to-erasure (GDPR Art. 17) on the keyed view — the
-    lakehouse DELETE nobody designs for until the request arrives: hard-
-    remove every row of a user set from a materialized view, with cost
-    O(partitions containing the user), NOT O(view). The layout IS the
-    compliance story: this view partitions by a USER-HASH BUCKET
-    (user_id % 16), so an erasure touches exactly the victim users'
-    buckets and rewrites only those — under date partitioning (t19's
-    layout) the same request rewrites every partition of history, which
-    at 100 TB is the difference between a 1/16th rewrite and a full
-    one (Delta's deletion vectors attack the same cost from the file
-    side; partition-localized rewrite is the layout-side answer, and
-    they compose). Erasure runs as merge_custom: current-state rows of
-    the touched buckets minus the victims, REPLACING those partitions
-    wholesale under the manifest flip — versioned like any merge, so
-    the erasure itself is auditable (and read_at of prior versions
-    still sees the data until vacuum(), which IS the retention step the
-    regulation actually requires — the docstring is the runbook:
-    erase, then vacuum).
-
-    Victims: user_id % 997 == 0 (a realistic trickle, ~0.1%). The
-    returned per-bucket census must equal the oracle's recompute-
-    without-victims — proving no victim row survived AND no bystander
-    row was lost."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    rows = ev.select(
-        (F.col("user_id") % 16).alias("ub"), "user_id", "event_id", "event_type"
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "gdpr_" + uuid.uuid4().hex[:8])
-    view = KeyedParquetView(spark, root, ["ub", "event_id"], partition_by="ub")
-    view.merge_overwrite_by_key(
-        rows.withColumn("_ord", F.col("event_id")), "_ord", batch_id=0, writer="load"
-    )
-    victims = (
-        ev.filter(F.col("user_id") % 997 == 0)
-        .select((F.col("user_id") % 16).alias("ub"), "user_id")
-        .distinct()
-    )
-
-    def erase(cur, b):
-        if cur is None:
-            return b.limit(0)
-        gone = b.select("user_id").distinct()
-        return cur.join(gone, "user_id", "left_anti")
-
-    view.merge_custom(victims, erase, batch_id=0, writer="erase")
-    out = view.read()
-    if out is None:
-        # every user was a victim (a tiny corpus can be 100% user_id % 997
-        # == 0): the erased view is empty, same as the oracle's NOT IN
-        return spark.createDataFrame(
-            [], "ub bigint, n_events bigint, n_users bigint"
-        )
-    return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.count_distinct("user_id").cast("bigint").alias("n_users"),
-    )
-
-
-@register(
-    "g16_deterministic_walks",
-    """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
-    und AS MATERIALIZED (
-      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
-    ),
-    seeds AS (SELECT DISTINCT u AS n0 FROM und WHERE u % 100 = 0),
-    s1 AS (
-      SELECT n0, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n0, e.v, '1'))[1:15]) AS BIGINT), nx := e.v)).nx AS n1
-      FROM seeds JOIN und e ON e.u = n0 GROUP BY n0
-    ),
-    s2 AS (
-      SELECT n0, n1, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n1, e.v, '2'))[1:15]) AS BIGINT), nx := e.v)).nx AS n2
-      FROM s1 JOIN und e ON e.u = n1 GROUP BY n0, n1
-    ),
-    s3 AS (
-      SELECT n0, n1, n2, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n2, e.v, '3'))[1:15]) AS BIGINT), nx := e.v)).nx AS n3
-      FROM s2 JOIN und e ON e.u = n2 GROUP BY n0, n1, n2
-    )
-    SELECT n0, n1, n2, n3 FROM s3
-    """,
-)
-def g16_deterministic_walks(spark, sf_dir):
-    """Deterministic 3-hop graph walks — the graph-sampling primitive
-    under DeepWalk/node2vec-style embedding pipelines, made
-    REPRODUCIBLE: at each step the walker moves to the neighbor
-    minimizing a seeded portable hash of (current node, neighbor,
-    step), so the 'random' walk is a pure function of the graph — same
-    corpus, same walks, on any cluster, any partitioning, both engines
-    (the x31 reproducible-shuffle argument applied to graph traversal;
-    Math.random is banned from this registry for exactly this reason).
-    Per seed (every 100th node of the co-occurrence graph), the walk
-    unrolls as three equi-joins against the symmetrized edge table,
-    each followed by a struct-argmin per frontier node — the g12 BFS
-    shape with an argmin instead of a min-distance agg.
-
-    Scale: each step moves the frontier (|seeds| rows), never the
-    graph; the edge table is the join's build side ONCE per step and
-    co-locates under the g9/g11 bucketed layout. Real walk fleets run
-    W walks x L steps as W seeded hash columns over the same L joins —
-    cost grows with W in COLUMNS (one argmin per walk id), not in
-    passes."""
-    li = tbl(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
-    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    raw = (
-        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
-        .select(F.col("l_partkey").alias("u"), "v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-    )
-    und = raw.unionByName(
-        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()  # cache: caller-owns (edge table feeds all three returned hop joins)
-
-    def hop(frontier, cur_col, step, out_col):
-        e = und.select(F.col("u").alias(cur_col), F.col("v").alias("nx"))
-        h = _hh.phash60(
-            F.concat_ws("|", F.col(cur_col), F.col("nx"), F.lit(str(step)))
-        )
-        keys = [c for c in frontier.columns]
-        return (
-            frontier.join(e, cur_col)
-            .groupBy(*keys)
-            .agg(
-                F.min(F.struct(h.alias("h"), F.col("nx").alias("nx")))["nx"].alias(
-                    out_col
-                )
-            )
-        )
-
-    seeds = und.filter(F.col("u") % 100 == 0).select(F.col("u").alias("n0")).distinct()
-    w1 = hop(seeds, "n0", 1, "n1")
-    w2 = hop(w1, "n1", 2, "n2")
-    w3 = hop(w2, "n2", 3, "n3")
-    return w3.select("n0", "n1", "n2", "n3")
-
-
-@register(
-    "x36_cdc_chunks",
-    f"""
-    WITH base AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents
-    ), toks AS (
-      SELECT doc_id, u.s.pos AS pos, u.s.t AS t
-      FROM base, unnest(list_transform(range(1, len(tl) + 1),
-           i -> struct_pack(pos := i, t := tl[i]))) AS u(s)
-    ), h AS (
-      SELECT doc_id, pos, CAST(concat('0x', md5(t)[1:15]) AS BIGINT) AS ph FROM toks
-    ), c AS (
-      SELECT doc_id, pos, ph,
-             sum(CASE WHEN ph % 64 = 0 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
-      FROM h
-    ), g AS (
-      SELECT doc_id, chunk,
-             list(ph ORDER BY pos) AS hs,
-             count(*) AS n_toks
-      FROM c GROUP BY 1, 2
-    ), fp AS (
-      SELECT doc_id, n_toks,
-             {_hh.fold60_sql('hs')} AS chunk_hash
-      FROM g
-    )
-    SELECT chunk_hash,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_occ,
-           CAST(min(n_toks) AS BIGINT) AS n_toks
-    FROM fp GROUP BY 1 HAVING count(*) >= 2
-    """,
-)
-def x36_cdc_chunks(spark, sf_dir):
-    """Content-defined chunking (Rabin-style) + shared-chunk detection —
-    the dedup granularity d8's FIXED 16-word passages cannot reach: a
-    single inserted word shifts every fixed window after it (all
-    fingerprints change, the duplication goes dark), while content-
-    defined boundaries (cut BEFORE any token whose hash ≡ 0 mod 64 —
-    expected chunk ~64 tokens) re-synchronize one chunk after the edit,
-    so the rest of the shared text still collides. This is the chunking
-    under every dedup-at-scale storage system (LBFS/restic/backup dedup)
-    and increasingly under corpus near-dup mining; here it lands as the
-    sixth member of the dedup taxonomy (exact/minhash/simhash/passage/
-    containment/content-defined).
-
-    One hash per token, computed ONCE and reused for both decisions
-    (boundary test on ph mod 64, chunk identity over the ordered ph
-    list — the ext/dedup rule about never re-mentioning an expensive
-    expression); chunk ids are a per-doc running boundary count (one
-    window per doc, partitions by doc_id — embarrassingly parallel);
-    each chunk's identity is the 60-bit hashing.fold60 over its ordered
-    token hashes (widened from the mod-1e9 rolling fold whose birthday
-    collisions start near ~3e4 chunks — r11 ADVICE item; both engines
-    share the digest). Shared chunks (n_occ >= 2) come out
-    of one final hash agg. All integers; boundaries, chunks, and
-    fingerprints are pure functions of the text."""
-    from pyspark.sql import Window
-
-    d = tbl(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(_tx.tokens(F.col("text"))).alias("pos", "t")
-    )
-    h = toks.select("doc_id", "pos", _hh.phash60(F.col("t")).alias("ph"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    c = h.withColumn(
-        "chunk",
-        F.sum(F.when(F.col("ph") % 64 == 0, 1).otherwise(0)).over(w),
-    )
-    g = c.groupBy("doc_id", "chunk").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.col("pos").alias("p"), F.col("ph").alias("s"))
-            )
-        ).alias("arr"),
-        F.count(F.lit(1)).alias("n_toks"),
-    )
-    fp = g.select(
-        "doc_id",
-        "n_toks",
-        _hh.fold60(F.transform(F.col("arr"), lambda x: x["s"])).alias(
-            "chunk_hash"
-        ),
-    )
-    return (
-        fp.groupBy("chunk_hash")
-        .agg(
-            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
-            F.min("n_toks").cast("bigint").alias("n_toks"),
-        )
-        .filter(F.col("n_occ") >= 2)
-    )
-
-
-@register(
-    "w16_time_to_convert",
-    """
-    WITH s AS (
-      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
-      FROM events WHERE event_type = 'signup' GROUP BY 1
-    ), p AS (
-      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
-      FROM events e JOIN s ON s.user_id = e.user_id
-      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
-      GROUP BY 1
-    ), gaps AS (
-      SELECT s.user_id,
-             epoch_us(p.p_ts) - epoch_us(s.s_ts) AS gap_us
-      FROM s JOIN p ON p.user_id = s.user_id
-    ), ranked AS (
-      SELECT gap_us,
-             row_number() OVER (ORDER BY gap_us, user_id) AS r,
-             count(*) OVER () AS n
-      FROM gaps
-    )
-    SELECT CAST(max(n) AS BIGINT) AS n_converted,
-           CAST(max(CASE WHEN r = (n + 1) // 2 THEN gap_us END) AS BIGINT)
-             AS median_gap_us,
-           CAST(max(CASE WHEN r = (n * 90 + 99) // 100 THEN gap_us END)
-                AS BIGINT) AS p90_gap_us,
-           CAST(max(gap_us) AS BIGINT) AS max_gap_us
-    FROM ranked
-    """,
-)
-def w16_time_to_convert(spark, sf_dir):
-    """Signup-to-first-purchase latency distribution — the companion
-    number to w8's funnel COUNTS (how many convert) and w10's cohorts
-    (when they signed up): how LONG conversion takes, as exact pinned
-    quantiles (median/p90 = rank elements of a (gap, user)-tiebroken
-    order — the a25/f10 discipline; microsecond gaps via NTZ-safe
-    epoch arithmetic). The causality guard matters: only the first
-    purchase AT-OR-AFTER the first signup counts — min(purchase_ts)
-    unconditioned would credit conversions that happened before the
-    user ever signed up (the fixture, like real event streams, has
-    them).
-
-    Shape: two filtered aggs to per-user firsts, one equi-join with the
-    >= predicate riding it as a filter, then quantile selection inside
-    a single final agg over the converted-users relation (f10's
-    conditional-max pick, no join back). The global rank runs on one
-    row per converted user — and for corpus-scale user counts the
-    documented rank scale-out applies (range-repartition + broadcast
-    prefix counts)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .filter(F.col("ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    gaps = s.join(p, "user_id").select(
-        "user_id", F.expr("timestampdiff(MICROSECOND, s_ts, p_ts)").alias("gap_us")
-    )
-    ranked = gaps.withColumn(
-        "r", F.row_number().over(Window.orderBy("gap_us", "user_id"))
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_converted"),
-        F.max(F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("gap_us")))
-        .cast("bigint")
-        .alias("median_gap_us"),
-        F.max(F.when(F.col("r") == F.expr("(n * 90 + 99) div 100"), F.col("gap_us")))
-        .cast("bigint")
-        .alias("p90_gap_us"),
-        F.max("gap_us").cast("bigint").alias("max_gap_us"),
-    )
-
-
-@register("t24_stream_erasure", ORACLES["u9_right_to_erasure"], lazy_replay=True)
-def t24_stream_erasure(spark, sf_dir):
-    """u9's right-to-erasure driven by a STREAMING request queue — which
-    is how erasure actually arrives in production (a privacy-requests
-    topic, not a batch job): victim user-ids replay in 2 micro-batches
-    through foreachBatch, each applying the left-anti delete to exactly
-    the victims' hash buckets under the writer-lease/replay contract
-    (a replayed erasure batch after checkpoint recovery is a no-op by
-    batch-id watermark — erasure is idempotent TWICE over, by anti-join
-    semantics AND by replay dedup). End state must equal u9's one-shot
-    batch erasure — same oracle, streaming twin; the t22/t23 pattern
-    applied to DELETES instead of sketch merges, proving merge_custom's
-    partition-wholesale contract holds when the merge REMOVES rows
-    (the _write_touched empty-partition-delete path, exercised through
-    a real stream)."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    rows = ev.select(
-        (F.col("user_id") % 16).alias("ub"), "user_id", "event_id", "event_type"
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "gdprs_" + uuid.uuid4().hex[:8])
-    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["ub", "event_id"], partition_by="ub")
-    view.merge_overwrite_by_key(
-        rows.withColumn("_ord", F.col("event_id")), "_ord", batch_id=0, writer="load"
-    )
-    victims = (
-        ev.filter(F.col("user_id") % 997 == 0)
-        .select((F.col("user_id") % 16).alias("ub"), "user_id")
-        .distinct()
-    )
-    stage = _os.path.join(root, "requests")
-    victims.repartitionByRange(2, "user_id").write.mode("overwrite").parquet(stage)
-
-    def erase(cur, b):
-        if cur is None:
-            return b.limit(0)
-        gone = b.select("user_id").distinct()
-        return cur.join(gone, "user_id", "left_anti")
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(
-            lambda b, bid: view.merge_custom(b, erase, batch_id=bid, writer="erase")
-        )
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = view.read()
-    if out is None:
-        # all users erased (u9's tiny-corpus arm): empty view, empty census
-        return spark.createDataFrame(
-            [], "ub bigint, n_events bigint, n_users bigint"
-        )
-    return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.count_distinct("user_id").cast("bigint").alias("n_users"),
-    )
-
-
-@register(
-    "x37_langid_confusion",
-    f"""
-    WITH p AS (
-      SELECT lang, {_tx.lang_id_sql('text')} AS lang_pred FROM documents
-    )
-    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
-    FROM p GROUP BY 1, 2
-    """,
-)
-def x37_langid_confusion(spark, sf_dir):
-    """The eval leg for x6's language-ID — a classifier shipped without
-    its confusion matrix is a guess, and for a CORPUS ROUTER (lang-id
-    decides which cleaning rules, tokenizer, and quality thresholds a
-    document gets) each off-diagonal cell is a concrete misrouting
-    cost: en→und under-filters, de→en applies the wrong stopword list
-    to millions of docs. Ground truth is the fixture's lang column;
-    the matrix is at most 6x6 (5 languages + 'und'), so the whole eval
-    is one map-side-combined agg over the same single-pass Column
-    expression x6 ships — the m11/m14 confusion-matrix discipline
-    applied to the text battery. The diagonal share is the router's
-    accuracy; the 'und' column is its abstention rate — both one
-    consumer-side division of exact counts."""
-    d = tbl(spark, sf_dir, "documents")
-    p = d.select("lang", _tx.lang_id(F.col("text")).alias("lang_pred"))
-    return p.groupBy("lang", "lang_pred").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-
-
-@register(
-    "w17_streaks",
-    """
-    WITH daily AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                                  v := CAST(round(value * 100) AS BIGINT))).v
-                  AS BIGINT) AS close_cents
-      FROM events GROUP BY 1, 2
-    ), d AS (
-      SELECT series, day, close_cents,
-             CASE WHEN close_cents > lag(close_cents)
-                    OVER (PARTITION BY series ORDER BY day) THEN 1
-                  WHEN close_cents < lag(close_cents)
-                    OVER (PARTITION BY series ORDER BY day) THEN -1
-             END AS dir
-      FROM daily
-    ), isl AS (
-      SELECT series, day, dir,
-             row_number() OVER (PARTITION BY series ORDER BY day)
-               - row_number() OVER (PARTITION BY series, dir ORDER BY day)
-               AS grp
-      FROM d WHERE dir IS NOT NULL
-    ), runs AS (
-      SELECT series, dir, grp, count(*) AS len
-      FROM isl GROUP BY 1, 2, 3
-    )
-    SELECT series,
-           CAST(max(CASE WHEN dir = 1 THEN len ELSE 0 END) AS BIGINT)
-             AS longest_up,
-           CAST(max(CASE WHEN dir = -1 THEN len ELSE 0 END) AS BIGINT)
-             AS longest_down,
-           CAST(count(*) AS BIGINT) AS n_runs
-    FROM runs GROUP BY 1
-    """,
-)
-def w17_streaks(spark, sf_dir):
-    """Longest up/down streak per series — the gaps-and-islands variant
-    w5's sessionization doesn't cover: islands defined by a CONDITION
-    on consecutive rows (close strictly rose / strictly fell), not by a
-    time gap. Momentum screens, 'N consecutive red days' alerts, and
-    data-quality checks for stuck sensors (a 500-day 'streak' of equal
-    values is a dead feed — here flat days break both streaks, which
-    is the semantics that catches it) all reduce to this island shape.
-    The classic two-row_number trick: global-order rank minus
-    per-direction rank is constant within a run — three window passes
-    over the SAME per-series sort (Catalyst stacks them on one
-    exchange) + two tiny aggs, everything on the days-per-series grain,
-    every output an exact BIGINT."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    daily = ev.groupBy(
-        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
-    ).agg(
-        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
-        .cast("bigint")
-        .alias("close_cents")
-    )
-    w = Window.partitionBy("series").orderBy("day")
-    prev = F.lag("close_cents").over(w)
-    d = daily.select(
-        "series",
-        "day",
-        F.when(F.col("close_cents") > prev, 1)
-        .when(F.col("close_cents") < prev, -1)
-        .alias("dir"),
-    ).filter(F.col("dir").isNotNull())
-    w_dir = Window.partitionBy("series", "dir").orderBy("day")
-    isl = d.select(
-        "series",
-        "dir",
-        (F.row_number().over(w) - F.row_number().over(w_dir)).alias("grp"),
-    )
-    runs = isl.groupBy("series", "dir", "grp").agg(F.count(F.lit(1)).alias("len"))
-    return runs.groupBy("series").agg(
-        F.max(F.when(F.col("dir") == 1, F.col("len")).otherwise(0))
-        .cast("bigint")
-        .alias("longest_up"),
-        F.max(F.when(F.col("dir") == -1, F.col("len")).otherwise(0))
-        .cast("bigint")
-        .alias("longest_down"),
-        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
-    )
-
-
-@register(
-    "f11_hhi_concentration",
-    """
-    WITH c AS (
-      SELECT CAST(ts AS DATE) AS day, event_type,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
-    )
-    SELECT day,
-           CAST(count(*) AS BIGINT) AS n_series,
-           CAST(sum(n * n) AS BIGINT) AS hhi_num,
-           CAST(sum(n) * sum(n) AS BIGINT) AS hhi_den,
-           CAST(max(n) AS BIGINT) AS top_n,
-           CAST(sum(n) AS BIGINT) AS total_n
-    FROM c GROUP BY 1
-    """,
-)
-def f11_hhi_concentration(spark, sf_dir):
-    """Daily Herfindahl–Hirschman concentration of activity across
-    series — the market-structure number (is one instrument eating the
-    tape?) and, pointed at a training corpus's source mix, the
-    domain-diversity gauge x22's rebalancer optimizes toward. HHI =
-    sum of squared shares = hhi_num / hhi_den, emitted as its two
-    exact integer terms (f7's rational rule); top_n/total_n is the
-    max-share fraction for free. Counts, not value sums, keep the
-    squares int64-safe at any SF (the f8 overflow-by-construction
-    argument; squared daily CENTS blow past 2^63 near sf10).
-
-    Two stacked map-side-combinable aggs — (day, series) then day —
-    the second running on a ~#series-per-day relation; at 100 TB the
-    first agg is the only pass and the concentration table is
-    dashboard-sized. Catalyst reuses the first agg's day-prefixed
-    partitioning for the second: one exchange total."""
-    ev = tbl(spark, sf_dir, "events")
-    c = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    return c.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_series"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("hhi_num"),
-        (F.sum("n") * F.sum("n")).cast("bigint").alias("hhi_den"),
-        F.max("n").cast("bigint").alias("top_n"),
-        F.sum("n").cast("bigint").alias("total_n"),
-    )
-
-
-@register(
-    "m15_autolabel_audit",
-    f"""
-    WITH pred AS ({{MLP_SQL}}),
-    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
-    scored AS (
-      SELECT p.vec_id, p.pred_class, t.class, p.max_logit,
-             ntile(10) OVER (ORDER BY p.max_logit, p.vec_id) AS decile
-      FROM pred p JOIN truth t USING (vec_id)
-    )
-    SELECT CAST(class AS INTEGER) AS true_class,
-           CAST(count(*) AS BIGINT) AS n_autolabeled,
-           CAST(sum(CASE WHEN pred_class = class THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_correct,
-           CAST(min(max_logit) AS BIGINT) AS lo_logit
-    FROM scored WHERE decile >= 9
-    GROUP BY 1
-    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
-)
-def m15_autolabel_audit(spark, sf_dir):
-    """The auto-labeling DECISION m12's calibration curve exists to
-    drive, executed and audited: keep only top-2-confidence-decile
-    predictions as machine labels (the pseudo-labeling / distillation
-    gate every data-flywheel pipeline runs), then break the kept set
-    down BY TRUE CLASS — because aggregate precision hides exactly the
-    failure that poisons a flywheel: a model confidently wrong about
-    one minority class floods the next training round with correlated
-    bad labels for it. n_correct/n_autolabeled per class is the
-    per-class precision of the shipped labels; a class with
-    n_autolabeled ~ 0 is silently excluded from the flywheel
-    (coverage skew — the other failure mode, equally visible here).
-
-    Same exact-integer spine as m12: integer MLP logits, ntile over a
-    (logit, id)-pinned order, and the audit is one filter + one agg
-    on the prediction relation — the Arrow inference seam is the only
-    heavy stage, shared verbatim with m9/m11/m12."""
-    from pyspark.sql import Window
-
-    emb = tbl(spark, sf_dir, "embeddings")
-    pred = _inf.mlp_infer(emb)
-    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
-    scored = pred.join(truth, "vec_id").select(
-        "pred_class",
-        "class",
-        "max_logit",
-        F.ntile(10)
-        .over(Window.orderBy("max_logit", "vec_id"))
-        .alias("decile"),
-    )
-    return (
-        scored.filter(F.col("decile") >= 9)
-        .groupBy(F.col("class").cast("int").alias("true_class"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_autolabeled"),
-            F.sum(F.when(F.col("pred_class") == F.col("class"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_correct"),
-            F.min("max_logit").cast("bigint").alias("lo_logit"),
-        )
-    )
-
-
-@register(
-    "j12_star_broadcast",
-    """
-    SELECT n.n_name AS nation, p.p_brand AS brand,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
-                AS BIGINT) AS revenue_c4
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    GROUP BY 1, 2
-    """,
-)
-def j12_star_broadcast(spark, sf_dir):
-    """Star-schema fact-to-dims join with EVERY dim broadcast — the
-    canonical OLAP shape (the reference's batch view joined to nothing;
-    real serving queries join the fact to its dimensions constantly)
-    executed the only way that survives 100 TB: the lineitem fact is
-    NEVER shuffled for any of the three joins. part/supplier/nation are
-    explicitly `broadcast()` (at 100 TB the dims are GBs while the fact
-    is TBs — a single SortMergeJoin on l_partkey would shuffle the
-    entire fact once PER DIM), so the only exchange in the plan is the
-    final partial-agg/final-agg pair on (nation, brand). Plan-pinned in
-    tests/test_plan_quality.py: zero SortMergeJoin, three
-    BroadcastHashJoins, and the joins sit inside one WholeStageCodegen
-    span over the fact scan.
-
-    Revenue is the q1 discipline taken integer: cents x (100 - discount
-    percent-cents) as BIGINT products — exact, order-independent, no
-    decimal rendering seam."""
-    li = tbl(spark, sf_dir, "lineitem")
-    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    sup = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_c = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("bigint")
-    return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.sum(price_c * disc_c).cast("bigint").alias("revenue_c4"),
-        )
-    )
-
-
-@register(
-    "d15_edit_distance_blocked",
-    """
-    WITH v AS (
-      SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows,
-             string_split(p_name, ' ')[-1] AS blk
-      FROM part GROUP BY 1
-    )
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-           a.n_rows AS rows_a, b.n_rows AS rows_b
-    FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 6
-    """,
-)
-def d15_edit_distance_blocked(spark, sf_dir):
-    """Edit-distance near-collision audit over the DISTINCT name
-    vocabulary — the entity-resolution matcher (Levenshtein, the DP
-    behind every name/address linker) run the only way it survives a
-    100 TB fact table: the quadratic NEVER touches row pairs. First a
-    map-side-combined hash agg collapses the corpus to its distinct
-    names (the j9 record-linkage rewrite — name cardinality grows with
-    the CATALOG, not the row count; matching 'Customer#17' against
-    itself a billion times is the naive plan this entry exists to
-    forbid), then blocking on the name's last token (the product noun)
-    makes the vocab self-join a plain equi-join, and levenshtein runs
-    only inside blocks — JVM-side codegen'd built-in, DuckDB's
-    levenshtein as the same-unit-cost oracle twin. Each surviving pair
-    carries both names' row counts, so the consumer can rank collisions
-    by how much data a merge decision would move.
-
-    The blocking is part of the declared semantics (cross-block pairs
-    are out of scope by definition — the d9 fuzzy-prefix rule); recall
-    vs unblocked matching is measurable with the d11 harness pattern
-    if ever needed. Fixture honesty: p_name is a 64-value
-    'qualifier noun' vocabulary, so the output is small and stable
-    across SF — exactly the point (vocab-quadratic, corpus-linear)."""
-    p = (
-        tbl(spark, sf_dir, "part")
-        .groupBy("p_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        .withColumn("blk", F.element_at(F.split(F.col("p_name"), " "), -1))
-    )
-    a = p.select(
-        F.col("p_name").alias("name_a"), F.col("n_rows").alias("rows_a"), "blk"
-    )
-    b = p.select(
-        F.col("p_name").alias("name_b"), F.col("n_rows").alias("rows_b"), "blk"
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        a.join(b, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(dist <= 6)
-        .select(
-            "name_a",
-            "name_b",
-            dist.cast("bigint").alias("dist"),
-            "rows_a",
-            "rows_b",
-        )
-    )
-
-
-@register(
-    "s16_sparse_doc_topk",
-    """
-    WITH base AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS tl
-      FROM documents
-    ), toks AS (
-      SELECT doc_id, u.t AS t FROM base, unnest(tl) AS u(t)
-    ), tf AS (
-      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
-    ), rare AS (
-      SELECT t FROM tf GROUP BY t HAVING count(*) <= 64
-    ), post AS (
-      SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN rare USING (t)
-    ), dots AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             sum(a.tf * b.tf) AS dot
-      FROM post a JOIN post b ON a.t = b.t AND a.doc_id <> b.doc_id
-      GROUP BY 1, 2
-    ), r AS (
-      SELECT doc_a, doc_b, dot,
-             row_number() OVER (PARTITION BY doc_a
-                                ORDER BY dot DESC, doc_b) AS rnk
-      FROM dots
-    )
-    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM r WHERE rnk <= 3
-    """,
-)
-def s16_sparse_doc_topk(spark, sf_dir):
-    """All-docs sparse-vector top-k similarity via an inverted index —
-    the lexical counterpart of s1's dense brute force, and the document-
-    to-DOCUMENT version of s15's query-time lexical leg: every doc's
-    3 nearest neighbors by raw term-frequency dot product (exact
-    BIGINTs — tf x tf products need no idf floats to be a meaningful
-    sparse similarity, and integer dots hash identically cross-engine).
-
-    The scale argument is the s15 champion-list discipline applied to
-    an all-pairs problem: the posting self-join runs ONLY over terms
-    with document frequency <= 64, so each term contributes at most
-    64^2 candidate pairs regardless of corpus size — stopwords (the
-    quadratic hazard: 'the' appears in every doc, its posting self-join
-    IS all-pairs) are excluded by the df cap itself, not by a curated
-    list. Everything is equi-joins + hash aggs; the only per-doc sort
-    is the width-3 top-k window over each doc's own candidate set."""
-    from pyspark.sql import Window
-
-    d = tbl(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(_tx.tokens(F.col("text"))).alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    rare = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 64
-    )
-    post = tf.join(rare.select("t"), "t")
-    a = post.select(
-        F.col("t"), F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
-    )
-    b = post.select(
-        F.col("t"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
-    )
-    dots = (
-        a.join(b, "t")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
-    )
-    w = Window.partitionBy("doc_a").orderBy(F.col("dot").desc(), F.col("doc_b"))
-    return (
-        dots.select(
-            "doc_a",
-            "doc_b",
-            F.col("dot").cast("bigint").alias("dot"),
-            F.row_number().over(w).alias("rnk"),
-        )
-        .filter(F.col("rnk") <= 3)
-        .select("doc_a", "doc_b", "dot", F.col("rnk").cast("bigint").alias("rnk"))
-    )
-
-
-@register(
-    "f12_rsi",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), d AS (
-      SELECT series, day,
-             close_c - lag(close_c) OVER (PARTITION BY series ORDER BY day)
-               AS chg
-      FROM c
-    ), gl AS (
-      SELECT series, day,
-             CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
-             CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss
-      FROM d WHERE chg IS NOT NULL
-    ), r AS (
-      SELECT series, day,
-             sum(gain) OVER w AS g, sum(loss) OVER w AS l,
-             count(*) OVER w AS n
-      FROM gl
-      WINDOW w AS (PARTITION BY series ORDER BY day
-                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-    )
-    SELECT series, day,
-           CAST(g AS BIGINT) AS gain_c, CAST(l AS BIGINT) AS loss_c,
-           CAST(CASE WHEN g + l > 0 THEN (10000 * g) // (g + l) END
-                AS BIGINT) AS rsi_bp
-    FROM r WHERE n = 14
-    """,
-)
-def f12_rsi(spark, sf_dir):
-    """14-day RSI (Cutler's simple-moving-average form) per series —
-    the momentum oscillator every technical screen runs over exactly
-    the OHLC series this engine's batch view maintains (reference:
-    Batch_layer/stockBatch.py builds the daily closes; RSI is the
-    canonical downstream indicator). Wilder's original exponential
-    smoothing needs an infinite-tail float recursion (the m9 Holt
-    lesson: cross-engine float recursions flap); Cutler's SMA variant
-    is the standard exact-window form — and it stays in INTEGER space
-    end to end: daily closes in cents via the f6 (ts, v)-struct argmax,
-    gains/losses as lagged cent diffs, 14-row rolling sums as BIGINTs,
-    and the oscillator itself reported in basis points by one floor
-    division (both engines floor nonneg integer division identically;
-    the float 100*g/(g+l) is refused on hash-stability grounds).
-    Rows with fewer than 14 prior changes are excluded (n = 14), the
-    textbook warm-up rule.
-
-    Shape: one per-(series, day) hash agg for closes (map-side
-    combined), then ONE window partitioned by series for lag + the two
-    rolling sums — Catalyst fuses all three into a single sort+window
-    over a 30-row-per-series relation; series count, not corpus size,
-    bounds the window state."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    wd = Window.partitionBy("series").orderBy("day")
-    d = c.select(
-        "series", "day", (F.col("close_c") - F.lag("close_c").over(wd)).alias("chg")
-    ).filter(F.col("chg").isNotNull())
-    gl = d.select(
-        "series",
-        "day",
-        F.when(F.col("chg") > 0, F.col("chg")).otherwise(F.lit(0)).alias("gain"),
-        F.when(F.col("chg") < 0, -F.col("chg")).otherwise(F.lit(0)).alias("loss"),
-    )
-    w14 = wd.rowsBetween(-13, 0)
-    r = gl.select(
-        "series",
-        "day",
-        F.sum("gain").over(w14).alias("g"),
-        F.sum("loss").over(w14).alias("l"),
-        F.count(F.lit(1)).over(w14).alias("n"),
-    )
-    tot = F.col("g") + F.col("l")
-    return r.filter(F.col("n") == 14).select(
-        "series",
-        "day",
-        F.col("g").cast("bigint").alias("gain_c"),
-        F.col("l").cast("bigint").alias("loss_c"),
-        F.when(tot > 0, F.expr("10000 * g DIV (g + l)"))
-        .cast("bigint")
-        .alias("rsi_bp"),
-    )
-
-
-@register(
-    "f13_signal_backtest",
-    """
-    WITH b AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             min(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS open_c,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), s AS (
-      SELECT series, day, open_c, close_c,
-             lag(close_c, 1) OVER w AS c1,
-             lag(close_c, 2) OVER w AS c2
-      FROM b WINDOW w AS (PARTITION BY series ORDER BY day)
-    )
-    SELECT series,
-           CAST(count(*) AS BIGINT) AS n_trades,
-           CAST(sum(close_c - open_c) AS BIGINT) AS pnl_c,
-           CAST(sum(CASE WHEN close_c > open_c THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_wins,
-           CAST(max(close_c - open_c) AS BIGINT) AS best_c,
-           CAST(min(close_c - open_c) AS BIGINT) AS worst_c
-    FROM s WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c1 > c2
-    GROUP BY 1
-    """,
-)
-def f13_signal_backtest(spark, sf_dir):
-    """Vectorized signal backtest — the evaluation loop the reference's
-    forecast serving layer implies but never runs: a rule ('yesterday's
-    close above the day before' = 1-day momentum) is turned into a
-    trade ledger and P&L WITHOUT a per-day driver loop. Event-study
-    backtests are embarrassingly parallel when the signal is a pure
-    window function: signal day selection is two lags over the daily
-    bar relation, each simulated trade is buy-at-open/sell-at-close of
-    the SIGNAL day (no lookahead: the signal uses strictly prior
-    closes — the u6 point-in-time discipline applied to strategy eval),
-    and the ledger aggregates per series into trade count, total P&L,
-    hit rate numerator, best and worst trade — all exact cent BIGINTs,
-    no return ratios (per-trade P&L in cents is the additive,
-    hash-stable ledger; compounded-return products are floats and
-    belong to the consumer).
-
-    Shape: one hash agg to daily bars (the f6 struct-argmin/argmax
-    idiom), one window for the two lags, one final agg — at 100 TB of
-    ticks the bar agg is map-side combined and everything after runs
-    on days x series rows."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    s = F.struct(F.col("ts").alias("t"), cents.alias("v"))
-    b = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            s.alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.min("s")["v"].alias("open_c"), F.max("s")["v"].alias("close_c"))
-    )
-    w = Window.partitionBy("series").orderBy("day")
-    sig = b.select(
-        "series",
-        "day",
-        "open_c",
-        "close_c",
-        F.lag("close_c", 1).over(w).alias("c1"),
-        F.lag("close_c", 2).over(w).alias("c2"),
-    ).filter(
-        F.col("c1").isNotNull() & F.col("c2").isNotNull() & (F.col("c1") > F.col("c2"))
-    )
-    pnl = F.col("close_c") - F.col("open_c")
-    return sig.groupBy("series").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
-        F.sum(pnl).cast("bigint").alias("pnl_c"),
-        F.sum(F.when(F.col("close_c") > F.col("open_c"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_wins"),
-        F.max(pnl).cast("bigint").alias("best_c"),
-        F.min(pnl).cast("bigint").alias("worst_c"),
-    )
-
-
-@register(
-    "m16_drift_tv",
-    """
-    WITH e AS (
-      SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bin,
-             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
-                  THEN 0 ELSE 1 END AS w
-      FROM events WHERE event_type = 'purchase'
-    ), c AS (
-      SELECT bin,
-             sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS c_ref,
-             sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS c_cur
-      FROM e GROUP BY 1
-    ), t AS (
-      SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM c
-    )
-    SELECT c.bin AS bin,
-           CAST(c.c_ref AS BIGINT) AS c_ref,
-           CAST(c.c_cur AS BIGINT) AS c_cur,
-           CAST(abs(c.c_ref * t.n_cur - c.c_cur * t.n_ref) AS BIGINT)
-             AS tv_num,
-           CAST(t.n_ref AS BIGINT) AS n_ref,
-           CAST(t.n_cur AS BIGINT) AS n_cur
-    FROM c, t
-    """,
-)
-def m16_drift_tv(spark, sf_dir):
-    """Training/serving distribution-drift monitor via total-variation
-    distance — the audit a data flywheel runs before trusting m15's
-    auto-labels: has the PURCHASE value distribution shifted between
-    the reference window (first fixture fortnight) and the current one?
-    PSI and KL — the industry defaults — need ln(p/q) floats; total
-    variation is the drift metric that stays EXACT: per 500-cent bin,
-    |c_ref * N_cur - c_cur * N_ref| is the cross-multiplied numerator
-    of |p - q| (TV = sum(tv_num) / (2 * N_ref * N_cur), one consumer-
-    side division), all BIGINTs. Per-bin rows (not one scalar) so the
-    monitor can localize WHERE mass moved — the actionable half of a
-    drift alert; bins absent on one side surface with a zero count,
-    not silently (conditional-sum pivot over the union, never an inner
-    join of two histograms).
-
-    Shape: one filtered scan -> one hash agg on (bin) with two
-    conditional sums (map-side combined; bins are bounded by the value
-    range, not the corpus), then a broadcast of the 1-row totals back
-    across bins. The time-split predicate pushes to the scan at 100 TB
-    when the lake is date-partitioned (p12's layout)."""
-    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    e = ev.select(
-        F.expr("CAST(round(value * 100) AS BIGINT) DIV 500").alias("bin"),
-        F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 0)
-        .otherwise(1)
-        .alias("w"),
-    )
-    c = e.groupBy("bin").agg(
-        F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).alias("c_ref"),
-        F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("c_cur"),
-    )
-    t = c.agg(
-        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
-    )
-    return c.crossJoin(F.broadcast(t)).select(
-        "bin",
-        F.col("c_ref").cast("bigint").alias("c_ref"),
-        F.col("c_cur").cast("bigint").alias("c_cur"),
-        F.abs(F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref"))
-        .cast("bigint")
-        .alias("tv_num"),
-        F.col("n_ref").cast("bigint").alias("n_ref"),
-        F.col("n_cur").cast("bigint").alias("n_cur"),
-    )
-
-
-@register(
-    "u10_cdc_apply",
-    """
-    WITH log AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             CAST(round(value * 100) AS BIGINT) AS v_c
-      FROM events
-    ), last AS (
-      SELECT user_id,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP), i := event_id,
-                             op := op, v := v_c)) AS s,
-             count(*) AS n_ops,
-             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
-      FROM log GROUP BY 1
-    )
-    SELECT user_id,
-           CAST(s.v AS BIGINT) AS value_c,
-           s.t AS last_ts,
-           CAST(n_ops AS BIGINT) AS n_ops,
-           CAST(n_deletes AS BIGINT) AS n_deletes
-    FROM last WHERE s.op <> 'D'
-    """,
-)
-def u10_cdc_apply(spark, sf_dir):
-    """CDC log replay to a snapshot — the Debezium/binlog-consumer
-    materialization every lakehouse ingestion runs, and the BATCH twin
-    of the engine's streaming upsert path (K1's last-write-wins +
-    u9's deletes, composed): an ordered change log of upserts and
-    tombstones (op mapping declared: 'error' events are deletes —
-    fixture stand-in for a real op column) collapses to current state
-    in ONE hash aggregation. The struct-argmax carries (ts, event_id,
-    op, value) together, so 'which op wins' and 'what value survives'
-    are decided by the same total order (event_id breaks ts ties — the
-    registry's keyed-argmax rule); keys whose LAST op is a tombstone
-    drop out after the agg, preserving their audit counts until the
-    final filter. No window, no sort, no join: at 100 TB of changelog
-    the partial agg collapses each map task to one row per touched key
-    before the single exchange — the reason CDC compaction is an agg,
-    never a row_number() == 1 window (which would sort the log).
-
-    Also the standing disproof that op-aware merge needs MERGE INTO
-    machinery (u8) when the log is self-contained: apply-at-read is
-    one agg; u8's full-outer arms exist for merging INTO a base table."""
-    ev = tbl(spark, sf_dir, "events")
-    s = F.struct(
-        F.col("ts").alias("t"),
-        F.col("event_id").alias("i"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.round(F.col("value") * 100).cast("bigint").alias("v"),
-    )
-    last = ev.groupBy("user_id").agg(
-        F.max(s).alias("s"),
-        F.count(F.lit(1)).alias("n_ops"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
-            "n_deletes"
-        ),
-    )
-    return last.filter(F.col("s.op") != "D").select(
-        "user_id",
-        F.col("s.v").cast("bigint").alias("value_c"),
-        F.col("s.t").alias("last_ts"),
-        F.col("n_ops").cast("bigint").alias("n_ops"),
-        F.col("n_deletes").cast("bigint").alias("n_deletes"),
-    )
-
-
-@register(
-    "w18_calendar_gaps",
-    """
-    WITH span AS (
-      SELECT event_type AS series, user_id,
-             min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-      FROM events GROUP BY 1, 2
-    ), cal AS (
-      SELECT series, user_id,
-             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-      FROM span
-    ), have AS (
-      SELECT DISTINCT event_type AS series, user_id, CAST(ts AS DATE) AS day
-      FROM events
-    )
-    SELECT c.series, c.user_id, c.day
-    FROM cal c LEFT JOIN have h
-      ON h.series = c.series AND h.user_id = c.user_id AND h.day = c.day
-    WHERE h.day IS NULL
-    """,
-)
-def w18_calendar_gaps(spark, sf_dir):
-    """Missing-day detection against a GENERATED per-key calendar — the
-    completeness audit that must run before any window entry is
-    trusted (w7's LOCF, w14's interpolation, f12's RSI all assume they
-    know where the holes are; this entry enumerates them): each
-    (series, user)'s min..max day span is densified via
-    sequence()/explode — a generated relation, never a driver-side
-    date loop and never a cross join against a static calendar table —
-    and anti-joined against the days that actually have data. Grain is
-    deliberately per-KEY, where real holes live (the global
-    series-level calendar is dense in any healthy feed; per-entity
-    gaps are what LOCF actually bridges).
-
-    Scale shape: the span agg is map-side combined (2 dates per key);
-    the generated calendar is keys x span-days rows — bounded by the
-    audit window length, linear in keys, independent of per-day event
-    volume; the anti-join hashes on (series, user, day) against the
-    DISTINCT relation every daily rollup already materializes. The
-    dense side is built from the SMALL relation; the corpus is touched
-    exactly twice, both times collapsing immediately to per-key-day
-    grain."""
-    ev = tbl(spark, sf_dir, "events")
-    span = ev.groupBy(F.col("event_type").alias("series"), "user_id").agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    cal = span.select(
-        "series",
-        "user_id",
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
-    )
-    have = ev.select(
-        F.col("event_type").alias("series"), "user_id", F.to_date("ts").alias("day")
-    ).distinct()
-    return cal.join(have, ["series", "user_id", "day"], "left_anti")
-
-
-@register(
-    "a27_assoc_rules",
-    """
-    WITH items AS (
-      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
-    ), n AS (
-      SELECT count(DISTINCT basket) AS n_baskets FROM items
-    ), supp1 AS (
-      SELECT item, count(*) AS s FROM items GROUP BY 1
-    ), pairs AS (
-      SELECT a.item AS item_a, b.item AS item_b, count(*) AS s_ab
-      FROM items a JOIN items b
-        ON a.basket = b.basket AND a.item < b.item
-      GROUP BY 1, 2 HAVING count(*) >= 3
-    )
-    SELECT p.item_a, p.item_b,
-           CAST(p.s_ab AS BIGINT) AS supp_ab,
-           CAST(sa.s AS BIGINT) AS supp_a,
-           CAST(sb.s AS BIGINT) AS supp_b,
-           CAST(p.s_ab * n.n_baskets AS BIGINT) AS lift_num,
-           CAST(sa.s * sb.s AS BIGINT) AS lift_den
-    FROM pairs p
-    JOIN supp1 sa ON sa.item = p.item_a
-    JOIN supp1 sb ON sb.item = p.item_b
-    CROSS JOIN n
-    """,
-)
-def a27_assoc_rules(spark, sf_dir):
-    """Market-basket association rules (frequent pairs + lift) — the
-    Apriori/FP-growth workload phrased as the one shape that scales:
-    co-occurrence is a BASKET-local self-join (equi-join on the basket
-    key), so the quadratic is bounded by basket width (~items per
-    order, single digits) and never by catalog or corpus size — the
-    same per-group-quadratic discipline as g8's wedge join. The
-    min-support HAVING runs inside the pair agg (partial-agg'd), so
-    the long tail of 1-off pairs dies before the join-back for
-    marginals. Confidence(a->b) = supp_ab/supp_a and lift =
-    supp_ab*N / (supp_a*supp_b) are delivered as exact integer
-    numerator/denominator (the m16/f12 rule: ranking thresholds are
-    the consumer's one division, not a cross-engine float in the
-    hash).
-
-    The marginal join-back broadcasts supp1 at serving scale (catalog-
-    sized); the 1-row basket-count total rides the sanctioned
-    broadcast-crossJoin bound (x10/x26/m16)."""
-    li = tbl(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
-    n = items.agg(F.count_distinct("basket").alias("n_baskets"))
-    supp1 = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
-    a = items.select("basket", F.col("item").alias("item_a"))
-    b = items.select("basket", F.col("item").alias("item_b"))
-    pairs = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("s_ab"))
-        .filter(F.col("s_ab") >= 3)
-    )
-    sa = supp1.select(F.col("item").alias("item_a"), F.col("s").alias("supp_a"))
-    sb = supp1.select(F.col("item").alias("item_b"), F.col("s").alias("supp_b"))
-    return (
-        pairs.join(F.broadcast(sa), "item_a")
-        .join(F.broadcast(sb), "item_b")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "item_a",
-            "item_b",
-            F.col("s_ab").cast("bigint").alias("supp_ab"),
-            F.col("supp_a").cast("bigint").alias("supp_a"),
-            F.col("supp_b").cast("bigint").alias("supp_b"),
-            (F.col("s_ab") * F.col("n_baskets")).cast("bigint").alias("lift_num"),
-            (F.col("supp_a") * F.col("supp_b")).cast("bigint").alias("lift_den"),
-        )
-    )
-
-
-@register(
-    "m17_nearest_centroid",
-    """
-    WITH q AS (
-      SELECT vec_id, CAST(label AS INTEGER) AS label,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
-      FROM embeddings
-    ), ex AS (
-      SELECT vec_id, label, u.s.pos AS pos, u.s.v AS v
-      FROM q, unnest(list_transform(range(1, len(q) + 1),
-           i -> struct_pack(pos := i, v := q[i]))) AS u(s)
-    ), cent AS (
-      SELECT label AS c, pos, sum(v) AS s FROM ex GROUP BY 1, 2
-    ), cl AS (
-      SELECT c, list(s ORDER BY pos) AS sv,
-             sum(CAST(s AS HUGEINT) * s) AS ss
-      FROM cent GROUP BY 1
-    ), cn AS (
-      SELECT label AS c, count(*) AS n FROM q GROUP BY 1
-    ), costs AS (
-      SELECT q.vec_id, q.label, cl.c,
-             CAST(-2 * CAST(cn.n AS HUGEINT)
-                     * CAST(list_sum(list_transform(
-                         range(1, len(q.q) + 1), i -> q.q[i] * cl.sv[i]))
-                       AS HUGEINT)
-                  + cl.ss AS DOUBLE)
-               / (CAST(cn.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) AS cost
-      FROM q CROSS JOIN cl JOIN cn ON cn.c = cl.c
-    ), pick AS (
-      SELECT vec_id, label, min(struct_pack(cost := cost, c := c)) AS m
-      FROM costs GROUP BY 1, 2
-    )
-    SELECT vec_id, label,
-           CAST(m.c AS INTEGER) AS pred_class,
-           CAST(CASE WHEN m.c = label THEN 1 ELSE 0 END AS INTEGER) AS correct
-    FROM pick
-    """,
-)
-def m17_nearest_centroid(spark, sf_dir):
-    """Nearest-centroid (Rocchio) classification over the embedding
-    corpus — the zero-training baseline every m14-style kNN eval should
-    be compared against (10 centroid comparisons per vector vs a corpus
-    scan), and the serving shape of 'assign to cluster' everywhere
-    (s6's Lloyd assignment step IS this operator). Exactness where
-    centroids are usually floats: vectors land on the s6 integer grid
-    (floor(x*1024)), each class centroid is kept as the PAIR (S_c =
-    elementwise BIGINT sum, n_c = count) instead of the float mean, and
-    squared-L2-to-mean comparisons use the cross-multiplied identity
-    argmin_c ||x - S_c/n_c||^2 = argmin_c (-2*n_c*(x . S_c) + ||S_c||^2)
-    / n_c^2 — exact integer numerator, ONE deterministic IEEE division
-    per (vector, class), ties broken by class id via the registry's
-    struct-argmin rule (||x||^2 is class-invariant and dropped).
-
-    Overflow discipline (r8 advice): the numerator is ~1.3e8 * n_c^2,
-    which exceeds int64 once a class holds ~2.6e5 vectors — so the
-    -2*n*dot + ||S||^2 arithmetic runs in decimal(38,0) (Spark) /
-    HUGEINT (DuckDB), both exact integer types; the remaining int64
-    term is the per-element dot product q_i * S_i <= 2^20 * n_c, safe
-    to n_c < 2^43 (~8.8e12 rows per class — beyond any 100 TB corpus),
-    and the decimal numerator itself holds to n_c ~ 2.7e14. Both
-    engines round the identical exact integer to double once, so the
-    hash gate still matches bit for bit; the denominator is likewise
-    computed double*double in both.
-
-    Shape: centroids come from one posexplode + (label, pos) hash agg
-    (map-side combined, 64*classes rows), re-assembled to arrays and
-    broadcast; scoring is a 10-row broadcast crossJoin + one zip_with
-    dot per class — JVM-side array math, no shuffle of the corpus, and
-    the final per-vector argmin is a width-10 hash agg, not a window."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.col("label").cast("int").alias("label"),
-        _sim2._km_quant(F.col("embedding")).alias("q"),
-    )
-    ex = q.select("label", F.posexplode("q").alias("pos", "v"))
-    cent = ex.groupBy(F.col("label").alias("c"), "pos").agg(F.sum("v").alias("s"))
-    cl = cent.groupBy("c").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
-        ).alias("sv"),
-        # s*s overflows int64 for classes beyond ~2.6e5 rows: square in
-        # decimal(38,0) so the centroid norm stays exact at corpus scale
-        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss"),
-    )
-    cn = q.groupBy(F.col("label").alias("c")).agg(F.count(F.lit(1)).alias("n"))
-    cents = cl.join(cn, "c")
-    # per-element products stay int64 (q_i*S_i <= 2^20 * n_c); the SUM and
-    # the -2*n*dot cross term run in decimal(38,0) — see docstring bound
-    dot = F.aggregate(
-        F.zip_with("q", "sv", lambda a, b: a * b),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, x: acc + x,
-    )
-    costs = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        "c",
-        (
-            (F.lit(-2).cast("decimal(38,0)") * F.col("n") * dot + F.col("ss"))
-            .cast("double")
-            / (F.col("n").cast("double") * F.col("n").cast("double"))
-        ).alias("cost"),
-    )
-    pick = costs.groupBy("vec_id", "label").agg(
-        F.min(F.struct("cost", "c")).alias("m")
-    )
-    return pick.select(
-        "vec_id",
-        "label",
-        F.col("m.c").cast("int").alias("pred_class"),
-        F.when(F.col("m.c") == F.col("label"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("correct"),
-    )
-
-
-@register(
-    "j15_dpp_join",
-    """
-    WITH hot AS (
-      SELECT CAST(ts AS DATE) AS day
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY 1 HAVING max(CAST(round(value * 100) AS BIGINT)) >= 30000
-    )
-    SELECT CAST(e.ts AS DATE) AS day, e.event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
-             AS value_c
-    FROM events e JOIN hot h ON CAST(e.ts AS DATE) = h.day
-    GROUP BY 1, 2
-    """,
-)
-def j15_dpp_join(spark, sf_dir):
-    """Dynamic partition pruning — the Spark 3+ scale feature p12's
-    static pruning cannot reach: the filter that selects partitions is
-    NOT a literal in the query, it is the RESULT of another query (the
-    'hot days' dim: days whose max purchase tops 30000 cents). A static
-    planner must scan every partition of the fact; DPP broadcasts the
-    dim first, injects its day-set into the fact scan's
-    PartitionFilters as a dynamicpruningexpression, and only then
-    plans the probe — so a 100 TB date-partitioned fact opens only the
-    qualifying days' directories even though nobody wrote a date
-    literal. Plan-pinned (tests/test_plan_quality.py): the staged
-    fact's scan must carry 'dynamicpruning' in its PartitionFilters.
-
-    The fact is staged partitionBy(event_date) through the p12 scratch
-    machinery (the resting layout of any time-series lake); the dim
-    derives from the ORIGINAL table, the oracle replays the same join
-    unpartitioned — proving the partitioned hop + DPP lossless."""
-    import os as _os
-
-    ev = tbl(spark, sf_dir, "events")
-    _tag, scratch = scratch_dir("spark_graft_dpp", sf_dir)
-    path = _os.path.join(scratch, "events_by_date_dpp")
-    staged = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.to_date("ts").alias("event_date"),
-    )
-    staged.write.mode("overwrite").partitionBy("event_date").parquet(path)
-    fact = spark.read.parquet(path)
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    hot = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.max(cents).alias("mx"))
-        .filter(F.col("mx") >= 30000)
-        .select("day")
-    )
-    return (
-        fact.join(F.broadcast(hot), fact.event_date == F.col("day"))
-        .groupBy(F.col("event_date").alias("day"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(cents).cast("bigint").alias("value_c"),
-        )
-    )
-
-
-@register(
-    "a28_k_anonymity",
-    """
-    SELECT c_nationkey,
-           c_mktsegment,
-           CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
-           CAST(count(*) AS BIGINT) AS group_n
-    FROM customer
-    GROUP BY 1, 2, 3 HAVING count(*) < 5
-    """,
-)
-def a28_k_anonymity(spark, sf_dir):
-    """k-anonymity audit over the quasi-identifier tuple (nation,
-    market segment, account-balance bucket) — the governance gate that
-    must pass BEFORE a customer extract ships to a training pipeline
-    (u9/t24 delete on request; this entry answers the prior question:
-    which rows are re-identifiable at all). A group smaller than k = 5
-    means those customers are distinguishable by externally knowable
-    attributes alone — the audit RETURNS the violating groups and their
-    sizes so the masking step knows exactly which strata to generalize
-    (widen the balance bucket / drop the segment) rather than
-    suppressing rows blind.
-
-    Shape: ONE map-side-combined hash agg over the extract with the
-    HAVING evaluated at the final agg — the violating-group relation is
-    tiny by definition (large groups are the compliant ones and die in
-    the partial agg's counts). Bucketing runs in exact integer cents
-    (cents DIV 100000 = 1000-dollar bins) — no float boundary can
-    disagree between engines."""
-    c = tbl(spark, sf_dir, "customer")
-    bal_bucket = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
-    return (
-        c.groupBy(
-            "c_nationkey", "c_mktsegment", bal_bucket.alias("bal_bucket")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
-        .filter(F.col("group_n") < 5)
-    )
-
-
-@register(
-    "w19_interval_coalesce",
-    """
-    WITH iv AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
-             CAST(ts AS TIMESTAMP)
-               + to_seconds(CAST(round(value * 100) * 10 AS BIGINT)) AS e,
-             event_id
-      FROM events
-    ), m AS (
-      SELECT user_id, s, e, event_id,
-             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS prev_max_e
-      FROM iv
-    ), isl AS (
-      SELECT user_id, s, e,
-             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY s, event_id) AS island
-      FROM m
-    )
-    SELECT user_id, CAST(island AS BIGINT) AS island,
-           min(s) AS island_start, max(e) AS island_end,
-           CAST(count(*) AS BIGINT) AS n_intervals
-    FROM isl GROUP BY 1, 2
-    """,
-)
-def w19_interval_coalesce(spark, sf_dir):
-    """Overlapping-interval coalescing (gaps-and-islands over SPANS) —
-    the general operator w5's sessionize is the fixed-gap special case
-    of: each event carries a real duration (here round(value*100)*10
-    seconds — the fixture's stand-in for job runtimes / visit lengths /
-    position holding windows), and downstream consumers need the UNION
-    of overlapping spans per key (total busy time, concurrent-activity
-    collapse, SCD2 range merging). The textbook exact algorithm, fully
-    window-shaped: a running max of prior interval ENDS per key (an
-    interval can swallow later-starting ones, so lag(e) alone is wrong
-    — the running max is the load-bearing detail), an island opens
-    exactly where a start clears that max, island ids are the running
-    sum of those opens, and one hash agg per (key, island) emits the
-    coalesced span with its merge count.
-
-    Scale: both windows and the final agg share the single per-user
-    hashpartitioning (no global sort — the w11/w12 rule); state per row
-    in flight is one timestamp. Timestamps compare exactly (µs grain
-    both engines, the f5/j13 NTZ discipline)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    dur_s = (F.round(F.col("value") * 100) * 10).cast("bigint")
-    iv = ev.select(
-        "user_id",
-        F.col("ts").alias("s"),
-        (
-            F.col("ts")
-            + F.expr(
-                "make_dt_interval(0, 0, 0, CAST(round(value * 100) * 10 AS BIGINT))"
-            )
-        ).alias("e"),
-        "event_id",
-    )
-    _ = dur_s
-    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
-    m = iv.select(
-        "user_id",
-        "s",
-        "e",
-        "event_id",
-        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)).alias(
-            "prev_max_e"
-        ),
-    )
-    isl = m.select(
-        "user_id",
-        "s",
-        "e",
-        F.sum(
-            F.when(
-                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
-                1,
-            ).otherwise(0)
-        )
-        .over(wo)
-        .alias("island"),
-    )
-    return isl.groupBy("user_id", F.col("island").cast("bigint").alias("island")).agg(
-        F.min("s").alias("island_start"),
-        F.max("e").alias("island_end"),
-        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# r9: technical-indicator + factor-model batch operators
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "f14_bollinger_breakout",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), r AS (
-      SELECT series, day, close_c,
-             sum(close_c)           OVER w AS s20,
-             sum(close_c * close_c) OVER w AS ss20,
-             count(*)               OVER w AS n
-      FROM c
-      WINDOW w AS (PARTITION BY series ORDER BY day
-                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-    )
-    SELECT series, day, close_c,
-           CAST(s20 AS BIGINT) AS s20, CAST(ss20 AS BIGINT) AS ss20,
-           CAST(CASE WHEN n * close_c > s20
-                      AND (n * close_c - s20) * (n * close_c - s20)
-                          > 4 * (n * ss20 - s20 * s20)
-                     THEN 1 ELSE 0 END AS INTEGER) AS above_upper,
-           CAST(CASE WHEN n * close_c < s20
-                      AND (s20 - n * close_c) * (s20 - n * close_c)
-                          > 4 * (n * ss20 - s20 * s20)
-                     THEN 1 ELSE 0 END AS INTEGER) AS below_lower
-    FROM r WHERE n = 20
-    """,
-)
-def f14_bollinger_breakout(spark, sf_dir):
-    """Bollinger-band breakout flags (20-day, 2 sigma) per series — the
-    volatility-band screen that consumes exactly the daily-close series
-    the engine's batch view maintains (reference: Batch_layer/
-    stockBatch.py's OHLC rows; f12's RSI is the momentum twin). The
-    textbook test ``close > mean + 2*stddev`` is a float sqrt — refused
-    on hash-stability grounds (the m9/f12 rule).  Both band tests are
-    instead cross-multiplied into EXACT integer inequalities over the
-    rolling sum S and sum-of-squares SS of cent closes:
-
-        close > S/n + 2*sqrt((n*SS - S^2))/n
-          <=>  n*close > S  AND  (n*close - S)^2 > 4*(n*SS - S^2)
-
-    (squaring is valid exactly because the sign test rides along; the
-    variance numerator n*SS - S^2 is the n^2-scaled population variance,
-    nonnegative by Cauchy-Schwarz).  Magnitudes: cents < 2^17, n = 20,
-    so (n*close)^2 < 2^44 and 4*n*SS < 2^49 — int64-exact with 14 bits
-    to spare.  Warm-up rows (n < 20) are excluded, the f12 discipline.
-
-    Shape: one per-(series, day) hash agg for closes (map-side combined,
-    the f6 (ts,v)-struct argmax), then ONE window partitioned by series
-    computing both rolling sums — Catalyst fuses them into a single
-    sort+window over a 30-row-per-series relation.  At 100 TB the agg
-    collapses the tick stream before the window ever sorts: window state
-    is bounded by series count x 20 rows, never by tick volume."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    w20 = Window.partitionBy("series").orderBy("day").rowsBetween(-19, 0)
-    r = c.select(
-        "series",
-        "day",
-        "close_c",
-        F.sum("close_c").over(w20).alias("s20"),
-        F.sum(F.col("close_c") * F.col("close_c")).over(w20).alias("ss20"),
-        F.count(F.lit(1)).over(w20).alias("n"),
-    ).filter(F.col("n") == 20)
-    dev = F.col("n") * F.col("close_c") - F.col("s20")
-    var_n2 = F.col("n") * F.col("ss20") - F.col("s20") * F.col("s20")
-    return r.select(
-        "series",
-        "day",
-        "close_c",
-        F.col("s20").cast("bigint").alias("s20"),
-        F.col("ss20").cast("bigint").alias("ss20"),
-        F.when((dev > 0) & (dev * dev > 4 * var_n2), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("above_upper"),
-        F.when((dev < 0) & (dev * dev > 4 * var_n2), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("below_lower"),
-    )
-
-
-@register(
-    "f15_capm_beta",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), r AS (
-      SELECT series, day,
-             close_c - lag(close_c) OVER (PARTITION BY series ORDER BY day)
-               AS ret_c
-      FROM c
-    ), rr AS (SELECT * FROM r WHERE ret_c IS NOT NULL),
-    mkt AS (
-      SELECT day, CAST(sum(ret_c) AS BIGINT) AS m FROM rr GROUP BY 1
-    ), j AS (
-      SELECT rr.series, rr.ret_c AS y, mkt.m AS x
-      FROM rr JOIN mkt USING (day)
-    ), s AS (
-      SELECT series, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-      FROM j GROUP BY 1
-    )
-    SELECT series, n, sx, sy, sxy, sxx,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS beta
-    FROM s WHERE n * sxx - sx * sx <> 0
-    """,
-)
-def f15_capm_beta(spark, sf_dir):
-    """CAPM beta per series against the equal-weight market factor — the
-    one-factor regression slope every risk model starts from, computed
-    over the same daily-close cent series as f12/f14.  "Return" here is
-    the lagged cent DIFF (not the log/pct return: those are floats whose
-    cross-engine rounding flaps the hash gate; the absolute-diff factor
-    regression is the standard exactness compromise, documented), and
-    the market factor is the cross-sectional SUM of all series' diffs
-    per day — itself an exact BIGINT.
-
-    beta = cov(y,x)/var(x) is cross-multiplied to the exact integer pair
-        num = n*Sxy - Sx*Sy,   den = n*Sxx - Sx^2
-    with ONE correctly-rounded double division at the output boundary
-    (the a15/f7 discipline); the five sufficient statistics ride along
-    so the oracle pins the exact state, not just the quotient.  Bounds:
-    |diff| < 2^17, market sum over 5 series < 2^20, so Sxy < 30*2^37 and
-    n*Sxy < 2^47 — int64-exact.  Degenerate zero-variance series are
-    excluded by the den <> 0 guard on the EXACT integer (a float
-    epsilon-test would be engine-dependent).
-
-    Shape: closes collapse in one map-side-combined hash agg; the lag is
-    one window over 30 rows/series; the market factor is a 30-row agg
-    broadcast back onto per-series returns (day join, broadcast-hash by
-    size); the sufficient statistics are one final hash agg keyed by
-    series.  At 100 TB: tick->close aggregation dominates and is fully
-    map-side combinable; everything after operates on rows = series x
-    days, cluster-trivial."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    wd = Window.partitionBy("series").orderBy("day")
-    rr = c.select(
-        "series", "day", (F.col("close_c") - F.lag("close_c").over(wd)).alias("ret_c")
-    ).filter(F.col("ret_c").isNotNull())
-    mkt = rr.groupBy("day").agg(F.sum("ret_c").cast("bigint").alias("m"))
-    j = rr.join(F.broadcast(mkt), "day").select(
-        "series", F.col("ret_c").alias("y"), F.col("m").alias("x")
-    )
-    s = j.groupBy("series").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return s.filter(den != 0).select(
-        "series",
-        "n",
-        "sx",
-        "sy",
-        "sxy",
-        "sxx",
-        (num.cast("double") / den.cast("double")).alias("beta"),
-    )
-
-
-@register(
-    "a29_bitmap_distinct",
-    """
-    WITH b AS (
-      SELECT event_type,
-             user_id // 62 AS word_idx,
-             bit_or((1::BIGINT) << CAST(user_id % 62 AS INTEGER)) AS word
-      FROM events GROUP BY 1, 2
-    ), s AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n_words,
-             CAST(sum(bit_count(word)) AS BIGINT) AS distinct_bitmap
-      FROM b GROUP BY 1
-    ), ex AS (
-      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
-      FROM events GROUP BY 1
-    )
-    SELECT s.event_type, s.n_words, s.distinct_bitmap, ex.exact_distinct
-    FROM s JOIN ex USING (event_type)
-    """,
-)
-def a29_bitmap_distinct(spark, sf_dir):
-    """EXACT distinct counting via word-sliced bitmaps (the Roaring-
-    bitmap design, flattened to SQL) — the third point on the engine's
-    cardinality spectrum: a9/a20 are sketches (fixed error), a6/a12 are
-    exact-by-shuffling-keys; this is exact-by-shuffling-BITS.  Dense
-    integer id spaces (user ids, order keys, dictionary-encoded dims)
-    pack 62 presence bits per BIGINT word: word_idx = id div 62, bit =
-    id mod 62, per-word presence = bit_or(1 << bit) — an agg whose
-    partial state is MERGEABLE BY OR across partitions (the t17
-    algebraic-state contract), so the shuffle carries ceil(|id-space|
-    / 62) words per group instead of one row per distinct id: a 62x
-    reduction on dense spaces, and the words land pre-combined by the
-    map side.  The count is then sum(bit_count(word)) — population
-    count, exact, no estimate.  62 (not 64) bits per word keeps every
-    shifted value strictly positive: Spark's shiftleft and DuckDB's <<
-    agree on sign-bit-free shifts unconditionally, so the word VALUES
-    themselves hash-gate (the sketch state, not just the count; the
-    a20 rule).  Ids must be NONNEGATIVE: div/mod semantics on
-    negatives differ across engines (Spark truncates, DuckDB floors) —
-    offset-map signed id spaces before bitmapping, the same contract
-    every bitmap index imposes.  exact_distinct rides along as the invariant yardstick
-    (bitmap count == countDistinct, proven per group by the oracle).
-
-    At 100 TB: this is the segment-local bitmap index every OLAP store
-    builds (word_idx doubles as the segment key); set ALGEBRA —
-    audience intersection/union — becomes word-wise AND/OR joins on
-    word_idx, never a re-shuffle of raw ids (a30 is the sparse/
-    unbounded-id-space counterpart)."""
-    ev = tbl(spark, sf_dir, "events")
-    b = ev.groupBy(
-        "event_type", F.expr("user_id div 62").alias("word_idx")
-    ).agg(
-        F.bit_or(
-            F.expr("shiftleft(1L, cast(user_id % 62 as int))")
-        ).alias("word")
-    )
-    s = b.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum(F.bit_count("word")).cast("bigint").alias("distinct_bitmap"),
-    )
-    ex = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
-    )
-    return s.join(ex, "event_type")
-
-
-KMV_K = 64  # sketch size; relative error ~ 1/sqrt(64) = 12.5%
-KMV_NUM = float(KMV_K - 1) * float(1 << 60)  # (k-1) * hash-space size
-
-
-@register(
-    "a30_kmv_setops",
-    f"""
-    WITH d AS (
-      SELECT DISTINCT event_type,
-             {phash60_sql("CAST(user_id AS VARCHAR)", seed="kmv")} AS h
-      FROM events
-    ), sk AS (
-      SELECT event_type, h FROM (
-        SELECT event_type, h,
-               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-        FROM d) WHERE rn <= {KMV_K}
-    ), t AS (SELECT DISTINCT event_type FROM sk),
-    p AS (
-      SELECT a.event_type AS ta, b.event_type AS tb
-      FROM t a JOIN t b ON a.event_type < b.event_type
-    ), u AS (
-      SELECT p.ta, p.tb, s.h, 0 AS side
-      FROM p JOIN sk s ON s.event_type = p.ta
-      UNION ALL
-      SELECT p.ta, p.tb, s.h, 1 AS side
-      FROM p JOIN sk s ON s.event_type = p.tb
-    ), memb AS (
-      SELECT ta, tb, h, count(*) AS n_sides FROM u GROUP BY 1, 2, 3
-    ), x AS (
-      SELECT * FROM (
-        SELECT ta, tb, h, n_sides,
-               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
-        FROM memb) WHERE rn <= {KMV_K}
-    ), agg AS (
-      SELECT ta, tb, CAST(max(h) AS BIGINT) AS hk_union,
-             CAST(count(*) AS BIGINT) AS kx,
-             CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS matches
-      FROM x GROUP BY 1, 2
-    ), est AS (
-      SELECT ta, tb, hk_union, kx, matches,
-             CASE WHEN kx >= {KMV_K}
-                  THEN {KMV_NUM!r} / CAST(hk_union AS DOUBLE)
-                  ELSE CAST(kx AS DOUBLE) END AS union_est
-      FROM agg
-    ), ex1 AS (
-      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n
-      FROM events GROUP BY 1
-    ), eu AS (SELECT DISTINCT event_type, user_id FROM events),
-    exi AS (
-      SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS exact_inter
-      FROM p
-      JOIN eu ea ON ea.event_type = p.ta
-      JOIN eu eb ON eb.event_type = p.tb AND eb.user_id = ea.user_id
-      GROUP BY 1, 2
-    )
-    SELECT e.ta, e.tb, e.hk_union, e.kx, e.matches,
-           CAST(e.union_est AS DOUBLE) AS union_est,
-           CAST(CAST(e.matches AS DOUBLE) / CAST(e.kx AS DOUBLE)
-                * e.union_est AS DOUBLE) AS inter_est,
-           CAST(na.n + nb.n - x.exact_inter AS BIGINT) AS exact_union,
-           x.exact_inter
-    FROM est e
-    JOIN exi x ON x.ta = e.ta AND x.tb = e.tb
-    JOIN ex1 na ON na.event_type = e.ta
-    JOIN ex1 nb ON nb.event_type = e.tb
-    """,
-)
-def a30_kmv_setops(spark, sf_dir):
-    """K-minimum-values sketch SET ALGEBRA (Beyer et al., the theta-
-    sketch family's exact-arithmetic core) — distinct counts for
-    audience UNIONS and INTERSECTIONS no single pre-aggregation can
-    answer: a20's HLL merges by register max (union only); KMV sketches
-    compose for both, which is why warehouse audience-overlap stacks
-    (Theta/Tuple sketches) are built on them.  Per set keep the K=64
-    smallest values of the shared 60-bit hash over distinct members;
-    then for any pair, the K smallest of the two sketches' union IS the
-    KMV sketch of the set union (each side's sketch contains the k
-    union-minima it owns — the closure property, and the whole reason
-    the combine needs only the 2K sketch rows, never the raw sets).
-    Estimators, kept hash-gateable: union_est = (K-1)*2^60 / h_K as ONE
-    double division of a shared double literal by the exact integer
-    K-th minimum (the a20 discipline — no pow/ln); jaccard = matches/K
-    over hashes present in BOTH side sketches among the union-minima
-    (the standard combined-sketch estimator), and inter_est composes
-    the two in a fixed IEEE op order both engines round identically.
-    Sub-K unions (|A u B| < K: the sketch IS the set) fall back to the
-    exact kx count — the textbook KMV small-set rule, decided on the
-    exact integer kx, never a float test.  Exact union/intersection
-    ride along as yardsticks.
-
-    Scale shape: sketch build is distinct + one per-type TOP-K — here a
-    window row_number over the per-type DISTINCT hash stream (cheap:
-    rows = distinct members, already collapsed); at 100 TB you'd swap
-    the window for a partial top-K agg, but the CONTRACT — K rows per
-    set leave the build — is the point: every pairwise overlap after
-    that touches 2K = 128 rows per pair, so a 10^4-segment overlap
-    matrix costs 10^8/2 sketch-row comparisons, not a single raw-data
-    re-shuffle (the a29 bitmap is the dense-id twin; this one never
-    needs the id space bounded)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    d = ev.select(
-        "event_type",
-        phash60(F.col("user_id").cast("string"), seed="kmv").alias("h"),
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    sk = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KMV_K)
-        .select("event_type", "h")
-    )
-    t = sk.select("event_type").distinct()
-    p = (
-        t.alias("a")
-        .crossJoin(t.alias("b"))
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .select(
-            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
-        )
-    )
-    ua = p.join(F.broadcast(sk).alias("s"), F.col("s.event_type") == F.col("ta")).select(
-        "ta", "tb", "h", F.lit(0).alias("side")
-    )
-    ub = p.join(F.broadcast(sk).alias("s"), F.col("s.event_type") == F.col("tb")).select(
-        "ta", "tb", "h", F.lit(1).alias("side")
-    )
-    memb = ua.unionAll(ub).groupBy("ta", "tb", "h").agg(
-        F.count(F.lit(1)).alias("n_sides")
-    )
-    wp = Window.partitionBy("ta", "tb").orderBy("h")
-    x = memb.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= KMV_K)
-    agg = x.groupBy("ta", "tb").agg(
-        F.max("h").cast("bigint").alias("hk_union"),
-        F.count(F.lit(1)).cast("bigint").alias("kx"),
-        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
-        .cast("bigint")
-        .alias("matches"),
-    )
-    est = agg.withColumn(
-        "union_est",
-        F.when(
-            F.col("kx") >= KMV_K, F.lit(KMV_NUM) / F.col("hk_union").cast("double")
-        ).otherwise(F.col("kx").cast("double")),
-    )
-    ex1 = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("n")
-    )
-    eu = ev.select("event_type", "user_id").distinct()
-    exi = (
-        p.join(eu.alias("ea"), F.col("ea.event_type") == F.col("ta"))
-        .join(
-            eu.alias("eb"),
-            (F.col("eb.event_type") == F.col("tb"))
-            & (F.col("eb.user_id") == F.col("ea.user_id")),
-        )
-        .groupBy("ta", "tb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
-    )
-    return (
-        est.join(exi, ["ta", "tb"])
-        .join(F.broadcast(ex1).alias("na"), F.col("na.event_type") == F.col("ta"))
-        .join(F.broadcast(ex1).alias("nb"), F.col("nb.event_type") == F.col("tb"))
-        .select(
-            "ta",
-            "tb",
-            "hk_union",
-            "kx",
-            "matches",
-            F.col("union_est").cast("double").alias("union_est"),
-            (
-                F.col("matches").cast("double")
-                / F.col("kx").cast("double")
-                * F.col("union_est")
-            )
-            .cast("double")
-            .alias("inter_est"),
-            (F.col("na.n") + F.col("nb.n") - F.col("exact_inter"))
-            .cast("bigint")
-            .alias("exact_union"),
-            "exact_inter",
-        )
-    )
-
-
-@register(
-    "w20_cusum_changepoint",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2
-    ), tot AS (
-      SELECT series, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cnt) AS BIGINT) AS s,
-             CAST(sum(cnt * cnt) AS BIGINT) AS ss
-      FROM c GROUP BY 1
-    ), cu AS (
-      SELECT c.series, c.day, c.cnt,
-             t.n * sum(c.cnt) OVER (PARTITION BY c.series ORDER BY c.day)
-               - row_number() OVER (PARTITION BY c.series ORDER BY c.day) * t.s
-               AS d_t,
-             t.n * t.ss - t.s * t.s AS v
-      FROM c JOIN tot t USING (series)
-    ), sc AS (
-      SELECT series, day, cnt, CAST(d_t AS BIGINT) AS d_t,
-             d_t * d_t AS d2, v,
-             min(struct_pack(nd2 := -(d_t * d_t), d := day))
-               OVER (PARTITION BY series) AS best
-      FROM cu
-    )
-    SELECT series, day, cnt, d_t,
-           CAST(CASE WHEN d2 > 4 * v THEN 1 ELSE 0 END AS INTEGER)
-             AS beyond_2sigma,
-           CAST(CASE WHEN best.nd2 = -d2 AND best.d = day THEN 1 ELSE 0 END
-                AS INTEGER) AS is_changepoint
-    FROM sc
-    """,
-)
-def w20_cusum_changepoint(spark, sf_dir):
-    """CUSUM change-point detection over the per-series daily volume
-    series — the drift monitor a 100 TB ingestion pipeline runs beside
-    m16's distribution-drift check: m16 answers "did the VALUE mix
-    shift", this answers "WHEN did the RATE shift".  Classic offline
-    CUSUM: D_t = prefix_t - t*mean, spikes where the series departs its
-    global mean, and argmax|D_t| is the maximum-likelihood single
-    change point (Page's statistic).  Exactness discipline: mean = S/n
-    never materializes — everything is scaled by n, so D_t = n*prefix_t
-    - t*S stays an exact BIGINT (the f14 cross-multiplication rule),
-    and the 2-sigma band test squares it against the n^2-scaled
-    variance numerator V = n*SS - S^2: |D_t| > 2*n*sigma <=> D_t^2 >
-    4V, integers end to end (bounds: daily counts < 2^20 at sf1, so
-    D^2 < 2^50).  The change-point argmax carries the (d^2, day)
-    struct through a per-series window MIN on (-d^2, day) — largest
-    excursion, EARLIEST day on ties, the registry's struct-argmax
-    determinism rule (a bare max would tie-flap the hash gate).
-
-    Shape: the tick stream collapses in one map-side-combined (series,
-    day) count agg; the per-series totals are a 5-row broadcast join;
-    prefix sums, the row counter, and the argmax share ONE per-series
-    sort+window pass (Catalyst fuses all three).  Window state is
-    bounded by days-per-series, never ticks — the f12/f14 contract."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    c = (
-        ev.groupBy(F.col("event_type").alias("series"), F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    tot = c.groupBy("series").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cnt").cast("bigint").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
-    )
-    wo = Window.partitionBy("series").orderBy("day")
-    cu = c.join(F.broadcast(tot), "series").select(
-        "series",
-        "day",
-        "cnt",
-        (
-            F.col("n") * F.sum("cnt").over(wo)
-            - F.row_number().over(wo) * F.col("s")
-        ).alias("d_t"),
-        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("v"),
-    )
-    d2 = F.col("d_t") * F.col("d_t")
-    sc = cu.select(
-        "series",
-        "day",
-        "cnt",
-        F.col("d_t").cast("bigint").alias("d_t"),
-        d2.alias("d2"),
-        "v",
-        F.min(F.struct((-d2).alias("nd2"), F.col("day").alias("d")))
-        .over(Window.partitionBy("series"))
-        .alias("best"),
-    )
-    return sc.select(
-        "series",
-        "day",
-        "cnt",
-        "d_t",
-        F.when(F.col("d2") > 4 * F.col("v"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("beyond_2sigma"),
-        F.when(
-            (F.col("best.nd2") == -F.col("d2")) & (F.col("best.d") == F.col("day")), 1
-        )
-        .otherwise(0)
-        .cast("int")
-        .alias("is_changepoint"),
-    )
-
-
-@register(
-    "m18_naive_bayes",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, lang, unnest({_tx.tokens_sql('text')}) AS token
-      FROM documents
-    ), ctc AS (
-      SELECT lang AS c, token, CAST(count(*) AS BIGINT) AS cnt
-      FROM tok GROUP BY 1, 2
-    ), nc AS (
-      SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
-    ), v AS (
-      SELECT CAST(count(DISTINCT token) AS BIGINT) AS vs FROM tok
-    ), cls AS (SELECT c, n_tok, vs FROM nc CROSS JOIN v),
-    sc AS (
-      SELECT t.doc_id, t.lang, cls.c,
-             CAST(sum(length(bin((cls.n_tok + cls.vs) * (cls.n_tok + cls.vs)))
-                      - length(bin((coalesce(ctc.cnt, 0) + 1)
-                                   * (coalesce(ctc.cnt, 0) + 1))))
-                  AS BIGINT) AS s
-      FROM tok t CROSS JOIN cls
-      LEFT JOIN ctc ON ctc.c = cls.c AND ctc.token = t.token
-      GROUP BY 1, 2, 3
-    ), pri AS (
-      SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1
-    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS td FROM documents),
-    best AS (
-      SELECT sc.doc_id, sc.lang,
-             min(struct_pack(
-               s := sc.s + length(bin(tot.td * tot.td))
-                         - length(bin(pri.nd * pri.nd)),
-               c := sc.c)) AS b
-      FROM sc JOIN pri ON pri.c = sc.c CROSS JOIN tot
-      GROUP BY 1, 2
-    )
-    SELECT lang AS lang_true, b.c AS pred_lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(b.s) AS BIGINT) AS sum_score_hb
-    FROM best GROUP BY 1, 2
-    """,
-)
-def m18_naive_bayes(spark, sf_dir):
-    """Multinomial Naive Bayes language classifier — TRAINED AND SCORED
-    entirely in aggregations (the from-first-principles twin of x6's
-    rule-based language id, and the standing proof that the classic
-    text-classification baseline needs no ML runtime: training is ONE
-    (class, token) count agg, the model is a table, inference is a join).
-    Train-on-corpus/score-on-corpus makes it a model-fit AUDIT like
-    m15's autolabel check; the confusion matrix is the output.
-
-    Exactness: argmax_c [log P(c) + sum log P(t|c)] becomes argmin of
-    SURPRISAL in half-bit integer units — every Laplace-smoothed
-    probability (cnt+1)/(N_c + V) contributes floor(log2 denom^2) -
-    floor(log2 (cnt+1)^2) via the length(bin(n*n)) integer-log2 trick
-    (x26's quantization, squared for half-bit resolution; transcendental
-    log() rounding cross-engine is refused, the m9/x26 rule).  The
-    shared -1s of both floor-log2s cancel in the difference.  Class
-    priors enter the same way from doc counts; the per-doc argmin
-    carries (score, class) through the registry's struct-min rule so
-    score ties break to the lexicographically first class
-    deterministically.  Quantization costs <=0.5 bit per factor -- a
-    documented accuracy trade for a hash-gateable classifier.  Overflow
-    ceiling: (N_c + V)^2 needs N_c + V < 3.0e9 tokens per class; past
-    that, drop to 1-bit resolution (x26's unsquared form) -- documented,
-    not silent.
-
-    Shape: class-conditional counts and class totals are map-side
-    combined aggs; the 5-row (class, N_c, V) model head broadcasts onto
-    the token stream (a documented x|classes| row expansion — the price
-    of dense scoring, bounded by class count, never corpus size); the
-    token-level left join against the (class, token) model is a plain
-    equi-join AQE sizes (broadcast at fixture scale, shuffled at
-    100 TB); per-(doc, class) sums and the per-doc argmin are two more
-    map-side-combinable aggs.  No window, no sort, no Python."""
-    docs = tbl(spark, sf_dir, "documents")
-    # the exploded token stream feeds FOUR consumers (class-token counts,
-    # class totals, vocabulary size, and the x|classes| scoring stream);
-    # without the barrier each one re-runs the tokenizer + explode over
-    # the corpus (the pipe1 CSE rule — measured 3.73 -> 3.38s at sf1;
-    # the x|classes| scoring join dominates the rest).
-    # At 100 TB this is the staged token table d4/pipe1 document: written
-    # once per corpus snapshot, read by every model build on it.
-    tok = docs.select(
-        "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("token")
-    ).persist()  # cache: caller-owns
-    ctc = tok.groupBy(F.col("lang").alias("c"), "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    nc = tok.groupBy(F.col("lang").alias("c")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok")
-    )
-    v = tok.agg(F.countDistinct("token").cast("bigint").alias("vs"))
-    cls = nc.crossJoin(F.broadcast(v))
-
-    def hb(col):  # half-bit integer log2: floor(log2(n^2)) + 1
-        return F.length(F.bin(col * col))
-
-    den_hb = hb(F.col("n_tok") + F.col("vs"))
-    cnt1 = F.coalesce(F.col("cnt"), F.lit(0)) + 1
-    sc = (
-        tok.crossJoin(F.broadcast(cls))
-        .join(ctc, ["c", "token"], "left")
-        .groupBy("doc_id", "lang", "c")
-        .agg(F.sum(den_hb - hb(cnt1)).cast("bigint").alias("s"))
-    )
-    pri = docs.groupBy(F.col("lang").alias("c")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("nd")
-    )
-    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("td"))
-    best = (
-        sc.join(F.broadcast(pri), "c")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.min(
-                F.struct(
-                    (F.col("s") + hb(F.col("td")) - hb(F.col("nd"))).alias("s"),
-                    F.col("c").alias("c"),
-                )
-            ).alias("b")
-        )
-    )
-    return best.groupBy(
-        F.col("lang").alias("lang_true"), F.col("b.c").alias("pred_lang")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("b.s").cast("bigint").alias("sum_score_hb"),
-    )
-
-
-#: depth-2 regression stumps of the m19 ensemble; each tree is
-#: (root_feat, root_thr, (left_feat, thr, leaf_ll, leaf_lr),
-#:                       (right_feat, thr, leaf_rl, leaf_rr)).
-#: Features: q = whole-unit quantity, dc = discount in cents,
-#: pc = extended price in cents.  Margins in milli-units.  ONE literal
-#: feeds both the Spark expression and the oracle CASE text, so the
-#: model cannot drift between engines.
-GBT_TREES = [
-    ("q", 25, ("pc", 2500000, -840, -120), ("pc", 5000000, 60, 910)),
-    ("pc", 3600000, ("q", 12, -760, -280), ("dc", 5, 530, 460)),
-    ("dc", 3, ("pc", 4200000, -350, 420), ("pc", 3000000, -610, 380)),
-    ("q", 38, ("pc", 3300000, -450, 260), ("pc", 2000000, -380, 700)),
-    ("pc", 1500000, ("q", 20, -900, -900), ("q", 20, -150, 340)),
-    ("q", 8, ("pc", 9000000, -670, -670), ("pc", 2800000, -240, 450)),
-]
-
-
-def _gbt_leaf_sql(node, names: dict | None = None) -> str:
-    f, t, lo, hi = node
-    f = (names or {}).get(f, f)
-    return f"CASE WHEN {f} <= {t} THEN {lo} ELSE {hi} END"
-
-
-def _gbt_score_sql(names: dict | None = None) -> str:
-    """SQL twin of _gbt_score_col; ``names`` remaps feature columns so
-    m24 can score permuted variants (e.g. {'q': 'q_p'}) from the SAME
-    tree literal — model and oracle still cannot drift."""
-    n = names or {}
-    terms = [
-        f"(CASE WHEN {n.get(rf, rf)} <= {rt} THEN {_gbt_leaf_sql(l, names)}"
-        f" ELSE {_gbt_leaf_sql(r, names)} END)"
-        for rf, rt, l, r in GBT_TREES
-    ]
-    return " + ".join(terms)
-
-
-def _gbt_leaf_col(node, cols):
-    f, t, lo, hi = node
-    return F.when(cols[f] <= t, F.lit(lo)).otherwise(F.lit(hi))
-
-
-def _gbt_score_col(cols):
-    s = F.lit(0)
-    for rf, rt, l, r in GBT_TREES:
-        s = s + F.when(
-            cols[rf] <= rt, _gbt_leaf_col(l, cols)
-        ).otherwise(_gbt_leaf_col(r, cols))
-    return s
-
-
-@register(
-    "m19_gbt_inference",
-    f"""
-    WITH f AS (
-      SELECT l_returnflag,
-             CAST(floor(l_quantity) AS BIGINT) AS q,
-             CAST(round(l_discount * 100) AS BIGINT) AS dc,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
-      FROM lineitem
-    ), s AS (
-      SELECT l_returnflag, q, dc, pc,
-             {_gbt_score_sql()} AS score,
-             CASE WHEN pc * (100 - dc) > 300000000 THEN 1 ELSE 0 END AS label
-      FROM f
-    )
-    SELECT l_returnflag,
-           CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(score) AS BIGINT) AS sum_score_m,
-           CAST(sum(label) AS BIGINT) AS n_label_pos,
-           CAST(sum(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE 0 END) = label
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-    FROM s GROUP BY 1, 2
-    """,
-)
-def m19_gbt_inference(spark, sf_dir):
-    """Gradient-boosted-tree ENSEMBLE INFERENCE compiled to the plan —
-    the serving shape of every tabular GBM (XGBoost/LightGBM-style
-    margin sum) when the model is small enough to ship as literals: six
-    depth-2 trees over integer features become nested CASE WHEN chains
-    that Catalyst constant-folds into ONE whole-stage-codegen'd
-    projection.  No model file, no UDF, no broadcast join, no Python —
-    tree inference at 100 TB is a narrow map with zero exchanges until
-    the final confusion agg (contrast m9_mlp_inference, which pays an
-    Arrow batch per row block for dense matmul: trees of this size
-    belong IN the plan; the single GBT_TREES literal feeds both engines
-    so model and oracle cannot drift).
-
-    Exactness: features land on integer grids (whole-unit quantity via
-    floor — Spark's double->int CAST truncates while DuckDB's rounds,
-    the documented registry footgun, so floor() is explicit on both
-    sides; cents via round); leaf margins are milli-units summed as
-    BIGINTs; the yardstick label (net price > $30k) cross-multiplies
-    the discount instead of dividing (pc*(100-dc) > 3e8, exact).  The
-    decision threshold compares the exact integer margin sum to zero.
-    Output pins per-(returnflag, pred) counts, exact margin mass, label
-    prevalence, and agreement — every scored row reaches the hash gate
-    through the sums.
-
-    Scale: one scan, one map-side-combined agg over 6 groups; predicate
-    and column pruning reach the parquet scan (only 4 columns read).
-    Retraining swaps the literal — the operational contract of
-    plan-compiled models (feature-store joins stay upstream)."""
-    li = tbl(spark, sf_dir, "lineitem")
-    cols = {
-        "q": F.floor(F.col("l_quantity")).cast("bigint"),
-        "dc": F.round(F.col("l_discount") * 100).cast("bigint"),
-        "pc": F.round(F.col("l_extendedprice") * 100).cast("bigint"),
-    }
-    score = _gbt_score_col(cols)
-    label = F.when(
-        cols["pc"] * (100 - cols["dc"]) > 300000000, F.lit(1)
-    ).otherwise(F.lit(0))
-    s = li.select(
-        "l_returnflag",
-        score.alias("score"),
-        label.alias("label"),
-    )
-    pred = F.when(F.col("score") > 0, 1).otherwise(0)
-    return s.groupBy(
-        "l_returnflag", pred.cast("int").alias("pred")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("score").cast("bigint").alias("sum_score_m"),
-        F.sum("label").cast("bigint").alias("n_label_pos"),
-        F.sum(F.when(pred == F.col("label"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_correct"),
-    )
-
-
-@register(
-    "o5_systematic_sample",
-    f"""
-    WITH d AS (
-      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
-             {_ex.shuffle_pos_sql('doc_id', seed='pps')} AS pos
-      FROM documents
-    ), c AS (
-      SELECT source, doc_id, w,
-             sum(w) OVER (PARTITION BY source ORDER BY pos, doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum
-      FROM d
-    ), t AS (
-      SELECT source, CAST(sum(w) AS BIGINT) AS tw FROM d GROUP BY 1
-    )
-    SELECT c.source, c.doc_id, c.w, CAST(c.cum AS BIGINT) AS cum,
-           CAST((c.cum * 10) // greatest(t.tw, 1) AS BIGINT) AS sel_idx
-    FROM c JOIN t USING (source)
-    WHERE (c.cum * 10) // greatest(t.tw, 1)
-          > ((c.cum - c.w) * 10) // greatest(t.tw, 1)
-    """,
-)
-def o5_systematic_sample(spark, sf_dir):
-    """Weighted SYSTEMATIC sampling (PPS, probability proportional to
-    size) — 10 documents per domain drawn proportional to length,
-    without replacement, in ONE window pass: the corpus-downsampling
-    primitive that complements x27 (exact token quota) and s3
-    (uniform stratified) with the 'long docs count more' design every
-    mixture paper assumes.  Lahiri/systematic form: lay each stratum's
-    documents on a line in the reproducible shuffle order (ext/export
-    shuffle_pos — unbiased, superset-stable), cumulate integer weights,
-    and keep exactly the rows whose weight span crosses one of the 10
-    equal thresholds k*W/10.  The crossing test is pure integer
-    arithmetic — (cum*10) div W > ((cum-w)*10) div W — never a float
-    threshold (floor division agrees across engines on nonnegative
-    ints, the f12 rule); sel_idx rides along so the oracle pins WHICH
-    threshold each kept row crossed.  A row longer than W/10 crosses
-    several thresholds but is kept once (the capped variant — the
-    standard dedup of systematic PPS; its sel_idx records the LAST
-    threshold crossed).  Overflow: cum*10 <= 10*W — W below 9.2e17
-    chars per stratum, beyond any corpus.
-
-    Scale: one hash shuffle on source feeds both the window and the
-    stratum totals (the x27 skew note applies: salt the cumsum for a
-    mega-domain); the totals join is broadcast at fixture scale.  The
-    output is 10 rows per stratum — the shuffle leaves with the sample,
-    never the corpus."""
-    from pyspark.sql import Window
-
-    docs = tbl(spark, sf_dir, "documents")
-    d = docs.select(
-        "source",
-        "doc_id",
-        F.col("n_chars").cast("bigint").alias("w"),
-        _ex.shuffle_pos("doc_id", seed="pps").alias("pos"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("pos", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = d.withColumn("cum", F.sum("w").over(w))
-    t = d.groupBy("source").agg(F.sum("w").cast("bigint").alias("tw"))
-    j = c.join(F.broadcast(t), "source")
-    # greatest(tw, 1): a degenerate all-zero-weight stratum must select
-    # nothing (hi == lo == 0), not raise ANSI DIVIDE_BY_ZERO inside the
-    # filter predicate — weights are nonnegative so tw >= 1 is the only
-    # live case and the guard changes no real result
-    hi = F.expr("(cum * 10) div greatest(tw, 1L)")
-    lo = F.expr("((cum - w) * 10) div greatest(tw, 1L)")
-    return j.filter(hi > lo).select(
-        "source",
-        "doc_id",
-        "w",
-        F.col("cum").cast("bigint").alias("cum"),
-        hi.cast("bigint").alias("sel_idx"),
-    )
-
-
-def _prep_survivor_flags(spark, sf_dir):
-    """Shared Spark twin of _PIPE_FUNNEL_CTES: the flagged per-train-doc
-    frame (g1..g3, s3 composed, s4 canonical, s5 decontaminated, exact
-    ntok) that pipe3 aggregates into the attrition funnel and pipe4
-    filters into the export manifest. One corpus scan, the pipe1 CSE
-    token barrier, a conditional window min for canonical selection,
-    and one broadcast decontamination join — see pipe3's docstring for
-    the shape rationale."""
-    from pyspark.sql import Window
-
-    d = tbl(spark, sf_dir, "documents")
-    lab = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        "text",
-        _split_col(F.col("doc_id")).alias("split"),
-        _tx.tokens(F.col("text")).alias("_toks"),
-    ).persist()  # cache: caller-owns (pipe1's shared-tokens pattern)
-    toks = F.col("_toks")
-    ev = (
-        lab.filter(F.col("split") == "val")
-        .select(_tx.fingerprint(F.col("text")).alias("fp"))
-        .distinct()
-    )
-    b = lab.filter(F.col("split") == "train").select(
-        "doc_id",
-        "source",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("ntok"),
-        F.md5("text").alias("h"),
-        _tx.fingerprint(F.col("text")).alias("fp"),
-        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("g1"),
-        F.when(_tx.lang_id(F.col("text"), toks=toks) == F.col("lang"), 1)
-        .otherwise(0)
-        .alias("g2"),
-        F.when(_tx.quality_score(F.col("text"), toks=toks) >= 0.35, 1)
-        .otherwise(0)
-        .alias("g3"),
-    )
-    s = b.withColumn("s3", F.col("g1") * F.col("g2") * F.col("g3"))
-    # canonical = min doc_id among quality SURVIVORS of the same content
-    # hash: a conditional window aggregate (no orderBy — pure partition
-    # min), one exchange on h instead of the agg-build + join-probe pair
-    mid = F.min(F.when(F.col("s3") == 1, F.col("doc_id"))).over(
-        Window.partitionBy("h")
-    )
-    f = s.withColumn(
-        "s4",
-        F.when((F.col("s3") == 1) & (F.col("doc_id") == mid), 1).otherwise(0),
-    )
-    return f.join(
-        F.broadcast(ev.withColumn("_hit", F.lit(1))), "fp", "left"
-    ).withColumn(
-        "s5",
-        F.when((F.col("s4") == 1) & F.col("_hit").isNull(), 1).otherwise(0),
-    )
-
-
-#: shared funnel CTE chain (pipe3 reads the per-stage attrition off it,
-#: pipe4 reads the surviving rows): per-train-doc gate flags g1..g3,
-#: composed survivor s3, canonical keep s4, decontaminated keep s5,
-#: plus the exact whitespace token count every budget consumer prices in
-_PIPE_FUNNEL_CTES = f"""
-    WITH lab AS (
-      SELECT doc_id, source, lang, n_chars, text,
-             {_split_sql('doc_id')} AS split
-      FROM documents
-    ), ev AS (
-      SELECT DISTINCT {_tx.fingerprint_sql('text')} AS fp
-      FROM lab WHERE split = 'val'
-    ), b AS (
-      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-             CAST(len({_tx.tokens_sql('text')}) AS BIGINT) AS ntok,
-             md5(text) AS h,
-             {_tx.fingerprint_sql('text')} AS fp,
-             CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS g1,
-             CASE WHEN {_tx.lang_id_sql('text')} = lang THEN 1 ELSE 0 END AS g2,
-             CASE WHEN {_tx.quality_score_sql('text')} >= 0.35 THEN 1 ELSE 0 END
-               AS g3
-      FROM lab WHERE split = 'train'
-    ), s AS (
-      SELECT *, g1 * g2 * g3 AS s3 FROM b
-    ), canon AS (
-      SELECT h, min(doc_id) AS mid FROM s WHERE s3 = 1 GROUP BY 1
-    ), f AS (
-      SELECT s.*, CASE WHEN s.s3 = 1 AND s.doc_id = c.mid THEN 1 ELSE 0 END AS s4
-      FROM s LEFT JOIN canon c USING (h)
-    ), g AS (
-      SELECT f.*, CASE WHEN f.s4 = 1 AND ev.fp IS NULL THEN 1 ELSE 0 END AS s5
-      FROM f LEFT JOIN ev ON ev.fp = f.fp
-    )"""
-
-
-@register(
-    "pipe3_prep_funnel",
-    _PIPE_FUNNEL_CTES
-    + """
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_total,
-           CAST(sum(g1) AS BIGINT) AS n_len,
-           CAST(sum(g1 * g2) AS BIGINT) AS n_lang,
-           CAST(sum(s3) AS BIGINT) AS n_qual,
-           CAST(sum(s4) AS BIGINT) AS n_canon,
-           CAST(sum(s5) AS BIGINT) AS n_clean,
-           CAST(coalesce(sum(CASE WHEN s5 = 1 THEN n_chars END), 0) AS BIGINT)
-             AS chars_kept
-    FROM g GROUP BY 1
-    """,
-)
-def pipe3_prep_funnel(spark, sf_dir):
-    """Training-corpus prep FUNNEL with per-stage attrition — the
-    "no silent caps" report beside pipe1's kept-rows output: every gate
-    a corpus run applies (length floor, langid agreement, quality floor,
-    exact-dedup canonical keep, eval-set decontamination) reports how
-    many documents per domain SURVIVE it, cumulatively, plus the final
-    kept char mass.  This is the table a data-mixture review actually
-    reads — which domain loses how much at which gate — and the driver
-    hash-gates the whole funnel, so a drift in ANY stage (tokenizer,
-    lang model, quality formula, dedup key, benchmark fingerprints)
-    shows as a red row, not a silent corpus shift.
-
-    Stage order is the production order and it MATTERS: canonical
-    selection (min doc_id per exact-content hash, the d1 rule) runs
-    among quality survivors only — deduping before filtering would let
-    a low-quality copy shadow a high-quality twin; decontamination
-    (x14's rolling-hash fingerprint against the held-out split's docs)
-    runs last so the audit counts clean SURVIVORS, not clean rejects.
-    The split is the reproducible doc_id-hash split (d13/pipe2's
-    _split_col), so train/eval membership is superset-stable.
-
-    Shape (single-pass since r10, VERDICT r9 item 5): ONE corpus scan
-    computes every per-doc flag (all Column expressions — the lang
-    vote, quality ratios, content hash, and fingerprint share the
-    persisted token array, the pipe1 CSE barrier); canonical selection
-    is a CONDITIONAL WINDOW MIN over the content hash — min(doc_id
-    where quality-surviving) within each h partition — which replaces
-    r9's agg + self-join: that shape shuffled the flag table TWICE on
-    h (agg build + join probe) and, worse, re-ran the whole per-row
-    feature battery in the unpersisted join branch's lineage. One
-    hash-partitioned window, flags computed exactly once.  The
-    decontamination join stays a broadcast against the eval
-    fingerprint set (|eval| << corpus by construction); the funnel is
-    one map-side-combined agg per source.  At 100 TB: scan-dominated,
-    one skinny exchange on the uniform content-hash key, one
-    broadcast, no Python."""
-    g = _prep_survivor_flags(spark, sf_dir)
-    return g.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.sum("g1").cast("bigint").alias("n_len"),
-        F.sum(F.col("g1") * F.col("g2")).cast("bigint").alias("n_lang"),
-        F.sum("s3").cast("bigint").alias("n_qual"),
-        F.sum("s4").cast("bigint").alias("n_canon"),
-        F.sum("s5").cast("bigint").alias("n_clean"),
-        F.coalesce(
-            F.sum(F.when(F.col("s5") == 1, F.col("n_chars"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("chars_kept"),
-    )
-
-
-@register("t25_stream_bitmap_view", ORACLES["a29_bitmap_distinct"], lazy_replay=True)
-def t25_stream_bitmap_view(spark, sf_dir):
-    """STREAMING maintenance of the a29 presence bitmaps — the t22
-    pattern (algebraic sketch state in a keyed view) with the merge
-    operator swapped from register-wise MAX to word-wise OR: the OR of
-    two presence bitmaps IS the bitmap of the union, so micro-batch
-    boundaries are invisible by algebra, and — unlike t22's HLL — the
-    maintained state stays EXACT: the streamed view answers distinct
-    counts with zero error at 62 ids per BIGINT word of state.  The
-    event feed replays in 3 micro-batches; each batch collapses to its
-    own (type, word) partial map-side before touching the view, merges
-    under the writer-lease/replay contract, and the final words must
-    hash-match a29's one-shot batch build — same oracle, streaming
-    twin.  This is the speed-layer shape of a real-time audience
-    counter: the serving read is sum(bit_count(word)) per key, and
-    set algebra across keys (AND/OR of audiences) stays a word-wise
-    join on the view itself."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    feed = ev.select("event_id", "user_id", "event_type")
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "bmmv_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(
-        spark,
-        _os.path.join(root, "mv"),
-        ["event_type", "word_idx"],
-        partition_by="event_type",
-    )
-
-    def fn(cur, b):
-        delta = b.groupBy(
-            "event_type", F.expr("user_id div 62").alias("word_idx")
-        ).agg(
-            F.bit_or(F.expr("shiftleft(1L, cast(user_id % 62 as int))")).alias(
-                "word"
-            )
-        )
-        if cur is None:
-            return delta
-        return (
-            cur.alias("v")
-            .join(delta.alias("d"), ["event_type", "word_idx"], "full_outer")
-            .select(
-                "event_type",
-                "word_idx",
-                (
-                    F.coalesce(F.col("v.word"), F.lit(0))
-                    .bitwiseOR(F.coalesce(F.col("d.word"), F.lit(0)))
-                ).alias("word"),
-            )
-        )
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(
-            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="bm")
-        )
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    words = view.read()
-    s = words.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum(F.bit_count("word")).cast("bigint").alias("distinct_bitmap"),
-    )
-    ex = (
-        spark.read.parquet(stage)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
-    )
-    return s.join(ex, "event_type")
-
-
-#: u11 probe threshold (cents); tests override to exercise the
-#: nothing-qualifies manifest arm without touching the oracle
-U11_THRESHOLD = 30000
-
-
-@register(
-    "u11_zonemap_skipping",
-    """
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
-    FROM events
-    WHERE CAST(round(value * 100) AS BIGINT) >= 30000
-    GROUP BY 1
-    """,
-)
-def u11_zonemap_skipping(spark, sf_dir):
-    """FILE-level zone-map data skipping — the lakehouse scan primitive
-    BETWEEN p12 (directory/partition pruning: coarse, needs the column
-    in the path) and parquet row-group stats (fine, but only consulted
-    AFTER every file is opened): a manifest of per-FILE min/max for the
-    clustered column lets the reader drop whole files from the scan
-    plan without touching them — Delta/Iceberg's data-skipping design,
-    and the payoff side of x23's z-order (clustering exists so zone
-    ranges are narrow).  Staged here end to end: the feed is clustered
-    on the probe column (repartitionByRange + sortWithinPartitions — a
-    range layout makes zones DISJOINT, the best case), the zone map is
-    computed by one input_file_name() agg (exactly what a table format
-    persists in its manifest at commit time), and the probe consults
-    the manifest FIRST, handing Spark only qualifying file paths plus
-    the residual filter (still pushed into the surviving files' row
-    groups).  The manifest is O(files) rows collected driver-side —
-    the same size class as any table-format log; never data-sized.
-
-    Correctness contract (the p13 rule): a scan optimization may skip
-    bytes, never change values — the returned aggregate must hash-match
-    the oracle's straight full-scan filter, and the zone-map
-    effectiveness (files actually skipped on this clustered layout) is
-    pinned by its pytest, not the oracle.  At 100 TB with 10^6 files a
-    selective range probe opens only the handful of files whose zones
-    intersect — the difference between a metadata operation and a
-    cluster-wide scan."""
-    import os as _os
-
-    ev = tbl(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_zonemap", sf_dir)
-    table = _os.path.join(scratch, "clustered")
-    (
-        ev.repartitionByRange(8, "value_c")
-        .sortWithinPartitions("value_c")
-        .write.mode("overwrite")
-        .parquet(table)
-    )
-    # the zone map: per-file min/max of the clustered column (manifest-sized)
-    stats = (
-        spark.read.parquet(table)
-        .groupBy(F.input_file_name().alias("path"))
-        .agg(F.min("value_c").alias("lo"), F.max("value_c").alias("hi"))
-    )
-    threshold = U11_THRESHOLD
-    keep = [r["path"] for r in stats.filter(F.col("hi") >= threshold).collect()]
-    if not keep:
-        base = spark.read.parquet(table).limit(0)
-    else:
-        base = spark.read.parquet(*keep)
-    return (
-        base.filter(F.col("value_c") >= threshold)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("value_c").cast("bigint").alias("sum_c"),
-        )
-    )
-
-
-@register(
-    "g17_adamic_adar",
-    """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
-    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
-    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
-    ori AS MATERIALIZED (
-      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
-             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
-      FROM raw r
-      JOIN deg du ON du.node = r.u
-      JOIN deg dv ON dv.node = r.v
-    ),
-    tri AS MATERIALIZED (
-      SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      FROM ori e1
-      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
-      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
-    ),
-    twedges AS (
-      SELECT least(a, b) AS u, greatest(a, b) AS v, c AS w FROM tri
-      UNION ALL SELECT least(a, c), greatest(a, c), b FROM tri
-      UNION ALL SELECT least(b, c), greatest(b, c), a FROM tri
-    )
-    SELECT t.u, t.v,
-           CAST(count(*) AS BIGINT) AS cn,
-           CAST(sum(720720 // length(bin(dw.d * dw.d))) AS BIGINT) AS aa_q
-    FROM twedges t JOIN deg dw ON dw.node = t.w
-    GROUP BY 1, 2
-    """,
-)
-def g17_adamic_adar(spark, sf_dir):
-    """Adamic-Adar link-prediction scores over the parts-bought-together
-    graph — g15's common-neighbor count upgraded with the degree
-    DISCOUNT that makes the classic AA ranking work: a shared neighbor
-    that connects to everything is weak evidence, one with few edges is
-    strong, weighted 1/log(deg).  The float log is refused (m9/x26
-    rule); the discount is the HALF-BIT integer quantization 720720
-    div floor(2*log2 deg + 1) via length(bin(d*d)) — 720720 (lcm of
-    1..16) keeps the first sixteen discount levels EXACT integer
-    divisions, and the per-edge score is then an order-independent
-    BIGINT sum that hash-gates.  Monotonicity — AA's only contract —
-    is preserved: higher-degree witnesses always weigh less or equal.
-
-    Same O(m^1.5) degree-ordered triangle machinery as g8/g15, but the
-    explode KEEPS the witness vertex with each of the triangle's three
-    edges, so each common neighbor's degree joins back once per edge it
-    witnesses (deg is node-count-sized, broadcast at fixture scale,
-    bucketable at 100 TB).  Edges with no common neighbor carry no AA
-    evidence and are g15's cn = 0 rows — deliberately absent here (the
-    score of an absent witness set is identically zero; g15 is the
-    entry that pins those rows).  Since r10 the g9/g11 bucketed-layout
-    contract is real, not aspirational: the oriented edge table comes
-    from the shared write-once staging (:func:`_cooccur_graph_bucketed`),
-    so the wedge join reads bucket-aligned scans exchange-free and the
-    co-occurrence build never re-runs in this entry's lineage (r9: ~90
-    exchanges; the verdict's item-4 target)."""
-    ori, deg = _cooccur_graph_bucketed(spark, sf_dir)
-    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
-    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
-    tri = (
-        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
-        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-    )
-    twedges = tri.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.least("a", "b").alias("u"),
-                    F.greatest("a", "b").alias("v"),
-                    F.col("c").alias("w"),
-                ),
-                F.struct(
-                    F.least("a", "c").alias("u"),
-                    F.greatest("a", "c").alias("v"),
-                    F.col("b").alias("w"),
-                ),
-                F.struct(
-                    F.least("b", "c").alias("u"),
-                    F.greatest("b", "c").alias("v"),
-                    F.col("a").alias("w"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
-    weight = F.expr("720720 div cast(length(bin(dw * dw)) as bigint)")
-    return (
-        twedges.join(dw, "w")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum(weight).cast("bigint").alias("aa_q"),
-        )
-    )
-
-
-@register(
-    "w21_ks_drift",
-    """
-    WITH v AS (
-      SELECT event_type AS series,
-             CAST(round(value * 100) AS BIGINT) AS x,
-             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END
-               AS in_a
-      FROM events
-    ), pts AS (
-      SELECT series, x,
-             CAST(sum(in_a) AS BIGINT) AS ca,
-             CAST(sum(1 - in_a) AS BIGINT) AS cb
-      FROM v GROUP BY 1, 2
-    ), tot AS (
-      SELECT series, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
-      FROM pts GROUP BY 1
-    ), cum AS (
-      SELECT p.series, p.x, t.na, t.nb,
-             abs(sum(p.ca) OVER w * t.nb - sum(p.cb) OVER w * t.na) AS dnum
-      FROM pts p JOIN tot t USING (series)
-      WINDOW w AS (PARTITION BY p.series ORDER BY p.x
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ), best AS (
-      SELECT series, na, nb,
-             min(struct_pack(nd := -dnum, x := x)) AS b
-      FROM cum GROUP BY 1, 2, 3
-    )
-    SELECT series, na, nb,
-           CAST(-(b.nd) AS BIGINT) AS d_num,
-           b.x AS d_at,
-           CAST(CAST(-(b.nd) AS DOUBLE)
-                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS DOUBLE) AS ks
-    FROM best
-    WHERE na > 0 AND nb > 0
-    """,
-)
-def w21_ks_drift(spark, sf_dir):
-    """Two-sample Kolmogorov-Smirnov drift statistic per series — the
-    nonparametric companion to m16's binned total-variation monitor:
-    m16 needs a bin width, KS compares the FULL empirical CDFs of two
-    periods (first half vs second half of the fixture month) and
-    reports the worst-case gap and WHERE it opens.  sup|F_a - F_b| is
-    kept exact by cross-multiplication (the f14/w20 rule): at each
-    observed value, |cum_a * n_b - cum_b * n_a| is an exact BIGINT
-    (bound: counts < 2^32 keeps the product < 2^63 — beyond 4e9 rows
-    per (series, period), pre-scale or go decimal, documented), the
-    per-series max carries (gap, location) through the struct-argmin
-    on (-gap, x) — largest gap, SMALLEST location on ties, the w20
-    determinism rule — and the classical D statistic is ONE double
-    division of exact integers at the output boundary.
-
-    Shape: the tick stream collapses to per-(series, value) counts for
-    BOTH samples in one map-side-combined agg (in_a/1-in_a sum — no
-    second scan, no join between periods); ONE window per series over
-    DISTINCT values computes both running CDFs fused; the argmax is a
-    width-|values| agg.  At 100 TB the distinct-value relation, not
-    the tick count, bounds the window — the same pre-aggregation
-    discipline as f12/w20."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    v = ev.select(
-        F.col("event_type").alias("series"),
-        F.round(F.col("value") * 100).cast("bigint").alias("x"),
-        F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 1)
-        .otherwise(0)
-        .alias("in_a"),
-    )
-    pts = v.groupBy("series", "x").agg(
-        F.sum("in_a").cast("bigint").alias("ca"),
-        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
-    )
-    tot = pts.groupBy("series").agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
-    )
-    w = (
-        Window.partitionBy("series")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = pts.join(F.broadcast(tot), "series").select(
-        "series",
-        "x",
-        "na",
-        "nb",
-        F.abs(
-            F.sum("ca").over(w) * F.col("nb") - F.sum("cb").over(w) * F.col("na")
-        ).alias("dnum"),
-    )
-    best = cum.groupBy("series", "na", "nb").agg(
-        F.min(F.struct((-F.col("dnum")).alias("nd"), F.col("x").alias("x"))).alias(
-            "b"
-        )
-    )
-    # KS is undefined for a series absent from either period: na*nb = 0
-    # makes the final division IEEE-infinite in Spark but engine-dependent
-    # in general — exclude on the exact integers (the f15 den-guard rule)
-    return best.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
-        "series",
-        "na",
-        "nb",
-        (-F.col("b.nd")).cast("bigint").alias("d_num"),
-        F.col("b.x").alias("d_at"),
-        (
-            (-F.col("b.nd")).cast("double")
-            / (F.col("na").cast("double") * F.col("nb").cast("double"))
-        ).alias("ks"),
-    )
-
-
-#: first-digit Benford expectations in parts-per-million — fixed literals
-#: (log10(1 + 1/d) rounded to ppm), shared by both engines; never computed
-#: with a transcendental at query time.
-BENFORD_PPM = {
-    1: 301030, 2: 176091, 3: 124939, 4: 96910,
-    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
-}
-
-
-@register(
-    "a31_benford_audit",
-    f"""
-    WITH v AS (
-      SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
-      WHERE round(value * 100) >= 1
-    ), d AS (
-      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-             CAST(count(*) AS BIGINT) AS obs
-      FROM v GROUP BY 1
-    ), t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d),
-    e AS (
-      SELECT * FROM (VALUES
-        {', '.join(f'({d}, {p})' for d, p in BENFORD_PPM.items())}
-      ) AS t(digit, exp_ppm)
-    )
-    SELECT e.digit, coalesce(d.obs, 0) AS obs, t.n,
-           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
-           CAST(coalesce(d.obs, 0) * 1000000 - e.exp_ppm * t.n AS BIGINT)
-             AS dev_ppm_n
-    FROM e LEFT JOIN d USING (digit) CROSS JOIN t
-    """,
-)
-def a31_benford_audit(spark, sf_dir):
-    """Benford first-digit audit over the cent amounts — the classic
-    fraud/synthetic-data screen a DQ suite (a24) runs on monetary
-    columns: organically-scaled positive values follow P(d) =
-    log10(1+1/d); flat or spiky first-digit histograms flag fabricated
-    or truncated feeds.  The expectations are FIXED ppm literals
-    (the only correct way to keep a transcendental out of the query —
-    the constants are math, not data), and the per-digit deviation is
-    reported as the exact integer obs*1e6 - exp_ppm*n: cross-multiplied
-    against the total (the f14 rule) so no frequency division, no
-    float, and the driver hash-gates the full signed deviation vector
-    (bound: |dev| < 1e6 * n — int64-safe to ~9e12 rows).  Digits with
-    zero observations still emit their row through the left join from
-    the literal digit relation — absence of a digit is the loudest
-    Benford signal and must not vanish from the audit.
-
-    Shape: ONE scan, one 9-group map-side-combined count, the total
-    attached by a 9-row global window (a second .agg() branch would
-    re-read the table — 2x scan at 100 TB), and a 9-row literal join
-    — scan-bound at any scale."""
-    ev = tbl(spark, sf_dir, "events")
-    c = F.round(F.col("value") * 100).cast("bigint")
-    v = ev.select(c.alias("c")).filter(F.col("c") >= 1)
-    from pyspark.sql import Window
-
-    d = (
-        v.groupBy(
-            F.substring(F.col("c").cast("string"), 1, 1)
-            .cast("bigint")
-            .alias("digit")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
-        # total via a 9-row global window: the scan collapses once; a
-        # second .agg() branch would re-read the table (2x scan at 100 TB)
-        .withColumn("n", F.sum("obs").over(Window.partitionBy()).cast("bigint"))
-    )
-    e = spark.createDataFrame(
-        [(dd, pp) for dd, pp in BENFORD_PPM.items()], "digit long, exp_ppm long"
-    )
-    j = e.join(d, "digit", "left").withColumn(
-        # digits absent from the data carry a null n through the left
-        # join; a second 9-row global window fills it — still no second
-        # scan and no cross join
-        "nn",
-        F.max("n").over(Window.partitionBy()).cast("bigint"),
-    )
-    return j.select(
-        "digit",
-        F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
-        F.col("nn").alias("n"),
-        F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
-        (
-            F.coalesce(F.col("obs"), F.lit(0)) * F.lit(1000000)
-            - F.col("exp_ppm") * F.col("nn")
-        )
-        .cast("bigint")
-        .alias("dev_ppm_n"),
-    )
-
-
-@register(
-    "a32_hll_union",
-    f"""
-    WITH h AS (
-      SELECT event_type,
-             {phash60_sql("CAST(user_id AS VARCHAR)", seed="hll")} AS hk
-      FROM events
-    ), regs AS (
-      SELECT event_type, hk % {HLL_M} AS r,
-             MAX(CASE WHEN (hk >> 8) = 0 THEN 53
-                      ELSE 53 - length(bin(hk >> 8)) END) AS m_r
-      FROM h GROUP BY 1, 2
-    ), u AS (
-      SELECT r, MAX(m_r) AS m_r FROM regs GROUP BY 1
-    ), s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS registers_used,
-             CAST(SUM((1::BIGINT) << CAST(53 - m_r AS INTEGER))
-                  + ({HLL_M} - COUNT(*)) * ((1::BIGINT) << 53) AS BIGINT)
-               AS s_int
-      FROM u
-    ), ex AS (
-      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
-      FROM events
-    )
-    SELECT s.registers_used, s.s_int,
-           CAST({HLL_NUM!r} / CAST(s.s_int AS DOUBLE) AS DOUBLE) AS hll_estimate,
-           ex.exact_distinct
-    FROM s CROSS JOIN ex
-    """,
-)
-def a32_hll_union(spark, sf_dir):
-    """HLL register-set UNION across groups — the merge leg a20 builds
-    toward: per-segment sketches combine by register-wise MAX into the
-    sketch of the union WITHOUT touching raw ids again (the property
-    that makes HLL the pre-aggregable distinct state: daily sketches
-    roll up to monthly, per-type roll up to global, each merge 256
-    rows).  Here the five per-type register sets from a20's exact
-    construction collapse through ONE more max agg to the global
-    estimate, hash-gated against the global exact count.  Same
-    integer-space discipline as a20: dyadic register sum in BIGINT,
-    one double division by the shared constant at the boundary.
-
-    Shape: the per-(type, register) agg is a20's (map-side combined);
-    the union merge is a 1280-row agg; the global exact count is the
-    yardstick column.  At 100 TB the merge input is segments x 256
-    rows regardless of corpus size — the reason warehouse rollup trees
-    keep sketch columns, not distinct keys."""
-    ev = tbl(spark, sf_dir, "events")
-    h = ev.select(
-        "event_type",
-        phash60(F.col("user_id").cast("string"), seed="hll").alias("hk"),
-    )
-    w = F.shiftright("hk", 8)
-    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
-    regs = h.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
-        F.max(rho).alias("m_r")
-    )
-    u = regs.groupBy("r").agg(F.max("m_r").alias("m_r"))
-    s = u.agg(
-        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
-        (
-            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
-            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
-        )
-        .cast("bigint")
-        .alias("s_int"),
-    )
-    ex = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
-    return s.crossJoin(F.broadcast(ex)).select(
-        "registers_used",
-        "s_int",
-        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
-        "exact_distinct",
-    )
-
-
-@register(
-    "t26_stream_kmv_view",
-    f"""
-    WITH d AS (
-      SELECT DISTINCT event_type,
-             {phash60_sql("CAST(user_id AS VARCHAR)", seed="kmv")} AS h
-      FROM events
-    ), sk AS (
-      SELECT event_type, h FROM (
-        SELECT event_type, h,
-               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-        FROM d) WHERE rn <= {KMV_K}
-    ), s AS (
-      SELECT event_type, CAST(max(h) AS BIGINT) AS hk,
-             CAST(count(*) AS BIGINT) AS kx
-      FROM sk GROUP BY 1
-    ), ex AS (
-      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
-               AS exact_distinct
-      FROM events GROUP BY 1
-    )
-    SELECT s.event_type, s.hk, s.kx,
-           CAST(CASE WHEN s.kx >= {KMV_K}
-                     THEN {KMV_NUM!r} / CAST(s.hk AS DOUBLE)
-                     ELSE CAST(s.kx AS DOUBLE) END AS DOUBLE) AS kmv_estimate,
-           ex.exact_distinct
-    FROM s JOIN ex USING (event_type)
-    """,
-    lazy_replay=True,
-)
-def t26_stream_kmv_view(spark, sf_dir):
-    """STREAMING maintenance of per-type KMV sketches — the fourth and
-    final merge algebra in the sketch-view taxonomy (t20 add, t22
-    register max, t25 word OR, now ORDER-STATISTIC merge): the k
-    smallest of (state U delta) IS the KMV sketch of the union (a30's
-    closure property, property-tested in tests/test_properties.py), so
-    replaying the feed in micro-batches converges to the one-shot batch
-    sketch — including EVICTION: a hash that was in the top-64 early
-    can be pushed out by later-arriving smaller hashes, which is why
-    the merge recomputes the per-type top-k over cur U delta instead of
-    appending (the one sketch here whose state update is not a pure
-    per-key upsert — rows must LEAVE the view; merge_custom's
-    whole-state contract handles that where a keyed append could not).
-    The final sketch, its k-th minimum, and the estimate hash-gate
-    against the batch construction; exact counts ride as yardsticks.
-
-    Scale: per micro-batch the delta collapses to <= K rows per type
-    map-side (distinct + top-k); the merge touches 2K rows per type.
-    Unlike t22/t25 the serving read needs no further agg — the sketch
-    IS the answer state for a30-style set algebra across segments."""
-    import os as _os
-    import uuid
-
-    from pyspark.sql import Window
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    feed = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        phash60(F.col("user_id").cast("string"), seed="kmv").alias("h"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "kmvmv_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(
-        spark,
-        _os.path.join(root, "mv"),
-        ["event_type", "h"],
-        partition_by="event_type",
-    )
-    win = Window.partitionBy("event_type").orderBy("h")
-
-    def topk(df):
-        return (
-            df.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") <= KMV_K)
-            .select("event_type", "h")
-        )
-
-    def fn(cur, b):
-        delta = b.select("event_type", "h").distinct()
-        if cur is None:
-            return topk(delta)
-        return topk(cur.select("event_type", "h").unionByName(delta).distinct())
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(
-            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="kmv")
-        )
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sk = view.read()
-    s = sk.groupBy("event_type").agg(
-        F.max("h").cast("bigint").alias("hk"),
-        F.count(F.lit(1)).cast("bigint").alias("kx"),
-    )
-    ex = (
-        spark.read.parquet(stage)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
-    )
-    return s.join(ex, "event_type").select(
-        "event_type",
-        "hk",
-        "kx",
-        F.when(
-            F.col("kx") >= KMV_K, F.lit(KMV_NUM) / F.col("hk").cast("double")
-        )
-        .otherwise(F.col("kx").cast("double"))
-        .cast("double")
-        .alias("kmv_estimate"),
-        "exact_distinct",
-    )
-
-
-@register(
-    "a33_spearman_rank",
-    """
-    WITH daily AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS x,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-      FROM events GROUP BY 1, 2
-    ), r AS (
-      SELECT series,
-             2 * rank() OVER (PARTITION BY series ORDER BY x)
-               + count(*) OVER (PARTITION BY series, x) - 1 AS rx,
-             2 * rank() OVER (PARTITION BY series ORDER BY y)
-               + count(*) OVER (PARTITION BY series, y) - 1 AS ry
-      FROM daily
-    ), s AS (
-      SELECT series, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-             CAST(sum(rx * rx) AS BIGINT) AS sxx,
-             CAST(sum(ry * ry) AS BIGINT) AS syy,
-             CAST(sum(rx * ry) AS BIGINT) AS sxy
-      FROM r GROUP BY series
-    )
-    SELECT series, n AS n_days,
-           CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
-           CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-                THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                     / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
-                                 AS DOUBLE))
-           END AS DOUBLE) AS rho
-    FROM s
-    """,
-)
-def a33_spearman_rank(spark, sf_dir):
-    """Spearman rank correlation between each series' daily activity
-    (event count) and daily flow (cent sum) — the robust, monotonic
-    complement of a15's Pearson battery: rank correlation is what a
-    feature-screening pass actually wants on heavy-tailed monetary
-    columns, where one outlier day saturates Pearson but moves ranks
-    by one. Exactness with ties, no floats until the last expression:
-    the classical tie treatment assigns a tie group the AVERAGE rank
-    (rank_min + (cnt-1)/2) — a half-integer — so both engines carry
-    DOUBLED ranks r2 = 2*rank_min + cnt - 1 (exact BIGINTs; Spearman
-    is Pearson on ranks and Pearson is invariant under the affine
-    doubling). The per-series sufficient statistics (n, Σr2x, Σr2y,
-    Σr2x², Σr2y², Σr2x·r2y) are exact integers, the correlation is
-    assembled a15-style as one exact integer numerator and one
-    sqrt-of-exact-integer denominator — a single correctly-rounded
-    IEEE sqrt and one division per series, bit-stable cross-engine —
-    and zero-variance series yield NULL by an explicit guard (the a15
-    ANSI-0/0 lesson). Bound: r2 <= 2n, so n·Σr2² <= 4n⁴ — int64-safe
-    to ~1.2M days per series (3000 years; the day calendar, not the
-    corpus, is the cardinality).
-
-    Shape: one map-side-combined (series, day) agg collapses the scan;
-    the rank windows run over ~30-day per-series relations (series
-    count × calendar days, corpus-size-independent); one final
-    per-series agg. No global sort anywhere."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    daily = (
-        ev.select(F.col("event_type").alias("series"), F.to_date("ts").alias("day"), cents.alias("c"))
-        .groupBy("series", "day")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"), F.sum("c").alias("y"))
-    )
-
-    def r2(col):
-        w = Window.partitionBy("series").orderBy(col)
-        tw = Window.partitionBy("series", col)
-        return 2 * F.rank().over(w) + F.count(F.lit(1)).over(tw) - 1
-
-    r = daily.select("series", r2(F.col("x")).alias("rx"), r2(F.col("y")).alias("ry"))
-    s = r.groupBy("series").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("rx").cast("bigint").alias("sx"),
-        F.sum("ry").cast("bigint").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return s.select(
-        "series",
-        F.col("n").alias("n_days"),
-        num.cast("bigint").alias("rho_num"),
-        F.when(
-            (vx > 0) & (vy > 0),
-            num.cast("double") / F.sqrt((vx * vy).cast("double")),
-        )
-        .cast("double")
-        .alias("rho"),
-    )
-
-
-@register(
-    "m20_roc_auc",
-    """
-    WITH h AS (
-      SELECT CAST(round(value * 100) AS BIGINT) AS score,
-             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
-               AS np_s,
-             CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
-               AS nn_s
-      FROM events GROUP BY 1
-    ), c AS (
-      SELECT score, np_s, nn_s,
-             coalesce(sum(nn_s) OVER (ORDER BY score
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
-      FROM h
-    ), s AS (
-      SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
-             CAST(sum(nn_s) AS BIGINT) AS n_neg,
-             CAST(sum(np_s * (2 * cnb + nn_s)) AS BIGINT) AS auc_num2
-      FROM c
-    )
-    SELECT n_pos, n_neg, auc_num2,
-           CAST(CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN CAST(auc_num2 AS DOUBLE)
-                     / (2.0 * n_pos * n_neg)
-           END AS DOUBLE) AS auc
-    FROM s
-    """,
-)
-def m20_roc_auc(spark, sf_dir):
-    """Exact ROC-AUC of the cent amount as a classifier score for
-    'purchase' events — the threshold-free ranking metric that belongs
-    next to m11 (confusion at one threshold) and m12 (calibration):
-    AUC is the probability a random positive outranks a random
-    negative, ties counted half. Computed WITHOUT the textbook global
-    rank: AUC's sufficient statistic lives on the SCORE HISTOGRAM, so
-    one (score → n_pos, n_neg) hash agg collapses the corpus, and one
-    window over DISTINCT CENT VALUES (bounded by price resolution,
-    never row count — the a17/w21 discipline) accumulates negatives
-    below each score. The doubled numerator Σ np_s·(2·cum_neg_below +
-    nn_s) counts strict wins twice and ties once — an exact BIGINT;
-    AUC itself is that integer over 2·n_pos·n_neg, ONE final division,
-    NULL-guarded when either class is empty (the a15 ANSI lesson).
-    Bound: num2 < 2·n_pos·n_neg — int64-safe to ~2.1e9 rows per class;
-    past that the product overflows and the m17 decimal(38,0) widening
-    applies (documented, not silent).
-
-    Shape: one map-side-combined agg + one bounded window + one scalar
-    agg — scan-bound at any scale, no global sort of the corpus, no
-    per-row rank shuffle. A Mann-Whitney U test engine gets U = num2/2
-    from the same output."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    is_pos = (F.col("event_type") == "purchase").cast("bigint")
-    h = ev.select(cents.alias("score"), is_pos.alias("p")).groupBy("score").agg(
-        F.sum("p").cast("bigint").alias("np_s"),
-        (F.count(F.lit(1)) - F.sum("p")).cast("bigint").alias("nn_s"),
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    c = h.withColumn("cnb", F.coalesce(F.sum("nn_s").over(w), F.lit(0)))
-    s = c.agg(
-        F.sum("np_s").cast("bigint").alias("n_pos"),
-        F.sum("nn_s").cast("bigint").alias("n_neg"),
-        F.sum(F.col("np_s") * (2 * F.col("cnb") + F.col("nn_s")))
-        .cast("bigint")
-        .alias("auc_num2"),
-    )
-    return s.select(
-        "n_pos",
-        "n_neg",
-        "auc_num2",
-        F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.col("auc_num2").cast("double")
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
-        )
-        .cast("double")
-        .alias("auc"),
-    )
-
-
-@register(
-    "m21_cohens_kappa",
-    f"""
-    WITH p AS (
-      SELECT lang, {_tx.lang_id_sql('text')} AS lang_pred FROM documents
-    ), conf AS (
-      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
-      FROM p GROUP BY 1, 2
-    ), rows_t AS (
-      SELECT lang AS lab, CAST(sum(n) AS BIGINT) AS r FROM conf GROUP BY 1
-    ), cols_t AS (
-      SELECT lang_pred AS lab, CAST(sum(n) AS BIGINT) AS c FROM conf GROUP BY 1
-    ), m AS (
-      SELECT CAST(sum(coalesce(r, 0) * coalesce(c, 0)) AS BIGINT) AS src
-      FROM rows_t FULL OUTER JOIN cols_t USING (lab)
-    ), t AS (
-      SELECT CAST(sum(n) AS BIGINT) AS nn,
-             CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
-                  AS BIGINT) AS sd
-      FROM conf
-    )
-    SELECT t.nn AS n, t.sd AS n_agree, m.src AS sum_rowcol,
-           CAST(t.nn * t.sd - m.src AS BIGINT) AS kappa_num,
-           CAST(t.nn * t.nn - m.src AS BIGINT) AS kappa_den,
-           CAST(CASE WHEN t.nn * t.nn - m.src <> 0
-                THEN CAST(t.nn * t.sd - m.src AS DOUBLE)
-                     / CAST(t.nn * t.nn - m.src AS DOUBLE)
-           END AS DOUBLE) AS kappa
-    FROM t CROSS JOIN m
-    """,
-)
-def m21_cohens_kappa(spark, sf_dir):
-    """Cohen's kappa for the x6 language router against fixture truth —
-    chance-corrected agreement, the number that tells you whether x37's
-    pretty diagonal is skill or prior imbalance (a router that says
-    'en' always scores high accuracy on an English-heavy corpus and
-    kappa ~ 0). Exact integer assembly from the same confusion matrix
-    x37 ships: kappa = (p_o - p_e)/(1 - p_e) cross-multiplied by N² to
-    kappa = (N·Σdiag - Σ_k row_k·col_k)/(N² - Σ_k row_k·col_k) — both
-    numerator and denominator exact BIGINTs (int64-safe to N ~ 3e9
-    docs; the m17 decimal widening applies past that), ONE final
-    division, NULL-guarded when p_e = 1 (single-cell degenerate
-    matrix, the a15 ANSI lesson). Labels missing from a margin
-    contribute via the full-outer margin join with coalesce(0) —
-    dropping a never-predicted class would silently shrink p_e.
-
-    Shape: one scan through the single-pass x6 Column expression into
-    a <=36-row confusion agg (map-side combined); every margin/total
-    re-agg runs on that tiny relation. Corpus cost = x37's."""
-    d = tbl(spark, sf_dir, "documents")
-    conf = (
-        d.select("lang", _tx.lang_id(F.col("text")).alias("lang_pred"))
-        .groupBy("lang", "lang_pred")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .persist()  # cache: caller-owns
-    )
-    rows_t = conf.groupBy(F.col("lang").alias("lab")).agg(
-        F.sum("n").cast("bigint").alias("r")
-    )
-    cols_t = conf.groupBy(F.col("lang_pred").alias("lab")).agg(
-        F.sum("n").cast("bigint").alias("c")
-    )
-    m = (
-        rows_t.join(cols_t, "lab", "full_outer")
-        .select(
-            (F.coalesce(F.col("r"), F.lit(0)) * F.coalesce(F.col("c"), F.lit(0))).alias("rc")
-        )
-        .agg(F.sum("rc").cast("bigint").alias("src"))
-    )
-    t = conf.agg(
-        F.sum("n").cast("bigint").alias("nn"),
-        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("sd"),
-    )
-    num = F.col("nn") * F.col("sd") - F.col("src")
-    den = F.col("nn") * F.col("nn") - F.col("src")
-    return t.crossJoin(m).select(
-        F.col("nn").alias("n"),
-        F.col("sd").alias("n_agree"),
-        F.col("src").alias("sum_rowcol"),
-        num.cast("bigint").alias("kappa_num"),
-        den.cast("bigint").alias("kappa_den"),
-        F.when(den != 0, num.cast("double") / den.cast("double"))
-        .cast("double")
-        .alias("kappa"),
-    )
-
-
-@register(
-    "j16_fk_orphan_audit",
-    """
-    SELECT * FROM (
-      SELECT 'lineitem.l_orderkey->orders' AS edge,
-             CAST(count(*) AS BIGINT) AS n_child,
-             CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_keys,
-             CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
-               AS n_orphans
-      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-      UNION ALL
-      SELECT 'lineitem.l_partkey->part',
-             CAST(count(*) AS BIGINT),
-             CAST(count(DISTINCT l.l_partkey) AS BIGINT),
-             CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
-      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-      UNION ALL
-      SELECT 'lineitem.l_suppkey->supplier',
-             CAST(count(*) AS BIGINT),
-             CAST(count(DISTINCT l.l_suppkey) AS BIGINT),
-             CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
-      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      UNION ALL
-      SELECT 'orders.o_custkey->customer',
-             CAST(count(*) AS BIGINT),
-             CAST(count(DISTINCT o.o_custkey) AS BIGINT),
-             CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
-      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-      UNION ALL
-      SELECT 'customer.c_nationkey->nation',
-             CAST(count(*) AS BIGINT),
-             CAST(count(DISTINCT c.c_nationkey) AS BIGINT),
-             CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
-      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-      UNION ALL
-      SELECT 'supplier.s_nationkey->nation',
-             CAST(count(*) AS BIGINT),
-             CAST(count(DISTINCT s.s_nationkey) AS BIGINT),
-             CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
-      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
-      UNION ALL
-      SELECT 'nation.n_regionkey->region',
-             CAST(count(*) AS BIGINT),
-             CAST(count(DISTINCT n.n_regionkey) AS BIGINT),
-             CAST(count(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
-      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-    )
-    """,
-)
-def j16_fk_orphan_audit(spark, sf_dir):
-    """Referential-integrity audit over every foreign-key edge of the
-    star schema — the DQ gate a warehouse load runs before letting any
-    join-based query (q3/q5/q7...) near the data, because a broken FK
-    silently shrinks every inner join downstream: per edge, total child
-    rows, distinct child keys, and ORPHANS (children whose parent is
-    missing). One left join per edge with a null-parent filter count —
-    the audit must COUNT orphans, not just detect them, so semi/anti
-    shapes that stop at existence are not enough; the three aggregates
-    ride one pass over each join's output with no materialized row set.
-    A healthy load reports an all-zero orphan column — the zero vector
-    IS the audit's contract, so every edge emits its row
-    unconditionally (absence of an edge row would be indistinguishable
-    from a skipped check — the a31 absent-digit rule).
-
-    Shape: dimension-side parents (region/nation/customer/supplier/
-    part) broadcast; the two fact-fact edges (lineitem->orders) shuffle
-    on the join key exactly as q3 does, with the count aggs map-side
-    combined. Each edge is one scan + one join — the whole audit is a
-    union of 7 independent two-table plans, embarrassingly parallel
-    across a cluster's scheduler pools."""
-    edges = [
-        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("orders", "o_custkey", "customer", "c_custkey"),
-        ("customer", "c_nationkey", "nation", "n_nationkey"),
-        ("supplier", "s_nationkey", "nation", "n_nationkey"),
-        ("nation", "n_regionkey", "region", "r_regionkey"),
-    ]
-    out = None
-    for child, ck, parent, pk in edges:
-        c = tbl(spark, sf_dir, child).select(F.col(ck).alias("ck"))
-        p = tbl(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
-        j = c.join(p, c.ck == p.pk, "left")
-        row = j.agg(
-            F.lit(f"{child}.{ck}->{parent}").alias("edge"),
-            F.count(F.lit(1)).cast("bigint").alias("n_child"),
-            F.countDistinct("ck").cast("bigint").alias("n_keys"),
-            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_orphans"),
-        ).select("edge", "n_child", "n_keys", "n_orphans")
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
-@register(
-    "d16_token_set_dedup",
-    f"""
-    WITH base AS (
-      SELECT doc_id,
-             list_aggregate(
-               list_sort(list_distinct({_tx.tokens_sql('text')})),
-               'string_agg', ' ') AS k
-      FROM documents
-    ), g AS (
-      SELECT k, CAST(min(doc_id) AS BIGINT) AS canonical_id,
-             CAST(count(*) AS BIGINT) AS n_members,
-             list_aggregate(
-               list_transform(list_sort(list(doc_id)),
-                              x -> CAST(x AS VARCHAR)),
-               'string_agg', ' ') AS member_ids
-      FROM base GROUP BY k HAVING count(*) > 1
-    )
-    SELECT canonical_id, n_members, member_ids FROM g
-    """,
-)
-def d16_token_set_dedup(spark, sf_dir):
-    """EXACT Jaccard = 1.0 dedup — the boundary case every MinHash
-    pipeline (d2) only ESTIMATES, detected with zero error: two
-    documents whose token SETS are equal have unigram Jaccard exactly
-    1 regardless of word order or repetition counts (scraper
-    re-renders, shuffled list pages, boilerplate re-expansions), yet
-    d1's byte hash misses them and d2 only flags them with
-    sketch-collision probability. The canonical key is the sorted
-    DISTINCT token set rendered to one string (array_sort ∘
-    array_distinct + single-space join — a deterministic
-    canonicalization, not a lossy sketch, so false positives are
-    impossible by construction); grouping on it is one hash agg, and
-    only classes with >1 member survive — each class reports its
-    canonical (minimum) doc_id, size, and sorted member list rendered
-    to one space-joined string (numeric-sorted BEFORE the string cast
-    so 2 < 10; flat string output because the driver's pandas-based
-    hash canonicalizer cannot factorize array cells — r9's only red
-    row was this column as array<bigint>).
-    Together d1 (bytes) / d16 (token set) / d2 (Jaccard >= t) tile the
-    dedup spectrum at t = 1-exact, with d16 catching what the fixture
-    actually contains: template docs over identical vocabularies.
-
-    Shape: one scan, one map-side-combined hash agg keyed on the
-    canonical string — d1's scaling argument verbatim; the key build
-    is per-row Column work (distinct + sort over ~100 tokens). At
-    100 TB the only added cost vs d1 is that per-row canonicalization;
-    the shuffle carries one (key, doc_id) pair per row."""
-    d = tbl(spark, sf_dir, "documents")
-    k = F.concat_ws(" ", F.array_sort(F.array_distinct(_tx.tokens(F.col("text")))))
-    g = (
-        d.select(k.alias("k"), "doc_id")
-        .groupBy("k")
-        .agg(
-            F.min("doc_id").cast("bigint").alias("canonical_id"),
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-            ).alias("member_ids"),
-        )
-        .filter(F.col("n_members") > 1)
-    )
-    return g.select("canonical_id", "n_members", "member_ids")
-
-
-@register(
-    "f16_macd",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), arrs AS (
-      SELECT series,
-             list(day ORDER BY day) AS days,
-             list_transform(list(close_c ORDER BY day),
-                            x -> CAST(x * 1024 AS BIGINT)) AS vals
-      FROM c GROUP BY series
-    ), pre AS (
-      SELECT series, days[u.i] AS day, vals[u.i] // 1024 AS close_c,
-             CAST(list_reduce(list_slice(vals, 1, u.i),
-                  (acc, x) -> (2 * x + 11 * acc) // 13) AS BIGINT) AS ema12_x,
-             CAST(list_reduce(list_slice(vals, 1, u.i),
-                  (acc, x) -> (2 * x + 25 * acc) // 27) AS BIGINT) AS ema26_x
-      FROM arrs, unnest(generate_series(1, len(vals))) AS u(i)
-    ), m AS (
-      SELECT series, day, close_c, ema12_x, ema26_x,
-             ema12_x - ema26_x AS macd_x
-      FROM pre
-    )
-    SELECT series, day, CAST(close_c AS BIGINT) AS close_c,
-           ema12_x, ema26_x, CAST(macd_x AS BIGINT) AS macd_x,
-           CAST(CASE WHEN count(*) OVER w = 9
-                THEN 9 * macd_x - sum(macd_x) OVER w
-           END AS BIGINT) AS hist9_x
-    FROM m
-    WINDOW w AS (PARTITION BY series ORDER BY day
-                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
-    """,
-)
-def f16_macd(spark, sf_dir):
-    """MACD (12/26 EMA spread) with a 9-period signal histogram over
-    each series' daily closes — the second canonical momentum overlay
-    after f12's RSI, and the entry that proves EMA-family indicators
-    can be hash-gated: the float recursion every charting library uses
-    (m9's Holt lesson: cross-engine float folds flap) is replaced by an
-    INTEGER EMA — closes scaled x1024, recurrence e' = (2x + (q-2)e')
-    div q with q = 13/27, every step a floor division of positive
-    integers both engines truncate identically, seeded with the first
-    close (w9's rule: an EMA from zero underestimates every head).
-    Quantization costs < 1/1024 cent per step against the real EMA — a
-    documented resolution trade for bit-stable output. The signal leg
-    is Cutler-style (f12 precedent): hist9_x = 9*macd - Σ(last 9 macd)
-    is the SMA-9 crossover test cross-multiplied into exact integers —
-    its sign flip IS the trading signal, no division ever taken.
-
-    Shape: one (series, day) hash agg collapses the scan; per-series
-    arrays hold ~30 day-rows (calendar-bounded, corpus-independent),
-    and the per-day prefix folds are O(days²) per series — 900 integer
-    ops on a 30-day window, still nothing against the scan; unbounded
-    histories belong to the t6 stateful form instead (documented, the
-    w9 contract). The hist9 window runs per series over day rows. No
-    global sort, no float until nothing is left to compute."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    arrs = c.groupBy("series").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("day").alias("d"), F.col("close_c").alias("v")))
-        ).alias("a")
-    )
-    pre = (
-        arrs.withColumn(
-            "vals", F.expr("transform(a, s -> CAST(s.v * 1024 AS BIGINT))")
-        )
-        .select("series", "vals", F.posexplode("a").alias("i0", "s"))
-        .select(
-            "series",
-            F.col("s.d").alias("day"),
-            F.col("s.v").alias("close_c"),
-            F.expr(
-                "aggregate(slice(vals, 2, i0), vals[0],"
-                " (acc, x) -> (2 * x + 11 * acc) div 13)"
-            ).alias("ema12_x"),
-            F.expr(
-                "aggregate(slice(vals, 2, i0), vals[0],"
-                " (acc, x) -> (2 * x + 25 * acc) div 27)"
-            ).alias("ema26_x"),
-        )
-    )
-    m = pre.withColumn("macd_x", F.col("ema12_x") - F.col("ema26_x"))
-    w = Window.partitionBy("series").orderBy("day").rowsBetween(-8, 0)
-    return m.select(
-        "series",
-        "day",
-        F.col("close_c").cast("bigint").alias("close_c"),
-        "ema12_x",
-        "ema26_x",
-        F.col("macd_x").cast("bigint").alias("macd_x"),
-        F.when(
-            F.count(F.lit(1)).over(w) == 9,
-            9 * F.col("macd_x") - F.sum("macd_x").over(w),
-        )
-        .cast("bigint")
-        .alias("hist9_x"),
-    )
-
-
-@register(
-    "f17_atr",
-    """
-    WITH b AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             CAST(max(round(value * 100)) AS BIGINT) AS high_c,
-             CAST(min(round(value * 100)) AS BIGINT) AS low_c,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), tr AS (
-      SELECT series, day, high_c, low_c, close_c,
-             CAST(CASE WHEN lag(close_c) OVER w IS NULL THEN high_c - low_c
-                  ELSE greatest(high_c - low_c,
-                                abs(high_c - lag(close_c) OVER w),
-                                abs(low_c - lag(close_c) OVER w))
-             END AS BIGINT) AS tr_c
-      FROM b WINDOW w AS (PARTITION BY series ORDER BY day)
-    )
-    SELECT series, day, tr_c,
-           CAST(sum(tr_c) OVER v AS BIGINT) AS atr14_sum_c,
-           CAST(CASE WHEN count(*) OVER v = 14
-                THEN CAST(sum(tr_c) OVER v AS DOUBLE) / 14.0
-           END AS DOUBLE) AS atr_c
-    FROM tr
-    WINDOW v AS (PARTITION BY series ORDER BY day
-                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-    """,
-)
-def f17_atr(spark, sf_dir):
-    """14-day Average True Range per series — the volatility yardstick
-    position sizing and stop placement are quoted in, computed over the
-    same daily bars the engine's batch view maintains (f6's OHLC
-    algebra: high/low are plain cent extrema, close is the
-    deterministic (ts, value)-struct argmax). True range extends the
-    bar's high-low span across the overnight gap: TR = max(high-low,
-    |high-prev_close|, |low-prev_close|), with the textbook first-bar
-    rule TR = high-low when no prior close exists — all exact cent
-    integers from one lag. The smoothing leg is Cutler-form (the f12
-    decision, same reasoning: Wilder's exponential tail is a float
-    recursion that flaps cross-engine; f16 shows the integer-EMA
-    escape hatch when the exponential form is non-negotiable): the
-    14-bar rolling SUM is the exact BIGINT carried in the output, and
-    ATR itself is that integer over 14 — ONE division, emitted only
-    where the window holds 14 bars (f12's warm-up rule; earlier rows
-    keep a NULL ATR but still report their exact partial sum).
-
-    Shape: one (series, day) hash agg collapses the scan (map-side
-    combined); ONE window partitioned by series covers the lag and
-    both rolling aggregates — Catalyst fuses them into a single
-    sort+window over calendar-bounded per-series relations. No global
-    sort; window state is bounded by series count, never corpus."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    b = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            cents.alias("c"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(
-            F.max("c").alias("high_c"),
-            F.min("c").alias("low_c"),
-            F.max("s")["v"].alias("close_c"),
-        )
-    )
-    w = Window.partitionBy("series").orderBy("day")
-    pc = F.lag("close_c").over(w)
-    tr = b.select(
-        "series",
-        "day",
-        F.when(pc.isNull(), F.col("high_c") - F.col("low_c"))
-        .otherwise(
-            F.greatest(
-                F.col("high_c") - F.col("low_c"),
-                F.abs(F.col("high_c") - pc),
-                F.abs(F.col("low_c") - pc),
-            )
-        )
-        .cast("bigint")
-        .alias("tr_c"),
-    )
-    v = w.rowsBetween(-13, 0)
-    return tr.select(
-        "series",
-        "day",
-        "tr_c",
-        F.sum("tr_c").over(v).cast("bigint").alias("atr14_sum_c"),
-        F.when(
-            F.count(F.lit(1)).over(v) == 14,
-            F.sum("tr_c").over(v).cast("double") / F.lit(14.0),
-        )
-        .cast("double")
-        .alias("atr_c"),
-    )
-
-
-@register(
-    "a34_entropy_balance",
-    """
-    WITH h AS (
-      SELECT event_type,
-             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
-    ), hn AS (
-      SELECT event_type, hr, c,
-             sum(c) OVER (PARTITION BY event_type) AS n
-      FROM h
-    ), s AS (
-      SELECT event_type,
-             CAST(max(n) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS n_buckets,
-             CAST(sum(c * (length(bin(n * n)) - length(bin(c * c))))
-                  AS BIGINT) AS ent_hb_n
-      FROM hn GROUP BY event_type
-    )
-    SELECT event_type, n, n_buckets, ent_hb_n,
-           CAST(CASE WHEN n > 0
-                THEN CAST(ent_hb_n AS DOUBLE) / (2.0 * n)
-           END AS DOUBLE) AS ent_bits_approx
-    FROM s
-    """,
-)
-def a34_entropy_balance(spark, sf_dir):
-    """Shannon-entropy balance audit of each event type's hour-of-day
-    distribution — the diversity number a corpus-mixing pipeline (x22's
-    domain mixture) thresholds on: near-zero entropy means a source
-    fires from one hour/domain/shard (bot, replay, stuck producer),
-    near-log2(24) means uniform spread. Exactness discipline: N·H =
-    Σ c_i·(log2 N - log2 c_i) is quantized with the m18/x26 half-bit
-    integer log2 (floor(log2 n²)+1 = length(bin(n·n)); the shared +1s
-    cancel in the difference), giving ent_hb_n = Σ c_i·(hb(N)-hb(c_i))
-    — an exact BIGINT both engines assemble identically, ~N·2H
-    half-bits with ≤0.5-bit-per-term quantization (documented accuracy
-    trade, the transcendental-log refusal rule). The readable
-    ent_bits_approx is ONE final division. Bound: each term ≤ c_i·126,
-    int64-safe to ~7e16 rows per group.
-
-    Shape: one (type, hour) map-side-combined count agg collapses the
-    scan to ≤ types×24 rows; the entropy assembly is a window + re-agg
-    on that tiny relation (the SQL's nested window-in-agg is spelled
-    as two stages in Spark). Scan-bound at any scale."""
-    ev = tbl(spark, sf_dir, "events")
-    h = (
-        ev.select("event_type", F.hour("ts").cast("bigint").alias("hr"))
-        .groupBy("event_type", "hr")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    from pyspark.sql import Window
-
-    wn = Window.partitionBy("event_type")
-    hb = lambda col: F.length(F.bin(col * col))  # noqa: E731
-    hn = h.withColumn("n", F.sum("c").over(wn))
-    s = hn.groupBy("event_type").agg(
-        F.max("n").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum(F.col("c") * (hb(F.col("n")) - hb(F.col("c"))))
-        .cast("bigint")
-        .alias("ent_hb_n"),
-    )
-    return s.select(
-        "event_type",
-        "n",
-        "n_buckets",
-        "ent_hb_n",
-        F.when(F.col("n") > 0, F.col("ent_hb_n").cast("double") / (F.lit(2.0) * F.col("n")))
-        .cast("double")
-        .alias("ent_bits_approx"),
-    )
-
-
-@register(
-    "g18_clustering_coefficient",
-    """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
-    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
-    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
-    ori AS MATERIALIZED (
-      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
-             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
-      FROM raw r
-      JOIN deg du ON du.node = r.u
-      JOIN deg dv ON dv.node = r.v
-    ),
-    tri AS MATERIALIZED (
-      SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      FROM ori e1
-      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
-      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
-    ),
-    pt AS (
-      SELECT node, count(*) AS n_tri FROM (
-        SELECT a AS node FROM tri
-        UNION ALL SELECT b FROM tri
-        UNION ALL SELECT c FROM tri
-      ) GROUP BY node
-    )
-    SELECT deg.node, CAST(coalesce(pt.n_tri, 0) AS BIGINT) AS n_tri,
-           CAST(deg.d AS BIGINT) AS degree,
-           CAST(deg.d * (deg.d - 1) AS BIGINT) AS wedges2,
-           CAST(2.0 * coalesce(pt.n_tri, 0)
-                / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS DOUBLE) AS lcc
-    FROM deg LEFT JOIN pt USING (node)
-    WHERE deg.d >= 2
-    """,
-)
-def g18_clustering_coefficient(spark, sf_dir):
-    """Local clustering coefficient per node over the g8 co-purchase
-    graph — lcc(v) = 2·tri(v) / (d(v)·(d(v)-1)), the community-density
-    score that turns g8's raw triangle counts into a comparable
-    per-node number (link prediction g15 and the k-core screen g14 both
-    rank candidates better with density context; a near-1 lcc marks a
-    clique member, near-0 a bridge/hub). Same support-thresholded,
-    DEGREE-ORDERED enumeration as g8 (every triangle found exactly
-    once, wedge work bounded O(m^1.5) under skew — the hub-node
-    quadratic blowup is solved structurally, not by sampling); the new
-    work is only the final LEFT join of the degree table onto the
-    corner counts, direction chosen so every node with d >= 2 emits a
-    row EVEN WITH ZERO TRIANGLES — an inner join would silently drop
-    exactly the bridge nodes whose lcc = 0 is the finding (the
-    j16/a31 absent-row rule). Exactness: tri, degree, and the wedge
-    denominator d·(d-1) are exact BIGINTs; lcc is ONE final division
-    (d >= 2 makes it well-defined — no ANSI 0/0 path).
-
-    Shape: identical to g8 through the wedge join (support agg,
-    symmetrized degree agg, three equi-joins, corner explode), then one
-    hash agg + one left equi-join on node — the degree side is the
-    node relation (small), broadcast at fixture scale, shuffled equi at
-    100 TB. Citation: clustering coefficient belongs to the same
-    operator family the reference's news/stock co-movement analysis
-    implies (SURVEY §2.5 graph battery extension)."""
-    li = tbl(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
-    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    raw = (
-        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
-        .select(F.col("l_partkey").alias("u"), "v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-        .persist()  # cache: caller-owns
-    )
-    und = raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = raw.join(du, "u").join(dv, "v")
-    u_first = F.struct("du", "u") < F.struct("dv", "v")
-    ori = ranked.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).persist()  # cache: caller-owns
-    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
-    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
-    tri = (
-        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
-        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-    )
-    corners = tri.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
-    )
-    pt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
-    # LEFT join from the degree relation: zero-triangle nodes must emit
-    # lcc = 0 rows (dropping them is indistinguishable from not checking)
-    out = deg.filter(F.col("d") >= 2).join(pt, "node", "left")
-    nt = F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
-    return out.select(
-        "node",
-        nt.alias("n_tri"),
-        F.col("d").cast("bigint").alias("degree"),
-        (F.col("d") * (F.col("d") - 1)).cast("bigint").alias("wedges2"),
-        (
-            F.lit(2.0) * nt / (F.col("d") * (F.col("d") - 1)).cast("double")
-        ).cast("double").alias("lcc"),
-    )
-
-
-#: phrase queries for x38 and keyword queries for x39 — ONE literal feeds
-#: both the Spark plan and the oracle SQL text (the GBT_TREES discipline:
-#: the "model" cannot drift between engines).
-PHRASE_QUERIES = [
-    ("p1", "hash", "join"),
-    ("p2", "table", "scan"),
-    ("p3", "sort", "merge"),
-]
-BM25_QUERIES = [
-    ("q1", ("hash", "join")),
-    ("q2", ("window", "agg", "sort")),
-    ("q3", ("vector", "scan")),
-]
-
-
-@register(
-    "x38_phrase_search",
-    f"""
-    WITH base AS (
-      SELECT doc_id, {_tx.tokens_sql('text')} AS tl
-      FROM documents
-    ), toks AS (
-      SELECT doc_id, tl[u.i] AS t, u.i AS pos
-      FROM base, unnest(generate_series(1, len(tl))) AS u(i)
-      WHERE tl[u.i] IN ({', '.join(repr(w) for p in PHRASE_QUERIES for w in p[1:])})
-    ), q(phrase_id, w1, w2) AS (
-      VALUES {', '.join(f"('{p}', '{a}', '{b}')" for p, a, b in PHRASE_QUERIES)}
-    )
-    SELECT q.phrase_id, t1.doc_id, CAST(count(*) AS BIGINT) AS n_occ
-    FROM q
-    JOIN toks t1 ON t1.t = q.w1
-    JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.t = q.w2
-                AND t2.pos = t1.pos + 1
-    GROUP BY 1, 2
-    """,
-)
-def x38_phrase_search(spark, sf_dir):
-    """Exact PHRASE query over a positional inverted index — the search
-    primitive tf/BM25 ranking cannot express: "hash join" must match
-    adjacent tokens in order, not co-occurrence (s15/s16's term joins
-    would conflate "join ... hash" pages). The index is the classic
-    (term, doc, position) posting relation built by one posexplode;
-    adjacency is an equi-join of the two terms' postings on (doc_id,
-    pos+1) — integer keys, no regex over text at query time, and the
-    count per doc is exact occurrences (overlapping matches included,
-    the standard positional-index contract). Positions are 1-based
-    token ordinals AFTER tokenization, so punctuation/case differences
-    between renders of the same phrase do not break matches (same
-    normalization as every text entry, _tx.tokens).
-
-    Shape: the posting build FILTERS to the queried terms inside the
-    projection that explodes (predicate on the generator output — only
-    the ~6 queried terms' postings ever reach a shuffle; the full
-    positional index would be built once and bucketed by term in a
-    serving deployment, the s16 layout). Both join legs are equi-joins
-    keyed (doc_id, pos) — candidate pairs are bounded by the rarer
-    term's posting list, the s15 champion-list argument. The phrase
-    relation (3 rows) broadcasts."""
-    d = tbl(spark, sf_dir, "documents")
-    terms = sorted({w for p in PHRASE_QUERIES for w in p[1:]})
-    toks = (
-        d.select("doc_id", F.posexplode(_tx.tokens(F.col("text"))).alias("i0", "t"))
-        .filter(F.col("t").isin(terms))
-        .select("doc_id", "t", (F.col("i0") + 1).alias("pos"))
-    )
-    q = spark.createDataFrame(PHRASE_QUERIES, "phrase_id string, w1 string, w2 string")
-    t1 = toks.select(F.col("doc_id"), F.col("t").alias("t1"), F.col("pos").alias("p1"))
-    t2 = toks.select(
-        F.col("doc_id").alias("doc2"), F.col("t").alias("t2"), F.col("pos").alias("p2")
-    )
-    j = (
-        F.broadcast(q)
-        .join(t1, F.col("t1") == F.col("w1"))
-        .join(
-            t2,
-            (F.col("doc2") == F.col("doc_id"))
-            & (F.col("t2") == F.col("w2"))
-            & (F.col("p2") == F.col("p1") + 1),
-        )
-    )
-    return j.groupBy("phrase_id", "doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_occ")
-    )
-
-
-@register(
-    "x39_bm25",
-    f"""
-    WITH base AS (
-      SELECT doc_id, {_tx.tokens_sql('text')} AS tl
-      FROM documents
-    ), stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(tl)) AS BIGINT) AS l
-      FROM base
-    ), toks AS (
-      SELECT doc_id, u.t AS t, CAST(len(tl) AS BIGINT) AS dl
-      FROM base, unnest(tl) AS u(t)
-      WHERE u.t IN ({', '.join(sorted(repr(w) for w in {w for _, ts in BM25_QUERIES for w in ts}))})
-    ), tf AS (
-      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
-             CAST(max(dl) AS BIGINT) AS dl
-      FROM toks GROUP BY 1, 2
-    ), df AS (
-      SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
-    ), q(query_id, term) AS (
-      VALUES {', '.join(f"('{q}', '{w}')" for q, ts in BM25_QUERIES for w in ts)}
-    ), sc AS (
-      SELECT q.query_id, tf.doc_id,
-             ((length(bin((2 * s.n + 2) * (2 * s.n + 2)))
-               - length(bin((2 * df.df + 1) * (2 * df.df + 1))))
-              * 22 * tf.tf * s.l * 64)
-             // (10 * tf.tf * s.l + 3 * s.l + 9 * tf.dl * s.n) AS sterm
-      FROM q
-      JOIN tf ON tf.t = q.term
-      JOIN df ON df.t = q.term
-      CROSS JOIN stats s
-    ), agg AS (
-      SELECT query_id, doc_id, CAST(sum(sterm) AS BIGINT) AS score_q
-      FROM sc GROUP BY 1, 2
-    ), r AS (
-      SELECT query_id, doc_id, score_q,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score_q DESC, doc_id) AS rnk
-      FROM agg
-    )
-    SELECT query_id, doc_id, score_q, CAST(rnk AS BIGINT) AS rnk
-    FROM r WHERE rnk <= 10
-    """,
-)
-def x39_bm25(spark, sf_dir):
-    """BM25 top-10 retrieval (k1 = 1.2, b = 0.75) — the ranking function
-    s16's raw tf dot deliberately omitted, hash-gated by refusing every
-    float in it: the idf log2((N+0.5+0.5)/(df+0.5)) doubles through to
-    integers as hb(2N+2) - hb(2df+1) in half-bit units (the m18/x26
-    length(bin(n²)) quantization; non-negative since df <= N), and the
-    length-normalized tf leg tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
-    clears its fractions EXACTLY by multiplying through by 10·L
-    (avgdl = L/N): term score = idf_hb·22·tf·L·64 div (10·tf·L + 3·L +
-    9·dl·N) — one integer floor division per (term, doc), x64 so the
-    division keeps ~6 bits of fraction, summed per (query, doc) as
-    exact BIGINTs. Deterministic top-10 by (score desc, doc_id).
-    Int64 ceiling: idf_hb·22·tf·L·64 needs tf·L < 5e13 (fixture sf1:
-    ~6e9) — past that the m17 decimal(38,0) widening applies,
-    documented not silent. Quantization moves scores < 1 part in 64 —
-    ranking changes only at near-ties, and deterministically.
-
-    Shape: postings are filtered to the query vocabulary inside the
-    exploding projection (only queried terms shuffle — the s15
-    champion-list bound on posting joins); df and the 3-row query
-    relation broadcast; corpus totals (N, L) ride a 1-row broadcast
-    crossJoin (the x10/x26 bound); per-query top-10 is a window over
-    each query's candidate docs, never a global sort."""
-    d = tbl(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    base = d.select("doc_id", _tx.tokens(F.col("text")).alias("tl")).withColumn(
-        "dl", F.size("tl").cast("bigint")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("dl").cast("bigint").alias("l"),
-    )
-    terms = sorted({w for _, ts in BM25_QUERIES for w in ts})
-    toks = base.select("doc_id", "dl", F.explode("tl").alias("t")).filter(
-        F.col("t").isin(terms)
-    )
-    tf = toks.groupBy("doc_id", "t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf"),
-        F.max("dl").cast("bigint").alias("dl"),
-    )
-    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    q = spark.createDataFrame(
-        [(qq, w) for qq, ts in BM25_QUERIES for w in ts], "query_id string, term string"
-    )
-    hb = lambda col: F.length(F.bin(col))  # noqa: E731  (squared inline below)
-    sc = (
-        F.broadcast(q)
-        .join(tf, tf.t == F.col("term"))
-        .join(F.broadcast(df), "t")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf_hb",
-            hb((2 * F.col("n") + 2) * (2 * F.col("n") + 2))
-            - hb((2 * F.col("df") + 1) * (2 * F.col("df") + 1)),
-        )
-        .withColumn(
-            "sterm",
-            F.expr(
-                "(idf_hb * 22 * tf * l * 64)"
-                " div (10 * tf * l + 3 * l + 9 * dl * n)"
-            ),
-        )
-    )
-    agg = sc.groupBy("query_id", "doc_id").agg(
-        F.sum("sterm").cast("bigint").alias("score_q")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score_q").desc(), "doc_id")
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "doc_id", "score_q", F.col("rnk").cast("bigint").alias("rnk"))
-    )
-
-
-@register(
-    "w22_theil_sen",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), pr AS (
-      SELECT a.series,
-             CAST(b.close_c - a.close_c AS BIGINT) AS dy,
-             CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dx
-      FROM c a JOIN c b ON a.series = b.series AND a.day < b.day
-    ), r AS (
-      SELECT series, dy, dx,
-             row_number() OVER (PARTITION BY series
-                                ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx)
-               AS rn,
-             count(*) OVER (PARTITION BY series) AS np
-      FROM pr
-    )
-    SELECT series, CAST(np AS BIGINT) AS n_pairs,
-           dy AS med_dy_c, dx AS med_dx_days,
-           CAST(CAST(dy AS DOUBLE) / dx AS DOUBLE) AS slope_c_per_day
-    FROM r WHERE rn = (np + 1) // 2
-    """,
-)
-def w22_theil_sen(spark, sf_dir):
-    """Theil–Sen robust trend per series — the median of all pairwise
-    slopes over the daily closes, the estimator that shrugs off the
-    outlier days that drag f7's least-squares line (29.3% breakdown
-    point vs OLS's zero). Exactness: each pairwise slope is the exact
-    integer PAIR (dy cents, dx days); the median is selected — never
-    averaged — by ranking on the double quotient dy/dx with (dy, dx)
-    integer tiebreaks. The double sort key is provably ORDER-EXACT
-    here, not approximate: distinct slope fractions with dx <= 31
-    differ by >= 1/(31·31) ~ 1e-3 while the quotient rounding error is
-    ~1e-10, so both engines sort identically; the lower median
-    (rn = (P+1) div 2) pins the even-count case to one element (the
-    d14/a18 deterministic-selection rule). Output keeps the exact
-    (dy, dx) witness pair alongside the one divided readout.
-
-    Shape: the pair build is a per-series self-join of the ~30-row
-    DAILY relation — O(days²) per series, calendar-bounded and
-    corpus-independent (the f16 contract; the raw corpus collapses in
-    the first map-side-combined agg and is never pairwise-joined), and
-    the ranking window runs over those same bounded pair sets. For
-    multi-year series the windowed/repeated-median variants apply —
-    documented, not silently different."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    a = c.select("series", F.col("day").alias("d1"), F.col("close_c").alias("c1"))
-    b = c.select(
-        F.col("series").alias("series_b"),
-        F.col("day").alias("d2"),
-        F.col("close_c").alias("c2"),
-    )
-    pr = a.join(
-        b, (F.col("series") == F.col("series_b")) & (F.col("d1") < F.col("d2"))
-    ).select(
-        "series",
-        (F.col("c2") - F.col("c1")).cast("bigint").alias("dy"),
-        F.datediff(F.col("d2"), F.col("d1")).cast("bigint").alias("dx"),
-    )
-    w = Window.partitionBy("series").orderBy(
-        F.col("dy").cast("double") / F.col("dx"), "dy", "dx"
-    )
-    wp = Window.partitionBy("series")
-    r = pr.select(
-        "series",
-        "dy",
-        "dx",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("np"),
-    )
-    # integer div, not `/`: float division made rn == np/2 + 0.5 vacuous
-    # for EVEN pair counts (every fixture series has odd C(30,2) = 435
-    # pairs, so only the generated-data fuzz battery caught it)
-    return r.filter(F.col("rn") == F.expr("(np + 1) div 2")).select(
-        "series",
-        F.col("np").cast("bigint").alias("n_pairs"),
-        F.col("dy").alias("med_dy_c"),
-        F.col("dx").alias("med_dx_days"),
-        (F.col("dy").cast("double") / F.col("dx")).cast("double").alias("slope_c_per_day"),
-    )
-
-
-@register(
-    "f18_sharpe",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), d AS (
-      SELECT series,
-             CAST(close_c - lag(close_c)
-                  OVER (PARTITION BY series ORDER BY day) AS BIGINT) AS ret_c
-      FROM c
-    ), s AS (
-      SELECT series, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(ret_c) AS BIGINT) AS sr,
-             CAST(sum(ret_c * ret_c) AS BIGINT) AS ssq
-      FROM d WHERE ret_c IS NOT NULL GROUP BY series
-    )
-    SELECT series, n AS n_rets, sr AS sum_ret_c, ssq AS ssq_ret_c,
-           CAST(CASE WHEN n >= 2 AND n * ssq - sr * sr > 0
-                THEN (CAST(sr AS DOUBLE) * sqrt(CAST(n * (n - 1) AS DOUBLE)))
-                     / (CAST(n AS DOUBLE)
-                        * sqrt(CAST(n * ssq - sr * sr AS DOUBLE)))
-           END AS DOUBLE) AS sharpe_daily
-    FROM s
-    """,
-)
-def f18_sharpe(spark, sf_dir):
-    """Daily Sharpe ratio per series (zero risk-free rate) over cent
-    P&L returns — mean over sample-stddev of the day-over-day close
-    changes, THE risk-adjusted headline number every backtest (f13)
-    must report next to its raw PnL. Returns are kept as exact cent
-    DIFFERENCES (arithmetic P&L per unit, not log/pct ratios — the
-    integer-exactness choice, documented; ratio returns would force a
-    float at step one). The a15/a33 sufficient-statistic discipline:
-    (n, Σr, Σr²) are exact BIGINTs and Sharpe is assembled as
-    s·√(n(n-1)) / (n·√(nΣr²-s²)) — two correctly-rounded IEEE sqrts of
-    exact integers, one multiply each side, ONE division, spelled
-    identically in both engines so every intermediate double is
-    bit-equal. Zero-variance and single-return series yield NULL by
-    guard (a15's ANSI 0/0 lesson). Int64 bound: n·Σr² needs n·r² <
-    9e18 — safe beyond 10⁶ trading days at ±$30k daily moves.
-
-    Shape: one (series, day) map-side-combined agg collapses the scan,
-    one per-series lag window over calendar-bounded rows, one final
-    tiny agg — scan-bound at any scale, no global sort. Annualization
-    is a literal √252 multiple the consumer applies; baking it in
-    would just scale every row by one constant."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    w = Window.partitionBy("series").orderBy("day")
-    d = c.select(
-        "series", (F.col("close_c") - F.lag("close_c").over(w)).cast("bigint").alias("ret_c")
-    ).filter(F.col("ret_c").isNotNull())
-    s = d.groupBy("series").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("ret_c").cast("bigint").alias("sr"),
-        F.sum(F.col("ret_c") * F.col("ret_c")).cast("bigint").alias("ssq"),
-    )
-    var_n = F.col("n") * F.col("ssq") - F.col("sr") * F.col("sr")
-    return s.select(
-        "series",
-        F.col("n").alias("n_rets"),
-        F.col("sr").alias("sum_ret_c"),
-        F.col("ssq").alias("ssq_ret_c"),
-        F.when(
-            (F.col("n") >= 2) & (var_n > 0),
-            (
-                F.col("sr").cast("double")
-                * F.sqrt((F.col("n") * (F.col("n") - 1)).cast("double"))
-            )
-            / (F.col("n").cast("double") * F.sqrt(var_n.cast("double"))),
-        )
-        .cast("double")
-        .alias("sharpe_daily"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# r9c: tokenizer training, PCA kernel, community detection, corpus keyness,
-# stochastic oscillator — the remaining pipeline primitives
-# ---------------------------------------------------------------------------
-
-
-def _bpe_oracle(n_merges: int = 3, final: str | None = None) -> str:
-    """Unrolled DuckDB twin of x40/x42: fixed-k BPE merge rounds as chained
-    CTEs (pairs_k -> top_k -> rep_k). list_reduce folds the winning pair
-    into each word's symbol string with EXACTLY the Spark aggregate()
-    lambda's semantics (see x40's docstring for the equivalence argument).
-    ``final`` overrides the closing SELECT (default: the merge table);
-    x42 closes over the fused corpus r{n} instead."""
-    parts = [
-        """
-    WITH tok AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ), wf AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE w <> ''
-      GROUP BY w
-    ), r0 AS (
-      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS rep,
-             freq
-      FROM wf
-    )"""
-    ]
-    for k in range(1, n_merges + 1):
-        parts.append(
-            f""", p{k} AS (
-      SELECT l[i] AS pa, l[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
-      FROM (SELECT string_split(rep, ' ') AS l, freq FROM r{k - 1}) s,
-           LATERAL unnest(generate_series(1, len(l) - 1)) AS u(i)
-      GROUP BY 1, 2
-    ), t{k} AS (
-      SELECT CAST({k} AS BIGINT) AS merge_no, pa, pb, cnt
-      FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
-    ), r{k} AS (
-      SELECT CASE WHEN t.pa IS NULL THEN rep
-             ELSE list_reduce(string_split(rep, ' '),
-               (acc, x) -> CASE
-                 WHEN x = t.pb
-                      AND (acc = t.pa OR ends_with(acc, ' ' || t.pa))
-                 THEN left(acc, length(acc) - length(t.pa)) || t.pa || t.pb
-                 ELSE acc || ' ' || x END) END AS rep,
-             freq
-      FROM r{k - 1} LEFT JOIN t{k} AS t ON TRUE
-    )"""
-        )
-    if final is None:
-        final = "\n      UNION ALL ".join(
-            f"SELECT merge_no, pa, pb, cnt FROM t{k}"
-            for k in range(1, n_merges + 1)
-        )
-    parts.append(f"\n    {final}")
-    return "".join(parts)
-
-
-@register("x40_bpe_merges", _bpe_oracle(3))
-def x40_bpe_merges(spark, sf_dir):
-    """Distributed BPE tokenizer training (Sennrich et al. 2016), the first
-    3 merge rounds: the vocabulary-learning step every LLM data pipeline
-    runs BEFORE token counting (x8), packing (x20) or surprisal (x26) can
-    exist. Per round: count adjacent symbol pairs across the corpus
-    weighted by word frequency, pick the most frequent pair (ties broken
-    (count DESC, pa, pb) — deterministic), fuse it into every word, repeat.
-
-    Exactness: the merge fold is EXACT greedy left-to-right BPE — Spark's
-    ``aggregate()`` and DuckDB's ``list_reduce`` both fold the symbol list
-    into a string accumulator with the identical lambda: merge when the
-    accumulator's LAST symbol equals pa and the next symbol equals pb,
-    else append. Re-merging into a just-fused token is impossible by
-    construction (the fused symbol is the string pa||pb, never equal to
-    pa since pb is non-empty) — the same invariant reference BPE
-    implementations rely on. All counts are exact BIGINTs; no floats
-    anywhere. A rejected alternative — space-delimited string replace()
-    of ' pa pb ' — silently DIVERGES from greedy BPE on odd-length runs of
-    a repeated symbol (the second match loses its leading space to the
-    first), so the fold is semantic, not a convenience.
-
-    Shape, and why this is the 100 TB design: the corpus collapses in the
-    FIRST map-side-combined word-count agg — every later stage runs on the
-    WORD-TYPE table (vocabulary-sized, Heaps-law sublinear in corpus
-    size), exactly how production BPE trainers scale. Each round is one
-    pair-count agg over exploded bigrams of word types (map-side partial
-    agg, a few dozen live groups) plus a 1-row broadcast of the winner
-    folded back in a map-side projection — k rounds = k tiny shuffles,
-    zero corpus-sized joins, no driver-side loop over data (the loop is
-    over ROUNDS, a plan-construction constant, the g7 fixed-point
-    pattern). Full-vocab training just raises k."""
-    _, tops = _bpe_train(spark, sf_dir, n_merges=3)
-    out = tops[0]
-    for t_ in tops[1:]:
-        out = out.unionByName(t_)
-    return out
-
-
-#: exact greedy left-to-right BPE merge of the 1-row broadcast pair
-#: (_pa, _pb) into the space-joined symbol string `rep` — see x40's
-#: docstring for the list_reduce equivalence argument. Guarded on an
-#: EMPTY winner (ADVICE r10): when a merge round finds no pairs (corpus
-#: fully fused before the last round — e.g. a single-character vocab),
-#: the winner relation is empty; the fold round must then be a NO-OP
-#: (left-join NULL `_pa` keeps `rep`), never an empty crossJoin that
-#: silently drops the whole word-type table.
-_BPE_FOLD = (
-    "IF(_pa IS NULL, rep, "
-    "aggregate(slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1), "
-    "split(rep, ' ')[0], "
-    "(acc, x) -> IF(x = _pb AND (acc = _pa OR endswith(acc, concat(' ', _pa))), "
-    "concat(left(acc, length(acc) - length(_pa)), _pa, _pb), "
-    "concat(acc, ' ', x))))"
-)
-
-
-def _bpe_train(spark, sf_dir: str, n_merges: int = 3):
-    """Shared BPE trainer for x40 (merge table) and x42 (fused corpus):
-    returns (cur, tops) — the word-type table after ``n_merges`` fold
-    rounds and the per-round 1-row winner DataFrames."""
-    docs = tbl(spark, sf_dir, "documents")
-    wf = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    )
-    # localCheckpoint: the corpus must collapse into the word-type table
-    # EXACTLY once — with lazy lineage, round k's pair agg re-derives wf
-    # and re-scans the corpus (measured 8.9s -> ~3s at sf0.1); each round
-    # below re-checkpoints the vocab-sized fold result for the same reason
-    # (the g7 fixed-point discipline: iteration state is materialized,
-    # never re-derived from the root).
-    cur = wf.select(
-        F.concat(
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" </w>")
-        ).alias("rep"),
-        "freq",
-    ).localCheckpoint()
-    tops = []
-    for k in range(1, n_merges + 1):
-        # size >= 2 filter BEFORE the bigram transform: a fully-fused
-        # single-symbol word makes sequence(1, size-1) = sequence(1, 0),
-        # which Spark evaluates as the DESCENDING [1, 0] (ANSI
-        # out-of-bounds error) while DuckDB's generate_series(1, 0) is
-        # empty — the one engine-semantics divergence in this entry,
-        # caught by the fuzz battery on a single-word corpus
-        pairs = cur.select(
-            "freq", F.split(F.col("rep"), " ").alias("syms")
-        ).filter(F.size("syms") >= 2).select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> struct(syms[i-1] AS pa, syms[i] AS pb))"
-                )
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), "pa", "pb")
-            .limit(1)
-            .select(F.lit(k).cast("bigint").alias("merge_no"), "pa", "pb", "cnt")
-        )
-        tops.append(top)
-        # LEFT join on a constant key, not crossJoin: an EMPTY winner
-        # (no pairs left to merge) must leave `rep` untouched, not erase
-        # the word-type table (ADVICE r10 — the oracle goes empty
-        # identically, so only this guard makes the arm reachable-safe)
-        winner = F.broadcast(
-            top.select(
-                F.lit(1).alias("_k"),
-                F.col("pa").alias("_pa"),
-                F.col("pb").alias("_pb"),
-            )
-        )
-        cur = (
-            cur.withColumn("_k", F.lit(1))
-            .join(winner, "_k", "left")
-            .select(F.expr(_BPE_FOLD).alias("rep"), "freq")
-            .localCheckpoint()
-        )
-    return cur, tops
-
-
-@register(
-    "x42_bpe_tokenize",
-    _bpe_oracle(
-        3,
-        final="""SELECT sym,
-             CAST(sum(freq) AS BIGINT) AS cnt
-      FROM (SELECT unnest(string_split(rep, ' ')) AS sym, freq FROM r3)
-      GROUP BY sym""",
-    ),
-)
-def x42_bpe_tokenize(spark, sf_dir):
-    """BPE APPLY — tokenize the corpus with the x40-learned merges and
-    emit the resulting token histogram (symbol -> corpus frequency):
-    the inference half of tokenizer training, and the vocabulary-usage
-    audit a pipeline runs before freezing a tokenizer (dead symbols,
-    fertility, compression ratio all read off this relation). Shares
-    x40's trainer verbatim (one corpus collapse, k fold rounds), then
-    one explode of the fused word-type reps weighted by word frequency
-    — the corpus is never re-scanned for the apply because the
-    word-type table IS the corpus under the bag-of-words invariant BPE
-    training assumes. Exactness: same fold-equivalence as x40; the
-    histogram is exact BIGINT sums over vocabulary-sized groups.
-
-    At serving scale the merge table (k rows, broadcast) applies
-    map-side to unseen text with the same fold — this entry pins the
-    train-side application; the truth-table pytest pins the fold on
-    crafted runs."""
-    cur, _ = _bpe_train(spark, sf_dir, n_merges=3)
-    return (
-        cur.select(F.explode(F.split(F.col("rep"), " ")).alias("sym"), "freq")
-        .groupBy("sym")
-        .agg(F.sum("freq").cast("bigint").alias("cnt"))
-    )
-
-
-@register(
-    "m22_gram_matrix",
-    """
-    WITH base AS (
-      SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
-      FROM embeddings
-    ), wm AS (
-      SELECT e, list_max(list_transform(e, v -> abs(v))) AS m FROM base
-    ), q AS (
-      SELECT list_transform(e, v -> CAST(floor(v / m * 127 + 0.5) AS BIGINT))
-               AS q
-      FROM wm WHERE m > 0
-    )
-    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-           CAST(sum(q[i] * q[j]) AS BIGINT) AS dot
-    FROM q,
-         LATERAL unnest(generate_series(1, len(q))) AS u(i),
-         LATERAL unnest(generate_series(1, len(q))) AS v(j)
-    WHERE j >= i
-    GROUP BY 1, 2
-    """,
-)
-def m22_gram_matrix(spark, sf_dir):
-    """Distributed Gram matrix G = QᵀQ over s4-quantized int8 embedding
-    codes — the reduction kernel of PCA / covariance estimation / whitening
-    at corpus scale: the d x d Gram is what a pipeline actually
-    DISTRIBUTES; the eigensolve on it is O(d³) driver-side arithmetic on a
-    64x64 matrix and belongs there (documented seam, same split as m5's
-    per-series SARIMAX slot). Codes use s4's exact quantization
-    (floor(x/m*127+0.5), zero vectors dropped), so every Gram entry is an
-    exact BIGINT — |code| <= 127 bounds each product at 16129, safe past
-    5e14 vectors in int64.
-
-    Shape: ZERO-join, zero-explode. mapInPandas accumulates per-Arrow-batch
-    partial Grams with one int64 np.matmul (MᵀM) and emits 2,080
-    upper-triangle rows PER PARTITION — the only shuffle is the final
-    (i, j)-keyed sum over n_partitions x 2,080 tiny rows, map-side
-    combined. The rejected relational shape — posexplode + self-join on
-    vec_id — shuffles the whole corpus twice to build n x d² rows; the
-    matmul form moves O(partitions · d²) instead, the m9_mlp Arrow-batch
-    discipline applied to a reduction instead of a map. The per-vector
-    max stays a plain projected attribute below the transform (s4's
-    measured lambda-inlining trap)."""
-    import numpy as np
-    import pandas as pd
-
-    emb = tbl(spark, sf_dir, "embeddings")
-    q = (
-        emb.select(
-            F.col("embedding").alias("e"),
-            F.array_max(
-                F.transform("embedding", lambda v: F.abs(v.cast("double")))
-            ).alias("m"),
-        )
-        .filter(F.col("m") > 0)
-        .select(
-            F.transform(
-                "e",
-                lambda v: F.floor(
-                    v.cast("double") / F.col("m") * 127 + F.lit(0.5)
-                ).cast("int"),
-            ).alias("q")
-        )
-    )
-
-    def gram_partial(batches):
-        acc = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-            g = m.T @ m
-            acc = g if acc is None else acc + g
-        if acc is None:
-            return
-        iu = np.triu_indices(acc.shape[0])
-        yield pd.DataFrame(
-            {
-                "i": (iu[0] + 1).astype("int32"),
-                "j": (iu[1] + 1).astype("int32"),
-                "dot_part": acc[iu],
-            }
-        )
-
-    parts = q.mapInPandas(gram_partial, schema="i int, j int, dot_part long")
-    return parts.groupBy("i", "j").agg(
-        F.sum("dot_part").cast("bigint").alias("dot")
-    )
-
-
-@register(
-    "g19_label_propagation",
-    """
-    WITH pairs AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), raw AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ), und AS MATERIALIZED (
-      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
-    ), l0 AS (
-      SELECT DISTINCT u AS node, u AS label FROM und
-    ), c1 AS (
-      SELECT e.u AS node, l.label, count(*) AS cnt
-      FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
-    ), l1 AS (
-      SELECT node, label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY cnt DESC, label) AS rn
-        FROM c1) WHERE rn = 1
-    ), c2 AS (
-      SELECT e.u AS node, l.label, count(*) AS cnt
-      FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
-    ), l2 AS (
-      SELECT node, label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY cnt DESC, label) AS rn
-        FROM c2) WHERE rn = 1
-    )
-    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
-    FROM l2
-    """,
-)
-def g19_label_propagation(spark, sf_dir):
-    """Community detection by SYNCHRONOUS label propagation (Raghavan et
-    al. 2007), 2 rounds over the parts-bought-together graph (g15's
-    support>=2 edge build): each node adopts the MAJORITY label among its
-    neighbors, ties to the smallest label — communities ≠ connected
-    components (g11 answers reachability; this answers density). Fixed
-    synchronous rounds make the result deterministic and oracle-exact —
-    classic async LPA is run-order dependent and UNVERIFIABLE, so the
-    entry pins the sync-k semantics and documents that production runs
-    more rounds with a convergence check (the g7 fixed-point pattern; LPA
-    typically stabilizes in ~5 sync rounds).
-
-    Shape per round: one equi-join of the edge list to the current label
-    vector (labels co-partition with edges under the g9/g11 bucketed
-    layout — the edge table never re-shuffles across rounds) + one
-    (node,label) count agg + one per-node argmax window over
-    degree-bounded rows. No neighborhood materialization, no all-pairs
-    anything; the round count is a plan constant, not data-driven."""
-    _, _, labels = _lpa_labels(spark, sf_dir, rounds=2)
-    return labels.select(
-        F.col("node").cast("bigint").alias("node"),
-        F.col("label").cast("bigint").alias("label"),
-    )
-
-
-def _lpa_labels(spark, sf_dir: str, rounds: int = 2):
-    """Shared sync-LPA core for g19 (the labels) and g20 (their
-    modularity): returns (raw, und, labels) — canonical u<v edges,
-    symmetrized checkpointed edges, and the label vector after
-    ``rounds`` synchronous majority updates."""
-    li = tbl(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
-    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    # checkpoint the CANONICAL edge list, not just its symmetrization:
-    # g20 references raw in two more subtrees (m and the within-edge
-    # count) and Spark recomputes unshared subtrees — without this the
-    # distinct + self-join + support agg ran 3x (measured 18.6s -> 7s
-    # at sf0.1)
-    raw = (
-        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
-        .select(F.col("l_partkey").alias("u"), "v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
-    und = raw.unionByName(
-        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    labels = und.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
-    for _ in range(rounds):
-        msgs = und.join(
-            labels.select(F.col("node").alias("v2"), "label"),
-            F.col("v") == F.col("v2"),
-        ).select(F.col("u").alias("node"), "label")
-        counts = msgs.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        labels = (
-            counts.select("node", "label", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        )
-    return raw, und, labels
-
-
-@register(
-    "g20_modularity",
-    """
-    WITH pairs AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), raw AS MATERIALIZED (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM pairs a JOIN pairs b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY u, v HAVING count(*) >= 2
-    ), und AS MATERIALIZED (
-      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
-    ), l0 AS (
-      SELECT DISTINCT u AS node, u AS label FROM und
-    ), c1 AS (
-      SELECT e.u AS node, l.label, count(*) AS cnt
-      FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
-    ), l1 AS (
-      SELECT node, label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY cnt DESC, label) AS rn
-        FROM c1) WHERE rn = 1
-    ), c2 AS (
-      SELECT e.u AS node, l.label, count(*) AS cnt
-      FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
-    ), l2 AS MATERIALIZED (
-      SELECT node, label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY cnt DESC, label) AS rn
-        FROM c2) WHERE rn = 1
-    ), m AS (
-      SELECT CAST(count(*) AS BIGINT) AS m FROM raw
-    ), ein AS (
-      SELECT lu.label, CAST(count(*) AS BIGINT) AS e_c
-      FROM raw r
-      JOIN l2 lu ON lu.node = r.u
-      JOIN l2 lv ON lv.node = r.v
-      WHERE lu.label = lv.label
-      GROUP BY lu.label
-    ), deg AS (
-      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
-    ), dsum AS (
-      SELECT l.label, CAST(sum(d.d) AS BIGINT) AS d_c,
-             CAST(count(*) AS BIGINT) AS n_nodes
-      FROM l2 l JOIN deg d ON d.node = l.node GROUP BY l.label
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_communities,
-           CAST(max(m.m) AS BIGINT) AS n_edges,
-           CAST(sum(4 * m.m * coalesce(e.e_c, 0) - s.d_c * s.d_c) AS BIGINT)
-             AS q_num,
-           CAST(4 * max(m.m) * max(m.m) AS BIGINT) AS q_den,
-           CAST(CAST(sum(4 * m.m * coalesce(e.e_c, 0) - s.d_c * s.d_c)
-                     AS DOUBLE)
-                / CAST(4 * max(m.m) * max(m.m) AS DOUBLE) AS DOUBLE)
-             AS modularity
-    FROM dsum s LEFT JOIN ein e ON e.label = s.label, m
-    """,
-)
-def g20_modularity(spark, sf_dir):
-    """Newman modularity Q of the g19 label-propagation partition — the
-    quality score that tells you whether the communities are real
-    structure or noise (Q near 0) before anything downstream trusts
-    them. Exact rational arithmetic: Q = sum_c(e_c/m - (d_c/2m)^2)
-    multiplied through by 4m^2 gives q_num = sum_c(4m*e_c - d_c^2) over
-    q_den = 4m^2 — both exact BIGINTs, emitted as witnesses beside the
-    ONE IEEE division (the w22/x41 discipline; transcendental-free by
-    construction). Communities whose internal edge count is zero
-    contribute -d_c^2 through the left join's coalesce — dropping them
-    would overstate Q. Int64 bound: 4m*e_c needs m*e_c < 2.3e18, safe
-    to ~1.5e9 edges; past that promote the two products to
-    DECIMAL(38,0) (the m17 note pattern).
-
-    Shape: g19's per-round joins plus three aggregates — within-edge
-    count (both endpoints' labels equi-joined onto the canonical u<v
-    edge list), per-community degree sums, and a final
-    communities-count-sized rollup with the 1-row m broadcast. All
-    equi-joins on node ids: the g9/g11 bucketed layout co-locates every
-    stage at corpus scale."""
-    raw, und, labels = _lpa_labels(spark, sf_dir, rounds=2)
-    labels = labels.localCheckpoint()
-    m_df = raw.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
-    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
-    ein = (
-        raw.join(lu, "u")
-        .join(lv, "v")
-        .filter(F.col("lu") == F.col("lv"))
-        .groupBy(F.col("lu").alias("label"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
-    )
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    dsum = (
-        labels.join(deg, "node")
-        .groupBy("label")
-        .agg(
-            F.sum("d").cast("bigint").alias("d_c"),
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        )
-    )
-    per_c = dsum.join(ein, "label", "left").select(
-        "label",
-        "d_c",
-        F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_c"),
-    )
-    j = per_c.crossJoin(F.broadcast(m_df))
-    q_num = F.sum(
-        4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")
-    ).cast("bigint")
-    return j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
-        F.max("m").cast("bigint").alias("n_edges"),
-        q_num.alias("q_num"),
-        (4 * F.max("m") * F.max("m")).cast("bigint").alias("q_den"),
-        (
-            q_num.cast("double")
-            / (4 * F.max("m") * F.max("m")).cast("double")
-        )
-        .cast("double")
-        .alias("modularity"),
-    )
-
-
-@register(
-    "x41_logodds_keyness",
-    f"""
-    WITH tk AS (
-      SELECT source, unnest({_tx.tokens_sql('text')}) AS term FROM documents
-    ), cnt AS (
-      SELECT term,
-             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
-               AS a,
-             CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
-               AS b
-      FROM tk GROUP BY term
-    ), tot AS (
-      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
-      FROM cnt
-    )
-    SELECT term, a AS cnt_focus, b AS cnt_rest,
-           CAST((a + 1) * (tb - b + 1) AS BIGINT) AS or_num,
-           CAST((ta - a + 1) * (b + 1) AS BIGINT) AS or_den,
-           CAST(CAST((a + 1) * (tb - b + 1) AS DOUBLE)
-                / CAST((ta - a + 1) * (b + 1) AS DOUBLE) AS DOUBLE)
-             AS odds_ratio
-    FROM cnt, tot
-    """,
-)
-def x41_logodds_keyness(spark, sf_dir):
-    """Corpus-comparison keyness: per-term smoothed ODDS RATIO of the
-    'src0' slice against the rest of the corpus — the statistic behind
-    'what words characterize this source' (Monroe et al. 2008 log-odds;
-    the log is monotone, so the RATIO carries the full ranking and the
-    entry never computes a transcendental — ln is NOT correctly-rounded
-    per IEEE and diverges by ulps across engines, the a15/f18 discipline
-    applied by *removing* the function instead of matching it). Add-one
-    smoothing keeps zero-count cells finite. Output keeps the exact
-    integer numerator/denominator witnesses plus the ONE correctly-rounded
-    IEEE division; consumers sort by it or ln it.
-
-    The companion of x22_domain_mix (which balances sources) — this is
-    the audit that tells you WHAT distributional difference the mix is
-    balancing away. Overflow: (a+1)(tb-b+1) < 2^63 until a source holds
-    ~3e9 tokens against ~3e9; beyond that, promote to DECIMAL(38,0).
-
-    Shape: one token explode into a map-side-combined conditional-count
-    agg (terms are the groups — vocabulary-sized, Heaps-law), one
-    1-row-total broadcast join back. Scan-bound at any corpus size."""
-    d = tbl(spark, sf_dir, "documents")
-    cnt = (
-        d.select("source", F.explode(_tx.tokens(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(
-            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
-            .cast("bigint")
-            .alias("a"),
-            F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
-            .cast("bigint")
-            .alias("b"),
-        )
-    )
-    tot = cnt.agg(
-        F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
-    )
-    j = cnt.crossJoin(F.broadcast(tot))
-    or_num = (F.col("a") + 1) * (F.col("tb") - F.col("b") + 1)
-    or_den = (F.col("ta") - F.col("a") + 1) * (F.col("b") + 1)
-    return j.select(
-        "term",
-        F.col("a").alias("cnt_focus"),
-        F.col("b").alias("cnt_rest"),
-        or_num.cast("bigint").alias("or_num"),
-        or_den.cast("bigint").alias("or_den"),
-        (or_num.cast("double") / or_den.cast("double"))
-        .cast("double")
-        .alias("odds_ratio"),
-    )
-
-
-@register(
-    "f19_stochastic_oscillator",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), w AS (
-      SELECT series, day, close_c,
-             min(close_c) OVER win AS lo_c,
-             max(close_c) OVER win AS hi_c,
-             count(*) OVER win AS n_win
-      FROM c
-      WINDOW win AS (PARTITION BY series ORDER BY day
-                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-    )
-    SELECT series, day, close_c, lo_c, hi_c,
-           CAST(close_c - lo_c AS BIGINT) AS k_num,
-           CAST(hi_c - lo_c AS BIGINT) AS k_den,
-           CAST(CASE WHEN hi_c > lo_c
-                THEN CAST(100 * (close_c - lo_c) AS DOUBLE)
-                     / CAST(hi_c - lo_c AS DOUBLE)
-           END AS DOUBLE) AS pct_k
-    FROM w WHERE n_win = 14
-    """,
-)
-def f19_stochastic_oscillator(spark, sf_dir):
-    """Stochastic oscillator %K over a 14-day lookback per series: where
-    today's close sits inside the recent [low, high] range — the
-    overbought/oversold momentum gauge that completes the indicator
-    battery (f12 RSI, f14 Bollinger, f16 MACD, f17 ATR). Exact-integer
-    inside the window (cent closes, min/max/diff all BIGINT), the f18
-    discipline: output carries the exact (num, den) witness pair and ONE
-    IEEE division; flat ranges (den = 0) yield NULL by guard, and warm-up
-    rows (< 14 closed days) are excluded by an exact window count — both
-    engines agree on membership, not just values. %D (the 3-day SMA of
-    %K) would average three quotients — f6's exact-mean rule doesn't
-    reach it, so consumers derive it from the witness pairs.
-
-    Shape: one map-side-combined (series, day) agg collapses the corpus,
-    then one bounded ROWS window per series — no global sort, no join;
-    scan-bound at any scale (the f12/f17 shape)."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    win = Window.partitionBy("series").orderBy("day").rowsBetween(-13, 0)
-    w = c.select(
-        "series",
-        "day",
-        "close_c",
-        F.min("close_c").over(win).alias("lo_c"),
-        F.max("close_c").over(win).alias("hi_c"),
-        F.count(F.lit(1)).over(win).alias("n_win"),
-    ).filter(F.col("n_win") == 14)
-    return w.select(
-        "series",
-        "day",
-        "close_c",
-        "lo_c",
-        "hi_c",
-        (F.col("close_c") - F.col("lo_c")).cast("bigint").alias("k_num"),
-        (F.col("hi_c") - F.col("lo_c")).cast("bigint").alias("k_den"),
-        F.when(
-            F.col("hi_c") > F.col("lo_c"),
-            (100 * (F.col("close_c") - F.col("lo_c"))).cast("double")
-            / (F.col("hi_c") - F.col("lo_c")).cast("double"),
-        )
-        .cast("double")
-        .alias("pct_k"),
-    )
-
-
-@register(
-    "t27_stream_gram_view",
-    """
-    WITH base AS (
-      SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
-      FROM embeddings
-    ), wm AS (
-      SELECT e, list_max(list_transform(e, v -> abs(v))) AS m FROM base
-    ), q AS (
-      SELECT list_transform(e, v -> CAST(floor(v / m * 127 + 0.5) AS BIGINT))
-               AS q
-      FROM wm WHERE m > 0
-    )
-    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-           CAST(sum(q[i] * q[j]) AS BIGINT) AS dot
-    FROM q,
-         LATERAL unnest(generate_series(1, len(q))) AS u(i),
-         LATERAL unnest(generate_series(1, len(q))) AS v(j)
-    WHERE j >= i
-    GROUP BY 1, 2
-    """,
-    lazy_replay=True,
-)
-def t27_stream_gram_view(spark, sf_dir):
-    """STREAMING maintenance of m22's Gram matrix — the Lambda invariant
-    (t17/t20) proven for LINEAR-ALGEBRA state: the embedding corpus
-    arrives in 3 micro-batches, each batch reduces to its partial Gram
-    through the same Arrow-matmul kernel as m22 (MapInPandas M^T M +
-    a 2,080-key batch-local agg, all BEFORE touching the view), and the
-    partials merge into the keyed view by ADDITION under the
-    writer-lease/replay contract. After the replay the view must
-    hash-match m22's one-shot batch recompute (the oracle is m22's,
-    verbatim) — Gram/covariance/co-occurrence matrices are additive, so
-    the speed layer maintains them incrementally with NO recompute,
-    which is how a streaming feature pipeline keeps PCA/whitening
-    statistics current between batch rebuilds.
-
-    Scale shape: per batch the shuffle carries n_partitions x 2,080
-    partial rows and the view rewrite is O(one aggregate-sized table);
-    the corpus streams through map-side matmuls exactly once."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    emb = tbl(spark, sf_dir, "embeddings")
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "gram_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    emb.repartitionByRange(3, "vec_id").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["i", "j"], partition_by="pb")
-
-    def batch_gram(b):
-        q = (
-            b.select(
-                F.col("embedding").alias("e"),
-                F.array_max(
-                    F.transform("embedding", lambda v: F.abs(v.cast("double")))
-                ).alias("m"),
-            )
-            .filter(F.col("m") > 0)
-            .select(
-                F.transform(
-                    "e",
-                    lambda v: F.floor(
-                        v.cast("double") / F.col("m") * 127 + F.lit(0.5)
-                    ).cast("int"),
-                ).alias("q")
-            )
-        )
-
-        def gram_partial(batches):
-            import numpy as np
-            import pandas as pd
-
-            acc = None
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-                g = mat.T @ mat
-                acc = g if acc is None else acc + g
-            if acc is None:
-                return
-            iu = np.triu_indices(acc.shape[0])
-            yield pd.DataFrame(
-                {
-                    "i": (iu[0] + 1).astype("int32"),
-                    "j": (iu[1] + 1).astype("int32"),
-                    "dot_part": acc[iu],
-                }
-            )
-
-        return (
-            q.mapInPandas(gram_partial, schema="i int, j int, dot_part long")
-            .groupBy("i", "j")
-            .agg(F.sum("dot_part").cast("bigint").alias("dot"))
-        )
-
-    def fn(cur, b):
-        delta = b.groupBy("i", "j", "pb").agg(
-            F.sum("dot").cast("bigint").alias("dot")
-        )
-        if cur is None:
-            return delta
-        return (
-            cur.alias("v")
-            .join(delta.alias("d"), ["i", "j"], "full_outer")
-            .select(
-                "i",
-                "j",
-                F.coalesce(F.col("v.pb"), F.col("d.pb")).alias("pb"),
-                (
-                    F.coalesce(F.col("v.dot"), F.lit(0))
-                    + F.coalesce(F.col("d.dot"), F.lit(0))
-                ).cast("bigint").alias("dot"),
-            )
-        )
-
-    def sink(batch_df, batch_id):
-        g = batch_gram(batch_df).withColumn(
-            "pb", F.pmod(F.xxhash64("i"), F.lit(8))
-        )
-        view.merge_custom(g, fn, batch_id=batch_id, writer="grammv")
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return view.read().select("i", "j", "dot")
-
-
-#: NDCG@10 rank weights in 2^20 fixed-point units: W[r] =
-#: round(2^20 / log2(r+1)) for r = 1..10, precomputed ONCE as integer
-#: literals so neither engine evaluates a transcendental (the x39
-#: half-bit-idf discipline applied to rank discounting); _NDCG_CW[g] is
-#: the ideal-DCG prefix sum for g relevant hits.
-_NDCG_W = [1048576, 661578, 524288, 451597, 405645,
-           373510, 349525, 330789, 315653, 303106]
-_NDCG_CW = [0, 1048576, 1710154, 2234442, 2686039, 3091684,
-            3465194, 3814719, 4145508, 4461161, 4764267]
-
-
-@register(
-    "m23_ndcg",
-    f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_emb, label AS tl
-      FROM embeddings WHERE vec_id % 50 = 0
-        AND list_max(list_transform(embedding,
-                                    v -> abs(CAST(v AS DOUBLE)))) > 0
-    ), c AS (
-      SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS nl
-      FROM embeddings WHERE vec_id % 50 <> 0
-        AND list_max(list_transform(embedding,
-                                    v -> abs(CAST(v AS DOUBLE)))) > 0
-    ), scored AS (
-      SELECT q.query_id, q.tl, c.nl,
-             {_sim.cosine_sql('q.q_emb', 'c.c_emb')} AS score,
-             c.neighbor_id
-      FROM q CROSS JOIN c
-    ), ranked AS (
-      SELECT query_id, tl, nl,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, neighbor_id) AS rank
-      FROM scored
-    ), g AS (
-      SELECT query_id,
-             CASE WHEN nl = tl THEN 1 ELSE 0 END AS gain, rank
-      FROM ranked WHERE rank <= 10
-    ), per AS (
-      SELECT query_id,
-             CAST(sum(gain) AS BIGINT) AS n_rel,
-             CAST(sum(gain * ({_NDCG_W})[rank]) AS BIGINT) AS dcg_w
-      FROM g GROUP BY 1
-    )
-    SELECT query_id, n_rel, dcg_w,
-           CAST(({_NDCG_CW})[n_rel + 1] AS BIGINT) AS idcg_w,
-           CAST(CASE WHEN n_rel > 0
-                THEN CAST(dcg_w AS DOUBLE)
-                     / CAST(({_NDCG_CW})[n_rel + 1] AS DOUBLE)
-           END AS DOUBLE) AS ndcg
-    FROM per
-    """,
-)
-def m23_ndcg(spark, sf_dir):
-    """NDCG@10 of the exact-cosine retriever against label relevance —
-    the rank-sensitive retrieval eval (m14 scores the CLASSIFICATION
-    readout of the same neighbors; NDCG scores the ORDERING, which is
-    what a retrieval stack actually serves). Binary gains (neighbor
-    label == query label) discounted by 1/log2(rank+1) — but the
-    discount table is precomputed as 2^20 fixed-point INTEGER literals
-    (one literal feeding both engines, the GBT_TREES rule), so DCG and
-    ideal-DCG are exact BIGINTs and the entry never evaluates a log:
-    transcendentals are not correctly-rounded across engines (the x41
-    lesson). Ideal DCG for g hits is the prefix-sum literal CW[g]
-    (ideal ordering front-loads all hits); ndcg is the ONE IEEE
-    division, NULL-guarded for zero-relevant queries — dropping them
-    would inflate the average a consumer computes.
-
-    Shape: the s1/m14 sanctioned broadcast-queries x corpus-scan leg
-    (serving-sized query side enforced), then per-query windows over
-    Q x 10 rows and an 11-element literal array lookup — at corpus
-    scale the brute-force leg swaps for the s8 cascade unchanged.
-    Ranks inherit s1's determinism: identically-spelled cosine plus
-    the (score DESC, neighbor_id) tiebreak. Zero-norm vectors are
-    dropped on BOTH sides before scoring (the m22/s4 rule): cosine is
-    undefined there, and the engines DIVERGE loudly if asked — Spark's
-    ANSI mode raises DIVIDE_BY_ZERO while DuckDB emits inf-ranked rows
-    (the fuzz battery surfaced this; the fixture has no zero vectors)."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    nonzero = F.array_max(
-        F.transform("embedding", lambda v: F.abs(v.cast("double")))
-    ) > 0
-    test = emb.filter((F.col("vec_id") % 50 == 0) & nonzero)
-    train = emb.filter((F.col("vec_id") % 50 != 0) & nonzero)
-    nn = _sim.topk_bruteforce(train, test, k=10)
-    nlab = train.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
-    )
-    tlab = test.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tl"))
-    warr = F.array(*[F.lit(w) for w in _NDCG_W])
-    cwarr = F.array(*[F.lit(w) for w in _NDCG_CW])
-    g = (
-        nn.join(nlab, "neighbor_id")
-        .join(F.broadcast(tlab), "query_id")
-        .select(
-            "query_id",
-            F.when(F.col("nl") == F.col("tl"), 1).otherwise(0).alias("gain"),
-            "rank",
-        )
-    )
-    per = g.groupBy("query_id").agg(
-        F.sum("gain").cast("bigint").alias("n_rel"),
-        F.sum(F.col("gain") * F.element_at(warr, F.col("rank")))
-        .cast("bigint")
-        .alias("dcg_w"),
-    )
-    idcg = F.element_at(cwarr, (F.col("n_rel") + 1).cast("int")).cast("bigint")
-    return per.select(
-        "query_id",
-        "n_rel",
-        "dcg_w",
-        idcg.alias("idcg_w"),
-        F.when(
-            F.col("n_rel") > 0, F.col("dcg_w").cast("double") / idcg.cast("double")
-        )
-        .cast("double")
-        .alias("ndcg"),
-    )
-
-
-def _acf_oracle() -> str:
-    legs = "\n      UNION ALL ".join(
-        f"""SELECT series, {k} AS lag, close_c AS x,
-             lead(close_c, {k}) OVER (PARTITION BY series ORDER BY day) AS y
-      FROM c"""
-        for k in range(1, 8)
-    )
-    return f"""
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c
-      FROM events GROUP BY 1, 2
-    ), lagged AS (
-      {legs}
-    ), s AS (
-      SELECT series, CAST(lag AS INTEGER) AS lag,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
-      FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT series, lag, n, sx, sy, sxy, sxx, syy,
-           CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-           END AS DOUBLE) AS acf
-    FROM s
-    """
-
-
-@register("w23_autocorrelation", _acf_oracle())
-def w23_autocorrelation(spark, sf_dir):
-    """Autocorrelation function per series, lags 1..7 — the diagnostic
-    that decides the AR order (and whether w15's weekly seasonality is
-    real: a lag-7 spike says yes) before any m5/m9 forecaster is fit.
-    Defined as the Pearson correlation of the (close_t, close_{t+k})
-    pair set (the a15/f15 sufficient-statistic assembly): six exact
-    BIGINT statistics per (series, lag), correlation assembled as
-    (n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²)) — two
-    correctly-rounded sqrts of exact integers, one division, spelled
-    identically in both engines. Zero-variance guards on the EXACT
-    integer dens (the f15 rule). Int64 bound: n·sxy needs
-    n·x·y < 9e18 — safe past 10⁶ days at ±$30k closes.
-
-    Shape: one map-side-combined (series, day) agg collapses the
-    corpus; ONE window pass computes all 7 leads (Spark plans
-    same-partition/same-order window functions in a single Window
-    node — 7 lags cost one sort, not seven); an explode unpivots to
-    (lag, x, y) and one final hash agg keyed by (series, lag) emits
-    7 x #series rows. Calendar-bounded after the first agg."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(F.max("s")["v"].alias("close_c"))
-    )
-    wd = Window.partitionBy("series").orderBy("day")
-    leads = c.select(
-        "series",
-        F.col("close_c").alias("x"),
-        F.array(
-            *[
-                F.struct(
-                    F.lit(k).cast("int").alias("lag"),
-                    F.lead("close_c", k).over(wd).alias("y"),
-                )
-                for k in range(1, 8)
-            ]
-        ).alias("ys"),
-    )
-    lagged = (
-        leads.select("series", "x", F.explode("ys").alias("p"))
-        .select("series", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
-        .filter(F.col("y").isNotNull())
-    )
-    s = lagged.groupBy("series", "lag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-    )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return s.select(
-        "series",
-        "lag",
-        "n",
-        "sx",
-        "sy",
-        "sxy",
-        "sxx",
-        "syy",
-        F.when(
-            (vx > 0) & (vy > 0),
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
-        )
-        .cast("double")
-        .alias("acf"),
-    )
-
-
-@register(
-    "x43_source_overlap",
-    f"""
-    WITH pres AS (
-      SELECT DISTINCT source, t
-      FROM documents, unnest({_tx.tokens_sql('text')}) AS u(t)
-    ), sz AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n FROM pres GROUP BY 1
-    ), inter AS (
-      SELECT a.source AS src_a, b.source AS src_b,
-             CAST(count(*) AS BIGINT) AS inter
-      FROM pres a JOIN pres b ON a.t = b.t AND a.source < b.source
-      GROUP BY 1, 2
-    )
-    SELECT sa.source AS src_a, sb.source AS src_b,
-           sa.n AS n_a, sb.n AS n_b,
-           CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
-           CAST(sa.n + sb.n - coalesce(i.inter, 0) AS BIGINT) AS uni,
-           CAST(CAST(coalesce(i.inter, 0) AS DOUBLE)
-                / CAST(sa.n + sb.n - coalesce(i.inter, 0) AS DOUBLE)
-             AS DOUBLE) AS jaccard
-    FROM sz sa JOIN sz sb ON sa.source < sb.source
-    LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
-    """,
-)
-def x43_source_overlap(spark, sf_dir):
-    """Pairwise vocabulary-overlap matrix between sources — exact
-    Jaccard of the distinct-token SETS of every source pair, the
-    corpus-level companion to x41's per-term keyness (x41 says WHICH
-    terms differ; this says HOW FAR APART each pair of sources is —
-    the number a mixing plan (x22) reads before deciding whether two
-    sources even need separate quotas). Exact by construction: token
-    presence collapses to one distinct (source, token) relation
-    (vocabulary x sources sized), the intersection is a token-keyed
-    equi-self-join counted per ordered pair, and union = n_a + n_b −
-    inter by inclusion-exclusion — zero floats until the single
-    output division. Pairs with empty intersections survive through
-    the left join (their jaccard = 0 rows are the finding).
-
-    Shape: one explode + distinct (map-side combinable), one
-    vocabulary-sized self equi-join on token, then source-count²-sized
-    rollups — corpus-scan-bound; the self-join never touches corpus
-    rows. At 100 TB with huge vocabularies the same relation feeds a
-    KMV/minhash estimate (a30's algebra) — this entry is the exact
-    form, preferred while #distinct tokens x #sources fits a shuffle."""
-    d = tbl(spark, sf_dir, "documents")
-    pres = (
-        d.select("source", F.explode(_tx.tokens(F.col("text"))).alias("t"))
-        .distinct()
-        .localCheckpoint()
-    )
-    sz = pres.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = pres.select(F.col("source").alias("src_a"), "t")
-    b = pres.select(F.col("source").alias("src_b"), "t")
-    inter = (
-        a.join(b, "t")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
-    )
-    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
-    pairs = sa.join(sb, F.col("src_a") < F.col("src_b")).join(
-        inter, ["src_a", "src_b"], "left"
-    )
-    inter_c = F.coalesce(F.col("inter"), F.lit(0)).cast("bigint")
-    uni = (F.col("n_a") + F.col("n_b") - inter_c).cast("bigint")
-    return pairs.select(
-        "src_a",
-        "src_b",
-        "n_a",
-        "n_b",
-        inter_c.alias("inter"),
-        uni.alias("uni"),
-        (inter_c.cast("double") / uni.cast("double")).cast("double").alias("jaccard"),
-    )
-
-
-@register(
-    "f20_obv",
-    """
-    WITH c AS (
-      SELECT event_type AS series, CAST(ts AS DATE) AS day,
-             max(struct_pack(t := CAST(ts AS TIMESTAMP),
-                             v := CAST(round(value * 100) AS BIGINT))).v
-               AS close_c,
-             CAST(count(*) AS BIGINT) AS vol
-      FROM events GROUP BY 1, 2
-    ), d AS (
-      SELECT series, day, close_c, vol,
-             close_c - lag(close_c)
-               OVER (PARTITION BY series ORDER BY day) AS diff
-      FROM c
-    )
-    SELECT series, day, close_c, vol,
-           CAST(sum(CASE WHEN diff > 0 THEN vol
-                         WHEN diff < 0 THEN -vol ELSE 0 END)
-                OVER (PARTITION BY series ORDER BY day
-                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
-    FROM d
-    """,
-)
-def f20_obv(spark, sf_dir):
-    """On-balance volume per series — the volume-flow confirmation
-    indicator (rising price on rising OBV = conviction; divergence =
-    distribution), completing the f12-f19 overlay battery. The events
-    fixture has no share-volume column, so volume is the per-(series,
-    day) EVENT COUNT — activity as the volume proxy, stated here
-    rather than silently assumed; swapping a real volume column
-    changes one aggregate. Exact throughout: cent closes, integer
-    day-over-day sign, BIGINT running sum; first-day and flat days
-    contribute 0 (the NULL diff falls into the ELSE arm — pinned, not
-    engine-defaulted).
-
-    Shape: one map-side-combined (series, day) agg collapses the
-    corpus, then one lag + one running-sum window over the SAME
-    per-series ordering (one sort, calendar-bounded rows). The f12/f17
-    scan-bound shape."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    c = (
-        ev.select(
-            F.col("event_type").alias("series"),
-            F.to_date("ts").alias("day"),
-            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
-        )
-        .groupBy("series", "day")
-        .agg(
-            F.max("s")["v"].alias("close_c"),
-            F.count(F.lit(1)).cast("bigint").alias("vol"),
-        )
-    )
-    wd = Window.partitionBy("series").orderBy("day")
-    wrun = wd.rowsBetween(Window.unboundedPreceding, 0)
-    diff = F.col("close_c") - F.lag("close_c").over(wd)
-    signed = (
-        F.when(diff > 0, F.col("vol"))
-        .when(diff < 0, -F.col("vol"))
-        .otherwise(F.lit(0))
-    )
-    d = c.select("series", "day", "close_c", "vol", signed.alias("sv"))
-    return d.select(
-        "series",
-        "day",
-        "close_c",
-        "vol",
-        F.sum("sv").over(wrun).cast("bigint").alias("obv"),
-    )
-
-
-def _m24_oracle() -> str:
-    score_base = _gbt_score_sql()
-    legs = []
-    for feat in ("q", "dc", "pc"):
-        sc = _gbt_score_sql({feat: f"{feat}_p"})
-        legs.append(
-            f"""SELECT '{feat}' AS feature, n, corr_base AS n_correct_base,
-             corr_{feat} AS n_correct_perm,
-             CAST(CAST(corr_base - corr_{feat} AS DOUBLE)
-                  / CAST(n AS DOUBLE) AS DOUBLE) AS acc_drop
-      FROM agg"""
-        )
-    corr_cols = ",\n             ".join(
-        f"""CAST(sum(CASE WHEN (CASE WHEN {_gbt_score_sql({feat: f"{feat}_p"})} > 0
-                              THEN 1 ELSE 0 END) = label
-                       THEN 1 ELSE 0 END) AS BIGINT) AS corr_{feat}"""
-        for feat in ("q", "dc", "pc")
-    )
-    union = "\n      UNION ALL ".join(legs)
-    return f"""
-    WITH f AS (
-      SELECT concat(CAST(l_orderkey AS VARCHAR), '-',
-                    CAST(l_linenumber AS VARCHAR)) AS rowkey,
-             CAST(floor(l_quantity) AS BIGINT) AS q,
-             CAST(round(l_discount * 100) AS BIGINT) AS dc,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
-      FROM lineitem
-    ), h AS (
-      SELECT *, {_hh.phash60_sql("rowkey", seed="permimp")} AS hv
-      FROM f
-    ), s AS (
-      SELECT *, hv % 64 AS shard FROM h
-    ), p AS (
-      SELECT q, dc, pc,
-             coalesce(lead(q)  OVER w, first_value(q)  OVER w) AS q_p,
-             coalesce(lead(dc) OVER w, first_value(dc) OVER w) AS dc_p,
-             coalesce(lead(pc) OVER w, first_value(pc) OVER w) AS pc_p,
-             CASE WHEN pc * (100 - dc) > 300000000 THEN 1 ELSE 0 END AS label
-      FROM s
-      WINDOW w AS (PARTITION BY shard ORDER BY hv, rowkey, q, dc, pc)
-    ), agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN (CASE WHEN {score_base} > 0
-                                 THEN 1 ELSE 0 END) = label
-                      THEN 1 ELSE 0 END) AS BIGINT) AS corr_base,
-             {corr_cols}
-      FROM p
-    )
-    {union}
-    """
-
-
-@register("m24_permutation_importance", _m24_oracle())
-def m24_permutation_importance(spark, sf_dir):
-    """Permutation feature importance for the m19 plan-compiled GBT —
-    the model-agnostic explainability eval: break one feature's
-    row-association, re-score, and read the accuracy drop (a feature
-    whose permutation costs nothing is dead weight; here pc carries the
-    signal because the m19 label derives from it — the expected
-    readout, now measured rather than asserted). The "permutation" is a
-    DETERMINISTIC within-shard rotation: rows rank by the 60-bit
-    cross-engine md5 hash inside 64 hash shards and each row takes its
-    successor's feature value (the last row wraps to the shard's
-    first) — association-breaking like a random permutation, but
-    reproducible, oracle-exact, and free of the global sort a true
-    random permutation join would need (the x31 per-shard discipline).
-    All three permuted variants ride ONE window pass; the four scores
-    (base + 3) are CASE chains from the SAME GBT_TREES literal
-    (_gbt_score_sql's rename map — model and oracle cannot drift), and
-    accuracy counts are exact BIGINTs with one output division per
-    feature row.
-
-    Shape: one scan, one 64-shard window sort (no global ordering),
-    one 1-row aggregate, a 3-row literal unpivot. Scan-bound at any
-    scale; the shard count just tracks cluster parallelism."""
-    from pyspark.sql import Window
-
-    li = tbl(spark, sf_dir, "lineitem")
-    f = li.select(
-        F.concat(
-            F.col("l_orderkey").cast("string"),
-            F.lit("-"),
-            F.col("l_linenumber").cast("string"),
-        ).alias("rowkey"),
-        F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
-        F.round(F.col("l_discount") * 100).cast("bigint").alias("dc"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
-    ).withColumn("hv", _hh.phash60(F.col("rowkey"), seed="permimp"))
-    # (hv, rowkey) alone is NOT a total order: the synthetic fixture has
-    # duplicate (l_orderkey, l_linenumber) pairs (45,832 distinct keys on
-    # 60,000 rows at sf0.01 — caught by the oracle gate as a ±5-count
-    # drift in the permuted accuracies). Appending the feature columns
-    # makes remaining ties INDISTINGUISHABLE rows: either engine may
-    # order them freely, but the multiset of (features, permuted value)
-    # pairs — all the scoring sees — is then identical by construction.
-    w = Window.partitionBy(F.col("hv") % 64).orderBy(
-        "hv", "rowkey", "q", "dc", "pc"
-    )
-    perm = f.select(
-        "q",
-        "dc",
-        "pc",
-        *[
-            F.coalesce(F.lead(c).over(w), F.first(c).over(w)).alias(f"{c}_p")
-            for c in ("q", "dc", "pc")
-        ],
-        F.when(
-            F.col("pc") * (100 - F.col("dc")) > 300000000, F.lit(1)
-        ).otherwise(F.lit(0)).alias("label"),
-    )
-    def cols_with(feat=None):
-        base = {c: F.col(c) for c in ("q", "dc", "pc")}
-        if feat:
-            base[feat] = F.col(f"{feat}_p")
-        return base
-
-    def corr(feat=None):
-        pred = F.when(_gbt_score_col(cols_with(feat)) > 0, 1).otherwise(0)
-        return (
-            F.sum(F.when(pred == F.col("label"), 1).otherwise(0))
-            .cast("bigint")
-        )
-
-    agg = perm.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        corr().alias("corr_base"),
-        *[corr(feat).alias(f"corr_{feat}") for feat in ("q", "dc", "pc")],
-    )
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(feat).alias("feature"),
-                    F.col(f"corr_{feat}").alias("cp"),
-                )
-                for feat in ("q", "dc", "pc")
-            ]
-        )
-    ).alias("r")
-    return agg.select("n", "corr_base", rows).select(
-        F.col("r.feature").alias("feature"),
-        "n",
-        F.col("corr_base").alias("n_correct_base"),
-        F.col("r.cp").alias("n_correct_perm"),
-        (
-            (F.col("corr_base") - F.col("r.cp")).cast("double")
-            / F.col("n").cast("double")
-        )
-        .cast("double")
-        .alias("acc_drop"),
-    )
-
-
-#: Poisson(1) CDF in parts-per-million, cumulative for k = 0..7 — ONE
-#: literal table feeding both engines (the GBT_TREES/_NDCG_W rule). A
-#: hash-uniform u in [0, 1e6) maps to weight w = #thresholds <= u, i.e.
-#: P(w = k) = the Poisson(1) pmf truncated at 8 (tail mass 1e-5).
-_POIS_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
-_BOOT_B = 32
-
-
-def _m25_oracle() -> str:
-    w_sql = "(" + " + ".join(
-        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POIS_PPM
-    ) + ")"
-    return f"""
-    WITH t AS (
-      SELECT event_type AS series, event_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM events
-    ), pt AS (
-      SELECT series, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS sx
-      FROM t GROUP BY 1
-    ), r AS (
-      SELECT series, cents, b,
-             {_hh.phash60_sql(
-                 "concat(CAST(event_id AS VARCHAR), '|', CAST(b AS VARCHAR))",
-                 seed="boot")} % 1000000 AS u
-      FROM t, LATERAL unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
-    ), wts AS (
-      SELECT series, b, {w_sql} AS w, cents FROM r
-    ), rep AS (
-      SELECT series, b, CAST(sum(w) AS BIGINT) AS sw,
-             CAST(sum(w * cents) AS BIGINT) AS swx
-      FROM wts GROUP BY 1, 2 HAVING sum(w) > 0
-    ), means AS (
-      SELECT series, b, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
-             row_number() OVER (PARTITION BY series
-                                ORDER BY CAST(swx AS DOUBLE)
-                                         / CAST(sw AS DOUBLE), b) AS rn,
-             count(*) OVER (PARTITION BY series) AS np
-      FROM rep
-    )
-    SELECT p.series, p.n,
-           CAST(CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE) AS DOUBLE)
-             AS mean_cents,
-           CAST(max(np) AS BIGINT) AS n_replicas,
-           CAST(max(CASE WHEN np >= 3 AND rn = 2 THEN m END) AS DOUBLE)
-             AS ci_lo,
-           CAST(max(CASE WHEN np >= 3 AND rn = np - 1 THEN m END) AS DOUBLE)
-             AS ci_hi
-    FROM pt p JOIN means USING (series)
-    GROUP BY 1, 2, 3
-    """
-
-
-@register("m25_bootstrap_ci", _m25_oracle())
-def m25_bootstrap_ci(spark, sf_dir):
-    """Poisson-bootstrap confidence interval for the per-series mean —
-    THE distributed bootstrap (Chamandy et al., "Estimating Uncertainty
-    for Massive Data Streams", Google 2012): instead of resampling n
-    rows with replacement (a shuffle per replica), every row draws an
-    independent Poisson(1) weight per replica — multinomial(n, 1/n)
-    converges to iid Poisson(1) as n grows — so ALL B = 32 replicas
-    ride ONE pass over the corpus with zero resampling shuffles.
-    Determinism and exactness: the weight is derived from the 60-bit
-    cross-engine md5 hash of (event_id, replica) reduced mod 1e6 and
-    cut against the Poisson(1) CDF as parts-per-million INTEGER
-    literals (_POIS_PPM — one literal feeds both engines; no RNG, no
-    transcendental); per-replica (Σw, Σw·x) are exact BIGINTs with one
-    division per replica mean; the CI bounds are SELECTED order
-    statistics of the replica means (rank 2 and rank B−1 of the
-    surviving replicas ≈ a 94% interval at B = 32) — selected, never
-    averaged (the d14/a18/w22 rule), ranked by (mean, replica-id) where
-    the means are bit-identical doubles in both engines by identical
-    spelling. Zero-weight replicas (possible only on tiny groups) are
-    excluded by an exact HAVING on Σw and the bounds are NULL when
-    fewer than 3 replicas survive — pinned, not engine-defaulted.
-
-    Shape: one corpus scan exploded x32 (map-side-combined agg
-    collapses it immediately; the explode is a Generate over a
-    sequence literal, no join), one (series, replica) agg, one
-    per-series window over <= 32 rows, a broadcast-sized join back to
-    the exact point estimate. At 100 TB this is exactly the production
-    uncertainty pipeline: B more replicas = one wider integer array,
-    never another data pass."""
-    from pyspark.sql import Window
-
-    ev = tbl(spark, sf_dir, "events")
-    t = ev.select(
-        F.col("event_type").alias("series"),
-        "event_id",
-        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
-    )
-    pt = t.groupBy("series").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("sx"),
-    )
-    r = t.select(
-        "series",
-        "cents",
-        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
-        "event_id",
-    ).withColumn(
-        "u",
-        _hh.phash60(
-            F.concat(
-                F.col("event_id").cast("string"),
-                F.lit("|"),
-                F.col("b").cast("string"),
-            ),
-            seed="boot",
-        )
-        % 1000000,
-    )
-    w = sum(
-        F.when(F.col("u") >= F.lit(thr), 1).otherwise(0) for thr in _POIS_PPM
-    )
-    rep = (
-        r.select("series", "b", w.alias("w"), "cents")
-        .groupBy("series", "b")
-        .agg(
-            F.sum("w").cast("bigint").alias("sw"),
-            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("swx"),
-        )
-        .filter(F.col("sw") > 0)
-    )
-    m = (F.col("swx").cast("double") / F.col("sw").cast("double")).alias("m")
-    wd = Window.partitionBy("series").orderBy(
-        F.col("swx").cast("double") / F.col("sw").cast("double"), "b"
-    )
-    wp = Window.partitionBy("series")
-    means = rep.select(
-        "series",
-        m,
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("np"),
-    )
-    sel = means.groupBy("series").agg(
-        F.max("np").cast("bigint").alias("n_replicas"),
-        F.max(
-            F.when((F.col("np") >= 3) & (F.col("rn") == 2), F.col("m"))
-        ).cast("double").alias("ci_lo"),
-        F.max(
-            F.when(
-                (F.col("np") >= 3) & (F.col("rn") == F.col("np") - 1),
-                F.col("m"),
-            )
-        ).cast("double").alias("ci_hi"),
-    )
-    return pt.join(sel, "series").select(
-        "series",
-        "n",
-        (F.col("sx").cast("double") / F.col("n").cast("double"))
-        .cast("double")
-        .alias("mean_cents"),
-        "n_replicas",
-        "ci_lo",
-        "ci_hi",
-    )
-
-
-@register(
-    "x44_temperature_mix",
-    """
-    WITH c AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY 1
-    ), w AS (
-      SELECT source, n_docs,
-             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 10000.0)) AS BIGINT)
-               AS weight
-      FROM c
-    ), t AS (
-      SELECT source, n_docs, weight,
-             CAST(sum(weight) OVER () AS BIGINT) AS wtot
-      FROM w
-    ), q AS (
-      SELECT source, n_docs, weight,
-             CAST(1000 * weight // wtot AS BIGINT) AS q0,
-             CAST((1000 * weight) % wtot AS BIGINT) AS rem
-      FROM t
-    ), dq AS (
-      SELECT *, CAST(1000 - sum(q0) OVER () AS BIGINT) AS deficit FROM q
-    ), r AS (
-      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn FROM dq
-    )
-    SELECT source, n_docs, weight,
-           CAST(q0 + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT)
-             AS quota
-    FROM r
-    """,
-)
-def x44_temperature_mix(spark, sf_dir):
-    """Temperature-scaled domain-mixture quotas — the sampling budget a
-    multilingual/multi-domain training run actually allocates: raw
-    per-domain counts are flattened by alpha = 0.5 (w_i ~ n_i^0.5, the
-    mT5/CC-mix temperature rule), and a fixed budget of 1000 documents
-    is apportioned by LARGEST-REMAINDER rounding (floor quotas, then the
-    leftover seats go to the largest fractional remainders, ties to the
-    alphabetically-first domain) so the quotas are integers that sum to
-    the budget EXACTLY — no stochastic rounding, no drifting totals.
-
-    Exactness discipline: sqrt is NOT in the banned-transcendental class
-    (the m9/x26 quantized-log rule) because IEEE 754 REQUIRES correctly
-    rounded sqrt — both engines produce the identical double for the
-    identical integer, and the x100 fixed-point scale (floor(sqrt(n *
-    10^4)) = floor(100*sqrt(n))) keeps the product inside the 2^52
-    exact-integer range for any plausible domain count (< 4e11 docs per
-    domain). Everything after the sqrt is int64: floor division against
-    the weight total, modular remainders, one row_number over the
-    domain-sized frame.
-
-    Scale shape: one map-side-combined count agg over the corpus; the
-    apportionment runs on the DOMAIN-count-sized frame (thousands of
-    rows at worst) in a single partition window — the corpus itself is
-    touched exactly once. Pairs with x22 (domain mix audit) and o5 (PPS
-    sampling): x43 decides the quota, o5-style hash gates then draw it
-    deterministically."""
-    from pyspark.sql import Window
-
-    d = tbl(spark, sf_dir, "documents")
-    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    w = c.withColumn(
-        "weight",
-        F.floor(F.sqrt(F.col("n_docs").cast("double") * F.lit(10000.0))).cast(
-            "bigint"
-        ),
-    )
-    everything = Window.partitionBy()
-    wtot = F.sum("weight").over(everything)
-    q = w.select(
-        "source",
-        "n_docs",
-        "weight",
-        F.expr("1000 * weight").alias("_bw"),
-        wtot.alias("_wtot"),
-    ).select(
-        "source",
-        "n_docs",
-        "weight",
-        F.expr("_bw div _wtot").cast("bigint").alias("q0"),
-        (F.col("_bw") % F.col("_wtot")).cast("bigint").alias("rem"),
-    )
-    q = q.withColumn(
-        "deficit", (F.lit(1000) - F.sum("q0").over(everything)).cast("bigint")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy().orderBy(F.col("rem").desc(), F.col("source"))
-        ),
-    )
-    return q.select(
-        "source",
-        "n_docs",
-        "weight",
-        (
-            F.col("q0")
-            + F.when(F.col("rn") <= F.col("deficit"), F.lit(1)).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("quota"),
-    )
-
-
-@register(
-    "t28_stream_histogram_view",
-    """
-    WITH b AS (
-      SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
-    ), c AS (
-      SELECT event_type, bin, n,
-             sum(n) OVER (PARTITION BY event_type ORDER BY bin
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum,
-             sum(n) OVER (PARTITION BY event_type) AS tot
-      FROM b
-    )
-    SELECT event_type,
-           CAST(max(tot) AS BIGINT) AS n_rows,
-           CAST(count(*) AS BIGINT) AS n_bins,
-           CAST(min(CASE WHEN 2 * cum >= tot THEN bin END) AS BIGINT)
-             AS med_bin
-    FROM c GROUP BY 1
-    """,
-    lazy_replay=True,
-)
-def t28_stream_histogram_view(spark, sf_dir):
-    """STREAMING maintenance of per-series sparse equi-width histograms —
-    the MERGEABLE-QUANTILE member of the sketch-view family (t20 add /
-    t22 register-max / t25 word-OR / t26 order-statistic): bin counts
-    merge by CELL-WISE ADDITION exactly like the CMS matrix (the sketch
-    is linear), but unlike the CMS the serving read answers ORDER
-    statistics — the median bin is the first bin whose doubled
-    cumulative count reaches the series total, i.e. a quantile answered
-    from state without ever re-sorting raw data. Bins are 10-dollar
-    (1000-cent) buckets keyed sparsely: only observed bins hold a row,
-    so the state is O(distinct bins), not O(range). The feed replays in
-    3 micro-batches; each batch collapses map-side to its own (type,
-    bin, n) partials before touching the view; the merged view must
-    hash-match the one-shot batch histogram and its derived median bin
-    (one quantized bin boundary, exact integers on both engines).
-
-    Scale: a 100 TB feed reduces per micro-batch to at most
-    |types| x |bins| rows before the merge join; the view never exceeds
-    the same bound, and the serving read's window runs over bin-count
-    frames (hundreds of rows), never over events. The production shape
-    for 'p50/p99 per key, updated every batch' dashboards where a
-    t-digest's float centroids would not hash-gate."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    ev = tbl(spark, sf_dir, "events")
-    feed = ev.select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
-    )
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "histmv_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(
-        spark,
-        _os.path.join(root, "mv"),
-        ["event_type", "bin"],
-        partition_by="event_type",
-    )
-
-    def fn(cur, b):
-        delta = b.groupBy(
-            "event_type", F.expr("value_c div 1000").cast("bigint").alias("bin")
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        if cur is None:
-            return delta
-        return (
-            cur.alias("v")
-            .join(delta.alias("d"), ["event_type", "bin"], "full_outer")
-            .select(
-                "event_type",
-                "bin",
-                (
-                    F.coalesce(F.col("v.n"), F.lit(0))
-                    + F.coalesce(F.col("d.n"), F.lit(0))
-                )
-                .cast("bigint")
-                .alias("n"),
-            )
-        )
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(
-            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="hist")
-        )
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    from pyspark.sql import Window
-
-    hist = view.read()
-    w = Window.partitionBy("event_type").orderBy("bin")
-    c = hist.select(
-        "event_type",
-        "bin",
-        "n",
-        F.sum("n").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
-        F.sum("n").over(Window.partitionBy("event_type")).alias("tot"),
-    )
-    return c.groupBy("event_type").agg(
-        F.max("tot").cast("bigint").alias("n_rows"),
-        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
-        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("bin")))
-        .cast("bigint")
-        .alias("med_bin"),
-    )
-
-
-@register(
-    "t29_stream_minhash_view",
-    f"""
-    WITH sigs AS (
-      SELECT source, {_dd.minhash_signature_sql('text')} AS sig
-      FROM documents
-      WHERE len({_tx.tokens_sql('text')}) >= {_dd.SHINGLE}
-    ), per AS (
-      SELECT source, u.i AS perm, CAST(min(sig[u.i]) AS BIGINT) AS v
-      FROM sigs, unnest(generate_series(1, {_dd.MH_K})) AS u(i)
-      GROUP BY 1, 2
-    )
-    SELECT a.source AS src_a, b.source AS src_b,
-           CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_match,
-           CAST(CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
-                / {_dd.MH_K} AS DOUBLE) AS est_jaccard
-    FROM per a JOIN per b ON a.perm = b.perm AND a.source < b.source
-    GROUP BY 1, 2
-    """,
-    lazy_replay=True,
-)
-def t29_stream_minhash_view(spark, sf_dir):
-    """STREAMING domain-overlap monitor: per-SOURCE minhash signatures
-    maintained as a keyed view under REGISTER-WISE MIN — the merge
-    algebra the sketch-view family was missing (t20 add / t22 register
-    MAX / t25 word OR / t26 order-statistic / t28 cell add; minhash is
-    the MIN dual of HLL's MAX): min over a union of shingle sets is the
-    elementwise min of the parts' minima, so micro-batch boundaries are
-    invisible by algebra and the streamed signatures converge exactly
-    to the one-shot batch sketch. The serving read then estimates
-    cross-domain Jaccard similarity as the fraction of agreeing
-    permutations between any two sources — the incremental
-    contamination/overlap audit an ingest pipeline runs WHILE crawling
-    (is this new feed a near-copy of a domain we already hold?), using
-    d2's exact signature machinery (ext/dedup.py:minhash_signature,
-    identical constants, so the estimates are comparable across the
-    dedup battery). Documents too short to shingle (< 3 tokens) carry
-    no evidence and are dropped identically in both engines.
-
-    Scale: each micro-batch collapses map-side to <= |sources| x 16
-    (source, perm, min) rows BEFORE touching the view (the t22 shape);
-    the view holds exactly |sources| x 16 rows forever, and the pair
-    read is a self-join on the 16-row perm axis of a domain-sized
-    table — no stage ever re-reads the corpus. The per-doc sketching
-    cost is d2's, paid once per arriving batch."""
-    import os as _os
-    import uuid
-
-    from ..streaming.upsert import KeyedParquetView
-
-    prepare(spark)
-    d = tbl(spark, sf_dir, "documents")
-    feed = d.select("doc_id", "source", "text")
-    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
-    root = _os.path.join(scratch, "mhmv_" + uuid.uuid4().hex[:8])
-    stage = _os.path.join(root, "feed")
-    feed.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(stage)
-    view = KeyedParquetView(
-        spark,
-        _os.path.join(root, "mv"),
-        ["source", "perm"],
-        partition_by="source",
-    )
-
-    def fn(cur, b):
-        toks = b.select("source", _tx.tokens(F.col("text")).alias("_toks"))
-        sh = toks.select(
-            "source", _dd.shingles_of_tokens(F.col("_toks")).alias("_sh")
-        )
-        hs = sh.select("source", _dd.shingle_hashes(F.col("_sh")).alias("hs"))
-        sig = hs.filter(F.size("hs") > 0).select(
-            "source", _dd.minhash_signature(F.col("hs")).alias("sig")
-        )
-        delta = (
-            sig.select(
-                "source", F.posexplode("sig").alias("perm0", "v")
-            )
-            .select(
-                "source",
-                (F.col("perm0") + 1).cast("bigint").alias("perm"),
-                F.col("v").cast("bigint").alias("v"),
-            )
-            .groupBy("source", "perm")
-            .agg(F.min("v").cast("bigint").alias("v"))
-        )
-        if cur is None:
-            return delta
-        return (
-            cur.alias("c")
-            .join(delta.alias("d"), ["source", "perm"], "full_outer")
-            .select(
-                "source",
-                "perm",
-                F.least(F.col("c.v"), F.col("d.v")).cast("bigint").alias("v"),
-            )
-        )
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(stage).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(
-            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="mh")
-        )
-        .option("checkpointLocation", _os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    per = view.read()
-    if per is None:
-        # every document was too short to shingle: the view holds no
-        # signatures and there are no source pairs — same as the oracle's
-        # empty `sigs` CTE
-        return spark.createDataFrame(
-            [],
-            "src_a string, src_b string, n_match bigint, est_jaccard double",
-        )
-    a = per.select(
-        F.col("source").alias("src_a"), "perm", F.col("v").alias("va")
-    )
-    b2 = per.select(
-        F.col("source").alias("src_b"), "perm", F.col("v").alias("vb")
-    )
-    pairs = a.join(b2, "perm").filter(F.col("src_a") < F.col("src_b"))
-    return pairs.groupBy("src_a", "src_b").agg(
-        F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_match"),
-        (
-            F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.lit(float(_dd.MH_K))
-        )
-        .cast("double")
-        .alias("est_jaccard"),
-    )
-
-
-@register(
-    "m26_mcnemar_test",
-    f"""
-    WITH p AS (
-      SELECT lang,
-             CASE WHEN {_tx.lang_id_sql('text')} = lang THEN 1 ELSE 0 END
-               AS a_ok,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b_ok
-      FROM documents
-    )
-    SELECT CAST(sum(a_ok * b_ok) AS BIGINT) AS n_both_right,
-           CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS n_a_only,
-           CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS n_b_only,
-           CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS n_both_wrong,
-           CAST((sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
-                * (sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
-                AS BIGINT) AS chi2_num,
-           CAST(sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok) AS BIGINT)
-             AS chi2_den,
-           CASE WHEN sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok) = 0
-                THEN NULL
-                ELSE CAST(
-                  CAST((sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
-                       * (sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
-                       AS DOUBLE)
-                  / CAST(sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok)
-                         AS DOUBLE) AS DOUBLE)
-           END AS chi2
-    FROM p
-    """,
-)
-def m26_mcnemar_test(spark, sf_dir):
-    """McNemar's paired-classifier test — the missing member of the eval
-    battery (m20 ROC-AUC ranks ONE scorer, m21 kappa agreement, m23
-    NDCG, m12 calibration): when you replace classifier B with
-    classifier A over the SAME corpus, accuracy deltas lie — what
-    matters is the DISAGREEMENT cells, the documents exactly one model
-    gets right. Here A = the x6 language router and B = the
-    majority-class baseline (predict 'en' always — the bar every
-    learned router must clear); the 2x2 paired-outcome table (both
-    right / A-only / B-only / both wrong) is four exact integer sums
-    over one scan, and the McNemar statistic (b - c)^2 / (b + c) ships
-    as exact integer numerator + denominator (hash-gated) plus ONE IEEE
-    division (the quality_score single-division rule — both engines
-    produce the identical double of the identical integer ratio). No
-    disagreements -> NULL statistic by guard, the a15/a19 ANSI-0/0
-    discipline.
-
-    Shape: one corpus scan, one map-side-combined agg to a single row;
-    the lang vote is the same Column expression x6/x37 ship. At 100 TB
-    the cost IS the scan — the eval is free relative to the inference
-    pass it audits."""
-    d = tbl(spark, sf_dir, "documents")
-    a_ok = F.when(_tx.lang_id(F.col("text")) == F.col("lang"), 1).otherwise(0)
-    b_ok = F.when(F.col("lang") == "en", 1).otherwise(0)
-    p = d.select(a_ok.alias("a_ok"), b_ok.alias("b_ok"))
-    agg = p.agg(
-        F.sum(F.col("a_ok") * F.col("b_ok")).cast("bigint").alias("n_both_right"),
-        F.sum(F.col("a_ok") * (1 - F.col("b_ok")))
-        .cast("bigint")
-        .alias("n_a_only"),
-        F.sum((1 - F.col("a_ok")) * F.col("b_ok"))
-        .cast("bigint")
-        .alias("n_b_only"),
-        F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok")))
-        .cast("bigint")
-        .alias("n_both_wrong"),
-    )
-    diff = F.col("n_a_only") - F.col("n_b_only")
-    den = F.col("n_a_only") + F.col("n_b_only")
-    return agg.select(
-        "n_both_right",
-        "n_a_only",
-        "n_b_only",
-        "n_both_wrong",
-        (diff * diff).cast("bigint").alias("chi2_num"),
-        den.cast("bigint").alias("chi2_den"),
-        F.when(den == 0, F.lit(None).cast("double"))
-        .otherwise((diff * diff).cast("double") / den.cast("double"))
-        .cast("double")
-        .alias("chi2"),
-    )
-
-
-@register(
-    "d17_semdedup",
-    _sim.semantic_dedup_sql("embeddings"),
-)
-def d17_semdedup(spark, sf_dir):
-    """SemDeDup — SEMANTIC dedup over the embedding column, completing the
-    dedup taxonomy: d1 exact bytes, d2/d16 token sets, d3/d10 simhash,
-    d4 char-grams, d5 raw-cosine-within-label, d8 passages, d12
-    containment, d15 edit distance — and now meaning: k-means clusters
-    first (the s6 learned quantizer verbatim), then pairwise cosine ONLY
-    within each learned cell (Abbas et al. 2023). The keep/remove verdict
-    per vector is the training-set curation signal the paper ships:
-    kept=0 rows are the semantically redundant slice of the corpus.
-
-    Candidate generation is cluster-blocked by construction — sum(|cell|^2)
-    pairs, never corpus^2 (the d2-band / d10-byte / d5-label rule, enforced
-    registry-wide by plancheck's no-CartesianProduct gate; the only cross
-    join in the plan is the k-row broadcast centroid table). Removal rule:
-    min-id cluster-mate with cosine >= tau survives as ``dup_of`` (d1's
-    canonical-id discipline). Zero-norm vectors are dropped on both sides
-    before any cosine (the m23 ANSI-DIVIDE_BY_ZERO rule).
-
-    Shape: train = sampled corpus + broadcast k-row centroids (s6);
-    assign = one broadcast argmin pass, no window; pair pass = self-join
-    of the persisted (vec_id, cid, e, nrm) table keyed on cid — one
-    shuffle per side, threshold filter inside the join projection so no
-    pair table materializes; verdict = tiny groupBy + left join back.
-    At 100 TB the paper's regime applies directly: k scales to ~sqrt(N)
-    cells, cells are the parallelism unit, skewed cells salt the
-    self-join key."""
-    return _sim.semantic_dedup(tbl(spark, sf_dir, "embeddings"))
-
-
-_CHI2_MIN_DF = 5  # document-frequency floor: rare-token chi2 is noise
-_CHI2_TOPK = 10
-
-
-@register(
-    "m28_chi2_feature_select",
-    f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, lang, unnest({_tx.tokens_sql('text')}) AS term
-      FROM documents
-    ), nl AS (
-      SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_c FROM tok GROUP BY 1
-    ), tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
-    dtc AS (
-      SELECT term, lang, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
-    ), dt AS (
-      SELECT term, CAST(sum(a) AS BIGINT) AS df_t FROM dtc GROUP BY 1
-      HAVING sum(a) >= {_CHI2_MIN_DF}
-    ), grid AS (
-      SELECT dt.term, nl.lang, nl.n_c, dt.df_t, tot.n,
-             coalesce(dtc.a, 0) AS a
-      FROM dt CROSS JOIN nl CROSS JOIN tot
-      LEFT JOIN dtc ON dtc.term = dt.term AND dtc.lang = nl.lang
-    ), cells AS (
-      SELECT term, lang, a,
-             n_c - a AS b, df_t - a AS c, n - n_c - (df_t - a) AS d,
-             a * (n - n_c - (df_t - a)) - (n_c - a) * (df_t - a) AS dev,
-             n_c * (n - n_c) AS rp, df_t * (n - df_t) AS cp, n
-      FROM grid
-    ), scored AS (
-      SELECT term, lang, a, b, c, d,
-             (CAST(n AS DOUBLE) * CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE))
-               / (CAST(rp AS DOUBLE) * CAST(cp AS DOUBLE)) AS chi2
-      FROM cells WHERE rp > 0 AND cp > 0
-    ), ranked AS (
-      SELECT lang, term, a, b, c, d, chi2,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY chi2 DESC, term) AS rank
-      FROM scored
-    )
-    SELECT lang, term, CAST(rank AS INTEGER) AS rank,
-           a AS n_class_with, b AS n_class_without,
-           c AS n_other_with, d AS n_other_without,
-           CAST(chi2 AS DOUBLE) AS chi2
-    FROM ranked WHERE rank <= {_CHI2_TOPK}
-    """,
-)
-def m28_chi2_feature_select(spark, sf_dir):
-    """Chi-square feature selection — the vocabulary-pruning pass that
-    precedes every bag-of-words model build (the m18 Naive Bayes trains
-    on whatever survives it): per (term, class) the 2x2 presence
-    contingency {{A: class docs with term, B: class docs without, C:
-    other docs with, D: other docs without}} scores
-    chi2 = N*(AD-BC)^2 / ((A+B)(C+D)(A+C)(B+D)), and the top-10 terms
-    per language class ship with their exact integer cells.
-
-    Exactness: every contingency cell is an exact BIGINT from two count
-    aggs; the deviation AD-BC and both marginal products stay integer
-    (bounds: all four cells <= N, so dev <= N^2 — 2.5e9 at sf1, squared
-    only AFTER the double cast because N*dev^2 would overflow BIGINT at
-    ~50k docs). The statistic itself is three IEEE multiplies + one
-    division in the SAME spelled order in both engines — identical
-    doubles, so the (chi2 DESC, term) ranking can't flap (the x41 rule:
-    exact integer witnesses ride along, the one float is output-only).
-    Degenerate margins (single-class corpora, every-doc terms) zero a
-    marginal product and are EXCLUDED by the rp/cp guards — chi2 is
-    undefined there (fuzz: single-lang generated corpora hit this).
-
-    Shape: ONE corpus scan explodes to the distinct (doc, lang, term)
-    presence stream (map-side partial distinct); class-conditional and
-    global document frequencies are two map-side-combined aggs over it;
-    the scoring grid is vocabulary x |classes| — built by crossJoining
-    the df-floored term table with the 5-row class table (broadcast,
-    the m18 model-head bound) — then ONE vocabulary-sized equi-join
-    pulls A. The per-class top-10 window sorts the trimmed vocabulary,
-    never the corpus. At 100 TB the token stream is the staged d4/pipe1
-    table and the min-df floor bounds the grid: the whole selection
-    costs one corpus pass + vocabulary-sized tails."""
-    docs = tbl(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("term")
-        )
-        .distinct()
-        .persist()  # cache: caller-owns — feeds nl/tot/dtc
-    )
-    nl = tok.groupBy("lang").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_c")
-    )
-    tot = tok.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
-    dtc = tok.groupBy("term", "lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("a")
-    )
-    dt = (
-        dtc.groupBy("term")
-        .agg(F.sum("a").cast("bigint").alias("df_t"))
-        .filter(F.col("df_t") >= _CHI2_MIN_DF)
-    )
-    grid = (
-        dt.crossJoin(F.broadcast(nl))
-        .crossJoin(F.broadcast(tot))
-        .join(dtc, ["term", "lang"], "left")
-        .select(
-            "term",
-            "lang",
-            "n_c",
-            "df_t",
-            "n",
-            F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a"),
-        )
-    )
-    cells = grid.select(
-        "term",
-        "lang",
-        "a",
-        (F.col("n_c") - F.col("a")).alias("b"),
-        (F.col("df_t") - F.col("a")).alias("c"),
-        (F.col("n") - F.col("n_c") - (F.col("df_t") - F.col("a"))).alias("d"),
-        (
-            F.col("a") * (F.col("n") - F.col("n_c") - (F.col("df_t") - F.col("a")))
-            - (F.col("n_c") - F.col("a")) * (F.col("df_t") - F.col("a"))
-        ).alias("dev"),
-        (F.col("n_c") * (F.col("n") - F.col("n_c"))).alias("rp"),
-        (F.col("df_t") * (F.col("n") - F.col("df_t"))).alias("cp"),
-        "n",
-    )
-    scored = cells.filter((F.col("rp") > 0) & (F.col("cp") > 0)).select(
-        "term",
-        "lang",
-        "a",
-        "b",
-        "c",
-        "d",
-        (
-            (
-                F.col("n").cast("double")
-                * F.col("dev").cast("double")
-                * F.col("dev").cast("double")
-            )
-            / (F.col("rp").cast("double") * F.col("cp").cast("double"))
-        ).alias("chi2"),
-    )
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("term"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _CHI2_TOPK)
-        .select(
-            "lang",
-            "term",
-            F.col("rank").cast("int").alias("rank"),
-            F.col("a").alias("n_class_with"),
-            F.col("b").alias("n_class_without"),
-            F.col("c").alias("n_other_with"),
-            F.col("d").alias("n_other_without"),
-            F.col("chi2").cast("double").alias("chi2"),
-        )
-    )
-
-
-def _bpe_fertility_oracle(n_merges: int = 3) -> str:
-    """Per-language twin of _bpe_oracle: lang rides the word-type table
-    through every fold round (the merge WINNERS stay global — pair counts
-    aggregate over all languages, matching x40's merge table exactly),
-    and the close reads per-language fertility off the fused reps."""
-    parts = [
-        """
-    WITH tok AS (
-      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
-    ), wf AS (
-      SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE w <> ''
-      GROUP BY 1, 2
-    ), r0 AS (
-      SELECT lang,
-             trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS rep,
-             freq, CAST(length(w) AS BIGINT) AS wlen
-      FROM wf
-    )"""
-    ]
-    for k in range(1, n_merges + 1):
-        parts.append(
-            f""", p{k} AS (
-      SELECT l[i] AS pa, l[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS cnt
-      FROM (SELECT string_split(rep, ' ') AS l, freq FROM r{k - 1}) s,
-           LATERAL unnest(generate_series(1, len(l) - 1)) AS u(i)
-      GROUP BY 1, 2
-    ), t{k} AS (
-      SELECT pa, pb FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
-    ), r{k} AS (
-      SELECT lang,
-             CASE WHEN t.pa IS NULL THEN rep
-             ELSE list_reduce(string_split(rep, ' '),
-               (acc, x) -> CASE
-                 WHEN x = t.pb
-                      AND (acc = t.pa OR ends_with(acc, ' ' || t.pa))
-                 THEN left(acc, length(acc) - length(t.pa)) || t.pa || t.pb
-                 ELSE acc || ' ' || x END) END AS rep,
-             freq, wlen
-      FROM r{k - 1} LEFT JOIN t{k} AS t ON TRUE
-    )"""
-        )
-    parts.append(
-        f"""
-    , fused AS (
-      SELECT lang, freq, wlen, string_split(rep, ' ') AS syms FROM r{n_merges}
-    ), sized AS (
-      SELECT lang, freq, wlen,
-             CAST(len(syms)
-                  - CASE WHEN syms[len(syms)] = '</w>' THEN 1 ELSE 0 END
-                  AS BIGINT) AS ntok
-      FROM fused
-    ), agg AS (
-      SELECT lang,
-             CAST(count(*) AS BIGINT) AS n_word_types,
-             CAST(sum(freq) AS BIGINT) AS ws_tokens,
-             CAST(sum(freq * ntok) AS BIGINT) AS bpe_tokens,
-             CAST(sum(freq * wlen) AS BIGINT) AS n_chars
-      FROM sized GROUP BY 1
-    )
-    SELECT lang, n_word_types, ws_tokens, bpe_tokens, n_chars,
-           CAST(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
-                AS DOUBLE) AS fertility,
-           CAST(CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
-                AS DOUBLE) AS chars_per_token
-    FROM agg
-    """
-    )
-    return "".join(parts)
-
-
-@register("x45_tokenizer_fertility", _bpe_fertility_oracle(3))
-def x45_tokenizer_fertility(spark, sf_dir):
-    """Per-language tokenizer FERTILITY audit — BPE tokens per whitespace
-    word and characters per BPE token, the metric multilingual pipelines
-    read before freezing a tokenizer (a vocabulary trained on an
-    en-heavy mix over-segments the other languages; fertility is where
-    that shows up, and it prices every downstream token budget x20/x27
-    allocates). Completes the x40/x42 tokenizer pair with its EVAL: x40
-    learns the merges, x42 applies them, x45 scores the result per
-    language class.
-
-    Semantics: merges are trained GLOBALLY (pair counts aggregate over
-    all languages — bit-identical winners to x40's merge table since
-    summing per-language word frequencies commutes with the pair
-    explode), then scored per language off the lang-keyed word-type
-    table. A word's token count is its fused symbol count EXCLUDING a
-    still-unfused trailing '</w>' sentinel (a symbol that ABSORBED the
-    sentinel is a real token); all counts are exact BIGINTs weighted by
-    word frequency, and the two ratios are single IEEE divisions of
-    exact integers (the m26 rule — denominators are positive whenever
-    the language group exists, since every surviving word contributes
-    >= 1 whitespace token and >= 1 symbol).
-
-    Shape: ONE corpus collapse into the (lang, word-type) table (the
-    x40 Heaps-law move — everything after is vocabulary-sized), k fold
-    rounds each = one map-side pair-count agg + a 1-row broadcast winner
-    crossJoin folded map-side (localCheckpoint per round, the g7
-    fixed-point discipline), then one final per-lang agg. No window, no
-    sort, no Python; lang never enters a shuffle key until the 5-group
-    closing agg."""
-    docs = tbl(spark, sf_dir, "documents")
-    wf = (
-        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("lang", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    )
-    cur = wf.select(
-        "lang",
-        F.concat(
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" </w>")
-        ).alias("rep"),
-        "freq",
-        F.length("w").cast("bigint").alias("wlen"),
-    ).localCheckpoint()
-    for _k in range(3):
-        pairs = (
-            cur.select("freq", F.split(F.col("rep"), " ").alias("syms"))
-            .filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(syms[i-1] AS pa, syms[i] AS pb))"
-                    )
-                ).alias("p"),
-            )
-        )
-        top = (
-            pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), "pa", "pb")
-            .limit(1)
-            .select(
-                F.lit(1).alias("_k"),
-                F.col("pa").alias("_pa"),
-                F.col("pb").alias("_pb"),
-            )
-        )
-        # same empty-winner guard as _bpe_train: a round with no pairs
-        # left must no-op, never empty the lang-keyed word-type table
-        cur = (
-            cur.withColumn("_k", F.lit(1))
-            .join(F.broadcast(top), "_k", "left")
-            .select("lang", F.expr(_BPE_FOLD).alias("rep"), "freq", "wlen")
-            .localCheckpoint()
-        )
-    sized = cur.select(
-        "lang",
-        "freq",
-        "wlen",
-        (
-            F.size(F.split(F.col("rep"), " "))
-            - F.when(
-                F.element_at(F.split(F.col("rep"), " "), -1) == "</w>", 1
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("ntok"),
-    )
-    agg = sized.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
-        F.sum("freq").cast("bigint").alias("ws_tokens"),
-        F.sum(F.col("freq") * F.col("ntok")).cast("bigint").alias("bpe_tokens"),
-        F.sum(F.col("freq") * F.col("wlen")).cast("bigint").alias("n_chars"),
-    )
-    return agg.select(
-        "lang",
-        "n_word_types",
-        "ws_tokens",
-        "bpe_tokens",
-        "n_chars",
-        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double"))
-        .cast("double")
-        .alias("fertility"),
-        (F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double"))
-        .cast("double")
-        .alias("chars_per_token"),
-    )
-
-
-@register(
-    "pipe4_export_manifest",
-    _PIPE_FUNNEL_CTES
-    + f"""
-    , kept AS (
-      SELECT doc_id, source, n_chars, ntok,
-             {phash60_sql("CAST(doc_id AS VARCHAR)", seed="shuf")}
-               % {N_SHUF_SHARDS} AS shard
-      FROM g WHERE s5 = 1
-    )
-    SELECT CAST(shard AS BIGINT) AS shard, source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(ntok) AS BIGINT) AS n_tokens,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
-           CAST(max(doc_id) AS BIGINT) AS max_doc_id
-    FROM kept GROUP BY 1, 2
-    """,
-)
-def pipe4_export_manifest(spark, sf_dir):
-    """Training-shard EXPORT MANIFEST — the closing stage of the corpus
-    prep story and the artifact a training run actually mounts: pipe1
-    proves the gates, pipe3 prices the attrition, pipe4 says what SHIPS —
-    per (shard, domain): document count, exact whitespace-token budget,
-    char mass, and the doc-id range, for every document that survives the
-    full funnel (length, langid, quality, canonical-dedup,
-    eval-decontamination). Shards are x31's reproducible hash shards
-    (same 60-bit key, same seed, same modulus), so this manifest IS the
-    read plan for x31's shuffled loading order — the two entries describe
-    one export.
-
-    The manifest is the load-balance audit in table form: a skewed
-    hash (or a domain glued to one shard) shows as an n_tokens outlier
-    row, which is exactly what a 1000-reader training job checks before
-    launch. All columns are exact integers off the shared funnel frame —
-    no new corpus work beyond pipe3's one scan (the flag battery and the
-    shard key ride the same staged token barrier).
-
-    Shape: _prep_survivor_flags (one scan + one h-keyed window exchange +
-    one broadcast) -> s5 filter -> ONE map-side-combined agg keyed
-    (shard, source) — 16 x |domains| output rows regardless of corpus
-    size. At 100 TB the kept rows would also WRITE partitioned by shard
-    (the p12 layout); the manifest is this same agg emitted by that job."""
-    g = _prep_survivor_flags(spark, sf_dir)
-    kept = g.filter(F.col("s5") == 1).select(
-        "doc_id",
-        "source",
-        "n_chars",
-        "ntok",
-        (phash60(F.col("doc_id").cast("string"), seed="shuf") % N_SHUF_SHARDS)
-        .cast("bigint")
-        .alias("shard"),
-    )
-    return kept.groupBy("shard", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("ntok").cast("bigint").alias("n_tokens"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
-        F.min("doc_id").cast("bigint").alias("min_doc_id"),
-        F.max("doc_id").cast("bigint").alias("max_doc_id"),
-    )
-
-
-@register(
-    "d18_substring_dedup",
-    _dd.substring_spans_sql("documents"),
-)
-def d18_substring_dedup(spark, sf_dir):
-    """Substring-level exact dedup (Lee et al. 2022) — the LAST rung of
-    the dedup ladder: d1 dedups whole documents, d8 fixed passages, x36
-    reports shared content-defined chunks; this entry finds MAXIMAL
-    cross-document verbatim substring spans — the quoted-article /
-    license-block / templated-intro duplication that survives every
-    document-level pass and that the paper removes with a corpus-wide
-    suffix array. Distributed re-expression (ext/dedup.substring_spans):
-    content-defined chunk fingerprints (boundaries re-synchronize one
-    chunk after any edit, so a shared TAIL still collides even when the
-    head was edited) equi-join across documents, then adjacent shared
-    chunks stitch into maximal spans via gaps-and-islands on the
-    (doc_a, doc_b, chunk-index-difference) diagonal — chunk index minus
-    rank is constant exactly on a consecutive run, so one groupBy emits
-    each maximal span once. Output: (doc_a, doc_b, start_a, start_b,
-    n_chunks, span_toks) per span >= 20 tokens (the paper's production
-    floor is 50 on web-scale docs; the fixture's ~55-token docs need the
-    lower floor to exercise multi-chunk stitching).
-
-    Scale: never a suffix array in the driver — the chunk table is
-    ~N_tokens/8 rows built by one per-doc window; the document-frequency
-    gate (2..8 docs) bounds the pair join's worst key fan-out at df_cap^2
-    (boilerplate chunks shared by MORE docs are a different signal, x36's
-    corpus-wide report owns them); the islands window partitions by
-    (doc_a, doc_b, diag) — millions of tiny partitions, no global sort.
-    Reference parity: the reference has no dedup at all (its news
-    pipeline trusts the feed); this is part of the beyond-reference
-    training-data battery."""
-    return _dd.substring_spans(tbl(spark, sf_dir, "documents"))
-
-
-@register(
-    "d19_substring_trim_plan",
-    _dd.substring_trim_plan_sql("documents"),
-)
-def d19_substring_trim_plan(spark, sf_dir):
-    """The trim PLAN on top of d18 — what a substring-dedup pass would
-    actually DO to the corpus: per victim document (the higher doc_id of
-    each span, d1's keep-the-lower-id rule), the exact token budget
-    removed. Spans from different partners overlap on the same victim
-    (k near-copies of one passage each contribute a span over the same
-    region), so the exact count is the per-doc INTERVAL UNION of
-    [start_b, start_b + span_toks) — w19's running-max-of-ends
-    gaps-and-islands replayed over token positions. Real pipelines
-    ship exactly this artifact (Lee et al. 2022 cut the spans, not the
-    docs): trim_toks prices the cut, n_spans/n_islands say how
-    fragmented it is.
-
-    Scale: d18's plan plus one window and two hash aggs over the SPAN
-    relation — which is duplication-sized, not corpus-sized; the window
-    partitions per victim doc. All exact integers."""
-    return _dd.substring_trim_plan(tbl(spark, sf_dir, "documents"))
-
-
-@register(
-    "d20_substring_decontamination",
-    _dd.substring_contamination_sql("documents", _split_sql("doc_id")),
-)
-def d20_substring_decontamination(spark, sf_dir):
-    """Substring-level train/eval DECONTAMINATION — the quoted-passage
-    leak doc-level decontamination cannot see: x14 and the pipe funnel's
-    s5 stage drop train docs whose whole-document fingerprint matches an
-    eval doc (and pipe2 audits near-dup split leakage), but a train doc
-    QUOTING twenty eval tokens verbatim sails through both and inflates
-    the benchmark anyway. GPT-3 scrubbed this class with 13-gram overlap
-    (Brown et al. 2020, App. C); Lee et al. 2022 §6.2 measure it with
-    shared substrings. Here: d18's chunk-fingerprint machinery with the
-    self-join swapped for a train-side x val-side equi-join (same
-    x31-seeded hash split as pipe1/pipe2, same corpus-wide df
-    boilerplate cap), islands stitched per (train doc, val doc)
-    diagonal, spans >= 20 tokens flag the train doc. Output: one row per
-    contaminated train doc — distinct eval partners, span count, worst
-    span length; the drop list a decontaminated export would subtract.
-
-    Scale: identical bounds to d18 (chunk table ~N_tokens/8, df-capped
-    pair fan-out, per-pair islands windows), with the val side typically
-    corpus-fraction-sized so the pair join's probe side is small."""
-    d = tbl(spark, sf_dir, "documents")
-    return _dd.substring_contamination(
-        d.withColumn("split", _split_col(F.col("doc_id")))
-    )
-
-
-@register(
-    "d21_substring_incremental",
-    f"""
-    SELECT * FROM (
-      {_dd.substring_spans_sql("documents")}
-    ) WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
-    """,
-)
-def d21_substring_incremental(spark, sf_dir):
-    """Incremental substring dedup (ext/dedup.py:
-    incremental_substring_spans) — d6's amortized-store regime closing
-    the r11 substring family: docs with doc_id % 5 == 0 arrive as the
-    NEW batch and are chunk-fingerprinted + probed against the stored
-    fingerprints of the rest; the old corpus is never re-tokenized.
-    Chunking and fingerprints are deterministic pure functions of the
-    text, so the result must EQUAL the full-corpus d18 run restricted
-    to spans touching a new doc — the oracle states exactly that (the
-    d6 equivalence contract). At 100 TB this is the only affordable
-    shape: the corpus chunk table (~N_tokens/8 fingerprint rows) is
-    written once per snapshot, each day's batch pays its own hashing
-    plus fingerprint-table equi-joins, and the df boilerplate gate is
-    one mergeable per-hash count over the store."""
-    d = tbl(spark, sf_dir, "documents")
-    old = d.filter(F.col("doc_id") % 5 != 0)
-    new = d.filter(F.col("doc_id") % 5 == 0)
-    return _dd.incremental_substring_spans(_dd._chunk_fps(old), new)
-
-
-@register(
-    "d22_semdedup_incremental",
-    _sim.incremental_semantic_dedup_sql("embeddings", "{id} % 5 = 0"),
-)
-def d22_semdedup_incremental(spark, sf_dir):
-    """Incremental SemDeDup (ext/similarity.py:incremental_semantic_dedup)
-    — the amortized-store regime (d6 for MinHash, d21 for substrings)
-    applied to the last dedup rung that still re-ran corpus-wide per
-    batch: vectors with vec_id % 5 == 0 arrive as the NEW batch, are
-    assigned to centroids TRAINED ON THE STORED 80% ONLY (the frozen
-    snapshot), and pair-pass only inside the cells the batch touches;
-    the old corpus is never re-trained or re-paired.
-
-    Output is the mergeable removal-map DELTA: per victim vector, the
-    min-id duplicate partner among pairs touching the batch. The oracle
-    states the d21-style equivalence contract directly — train k-means
-    on the old subset, assign EVERYONE to those frozen centroids, build
-    the full within-cell pair relation, keep only pairs touching a new
-    vector, min-group per victim. Equality holds because cell assignment
-    is a pure function of (vector, frozen centroids): the store's rows
-    for old vectors are bit-identical to a recompute, so pruning the
-    pair pass to (new x touched-cell) loses exactly the old-old pairs —
-    the ones the store already accounted for when that data arrived.
-
-    At 100 TB: the store is partitioned by cid (touched-cell probe =
-    partition pruning), the batch pays |batch| x k broadcast-argmin
-    assignment work, and the pair pass inherits d17's measured
-    skewed-cell salting budget. Min-merging the delta into the stored
-    removal map (k5's mergeable-state discipline) reproduces the full
-    frozen-centroid d17 map over the grown corpus."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 5 != 0).filter(
-        _sim._nonzero_vec("embedding")
-    )
-    new = emb.filter(F.col("vec_id") % 5 == 0)
-    cents = _sim.train_kmeans_centroids(old)
-    stored = _sim._sem_cells(old, cents)
-    return _sim.incremental_semantic_dedup(stored, new, cents)
-
-
-@register(
-    "d23_substring_exact_bounds",
-    _dd.substring_spans_exact_sql("documents"),
-)
-def d23_substring_exact_bounds(spark, sf_dir):
-    """d18 with TOKEN-EXACT span boundaries (ext/dedup.py:
-    substring_spans_exact) — closing the r11 verdict's disclosed
-    one-chunk edge approximation: CDC chunking loses up to one
-    ~8-token chunk at each span edge, and d20's contamination
-    decisions near the >= 20-token threshold inherited that blur.
-    For every d18 span, the two edge-adjacent chunk pairs are
-    re-compared token-by-token — left extension = longest common
-    suffix of the preceding chunks, right = longest common prefix of
-    the following ones. CDC determinism (cut-before-token is a pure
-    per-token hash rule, so boundaries align inside any matched
-    region) makes the one-chunk comparison token-exact; a match
-    covering the WHOLE neighbor chunk can only abut a df_cap-gated
-    boilerplate chunk, where extension stops at the gate's own edge.
-
-    Reconciliation contract (pytest-pinned): candidates are exactly
-    d18's spans; per row, start = d18.start - ext_left and span_toks =
-    d18.span_toks + ext_left + ext_right, with ext bounded by the
-    neighbor chunk lengths. The oracle pins the exact start/length
-    columns directly.
-
-    Scale: d18's plan plus four span-count-sized LEFT equi-joins
-    against the chunk table on (doc_id, cidx) and chunk-sized array
-    compares — no new corpus-sized pass, no window, no all-pairs."""
-    return _dd.substring_spans_exact(tbl(spark, sf_dir, "documents"))
+from . import registry_base as _registry_base
+from . import registry_reference as _registry_reference
+from . import registry_ml as _registry_ml
+from . import registry_stream as _registry_stream
+from . import registry_ext as _registry_ext
+from . import registry_relational as _registry_relational
+from . import registry_corpus as _registry_corpus
+from . import registry_lambda as _registry_lambda
+from . import registry_sketch as _registry_sketch
+from . import registry_finance as _registry_finance
+from . import registry_tokenizer as _registry_tokenizer
+
+_PARTS = (
+    _registry_base,
+    _registry_reference,
+    _registry_ml,
+    _registry_stream,
+    _registry_ext,
+    _registry_relational,
+    _registry_corpus,
+    _registry_lambda,
+    _registry_sketch,
+    _registry_finance,
+    _registry_tokenizer,
+)
+
+# later modules win on (nonexistent today) name collisions — the same
+# final-binding semantics the single file had
+for _mod in _PARTS:
+    for _k, _v in vars(_mod).items():
+        if not _k.startswith("__"):
+            globals()[_k] = _v
+del _mod, _k, _v

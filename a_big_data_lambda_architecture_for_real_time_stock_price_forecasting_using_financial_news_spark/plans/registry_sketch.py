@@ -1,0 +1,4057 @@
+"""Corpus shuffle, leakage-safe split, mergeable sketches (HLL/CMS/KMV/bitmap/Bloom).
+
+Mechanically split from plans/registry.py (r12): entry bodies moved
+verbatim, registration order preserved by the facade import sequence,
+names unchanged."""
+
+from __future__ import annotations
+
+from ..ext import dedup as _dd
+from ..ext import hashing as _hh
+from ..ext import similarity as _sim
+from ..ext import similarity as _sim2
+from ..ext import text as _tx
+from ..ml import infer as _inf
+from ..session import prepare
+from pyspark.sql import functions as F
+from .registry_base import DEC, ORACLES, dec2dbl, register, scratch_dir, tbl
+from .registry_corpus import _cooccur_graph_bucketed
+
+# ---------------------------------------------------------------------------
+# r8: corpus-shuffle, leakage-safe split, mergeable sketches (HLL / CMS /
+# Bloom), rolling exact median — the remaining training-pipeline staples
+# ---------------------------------------------------------------------------
+
+from ..ext.hashing import phash60, phash60_sql  # noqa: E402
+
+N_SHUF_SHARDS = 16
+
+
+@register(
+    "x31_corpus_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {phash60_sql("CAST(doc_id AS VARCHAR)", seed="shuf")} AS hkey
+      FROM documents
+    )
+    SELECT doc_id, CAST(hkey % {N_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % {N_SHUF_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def x31_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle WITHOUT a global sort — the op that
+    randomizes 100 TB of training data for sharded sequential reads.
+    A global ORDER BY rand() is the naive answer and it range-shuffles
+    the entire corpus through a sampled boundary exchange; at 100 TB
+    that is the single largest shuffle a pipeline can issue, and its
+    output order is not even reproducible. Instead: a keyed 60-bit hash
+    is the permutation (seeded, so re-runs and incremental appends land
+    identically), shard = hash mod N gives each reader an independent
+    ~uniform slice, and pos = row_number within shard orders by the
+    hash — one hash exchange + per-shard sorts, no range exchange, no
+    driver-sampled boundaries (plan-pinned: no rangepartitioning).
+    Readers interleave shards round-robin for a full-corpus stream that
+    is pseudorandom, reproducible, and appendable (new docs slot into
+    their hash position without re-shuffling old shards — the d6
+    incremental contract applied to data loading). The reference has no
+    shuffle op at all (its training reads ES query order:
+    Model_layer/create_dataset.py); this is the Spark-first replacement."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", phash60(F.col("doc_id").cast("string"), seed="shuf").alias("hkey")
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("shard", (F.col("hkey") % N_SHUF_SHARDS).cast("bigint"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
+@register(
+    "d13_leakage_safe_split",
+    f"""
+    WITH labeled AS MATERIALIZED (
+      {_dd.cluster_pairs_sql(_dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5))}
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN {phash60_sql("CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)", seed="split")} % 100 < 90
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+    """,
+)
+def d13_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/heldout split — the decontamination invariant
+    of LLM data work: a document and its near-duplicates must land on
+    the SAME side, or the eval set is contaminated by paraphrases of
+    training data. Naive per-doc hash splits violate this exactly as
+    often as the corpus has near-dup pairs. Here the split key is the
+    near-dup CLUSTER id (d7's min-label components over the minhash-LSH
+    pair graph); singleton docs — the overwhelming majority — never
+    enter the graph and use their own id, so the expensive step stays
+    proportional to the near-dup subset, not the corpus. The 90/10
+    assignment is a seeded hash of the cluster id: deterministic,
+    re-runnable, and stable under corpus appends (new members of an old
+    cluster inherit its side). One LSH candidate pass + a few label
+    rounds + one left join; nothing is quadratic, nothing sorts
+    globally. Completes the dedup family: detect (d2/d3), resolve (d7),
+    now CONSUME the resolution downstream."""
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    labels = _dd.cluster_pairs(pairs).select("doc_id", "cluster_id")
+    joined = docs.select("doc_id").join(labels, "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cid.alias("cluster_id"),
+        F.when(
+            phash60(cid.cast("string"), seed="split") % 100 < 90, F.lit("train")
+        )
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
+HLL_M = 256  # registers; standard error 1.04/sqrt(256) = 6.5%
+#: alpha_256 * m^2 * 2^53 — the HLL estimate's constant numerator, folded
+#: to ONE double literal shared verbatim by both engines (pow/ln are never
+#: correctly-rounded cross-engine; a literal is)
+HLL_NUM = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << 53)
+
+
+@register(
+    "a20_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {phash60_sql("CAST(user_id AS VARCHAR)", seed="hll")} AS hk
+      FROM events
+    ), regs AS (
+      SELECT event_type, hk % {HLL_M} AS r,
+             MAX(CASE WHEN (hk >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(hk >> 8)) END) AS m_r
+      FROM h GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS registers_used,
+             CAST(SUM((1::BIGINT) << CAST(53 - m_r AS INTEGER))
+                  + ({HLL_M} - COUNT(*)) * ((1::BIGINT) << 53) AS BIGINT)
+               AS s_int
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, s.registers_used, s.s_int,
+           CAST({HLL_NUM!r} / CAST(s.s_int AS DOUBLE) AS DOUBLE) AS hll_estimate,
+           ex.exact_distinct
+    FROM s JOIN ex ON s.event_type = ex.event_type
+    """,
+)
+def a20_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch, ORACLE-EXACT — the mergeable
+    cardinality state a 100 TB pipeline keeps per partition and combines
+    by register-wise MAX (this entry's groupBy IS that merge). Spark's
+    own approx_count_distinct is a black-box HLL++ whose value no other
+    engine can reproduce; this one is deterministic from the shared
+    60-bit hash, so the driver hash-gates the full sketch state:
+    register index = h mod 256, rho = leading-zero rank of the remaining
+    52 bits via the length(bin()) integer-log trick (g13/x26), register
+    = MAX(rho) — a map-side-combinable agg, one shuffle of at most
+    256 rows per group. Exactness discipline: the harmonic sum is kept
+    in INTEGER space (sum of 2^(53-rho) — dyadic terms whose BIGINT sum
+    is exact; floats would round once register spans exceed 53 bits),
+    and the estimate is a single correctly-rounded division of one
+    shared double literal by that integer — no pow/ln anywhere (which is
+    also why the small/large-range corrections are deliberately absent:
+    they need ln, which isn't correctly-rounded cross-engine; the raw
+    estimate plus the exact count documents the error instead).
+    exact_distinct rides along purely as the yardstick column."""
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        phash60(F.col("user_id").cast("string"), seed="hll").alias("hk"),
+    )
+    w = F.shiftright("hk", 8)
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    regs = h.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
+        F.max(rho).alias("m_r")
+    )
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        (
+            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return s.join(ex, "event_type").select(
+        "event_type",
+        "registers_used",
+        "s_int",
+        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+CMS_D, CMS_W = 4, 512  # depth x width; eps = e/512, delta = e^-4
+
+
+@register(
+    "a21_cms_heavy_hitters",
+    f"""
+    WITH rows_h AS (
+      SELECT user_id, i,
+             CASE i
+               WHEN 0 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms0")}
+               WHEN 1 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms1")}
+               WHEN 2 THEN {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms2")}
+               ELSE        {phash60_sql("CAST(user_id AS VARCHAR)", seed="cms3")}
+             END % {CMS_W} AS col
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+    ), sketch AS MATERIALIZED (
+      SELECT i, col, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rows_h GROUP BY 1, 2
+    ), est AS (
+      SELECT r.user_id, MIN(s.c) AS est_cms
+      FROM (SELECT DISTINCT user_id, i, col FROM rows_h) r
+      JOIN sketch s ON s.i = r.i AND s.col = r.col
+      GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1
+    )
+    SELECT e.user_id, CAST(e.est_cms AS BIGINT) AS est_cms, x.exact_cnt
+    FROM est e JOIN exact x USING (user_id) CROSS JOIN tot
+    WHERE 1000 * e.est_cms >= tot.n
+    """,
+)
+def a21_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters, oracle-exact: the fixed-size
+    frequency state (4 x 512 BIGINT counters) that answers "which keys
+    exceed 0.1% of all traffic" without a per-key hash table — the
+    100 TB shape for skew DETECTION, feeding the salting path the skew
+    bench measures. Sketch build is 4 seeded projections of the shared
+    60-bit hash -> one map-side-combinable count agg (the counter matrix
+    is mergeable by cell-wise ADDITION across partitions/days — the
+    same algebraic-state contract as t17's OHLC). Estimates upper-bound
+    true counts (min over rows), so the candidate scan can never MISS a
+    heavy hitter; candidates here are the distinct keys (bounded by the
+    users dimension, not the event volume), each probing 4 cells by
+    equi-join against the 2048-row broadcast sketch. The threshold
+    compare is all-integer (1000*est >= total). exact_cnt rides along
+    as the yardstick; at production scale the exact branch is exactly
+    what this sketch exists to avoid."""
+    ev = tbl(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id"))
+    proj = None
+    for i in range(CMS_D):
+        p = keys.select(
+            "user_id",
+            F.lit(i).alias("i"),
+            (phash60(F.col("user_id").cast("string"), seed=f"cms{i}") % CMS_W).alias(
+                "col"
+            ),
+        )
+        proj = p if proj is None else proj.unionByName(p)
+    sketch = proj.groupBy("i", "col").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cand = proj.distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["i", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_cms"))
+    )
+    tot = ev.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "user_id")
+        .join(F.broadcast(tot))
+        .filter(1000 * F.col("est_cms") >= F.col("n"))
+        .select("user_id", "est_cms", "exact_cnt")
+    )
+
+
+BLOOM_BITS = 4096  # 128 x 32-bit words; ~2 bits/key at sf1's ~2k build keys
+
+
+def _bloom_probe_sql(expr: str, seed: str) -> str:
+    return f"{phash60_sql(expr, seed=seed)} % {BLOOM_BITS}"
+
+
+@register(
+    "j10_bloom_prune",
+    f"""
+    WITH build AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_nationkey < 5
+    ), bits AS MATERIALIZED (
+      SELECT pos >> 5 AS word, CAST(bit_or((1::BIGINT) << CAST(pos & 31 AS INTEGER)) AS BIGINT) AS bits
+      FROM (
+        SELECT {_bloom_probe_sql("CAST(k AS VARCHAR)", "bf1")} AS pos FROM build
+        UNION ALL
+        SELECT {_bloom_probe_sql("CAST(k AS VARCHAR)", "bf2")} AS pos FROM build
+      ) GROUP BY 1
+    ), probe AS (
+      SELECT l_orderkey, l_suppkey,
+             {_bloom_probe_sql("CAST(l_suppkey AS VARCHAR)", "bf1")} AS p1,
+             {_bloom_probe_sql("CAST(l_suppkey AS VARCHAR)", "bf2")} AS p2
+      FROM lineitem
+    ), passed AS (
+      SELECT p.l_orderkey, p.l_suppkey
+      FROM probe p
+      JOIN bits b1 ON b1.word = p.p1 >> 5
+      JOIN bits b2 ON b2.word = p.p2 >> 5
+      WHERE (b1.bits & ((1::BIGINT) << CAST(p.p1 & 31 AS INTEGER))) != 0
+        AND (b2.bits & ((1::BIGINT) << CAST(p.p2 & 31 AS INTEGER))) != 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(COUNT(*) FILTER (WHERE l_suppkey IN (SELECT k FROM build))
+                AS BIGINT) AS n_true,
+           CAST(COUNT(*) FILTER (WHERE l_suppkey NOT IN (SELECT k FROM build))
+                AS BIGINT) AS n_false_positive
+    FROM passed
+    """,
+)
+def j10_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning, oracle-exact — the semi-join
+    replacement for the case the broadcast hash join cannot serve: the
+    build side's KEY SET is small enough to summarize but the join is
+    only a FILTER (no build columns needed), so shipping a 512-byte
+    bitmap beats shipping the key table, and at 100 TB the bitmap
+    drops non-matching fact rows AT THE SCAN, before the shuffle the
+    real join would pay (Spark's own runtime row-group pruning does
+    this opaquely; this entry is the deterministic, driver-checkable
+    version). Build: 2 seeded 60-bit hashes per key -> bit positions ->
+    one bit_or agg into 128 x 32-bit words (32-bit words keep every
+    shift strictly below the BIGINT sign bit — 1<<63 wraps negative in
+    Spark and overflows in DuckDB). Probe: each fact row computes its 2
+    words + masks and equi-joins the broadcast word table twice — all
+    JVM-side integer ops in one codegen stage, no Python, no shuffle of
+    the fact side. Output quantifies the contract: every true match
+    passes (zero false negatives BY CONSTRUCTION — the driver-gated
+    n_true equals the exact semi-join count), false positives are the
+    tunable cost (n_false_positive at ~2 bits/key documents the
+    undersized-filter regime on purpose)."""
+    sup = tbl(spark, sf_dir, "supplier")
+    li = tbl(spark, sf_dir, "lineitem")
+    build = sup.filter(F.col("s_nationkey") < 5).select(F.col("s_suppkey").alias("k"))
+    pos = None
+    for seed in ("bf1", "bf2"):
+        p = build.select(
+            (phash60(F.col("k").cast("string"), seed=seed) % BLOOM_BITS).alias("pos")
+        )
+        pos = p if pos is None else pos.unionByName(p)
+    bits = pos.groupBy(F.shiftright("pos", 5).alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(pos & 31 as int))"))
+        .cast("bigint")
+        .alias("bits")
+    )
+    probe = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (phash60(F.col("l_suppkey").cast("string"), seed="bf1") % BLOOM_BITS).alias(
+            "p1"
+        ),
+        (phash60(F.col("l_suppkey").cast("string"), seed="bf2") % BLOOM_BITS).alias(
+            "p2"
+        ),
+    )
+    b1, b2 = bits.alias("b1"), bits.alias("b2")
+    passed = (
+        probe.join(
+            F.broadcast(b1), F.shiftright(F.col("p1"), 5) == F.col("b1.word")
+        )
+        .join(F.broadcast(b2), F.shiftright(F.col("p2"), 5) == F.col("b2.word"))
+        .filter(
+            (
+                F.col("b1.bits").bitwiseAND(
+                    F.expr("shiftleft(1L, cast(p1 & 31 as int))")
+                )
+                != 0
+            )
+            & (
+                F.col("b2.bits").bitwiseAND(
+                    F.expr("shiftleft(1L, cast(p2 & 31 as int))")
+                )
+                != 0
+            )
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    truth = passed.join(build, passed.l_suppkey == build.k, "left").select(
+        "l_orderkey", "l_suppkey", F.col("k").isNotNull().alias("hit")
+    )
+    # coalesce: over an EMPTY pass set Spark's sum is NULL where the
+    # oracle's COUNT(*) FILTER is 0 (r10 fuzz catch — generated facts
+    # whose every probe misses the filter words)
+    return truth.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"),
+        F.coalesce(F.sum(F.when(F.col("hit"), 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.coalesce(F.sum(F.when(F.col("hit"), 0).otherwise(1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_false_positive"),
+    )
+
+
+@register(
+    "w13_rolling_median",
+    """
+    SELECT user_id, event_id, cents,
+           CAST(list_sort(cents_w)[(len(cents_w) + 1) // 2] AS BIGINT)
+             AS med_cents
+    FROM (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             list(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cents_w
+      FROM events
+    )
+    """,
+)
+def w13_rolling_median(spark, sf_dir):
+    """Exact rolling MEDIAN (last-5 window, lower-middle tiebreak) — the
+    robust-statistics window the mean-based anomaly entries (w9/w12)
+    can't provide when the series itself is outlier-ridden. percentile
+    built-ins interpolate in float (and differ across engines); this is
+    integer-exact: collect the bounded window as an array, sort it, and
+    index the lower middle — O(k log k) per row with k=5 pinned, never a
+    function of partition size, and the whole thing rides the single
+    per-user hashpartitioning every other w-entry shares (no global
+    sort). The bounded-window contract is the scale story: rolling
+    medians over UNbounded frames require order-statistic trees no
+    engine vectorizes; fixed-k frames are the shape that survives 100 TB
+    (k x 8 bytes of state per row in flight). Ties on ts are broken by
+    event_id on BOTH engines, and cents quantization keeps every
+    compared value a BIGINT (Spark round = DuckDB round: both
+    half-away-from-zero on positive doubles here)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    t = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.sort_array(F.collect_list(cents).over(w)).alias("cents_w"),
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.element_at(
+            "cents_w", ((F.size("cents_w") + 1) / 2).cast("int")
+        )
+        .cast("bigint")
+        .alias("med_cents"),
+    )
+
+
+@register("t22_stream_hll_view", ORACLES["a20_hll_distinct"], lazy_replay=True)
+def t22_stream_hll_view(spark, sf_dir):
+    """STREAMING maintenance of the a20 HyperLogLog registers — the
+    t17/t18/t20 convergence pattern applied to SKETCH state, closing the
+    algebraic-state taxonomy: OHLC (t17, merge by struct least/greatest
+    + sums), version chains (t18, rebuild-touched), additive aggregates
+    (t20, merge by +), and now sub-linear sketches (merge by
+    register-wise MAX — HLL's defining property: the merge of two
+    register sets IS the sketch of the union, so batch boundaries are
+    invisible BY ALGEBRA, not by care). The event feed replays in 3
+    micro-batches; each batch reduces to its own 256-register partial
+    (map-side combined before touching the view) and merges under the
+    writer-lease/replay contract; the final registers must hash-match
+    a20's one-shot batch build — same oracle, streaming twin.
+    exact_distinct is the yardstick column, recomputed in batch from the
+    staged feed (it is exactly what the sketch exists to avoid keeping
+    exactly, and the oracle needs it for the error context)."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    hk = phash60(F.col("user_id").cast("string"), seed="hll")
+    feed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        hk.alias("hk"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "hllmv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(
+        spark, _os.path.join(root, "mv"), ["event_type", "r"], partition_by="event_type"
+    )
+
+    def fn(cur, b):
+        w = F.shiftright("hk", 8)
+        rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+        delta = b.groupBy("event_type", (F.col("hk") % HLL_M).alias("r")).agg(
+            F.max(rho).cast("int").alias("m_r")
+        )
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["event_type", "r"], "full_outer")
+            .select(
+                "event_type",
+                "r",
+                F.greatest(F.col("v.m_r"), F.col("d.m_r")).cast("int").alias("m_r"),
+            )
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(b, fn, batch_id=bid, writer="hll")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = view.read()
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        (
+            F.sum(F.expr("shiftleft(1L, cast(53 - m_r as int))"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53)
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    ex = (
+        spark.read.parquet(stage)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return s.join(ex, "event_type").select(
+        "event_type",
+        "registers_used",
+        "s_int",
+        (F.lit(HLL_NUM) / F.col("s_int").cast("double")).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+@register(
+    "a22_last_touch_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                        IGNORE NULLS)
+               OVER w AS touch_event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS)
+               OVER w AS touch_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id, touch_event_id, touch_type,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) - touch_us AS BIGINT)
+             AS gap_us
+    FROM e WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+    """,
+)
+def a22_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution — the marketing/causal staple:
+    each purchase is credited to the user's most recent PRIOR
+    non-purchase event. The naive formulation is a per-user non-equi
+    self-join (touch.ts < purchase.ts, argmax) — quadratic in the hot
+    user; this is the windowed rewrite: ONE per-user ordered pass where
+    `last_value(... IGNORE NULLS)` over an UNBOUNDED PRECEDING..1
+    PRECEDING frame carries the running last touch, then a filter keeps
+    the conversions. All three attributed columns ride the same frame,
+    so they come from the same touch row by construction. Cost: the one
+    per-user hashpartitioning the whole w-family shares; no self-join
+    exists to skew. Determinism: (ts, event_id) order on both engines;
+    the gap is exact integer microseconds (epoch_us twin of
+    unix_micros under the UTC session — the f5 rule)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_ = F.col("event_type") != "purchase"
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.last(F.when(np_, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(
+            F.when(np_, F.unix_micros(F.col("ts").cast("timestamp"))),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch_us"),
+    )
+    return (
+        t.filter((F.col("event_type") == "purchase") & F.col("touch_event_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            "touch_event_id",
+            "touch_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("touch_us"))
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+    )
+
+
+INTERVAL_US = 2 * 3600 * 1_000_000  # 2-hour attribution window
+BUCKET_US = 3600 * 1_000_000  # 1-hour buckets: each interval spans <= 3
+
+
+@register(
+    "j11_interval_join",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id AS purchase_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + {INTERVAL_US} AS e
+      FROM events WHERE event_type = 'purchase'
+    ), pt AS (
+      SELECT user_id, event_id AS view_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT i.purchase_id, p.view_id,
+           CAST(p.t - i.s AS BIGINT) AS offset_us
+    FROM iv i JOIN pt p
+      ON p.user_id = i.user_id AND p.t >= i.s AND p.t <= i.e
+    """,
+)
+def j11_interval_join(spark, sf_dir):
+    """Point-in-interval RANGE join without a nested loop — the temporal
+    join engines either special-case (DuckDB's IEJoin, the oracle here)
+    or degrade to a per-key cross product on (Spark's default for
+    non-equi conditions). The Spark-first rewrite BUCKETS time: every
+    interval is exploded to the 1-hour buckets it overlaps (<= 3 rows —
+    bounded because the interval length is bounded, the contract that
+    makes this shape work), every point computes its single bucket, and
+    the join becomes a pure EQUI-join on (user, bucket) + a residual
+    range filter. Each (interval, point) pair meets in EXACTLY one
+    bucket (the point's), so no post-join dedup exists — the r5 d3
+    lesson (first-matching-band emission) applied to time. Cost:
+    |intervals| x 3 + |points| rows through one hash exchange,
+    plan-pinned to never plan a cartesian/BNLJ. At 100 TB this is the
+    sessionized-attribution join (ad impressions to conversions) that a
+    range-join hint can't save once both sides are fact-sized."""
+    ev = tbl(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("s"),
+        (us + INTERVAL_US).alias("e"),
+    )
+    ivb = iv.select(
+        "user_id",
+        "purchase_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / BUCKET_US).cast("bigint"),
+                (F.col("e") / BUCKET_US).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    pt = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        us.alias("t"),
+        (us / BUCKET_US).cast("bigint").alias("bucket"),
+    )
+    return (
+        ivb.join(pt, ["user_id", "bucket"])
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+        .select(
+            "purchase_id",
+            "view_id",
+            (F.col("t") - F.col("s")).cast("bigint").alias("offset_us"),
+        )
+    )
+
+
+@register(
+    "p14_schema_evolution",
+    """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 50
+                          AS BIGINT)
+           END AS discount_cents
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+)
+def p14_schema_evolution(spark, sf_dir):
+    """Schema evolution across a table's file history — the lakehouse
+    fact of life the reference's ES mappings silently absorb: a column
+    added in year N exists only in files written after year N. Staged
+    concretely: the even-orderkey half of the feed is written with the
+    v1 schema, the odd half with v2 (adds discount_cents), and ONE
+    mergeSchema read reconciles them — v1 rows surface a typed NULL,
+    exactly the semantics a downstream coalesce-default expects. The
+    scale note is the COST: mergeSchema must reconcile footers across
+    every file, so production tables pin the evolved schema in a
+    catalog and pay footer-merging once per evolution, not per read
+    (the p12/p13 layout family's catalog argument, applied to schema).
+    Pruning survives evolution: the driver gate proves values, the plan
+    test proves the v1-absent column still prunes at the scan."""
+    import os as _os
+
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("total_cents"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_files", sf_dir)
+    root = _os.path.join(scratch, "evo")
+    v1 = base.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "discount_cents", (F.col("total_cents") / 50).cast("bigint")
+    )
+    v1.write.mode("overwrite").parquet(_os.path.join(root, "v=1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(root, "v=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_os.path.join(root, "v=1"), _os.path.join(root, "v=2"))
+        .select("o_orderkey", "total_cents", "discount_cents")
+    )
+
+
+@register(
+    "a23_equidepth_bins",
+    """
+    WITH t AS (
+      SELECT event_type AS series,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT),
+                                     event_id) AS bin
+      FROM events
+    )
+    SELECT series, CAST(bin AS INTEGER) AS bin,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def a23_equidepth_bins(spark, sf_dir):
+    """Equi-depth feature binning — the quantile-bucket boundaries a
+    training pipeline fits once and applies everywhere (feature
+    bucketizers, monotonic-binned calibration, histogram sketches).
+    Spark's approxQuantile is a black-box GK sketch no oracle can
+    reproduce; this is the exact formulation: per-series ntile(8) over
+    a (value, id)-tiebroken order, then min/max/count per bin — the bin
+    EDGES come out as exact integers and adjacent bins meet exactly
+    (hi of bin k = lo of bin k+1 when values repeat across the cut,
+    which is the honest equi-depth semantics: ties split by id). Cost
+    is the a17/a19 template: one per-series sort for the ranks, one
+    map-side-combined agg — for few massive series, range-repartition
+    the sort and offset ranks by broadcast prefix counts (the
+    documented scale-out of every rank-based entry). Ntile's
+    remainder rule (first bins take the extra row) is the SQL-standard
+    one on both engines, driver-gated here."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(cents, "event_id")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        cents.alias("cents"),
+        F.ntile(8).over(w).alias("bin"),
+    )
+    return t.groupBy("series", F.col("bin").cast("int").alias("bin")).agg(
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "m12_calibration_curve",
+    f"""
+    WITH pred AS ({{MLP_SQL}}),
+    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
+    scored AS (
+      SELECT p.vec_id, p.max_logit,
+             CASE WHEN p.pred_class = t.class THEN 1 ELSE 0 END AS ok,
+             ntile(10) OVER (ORDER BY p.max_logit, p.vec_id) AS decile
+      FROM pred p JOIN truth t USING (vec_id)
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ok) AS BIGINT) AS n_correct,
+           CAST(min(max_logit) AS BIGINT) AS lo_logit,
+           CAST(max(max_logit) AS BIGINT) AS hi_logit,
+           CAST(CAST(sum(ok) AS DOUBLE) / count(*) AS DOUBLE) AS accuracy
+    FROM scored GROUP BY 1
+    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
+)
+def m12_calibration_curve(spark, sf_dir):
+    """Confidence calibration over the m9 inference path — the third leg
+    of the eval stool (m9 predicts, m11 scores classes, m12 asks
+    whether CONFIDENCE means anything): predictions bucketed into
+    logit-margin deciles, each reporting exact correct/total counts and
+    the accuracy they imply. A well-calibrated model shows accuracy
+    rising monotonically across deciles; the flat or inverted shape is
+    the signal to temperature-scale before thresholding auto-labels —
+    the decision this table exists to drive in a data-labeling
+    pipeline (only decile-9/10 predictions become training labels).
+    Exactness: the model is the integer MLP, so logits are BIGINTs,
+    deciles are ntile over a (logit, id)-tiebroken order, and the one
+    double is a single division of exact counts. Scale: predictions
+    stream from the Arrow mapInPandas seam; the global ntile is over a
+    #predictions-sized relation of two integers — and for corpus-sized
+    prediction sets the documented rank scale-out (range-repartition +
+    broadcast prefix offsets) applies unchanged."""
+    from pyspark.sql import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pred = _inf.mlp_infer(emb)
+    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
+    scored = (
+        pred.join(truth, "vec_id")
+        .select(
+            "vec_id",
+            "max_logit",
+            F.when(F.col("pred_class") == F.col("class"), 1).otherwise(0).alias("ok"),
+        )
+        .select(
+            "max_logit",
+            "ok",
+            F.ntile(10).over(Window.orderBy("max_logit", "vec_id")).alias("decile"),
+        )
+    )
+    return scored.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        F.min("max_logit").cast("bigint").alias("lo_logit"),
+        F.max("max_logit").cast("bigint").alias("hi_logit"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@register(
+    "f6_ohlc_resample",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(min(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                v := CAST(round(value * 100) AS BIGINT))).v
+                AS BIGINT) AS open_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low_cents,
+           CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                v := CAST(round(value * 100) AS BIGINT))).v
+                AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS turnover_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def f6_ohlc_resample(spark, sf_dir):
+    """Candle RESAMPLING through the bar hierarchy — daily OHLC built
+    from HOURLY bars, not from raw trades, and driver-proven equal to
+    the direct daily computation (the oracle computes straight from
+    raw). This is the associativity property production tick stores
+    depend on: 1-minute bars roll to 5-minute to hourly to daily
+    without ever re-reading ticks, because OHLC state is mergeable —
+    open/close as lexicographic (ts, value) struct min/max (t17's
+    deterministic tiebreak), high/low/count/turnover as max/min/sums.
+    Two map-side-combinable aggs; the second operates on 24x fewer rows
+    and reuses the first's (day, hour) partitioning prefix. At 100 TB
+    the raw->finest-bar agg is the only pass over ticks; every coarser
+    granularity is a rollup over bars — this entry IS that contract,
+    checked. (Same algebra t17 exploits across micro-batches, here
+    exploited across time granularities.)"""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ts = F.col("ts").cast("timestamp")
+    tv = F.struct(ts.alias("t"), cents.alias("v"))
+    hourly = ev.groupBy(
+        F.to_date(ts).alias("event_date"), F.hour(ts).alias("hh")
+    ).agg(
+        F.min(tv).alias("open_s"),
+        F.max(cents).alias("high_cents"),
+        F.min(cents).alias("low_cents"),
+        F.max(tv).alias("close_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.sum(cents).cast("bigint").alias("turnover_cents"),
+    )
+    return hourly.groupBy("event_date").agg(
+        F.min("open_s")["v"].cast("bigint").alias("open_cents"),
+        F.max("high_cents").cast("bigint").alias("high_cents"),
+        F.min("low_cents").cast("bigint").alias("low_cents"),
+        F.max("close_s")["v"].cast("bigint").alias("close_cents"),
+        F.sum("n_trades").cast("bigint").alias("n_trades"),
+        F.sum("turnover_cents").cast("bigint").alias("turnover_cents"),
+    )
+
+
+@register(
+    "f7_ols_trend",
+    """
+    WITH daily AS (
+      SELECT event_type AS series,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT series,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+           CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS BIGINT) AS icept_num
+    FROM daily GROUP BY 1
+    """,
+)
+def f7_ols_trend(spark, sf_dir):
+    """Per-series least-squares trend of daily turnover — the trend
+    feature every forecasting pipeline derives before it reaches for a
+    model (the reference hands raw keyed closes to SARIMAX,
+    Batch_layer/batchPipeline.py:70-90; the trend/detrend split is the
+    first thing its forecaster fits internally). Emitted EXACTLY: slope
+    = slope_num / slope_den and intercept = icept_num / slope_den are
+    returned as their integer normal-equation terms (n*Sxy - Sx*Sy,
+    n*Sxx - Sx^2, Sy*Sxx - Sx*Sxy) so the driver hash-compares pure
+    BIGINTs — no float ever computed (the w12/a19 discipline).
+
+    Overflow discipline: x is days-since-fixture-start (0..29), NOT
+    epoch days — regressing on the raw epoch axis makes n*Sxy blow
+    past int64 around sf1 (DuckDB raises on BIGINT overflow rather
+    than wrapping, which is the honest canary). Centering the axis
+    keeps every term under ~1e14 at sf100.
+
+    Scale shape: one map-side-combinable daily agg — the ONLY pass
+    over raw events — then a per-series agg over #days rows. At
+    100 TB the second agg is ~free (5 series x 30 days); the regression
+    itself never sees raw data. Adding series or days grows the tiny
+    relation, never the pass count."""
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint").alias("x"),
+    ).agg(F.sum(cents).alias("y"))
+    n = F.count(F.lit(1)).cast("bigint")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    return daily.groupBy("series").agg(
+        n.alias("n_days"),
+        (n * sxy - sx * sy).cast("bigint").alias("slope_num"),
+        (n * sxx - sx * sx).cast("bigint").alias("slope_den"),
+        (sy * sxx - sx * sxy).cast("bigint").alias("icept_num"),
+    )
+
+
+@register(
+    "f8_pairwise_activity_corr",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.series AS series_a, b.series AS series_b, a.c AS x, b.c AS y
+      FROM daily a JOIN daily b ON a.day = b.day AND a.series < b.series
+    )
+    SELECT series_a, series_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS corr_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS den_y
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def f8_pairwise_activity_corr(spark, sf_dir):
+    """All-pairs correlation between series' daily activity — the
+    cross-asset correlation matrix a portfolio/risk view derives from
+    the same keyed daily views the reference serves (its ES serving
+    view holds exactly these per-day series side by side; correlating
+    them is the first multi-asset question a user asks of it). Pearson
+    r = corr_num / sqrt(den_x * den_y); the three terms come back as
+    exact BIGINTs (f7's normal-equation discipline), so the driver
+    compare never sees a float.
+
+    The quadratic is in SERIES COUNT, never in rows: raw events
+    collapse to (series, day, count) in one map-side-combined agg —
+    the only pass over data — and the pair join runs on that tiny
+    relation (#series x #days rows), equi-keyed on day with the
+    series_a < series_b triangle predicate halving it. k series make
+    k(k-1)/2 pairs x #days rows through the join: at 5k series x 3
+    years it's ~1e10 pair-days, which shuffle-partitions by day
+    exactly like any fact join — still independent of raw-event
+    volume. Correlating COUNTS (not value sums) keeps y^2 terms
+    int64-safe at any SF (daily cents sums square past 2^63 near
+    sf10 — the f7 overflow canary, avoided structurally)."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.select(F.col("series").alias("series_a"), "day", F.col("c").alias("x"))
+    b = daily.select(F.col("series").alias("series_b"), "day", F.col("c").alias("y"))
+    pairs = a.join(b, "day").filter(F.col("series_a") < F.col("series_b"))
+    n = F.count(F.lit(1)).cast("bigint")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return pairs.groupBy("series_a", "series_b").agg(
+        n.alias("n_days"),
+        (n * sxy - sx * sy).cast("bigint").alias("corr_num"),
+        (n * sxx - sx * sx).cast("bigint").alias("den_x"),
+        (n * syy - sy * sy).cast("bigint").alias("den_y"),
+    )
+
+
+@register(
+    "o3_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    m AS (
+      SELECT price_cents, size,
+             max(size) OVER (ORDER BY price_cents ASC, size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prior
+      FROM pts
+    )
+    SELECT price_cents, size FROM m WHERE prior IS NULL OR size > prior
+    """,
+)
+def o3_pareto_frontier(spark, sf_dir):
+    """Pareto frontier (skyline) over parts: the set of (price, size)
+    points where no other part is both cheaper-or-equal AND
+    bigger-or-equal with one strict — the multi-objective shortlist
+    query (best price/size tradeoffs) that no single ORDER BY can
+    answer. Classic sweep: order distinct points by (price ASC, size
+    DESC); a point survives iff its size strictly exceeds the running
+    max over all predecessors (a predecessor with size >= mine is
+    cheaper-or-equal and at-least-as-big, hence dominates; the DESC
+    tiebreak makes the equal-price case exact).
+
+    TWO-PHASE so the sweep never needs a global sort of the full set:
+    the frontier operator is idempotent over any partition of its
+    input — frontier(S) = frontier(U frontier(Pi)) — so phase 1 runs
+    the sweep per hash bucket (a partitionBy window, no global
+    exchange of the raw points), and only the per-bucket survivors
+    (output-sized, tiny: bounded by #distinct prices) meet the global
+    sweep in phase 2. At 100 TB phase 1 is embarrassingly parallel
+    after one dedup agg and phase 2 sorts thousands of rows, not
+    billions — the a17/a23 rank scale-out argument made structural.
+    The bucket hash only affects intermediate sizes, never the result
+    (any partition works), so the plan is deterministic by
+    construction."""
+    from pyspark.sql import Window
+
+    p = tbl(spark, sf_dir, "part")
+    pts = p.select(
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    ).distinct()
+    sweep = Window.orderBy(F.col("price_cents").asc(), F.col("size").desc())
+
+    def survivors(df, w):
+        prior = F.max("size").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("prior", prior)
+            .filter(F.col("prior").isNull() | (F.col("size") > F.col("prior")))
+            .drop("prior")
+        )
+
+    local = survivors(
+        pts.withColumn("b", F.pmod(F.hash("price_cents", "size"), F.lit(32))),
+        Window.partitionBy("b").orderBy(F.col("price_cents").asc(), F.col("size").desc()),
+    ).drop("b")
+    return survivors(local, sweep)
+
+
+_DQ_COLS_SQL = """
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           min(CAST(round(l_quantity) AS BIGINT)) AS min_v,
+           max(CAST(round(l_quantity) AS BIGINT)) AS max_v,
+           sum(CASE WHEN round(l_quantity) BETWEEN 1 AND 45
+                    THEN 0 ELSE 1 END) AS n_bad
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           min(CAST(round(l_discount * 100) AS BIGINT)),
+           max(CAST(round(l_discount * 100) AS BIGINT)),
+           sum(CASE WHEN round(l_discount * 100) BETWEEN 0 AND 8
+                    THEN 0 ELSE 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           count(DISTINCT l_tax),
+           min(CAST(round(l_tax * 100) AS BIGINT)),
+           max(CAST(round(l_tax * 100) AS BIGINT)),
+           sum(CASE WHEN round(l_tax * 100) BETWEEN 0 AND 6
+                    THEN 0 ELSE 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)),
+           max(CAST(round(l_extendedprice * 100) AS BIGINT)),
+           sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))),
+           max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))),
+           sum(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '2000-12-31'
+                    THEN 0 ELSE 1 END)
+    FROM lineitem
+"""
+
+
+@register(
+    "a24_dq_audit",
+    f"""
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v,
+           CAST(n_bad AS BIGINT) AS n_bad
+    FROM ({_DQ_COLS_SQL})
+    """,
+)
+def a24_dq_audit(spark, sf_dir):
+    """Data-quality audit (Deequ-style constraint suite) — the
+    validation gate a training pipeline runs BEFORE any batch enters
+    the corpus: per-column completeness (null count), cardinality
+    (exact distinct), observed range (scaled-integer min/max), and
+    expectation violations (range rules a downstream consumer assumes:
+    quantity in [1,45], discount <= 8c, tax <= 6c, positive price,
+    shipdate <= 2000-12-31 — deliberately tighter than the generator so
+    n_bad is a real, nonzero signal, not a vacuous zero). Output is the
+    audit TABLE (one row per column, metrics as exact BIGINTs), the
+    shape a quality dashboard or a circuit-breaker reads.
+
+    ONE scan: all five columns' metrics compute in a single wide
+    aggregate (the multi-count_distinct makes Catalyst plan an Expand —
+    x5 row multiply BEFORE the map-side combine, the documented price
+    of exact multi-column cardinality in one pass; approx_count_distinct
+    collapses the Expand when 2% error is acceptable — a9's tradeoff,
+    cross-referenced not duplicated), then the 1-row wide result
+    unpivots driver-free through an explode of per-column structs.
+    The oracle is five UNION ALL scans — DuckDB reads the parquet five
+    times so Spark's one-pass shape is the thing under test, not a
+    shared plan."""
+    li = tbl(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax = F.round(F.col("l_tax") * 100).cast("bigint")
+    price = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    ship = F.datediff(F.col("l_shipdate").cast("date"), epoch).cast("bigint")
+
+    def bad(cond):
+        return F.sum(F.when(cond, 0).otherwise(1)).cast("bigint")
+
+    def metrics(tag, raw, scaled, ok_cond):
+        return [
+            F.count(F.lit(1)).cast("bigint").alias(f"{tag}_rows"),
+            (F.count(F.lit(1)) - F.count(raw)).cast("bigint").alias(f"{tag}_null"),
+            F.count_distinct(raw).cast("bigint").alias(f"{tag}_dist"),
+            F.min(scaled).alias(f"{tag}_min"),
+            F.max(scaled).alias(f"{tag}_max"),
+            bad(ok_cond).alias(f"{tag}_bad"),
+        ]
+
+    wide = li.agg(
+        *metrics("qty", F.col("l_quantity"), qty, qty.between(1, 45)),
+        *metrics("disc", F.col("l_discount"), disc, disc.between(0, 8)),
+        *metrics("tax", F.col("l_tax"), tax, tax.between(0, 6)),
+        *metrics("price", F.col("l_extendedprice"), price, F.col("l_extendedprice") > 0),
+        *metrics(
+            "ship",
+            F.col("l_shipdate"),
+            ship,
+            F.col("l_shipdate").cast("date") <= F.lit("2000-12-31").cast("date"),
+        ),
+    )
+    rows = [
+        ("l_quantity", "qty"),
+        ("l_discount", "disc"),
+        ("l_tax", "tax"),
+        ("l_extendedprice", "price"),
+        ("l_shipdate", "ship"),
+    ]
+    audit = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"{tag}_rows").alias("n_rows"),
+                F.col(f"{tag}_null").alias("n_null"),
+                F.col(f"{tag}_dist").alias("n_distinct"),
+                F.col(f"{tag}_min").alias("min_v"),
+                F.col(f"{tag}_max").alias("max_v"),
+                F.col(f"{tag}_bad").alias("n_bad"),
+            )
+            for name, tag in rows
+        ]
+    )
+    return wide.select(F.explode(audit).alias("m")).select("m.*")
+
+
+@register(
+    "m13_feature_hashing",
+    """
+    WITH toks AS (
+      SELECT doc_id, t
+      FROM documents, unnest({TOKS}) AS u(t)
+    ),
+    b AS (
+      SELECT doc_id, t, {PH} % 256 AS bucket FROM toks
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_terms
+    FROM b GROUP BY 1
+    """.replace("{TOKS}", _tx.tokens_sql("text")).replace(
+        "{PH}", _hh.phash60_sql("t")
+    ),
+)
+def m13_feature_hashing(spark, sf_dir):
+    """Hashing-trick feature space audit — the collision accounting for
+    a feature-hashed text vectorizer (the 2^k-bucket trick that makes
+    text featurization vocabulary-free and therefore streamable: no
+    fitted dictionary to ship, new terms land deterministically). Per
+    bucket of a 256-dim hashed space: total token mass, document
+    frequency, and the COLLISION COUNT (n_terms > 1 means distinct
+    terms share the bucket — the quantity that decides whether k is
+    big enough, measured exactly rather than assumed from the birthday
+    bound).
+
+    The bucket hash is the portable 60-bit md5 (ext/hashing.py) mod a
+    power of two, so Spark and DuckDB land every term in the same
+    bucket and the driver hash-compares exact counts. Shape: explode
+    tokens (the x8/x10 corpus pass), one groupBy(bucket) with two exact
+    count_distincts — the Expand x2 cost a24 documents; 256 buckets
+    mean the post-explode agg combines map-side into at most 256 rows
+    per partition regardless of corpus size. At 100 TB this is
+    scan-bound, and the same pass emits the per-(doc, bucket) sparse
+    vectors when run un-aggregated."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tx.tokens(F.col("text"))).alias("t")
+    )
+    b = toks.withColumn("bucket", _hh.phash60(F.col("t")) % 256)
+    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count_distinct("t").cast("bigint").alias("n_terms"),
+    )
+
+
+@register(
+    "w14_linear_interpolate",
+    """
+    WITH obs AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                  v := CAST(round(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS cv
+      FROM events WHERE event_id % 150 = 0 GROUP BY 1, 2
+    ), spine AS (
+      SELECT series,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT series, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1)
+    ), j AS (
+      SELECT s.series, s.day, o.cv
+      FROM spine s LEFT JOIN obs o ON o.series = s.series AND o.day = s.day
+    ), n AS (
+      SELECT series, day, cv,
+             last_value(CASE WHEN cv IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             last_value(cv IGNORE NULLS) OVER w_prev AS pv,
+             first_value(CASE WHEN cv IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_next AS nd,
+             first_value(cv IGNORE NULLS) OVER w_next AS nv
+      FROM j
+      WINDOW w_prev AS (PARTITION BY series ORDER BY day
+                        ROWS UNBOUNDED PRECEDING),
+             w_next AS (PARTITION BY series ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT series, day,
+           CAST(CASE WHEN cv IS NOT NULL THEN cv
+                ELSE pv * date_diff('day', day, nd)
+                     + nv * date_diff('day', pd, day) END AS BIGINT)
+             AS interp_num,
+           CAST(CASE WHEN cv IS NOT NULL THEN 1
+                ELSE date_diff('day', pd, nd) END AS BIGINT) AS interp_den,
+           CAST(CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_obs
+    FROM n
+    """,
+)
+def w14_linear_interpolate(spark, sf_dir):
+    """Linear interpolation across gaps — t9's gap-fill upgraded from
+    staircase (LOCF) to the straight line between neighbors, the fill a
+    forecaster's preprocessor actually wants for slow-moving series.
+    The interpolated close at day d between observations (p, vp) and
+    (n, vn) is [vp*(n-d) + vn*(d-p)] / (n-p) — emitted as its EXACT
+    integer numerator/denominator pair (the f7 rational discipline), so
+    the driver compares pure BIGINTs and the one float division belongs
+    to the consumer. Observed days return (cv, 1); the spine is bounded
+    by each series' first/last observation so both neighbors always
+    exist.
+
+    Sparsity comes from the fixture being dense: the event_id % 150
+    sample thins each series until real multi-day gaps appear at
+    sf0.001-0.01 (and the occasional gap survives even at sf1), so the
+    interpolation arms are genuinely exercised at the correctness SFs.
+    Shape: one daily agg (deterministic lexicographic (ts, value) close
+    — the t17/f6 tiebreak), a spine explode that is O(days) never
+    O(events), one spine join, and TWO ignore-nulls windows over the
+    same per-series sort (Catalyst runs both directions in one
+    Window node pair, no extra exchange: the w7 LOCF shape plus its
+    mirror). Partitions by series; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") % 150 == 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    obs = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
+        .cast("bigint")
+        .alias("cv")
+    )
+    spine = (
+        obs.groupBy("series")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "series",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["series", "day"], "left")
+    w_prev = Window.partitionBy("series").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy("series").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    cv = F.col("cv")
+    obs_day = F.when(cv.isNotNull(), F.col("day"))
+    n = j.select(
+        "series",
+        "day",
+        "cv",
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.last(cv, ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+        F.first(cv, ignorenulls=True).over(w_next).alias("nv"),
+    )
+    gap_num = F.col("pv") * F.datediff(F.col("nd"), F.col("day")) + F.col(
+        "nv"
+    ) * F.datediff(F.col("day"), F.col("pd"))
+    return n.select(
+        "series",
+        "day",
+        F.when(cv.isNotNull(), cv).otherwise(gap_num).cast("bigint").alias("interp_num"),
+        F.when(cv.isNotNull(), F.lit(1))
+        .otherwise(F.datediff(F.col("nd"), F.col("pd")))
+        .cast("bigint")
+        .alias("interp_den"),
+        F.when(cv.isNotNull(), 1).otherwise(0).cast("int").alias("is_obs"),
+    )
+
+
+@register(
+    "g15_common_neighbors",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
+    deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
+             CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
+      FROM raw r
+      JOIN deg du ON du.node = r.u
+      JOIN deg dv ON dv.node = r.v
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM ori e1
+      JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t
+      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    tedges AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+      UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+      UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+    ),
+    cn AS MATERIALIZED (SELECT u, v, count(*) AS cn FROM tedges GROUP BY 1, 2)
+    SELECT r.u, r.v, CAST(coalesce(c.cn, 0) AS BIGINT) AS cn,
+           CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+           CAST(du.d + dv.d - coalesce(c.cn, 0) AS BIGINT) AS jac_den
+    FROM raw r
+    LEFT JOIN cn c ON c.u = r.u AND c.v = r.v
+    JOIN deg du ON du.node = r.u
+    JOIN deg dv ON dv.node = r.v
+    """,
+)
+def g15_common_neighbors(spark, sf_dir):
+    """Per-edge link-prediction features over the parts-bought-together
+    graph: common-neighbor count and the Jaccard terms (jac = cn /
+    jac_den with jac_den = deg_u + deg_v - cn) for every support-
+    thresholded edge — the classic neighborhood-overlap scores a
+    recommender ranks candidate links by. Exact integers throughout.
+
+    Computed WITHOUT materializing neighborhoods: a triangle {a,b,c}
+    contributes exactly one common neighbor to each of its three edges,
+    so per-edge cn = per-edge triangle count — the g8 degree-ordered
+    wedge join (O(m^1.5) wedges, hub-safe by orientation) followed by
+    one explode of each triangle into its three canonical (min,max)
+    edges and a count agg. Degrees join back broadcast-sized. Edges
+    closing no triangle keep cn = 0 through the left join — they are
+    the NEGATIVE evidence a link model trains on, not noise to drop.
+
+    Since r10 the graph rides the g9/g11 bucketed layout for real
+    (:func:`_cooccur_graph_bucketed`, shared write-once staging with
+    g9/g17): the wedge join reads two bucket-aligned scans of the
+    oriented edge table with ZERO exchange on either side, the raw
+    canonical edges are recovered from the same scan by
+    (least, greatest) — a projection, not a recomputation — and the
+    only shuffles left are the ones the algorithm genuinely needs
+    (closing-edge re-key, the per-edge count agg, the cn join-back).
+    r9's version re-ran the full co-occurrence+orientation build in
+    lineage (~90 exchanges); the verdict's item-4 target."""
+    ori, deg = _cooccur_graph_bucketed(spark, sf_dir)
+    raw = ori.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c"))
+    e3 = ori.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    tedges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    cn = tedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
+    return (
+        raw.join(cn, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("cn"),
+            F.col("du").cast("bigint").alias("deg_u"),
+            F.col("dv").cast("bigint").alias("deg_v"),
+            (F.col("du") + F.col("dv") - F.coalesce(F.col("cn"), F.lit(0)))
+            .cast("bigint")
+            .alias("jac_den"),
+        )
+    )
+
+
+@register("t23_stream_cms_view", ORACLES["a21_cms_heavy_hitters"], lazy_replay=True)
+def t23_stream_cms_view(spark, sf_dir):
+    """STREAMING maintenance of the a21 count-min sketch — the fourth
+    mergeable-state algebra in the t17/t20/t22 family: OHLC merges by
+    struct least/greatest + sums, additive aggregates by +, HLL by
+    register-wise MAX, and the CMS counter matrix by CELL-WISE ADDITION
+    (CMS(A ∪ B) = CMS(A) + CMS(B) exactly — the sketch is linear, so
+    micro-batch boundaries are invisible by algebra). The event feed
+    replays in 3 micro-batches; each batch reduces to its own 4x512
+    partial counter matrix (map-side combined BEFORE touching the view
+    — the delta is at most 2048 rows regardless of batch size) and
+    merges into the keyed view under the writer-lease/replay contract.
+    The final matrix must be byte-identical to a21's one-shot build, so
+    the heavy-hitter probe over it hash-matches a21's oracle end to
+    end — streaming twin, same oracle. The candidate/exact legs are
+    batch recomputes over the staged feed (serving-time work the sketch
+    state exists to keep OUT of the hot path)."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    feed = ev.select("event_id", "user_id")
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "cmsmv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    feed.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(stage)
+    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["i", "col"], partition_by="i")
+
+    def expand(df):
+        proj = None
+        for i in range(CMS_D):
+            p = df.select(
+                "user_id",
+                F.lit(i).alias("i"),
+                (
+                    phash60(F.col("user_id").cast("string"), seed=f"cms{i}") % CMS_W
+                ).alias("col"),
+            )
+            proj = p if proj is None else proj.unionByName(p)
+        return proj
+
+    def fn(cur, b):
+        # b arrives pre-expanded to (user_id, i, col) — the view's
+        # partition pruning reads the partition column off the batch
+        delta = b.groupBy("i", "col").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        if cur is None:
+            return delta
+        return (
+            cur.alias("v")
+            .join(delta.alias("d"), ["i", "col"], "full_outer")
+            .select(
+                "i",
+                "col",
+                # keep NULL when neither side carries state (the r7
+                # merge_ohlc_states advice: a passthrough key sharing a
+                # partition must not grow a phantom zero row)
+                F.when(
+                    F.col("v.c").isNotNull() | F.col("d.c").isNotNull(),
+                    F.coalesce(F.col("v.c"), F.lit(0))
+                    + F.coalesce(F.col("d.c"), F.lit(0)),
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(expand(b), fn, batch_id=bid, writer="cms")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = view.read().select("i", "col", F.col("c").cast("bigint").alias("c"))
+    staged = spark.read.parquet(stage)
+    cand = expand(staged).distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["i", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_cms"))
+    )
+    tot = staged.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "user_id")
+        .join(F.broadcast(tot))
+        .filter(1000 * F.col("est_cms") >= F.col("n"))
+        .select("user_id", "est_cms", "exact_cnt")
+    )
+
+
+@register(
+    "x34_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def x34_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the next-event model a sequence-modeling pipeline fits
+    before anything neural (and the sanity check after: a trained
+    sequence model that disagrees wildly with the empirical bigram
+    matrix is broken). P(to|from) = n / n_from, emitted as its two
+    exact integer terms (f7's rational discipline); the matrix is
+    #event_types squared, so the output is tiny no matter the corpus.
+
+    Shape: ONE per-user ordered pass (lag over (ts, event_id) — the
+    a22/w6 sequence sort, deterministically tiebroken), one
+    map-side-combinable count agg over (from, to), and the n_from
+    denominator as a window sum over the 25-row matrix itself —
+    never a second pass over events. Cross-user boundaries emit no
+    transition (prev is NULL at each user's first event), which is the
+    semantically-honest handling: sessions don't leak across users."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(w_from).cast("bigint").alias("n_from"),
+    )
+
+
+@register(
+    "a25_mad_outliers",
+    """
+    WITH t AS (
+      SELECT event_type AS series,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT series, cents AS med_cents, n FROM t WHERE r = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT t.series, t.cents, abs(t.cents - m.med_cents) AS d, t.event_id,
+             m.med_cents, m.n,
+             row_number() OVER (PARTITION BY t.series
+                                ORDER BY abs(t.cents - m.med_cents),
+                                         t.event_id) AS r2
+      FROM t JOIN med m ON m.series = t.series
+    ),
+    mad AS (
+      SELECT series, d AS mad_cents FROM dev WHERE r2 = (n + 1) // 2
+    )
+    SELECT v.series, CAST(max(v.med_cents) AS BIGINT) AS med_cents,
+           CAST(max(a.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v.d > 3 * a.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad a ON a.series = v.series
+    GROUP BY 1
+    """,
+)
+def a25_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier screen — the ROBUST companion
+    to w12's rolling z-score: mean/stddev move with the very outliers
+    they're meant to flag (one fat-fingered tick inflates sigma and
+    hides its siblings), while the median/MAD pair has a 50% breakdown
+    point. Flags |x - med| > 3*MAD per series with EVERY quantity an
+    exact integer: the 'lower median' is the element at rank
+    (n+1) div 2 of a (value, event_id)-tiebroken order — a pinned
+    ELEMENT, not an interpolated midpoint, so both engines select the
+    identical row and no float exists anywhere (the a23 ntile/a17
+    weighted-median discipline, applied twice: once over values, once
+    over deviations).
+
+    Shape: two per-series rank passes (values, then deviations) with
+    the 5-row median/MAD relations broadcast back between them, one
+    final count agg. Same scale-out as every rank entry: few massive
+    series range-repartition the sort and offset ranks by broadcast
+    prefix counts. The 3*MAD compare multiplies integers — w12's
+    no-float trick."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w_rank = Window.partitionBy("series").orderBy("cents", "event_id")
+    w_all = Window.partitionBy("series")
+    t = (
+        ev.select(
+            F.col("event_type").alias("series"), cents.alias("cents"), "event_id"
+        )
+        .withColumn("r", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    med = t.filter(F.col("r") == F.expr("(n + 1) div 2")).select(
+        "series", F.col("cents").alias("med_cents"), "n"
+    )
+    dev = (
+        t.select("series", "cents", "event_id")
+        .join(F.broadcast(med), "series")
+        .withColumn("d", F.abs(F.col("cents") - F.col("med_cents")))
+    )
+    w_rank2 = Window.partitionBy("series").orderBy("d", "event_id")
+    dev_r = dev.withColumn("r2", F.row_number().over(w_rank2))
+    mad = dev_r.filter(F.col("r2") == F.expr("(n + 1) div 2")).select(
+        "series", F.col("d").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "series")
+        .groupBy("series")
+        .agg(
+            F.max("med_cents").cast("bigint").alias("med_cents"),
+            F.max("mad_cents").cast("bigint").alias("mad_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "d14_canonical_selection",
+    """
+    WITH labeled AS ({CLUSTERS}),
+    q AS (SELECT doc_id, {QUALITY} AS quality FROM documents)
+    SELECT cluster_id,
+           CAST(max(cluster_size) AS BIGINT) AS cluster_size,
+           CAST(max(struct_pack(q := quality, id := doc_id)).id AS BIGINT)
+             AS canonical_id,
+           CAST(max(struct_pack(q := quality, id := doc_id)).q AS DOUBLE)
+             AS canonical_quality,
+           CAST(max(cluster_size) - 1 AS BIGINT) AS n_dropped
+    FROM labeled JOIN q USING (doc_id)
+    GROUP BY cluster_id
+    """.replace(
+        "{CLUSTERS}",
+        _dd.cluster_pairs_sql(
+            _dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", threshold=0.5)
+        ),
+    ).replace("{QUALITY}", _tx.quality_score_sql("text")),
+)
+def d14_canonical_selection(spark, sf_dir):
+    """Canonical-document selection — the step AFTER clustering that the
+    d-battery stopped short of: each near-dup cluster keeps its
+    highest-QUALITY member (not the arbitrary min-id d7 labels clusters
+    by), because dedup that keeps the worst copy of every duplicated
+    page poisons the corpus it was meant to clean. Winner = argmax by
+    the (quality, doc_id) struct — quality is x7's deterministic score
+    (identical IEEE doubles on both engines from identical integer
+    ratios), doc_id breaks exact ties, so the keep decision is
+    reproducible run to run, engine to engine.
+
+    Composition, not re-implementation: d7's label-propagation clusters
+    x x7's quality column, joined once, one struct-argmax agg. The
+    quality join touches only CLUSTERED docs (pair-graph members —
+    vanishingly few of the corpus at 100 TB), so the expensive text
+    scoring runs on the small side; n_dropped per cluster is the audit
+    number a dedup report publishes."""
+    d = tbl(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    labeled = _dd.cluster_pairs(pairs)
+    q = d.select("doc_id", _tx.quality_score(F.col("text")).alias("quality"))
+    pick = F.max(F.struct(F.col("quality").alias("q"), F.col("doc_id").alias("id")))
+    return (
+        labeled.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").cast("bigint").alias("cluster_size"),
+            pick["id"].cast("bigint").alias("canonical_id"),
+            pick["q"].cast("double").alias("canonical_quality"),
+            (F.max("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+@register(
+    "j13_asof_tolerance_join",
+    """
+    WITH quotes AS (
+      SELECT user_id, ts,
+             CAST(arg_max(CAST(value AS DECIMAL(18,2)), event_id)
+                  AS DECIMAL(18,2)) AS price
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ), lookups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+    ), m AS (
+      SELECT l.event_id, l.user_id,
+             CAST(r.price AS DOUBLE) AS price,
+             epoch_us(CAST(l.ts AS TIMESTAMP))
+               - epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us
+      FROM lookups l ASOF LEFT JOIN quotes r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN gap_us <= 21600000000 THEN price END AS price,
+           CAST(CASE WHEN gap_us <= 21600000000 THEN gap_us END AS BIGINT)
+             AS staleness_us
+    FROM m
+    """,
+)
+def j13_asof_tolerance_join(spark, sf_dir):
+    """j3's as-of join with a MAX-STALENESS tolerance (pandas
+    merge_asof(tolerance=...)): a quote older than 6 hours is no quote —
+    the serving-correctness rule every market-data join needs (the
+    reference's ES lookup happily serves a week-old close as 'current';
+    this is the guardrail). Match first, THEN age out: the prior quote
+    is found exactly as in j3 (the union-sort single-shuffle
+    formulation — never a range join), with the quote's own timestamp
+    carried as a second filled column so the staleness test is one
+    row-local integer compare (microsecond gap vs 21_600_000_000).
+    Out-of-tolerance rows keep their left row with NULL price AND NULL
+    staleness — left semantics preserved, so downstream LOCF/interp
+    (w7/w14) can take over exactly where the tolerance gave up.
+
+    Same cost as j3: one hash exchange + per-key sort; the tolerance
+    adds a projection, not a pass. Oracle: DuckDB native ASOF JOIN plus
+    the same CASE."""
+    from ..operators.asof import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by(F.col("value").cast(DEC), F.col("event_id"))
+            .cast(DEC)
+            .alias("price")
+        )
+        .withColumn("qts", F.col("ts"))
+    )
+    lookups = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(lookups, quotes, ["user_id"], "ts", ["price", "qts"])
+    # timestampdiff is NTZ-safe (unix_micros rejects TIMESTAMP_NTZ, and a
+    # cast through TIMESTAMP would drag the session timezone into a gap)
+    gap = F.expr("timestampdiff(MICROSECOND, qts, ts)")
+    fresh = gap <= 21_600_000_000  # 6 hours
+    return dec2dbl(
+        joined.select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("price")).alias("price"),
+            F.when(fresh, gap).cast("bigint").alias("staleness_us"),
+        )
+    )
+
+
+@register(
+    "f9_realized_variance",
+    """
+    WITH t AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT)
+               - lag(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT series, day,
+           CAST(count(*) + 1 AS BIGINT) AS n_ticks,
+           CAST(sum(d * d) AS BIGINT) AS rv_cents2,
+           CAST(sum(abs(d)) AS BIGINT) AS rav_cents
+    FROM t WHERE d IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def f9_realized_variance(spark, sf_dir):
+    """Daily realized variance (and realized absolute variation) per
+    series — THE model-free volatility estimator (sum of squared
+    successive price moves within the day; Andersen/Bollerslev's
+    realized-vol literature), and the one volatility number that stays
+    in EXACT integer space: no log returns, no stddev — squared cent
+    differences summed as BIGINTs (the w12 multiply-it-out discipline;
+    log-return vol needs ln(), which isn't correctly-rounded
+    cross-engine). The forecaster the reference wraps (SARIMAX) is
+    exactly the consumer: realized variance is the canonical
+    heteroskedasticity regressor.
+
+    Shape: one per-(series, day) ordered pass for the lag diffs — the
+    partition key includes the DAY, so overnight gaps never pollute the
+    intraday sum AND the sort parallelizes across series x days (30x
+    more partitions than a per-series sort; at 100 TB that is the
+    difference between 5 sort tasks and 150+) — then one
+    map-side-combined agg on the same key: Catalyst reuses the window's
+    partitioning for the groupBy, zero extra exchange."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("series", "day").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        F.to_date("ts").alias("day"),
+        cents.alias("cents"),
+        "ts",
+        "event_id",
+    ).select(
+        "series",
+        "day",
+        (F.col("cents") - F.lag("cents").over(w)).alias("d"),
+    )
+    return (
+        t.filter(F.col("d").isNotNull())
+        .groupBy("series", "day")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_ticks"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("rv_cents2"),
+            F.sum(F.abs(F.col("d"))).cast("bigint").alias("rav_cents"),
+        )
+    )
+
+
+@register(
+    "o4_keyset_pagination",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate > DATE '1997-01-01'
+       OR (o_orderdate = DATE '1997-01-01' AND o_orderkey > 0)
+    ORDER BY o_orderdate, o_orderkey LIMIT 20
+    """,
+)
+def o4_keyset_pagination(spark, sf_dir):
+    """Keyset (seek-method) pagination — the scale-correct page-N query
+    that o2's LIMIT/OFFSET deliberately is not: OFFSET k scans and
+    discards k rows EVERY page (page 10_000 of a 100 TB log reads ~all
+    of it), while the keyset predicate '(date, key) > last-seen' is
+    SARGABLE — it pushes to the parquet scan as a min/max row-group
+    filter, so page N costs the same as page 1 forever. The compound
+    tuple compare is expanded into its OR form because parquet pushdown
+    speaks single-column ranges; o_orderkey's uniqueness makes the
+    (date, key) sort total, hence pages are gap-free and overlap-free
+    by construction (the o1/o2 determinism rule).
+
+    Plan: pushed date filter + TakeOrderedAndProject — Spark's
+    distributed top-k (per-partition heap then a 20-row merge), never a
+    global sort. The anchor here is a literal; in a paging service it
+    is the last row of the previous page, which is exactly what makes
+    the next page's predicate prunable."""
+    o = tbl(spark, sf_dir, "orders")
+    anchor_date = F.lit("1997-01-01").cast("date")
+    page = (
+        o.filter(
+            (F.col("o_orderdate") > anchor_date)
+            | ((F.col("o_orderdate") == anchor_date) & (F.col("o_orderkey") > 0))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(DEC).alias("total"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+    return dec2dbl(page)
+
+
+@register(
+    "w15_seasonal_profile",
+    """
+    WITH d AS (
+      SELECT event_type AS series, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), g AS (
+      SELECT series, CAST(dow AS INTEGER) AS dow,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2
+    )
+    SELECT series, dow, sum_cents, n,
+           CAST(sum(sum_cents) OVER (PARTITION BY series) AS BIGINT)
+             AS series_sum,
+           CAST(sum(n) OVER (PARTITION BY series) AS BIGINT) AS series_n
+    FROM g
+    """,
+)
+def w15_seasonal_profile(spark, sf_dir):
+    """Day-of-week seasonal profile per series — the seasonal-naive
+    baseline every forecast evaluation needs (a SARIMAX that can't beat
+    'same weekday last week' isn't earning its fit cost — this table IS
+    that baseline, and doubles as the seasonality diagnostic deciding
+    the S in SARIMAX). Per (series, ISO weekday): exact turnover sum
+    and count, with the series totals alongside so the seasonal lift
+    (dow mean / series mean) is one consumer-side division of four
+    exact integers — no float crosses the engine boundary.
+
+    Weekday convention is pinned cross-engine: Spark weekday() is
+    0=Monday, DuckDB isodow() is 1=Monday — the entry emits ISO
+    (weekday()+1), the kind of off-by-one that silently shifts a
+    week of seasonality if left to engine defaults. Shape: one
+    map-side-combined agg to ≤ 7 x #series rows; the series totals are
+    a window over THAT relation, never a second event pass."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = ev.groupBy(
+        F.col("event_type").alias("series"),
+        (F.weekday(F.to_date("ts")) + 1).cast("int").alias("dow"),
+    ).agg(
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("series")
+    return g.select(
+        "series",
+        "dow",
+        "sum_cents",
+        "n",
+        F.sum("sum_cents").over(w).cast("bigint").alias("series_sum"),
+        F.sum("n").over(w).cast("bigint").alias("series_n"),
+    )
+
+
+@register(
+    "m14_knn_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, label AS tl
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS nl
+      FROM embeddings WHERE vec_id % 50 <> 0
+    ), scored AS (
+      SELECT q.query_id, q.tl, c.neighbor_id, c.nl,
+             {COS} AS score
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, tl, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, tl, nl, count(*) AS cnt
+      FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT query_id, tl,
+             min(struct_pack(nc := -cnt, lb := nl)).lb AS pred
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT CAST(tl AS INTEGER) AS true_label,
+           CAST(pred AS INTEGER) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pick GROUP BY 1, 2
+    """.replace("{COS}", _sim.cosine_sql("q.q_emb", "c.c_emb")),
+)
+def m14_knn_eval(spark, sf_dir):
+    """k-NN classification eval — the model-free baseline every
+    embedding-quality report needs: if 5-NN majority vote over the
+    embedding space can't recover labels, no probe trained on it will
+    (and if it CAN, the m9 MLP has a floor to beat — this matrix is the
+    third eval leg after m11's confusion and m12's calibration, for the
+    classifier that needs no training at all). Held-out queries
+    (vec_id % 50 — the serving-sized 2% sample _serving_sized enforces)
+    score against the TRAIN side only; 5 nearest by cosine with the s1
+    (score DESC, neighbor_id) deterministic tiebreak; majority vote
+    resolves ties to the SMALLEST label via one struct argmin — no
+    engine-dependent arbitrary pick anywhere. Output is the exact
+    confusion matrix of the vote.
+
+    Shape: the s1 broadcast-queries x corpus-scan pattern (the one
+    sanctioned nested-loop in the registry, bounded by the broadcast
+    contract) + two tiny aggs over Q*5 vote rows. At corpus scale the
+    brute-force leg swaps for the s8 IVF->rerank cascade unchanged —
+    the vote/confusion tail never sees more than Q*k rows either way."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 50 == 0)
+    train = emb.filter(F.col("vec_id") % 50 != 0)
+    nn = _sim.topk_bruteforce(train, test, k=5)
+    nlab = train.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    tlab = test.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tl"))
+    votes = (
+        nn.join(nlab, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pick = (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("nl").alias("lb")))[
+                "lb"
+            ].alias("pred")
+        )
+        .join(F.broadcast(tlab), "query_id")
+    )
+    return pick.groupBy(
+        F.col("tl").cast("int").alias("true_label"),
+        F.col("pred").cast("int").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "x35_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, t
+      FROM documents, unnest({TOKS}) AS u(t)
+    ), df AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), vocab AS (
+      SELECT t FROM df ORDER BY df DESC, t LIMIT 256
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM toks LEFT JOIN vocab v USING (t)
+    GROUP BY 1
+    """.replace("{TOKS}", _tx.tokens_sql("text")),
+)
+def x35_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage / OOV audit — the fit-then-transform shape of
+    every tokenizer pipeline, measured exactly: fit a 256-term vocab as
+    the top document-frequency terms (ORDER BY df DESC with the term
+    itself as tiebreak — a pinned, reproducible vocabulary, which is
+    the whole point: a vocab that changes under re-sort poisons every
+    downstream model), then score the corpus's out-of-vocabulary token
+    mass per language. High OOV in one language = the vocab underfits
+    it — the multilingual-tokenizer fairness number (per-language
+    compression disparity) reported before anyone trains.
+
+    Two passes over tokens by necessity (fit needs global df before
+    transform can score — same contract as x10's IDF), but the vocab
+    selection is a DISTRIBUTED TOP-K (TakeOrderedAndProject: per-
+    partition heaps then a 256-row merge), never a global sort of the
+    term table, and the coverage join broadcasts 256 terms against the
+    token stream. m13's hashing trick is the vocab-free alternative;
+    this entry is the measured case for when it's worth it."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_tx.tokens(F.col("text"))).alias("t")
+    )
+    df_ = toks.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    vocab = df_.orderBy(F.desc("df"), F.asc("t")).limit(256).select("t")
+    cov = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "t", "left"
+    )
+    return cov.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+
+
+@register(
+    "a26_rolling_distinct_reach",
+    """
+    WITH ud AS (
+      SELECT DISTINCT event_type AS series, user_id, CAST(ts AS DATE) AS day
+      FROM events
+    ), expanded AS (
+      SELECT series, user_id,
+             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                         CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS wday
+      FROM ud
+    ), bounds AS (
+      SELECT series, min(day) AS lo, max(day) AS hi FROM ud GROUP BY 1
+    )
+    SELECT e.series, e.wday AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS reach_7d
+    FROM expanded e JOIN bounds b
+      ON b.series = e.series AND e.wday BETWEEN b.lo AND b.hi
+    GROUP BY 1, 2
+    """,
+)
+def a26_rolling_distinct_reach(spark, sf_dir):
+    """Rolling 7-day distinct-user reach per series — the windowed
+    COUNT(DISTINCT) that window functions CANNOT express (distinct
+    aggregates are illegal in a frame, in Spark and in the standard)
+    and that naive rewrites get quadratically wrong (a per-day self-join
+    over the window re-scans 7x per day). The scalable rewrite: dedup
+    to (series, user, day) grain — the only pass over raw events —
+    then each user-day VOTES into the 7 windows that can see it
+    (explode of a 7-element day sequence: a bounded x7 blowup of the
+    already-tiny distinct grain), and one count-distinct agg per
+    (series, window-day). Window days outside the observed span are
+    clipped so every emitted day aggregates a fully-defined window
+    position (leading partial windows are real reach, trailing
+    phantom days are not emitted).
+
+    At 100 TB the x7 explode happens AFTER the dedup agg has collapsed
+    events to active-user-days (orders of magnitude smaller), and both
+    aggs are map-side combinable on their keys. Generalizes to any
+    window length W at cost xW of the grain — the honest price of
+    exact distinct over sliding windows; a9/a20 are the sketch answers
+    when W gets long."""
+    ev = tbl(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("event_type").alias("series"),
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).distinct()
+    bounds = ud.groupBy("series").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    expanded = ud.select(
+        "series",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("wday"),
+    )
+    return (
+        expanded.join(F.broadcast(bounds), "series")
+        .filter(F.col("wday").between(F.col("lo"), F.col("hi")))
+        .groupBy("series", F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("reach_7d"))
+    )
+
+
+@register(
+    "f10_historical_var",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                  v := CAST(round(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS close_cents
+      FROM events GROUP BY 1, 2
+    ), rets AS (
+      SELECT series,
+             close_cents - lag(close_cents)
+               OVER (PARTITION BY series ORDER BY day) AS ret,
+             day
+      FROM daily
+    ), ranked AS (
+      SELECT series, ret, day,
+             row_number() OVER (PARTITION BY series ORDER BY ret, day) AS r,
+             count(*) OVER (PARTITION BY series) AS n
+      FROM rets WHERE ret IS NOT NULL
+    )
+    SELECT series,
+           CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN r = (n * 5 + 99) // 100 THEN ret END)
+                AS BIGINT) AS var95_cents,
+           CAST(max(CASE WHEN r = (n * 1 + 99) // 100 THEN ret END)
+                AS BIGINT) AS var99_cents,
+           CAST(min(ret) AS BIGINT) AS worst_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def f10_historical_var(spark, sf_dir):
+    """Historical value-at-risk per series — the risk number the
+    reference's serving view exists to feed a human deciding position
+    sizes, computed the way a risk desk actually does it (empirical
+    quantile of realized daily moves, no distributional assumption):
+    VaR95/VaR99 = the ceil(0.05n)/ceil(0.01n)-th WORST daily close
+    change, selected as a pinned rank element over a (return, day)-
+    tiebroken order — the a25 exact-quantile discipline, so both
+    engines pick the identical day's move and every column is a BIGINT
+    (ceil(kn/100) = (n*k + 99) div 100 in pure integers). The worst
+    single move rides along (VaR's blind spot — the tail beyond the
+    quantile — made visible; w11's drawdown is the path-dependent
+    companion).
+
+    Shape: daily close agg (deterministic (ts, value) struct rule),
+    one per-series lag, one per-series rank, one final agg — all on
+    the days-per-series grain, never raw ticks. The conditional-max
+    rank pick means no second join back: the quantile SELECTION is
+    part of the aggregation."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
+        .cast("bigint")
+        .alias("close_cents")
+    )
+    w_lag = Window.partitionBy("series").orderBy("day")
+    rets = daily.select(
+        "series",
+        (F.col("close_cents") - F.lag("close_cents").over(w_lag)).alias("ret"),
+        "day",
+    ).filter(F.col("ret").isNotNull())
+    w_rank = Window.partitionBy("series").orderBy("ret", "day")
+    w_all = Window.partitionBy("series")
+    ranked = rets.withColumn("r", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    return ranked.groupBy("series").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(F.when(F.col("r") == F.expr("(n * 5 + 99) div 100"), F.col("ret")))
+        .cast("bigint")
+        .alias("var95_cents"),
+        F.max(F.when(F.col("r") == F.expr("(n * 1 + 99) div 100"), F.col("ret")))
+        .cast("bigint")
+        .alias("var99_cents"),
+        F.min("ret").cast("bigint").alias("worst_cents"),
+    )
+
+
+@register(
+    "p15_shallow_clone",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT event_date,
+           CAST(CASE WHEN day(event_date) <= 10 THEN 3 * n ELSE 2 * n END
+                AS BIGINT) AS n
+    FROM daily
+    """,
+    lazy_replay=True,
+)
+def p15_shallow_clone(spark, sf_dir):
+    """Zero-copy SHALLOW CLONE of the keyed view
+    (streaming/upsert.py:KeyedParquetView.clone_to) — the lakehouse
+    fork primitive (Delta SHALLOW CLONE / Iceberg snapshot-ref): the
+    clone is ONE JSON manifest whose base pointer resolves shared
+    history in the source's version dirs, so forking a 100 TB table for
+    a what-if reprocess costs O(metadata), not O(data). This entry
+    proves the full copy-on-write lifecycle: the source view takes two
+    merges (daily counts, then a x2 revision of every day — the t19
+    history); the CLONE then receives a x3 correction for days <= 10.
+    The returned clone state must show the correction ONLY where
+    applied (3n for days <= 10, the shared 2n elsewhere), read through
+    a mixed manifest — corrected partitions from the clone's own
+    version dir, untouched partitions from the source's. The pytest
+    twin additionally pins the zero-copy and isolation halves: no
+    parquet under the clone before its merge, source unchanged after
+    it."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("event_id").alias("_ord"),
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "clone_" + uuid.uuid4().hex[:8])
+    src = KeyedParquetView(spark, _os.path.join(root, "src"), ["event_date"])
+    src.merge_overwrite_by_key(daily, "_ord", batch_id=0, writer="p15")
+    # each revision's order column is STRICTLY greater than what the view
+    # already holds (base _ord is max event_id per date, so +1/+2 never
+    # collide): max_by on an exact tie is non-deterministic in Spark, and
+    # relying on it to prefer the revised row could silently flip under
+    # AQE/partitioning changes (r8 advice) — same ts-tiebreak discipline as
+    # the rest of the registry
+    src.merge_overwrite_by_key(
+        daily.withColumn("n", F.col("n") * 2).withColumn(
+            "_ord", F.col("_ord") + 1
+        ),
+        "_ord",
+        batch_id=1,
+        writer="p15",
+    )
+    clone = src.clone_to(_os.path.join(root, "fork"))
+    fix = (
+        daily.filter(F.dayofmonth("event_date") <= 10)
+        .withColumn("n", F.col("n") * 3)
+        .withColumn("_ord", F.col("_ord") + 2)
+    )
+    clone.merge_overwrite_by_key(fix, "_ord", batch_id=0, writer="fix")
+    return clone.read().select("event_date", "n")
+
+
+@register(
+    "u9_right_to_erasure",
+    """
+    SELECT CAST(user_id % 16 AS BIGINT) AS ub,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id NOT IN (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 997 = 0
+    )
+    GROUP BY 1
+    """,
+    lazy_replay=True,
+)
+def u9_right_to_erasure(spark, sf_dir):
+    """Right-to-erasure (GDPR Art. 17) on the keyed view — the
+    lakehouse DELETE nobody designs for until the request arrives: hard-
+    remove every row of a user set from a materialized view, with cost
+    O(partitions containing the user), NOT O(view). The layout IS the
+    compliance story: this view partitions by a USER-HASH BUCKET
+    (user_id % 16), so an erasure touches exactly the victim users'
+    buckets and rewrites only those — under date partitioning (t19's
+    layout) the same request rewrites every partition of history, which
+    at 100 TB is the difference between a 1/16th rewrite and a full
+    one (Delta's deletion vectors attack the same cost from the file
+    side; partition-localized rewrite is the layout-side answer, and
+    they compose). Erasure runs as merge_custom: current-state rows of
+    the touched buckets minus the victims, REPLACING those partitions
+    wholesale under the manifest flip — versioned like any merge, so
+    the erasure itself is auditable (and read_at of prior versions
+    still sees the data until vacuum(), which IS the retention step the
+    regulation actually requires — the docstring is the runbook:
+    erase, then vacuum).
+
+    Victims: user_id % 997 == 0 (a realistic trickle, ~0.1%). The
+    returned per-bucket census must equal the oracle's recompute-
+    without-victims — proving no victim row survived AND no bystander
+    row was lost."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    rows = ev.select(
+        (F.col("user_id") % 16).alias("ub"), "user_id", "event_id", "event_type"
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "gdpr_" + uuid.uuid4().hex[:8])
+    view = KeyedParquetView(spark, root, ["ub", "event_id"], partition_by="ub")
+    view.merge_overwrite_by_key(
+        rows.withColumn("_ord", F.col("event_id")), "_ord", batch_id=0, writer="load"
+    )
+    victims = (
+        ev.filter(F.col("user_id") % 997 == 0)
+        .select((F.col("user_id") % 16).alias("ub"), "user_id")
+        .distinct()
+    )
+
+    def erase(cur, b):
+        if cur is None:
+            return b.limit(0)
+        gone = b.select("user_id").distinct()
+        return cur.join(gone, "user_id", "left_anti")
+
+    view.merge_custom(victims, erase, batch_id=0, writer="erase")
+    out = view.read()
+    if out is None:
+        # every user was a victim (a tiny corpus can be 100% user_id % 997
+        # == 0): the erased view is empty, same as the oracle's NOT IN
+        return spark.createDataFrame(
+            [], "ub bigint, n_events bigint, n_users bigint"
+        )
+    return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "g16_deterministic_walks",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
+    ),
+    seeds AS (SELECT DISTINCT u AS n0 FROM und WHERE u % 100 = 0),
+    s1 AS (
+      SELECT n0, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n0, e.v, '1'))[1:15]) AS BIGINT), nx := e.v)).nx AS n1
+      FROM seeds JOIN und e ON e.u = n0 GROUP BY n0
+    ),
+    s2 AS (
+      SELECT n0, n1, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n1, e.v, '2'))[1:15]) AS BIGINT), nx := e.v)).nx AS n2
+      FROM s1 JOIN und e ON e.u = n1 GROUP BY n0, n1
+    ),
+    s3 AS (
+      SELECT n0, n1, n2, min(struct_pack(h := CAST(concat('0x', md5(concat_ws('|', n2, e.v, '3'))[1:15]) AS BIGINT), nx := e.v)).nx AS n3
+      FROM s2 JOIN und e ON e.u = n2 GROUP BY n0, n1, n2
+    )
+    SELECT n0, n1, n2, n3 FROM s3
+    """,
+)
+def g16_deterministic_walks(spark, sf_dir):
+    """Deterministic 3-hop graph walks — the graph-sampling primitive
+    under DeepWalk/node2vec-style embedding pipelines, made
+    REPRODUCIBLE: at each step the walker moves to the neighbor
+    minimizing a seeded portable hash of (current node, neighbor,
+    step), so the 'random' walk is a pure function of the graph — same
+    corpus, same walks, on any cluster, any partitioning, both engines
+    (the x31 reproducible-shuffle argument applied to graph traversal;
+    Math.random is banned from this registry for exactly this reason).
+    Per seed (every 100th node of the co-occurrence graph), the walk
+    unrolls as three equi-joins against the symmetrized edge table,
+    each followed by a struct-argmin per frontier node — the g12 BFS
+    shape with an argmin instead of a min-distance agg.
+
+    Scale: each step moves the frontier (|seeds| rows), never the
+    graph; the edge table is the join's build side ONCE per step and
+    co-locates under the g9/g11 bucketed layout. Real walk fleets run
+    W walks x L steps as W seeded hash columns over the same L joins —
+    cost grows with W in COLUMNS (one argmin per walk id), not in
+    passes."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    raw = (
+        pairs.join(b, (pairs.l_orderkey == b.o) & (pairs.l_partkey < b.v))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    und = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()  # cache: caller-owns (edge table feeds all three returned hop joins)
+
+    def hop(frontier, cur_col, step, out_col):
+        e = und.select(F.col("u").alias(cur_col), F.col("v").alias("nx"))
+        h = _hh.phash60(
+            F.concat_ws("|", F.col(cur_col), F.col("nx"), F.lit(str(step)))
+        )
+        keys = [c for c in frontier.columns]
+        return (
+            frontier.join(e, cur_col)
+            .groupBy(*keys)
+            .agg(
+                F.min(F.struct(h.alias("h"), F.col("nx").alias("nx")))["nx"].alias(
+                    out_col
+                )
+            )
+        )
+
+    seeds = und.filter(F.col("u") % 100 == 0).select(F.col("u").alias("n0")).distinct()
+    w1 = hop(seeds, "n0", 1, "n1")
+    w2 = hop(w1, "n1", 2, "n2")
+    w3 = hop(w2, "n2", 3, "n3")
+    return w3.select("n0", "n1", "n2", "n3")
+
+
+@register(
+    "x36_cdc_chunks",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tl FROM documents
+    ), toks AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.t AS t
+      FROM base, unnest(list_transform(range(1, len(tl) + 1),
+           i -> struct_pack(pos := i, t := tl[i]))) AS u(s)
+    ), h AS (
+      SELECT doc_id, pos, CAST(concat('0x', md5(t)[1:15]) AS BIGINT) AS ph FROM toks
+    ), c AS (
+      SELECT doc_id, pos, ph,
+             sum(CASE WHEN ph % 64 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+      FROM h
+    ), g AS (
+      SELECT doc_id, chunk,
+             list(ph ORDER BY pos) AS hs,
+             count(*) AS n_toks
+      FROM c GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id, n_toks,
+             {_hh.fold60_sql('hs')} AS chunk_hash
+      FROM g
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(n_toks) AS BIGINT) AS n_toks
+    FROM fp GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def x36_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin-style) + shared-chunk detection —
+    the dedup granularity d8's FIXED 16-word passages cannot reach: a
+    single inserted word shifts every fixed window after it (all
+    fingerprints change, the duplication goes dark), while content-
+    defined boundaries (cut BEFORE any token whose hash ≡ 0 mod 64 —
+    expected chunk ~64 tokens) re-synchronize one chunk after the edit,
+    so the rest of the shared text still collides. This is the chunking
+    under every dedup-at-scale storage system (LBFS/restic/backup dedup)
+    and increasingly under corpus near-dup mining; here it lands as the
+    sixth member of the dedup taxonomy (exact/minhash/simhash/passage/
+    containment/content-defined).
+
+    One hash per token, computed ONCE and reused for both decisions
+    (boundary test on ph mod 64, chunk identity over the ordered ph
+    list — the ext/dedup rule about never re-mentioning an expensive
+    expression); chunk ids are a per-doc running boundary count (one
+    window per doc, partitions by doc_id — embarrassingly parallel);
+    each chunk's identity is the 60-bit hashing.fold60 over its ordered
+    token hashes (widened from the mod-1e9 rolling fold whose birthday
+    collisions start near ~3e4 chunks — r11 ADVICE item; both engines
+    share the digest). Shared chunks (n_occ >= 2) come out
+    of one final hash agg. All integers; boundaries, chunks, and
+    fingerprints are pure functions of the text."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tx.tokens(F.col("text"))).alias("pos", "t")
+    )
+    h = toks.select("doc_id", "pos", _hh.phash60(F.col("t")).alias("ph"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    c = h.withColumn(
+        "chunk",
+        F.sum(F.when(F.col("ph") % 64 == 0, 1).otherwise(0)).over(w),
+    )
+    g = c.groupBy("doc_id", "chunk").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("pos").alias("p"), F.col("ph").alias("s"))
+            )
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    fp = g.select(
+        "doc_id",
+        "n_toks",
+        _hh.fold60(F.transform(F.col("arr"), lambda x: x["s"])).alias(
+            "chunk_hash"
+        ),
+    )
+    return (
+        fp.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.min("n_toks").cast("bigint").alias("n_toks"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+@register(
+    "w16_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
+      GROUP BY 1
+    ), gaps AS (
+      SELECT s.user_id,
+             epoch_us(p.p_ts) - epoch_us(s.s_ts) AS gap_us
+      FROM s JOIN p ON p.user_id = s.user_id
+    ), ranked AS (
+      SELECT gap_us,
+             row_number() OVER (ORDER BY gap_us, user_id) AS r,
+             count(*) OVER () AS n
+      FROM gaps
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(max(CASE WHEN r = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+             AS median_gap_us,
+           CAST(max(CASE WHEN r = (n * 90 + 99) // 100 THEN gap_us END)
+                AS BIGINT) AS p90_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM ranked
+    """,
+)
+def w16_time_to_convert(spark, sf_dir):
+    """Signup-to-first-purchase latency distribution — the companion
+    number to w8's funnel COUNTS (how many convert) and w10's cohorts
+    (when they signed up): how LONG conversion takes, as exact pinned
+    quantiles (median/p90 = rank elements of a (gap, user)-tiebroken
+    order — the a25/f10 discipline; microsecond gaps via NTZ-safe
+    epoch arithmetic). The causality guard matters: only the first
+    purchase AT-OR-AFTER the first signup counts — min(purchase_ts)
+    unconditioned would credit conversions that happened before the
+    user ever signed up (the fixture, like real event streams, has
+    them).
+
+    Shape: two filtered aggs to per-user firsts, one equi-join with the
+    >= predicate riding it as a filter, then quantile selection inside
+    a single final agg over the converted-users relation (f10's
+    conditional-max pick, no join back). The global rank runs on one
+    row per converted user — and for corpus-scale user counts the
+    documented rank scale-out applies (range-repartition + broadcast
+    prefix counts)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    gaps = s.join(p, "user_id").select(
+        "user_id", F.expr("timestampdiff(MICROSECOND, s_ts, p_ts)").alias("gap_us")
+    )
+    ranked = gaps.withColumn(
+        "r", F.row_number().over(Window.orderBy("gap_us", "user_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("median_gap_us"),
+        F.max(F.when(F.col("r") == F.expr("(n * 90 + 99) div 100"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("p90_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+@register("t24_stream_erasure", ORACLES["u9_right_to_erasure"], lazy_replay=True)
+def t24_stream_erasure(spark, sf_dir):
+    """u9's right-to-erasure driven by a STREAMING request queue — which
+    is how erasure actually arrives in production (a privacy-requests
+    topic, not a batch job): victim user-ids replay in 2 micro-batches
+    through foreachBatch, each applying the left-anti delete to exactly
+    the victims' hash buckets under the writer-lease/replay contract
+    (a replayed erasure batch after checkpoint recovery is a no-op by
+    batch-id watermark — erasure is idempotent TWICE over, by anti-join
+    semantics AND by replay dedup). End state must equal u9's one-shot
+    batch erasure — same oracle, streaming twin; the t22/t23 pattern
+    applied to DELETES instead of sketch merges, proving merge_custom's
+    partition-wholesale contract holds when the merge REMOVES rows
+    (the _write_touched empty-partition-delete path, exercised through
+    a real stream)."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    ev = tbl(spark, sf_dir, "events")
+    rows = ev.select(
+        (F.col("user_id") % 16).alias("ub"), "user_id", "event_id", "event_type"
+    )
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "gdprs_" + uuid.uuid4().hex[:8])
+    view = KeyedParquetView(spark, _os.path.join(root, "mv"), ["ub", "event_id"], partition_by="ub")
+    view.merge_overwrite_by_key(
+        rows.withColumn("_ord", F.col("event_id")), "_ord", batch_id=0, writer="load"
+    )
+    victims = (
+        ev.filter(F.col("user_id") % 997 == 0)
+        .select((F.col("user_id") % 16).alias("ub"), "user_id")
+        .distinct()
+    )
+    stage = _os.path.join(root, "requests")
+    victims.repartitionByRange(2, "user_id").write.mode("overwrite").parquet(stage)
+
+    def erase(cur, b):
+        if cur is None:
+            return b.limit(0)
+        gone = b.select("user_id").distinct()
+        return cur.join(gone, "user_id", "left_anti")
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, bid: view.merge_custom(b, erase, batch_id=bid, writer="erase")
+        )
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = view.read()
+    if out is None:
+        # all users erased (u9's tiny-corpus arm): empty view, empty census
+        return spark.createDataFrame(
+            [], "ub bigint, n_events bigint, n_users bigint"
+        )
+    return out.groupBy(F.col("ub").cast("bigint").alias("ub")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "x37_langid_confusion",
+    f"""
+    WITH p AS (
+      SELECT lang, {_tx.lang_id_sql('text')} AS lang_pred FROM documents
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def x37_langid_confusion(spark, sf_dir):
+    """The eval leg for x6's language-ID — a classifier shipped without
+    its confusion matrix is a guess, and for a CORPUS ROUTER (lang-id
+    decides which cleaning rules, tokenizer, and quality thresholds a
+    document gets) each off-diagonal cell is a concrete misrouting
+    cost: en→und under-filters, de→en applies the wrong stopword list
+    to millions of docs. Ground truth is the fixture's lang column;
+    the matrix is at most 6x6 (5 languages + 'und'), so the whole eval
+    is one map-side-combined agg over the same single-pass Column
+    expression x6 ships — the m11/m14 confusion-matrix discipline
+    applied to the text battery. The diagonal share is the router's
+    accuracy; the 'und' column is its abstention rate — both one
+    consumer-side division of exact counts."""
+    d = tbl(spark, sf_dir, "documents")
+    p = d.select("lang", _tx.lang_id(F.col("text")).alias("lang_pred"))
+    return p.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "w17_streaks",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                                  v := CAST(round(value * 100) AS BIGINT))).v
+                  AS BIGINT) AS close_cents
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series, day, close_cents,
+             CASE WHEN close_cents > lag(close_cents)
+                    OVER (PARTITION BY series ORDER BY day) THEN 1
+                  WHEN close_cents < lag(close_cents)
+                    OVER (PARTITION BY series ORDER BY day) THEN -1
+             END AS dir
+      FROM daily
+    ), isl AS (
+      SELECT series, day, dir,
+             row_number() OVER (PARTITION BY series ORDER BY day)
+               - row_number() OVER (PARTITION BY series, dir ORDER BY day)
+               AS grp
+      FROM d WHERE dir IS NOT NULL
+    ), runs AS (
+      SELECT series, dir, grp, count(*) AS len
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT series,
+           CAST(max(CASE WHEN dir = 1 THEN len ELSE 0 END) AS BIGINT)
+             AS longest_up,
+           CAST(max(CASE WHEN dir = -1 THEN len ELSE 0 END) AS BIGINT)
+             AS longest_down,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1
+    """,
+)
+def w17_streaks(spark, sf_dir):
+    """Longest up/down streak per series — the gaps-and-islands variant
+    w5's sessionization doesn't cover: islands defined by a CONDITION
+    on consecutive rows (close strictly rose / strictly fell), not by a
+    time gap. Momentum screens, 'N consecutive red days' alerts, and
+    data-quality checks for stuck sensors (a 500-day 'streak' of equal
+    values is a dead feed — here flat days break both streaks, which
+    is the semantics that catches it) all reduce to this island shape.
+    The classic two-row_number trick: global-order rank minus
+    per-direction rank is constant within a run — three window passes
+    over the SAME per-series sort (Catalyst stacks them on one
+    exchange) + two tiny aggs, everything on the days-per-series grain,
+    every output an exact BIGINT."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max(F.struct(F.col("ts").alias("t"), cents.alias("v")))["v"]
+        .cast("bigint")
+        .alias("close_cents")
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    prev = F.lag("close_cents").over(w)
+    d = daily.select(
+        "series",
+        "day",
+        F.when(F.col("close_cents") > prev, 1)
+        .when(F.col("close_cents") < prev, -1)
+        .alias("dir"),
+    ).filter(F.col("dir").isNotNull())
+    w_dir = Window.partitionBy("series", "dir").orderBy("day")
+    isl = d.select(
+        "series",
+        "dir",
+        (F.row_number().over(w) - F.row_number().over(w_dir)).alias("grp"),
+    )
+    runs = isl.groupBy("series", "dir", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("series").agg(
+        F.max(F.when(F.col("dir") == 1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("longest_up"),
+        F.max(F.when(F.col("dir") == -1, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("longest_down"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+
+
+@register(
+    "f11_hhi_concentration",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_series,
+           CAST(sum(n * n) AS BIGINT) AS hhi_num,
+           CAST(sum(n) * sum(n) AS BIGINT) AS hhi_den,
+           CAST(max(n) AS BIGINT) AS top_n,
+           CAST(sum(n) AS BIGINT) AS total_n
+    FROM c GROUP BY 1
+    """,
+)
+def f11_hhi_concentration(spark, sf_dir):
+    """Daily Herfindahl–Hirschman concentration of activity across
+    series — the market-structure number (is one instrument eating the
+    tape?) and, pointed at a training corpus's source mix, the
+    domain-diversity gauge x22's rebalancer optimizes toward. HHI =
+    sum of squared shares = hhi_num / hhi_den, emitted as its two
+    exact integer terms (f7's rational rule); top_n/total_n is the
+    max-share fraction for free. Counts, not value sums, keep the
+    squares int64-safe at any SF (the f8 overflow-by-construction
+    argument; squared daily CENTS blow past 2^63 near sf10).
+
+    Two stacked map-side-combinable aggs — (day, series) then day —
+    the second running on a ~#series-per-day relation; at 100 TB the
+    first agg is the only pass and the concentration table is
+    dashboard-sized. Catalyst reuses the first agg's day-prefixed
+    partitioning for the second: one exchange total."""
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return c.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_series"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("hhi_num"),
+        (F.sum("n") * F.sum("n")).cast("bigint").alias("hhi_den"),
+        F.max("n").cast("bigint").alias("top_n"),
+        F.sum("n").cast("bigint").alias("total_n"),
+    )
+
+
+@register(
+    "m15_autolabel_audit",
+    f"""
+    WITH pred AS ({{MLP_SQL}}),
+    truth AS (SELECT vec_id, CAST(label AS INTEGER) AS class FROM embeddings),
+    scored AS (
+      SELECT p.vec_id, p.pred_class, t.class, p.max_logit,
+             ntile(10) OVER (ORDER BY p.max_logit, p.vec_id) AS decile
+      FROM pred p JOIN truth t USING (vec_id)
+    )
+    SELECT CAST(class AS INTEGER) AS true_class,
+           CAST(count(*) AS BIGINT) AS n_autolabeled,
+           CAST(sum(CASE WHEN pred_class = class THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(min(max_logit) AS BIGINT) AS lo_logit
+    FROM scored WHERE decile >= 9
+    GROUP BY 1
+    """.replace("{MLP_SQL}", _inf.mlp_infer_sql("embeddings")),
+)
+def m15_autolabel_audit(spark, sf_dir):
+    """The auto-labeling DECISION m12's calibration curve exists to
+    drive, executed and audited: keep only top-2-confidence-decile
+    predictions as machine labels (the pseudo-labeling / distillation
+    gate every data-flywheel pipeline runs), then break the kept set
+    down BY TRUE CLASS — because aggregate precision hides exactly the
+    failure that poisons a flywheel: a model confidently wrong about
+    one minority class floods the next training round with correlated
+    bad labels for it. n_correct/n_autolabeled per class is the
+    per-class precision of the shipped labels; a class with
+    n_autolabeled ~ 0 is silently excluded from the flywheel
+    (coverage skew — the other failure mode, equally visible here).
+
+    Same exact-integer spine as m12: integer MLP logits, ntile over a
+    (logit, id)-pinned order, and the audit is one filter + one agg
+    on the prediction relation — the Arrow inference seam is the only
+    heavy stage, shared verbatim with m9/m11/m12."""
+    from pyspark.sql import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pred = _inf.mlp_infer(emb)
+    truth = emb.select("vec_id", F.col("label").cast("int").alias("class"))
+    scored = pred.join(truth, "vec_id").select(
+        "pred_class",
+        "class",
+        "max_logit",
+        F.ntile(10)
+        .over(Window.orderBy("max_logit", "vec_id"))
+        .alias("decile"),
+    )
+    return (
+        scored.filter(F.col("decile") >= 9)
+        .groupBy(F.col("class").cast("int").alias("true_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_autolabeled"),
+            F.sum(F.when(F.col("pred_class") == F.col("class"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.min("max_logit").cast("bigint").alias("lo_logit"),
+        )
+    )
+
+
+@register(
+    "j12_star_broadcast",
+    """
+    SELECT n.n_name AS nation, p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def j12_star_broadcast(spark, sf_dir):
+    """Star-schema fact-to-dims join with EVERY dim broadcast — the
+    canonical OLAP shape (the reference's batch view joined to nothing;
+    real serving queries join the fact to its dimensions constantly)
+    executed the only way that survives 100 TB: the lineitem fact is
+    NEVER shuffled for any of the three joins. part/supplier/nation are
+    explicitly `broadcast()` (at 100 TB the dims are GBs while the fact
+    is TBs — a single SortMergeJoin on l_partkey would shuffle the
+    entire fact once PER DIM), so the only exchange in the plan is the
+    final partial-agg/final-agg pair on (nation, brand). Plan-pinned in
+    tests/test_plan_quality.py: zero SortMergeJoin, three
+    BroadcastHashJoins, and the joins sit inside one WholeStageCodegen
+    span over the fact scan.
+
+    Revenue is the q1 discipline taken integer: cents x (100 - discount
+    percent-cents) as BIGINT products — exact, order-independent, no
+    decimal rendering seam."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(price_c * disc_c).cast("bigint").alias("revenue_c4"),
+        )
+    )
+
+
+@register(
+    "d15_edit_distance_blocked",
+    """
+    WITH v AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_rows AS rows_a, b.n_rows AS rows_b
+    FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+)
+def d15_edit_distance_blocked(spark, sf_dir):
+    """Edit-distance near-collision audit over the DISTINCT name
+    vocabulary — the entity-resolution matcher (Levenshtein, the DP
+    behind every name/address linker) run the only way it survives a
+    100 TB fact table: the quadratic NEVER touches row pairs. First a
+    map-side-combined hash agg collapses the corpus to its distinct
+    names (the j9 record-linkage rewrite — name cardinality grows with
+    the CATALOG, not the row count; matching 'Customer#17' against
+    itself a billion times is the naive plan this entry exists to
+    forbid), then blocking on the name's last token (the product noun)
+    makes the vocab self-join a plain equi-join, and levenshtein runs
+    only inside blocks — JVM-side codegen'd built-in, DuckDB's
+    levenshtein as the same-unit-cost oracle twin. Each surviving pair
+    carries both names' row counts, so the consumer can rank collisions
+    by how much data a merge decision would move.
+
+    The blocking is part of the declared semantics (cross-block pairs
+    are out of scope by definition — the d9 fuzzy-prefix rule); recall
+    vs unblocked matching is measurable with the d11 harness pattern
+    if ever needed. Fixture honesty: p_name is a 64-value
+    'qualifier noun' vocabulary, so the output is small and stable
+    across SF — exactly the point (vocab-quadratic, corpus-linear)."""
+    p = (
+        tbl(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("blk", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a = p.select(
+        F.col("p_name").alias("name_a"), F.col("n_rows").alias("rows_a"), "blk"
+    )
+    b = p.select(
+        F.col("p_name").alias("name_b"), F.col("n_rows").alias("rows_b"), "blk"
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 6)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("dist"),
+            "rows_a",
+            "rows_b",
+        )
+    )
+
+
+@register(
+    "s16_sparse_doc_topk",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, u.t AS t FROM base, unnest(tl) AS u(t)
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), rare AS (
+      SELECT t FROM tf GROUP BY t HAVING count(*) <= 64
+    ), post AS (
+      SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN rare USING (t)
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.tf * b.tf) AS dot
+      FROM post a JOIN post b ON a.t = b.t AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT doc_a, doc_b, dot,
+             row_number() OVER (PARTITION BY doc_a
+                                ORDER BY dot DESC, doc_b) AS rnk
+      FROM dots
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def s16_sparse_doc_topk(spark, sf_dir):
+    """All-docs sparse-vector top-k similarity via an inverted index —
+    the lexical counterpart of s1's dense brute force, and the document-
+    to-DOCUMENT version of s15's query-time lexical leg: every doc's
+    3 nearest neighbors by raw term-frequency dot product (exact
+    BIGINTs — tf x tf products need no idf floats to be a meaningful
+    sparse similarity, and integer dots hash identically cross-engine).
+
+    The scale argument is the s15 champion-list discipline applied to
+    an all-pairs problem: the posting self-join runs ONLY over terms
+    with document frequency <= 64, so each term contributes at most
+    64^2 candidate pairs regardless of corpus size — stopwords (the
+    quadratic hazard: 'the' appears in every doc, its posting self-join
+    IS all-pairs) are excluded by the df cap itself, not by a curated
+    list. Everything is equi-joins + hash aggs; the only per-doc sort
+    is the width-3 top-k window over each doc's own candidate set."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tx.tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rare = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 64
+    )
+    post = tf.join(rare.select("t"), "t")
+    a = post.select(
+        F.col("t"), F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = post.select(
+        F.col("t"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("dot").desc(), F.col("doc_b"))
+    return (
+        dots.select(
+            "doc_a",
+            "doc_b",
+            F.col("dot").cast("bigint").alias("dot"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("doc_a", "doc_b", "dot", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+@register(
+    "f12_rsi",
+    """
+    WITH c AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series, day,
+             close_c - lag(close_c) OVER (PARTITION BY series ORDER BY day)
+               AS chg
+      FROM c
+    ), gl AS (
+      SELECT series, day,
+             CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
+             CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss
+      FROM d WHERE chg IS NOT NULL
+    ), r AS (
+      SELECT series, day,
+             sum(gain) OVER w AS g, sum(loss) OVER w AS l,
+             count(*) OVER w AS n
+      FROM gl
+      WINDOW w AS (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, day,
+           CAST(g AS BIGINT) AS gain_c, CAST(l AS BIGINT) AS loss_c,
+           CAST(CASE WHEN g + l > 0 THEN (10000 * g) // (g + l) END
+                AS BIGINT) AS rsi_bp
+    FROM r WHERE n = 14
+    """,
+)
+def f12_rsi(spark, sf_dir):
+    """14-day RSI (Cutler's simple-moving-average form) per series —
+    the momentum oscillator every technical screen runs over exactly
+    the OHLC series this engine's batch view maintains (reference:
+    Batch_layer/stockBatch.py builds the daily closes; RSI is the
+    canonical downstream indicator). Wilder's original exponential
+    smoothing needs an infinite-tail float recursion (the m9 Holt
+    lesson: cross-engine float recursions flap); Cutler's SMA variant
+    is the standard exact-window form — and it stays in INTEGER space
+    end to end: daily closes in cents via the f6 (ts, v)-struct argmax,
+    gains/losses as lagged cent diffs, 14-row rolling sums as BIGINTs,
+    and the oscillator itself reported in basis points by one floor
+    division (both engines floor nonneg integer division identically;
+    the float 100*g/(g+l) is refused on hash-stability grounds).
+    Rows with fewer than 14 prior changes are excluded (n = 14), the
+    textbook warm-up rule.
+
+    Shape: one per-(series, day) hash agg for closes (map-side
+    combined), then ONE window partitioned by series for lag + the two
+    rolling sums — Catalyst fuses all three into a single sort+window
+    over a 30-row-per-series relation; series count, not corpus size,
+    bounds the window state."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            F.struct(F.col("ts").alias("t"), cents.alias("v")).alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.max("s")["v"].alias("close_c"))
+    )
+    wd = Window.partitionBy("series").orderBy("day")
+    d = c.select(
+        "series", "day", (F.col("close_c") - F.lag("close_c").over(wd)).alias("chg")
+    ).filter(F.col("chg").isNotNull())
+    gl = d.select(
+        "series",
+        "day",
+        F.when(F.col("chg") > 0, F.col("chg")).otherwise(F.lit(0)).alias("gain"),
+        F.when(F.col("chg") < 0, -F.col("chg")).otherwise(F.lit(0)).alias("loss"),
+    )
+    w14 = wd.rowsBetween(-13, 0)
+    r = gl.select(
+        "series",
+        "day",
+        F.sum("gain").over(w14).alias("g"),
+        F.sum("loss").over(w14).alias("l"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    )
+    tot = F.col("g") + F.col("l")
+    return r.filter(F.col("n") == 14).select(
+        "series",
+        "day",
+        F.col("g").cast("bigint").alias("gain_c"),
+        F.col("l").cast("bigint").alias("loss_c"),
+        F.when(tot > 0, F.expr("10000 * g DIV (g + l)"))
+        .cast("bigint")
+        .alias("rsi_bp"),
+    )
+
+
+@register(
+    "f13_signal_backtest",
+    """
+    WITH b AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             min(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS open_c,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP),
+                             v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT series, day, open_c, close_c,
+             lag(close_c, 1) OVER w AS c1,
+             lag(close_c, 2) OVER w AS c2
+      FROM b WINDOW w AS (PARTITION BY series ORDER BY day)
+    )
+    SELECT series,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(close_c - open_c) AS BIGINT) AS pnl_c,
+           CAST(sum(CASE WHEN close_c > open_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_wins,
+           CAST(max(close_c - open_c) AS BIGINT) AS best_c,
+           CAST(min(close_c - open_c) AS BIGINT) AS worst_c
+    FROM s WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c1 > c2
+    GROUP BY 1
+    """,
+)
+def f13_signal_backtest(spark, sf_dir):
+    """Vectorized signal backtest — the evaluation loop the reference's
+    forecast serving layer implies but never runs: a rule ('yesterday's
+    close above the day before' = 1-day momentum) is turned into a
+    trade ledger and P&L WITHOUT a per-day driver loop. Event-study
+    backtests are embarrassingly parallel when the signal is a pure
+    window function: signal day selection is two lags over the daily
+    bar relation, each simulated trade is buy-at-open/sell-at-close of
+    the SIGNAL day (no lookahead: the signal uses strictly prior
+    closes — the u6 point-in-time discipline applied to strategy eval),
+    and the ledger aggregates per series into trade count, total P&L,
+    hit rate numerator, best and worst trade — all exact cent BIGINTs,
+    no return ratios (per-trade P&L in cents is the additive,
+    hash-stable ledger; compounded-return products are floats and
+    belong to the consumer).
+
+    Shape: one hash agg to daily bars (the f6 struct-argmin/argmax
+    idiom), one window for the two lags, one final agg — at 100 TB of
+    ticks the bar agg is map-side combined and everything after runs
+    on days x series rows."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    s = F.struct(F.col("ts").alias("t"), cents.alias("v"))
+    b = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+            s.alias("s"),
+        )
+        .groupBy("series", "day")
+        .agg(F.min("s")["v"].alias("open_c"), F.max("s")["v"].alias("close_c"))
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    sig = b.select(
+        "series",
+        "day",
+        "open_c",
+        "close_c",
+        F.lag("close_c", 1).over(w).alias("c1"),
+        F.lag("close_c", 2).over(w).alias("c2"),
+    ).filter(
+        F.col("c1").isNotNull() & F.col("c2").isNotNull() & (F.col("c1") > F.col("c2"))
+    )
+    pnl = F.col("close_c") - F.col("open_c")
+    return sig.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.sum(pnl).cast("bigint").alias("pnl_c"),
+        F.sum(F.when(F.col("close_c") > F.col("open_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wins"),
+        F.max(pnl).cast("bigint").alias("best_c"),
+        F.min(pnl).cast("bigint").alias("worst_c"),
+    )
+
+
+@register(
+    "m16_drift_tv",
+    """
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 0 ELSE 1 END AS w
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT bin,
+             sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS c_cur
+      FROM e GROUP BY 1
+    ), t AS (
+      SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM c
+    )
+    SELECT c.bin AS bin,
+           CAST(c.c_ref AS BIGINT) AS c_ref,
+           CAST(c.c_cur AS BIGINT) AS c_cur,
+           CAST(abs(c.c_ref * t.n_cur - c.c_cur * t.n_ref) AS BIGINT)
+             AS tv_num,
+           CAST(t.n_ref AS BIGINT) AS n_ref,
+           CAST(t.n_cur AS BIGINT) AS n_cur
+    FROM c, t
+    """,
+)
+def m16_drift_tv(spark, sf_dir):
+    """Training/serving distribution-drift monitor via total-variation
+    distance — the audit a data flywheel runs before trusting m15's
+    auto-labels: has the PURCHASE value distribution shifted between
+    the reference window (first fixture fortnight) and the current one?
+    PSI and KL — the industry defaults — need ln(p/q) floats; total
+    variation is the drift metric that stays EXACT: per 500-cent bin,
+    |c_ref * N_cur - c_cur * N_ref| is the cross-multiplied numerator
+    of |p - q| (TV = sum(tv_num) / (2 * N_ref * N_cur), one consumer-
+    side division), all BIGINTs. Per-bin rows (not one scalar) so the
+    monitor can localize WHERE mass moved — the actionable half of a
+    drift alert; bins absent on one side surface with a zero count,
+    not silently (conditional-sum pivot over the union, never an inner
+    join of two histograms).
+
+    Shape: one filtered scan -> one hash agg on (bin) with two
+    conditional sums (map-side combined; bins are bounded by the value
+    range, not the corpus), then a broadcast of the 1-row totals back
+    across bins. The time-split predicate pushes to the scan at 100 TB
+    when the lake is date-partitioned (p12's layout)."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = ev.select(
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 500").alias("bin"),
+        F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 0)
+        .otherwise(1)
+        .alias("w"),
+    )
+    c = e.groupBy("bin").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    t = c.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("c_ref").cast("bigint").alias("c_ref"),
+        F.col("c_cur").cast("bigint").alias("c_cur"),
+        F.abs(F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref"))
+        .cast("bigint")
+        .alias("tv_num"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+    )
+
+
+@register(
+    "u10_cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ), last AS (
+      SELECT user_id,
+             max(struct_pack(t := CAST(ts AS TIMESTAMP), i := event_id,
+                             op := op, v := v_c)) AS s,
+             count(*) AS n_ops,
+             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+      FROM log GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(s.v AS BIGINT) AS value_c,
+           s.t AS last_ts,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           CAST(n_deletes AS BIGINT) AS n_deletes
+    FROM last WHERE s.op <> 'D'
+    """,
+)
+def u10_cdc_apply(spark, sf_dir):
+    """CDC log replay to a snapshot — the Debezium/binlog-consumer
+    materialization every lakehouse ingestion runs, and the BATCH twin
+    of the engine's streaming upsert path (K1's last-write-wins +
+    u9's deletes, composed): an ordered change log of upserts and
+    tombstones (op mapping declared: 'error' events are deletes —
+    fixture stand-in for a real op column) collapses to current state
+    in ONE hash aggregation. The struct-argmax carries (ts, event_id,
+    op, value) together, so 'which op wins' and 'what value survives'
+    are decided by the same total order (event_id breaks ts ties — the
+    registry's keyed-argmax rule); keys whose LAST op is a tombstone
+    drop out after the agg, preserving their audit counts until the
+    final filter. No window, no sort, no join: at 100 TB of changelog
+    the partial agg collapses each map task to one row per touched key
+    before the single exchange — the reason CDC compaction is an agg,
+    never a row_number() == 1 window (which would sort the log).
+
+    Also the standing disproof that op-aware merge needs MERGE INTO
+    machinery (u8) when the log is self-contained: apply-at-read is
+    one agg; u8's full-outer arms exist for merging INTO a base table."""
+    ev = tbl(spark, sf_dir, "events")
+    s = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    last = ev.groupBy("user_id").agg(
+        F.max(s).alias("s"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_deletes"
+        ),
+    )
+    return last.filter(F.col("s.op") != "D").select(
+        "user_id",
+        F.col("s.v").cast("bigint").alias("value_c"),
+        F.col("s.t").alias("last_ts"),
+        F.col("n_ops").cast("bigint").alias("n_ops"),
+        F.col("n_deletes").cast("bigint").alias("n_deletes"),
+    )
+
+
+@register(
+    "w18_calendar_gaps",
+    """
+    WITH span AS (
+      SELECT event_type AS series, user_id,
+             min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY 1, 2
+    ), cal AS (
+      SELECT series, user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), have AS (
+      SELECT DISTINCT event_type AS series, user_id, CAST(ts AS DATE) AS day
+      FROM events
+    )
+    SELECT c.series, c.user_id, c.day
+    FROM cal c LEFT JOIN have h
+      ON h.series = c.series AND h.user_id = c.user_id AND h.day = c.day
+    WHERE h.day IS NULL
+    """,
+)
+def w18_calendar_gaps(spark, sf_dir):
+    """Missing-day detection against a GENERATED per-key calendar — the
+    completeness audit that must run before any window entry is
+    trusted (w7's LOCF, w14's interpolation, f12's RSI all assume they
+    know where the holes are; this entry enumerates them): each
+    (series, user)'s min..max day span is densified via
+    sequence()/explode — a generated relation, never a driver-side
+    date loop and never a cross join against a static calendar table —
+    and anti-joined against the days that actually have data. Grain is
+    deliberately per-KEY, where real holes live (the global
+    series-level calendar is dense in any healthy feed; per-entity
+    gaps are what LOCF actually bridges).
+
+    Scale shape: the span agg is map-side combined (2 dates per key);
+    the generated calendar is keys x span-days rows — bounded by the
+    audit window length, linear in keys, independent of per-day event
+    volume; the anti-join hashes on (series, user, day) against the
+    DISTINCT relation every daily rollup already materializes. The
+    dense side is built from the SMALL relation; the corpus is touched
+    exactly twice, both times collapsing immediately to per-key-day
+    grain."""
+    ev = tbl(spark, sf_dir, "events")
+    span = ev.groupBy(F.col("event_type").alias("series"), "user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = span.select(
+        "series",
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    have = ev.select(
+        F.col("event_type").alias("series"), "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    return cal.join(have, ["series", "user_id", "day"], "left_anti")
+
+
+@register(
+    "a27_assoc_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT basket) AS n_baskets FROM items
+    ), supp1 AS (
+      SELECT item, count(*) AS s FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS s_ab
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.s_ab AS BIGINT) AS supp_ab,
+           CAST(sa.s AS BIGINT) AS supp_a,
+           CAST(sb.s AS BIGINT) AS supp_b,
+           CAST(p.s_ab * n.n_baskets AS BIGINT) AS lift_num,
+           CAST(sa.s * sb.s AS BIGINT) AS lift_den
+    FROM pairs p
+    JOIN supp1 sa ON sa.item = p.item_a
+    JOIN supp1 sb ON sb.item = p.item_b
+    CROSS JOIN n
+    """,
+)
+def a27_assoc_rules(spark, sf_dir):
+    """Market-basket association rules (frequent pairs + lift) — the
+    Apriori/FP-growth workload phrased as the one shape that scales:
+    co-occurrence is a BASKET-local self-join (equi-join on the basket
+    key), so the quadratic is bounded by basket width (~items per
+    order, single digits) and never by catalog or corpus size — the
+    same per-group-quadratic discipline as g8's wedge join. The
+    min-support HAVING runs inside the pair agg (partial-agg'd), so
+    the long tail of 1-off pairs dies before the join-back for
+    marginals. Confidence(a->b) = supp_ab/supp_a and lift =
+    supp_ab*N / (supp_a*supp_b) are delivered as exact integer
+    numerator/denominator (the m16/f12 rule: ranking thresholds are
+    the consumer's one division, not a cross-engine float in the
+    hash).
+
+    The marginal join-back broadcasts supp1 at serving scale (catalog-
+    sized); the 1-row basket-count total rides the sanctioned
+    broadcast-crossJoin bound (x10/x26/m16)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = items.agg(F.count_distinct("basket").alias("n_baskets"))
+    supp1 = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    sa = supp1.select(F.col("item").alias("item_a"), F.col("s").alias("supp_a"))
+    sb = supp1.select(F.col("item").alias("item_b"), F.col("s").alias("supp_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("s_ab").cast("bigint").alias("supp_ab"),
+            F.col("supp_a").cast("bigint").alias("supp_a"),
+            F.col("supp_b").cast("bigint").alias("supp_b"),
+            (F.col("s_ab") * F.col("n_baskets")).cast("bigint").alias("lift_num"),
+            (F.col("supp_a") * F.col("supp_b")).cast("bigint").alias("lift_den"),
+        )
+    )
+
+
+@register(
+    "m17_nearest_centroid",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(label AS INTEGER) AS label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, u.s.pos AS pos, u.s.v AS v
+      FROM q, unnest(list_transform(range(1, len(q) + 1),
+           i -> struct_pack(pos := i, v := q[i]))) AS u(s)
+    ), cent AS (
+      SELECT label AS c, pos, sum(v) AS s FROM ex GROUP BY 1, 2
+    ), cl AS (
+      SELECT c, list(s ORDER BY pos) AS sv,
+             sum(CAST(s AS HUGEINT) * s) AS ss
+      FROM cent GROUP BY 1
+    ), cn AS (
+      SELECT label AS c, count(*) AS n FROM q GROUP BY 1
+    ), costs AS (
+      SELECT q.vec_id, q.label, cl.c,
+             CAST(-2 * CAST(cn.n AS HUGEINT)
+                     * CAST(list_sum(list_transform(
+                         range(1, len(q.q) + 1), i -> q.q[i] * cl.sv[i]))
+                       AS HUGEINT)
+                  + cl.ss AS DOUBLE)
+               / (CAST(cn.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) AS cost
+      FROM q CROSS JOIN cl JOIN cn ON cn.c = cl.c
+    ), pick AS (
+      SELECT vec_id, label, min(struct_pack(cost := cost, c := c)) AS m
+      FROM costs GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           CAST(m.c AS INTEGER) AS pred_class,
+           CAST(CASE WHEN m.c = label THEN 1 ELSE 0 END AS INTEGER) AS correct
+    FROM pick
+    """,
+)
+def m17_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification over the embedding
+    corpus — the zero-training baseline every m14-style kNN eval should
+    be compared against (10 centroid comparisons per vector vs a corpus
+    scan), and the serving shape of 'assign to cluster' everywhere
+    (s6's Lloyd assignment step IS this operator). Exactness where
+    centroids are usually floats: vectors land on the s6 integer grid
+    (floor(x*1024)), each class centroid is kept as the PAIR (S_c =
+    elementwise BIGINT sum, n_c = count) instead of the float mean, and
+    squared-L2-to-mean comparisons use the cross-multiplied identity
+    argmin_c ||x - S_c/n_c||^2 = argmin_c (-2*n_c*(x . S_c) + ||S_c||^2)
+    / n_c^2 — exact integer numerator, ONE deterministic IEEE division
+    per (vector, class), ties broken by class id via the registry's
+    struct-argmin rule (||x||^2 is class-invariant and dropped).
+
+    Overflow discipline (r8 advice): the numerator is ~1.3e8 * n_c^2,
+    which exceeds int64 once a class holds ~2.6e5 vectors — so the
+    -2*n*dot + ||S||^2 arithmetic runs in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB), both exact integer types; the remaining int64
+    term is the per-element dot product q_i * S_i <= 2^20 * n_c, safe
+    to n_c < 2^43 (~8.8e12 rows per class — beyond any 100 TB corpus),
+    and the decimal numerator itself holds to n_c ~ 2.7e14. Both
+    engines round the identical exact integer to double once, so the
+    hash gate still matches bit for bit; the denominator is likewise
+    computed double*double in both.
+
+    Shape: centroids come from one posexplode + (label, pos) hash agg
+    (map-side combined, 64*classes rows), re-assembled to arrays and
+    broadcast; scoring is a 10-row broadcast crossJoin + one zip_with
+    dot per class — JVM-side array math, no shuffle of the corpus, and
+    the final per-vector argmin is a width-10 hash agg, not a window."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        _sim2._km_quant(F.col("embedding")).alias("q"),
+    )
+    ex = q.select("label", F.posexplode("q").alias("pos", "v"))
+    cent = ex.groupBy(F.col("label").alias("c"), "pos").agg(F.sum("v").alias("s"))
+    cl = cent.groupBy("c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+        ).alias("sv"),
+        # s*s overflows int64 for classes beyond ~2.6e5 rows: square in
+        # decimal(38,0) so the centroid norm stays exact at corpus scale
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss"),
+    )
+    cn = q.groupBy(F.col("label").alias("c")).agg(F.count(F.lit(1)).alias("n"))
+    cents = cl.join(cn, "c")
+    # per-element products stay int64 (q_i*S_i <= 2^20 * n_c); the SUM and
+    # the -2*n*dot cross term run in decimal(38,0) — see docstring bound
+    dot = F.aggregate(
+        F.zip_with("q", "sv", lambda a, b: a * b),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    costs = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c",
+        (
+            (F.lit(-2).cast("decimal(38,0)") * F.col("n") * dot + F.col("ss"))
+            .cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("cost"),
+    )
+    pick = costs.groupBy("vec_id", "label").agg(
+        F.min(F.struct("cost", "c")).alias("m")
+    )
+    return pick.select(
+        "vec_id",
+        "label",
+        F.col("m.c").cast("int").alias("pred_class"),
+        F.when(F.col("m.c") == F.col("label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+@register(
+    "j15_dpp_join",
+    """
+    WITH hot AS (
+      SELECT CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING max(CAST(round(value * 100) AS BIGINT)) >= 30000
+    )
+    SELECT CAST(e.ts AS DATE) AS day, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_c
+    FROM events e JOIN hot h ON CAST(e.ts AS DATE) = h.day
+    GROUP BY 1, 2
+    """,
+)
+def j15_dpp_join(spark, sf_dir):
+    """Dynamic partition pruning — the Spark 3+ scale feature p12's
+    static pruning cannot reach: the filter that selects partitions is
+    NOT a literal in the query, it is the RESULT of another query (the
+    'hot days' dim: days whose max purchase tops 30000 cents). A static
+    planner must scan every partition of the fact; DPP broadcasts the
+    dim first, injects its day-set into the fact scan's
+    PartitionFilters as a dynamicpruningexpression, and only then
+    plans the probe — so a 100 TB date-partitioned fact opens only the
+    qualifying days' directories even though nobody wrote a date
+    literal. Plan-pinned (tests/test_plan_quality.py): the staged
+    fact's scan must carry 'dynamicpruning' in its PartitionFilters.
+
+    The fact is staged partitionBy(event_date) through the p12 scratch
+    machinery (the resting layout of any time-series lake); the dim
+    derives from the ORIGINAL table, the oracle replays the same join
+    unpartitioned — proving the partitioned hop + DPP lossless."""
+    import os as _os
+
+    ev = tbl(spark, sf_dir, "events")
+    _tag, scratch = scratch_dir("spark_graft_dpp", sf_dir)
+    path = _os.path.join(scratch, "events_by_date_dpp")
+    staged = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    staged.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max(cents).alias("mx"))
+        .filter(F.col("mx") >= 30000)
+        .select("day")
+    )
+    return (
+        fact.join(F.broadcast(hot), fact.event_date == F.col("day"))
+        .groupBy(F.col("event_date").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("value_c"),
+        )
+    )
+
+
+@register(
+    "a28_k_anonymity",
+    """
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_n
+    FROM customer
+    GROUP BY 1, 2, 3 HAVING count(*) < 5
+    """,
+)
+def a28_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance bucket) — the governance gate that
+    must pass BEFORE a customer extract ships to a training pipeline
+    (u9/t24 delete on request; this entry answers the prior question:
+    which rows are re-identifiable at all). A group smaller than k = 5
+    means those customers are distinguishable by externally knowable
+    attributes alone — the audit RETURNS the violating groups and their
+    sizes so the masking step knows exactly which strata to generalize
+    (widen the balance bucket / drop the segment) rather than
+    suppressing rows blind.
+
+    Shape: ONE map-side-combined hash agg over the extract with the
+    HAVING evaluated at the final agg — the violating-group relation is
+    tiny by definition (large groups are the compliant ones and die in
+    the partial agg's counts). Bucketing runs in exact integer cents
+    (cents DIV 100000 = 1000-dollar bins) — no float boundary can
+    disagree between engines."""
+    c = tbl(spark, sf_dir, "customer")
+    bal_bucket = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+    return (
+        c.groupBy(
+            "c_nationkey", "c_mktsegment", bal_bucket.alias("bal_bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+        .filter(F.col("group_n") < 5)
+    )
+
+
+@register(
+    "w19_interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP)
+               + to_seconds(CAST(round(value * 100) * 10 AS BIGINT)) AS e,
+             event_id
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e, event_id,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id) AS island
+      FROM m
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def w19_interval_coalesce(spark, sf_dir):
+    """Overlapping-interval coalescing (gaps-and-islands over SPANS) —
+    the general operator w5's sessionize is the fixed-gap special case
+    of: each event carries a real duration (here round(value*100)*10
+    seconds — the fixture's stand-in for job runtimes / visit lengths /
+    position holding windows), and downstream consumers need the UNION
+    of overlapping spans per key (total busy time, concurrent-activity
+    collapse, SCD2 range merging). The textbook exact algorithm, fully
+    window-shaped: a running max of prior interval ENDS per key (an
+    interval can swallow later-starting ones, so lag(e) alone is wrong
+    — the running max is the load-bearing detail), an island opens
+    exactly where a start clears that max, island ids are the running
+    sum of those opens, and one hash agg per (key, island) emits the
+    coalesced span with its merge count.
+
+    Scale: both windows and the final agg share the single per-user
+    hashpartitioning (no global sort — the w11/w12 rule); state per row
+    in flight is one timestamp. Timestamps compare exactly (µs grain
+    both engines, the f5/j13 NTZ discipline)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    dur_s = (F.round(F.col("value") * 100) * 10).cast("bigint")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.expr(
+                "make_dt_interval(0, 0, 0, CAST(round(value * 100) * 10 AS BIGINT))"
+            )
+        ).alias("e"),
+        "event_id",
+    )
+    _ = dur_s
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    m = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "prev_max_e"
+        ),
+    )
+    isl = m.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wo)
+        .alias("island"),
+    )
+    return isl.groupBy("user_id", F.col("island").cast("bigint").alias("island")).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+
+

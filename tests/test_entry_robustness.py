@@ -98,7 +98,14 @@ def test_u11_zonemap_empty_prune_returns_empty_with_schema(spark, sf_dir, monkey
     """If NO file's zone intersects the probe, the entry's manifest-first
     scan must take the empty-path arm (limit(0)) and return zero rows
     with the declared schema — never throw on an empty path list."""
-    monkeypatch.setattr(registry, "U11_THRESHOLD", 10**9)
+    # patch the DEFINING module (post-r12 split the facade re-exports a
+    # copy of the name; the entry body reads its own module's global)
+    import importlib
+
+    u11_mod = importlib.import_module(
+        registry.QUERIES["u11_zonemap_skipping"].__module__
+    )
+    monkeypatch.setattr(u11_mod, "U11_THRESHOLD", 10**9)
     out = registry.QUERIES["u11_zonemap_skipping"](spark, sf_dir)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["event_type", "n", "sum_c"]

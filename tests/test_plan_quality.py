@@ -1190,11 +1190,14 @@ def test_g16_walk_frontier_joins_stay_equi(spark, sf_dir):
 
 
 def test_x36_chunking_hashes_once_per_token(spark, sf_dir):
-    """One md5 per token, reused for boundary AND fingerprint (the
-    dedup no-re-mention rule): exactly one md5 call in the plan; the
-    chunk window partitions by doc, no global sort, no Python."""
+    """One md5 per TOKEN, reused for boundary AND chunk-identity input
+    (the dedup no-re-mention rule), plus exactly one md5 per CHUNK for
+    the 60-bit fold60 identity (the r11 ADVICE widening — ~1/64th of
+    the token count, inside the agg projection): exactly TWO md5 calls
+    in the plan, never a third; the chunk window partitions by doc, no
+    global sort, no Python."""
     plan = plan_of(registry.QUERIES["x36_cdc_chunks"](spark, sf_dir))
-    assert plan.count("md5(") == 1
+    assert plan.count("md5(") == 2
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
 
