@@ -124,6 +124,12 @@ HEADLINE = [
     # (the last rung of the dedup ladder, and a real per-round cost since
     # the chunk table is ~N_tokens/8 rows)
     "d18_substring_dedup",
+    # r12: token-exact substring bounds (d18's plan + the four edge-chunk
+    # joins — tracks the refinement's overhead against d18 every round)
+    # and incremental SemDeDup (the store-build + probe path end to end;
+    # the probe-only recurring cost is the incremental_semdedup section)
+    "d23_substring_exact_bounds",
+    "d22_semdedup_incremental",
     # deliberately NOT headlined: g7_pagerank_fixedpoint and
     # g10_pagerank_bucketed (iterative; the edge-derivation distinct —
     # paid at the bucketed write in g10 — dominates and swings ±2x with
