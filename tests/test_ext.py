@@ -1407,6 +1407,52 @@ def test_semantic_dedup_salted_pair_join_keys_on_block(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_incremental_semdedup_plan_salts_and_prunes(spark):
+    """d22 plan pins: the probe inherits d17's salting (salt block in
+    the pair-join key set under a forced-low threshold), the store side
+    is pruned by a BROADCAST touched-cell join (never a corpus-keyed
+    shuffle of the store against the batch), and the only nested-loop
+    is the <=k-row broadcast centroid assignment — no CartesianProduct,
+    no Python in the plan."""
+    rows = [
+        Row(vec_id=i, embedding=[1.0, 0.1 * (i % 5)], label=0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    old = df.filter(F.col("vec_id") % 5 != 0)
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.train_kmeans_centroids(old)
+    stored = similarity._sem_cells(old, cents)
+    out = similarity.incremental_semantic_dedup(
+        stored, new, cents, salt_cell=8, salt_b=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "blk" in plan, "salt block column absent from the physical plan"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # touched-cell prune: at least two broadcast joins (centroid assign
+    # + the touched-cell list); the store never range-partitions
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_substring_exact_bounds_plan_is_equi_only(spark):
+    """d23 plan pins: the four edge-chunk probes are LEFT equi-joins on
+    (doc_id, cidx) — no cartesian, no nested loop, no Python — and the
+    suffix/prefix compares stay in JVM array expressions."""
+    rows = [
+        Row(doc_id=i, text=" ".join(f"tok{j}" for j in range(60)),
+            lang="en", source="s")
+        for i in range(4)
+    ]
+    out = dedup.substring_spans_exact(spark.createDataFrame(rows))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_incremental_substring_probe_equals_full_restriction(spark):
     """d21's equivalence contract on a planted corpus: the probe of a
     new batch against the stored chunk table equals the full
