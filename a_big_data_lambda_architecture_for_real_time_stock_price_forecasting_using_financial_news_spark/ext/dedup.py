@@ -1712,6 +1712,125 @@ def substring_spans_exact_sql(
     """
 
 
+def substring_spans_delta(
+    all_fps: DataFrame,
+    batch_fps: DataFrame,
+    view_pairs: DataFrame | None,
+    df_cap: int = SUB_DF_CAP,
+    min_toks: int = SUB_MIN_TOKS,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch step of the STREAMING substring-dedup view (the
+    r11 t30 stretch): -> (affected_pairs, recomputed_spans) such that
+    deleting the view's rows for ``affected_pairs`` and inserting
+    ``recomputed_spans`` yields exactly ``substring_spans`` over the
+    corpus-so-far.
+
+    The subtlety d6/d21-style append-only deltas cannot express: the
+    document-frequency boilerplate gate is NON-MONOTONE. An arriving
+    batch can push a chunk's ndocs ABOVE df_cap, which retroactively
+    REMOVES or SPLITS spans between two OLD documents — so the step is
+    replace-by-pair, not insert-only. A pair's span set depends only on
+    the gate status of hashes the pair SHARES, and a hash's ndocs
+    changes only if the batch contains it; therefore the affected set
+    is exactly:
+
+    1. pairs sharing a batch-present hash currently INSIDE the gate
+       (new spans; fan-out bounded by df_cap^2 per hash — above-cap
+       hashes generate no candidates), plus
+    2. CURRENT view pairs where both docs carry some batch-present hash
+       (covers every removal/split: the flipped hash is shared, so both
+       docs hold it; bounded by the view size via two semi-joins, never
+       a pair build).
+
+    Recomputation restricts the d18 pair join to affected docs (semi-
+    join each side) then affected pairs — pair-count-sized work, not
+    corpus-sized. ``all_fps`` must INCLUDE the batch (gate counts are
+    corpus-global; a production store keeps a merged per-hash ndocs
+    count so this agg is fingerprint-table-sized, amortizable like
+    d21's). Inputs are the stored :func:`_chunk_fps` relation; chunking
+    determinism is what lets stored rows stand in for a recompute."""
+    from pyspark.sql import Window
+
+    bh = batch_fps.select("chunk_hash").distinct()
+    dfreq = all_fps.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    gated_bh = (
+        dfreq.join(bh, "chunk_hash")
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
+        .select("chunk_hash")
+    )
+    occ = all_fps.join(gated_bh, "chunk_hash").select("chunk_hash", "doc_id")
+    cand = (
+        occ.select("chunk_hash", F.col("doc_id").alias("doc_a"))
+        .join(occ.select("chunk_hash", F.col("doc_id").alias("doc_b")), "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if view_pairs is not None:
+        docs_bh = all_fps.join(bh, "chunk_hash").select("doc_id").distinct()
+        vp = (
+            view_pairs.select("doc_a", "doc_b")
+            .join(
+                docs_bh.select(F.col("doc_id").alias("doc_a")), "doc_a", "leftsemi"
+            )
+            .join(
+                docs_bh.select(F.col("doc_id").alias("doc_b")), "doc_b", "leftsemi"
+            )
+        )
+        affected = cand.unionByName(vp).distinct()
+    else:
+        affected = cand
+    affected = affected.persist()  # cache: caller-owns (feeds the doc/pair semi-joins + the view anti-join)
+
+    gated_all = (
+        dfreq.filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
+        .select("chunk_hash")
+    )
+    docs_aff = (
+        affected.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(affected.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shared = (
+        all_fps.join(docs_aff, "doc_id", "leftsemi").join(gated_all, "chunk_hash")
+    )
+    a = shared.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("cidx").alias("ia"),
+        "chunk_hash",
+        "n_toks",
+        F.col("pos0").alias("pos_a"),
+    )
+    b = shared.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("cidx").alias("ib"),
+        "chunk_hash",
+        F.col("pos0").alias("pos_b"),
+    )
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(affected, ["doc_a", "doc_b"], "leftsemi")
+    )
+    diag = (F.col("ia") - F.col("ib")).alias("diag")
+    rw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = pairs.select(
+        "doc_a", "doc_b", "ia", "n_toks", "pos_a", "pos_b", diag
+    ).withColumn("run_id", F.col("ia") - F.row_number().over(rw))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_toks").cast("bigint").alias("span_toks"),
+        F.min("pos_a").cast("bigint").alias("start_a"),
+        F.min("pos_b").cast("bigint").alias("start_b"),
+    )
+    recomputed = spans.filter(F.col("span_toks") >= min_toks).select(
+        "doc_a", "doc_b", "start_a", "start_b", "n_chunks", "span_toks"
+    )
+    return affected, recomputed
+
+
 def substring_trim_plan(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1542,6 +1542,65 @@ def test_substring_exact_bounds_stops_at_doc_edges(spark):
     )
 
 
+def test_substring_spans_delta_replays_to_batch_truth(spark):
+    """t30's core contract, batch-sequential: applying
+    substring_spans_delta's replace-by-pair step per arriving batch
+    reconstructs substring_spans(corpus-so-far) EXACTLY at every step —
+    including the non-monotone arm where batch 3's extra copies push the
+    shared block's ndocs over df_cap and all its OLD-OLD spans must be
+    RETROACTIVELY REMOVED, while an untouched dup pair (100, 101) passes
+    through every step unchanged."""
+    block = [f"lic{i}" for i in range(40)]
+    other = [f"dup{i}" for i in range(50)]
+
+    def doc(i, toks):
+        return Row(doc_id=i, text=" ".join(toks), lang="en", source="s")
+
+    batches = [
+        # 4 block carriers (each with a unique tail) + the stable dup pair
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(4)]
+        + [doc(100, other), doc(101, other)],
+        # 3 more carriers: ndocs=7, still inside the gate — more spans
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(4, 7)],
+        # 4 more: ndocs=11 > 8 — every block span must vanish
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(7, 11)],
+    ]
+    seen: list = []
+    view: list = []
+    all_fps = None
+    for rows in batches:
+        bdf = spark.createDataFrame(rows)
+        new_fps = dedup._chunk_fps(bdf)
+        all_fps = (
+            new_fps
+            if all_fps is None
+            else all_fps.unionByName(new_fps)
+        )
+        vp = (
+            spark.createDataFrame(
+                [(a, b) for (a, b, *_r) in view], "doc_a long, doc_b long"
+            )
+            if view
+            else None
+        )
+        affected, recomputed = dedup.substring_spans_delta(all_fps, new_fps, vp)
+        aff = {(r.doc_a, r.doc_b) for r in affected.collect()}
+        view = [r for r in view if (r[0], r[1]) not in aff] + sorted(
+            map(tuple, recomputed.collect())
+        )
+        seen.extend(rows)
+        truth = sorted(
+            map(tuple, dedup.substring_spans(spark.createDataFrame(seen)).collect())
+        )
+        assert sorted(view) == truth, f"diverged after batch of {len(rows)} docs"
+    # end state: the block's spans are gone, the dup pair's span remains
+    pairs_left = {(a, b) for (a, b, *_r) in view}
+    assert (100, 101) in pairs_left
+    assert all(a == 100 for (a, _b) in pairs_left), (
+        "df_cap crossing must have retroactively removed all block spans"
+    )
+
+
 def test_incremental_semdedup_probe_equals_full_restriction(spark):
     """d22's equivalence contract on a planted corpus: probing a new
     batch against the stored cell table (frozen centroids) equals the

@@ -1460,3 +1460,100 @@ def test_clone_to_refuses_existing_view(spark, tmp_path):
         src.clone_to(str(tmp_path / "dst"))
     # the existing view is untouched
     assert {r["x"] for r in other.read().collect()} == {1}
+
+
+def test_streaming_substring_view_converges_to_batch(spark, sf_dir):
+    """t30 (r11 item-8 stretch, engine side): a STREAMING substring-dedup
+    view — documents arrive in 3 micro-batches; each batch appends its
+    chunk fingerprints to a stored fp view and replace-by-pair merges
+    substring_spans_delta's output into a spans view via merge_custom
+    (writer lease + batch-id replay watermark). After the replay the
+    spans view must equal substring_spans over the whole corpus — the
+    t20/t22/t23/t25/t26/t27 convergence proof for the substring family.
+    The empty-pair tombstone trick is load-bearing: an affected pair
+    whose recomputed span set is empty still ships one null-span row so
+    its partition is rewritten (else removed spans would linger)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    dedup = _mod("ext.dedup")
+    upsert = _mod("streaming.upsert")
+
+    docs = _mod("sources.batch").load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        stage = os.path.join(tmp, "feed")
+        docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(stage)
+        store = upsert.KeyedParquetView(
+            spark, os.path.join(tmp, "fps"), ["doc_id", "cidx"], partition_by="pb"
+        )
+        spans_v = upsert.KeyedParquetView(
+            spark, os.path.join(tmp, "spans"), ["doc_a", "doc_b"], partition_by="pb"
+        )
+        FP_COLS = ["doc_id", "cidx", "n_toks", "pos0", "chunk_hash"]
+
+        def sink(batch_df, batch_id):
+            new_fps = dedup._chunk_fps(batch_df).persist()  # cache: released-in-fn
+            cur_store = store.read()
+            all_fps = (
+                new_fps
+                if cur_store is None
+                else cur_store.select(*FP_COLS).unionByName(new_fps)
+            )
+            cur_spans = spans_v.read()
+            vp = (
+                None
+                if cur_spans is None
+                else cur_spans.select("doc_a", "doc_b").distinct()
+            )
+            affected, recomputed = dedup.substring_spans_delta(all_fps, new_fps, vp)
+            batch = affected.join(
+                recomputed, ["doc_a", "doc_b"], "left"
+            ).withColumn("pb", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(4)))
+
+            def merge_spans(cur, b):
+                real = b.filter(F.col("start_a").isNotNull()).select(
+                    "doc_a", "doc_b", "start_a", "start_b",
+                    "n_chunks", "span_toks", "pb",
+                )
+                if cur is None:
+                    return real
+                keep = cur.join(
+                    b.select("doc_a", "doc_b").distinct(),
+                    ["doc_a", "doc_b"],
+                    "left_anti",
+                )
+                return keep.unionByName(real)
+
+            spans_v.merge_custom(batch, merge_spans, batch_id=batch_id, writer="ssd")
+            store.merge_custom(
+                new_fps.withColumn("pb", F.pmod(F.xxhash64("doc_id"), F.lit(4))),
+                lambda cur, b: b if cur is None else cur.unionByName(b),
+                batch_id=batch_id,
+                writer="fps",
+            )
+            affected.unpersist()
+            new_fps.unpersist()
+
+        q = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        got = sorted(
+            map(
+                tuple,
+                spans_v.read()
+                .select("doc_a", "doc_b", "start_a", "start_b", "n_chunks", "span_toks")
+                .collect(),
+            )
+        )
+        want = sorted(map(tuple, dedup.substring_spans(docs).collect()))
+        assert got == want and got, "streamed spans view != batch recompute"
