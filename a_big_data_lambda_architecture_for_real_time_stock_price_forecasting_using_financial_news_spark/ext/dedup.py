@@ -1712,12 +1712,71 @@ def substring_spans_exact_sql(
     """
 
 
+def ndocs_delta(stored_fps: DataFrame | None, new_fps: DataFrame) -> DataFrame:
+    """Per-hash document-frequency DELTA of an arriving batch against the
+    stored fingerprint relation — the mergeable increment that keeps a
+    per-hash ``ndocs`` store equal to ``count_distinct(doc_id)`` over the
+    grown corpus WITHOUT the corpus-wide aggregate
+    :func:`substring_spans_delta` otherwise re-runs per micro-batch
+    (the r12 verdict's named production gap). d6's first-seen contract:
+    a ``(chunk_hash, doc_id)`` pair counts at most once ever, so a
+    re-arriving document contributes zero and the additive merge
+    (:func:`merge_ndocs`) stays exact under replay of *data* (replay of
+    the same micro-*batch* is already fenced by the view's batch-id
+    watermark).
+
+    Work is batch-sized: the batch's distinct (hash, doc) pairs are
+    anti-joined against the store RESTRICTED to batch-present hashes (a
+    semi-join first, so the store side never materializes beyond the
+    batch's hash set). At 100 TB the fingerprint store is bucketed by
+    ``chunk_hash``, making both probes zero-exchange on the store side.
+    Output: ``(chunk_hash, ndocs)`` where ``ndocs`` is the increment."""
+    hd = new_fps.select("chunk_hash", "doc_id").distinct()
+    if stored_fps is not None:
+        seen = (
+            stored_fps.join(
+                hd.select("chunk_hash").distinct(), "chunk_hash", "leftsemi"
+            )
+            .select("chunk_hash", "doc_id")
+            .distinct()
+        )
+        hd = hd.join(seen, ["chunk_hash", "doc_id"], "left_anti")
+    return hd.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndocs")
+    )
+
+
+def merge_ndocs(cur: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Additive merge of an :func:`ndocs_delta` increment into the stored
+    per-hash count table — k5's mergeable-state discipline (state is a
+    sum; merged state = sum of states), so batch boundaries are invisible
+    by algebra and the store always equals the corpus-wide
+    ``count_distinct(doc_id)`` recompute (pytest-pinned across a df-gate
+    crossing)."""
+    if cur is None:
+        return delta
+    return (
+        cur.alias("c")
+        .join(delta.alias("d"), "chunk_hash", "full_outer")
+        .select(
+            "chunk_hash",
+            (
+                F.coalesce(F.col("c.ndocs"), F.lit(0))
+                + F.coalesce(F.col("d.ndocs"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("ndocs"),
+        )
+    )
+
+
 def substring_spans_delta(
     all_fps: DataFrame,
     batch_fps: DataFrame,
     view_pairs: DataFrame | None,
     df_cap: int = SUB_DF_CAP,
     min_toks: int = SUB_MIN_TOKS,
+    dfreq: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch step of the STREAMING substring-dedup view (the
     r11 t30 stretch): -> (affected_pairs, recomputed_spans) such that
@@ -1745,16 +1804,22 @@ def substring_spans_delta(
     Recomputation restricts the d18 pair join to affected docs (semi-
     join each side) then affected pairs — pair-count-sized work, not
     corpus-sized. ``all_fps`` must INCLUDE the batch (gate counts are
-    corpus-global; a production store keeps a merged per-hash ndocs
-    count so this agg is fingerprint-table-sized, amortizable like
-    d21's). Inputs are the stored :func:`_chunk_fps` relation; chunking
-    determinism is what lets stored rows stand in for a recompute."""
+    corpus-global). ``dfreq``, when given, is the STORED per-hash
+    ``(chunk_hash, ndocs)`` table covering the corpus including the
+    batch (maintained by :func:`ndocs_delta` + :func:`merge_ndocs` —
+    r12 verdict item 3): it replaces the corpus-wide count_distinct
+    aggregate this function otherwise re-runs per micro-batch, so the
+    recurring gate cost is a store read instead of a fingerprint-table
+    scan + shuffle. Inputs are the stored :func:`_chunk_fps` relation;
+    chunking determinism is what lets stored rows stand in for a
+    recompute."""
     from pyspark.sql import Window
 
     bh = batch_fps.select("chunk_hash").distinct()
-    dfreq = all_fps.groupBy("chunk_hash").agg(
-        F.count_distinct("doc_id").alias("ndocs")
-    )
+    if dfreq is None:
+        dfreq = all_fps.groupBy("chunk_hash").agg(
+            F.count_distinct("doc_id").alias("ndocs")
+        )
     gated_bh = (
         dfreq.join(bh, "chunk_hash")
         .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
@@ -2065,6 +2130,7 @@ def incremental_substring_spans(
     boundary_mod: int = SUB_BOUNDARY_MOD,
     df_cap: int = SUB_DF_CAP,
     min_toks: int = SUB_MIN_TOKS,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Probe an incoming batch against a STORED chunk-fingerprint table
     WITHOUT re-tokenizing the old corpus — d6's amortized-sketch-store
@@ -2081,12 +2147,16 @@ def incremental_substring_spans(
     :func:`substring_spans` restricted to pairs touching a new doc —
     the oracle states exactly that.
 
-    The document-frequency boilerplate gate stays CORPUS-GLOBAL (one
-    agg over the fingerprint table — fingerprint-sized work, not
-    corpus-sized; a production store amortizes even that by keeping a
-    merged per-hash df count). The pair join's probe side is
-    batch-sized: new chunks join the full gated store, with new-new
-    pairs kept once by id order."""
+    The document-frequency boilerplate gate stays CORPUS-GLOBAL. With
+    ``dfreq=None`` it is one agg over the fingerprint table —
+    fingerprint-sized work, not corpus-sized; a production store
+    amortizes even that by maintaining the merged per-hash ``(chunk_hash,
+    ndocs)`` table (:func:`ndocs_delta` + :func:`merge_ndocs`) and
+    passing it here, covering the corpus INCLUDING the batch — then the
+    gate is a store read, equal to the recompute by the first-seen
+    contract (pytest-pinned). The pair join's probe side is batch-sized:
+    new chunks join the full gated store, with new-new pairs kept once
+    by id order."""
     from pyspark.sql import Window
 
     new_fps = _chunk_fps(new_df, id_col, text_col, boundary_mod)
@@ -2097,13 +2167,14 @@ def incremental_substring_spans(
         .unionByName(new_fps.select(*cols).withColumn("is_new", F.lit(1)))
         .persist()  # cache: caller-owns (feeds the df gate + both join sides)
     )
-    dfreq = (
-        all_fps.groupBy("chunk_hash")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
-        .select("chunk_hash")
-    )
-    shared = all_fps.join(dfreq, "chunk_hash")
+    if dfreq is None:
+        dfreq = all_fps.groupBy("chunk_hash").agg(
+            F.count_distinct("doc_id").alias("ndocs")
+        )
+    gate = dfreq.filter(
+        (F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap)
+    ).select("chunk_hash")
+    shared = all_fps.join(gate, "chunk_hash")
     n = shared.filter(F.col("is_new") == 1).select(
         F.col("doc_id").alias("doc_n"),
         F.col("cidx").alias("i_n"),

@@ -1601,6 +1601,112 @@ def test_substring_spans_delta_replays_to_batch_truth(spark):
     )
 
 
+def test_substring_ndocs_store_equals_recompute_across_batches(spark):
+    """The amortized df-count store (r12 verdict item 3): maintaining the
+    per-hash ndocs table via ndocs_delta + merge_ndocs across arriving
+    batches equals the corpus-wide count_distinct recompute at EVERY
+    step — including the batch that pushes the shared block's ndocs over
+    df_cap (the non-monotone gate crossing) — and feeding the stored
+    table into substring_spans_delta via ``dfreq`` reproduces the
+    recompute path's (affected, recomputed) output exactly. A replayed
+    document (same doc's fingerprints arriving twice) contributes a zero
+    delta: the first-seen contract."""
+    block = [f"lic{i}" for i in range(40)]
+    other = [f"dup{i}" for i in range(50)]
+
+    def doc(i, toks):
+        return Row(doc_id=i, text=" ".join(toks), lang="en", source="s")
+
+    batches = [
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(4)]
+        + [doc(100, other), doc(101, other)],
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(4, 7)],
+        # crossing: ndocs 7 -> 11 > 8, every block span must vanish
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(7, 11)],
+    ]
+    stored_fps = None
+    ndocs = None
+    view: list = []
+    for rows in batches:
+        bdf = spark.createDataFrame(rows)
+        new_fps = dedup._chunk_fps(bdf)
+        ndocs = dedup.merge_ndocs(ndocs, dedup.ndocs_delta(stored_fps, new_fps))
+        all_fps = (
+            new_fps if stored_fps is None else stored_fps.unionByName(new_fps)
+        )
+        # store == corpus-wide recompute, exactly, at every step
+        want_counts = sorted(
+            map(
+                tuple,
+                all_fps.groupBy("chunk_hash")
+                .agg(F.count_distinct("doc_id").alias("ndocs"))
+                .collect(),
+            )
+        )
+        assert sorted(map(tuple, ndocs.collect())) == want_counts
+        vp = (
+            spark.createDataFrame(
+                [(a, b) for (a, b, *_r) in view], "doc_a long, doc_b long"
+            )
+            if view
+            else None
+        )
+        aff_s, rec_s = dedup.substring_spans_delta(
+            all_fps, new_fps, vp, dfreq=ndocs
+        )
+        aff_r, rec_r = dedup.substring_spans_delta(all_fps, new_fps, vp)
+        assert sorted(map(tuple, aff_s.collect())) == sorted(
+            map(tuple, aff_r.collect())
+        )
+        got = sorted(map(tuple, rec_s.collect()))
+        assert got == sorted(map(tuple, rec_r.collect()))
+        aff = {(r.doc_a, r.doc_b) for r in aff_s.collect()}
+        view = [r for r in view if (r[0], r[1]) not in aff] + got
+        stored_fps = all_fps
+    # replayed DATA (not a replayed batch id): zero contribution
+    redup = dedup._chunk_fps(spark.createDataFrame(batches[0]))
+    assert dedup.ndocs_delta(stored_fps, redup).count() == 0
+    # the maintained view still matches the full batch recompute
+    seen = [r for rows in batches for r in rows]
+    truth = sorted(
+        map(tuple, dedup.substring_spans(spark.createDataFrame(seen)).collect())
+    )
+    assert sorted(view) == truth
+
+
+def test_incremental_substring_spans_with_stored_counts_is_identical(spark):
+    """d21's probe with the stored per-hash ndocs table passed via
+    ``dfreq`` equals the recompute path row-for-row — the store is a pure
+    substitution for the corpus-wide aggregate (same gate, same spans)."""
+    shared = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        Row(doc_id=1, text=shared, lang="en", source="s"),
+        Row(doc_id=2, text=shared + " extra tail tokens here", lang="en", source="s"),
+        Row(doc_id=5, text=shared, lang="en", source="s"),
+        Row(doc_id=3, text=" ".join(f"zzz{i}" for i in range(60)), lang="en", source="s"),
+    ]
+    df = spark.createDataFrame(rows)
+    old = df.filter(F.col("doc_id") % 5 != 0)
+    new = df.filter(F.col("doc_id") % 5 == 0)
+    old_fps = dedup._chunk_fps(old)
+    counts = dedup.merge_ndocs(
+        old_fps.groupBy("chunk_hash").agg(
+            F.count_distinct("doc_id").alias("ndocs")
+        ),
+        dedup.ndocs_delta(old_fps, dedup._chunk_fps(new)),
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup.incremental_substring_spans(old_fps, new, dfreq=counts).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, dedup.incremental_substring_spans(old_fps, new).collect())
+    )
+    assert got == want and got
+
+
 def test_incremental_semdedup_probe_equals_full_restriction(spark):
     """d22's equivalence contract on a planted corpus: probing a new
     batch against the stored cell table (frozen centroids) equals the
