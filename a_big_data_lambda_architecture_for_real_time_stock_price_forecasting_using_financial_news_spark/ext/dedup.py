@@ -1770,6 +1770,43 @@ def merge_ndocs(cur: DataFrame | None, delta: DataFrame) -> DataFrame:
     )
 
 
+def merged_ndocs(cur: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Read-side merged view of the per-hash ndocs store plus an
+    :func:`ndocs_delta` increment, algebraically EQUAL to
+    ``merge_ndocs(cur, delta)`` (pytest-pinned) but shaped for the gate
+    READ inside a micro-batch: the corpus-sized store is split into
+    untouched hashes (broadcast ANTI-join against the batch's hash set —
+    a scan, no shuffle) union touched hashes (broadcast full-outer-free
+    merge over batch-hash-sized sides only). :func:`merge_ndocs`'s
+    full-outer join is the right shape for store MAINTENANCE (per
+    touched partition inside a keyed view, where ``cur`` is already
+    partition-sized) but as a gate read it forces a corpus-wide
+    SortMergeJoin per reference — the exact scan+shuffle the store
+    exists to amortize. Batch-boundedness is the broadcast license: the
+    delta's hash set is micro-batch-sized by construction."""
+    if cur is None:
+        return delta
+    bh = F.broadcast(delta.select("chunk_hash").distinct())
+    untouched = cur.join(bh, "chunk_hash", "left_anti")
+    # full-outer can't broadcast (Spark has no BHJ full-outer); fine —
+    # both sides here are batch-hash-sized, so the SMJ is batch-sized too
+    touched = (
+        cur.join(bh, "chunk_hash", "leftsemi")
+        .alias("c")
+        .join(delta.alias("d"), "chunk_hash", "full_outer")
+        .select(
+            "chunk_hash",
+            (
+                F.coalesce(F.col("c.ndocs"), F.lit(0))
+                + F.coalesce(F.col("d.ndocs"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("ndocs"),
+        )
+    )
+    return untouched.unionByName(touched)
+
+
 def substring_spans_delta(
     all_fps: DataFrame,
     batch_fps: DataFrame,

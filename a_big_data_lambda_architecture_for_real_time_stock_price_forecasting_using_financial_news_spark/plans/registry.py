@@ -18,7 +18,12 @@ Since r12 the 18k-line single file is split into per-battery modules
 QUERIES/ORACLES registration order is exactly the old declaration order);
 this facade re-exports every module-level name, so ``registry.<anything>``
 — including private helpers tests and bench reach for — behaves as before.
-"""
+
+NEW entries append to the TAIL module (registry_tokenizer) regardless of
+family, so existing registration order never shifts — e.g. d22/d23/t30
+live there, not beside their registry_ext siblings (r12 verdict item 6).
+Monkeypatching module-level constants must target the DEFINING module
+(``entry_fn.__module__``), not this facade's re-exported copy."""
 
 from __future__ import annotations
 

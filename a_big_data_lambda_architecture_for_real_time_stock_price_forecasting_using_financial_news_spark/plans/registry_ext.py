@@ -2,7 +2,16 @@
 
 Mechanically split from plans/registry.py (r12): entry bodies moved
 verbatim, registration order preserved by the facade import sequence,
-names unchanged."""
+names unchanged.
+
+Findability note (r12 verdict item 6): entries REGISTERED AFTER the
+split append to the declaration-order TAIL module (registry_tokenizer,
+the last one the facade imports) so existing registration order stays
+bit-identical — which is why the newest members of this module's
+families live elsewhere: d18/d19/d20/d21 (substring dedup),
+d22_semdedup_incremental, d23_substring_exact_bounds, and
+t30_stream_substring_view are all in ``registry_tokenizer.py``. Grep for
+the entry name; the facade re-exports everything either way."""
 
 from __future__ import annotations
 

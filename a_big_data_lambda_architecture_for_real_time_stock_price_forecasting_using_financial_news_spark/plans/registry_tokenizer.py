@@ -2642,3 +2642,143 @@ def d23_substring_exact_bounds(spark, sf_dir):
     against the chunk table on (doc_id, cidx) and chunk-sized array
     compares — no new corpus-sized pass, no window, no all-pairs."""
     return _dd.substring_spans_exact(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "t30_stream_substring_view",
+    _dd.substring_spans_sql("documents"),
+    lazy_replay=True,
+)
+def t30_stream_substring_view(spark, sf_dir):
+    """STREAMING maintenance of the d18 substring-span view — the
+    t17/t20/t22/t23/t25/t26/t27/t28/t29 convergence pattern applied to
+    the newest family (r12 verdict item 1, on the r12-proven
+    ext/dedup.substring_spans_delta core): documents replay in 3
+    micro-batches; each batch appends its chunk fingerprints to a stored
+    fp view, additively merges its per-hash document-frequency delta
+    into a stored ndocs view (ext/dedup.ndocs_delta + merge_ndocs — the
+    amortized gate, r12 verdict item 3: the corpus-wide count_distinct
+    never re-runs per batch), and replace-by-pair merges the delta
+    step's output into the spans view under the writer-lease/batch-id
+    replay contract. After the replay the view must equal
+    substring_spans over the whole corpus — same oracle as d18,
+    streaming twin.
+
+    Replace-by-pair is forced by the NON-MONOTONE df-cap gate: an
+    arriving batch can push a chunk over the boilerplate cap and
+    retroactively erase spans between two OLD documents, which
+    append-only deltas (d6/d21) cannot express. The empty-pair tombstone
+    row is load-bearing: an affected pair whose recomputed span set is
+    empty still ships one null-span row so its partition is rewritten —
+    vanished spans actually leave the view (pytest-pinned).
+
+    Scale: per batch the work is (batch hashing) + (df_cap^2-bounded
+    candidate fan-out ∪ view-bounded semi-joins) + (pair-count-sized
+    recompute) + (batch-sized ndocs delta against the hash-pruned fp
+    store) — never corpus-sized; the stores are the 100 TB layout
+    (fingerprints bucketed by chunk_hash, spans partitioned by pair
+    hash), and micro-batch boundaries are invisible by the replay
+    convergence contract, not by care."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    docs = tbl(spark, sf_dir, "documents")
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "ssv_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(stage)
+    fps_v = KeyedParquetView(
+        spark, _os.path.join(root, "fps"), ["doc_id", "cidx"], partition_by="pb"
+    )
+    nd_v = KeyedParquetView(
+        spark, _os.path.join(root, "nd"), ["chunk_hash"], partition_by="pb"
+    )
+    spans_v = KeyedParquetView(
+        spark, _os.path.join(root, "spans"), ["doc_a", "doc_b"], partition_by="pb"
+    )
+    FP_COLS = ["doc_id", "cidx", "n_toks", "pos0", "chunk_hash"]
+    nd_pb = F.pmod(F.xxhash64("chunk_hash"), F.lit(4))
+
+    def sink(batch_df, batch_id):
+        new_fps = _dd._chunk_fps(batch_df).persist()  # cache: released-in-fn
+        cur_store = fps_v.read()
+        stored = None if cur_store is None else cur_store.select(*FP_COLS)
+        all_fps = (
+            new_fps if stored is None else stored.unionByName(new_fps)
+        )
+        delta = _dd.ndocs_delta(stored, new_fps).persist()  # cache: released-in-fn
+        cur_nd = nd_v.read()
+        # gate READ uses the broadcast-friendly merged view (store scanned,
+        # never shuffled); store MAINTENANCE below keeps merge_ndocs, whose
+        # full-outer shape is right per touched partition
+        merged_nd = _dd.merged_ndocs(
+            None if cur_nd is None else cur_nd.select("chunk_hash", "ndocs"),
+            delta,
+        )
+        cur_spans = spans_v.read()
+        vp = (
+            None
+            if cur_spans is None
+            else cur_spans.select("doc_a", "doc_b").distinct()
+        )
+        affected, recomputed = _dd.substring_spans_delta(
+            all_fps, new_fps, vp, dfreq=merged_nd
+        )
+        batch = affected.join(
+            recomputed, ["doc_a", "doc_b"], "left"
+        ).withColumn("pb", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(4)))
+
+        def merge_spans(cur, b):
+            real = b.filter(F.col("start_a").isNotNull()).select(
+                "doc_a", "doc_b", "start_a", "start_b",
+                "n_chunks", "span_toks", "pb",
+            )
+            if cur is None:
+                return real
+            keep = cur.join(
+                b.select("doc_a", "doc_b").distinct(),
+                ["doc_a", "doc_b"],
+                "left_anti",
+            )
+            return keep.unionByName(real)
+
+        spans_v.merge_custom(batch, merge_spans, batch_id=batch_id, writer="ssd")
+        nd_v.merge_custom(
+            delta.withColumn("pb", nd_pb),
+            lambda cur, b: _dd.merge_ndocs(
+                None if cur is None else cur.select("chunk_hash", "ndocs"),
+                b.select("chunk_hash", "ndocs"),
+            ).withColumn("pb", nd_pb),
+            batch_id=batch_id,
+            writer="nd",
+        )
+        fps_v.merge_custom(
+            new_fps.withColumn("pb", F.pmod(F.xxhash64("doc_id"), F.lit(4))),
+            lambda cur, b: b if cur is None else cur.unionByName(b),
+            batch_id=batch_id,
+            writer="fps",
+        )
+        affected.unpersist()
+        delta.unpersist()
+        new_fps.unpersist()
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spans_v.read()
+    out_cols = ["doc_a", "doc_b", "start_a", "start_b", "n_chunks", "span_toks"]
+    if final is None:
+        return spark.createDataFrame(
+            [], ", ".join(f"{c} bigint" for c in out_cols)
+        )
+    return final.select(*out_cols)

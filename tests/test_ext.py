@@ -1674,6 +1674,34 @@ def test_substring_ndocs_store_equals_recompute_across_batches(spark):
     assert sorted(view) == truth
 
 
+def test_merged_ndocs_read_view_equals_merge_ndocs(spark):
+    """merged_ndocs (the broadcast-friendly gate-read shape: untouched
+    store anti-joined against the batch's hash set union a batch-sized
+    touched merge) must equal merge_ndocs (the full-outer maintenance
+    shape) row-for-row — across overlapping, store-only, and delta-only
+    hashes, and with a None store. Also pins the plan claim: the store
+    side of the read view must carry NO SortMergeJoin (the corpus-wide
+    shuffle the view exists to avoid) — its joins against the batch hash
+    set broadcast."""
+    cur = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 8)], "chunk_hash long, ndocs long"
+    )
+    delta = spark.createDataFrame(
+        [(2, 2), (4, 5)], "chunk_hash long, ndocs long"
+    )
+    got = sorted(map(tuple, dedup.merged_ndocs(cur, delta).collect()))
+    want = sorted(map(tuple, dedup.merge_ndocs(cur, delta).collect()))
+    assert got == want == [(1, 3), (2, 3), (3, 8), (4, 5)]
+    none_got = sorted(map(tuple, dedup.merged_ndocs(None, delta).collect()))
+    assert none_got == sorted(map(tuple, delta.collect()))
+    # the only SMJ allowed is the batch-hash-sized touched merge
+    # (full-outer can't broadcast); the corpus-sized anti/semi probes must
+    # be broadcast joins
+    plan = dedup.merged_ndocs(cur, delta)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
 def test_incremental_substring_spans_with_stored_counts_is_identical(spark):
     """d21's probe with the stored per-hash ndocs table passed via
     ``dfreq`` equals the recompute path row-for-row — the store is a pure

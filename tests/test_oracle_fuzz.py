@@ -1665,6 +1665,28 @@ def test_batch11_d18_matches_oracle_on_generated_documents(
     _check(spark, tmp, qname, ["documents"])
 
 
+@settings(max_examples=2, deadline=None)
+@given(raw=_sub_docs)
+def test_batch11_t30_streamed_view_matches_d18_oracle(
+    spark, tmp_path_factory, raw
+):
+    """t30's fuzz arm (the stream battery's convergence contract on the
+    substring family): the streamed spans view — 3 micro-batch replay,
+    amortized ndocs store, replace-by-pair merges with tombstones — must
+    match d18's batch oracle on generated corpora, including the arms the
+    fixture never produces: corpora smaller than the replay chunk count
+    (EMPTY micro-batches), repeat-heavy docs that saturate the df gate
+    (non-monotone crossings mid-replay), single-chunk and empty docs."""
+    rows = []
+    for i, (toks, rep) in enumerate(raw):
+        text = " ".join(toks * rep)
+        rows.append((i, text, "en", "web", len(text)))
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(spark, tmp, "documents", rows, DOCS_SCHEMA)
+    _check(spark, tmp, "t30_stream_substring_view", ["documents"])
+
+
 def test_batch11_d18_identical_docs_span_whole_doc(spark, tmp_path_factory):
     """Two byte-identical docs must share one maximal span on diagonal 0
     covering every chunk — the degenerate arm where substring dedup and
