@@ -1801,3 +1801,66 @@ def incremental_semantic_dedup_sql(
            CAST(count(*) AS BIGINT) AS n_dups
     FROM isd_pairs GROUP BY 1, 2
     """
+
+
+def frozen_semantic_dedup_sql(
+    table: str,
+    train_pred: str,
+    tau: float = SEM_TAU,
+    km_k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for the STREAMED SemDeDup view (t31): k-means is
+    trained on the frozen snapshot subset only (``train_pred``, a format
+    string with an ``{id}`` placeholder), the WHOLE corpus is assigned
+    to those frozen centroids, the full within-cell pair relation is
+    min-grouped per victim, and every nonzero vector gets a
+    (kept, dup_of, n_dups) row. This is the fixed point the streaming
+    replay must converge to regardless of micro-batch boundaries: each
+    unordered qualifying pair is found exactly once (in the batch where
+    its later-arriving member lands, new x (old+new)), so min-merging
+    dup_of and sum-merging n_dups across batch deltas reproduces this
+    relation — the k5 mergeable-state argument, stated as SQL. An empty
+    (or all-zero-norm) training subset yields no centroids, hence no
+    assignable cells and an EMPTY view on both engines."""
+    src_train = (
+        f"(SELECT * FROM {table} WHERE {_nonzero_vec_sql(emb_col)}"
+        f" AND ({train_pred.format(id=id_col)}))"
+    )
+    ctes, cfinal = _km_ctes(src_train, km_k, iters, id_col, emb_col)
+    cost = _km_cost_sql("b.q", "c.c", "c.cn2")
+    cos = cosine_sql("a.e", "b.e")
+    return f"""
+    WITH {ctes},
+    caugf AS (SELECT cid, c, {_km_cn2_sql("c")} AS cn2 FROM {cfinal}),
+    fsd_all AS (
+      SELECT {id_col} AS vec_id, {emb_col} AS e,
+             list_transform({emb_col},
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS q
+      FROM {table} WHERE {_nonzero_vec_sql(emb_col)}
+    ),
+    fsd_cells AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT b.vec_id, b.e, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY {cost}, c.cid) AS rn
+        FROM fsd_all b CROSS JOIN caugf c
+      ) WHERE rn = 1
+    ),
+    fsd_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM fsd_cells a JOIN fsd_cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= {tau}
+    ),
+    fsd_rm AS (
+      SELECT id_b, CAST(min(id_a) AS BIGINT) AS dup_of,
+             CAST(count(*) AS BIGINT) AS n_dups
+      FROM fsd_pairs GROUP BY 1
+    )
+    SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cid,
+           CAST(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+           r.dup_of,
+           COALESCE(r.n_dups, CAST(0 AS BIGINT)) AS n_dups
+    FROM fsd_cells c LEFT JOIN fsd_rm r ON c.vec_id = r.id_b
+    """

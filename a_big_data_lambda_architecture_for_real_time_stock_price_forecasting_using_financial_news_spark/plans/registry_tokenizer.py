@@ -2782,3 +2782,150 @@ def t30_stream_substring_view(spark, sf_dir):
             [], ", ".join(f"{c} bigint" for c in out_cols)
         )
     return final.select(*out_cols)
+
+
+@register(
+    "t31_stream_semdedup_view",
+    _sim.frozen_semantic_dedup_sql("embeddings", "{id} % 3 = 0"),
+    lazy_replay=True,
+)
+def t31_stream_semdedup_view(spark, sf_dir):
+    """STREAMING maintenance of the frozen-centroid SemDeDup view (r12
+    verdict item 5 — the streamed twin t30 gave the substring family,
+    applied to semantic dedup on the r12-proven
+    ext/similarity.incremental_semantic_dedup core): centroids are
+    trained ONCE on the snapshot subset vec_id % 3 == 0 and written to a
+    store (production's per-snapshot freeze, d22's framing); embeddings
+    then replay in 3 micro-batches; each batch is assigned to the FROZEN
+    stored centroids, probed against the cells view accumulated so far
+    (new x (old+new) pairs only, d17's salting verbatim inside
+    incremental_semantic_dedup), and its removal-map delta is merged
+    into a keyed view with MIN on dup_of and SUM on n_dups — both
+    associative/commutative (k5's mergeable-state discipline), which is
+    why micro-batch boundaries are invisible by algebra: each unordered
+    qualifying pair is found exactly once, in the batch where its
+    later-arriving member lands. After the replay the view must equal
+    the full frozen-centroid SemDeDup relation over the whole corpus —
+    the oracle states that fixed point directly (train on the snapshot
+    subset, assign everyone, full within-cell pairs, min/count per
+    victim).
+
+    Unlike t30's replace-by-pair, this merge IS append-only-mergeable:
+    the tau gate is per-pair (no corpus-global non-monotone state like
+    the df cap), so arriving data can only ADD removal evidence, never
+    retract it — the two streamed views document the two regimes.
+
+    Scale: per batch the work is |batch| x k broadcast-argmin assignment
+    + pair work inside touched cells only (store pruned via a broadcast
+    <=k-row cell list, skewed cells salted with d17's measured budget);
+    the cells store appends and the removal map min/sum-merges through
+    the keyed view's O(touched-partition) writes. Never corpus-sized,
+    never retrained."""
+    import os as _os
+    import uuid
+
+    from ..streaming.upsert import KeyedParquetView
+
+    prepare(spark)
+    emb = tbl(spark, sf_dir, "embeddings")
+    _tag, scratch = scratch_dir("spark_graft_speedview", sf_dir)
+    root = _os.path.join(scratch, "ssv31_" + uuid.uuid4().hex[:8])
+    stage = _os.path.join(root, "feed")
+    cdir = _os.path.join(root, "cents")
+    # the frozen snapshot: train on the %3==0 subset once, store, reload
+    train = emb.filter(F.col("vec_id") % 3 == 0).filter(
+        _sim._nonzero_vec("embedding")
+    )
+    _sim.train_kmeans_centroids(train).write.mode("overwrite").parquet(cdir)
+    emb.repartitionByRange(3, "vec_id").write.mode("overwrite").parquet(stage)
+    cells_v = KeyedParquetView(
+        spark, _os.path.join(root, "cells"), ["vec_id"], partition_by="pb"
+    )
+    rm_v = KeyedParquetView(
+        spark, _os.path.join(root, "rm"), ["vec_id"], partition_by="pb"
+    )
+    CELL_COLS = ["vec_id", "cid", "e", "nrm"]
+    pb = F.pmod(F.xxhash64("vec_id"), F.lit(4))
+
+    def sink(batch_df, batch_id):
+        cents = spark.read.parquet(cdir)
+        new_cells = _sim._sem_cells(
+            batch_df.filter(_sim._nonzero_vec("embedding")), cents
+        ).persist()  # cache: released-in-fn
+        cur_cells = cells_v.read()
+        stored = (
+            new_cells.limit(0)
+            if cur_cells is None
+            else cur_cells.select(*CELL_COLS)
+        )
+        delta = _sim.incremental_semantic_dedup(stored, batch_df, cents)
+
+        def merge_rm(cur, b):
+            bb = b.select("vec_id", "cid", "dup_of", "n_dups", "pb")
+            if cur is None:
+                return bb
+            return (
+                cur.alias("c")
+                .join(bb.alias("d"), "vec_id", "full_outer")
+                .select(
+                    "vec_id",
+                    F.coalesce(F.col("c.cid"), F.col("d.cid")).alias("cid"),
+                    # least/greatest skip NULLs in Spark: min-merge for free
+                    F.least(F.col("c.dup_of"), F.col("d.dup_of"))
+                    .cast("bigint")
+                    .alias("dup_of"),
+                    (
+                        F.coalesce(F.col("c.n_dups"), F.lit(0))
+                        + F.coalesce(F.col("d.n_dups"), F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("n_dups"),
+                    F.coalesce(F.col("c.pb"), F.col("d.pb")).alias("pb"),
+                )
+            )
+
+        rm_v.merge_custom(
+            delta.withColumn("pb", pb), merge_rm, batch_id=batch_id, writer="rm"
+        )
+        cells_v.merge_custom(
+            new_cells.withColumn("pb", pb),
+            lambda cur, b: b if cur is None else cur.unionByName(b),
+            batch_id=batch_id,
+            writer="cells",
+        )
+        new_cells.unpersist()
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = cells_v.read()
+    if cells is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, cid int, kept int, dup_of bigint, n_dups bigint"
+        )
+    rm = rm_v.read()
+    if rm is None:
+        rm = spark.createDataFrame(
+            [], "vec_id bigint, dup_of bigint, n_dups bigint"
+        )
+    return (
+        cells.select("vec_id", "cid")
+        .join(rm.select("vec_id", "dup_of", "n_dups"), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("cid").cast("int").alias("cid"),
+            F.when(F.col("dup_of").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+        )
+    )

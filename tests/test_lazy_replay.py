@@ -47,6 +47,7 @@ def test_lazy_entries_cover_every_replay_builder():
         "t28_stream_histogram_view",
         "t29_stream_minhash_view",
         "t30_stream_substring_view",
+        "t31_stream_semdedup_view",
         "p15_shallow_clone",
         "u9_right_to_erasure",
     }

@@ -1484,6 +1484,33 @@ def test_batch12_d22_matches_oracle_on_generated_embeddings(
     _check(spark, tmp, "d22_semdedup_incremental", ["embeddings"])
 
 
+# t31 streamed SemDeDup view on generated embeddings: the full replay —
+# frozen %3==0 snapshot centroids, 3 range-split micro-batches, min/sum
+# removal-map merges — against the oracle's one-shot frozen-centroid
+# fixed point. `stride` flips the corpus between mixed train/stream
+# (stride 1), NO training subset (stride 3, offset 1: no id % 3 == 0, so
+# zero centroids and an EMPTY view on both engines — the bootstrap arm),
+# and all-training (stride 3, offset 0). The /250 grid plants exact
+# duplicates (tau boundary) and zero-norm vectors inside every arm.
+@pytest.mark.parametrize("stride,offset", [(1, 0), (3, 1), (3, 0)])
+@settings(max_examples=2, deadline=None)
+@given(raw=_gram_examples)
+def test_batch13_t31_streamed_view_matches_frozen_oracle(
+    spark, tmp_path_factory, stride, offset, raw
+):
+    rows = [
+        (i * stride + offset, [float(x) for x in vec], i % 3)
+        for i, vec in enumerate(raw)
+    ]
+    tmp = _fuzz_tmp(tmp_path_factory)
+    os.makedirs(tmp, exist_ok=True)
+    _stage(
+        spark, tmp, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    _check(spark, tmp, "t31_stream_semdedup_view", ["embeddings"])
+
+
 # m28 chi2 on generated documents: the tiny-vocab corpus hits every
 # degenerate margin — single-class corpora (rp = 0), terms present in
 # every doc (cp = 0), and sub-min-df vocabularies yielding empty output.

@@ -1557,3 +1557,90 @@ def test_streaming_substring_view_converges_to_batch(spark, sf_dir):
         )
         want = sorted(map(tuple, dedup.substring_spans(docs).collect()))
         assert got == want and got, "streamed spans view != batch recompute"
+
+
+def test_streaming_semdedup_view_converges_to_frozen_batch(spark, sf_dir):
+    """t31 (r12 verdict item 5, engine side): the streamed SemDeDup view
+    — centroids frozen on the vec_id % 3 == 0 snapshot, embeddings
+    replayed in 3 micro-batches, per-batch incremental_semantic_dedup
+    deltas min/sum-merged into a keyed view — must equal the one-shot
+    frozen-centroid batch construction over the whole corpus (empty
+    store, whole corpus as one batch: the delta relation IS the full
+    pair relation then). Engine-vs-engine twin of the entry's DuckDB
+    oracle; proves micro-batch boundaries are invisible to the merge."""
+    from pyspark.sql import functions as F
+
+    sim = _mod("ext.similarity")
+    registry = _mod("plans.registry")
+
+    got = sorted(
+        map(
+            tuple,
+            registry.QUERIES["t31_stream_semdedup_view"](spark, sf_dir).collect(),
+        )
+    )
+
+    emb = _mod("sources.batch").load_table(spark, sf_dir, "embeddings")
+    nz = emb.filter(sim._nonzero_vec("embedding"))
+    cents = sim.train_kmeans_centroids(nz.filter(F.col("vec_id") % 3 == 0))
+    cells = sim._sem_cells(nz, cents)
+    rm = sim.incremental_semantic_dedup(cells.limit(0), emb, cents)
+    want = sorted(
+        map(
+            tuple,
+            cells.select("vec_id", "cid")
+            .join(rm.select("vec_id", "dup_of", "n_dups"), "vec_id", "left")
+            .select(
+                F.col("vec_id").cast("bigint"),
+                F.col("cid").cast("int"),
+                F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int"),
+                F.col("dup_of").cast("bigint"),
+                F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got, "streamed semdedup view != frozen batch"
+
+
+def test_streaming_semdedup_view_planted_min_merge(spark, tmp_path_factory):
+    """t31 on a PLANTED corpus whose duplicate groups span all three
+    range-thirds of the replay, pinning the cross-batch merge facts by
+    value: dup_of is the GLOBAL min-id partner even when smaller-id
+    partners arrive in different micro-batches than the victim (min
+    merge), n_dups is the TOTAL smaller-id partner count accumulated
+    across batches (sum merge), the group minimum stays kept, vectors
+    orthogonal to everything stay kept with n_dups 0, and a zero-norm
+    vector vanishes from the view entirely. Seeds: ids 9 and 12 are the
+    only train-subset (%3==0) ids passing the km-sample hash gate, so
+    the two planted directions are exactly the two frozen centroids."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    registry = _mod("plans.registry")
+    d = [1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    e = [0.0, 0.0, 1.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0], 0),
+        (2, d, 0), (5, d, 0), (9, d, 0), (16, d, 0),
+        (4, e, 0), (12, e, 0), (17, e, 0),
+        (7, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0], 0),
+        (14, [1.0, -1.0, 0.0, 0.0, 0.0, 0.0], 0),
+        (10, [0.0] * 6, 0),  # zero-norm: dropped before any cosine
+    ]
+    tmp = str(tmp_path_factory.mktemp("t31planted"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+
+    out = {
+        r.vec_id: (r.kept, r.dup_of, r.n_dups)
+        for r in registry.QUERIES["t31_stream_semdedup_view"](spark, tmp).collect()
+    }
+    assert 10 not in out and len(out) == 10
+    for vid in (0, 2, 4, 7, 14):
+        assert out[vid] == (1, None, 0), f"vec {vid} must be kept"
+    assert out[5] == (0, 2, 1)
+    assert out[9] == (0, 2, 2)
+    assert out[16] == (0, 2, 3)
+    assert out[12] == (0, 4, 1)
+    assert out[17] == (0, 4, 2)
