@@ -1644,3 +1644,151 @@ def test_streaming_semdedup_view_planted_min_merge(spark, tmp_path_factory):
     assert out[16] == (0, 2, 3)
     assert out[12] == (0, 4, 1)
     assert out[17] == (0, 4, 2)
+
+
+def test_streaming_semdedup_view_survives_checkpoint_restart(spark, tmp_path_factory):
+    """t31 under failure (the t17 invariant applied to the newest view):
+    the replay is stopped after two micro-batches and RESTARTED from the
+    checkpoint with a third file arrived in the gap. The restarted query
+    must (a) not re-merge the already-applied batches (batch-id
+    watermark), (b) deliver the new file as a NEW batch id, and (c)
+    still converge to the planted frozen-centroid facts — including a
+    victim (vec 16) whose ENTIRE removal evidence (partners 2, 5, 9)
+    arrives in the post-restart batch against pre-restart store state,
+    and sum-merged n_dups crossing the restart boundary (vec 17:
+    partner 4 pre-restart-stored, partner 12 likewise, evidence found
+    post-restart)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sim = _mod("ext.similarity")
+    upsert = _mod("streaming.upsert")
+
+    d = [1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    e = [0.0, 0.0, 1.0, 1.0, 0.0, 0.0]
+    groups = [
+        [(0, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0], 0), (2, d, 0), (4, e, 0), (5, d, 0)],
+        [(7, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0], 0), (9, d, 0), (10, [0.0] * 6, 0),
+         (12, e, 0)],
+        [(14, [1.0, -1.0, 0.0, 0.0, 0.0, 0.0], 0), (16, d, 0), (17, e, 0)],
+    ]
+    schema = "vec_id long, embedding array<float>, label int"
+    tmp = str(tmp_path_factory.mktemp("t31restart"))
+    src = os.path.join(tmp, "feed")
+    os.makedirs(src)
+
+    def ship(i):
+        stage = os.path.join(tmp, f"stage{i}")
+        spark.createDataFrame(groups[i], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    all_rows = [r for g in groups for r in g]
+    full = spark.createDataFrame(all_rows, schema)
+    cdir = os.path.join(tmp, "cents")
+    sim.train_kmeans_centroids(
+        full.filter(F.col("vec_id") % 3 == 0).filter(sim._nonzero_vec("embedding"))
+    ).write.mode("overwrite").parquet(cdir)
+
+    cells_v = upsert.KeyedParquetView(
+        spark, os.path.join(tmp, "cells"), ["vec_id"], partition_by="pb"
+    )
+    rm_v = upsert.KeyedParquetView(
+        spark, os.path.join(tmp, "rm"), ["vec_id"], partition_by="pb"
+    )
+    CELL_COLS = ["vec_id", "cid", "e", "nrm"]
+    pb = F.pmod(F.xxhash64("vec_id"), F.lit(4))
+    applied: list[int] = []
+
+    def sink(batch_df, batch_id):
+        applied.append(batch_id)
+        cents = spark.read.parquet(cdir)
+        new_cells = sim._sem_cells(
+            batch_df.filter(sim._nonzero_vec("embedding")), cents
+        ).persist()
+        cur_cells = cells_v.read()
+        stored = (
+            new_cells.limit(0) if cur_cells is None else cur_cells.select(*CELL_COLS)
+        )
+        delta = sim.incremental_semantic_dedup(stored, batch_df, cents)
+
+        def merge_rm(cur, b):
+            bb = b.select("vec_id", "cid", "dup_of", "n_dups", "pb")
+            if cur is None:
+                return bb
+            return (
+                cur.alias("c")
+                .join(bb.alias("d"), "vec_id", "full_outer")
+                .select(
+                    "vec_id",
+                    F.coalesce(F.col("c.cid"), F.col("d.cid")).alias("cid"),
+                    F.least(F.col("c.dup_of"), F.col("d.dup_of"))
+                    .cast("bigint")
+                    .alias("dup_of"),
+                    (
+                        F.coalesce(F.col("c.n_dups"), F.lit(0))
+                        + F.coalesce(F.col("d.n_dups"), F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("n_dups"),
+                    F.coalesce(F.col("c.pb"), F.col("d.pb")).alias("pb"),
+                )
+            )
+
+        rm_v.merge_custom(
+            delta.withColumn("pb", pb), merge_rm, batch_id=batch_id, writer="rm"
+        )
+        cells_v.merge_custom(
+            new_cells.withColumn("pb", pb),
+            lambda cur, b: b if cur is None else cur.unionByName(b),
+            batch_id=batch_id,
+            writer="cells",
+        )
+        new_cells.unpersist()
+
+    def run():
+        q = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ship(0)
+    ship(1)
+    run()  # batches 0, 1 — then the "process dies"
+    assert applied == [0, 1]
+    assert rm_v.last_batch_id("rm") == 1 and cells_v.last_batch_id("cells") == 1
+    mid = {r.vec_id: (r.dup_of, r.n_dups) for r in rm_v.read().collect()}
+    assert mid[5] == (2, 1) and mid[9] == (2, 2) and mid[12] == (4, 1)
+
+    ship(2)  # arrives while the query is down
+    run()  # restart from the checkpoint
+    assert applied == [0, 1, 2], "restart must deliver ONLY the new file"
+    assert rm_v.last_batch_id("rm") == 2
+
+    out = {
+        r.vec_id: (r.dup_of, r.n_dups)
+        for r in cells_v.read()
+        .select("vec_id")
+        .join(rm_v.read().select("vec_id", "dup_of", "n_dups"), "vec_id", "left")
+        .collect()
+    }
+    assert 10 not in out and len(out) == 10
+    for vid in (0, 2, 4, 7, 14):
+        assert out[vid] == (None, None)
+    assert out[5] == (2, 1)
+    assert out[9] == (2, 2)
+    assert out[16] == (2, 3)
+    assert out[12] == (4, 1)
+    assert out[17] == (4, 2)
