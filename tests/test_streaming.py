@@ -1792,3 +1792,177 @@ def test_streaming_semdedup_view_survives_checkpoint_restart(spark, tmp_path_fac
     assert out[16] == (2, 3)
     assert out[12] == (4, 1)
     assert out[17] == (4, 2)
+
+
+def test_streaming_substring_view_survives_restart_with_gate_crossing(
+    spark, tmp_path_factory
+):
+    """t30 under failure, with the family's hardest arm ACROSS the
+    restart boundary: the replay stops after two micro-batches with
+    shared-block spans already merged into the view (block in 7 docs,
+    inside the 2..8 df gate); while the query is down a third file
+    lands that pushes the block's document frequency to 11 — OVER the
+    cap. The restarted query must (a) deliver only the new file
+    (batch-id watermark on all three keyed views, including the ndocs
+    store whose additive merge would double-count on a replay), and
+    (b) retroactively ERASE every pre-restart block span between OLD
+    doc pairs via the replace-by-pair tombstones, leaving exactly the
+    unrelated duplicate pair — equal to the batch recompute over the
+    full corpus."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row, functions as F
+
+    dedup = _mod("ext.dedup")
+    upsert = _mod("streaming.upsert")
+
+    block = [f"lic{i}" for i in range(40)]
+    other = [f"dup{i}" for i in range(50)]
+
+    def doc(i, toks):
+        return Row(doc_id=i, text=" ".join(toks), lang="en", source="s")
+
+    groups = [
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(4)]
+        + [doc(100, other), doc(101, other)],
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(4, 7)],
+        # the crossing file, landing while the query is down: ndocs 7 -> 11
+        [doc(i, block + [f"tail{i}x{j}" for j in range(5)]) for i in range(7, 11)],
+    ]
+    tmp = str(tmp_path_factory.mktemp("t30restart"))
+    src = os.path.join(tmp, "feed")
+    os.makedirs(src)
+    sample = spark.createDataFrame(groups[0])
+
+    def ship(i):
+        stage = os.path.join(tmp, f"stage{i}")
+        spark.createDataFrame(groups[i]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    fps_v = upsert.KeyedParquetView(
+        spark, os.path.join(tmp, "fps"), ["doc_id", "cidx"], partition_by="pb"
+    )
+    nd_v = upsert.KeyedParquetView(
+        spark, os.path.join(tmp, "nd"), ["chunk_hash"], partition_by="pb"
+    )
+    spans_v = upsert.KeyedParquetView(
+        spark, os.path.join(tmp, "spans"), ["doc_a", "doc_b"], partition_by="pb"
+    )
+    FP_COLS = ["doc_id", "cidx", "n_toks", "pos0", "chunk_hash"]
+    nd_pb = F.pmod(F.xxhash64("chunk_hash"), F.lit(4))
+    applied: list[int] = []
+
+    def sink(batch_df, batch_id):
+        applied.append(batch_id)
+        new_fps = dedup._chunk_fps(batch_df).persist()
+        cur_store = fps_v.read()
+        stored = None if cur_store is None else cur_store.select(*FP_COLS)
+        all_fps = new_fps if stored is None else stored.unionByName(new_fps)
+        delta = dedup.ndocs_delta(stored, new_fps).persist()
+        cur_nd = nd_v.read()
+        merged_nd = dedup.merged_ndocs(
+            None if cur_nd is None else cur_nd.select("chunk_hash", "ndocs"), delta
+        )
+        cur_spans = spans_v.read()
+        vp = (
+            None
+            if cur_spans is None
+            else cur_spans.select("doc_a", "doc_b").distinct()
+        )
+        affected, recomputed = dedup.substring_spans_delta(
+            all_fps, new_fps, vp, dfreq=merged_nd
+        )
+        batch = affected.join(
+            recomputed, ["doc_a", "doc_b"], "left"
+        ).withColumn("pb", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(4)))
+
+        def merge_spans(cur, b):
+            real = b.filter(F.col("start_a").isNotNull()).select(
+                "doc_a", "doc_b", "start_a", "start_b", "n_chunks", "span_toks", "pb"
+            )
+            if cur is None:
+                return real
+            keep = cur.join(
+                b.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"], "left_anti"
+            )
+            return keep.unionByName(real)
+
+        spans_v.merge_custom(batch, merge_spans, batch_id=batch_id, writer="ssd")
+        nd_v.merge_custom(
+            delta.withColumn("pb", nd_pb),
+            lambda cur, b: dedup.merge_ndocs(
+                None if cur is None else cur.select("chunk_hash", "ndocs"),
+                b.select("chunk_hash", "ndocs"),
+            ).withColumn("pb", nd_pb),
+            batch_id=batch_id,
+            writer="nd",
+        )
+        fps_v.merge_custom(
+            new_fps.withColumn("pb", F.pmod(F.xxhash64("doc_id"), F.lit(4))),
+            lambda cur, b: b if cur is None else cur.unionByName(b),
+            batch_id=batch_id,
+            writer="fps",
+        )
+        affected.unpersist()
+        delta.unpersist()
+        new_fps.unpersist()
+
+    def run():
+        q = (
+            spark.readStream.schema(sample.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ship(0)
+    ship(1)
+    run()  # batches 0, 1 — then the "process dies"
+    assert applied == [0, 1]
+    assert nd_v.last_batch_id("nd") == 1 and spans_v.last_batch_id("ssd") == 1
+    mid_pairs = {(r.doc_a, r.doc_b) for r in spans_v.read().collect()}
+    assert (100, 101) in mid_pairs
+    assert any(a < 7 and b < 7 for (a, b) in mid_pairs if (a, b) != (100, 101)), (
+        "block spans must exist before the crossing"
+    )
+    # the ndocs store equals the corpus recompute at the failure point
+    nd_mid = {r.chunk_hash: r.ndocs for r in nd_v.read().collect()}
+    fps_mid = fps_v.read().select(*FP_COLS)
+    want_mid = {
+        r.chunk_hash: r.n
+        for r in fps_mid.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert nd_mid == want_mid
+
+    ship(2)  # the crossing file lands while the query is down
+    run()  # restart from the checkpoint
+    assert applied == [0, 1, 2], "restart must deliver ONLY the crossing file"
+    assert nd_v.last_batch_id("nd") == 2
+
+    got = sorted(
+        map(
+            tuple,
+            spans_v.read()
+            .select("doc_a", "doc_b", "start_a", "start_b", "n_chunks", "span_toks")
+            .collect(),
+        )
+    )
+    all_docs = spark.createDataFrame([r for g in groups for r in g])
+    want = sorted(map(tuple, dedup.substring_spans(all_docs).collect()))
+    assert got == want and got
+    pairs_left = {(a, b) for (a, b, *_r) in got}
+    assert pairs_left == {(100, 101)}, (
+        "the crossing must have erased every pre-restart block span"
+    )
