@@ -2094,12 +2094,24 @@ def j16_fk_orphan_audit(spark, sf_dir):
     unconditionally (absence of an edge row would be indistinguishable
     from a skipped check — the a31 absent-digit rule).
 
-    Shape: dimension-side parents (region/nation/customer/supplier/
-    part) broadcast; the two fact-fact edges (lineitem->orders) shuffle
-    on the join key exactly as q3 does, with the count aggs map-side
-    combined. Each edge is one scan + one join — the whole audit is a
-    union of 7 independent two-table plans, embarrassingly parallel
-    across a cluster's scheduler pools."""
+    Shape (r13 optimization — guide §2.3 aggregate-before-shuffle +
+    §2.4 share-one-exchange; before: 7 independent two-table plans =
+    3 lineitem scans + 7 joins + 7 two-phase count_distinct aggs, 41
+    AQE stage-jobs at sf0.1): every child table is scanned ONCE —
+    lineitem emits its three FK edges from a single scan via a
+    3-struct explode of just the key columns — and all seven edges
+    flow through ONE (edge, key) pre-aggregation, so the only
+    corpus-sized shuffle input is the map-side-combined per-key count
+    table (distinct keys per edge, never raw child rows: for
+    lineitem->orders that is ~|orders| narrow rows instead of
+    |lineitem| rows through a join). Parents union to one
+    (edge, pk) key set joined LEFT in a single pass; n_child/n_keys/
+    n_orphans fold from the per-key counts (count(k) skips the NULL
+    child-key group exactly as countDistinct did; a NULL child key
+    finds no parent and its rows count as orphans, unchanged). At
+    100 TB the win is reading the fact table once instead of three
+    times and shuffling counted keys instead of raw child rows on the
+    fact-fact edge; the 7-row audit surface is bit-identical."""
     edges = [
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -2109,21 +2121,62 @@ def j16_fk_orphan_audit(spark, sf_dir):
         ("supplier", "s_nationkey", "nation", "n_nationkey"),
         ("nation", "n_regionkey", "region", "r_regionkey"),
     ]
-    out = None
-    for child, ck, parent, pk in edges:
-        c = tbl(spark, sf_dir, child).select(F.col(ck).alias("ck"))
-        p = tbl(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
-        j = c.join(p, c.ck == p.pk, "left")
-        row = j.agg(
-            F.lit(f"{child}.{ck}->{parent}").alias("edge"),
-            F.count(F.lit(1)).cast("bigint").alias("n_child"),
-            F.countDistinct("ck").cast("bigint").alias("n_keys"),
-            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_orphans"),
-        ).select("edge", "n_child", "n_keys", "n_orphans")
-        out = row if out is None else out.unionByName(row)
-    return out
+    # children: one scan per TABLE (not per edge) — lineitem's three FK
+    # columns explode from the same scan into (edge_id, key) rows
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for eid, (child, ck, _p, _pk) in enumerate(edges):
+        by_child.setdefault(child, []).append((eid, ck))
+    kids = None
+    for child, cols in by_child.items():
+        t = tbl(spark, sf_dir, child)
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(eid).alias("e"),
+                        F.col(ck).cast("bigint").alias("k"),
+                    )
+                    for eid, ck in cols
+                ]
+            )
+        ).alias("p")
+        part = t.select(pairs).select("p.e", "p.k")
+        kids = part if kids is None else kids.unionByName(part)
+    # parents: one (edge, pk) key set, distinct once
+    pars = None
+    for eid, (_c, _ck, parent, pk) in enumerate(edges):
+        p = tbl(spark, sf_dir, parent).select(
+            F.lit(eid).alias("e"), F.col(pk).cast("bigint").alias("pk")
+        )
+        pars = p if pars is None else pars.unionByName(p)
+    pars = pars.distinct()
+    perkey = kids.groupBy("e", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    j = perkey.join(
+        pars, (perkey.e == pars.e) & (perkey.k == pars.pk), "left"
+    ).select(perkey.e.alias("e"), "k", "cnt", "pk")
+    agg = j.groupBy("e").agg(
+        F.sum("cnt").cast("bigint").alias("n_child"),
+        F.count("k").cast("bigint").alias("n_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("pk").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_orphans"),
+    )
+    # every edge emits unconditionally (the a31 absent-digit rule): an
+    # empty child table must still report its all-zero row, exactly as
+    # the oracle's per-edge global aggregates do
+    spine = spark.createDataFrame([(i,) for i in range(len(edges))], "e int")
+    full = spine.join(agg, "e", "left")
+    label = F.array(
+        *[F.lit(f"{c}.{ck}->{p}") for c, ck, p, _pk in edges]
+    )
+    return full.select(
+        F.element_at(label, F.col("e").cast("int") + 1).alias("edge"),
+        F.coalesce("n_child", F.lit(0)).cast("bigint").alias("n_child"),
+        F.coalesce("n_keys", F.lit(0)).cast("bigint").alias("n_keys"),
+        F.coalesce("n_orphans", F.lit(0)).cast("bigint").alias("n_orphans"),
+    )
 
 
 @register(

@@ -1589,12 +1589,23 @@ def test_m20_auc_window_rides_histogram_not_corpus(spark, sf_dir):
     assert "SinglePartition" in plan
 
 
-def test_j16_parent_dims_broadcast(spark, sf_dir):
-    """Five of the seven FK edges have dimension-sized parents —
-    orphan probes must broadcast them, not shuffle the fact side."""
+def test_j16_one_fact_scan_preagg_before_shuffle(spark, sf_dir):
+    """r13 shape: every child table is scanned once (lineitem's three
+    FK edges ride ONE scan via the 3-struct explode) and the only
+    corpus-sized shuffle input is the (edge, key) pre-aggregation —
+    raw child rows never enter a join. Guards both halves of the
+    guide §2.3/§2.4 rewrite: a second lineitem scan or a join keyed
+    on raw child rows would silently reintroduce the 41-stage shape."""
     plan = plan_of(registry.QUERIES["j16_fk_orphan_audit"](spark, sf_dir))
-    assert _detail_nodes(plan, "BroadcastHashJoin") >= 5
+    assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
+    # the (e, k) pre-agg must sit BELOW the parent join: the join input
+    # is HashAggregate output, so exactly one exchange carries (e, k)
+    # (formatted plans put partitioning in `Arguments:` detail lines)
+    import re
+
+    ek_exchanges = re.findall(r"hashpartitioning\(e#\d+, k#\d+", plan)
+    assert len(ek_exchanges) == 1, ek_exchanges
 
 
 def test_d16_token_set_dedup_joinless_single_scan(spark, sf_dir):
