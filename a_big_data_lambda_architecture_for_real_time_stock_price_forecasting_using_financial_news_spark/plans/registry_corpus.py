@@ -1548,9 +1548,22 @@ def _cooccur_graph_bucketed(spark, sf_dir):
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        _nb = bucket_count(spark, sf_dir, "lineitem")
         (
-            ori.write.format("parquet")
-            .bucketBy(bucket_count(spark, sf_dir, "lineitem"), "s")
+            # bucket-aligned exchange before the bucketed write (guide §6
+            # output sizing): HashPartitioning and bucketBy share the
+            # murmur3-pmod formula, so each write task holds whole buckets
+            # -> exactly _nb files instead of tasks x _nb KB-fragments from
+            # the wide co-occurrence shuffle upstream. The g9/g15/g17
+            # probes re-open this table every run; r13 interleaved A/B:
+            # g9 0.92 s -> 0.47 s median. (The same change measured as a
+            # pure LOSS at the d10/j8/g10 write sites, whose upstream is
+            # already hash-partitioned on the bucket key -- there the
+            # extra exchange buys nothing; left naive, see
+            # OPTIMIZATION_r13.md.)
+            ori.repartition(_nb, "s")
+            .write.format("parquet")
+            .bucketBy(_nb, "s")
             .sortBy("s", "t")
             .option("path", _os.path.join(scratch, "g_ori"))
             .mode("overwrite")
