@@ -459,21 +459,65 @@ def _km_cn2_sql(c: str) -> str:
 
 
 def _km_assign(vecs: DataFrame, cents: DataFrame, extra: list[str]) -> DataFrame:
-    """Nearest centroid per vector: broadcast the (tiny) centroid table,
-    fold the cost per pair, take the lexicographic (cost, cid) min via a
-    partial-aggregatable min(struct(...)) — no window, no extra shuffle
-    beyond the one hash agg on vec_id. ``extra`` columns ride along inside
-    the struct (constant within a vec_id group, never reached by the
-    comparison because (cost, cid) is unique per group)."""
+    """Nearest centroid per vector, computed ENTIRELY inside one projection:
+    the k-row centroid table collapses to a single array-of-structs row
+    (sorted by cid), rides a 1-row broadcast, and each vector folds the
+    lexicographic (cost, cid) min over that array in-expression.
+
+    r13 rewrite (guide §2.1 remove-shuffles): the previous shape crossJoined
+    the corpus against the broadcast k-row table (k x N rows materialized)
+    and took min(struct(cost, cid, extra)) through a groupBy(vec_id) — a
+    full-corpus hash exchange CARRYING THE EMBEDDING PAYLOADS, per
+    assignment call, that exists only to undo the k-way row blowup. At
+    100 TB that exchange shuffles the whole corpus once per assign (train,
+    store build, batch probe each pay it); the fold keeps assignment a
+    map-only operator, so the only exchange left in an assign is the k-row
+    collect (hash on a constant key — k rows, not corpus rows).
+
+    Exact-equivalence notes (the oracle pins argmin + tie-break):
+    - fold order is ascending cid (sort_array on the unique leading field),
+      and the keep-condition replicates min(struct)'s NULLS FIRST struct
+      comparison: s beats acc iff s.cost IS NULL AND acc.cost IS NOT NULL,
+      or s.cost < acc.cost; ties (incl. both-null) keep the earlier cid.
+    - _km_cost is evaluated once per centroid inside a transform (module
+      rule: no expensive expression twice in one lambda/projection chain),
+      and the fold result is mentioned exactly once in the projection.
+    - the k-row collapse groups on a CONSTANT KEY rather than a global
+      agg, so an empty centroid table yields zero rows and the crossJoin
+      stays empty — identical to the old shape's empty-join behavior.
+    ``extra`` columns now simply stay on the vector's row (no shuffle, so
+    nothing needs to ride a struct)."""
     ca = cents.select("cid", "c", _km_cn2(F.col("c")).alias("cn2"))
-    scored = vecs.crossJoin(F.broadcast(ca)).withColumn(
-        "cost", _km_cost(F.col("q"), F.col("c"), F.col("cn2"))
+    carr = (
+        ca.groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("cid", "c", "cn2"))).alias(
+                "_cents"
+            )
+        )
+        .drop("_g")
     )
-    m = scored.groupBy("vec_id").agg(
-        F.min(F.struct("cost", "cid", *extra)).alias("m")
+    scored = F.transform(
+        F.col("_cents"),
+        lambda ct: F.struct(
+            _km_cost(F.col("q"), ct["c"], ct["cn2"]).alias("cost"),
+            ct["cid"].alias("cid"),
+        ),
     )
-    return m.select(
-        "vec_id", F.col("m.cid").alias("cid"), *[F.col(f"m.{e}").alias(e) for e in extra]
+    zero = F.struct(
+        F.lit(float("inf")).alias("cost"), F.lit(None).cast("int").alias("cid")
+    )
+    best = F.aggregate(
+        scored,
+        zero,
+        lambda acc, s: F.when(
+            (s["cost"].isNull() & acc["cost"].isNotNull())
+            | (s["cost"] < acc["cost"]),
+            s,
+        ).otherwise(acc),
+    )
+    return vecs.crossJoin(F.broadcast(carr)).select(
+        "vec_id", best["cid"].alias("cid"), *extra
     )
 
 

@@ -361,15 +361,25 @@ def j10_bloom_prune(spark, sf_dir):
         .cast("bigint")
         .alias("bits")
     )
+    # coalesce(-1) makes the probe positions NON-NULLABLE so Catalyst does
+    # not infer IsNotNull(p1/p2) filters below this projection: with the
+    # nullable expression, the whole md5 chain was evaluated TWICE per fact
+    # row (once in the inferred Filter, once here — no CSE across
+    # Filter/Project). Value-equivalent: a NULL l_suppkey hashed to NULL and
+    # was dropped by the inner word-join; -1 shifts to word -1, which no
+    # bits row (words 0..127) matches — dropped identically, oracle
+    # untouched. Guide §1.3/§2.2: halve the per-row work before any join.
     probe = li.select(
         "l_orderkey",
         "l_suppkey",
-        (phash60(F.col("l_suppkey").cast("string"), seed="bf1") % BLOOM_BITS).alias(
-            "p1"
-        ),
-        (phash60(F.col("l_suppkey").cast("string"), seed="bf2") % BLOOM_BITS).alias(
-            "p2"
-        ),
+        F.coalesce(
+            phash60(F.col("l_suppkey").cast("string"), seed="bf1") % BLOOM_BITS,
+            F.lit(-1),
+        ).alias("p1"),
+        F.coalesce(
+            phash60(F.col("l_suppkey").cast("string"), seed="bf2") % BLOOM_BITS,
+            F.lit(-1),
+        ).alias("p2"),
     )
     b1, b2 = bits.alias("b1"), bits.alias("b2")
     passed = (
