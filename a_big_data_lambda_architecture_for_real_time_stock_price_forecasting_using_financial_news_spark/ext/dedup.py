@@ -1285,10 +1285,24 @@ def _chunk_fps(
     ride the window partition key and the chunk groupBy)."""
     from pyspark.sql import Window
 
-    toks = df.select(
+    # r13 (guide §2.2 shuffle fewer bytes): cluster DOCUMENTS by doc_id
+    # BEFORE tokenizing — the running-boundary window below needs a
+    # hash(doc_id) exchange anyway, and hash(doc_id) on the document rows
+    # satisfies the window's (and the later chunk groupBy's) required
+    # clustering, so the exchange count is unchanged while (a) the shuffle
+    # carries one text row per document instead of ~tokens-per-doc
+    # (pos, ph) rows (~4x fewer bytes on the fixture's ~55-token docs) and
+    # (b) the tokenizer + per-token md5 run on the exchange's PARALLEL
+    # side instead of inside the scan stage.
+    clustered = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in carry],
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+        F.col(text_col).alias("_t"),
+    ).repartition("doc_id")
+    toks = clustered.select(
+        "doc_id",
+        *carry,
+        F.posexplode(tokens(F.col("_t"))).alias("pos", "t"),
     )
     keep = ("t",) if with_tokens else ()
     h = toks.select(
