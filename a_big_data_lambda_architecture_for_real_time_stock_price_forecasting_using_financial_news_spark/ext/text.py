@@ -239,7 +239,16 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     """
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    # r13 (guide §2.1/§2.2): cluster DOCUMENTS by doc_id before the
+    # explode. hash(doc_id) satisfies both the (doc, term) tf agg's and
+    # the per-doc top-k window's required clustering, so the old shape's
+    # TWO corpus-sized exchanges (token-row (doc, term, tf) pairs into
+    # the agg, then the scored table again for the window) collapse into
+    # this ONE exchange of text rows — fewer exchanges and fewer bytes
+    # (one ~text-sized row per doc vs ~distinct-terms-per-doc pair rows)
+    # at any scale. N comes off `raw` (scan only), not the shuffle.
+    base = raw.repartition("doc_id")
     terms = base.select(
         "doc_id", F.explode(tokens(F.col("_text"))).alias("term")
     )
@@ -248,7 +257,7 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     # consumer re-runs the tokenize+explode+agg lineage from the scan
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()  # cache: caller-owns
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = base.agg(F.countDistinct("doc_id").alias("_n"))
+    n = raw.agg(F.countDistinct("doc_id").alias("_n"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
