@@ -14,12 +14,17 @@ def main():
     qa, qb = a["queries"], b["queries"]
     shared = sorted(set(qa) & set(qb), key=lambda k: qa[k] - qb.get(k, 0), reverse=True)
     print(f"{'entry':36} {'before':>7} {'after':>7} {'ratio':>6}")
+    # timings are rounded to 3 decimals at the source, so a sub-millisecond
+    # baseline entry would divide by zero — clamp instead of crashing
+    def ratio(k):
+        return qb[k] / max(qa[k], 1e-6)
+
     for k in shared:
-        print(f"{k:36} {qa[k]:7.3f} {qb[k]:7.3f} {qb[k]/qa[k]:6.2f}")
+        print(f"{k:36} {qa[k]:7.3f} {qb[k]:7.3f} {ratio(k):6.2f}")
     ta, tb = sum(qa[k] for k in shared), sum(qb[k] for k in shared)
-    print(f"{'TOTAL (shared)':36} {ta:7.3f} {tb:7.3f} {tb/ta:6.2f}")
+    print(f"{'TOTAL (shared)':36} {ta:7.3f} {tb:7.3f} {tb/max(ta, 1e-6):6.2f}")
     import statistics
-    print("median ratio:", round(statistics.median(qb[k]/qa[k] for k in shared), 3))
+    print("median ratio:", round(statistics.median(ratio(k) for k in shared), 3))
     for tag, d in (("before", a), ("after", b)):
         m, mp = d.get("machine", {}), d.get("machine_post", {})
         print(f"{tag}: pre loadavg={m.get('loadavg')} cpu_micro={m.get('cpu_micro_sec')}"
