@@ -1601,6 +1601,7 @@ def test_substring_spans_delta_replays_to_batch_truth(spark):
     )
 
 
+@pytest.mark.soak
 def test_substring_ndocs_store_equals_recompute_across_batches(spark):
     """The amortized df-count store (r12 verdict item 3): maintaining the
     per-hash ndocs table via ndocs_delta + merge_ndocs across arriving

@@ -1610,6 +1610,7 @@ def test_t19_time_travel_empty_first_merge(spark, tmp_path_factory):
     _check(spark, tmp, "t19_time_travel", ["events"])
 
 
+@pytest.mark.soak
 def test_t21_stream_join_single_purchase_feed(spark, tmp_path_factory):
     """Regression (r10): a feed with exactly ONE purchase event gave the
     stock leg a watermark that never passed any window end — stage 1

@@ -44,6 +44,7 @@ def test_option_b_matches_batch_recompute(spark, sf_dir):
             assert g[d][col] == w[d][col], (d, col, g[d][col], w[d][col])
 
 
+@pytest.mark.soak
 def test_option_b_replay_deterministic(spark, sf_dir):
     """Two fresh replays produce byte-identical views. Before the mtime
     pinning in events_stream this failed ~half the time: concurrently
@@ -191,6 +192,7 @@ def test_stream_join_no_premature_singles(spark):
     assert days == sorted(set(days))  # exactly-once: no duplicate emission
 
 
+@pytest.mark.soak
 def test_sentinel_never_reaches_a_sink_under_novel_event_type(spark):
     """Sentinel punctuation HONESTY (r10 judge item 8): the raw-replay
     sentinels are one far-future event per TYPE-CLASS (a 'purchase' for

@@ -4,6 +4,8 @@ the cross-stream column-half merge (J2)."""
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from pyspark.sql import functions as F
@@ -1559,6 +1561,7 @@ def test_streaming_substring_view_converges_to_batch(spark, sf_dir):
         assert got == want and got, "streamed spans view != batch recompute"
 
 
+@pytest.mark.soak
 def test_streaming_semdedup_view_converges_to_frozen_batch(spark, sf_dir):
     """t31 (r12 verdict item 5, engine side): the streamed SemDeDup view
     — centroids frozen on the vec_id % 3 == 0 snapshot, embeddings
@@ -1646,6 +1649,7 @@ def test_streaming_semdedup_view_planted_min_merge(spark, tmp_path_factory):
     assert out[17] == (0, 4, 2)
 
 
+@pytest.mark.soak
 def test_streaming_semdedup_view_survives_checkpoint_restart(spark, tmp_path_factory):
     """t31 under failure (the t17 invariant applied to the newest view):
     the replay is stopped after two micro-batches and RESTARTED from the
@@ -1794,6 +1798,7 @@ def test_streaming_semdedup_view_survives_checkpoint_restart(spark, tmp_path_fac
     assert out[17] == (4, 2)
 
 
+@pytest.mark.soak
 def test_streaming_substring_view_survives_restart_with_gate_crossing(
     spark, tmp_path_factory
 ):
